@@ -1,0 +1,76 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes end-to-end via the ``noop`` sink (full plan execution,
+no driver-side materialization cost), after a small JVM warm-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_left_orders_per_customer",
+    "window_running_spend",
+    "events_hourly_window",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "neardup_ngram_jaccard",
+    "similarity_topk_cosine",
+    "ann_lsh_buckets",
+    "text_quality_score",
+    "text_langid_heuristic",
+    "text_bpe_token_count",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from quackio_jl_spark.registry import QUERIES
+    from quackio_jl_spark.session import get_spark
+
+    spark = get_spark(app_name="quackio_bench")
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm-up: JVM/codegen/file-listing paths
+    run(QUERIES["q1_pricing_summary"](spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        run(QUERIES[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

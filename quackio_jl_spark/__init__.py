@@ -1,0 +1,56 @@
+"""quackio_jl_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of JuliaAPlavin/QuackIO.jl (reference studied
+read-only at /root/reference; see SURVEY.md).
+
+Reference surface -> Spark mapping (SURVEY.md §0):
+- write_table / read_csv / read_parquet / read_json / read_file  -> sources/
+- lazy SQLCollection handle -> the pyspark DataFrame itself (plans/)
+- Parquet KV-metadata round-trip -> sources.metadata (pyarrow footer pass)
+- DuckDB function spellings -> functions.compat
+- driver-mandated LLM-pipeline operators -> operators/ (dedup, similarity,
+  text, multimodal) and streaming/
+"""
+
+from .functions import (
+    DUCKDB_FUNCTIONS,
+    davg,
+    dsum,
+    list_cosine_similarity,
+    list_dot_product,
+    list_sum,
+    strftime,
+    string_split,
+)
+from .session import get_spark
+from .sources import (
+    attach_kv_metadata,
+    materialize,
+    read_csv,
+    read_file,
+    read_json,
+    read_kv_metadata,
+    read_parquet,
+    write_table,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "get_spark",
+    "read_csv",
+    "read_parquet",
+    "read_json",
+    "read_file",
+    "write_table",
+    "materialize",
+    "attach_kv_metadata",
+    "read_kv_metadata",
+    "dsum",
+    "davg",
+    "strftime",
+    "string_split",
+    "list_sum",
+    "list_dot_product",
+    "list_cosine_similarity",
+    "DUCKDB_FUNCTIONS",
+]

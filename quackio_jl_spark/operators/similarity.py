@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns (driver mandate):
+brute-force cosine top-k baseline + embedding-cosine near-dup, with an
+LSH-bucketed scale path (random-hyperplane signatures, deterministic seeds).
+
+All dot products use floor-based fixed-point accumulation: per-element
+``floor(x*y * 1e9)`` summed as int64, divided by 1e9 at the end. Every step
+is deterministic IEEE double or exact integer math, identical in any engine
+— unlike double->DECIMAL casts, whose rounding paths differ between Spark
+(exact BigDecimal + HALF_UP) and DuckDB (scaled double multiply). Bit-equal
+cosines matter because top-k ordering and near-dup thresholds sit directly
+on those values.
+
+Scale design:
+- top-k against a FIXED query set: broadcast the queries, scan the corpus
+  once, TakeOrderedAndProject per query — no shuffle of the corpus.
+- near-dup among N vectors: brute force is O(N^2) and only acceptable on a
+  candidate subset; the scale path buckets by hyperplane-sign signature
+  (ann_lsh_buckets) and compares within buckets only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..plans.registry import query, table
+
+_SCALE = 1e9  # fixed-point scale: ~9 significant decimals, no int64 overflow
+               # for |x*y| sums up to ~9e9 (dims*values far below that here)
+
+
+def exact_dot(a: Column | str, b: Column | str) -> Column:
+    """Order-independent dot product of two float arrays -> double
+    (floor fixed-point; see module docstring)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(
+        a, b, lambda x, y: F.floor(x.cast("double") * y.cast("double") * F.lit(_SCALE))
+    )
+    return (
+        F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x) / F.lit(_SCALE)
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """DuckDB twin of exact_dot (indexed list lambda, int64 fixed-point sum)."""
+    return (
+        f"(CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST(floor(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * 1e9) AS BIGINT))) "
+        f"AS DOUBLE) / 1e9)"
+    )
+
+
+def cosine(a, b) -> Column:
+    return exact_dot(a, b) / (F.sqrt(exact_dot(a, a)) * F.sqrt(exact_dot(b, b)))
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return f"{_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+
+
+@query(
+    "embedding_norms",
+    oracle=f"""
+    SELECT vec_id, label,
+      CAST(len(embedding) AS INTEGER) AS dim,
+      sqrt({_dot_sql('embedding', 'embedding')}) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark, sf_dir):
+    """Array plumbing smoke: per-vector dimension + L2 norm, map-side only."""
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.sqrt(exact_dot("embedding", "embedding")).alias("l2_norm"),
+    )
+
+
+@query(
+    "similarity_topk_cosine",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings
+               WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings))
+    SELECT vec_id, label, {_cosine_sql('embedding', 'qv')} AS cos_sim
+    FROM embeddings, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def similarity_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-10 for a single query vector (the min vec_id).
+    The query row broadcasts; the corpus is scanned once with a JVM-side
+    codegen'd dot product; TakeOrderedAndProject gives the global top-k
+    without a shuffle."""
+    e = table(spark, sf_dir, "embeddings")
+    qid = e.agg(F.min("vec_id").alias("m"))
+    q = (
+        e.join(F.broadcast(qid), F.col("vec_id") == F.col("m"))
+        .select(F.col("embedding").alias("qv"))
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cosine("embedding", "qv").alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "neardup_embedding_cosine",
+    oracle=f"""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+      {_cosine_sql('a.embedding', 'b.embedding')} AS cos_sim
+    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.2
+    """,
+)
+def neardup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup over a vec_id%5 candidate subset (at scale
+    the subset comes from LSH buckets, not a modulus — see
+    ann_lsh_buckets)."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    a = e.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("eb"))
+    return (
+        a.join(F.broadcast(b), F.col("id1") < F.col("id2"))
+        .select("id1", "id2", cosine("ea", "eb").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.2)
+    )
+
+
+# ---------------------------------------------------- LSH scale path (ANN)
+
+N_HYPERPLANES = 8
+
+
+def _hyperplane_coeff_sql(p: int, i: str) -> str:
+    """Deterministic pseudo-random hyperplane coefficient in [-1, 1):
+    derived from md5 of '<plane>:<dim>' — reproducible in any engine."""
+    return (
+        f"(CAST(('0x' || substr(md5('{p}:' || CAST({i} AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)"
+        f" / 2147483648.0 - 1.0)"
+    )
+
+
+def _hyperplane_coeff(p: int, i: Column) -> Column:
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{p}:"), i.cast("string"))), 1, 8), 16, 10
+    ).cast("bigint")
+    return h.cast("double") / F.lit(2147483648.0) - F.lit(1.0)
+
+
+def _plane_sign(p: int) -> Column:
+    """Sign bit of <embedding, hyperplane_p> (fixed-point accumulation)."""
+    prods = F.transform(
+        F.sequence(F.lit(1), F.size("embedding")),
+        lambda i: F.floor(
+            F.element_at("embedding", i).cast("double") * _hyperplane_coeff(p, i) * F.lit(_SCALE)
+        ),
+    )
+    dot = F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return F.when(dot > 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def _plane_sign_sql(p: int) -> str:
+    return (
+        "CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), "
+        f"i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * {_hyperplane_coeff_sql(p, 'i')} "
+        "* 1e9) AS BIGINT))) > 0 THEN 1 ELSE 0 END"
+    )
+
+
+@query(
+    "ann_lsh_buckets",
+    oracle="""
+    SELECT vec_id,
+      CAST(""" + " + ".join(
+        f"({_plane_sign_sql(p)} * {1 << p})" for p in range(N_HYPERPLANES)
+    ) + """ AS BIGINT) AS bucket
+    FROM embeddings
+    """,
+)
+def ann_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH: 8 deterministic md5-seeded hyperplanes give a
+    256-bucket signature. This is the ANN scale path: near-neighbors collide
+    in buckets, and the subsequent within-bucket brute force replaces the
+    global O(N^2). Map-side only — one projection pass over the corpus."""
+    e = table(spark, sf_dir, "embeddings")
+    bucket = None
+    for p in range(N_HYPERPLANES):
+        term = _plane_sign(p) * F.lit(1 << p)
+        bucket = term if bucket is None else bucket + term
+    return e.select("vec_id", bucket.cast("bigint").alias("bucket"))

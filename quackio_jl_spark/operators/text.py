@@ -1,0 +1,213 @@
+"""Text-analysis operators for LLM training-data pipelines (driver mandate;
+SURVEY.md §7 M5): token counting, quality scoring, language-ID heuristic,
+document fingerprinting. All pure built-in SQL functions — per-document work
+with no shuffle at all except the final aggregations, so these scale linearly
+to 100 TB (embarrassingly parallel over parquet row-groups).
+
+Each operator is registered with a DuckDB oracle so the correctness gate
+hash-checks real values, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum
+from ..plans.registry import query, table
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small + deterministic so the oracle SQL can mirror
+# the exact same scoring.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def _count_word_sql(word: str) -> str:
+    """DuckDB SQL: occurrences of ``word`` as a whole token in text."""
+    return (
+        f"len(list_filter(string_split(text, ' '), t -> t = '{word}'))"
+    )
+
+
+def _count_word(col, word: str):
+    """Spark: occurrences of ``word`` as a whole token (split + filter —
+    identical token semantics to the oracle)."""
+    return F.size(F.filter(F.split(col, " "), lambda t: t == F.lit(word)))
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id, lang,
+      CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      CAST(length(text) AS INTEGER) AS len_chars,
+      CAST(length(replace(text, ' ', '')) AS INTEGER) AS len_nospace
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Whitespace token counting (the BPE-ish regex variant is
+    text_bpe_token_count below)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.length("text").alias("len_chars"),
+        F.length(F.regexp_replace("text", " ", "")).alias("len_nospace"),
+    )
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER)
+        AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark, sf_dir):
+    """BPE-ish tokenization: alpha runs, digit runs, and lone punctuation as
+    separate tokens — the classic pre-tokenizer regex, counted JVM-side."""
+    d = table(spark, sf_dir, "documents")
+    pat = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+      CAST(length(text) AS INTEGER) AS len_chars,
+      CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER)
+        AS n_digits,
+      CAST(length(text) AS DOUBLE)
+        / len(string_split(text, ' ')) AS mean_token_len,
+      (CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
+        / length(text)) AS vowel_ratio
+    FROM documents
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Quality-scoring signals: length, token count, digit count, mean token
+    length, vowel ratio. regexp_replace-difference counting matches the
+    oracle exactly (no engine-specific regex count builtins)."""
+    d = table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_tokens = F.size(F.split("text", " "))
+    n_digits = n_chars - F.length(F.regexp_replace("text", "[0-9]", ""))
+    n_vowels = n_chars - F.length(F.regexp_replace("text", "[aeiou]", ""))
+    return d.select(
+        "doc_id",
+        n_chars.alias("len_chars"),
+        n_tokens.alias("n_tokens"),
+        n_digits.alias("n_digits"),
+        (n_chars.cast("double") / n_tokens).alias("mean_token_len"),
+        (n_vowels.cast("double") / n_chars).alias("vowel_ratio"),
+    )
+
+
+def _langid_score_col(words):
+    """Spark score column: total whole-token stopword hits (built lazily —
+    Column construction needs an active SparkContext)."""
+    score = None
+    for w in words:
+        c = _count_word(F.col("text"), w)
+        score = c if score is None else score + c
+    return score
+
+
+_LANGID_SQL_SCORES = ",\n      ".join(
+    "(" + " + ".join(_count_word_sql(w) for w in words) + f") AS score_{lang}"
+    for lang, words in STOPWORDS.items()
+)
+
+@query(
+    "text_langid_heuristic",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+      {_LANGID_SQL_SCORES}
+      FROM documents
+    )
+    SELECT doc_id, lang,
+      CASE
+        WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr
+          AND score_en > 0 THEN 'en'
+        WHEN score_es >= score_de AND score_es >= score_fr AND score_es > 0 THEN 'es'
+        WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+        WHEN score_fr > 0 THEN 'fr'
+        ELSE 'unknown'
+      END AS pred_lang
+    FROM scored
+    """,
+)
+def text_langid_heuristic(spark, sf_dir):
+    """Stopword-count language ID with a fixed priority tie-break
+    (en > es > de > fr), mirrored exactly in the oracle CASE chain."""
+    d = table(spark, sf_dir, "documents")
+    scores = {lang: _langid_score_col(words) for lang, words in STOPWORDS.items()}
+    d = d.select("doc_id", "lang", *[c.alias(f"score_{l}") for l, c in scores.items()])
+    s = {l: F.col(f"score_{l}") for l in scores}
+    pred = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] > 0),
+            "en",
+        )
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]) & (s["es"] > 0), "es")
+        .when((s["de"] >= s["fr"]) & (s["de"] > 0), "de")
+        .when(s["fr"] > 0, "fr")
+        .otherwise("unknown")
+    )
+    return d.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+      md5(text) AS fp_md5,
+      md5(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g'))) AS fp_normalized
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: raw md5 + normalization-invariant md5
+    (case/punctuation/whitespace folded). The normalized fingerprint is the
+    join key for exact near-normal dedup at scale."""
+    d = table(spark, sf_dir, "documents")
+    normalized = F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]+", " "))
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("fp_md5"),
+        F.md5(normalized).alias("fp_normalized"),
+    )
+
+
+@query(
+    "lang_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+      CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) / COUNT(n_chars) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def lang_stats(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum(F.col("n_chars").cast("decimal(28,6)")).cast("double") / F.count("n_chars")).alias(
+            "avg_chars"
+        ),
+    )

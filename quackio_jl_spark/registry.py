@@ -1,0 +1,9 @@
+"""Single import point that materializes the full query/oracle registry."""
+
+from .plans.registry import ORACLES, QUERIES, query, table  # noqa: F401
+
+# Import-for-side-effect: each module registers its queries on import.
+from .plans import relational  # noqa: F401, E402
+from .operators import dedup, multimodal, similarity, text  # noqa: F401, E402
+
+__all__ = ["QUERIES", "ORACLES", "query", "table"]

@@ -1,0 +1,26 @@
+from .metadata import attach_kv_metadata, read_kv_metadata
+from .options import (
+    duckdb_schema_to_ddl,
+    guess_format,
+    normalize_format,
+    translate_read_options,
+    translate_write_options,
+)
+from .readers import materialize, read_csv, read_file, read_json, read_parquet
+from .writers import write_table
+
+__all__ = [
+    "read_csv",
+    "read_parquet",
+    "read_json",
+    "read_file",
+    "materialize",
+    "write_table",
+    "attach_kv_metadata",
+    "read_kv_metadata",
+    "normalize_format",
+    "guess_format",
+    "duckdb_schema_to_ddl",
+    "translate_read_options",
+    "translate_write_options",
+]

@@ -1,0 +1,172 @@
+"""Eager/lazy file readers with DuckDB-compatible pushdown kwargs.
+
+Reference surface (SURVEY.md §2.1, §2.2, §2.5):
+  read_csv / read_parquet / read_json (fmt, file; select=, limit=, opts...)
+    -> /root/reference/src/QuackIO.jl:45-51 -> _read_file :69-76
+  read_file with format guessing -> /root/reference/src/QuackIO.jl:60-67,84-90
+  multi-file list scan -> /root/reference/src/QuackIO.jl:115,121 (tests :78-82)
+  select= projection + rename pairs -> /root/reference/src/QuackIO.jl:79-82
+  limit= pushdown -> /root/reference/src/QuackIO.jl:96-97
+
+Spark-first design: the returned ``DataFrame`` *is* the reference's lazy
+``SQLCollection`` (ext/SQLCollectionsExt.jl:7-16) — an unexecuted relational
+plan. ``select``/``limit`` become Catalyst ColumnPruning / LimitPushDown, which
+land in the file scan exactly like the reference's string-assembled
+``SELECT cols FROM read_csv(...) LIMIT n``. Materializer argument ``fmt``
+mirrors Tables.materializer (src/QuackIO.jl:72-73): 'df' (lazy, default),
+'pandas' (columntable analogue), 'rows' (rowtable analogue), 'arrow'.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .options import (
+    duckdb_schema_to_ddl,
+    guess_format,
+    normalize_format,
+    translate_read_options,
+)
+
+__all__ = ["read_csv", "read_parquet", "read_json", "read_file", "materialize"]
+
+
+def _apply_select(df: DataFrame, select: Iterable[Any]) -> DataFrame:
+    """``select=`` iterator of names or ``(old, new)`` rename pairs
+    (reference renders ``"a" AS "c"`` — src/QuackIO.jl:79-82)."""
+    cols = []
+    for item in select:
+        if isinstance(item, tuple):
+            old, new = item
+            cols.append(F.col(f"`{old}`").alias(str(new)))
+        elif isinstance(item, dict):
+            for old, new in item.items():
+                cols.append(F.col(f"`{old}`").alias(str(new)))
+        else:
+            cols.append(F.col(f"`{item}`"))
+    return df.select(*cols)
+
+
+def _paths(file: str | Sequence[str]) -> list[str]:
+    if isinstance(file, (list, tuple)):
+        return [str(p) for p in file]
+    return [str(file)]
+
+
+def _restrict_auto_types(df: DataFrame, candidates: Sequence[str]) -> DataFrame:
+    """Emulate DuckDB's ``auto_type_candidates`` (test/runtests.jl:66):
+    inferred column types not in the candidate list fall back to varchar."""
+    allowed = set()
+    for c in candidates:
+        c = str(c).lower()
+        if c in ("int", "integer", "bigint"):
+            allowed.update(("int", "bigint"))
+        elif c in ("float", "double", "real"):
+            allowed.update(("float", "double"))
+        elif c in ("varchar", "text", "string"):
+            allowed.add("string")
+        elif c in ("bool", "boolean"):
+            allowed.add("boolean")
+        elif c in ("timestamp", "datetime"):
+            allowed.add("timestamp")
+        elif c == "date":
+            allowed.add("date")
+        else:
+            allowed.add(c)
+    out = []
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        if t in allowed or "string" not in allowed:
+            out.append(F.col(f"`{f.name}`"))
+        else:
+            out.append(F.col(f"`{f.name}`").cast("string").alias(f.name))
+    return df.select(*out)
+
+
+def _read(
+    spark: SparkSession,
+    fmt: str,
+    file: str | Sequence[str],
+    *,
+    select: Iterable[Any] | None = None,
+    limit: int | None = None,
+    columns: dict[str, str] | None = None,
+    names: Sequence[str] | None = None,
+    auto_type_candidates: Sequence[str] | None = None,
+    materializer: str = "df",
+    **options: Any,
+) -> Any:
+    opts = translate_read_options(fmt, options)
+    reader = spark.read
+    if columns:
+        reader = reader.schema(duckdb_schema_to_ddl(columns))
+        if fmt == "csv":
+            opts.setdefault("header", "true")
+    elif fmt == "csv":
+        opts.setdefault("header", "true")
+        opts.setdefault("inferSchema", "true")
+    reader = reader.options(**opts)
+    paths = _paths(file)
+    # DataFrameReader.parquet is varargs; csv/json take a path list
+    df = reader.parquet(*paths) if fmt == "parquet" else getattr(reader, fmt)(paths)
+    if names:
+        # positional rename, reference `names=` (test/runtests.jl:72-76)
+        df = df.toDF(*[str(n) for n in names], *df.columns[len(list(names)):])
+    if auto_type_candidates:
+        df = _restrict_auto_types(df, auto_type_candidates)
+    if select is not None:
+        df = _apply_select(df, select)
+    if limit is not None:
+        df = df.limit(int(limit))
+    return materialize(df, materializer)
+
+
+def materialize(df: DataFrame, fmt: str = "df"):
+    """Edge materializers — the Tables.materializer analogue
+    (src/QuackIO.jl:72-73). 'df' keeps the plan lazy (SQLCollection mode)."""
+    if fmt in ("df", "lazy", "sqlcollection"):
+        return df
+    if fmt in ("pandas", "columntable"):
+        return df.toPandas()
+    if fmt in ("rows", "rowtable"):
+        return df.collect()
+    if fmt == "arrow":
+        return df.toArrow()
+    if callable(fmt):
+        return fmt(df)
+    raise ValueError(f"unknown materializer {fmt!r}")
+
+
+def read_csv(spark: SparkSession, file, **kw) -> DataFrame:
+    """CSV scan (S1). ``select=``/``limit=`` push into the scan via Catalyst."""
+    return _read(spark, "csv", file, **kw)
+
+
+def read_parquet(spark: SparkSession, file, **kw) -> DataFrame:
+    """Parquet scan (S2)."""
+    return _read(spark, "parquet", file, **kw)
+
+
+def read_json(spark: SparkSession, file, **kw) -> DataFrame:
+    """JSON scan (S3) — NDJSON by default, like DuckDB read_json."""
+    return _read(spark, "json", file, **kw)
+
+
+def read_file(spark: SparkSession, file, filetype: str | None = None, **kw) -> DataFrame:
+    """Format-guessing scan (S4) — reference sniffs when filetype is nothing
+    (src/QuackIO.jl:60-67). Kwargs besides select/limit are rejected when the
+    format had to be guessed, matching src/QuackIO.jl:85-89."""
+    if filetype is None:
+        first = _paths(file)[0]
+        fmt = guess_format(first)
+        extra = {k for k in kw if k not in ("select", "limit", "materializer")}
+        if extra:
+            raise ValueError(
+                f"options {sorted(extra)} require an explicit filetype= (format was guessed)"
+            )
+    else:
+        fmt = normalize_format(filetype)
+    return _read(spark, fmt, file, **kw)

@@ -1,0 +1,94 @@
+"""Table sink: write_table (COPY TO analogue).
+
+Reference: ``write_table(file, tbl; format=..., kwargs...)`` registers the
+table and executes ``COPY my_tbl TO 'file' (opts)``
+(/root/reference/src/QuackIO.jl:33-42). Format inferred from the filename
+when not given; lowercase-enforced (src/QuackIO.jl:34).
+
+Spark-first: ``df.write.format(fmt).options(...).save``. Two modes:
+
+- **single_file=True** (default, reference-parity): the reference's COPY
+  writes exactly one file. Spark writes a directory of parts; we coalesce(1)
+  into a temp dir and move the single part to the target path. Correct for
+  result-set-sized outputs; NOT the scale path.
+- **single_file=False** (scale path): plain directory write, all executors
+  write their partitions in parallel — the only sane mode at 100 TB. Atomic
+  via Spark's FileOutputCommitter (the reference's ``use_tmp_file`` for free).
+
+Parquet KV metadata (src/QuackIO.jl:126-132): handled post-write by
+sources.metadata via pyarrow, since Spark has no public file-level KV API.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+from typing import Any, Mapping
+
+from pyspark.sql import DataFrame
+
+from .options import guess_format, normalize_format, translate_write_options
+
+__all__ = ["write_table"]
+
+_EXT = {"csv": ".csv", "parquet": ".parquet", "json": ".json"}
+
+
+def write_table(
+    df: DataFrame,
+    file: str,
+    format: str | None = None,
+    *,
+    single_file: bool = True,
+    mode: str = "overwrite",
+    kv_metadata: Mapping[str, Any] | None = None,
+    partition_by: list[str] | None = None,
+    **options: Any,
+) -> str:
+    """Write ``df`` to ``file``; returns the path written."""
+    fmt = normalize_format(format) if format is not None else guess_format(file)
+    opts = translate_write_options(fmt, options)
+    if fmt == "csv":
+        opts.setdefault("header", "true")
+    elif fmt == "json":
+        # DuckDB/the reference write explicit nulls (test/runtests.jl:43);
+        # Spark omits null fields unless told otherwise
+        opts.setdefault("ignoreNullFields", "false")
+
+    if not single_file or partition_by:
+        writer = df.write.format(fmt).options(**opts).mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(file)
+        if fmt == "parquet" and kv_metadata:
+            from .metadata import attach_kv_metadata
+
+            attach_kv_metadata(file, kv_metadata)
+        return file
+
+    # single-file mode: write to a scratch dir, move the one part file out
+    tmpdir = tempfile.mkdtemp(prefix="quackio_write_", dir=os.path.dirname(file) or ".")
+    try:
+        df.coalesce(1).write.format(fmt).options(**opts).mode("overwrite").save(tmpdir + "/out")
+        parts = sorted(
+            p
+            for p in glob.glob(tmpdir + "/out/part-*")
+            if not p.endswith(".crc")
+        )
+        if len(parts) != 1:
+            raise RuntimeError(f"expected exactly one part file, got {parts}")
+        if os.path.isdir(file):
+            shutil.rmtree(file)
+        elif os.path.exists(file):
+            os.remove(file)
+        shutil.move(parts[0], file)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+    if fmt == "parquet" and kv_metadata:
+        from .metadata import attach_kv_metadata
+
+        attach_kv_metadata(file, kv_metadata)
+    return file

@@ -1,0 +1,60 @@
+"""Structured Streaming surface over the events table.
+
+The reference has zero streaming constructs (SURVEY.md §2.7) — this is the
+driver-mandated extension. The batch twin of the tumbling-window aggregation
+(plans/relational.py::events_hourly_window) is oracle-checked; here we run
+the SAME logical aggregation as a real streaming query with a watermark, so
+the engine demonstrably handles the streaming execution mode.
+
+Scale notes: in production the source is Kafka/files-on-arrival; the state
+store holds one row per (window, event_type); the watermark bounds state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import DEC
+
+
+def hourly_event_counts_stream(
+    spark: SparkSession, sf_dir: str, queryName: str = "hourly_events"
+) -> DataFrame:
+    """Run the hourly tumbling-window count as a Structured Streaming query
+    over the events parquet (file source), draining it synchronously into a
+    memory sink; returns the materialized result as a DataFrame."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source wants a directory; glob-filter to the one table
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    # TIMESTAMP(NANOS) arrives as long under nanosAsLong; truncate to micros
+    # (same conversion as plans.registry.table)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"SELECT date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS bucket, "
+        f"event_type, n, total_value FROM {queryName}"
+    )

@@ -1,0 +1,76 @@
+"""Operator smoke + exact-value tests at sf0.001 (fast), plus the streaming
+twin and the multimodal pipeline's deterministic decode."""
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from quackio_jl_spark.operators.multimodal import (
+    documents_as_media,
+    extract_media_features,
+    fake_decode,
+)
+from quackio_jl_spark.streaming.events import hourly_event_counts_stream
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_entry_smoke(spark):
+    df = entry.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_qty" in df.columns and "count_order" in df.columns
+
+
+def test_all_queries_run_and_have_rows_or_schema(spark):
+    """Every registered query must at least execute at sf0.001."""
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    assert len(qs) >= 40
+    # every oracle key must have a query
+    assert set(oracles) <= set(qs)
+    for name, fn in qs.items():
+        df = fn(spark, SF_DIR)
+        assert df.columns, name
+        df.take(1)  # executes the plan
+
+
+def test_q1_matches_manual(spark):
+    df = entry.queries()["q1_pricing_summary"](spark, SF_DIR)
+    row = {(r["l_returnflag"], r["l_linestatus"]): r for r in df.collect()}
+    l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    manual = l.groupBy("l_returnflag", "l_linestatus").count().collect()
+    for m in manual:
+        assert row[(m["l_returnflag"], m["l_linestatus"])]["count_order"] == m["count"]
+
+
+def test_streaming_matches_batch(spark):
+    stream_res = hourly_event_counts_stream(spark, SF_DIR, queryName="t_stream")
+    batch_res = entry.queries()["events_hourly_window"](spark, SF_DIR)
+    s = {(r["bucket"], r["event_type"]): (r["n"], r["total_value"]) for r in stream_res.collect()}
+    b = {(r["bucket"], r["event_type"]): (r["n"], r["total_value"]) for r in batch_res.collect()}
+    assert s == b
+
+
+def test_multimodal_decode_deterministic(spark):
+    media = documents_as_media(spark, SF_DIR)
+    feats = extract_media_features(media).orderBy("doc_id").limit(5).collect()
+    raw = media.orderBy("doc_id").limit(5).collect()
+    for r, f in zip(raw, feats):
+        w, h, n = fake_decode(bytes(r["payload"]), r["media_type"])
+        assert (f["width"], f["height"], f["n_frames"]) == (w, h, n)
+        assert f["n_bytes"] == len(bytes(r["payload"]))
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    """LSH candidates must contain the corpus's true near-dup pairs
+    (jaccard >= 0.9 pairs exist in the synthetic documents)."""
+    jac = entry.queries()["neardup_ngram_jaccard"](spark, SF_DIR).collect()
+    assert any(r["jaccard"] > 0.9 for r in jac)
+
+
+def test_topk_cosine_contains_self(spark):
+    """The query vector itself (cos=1) must rank first."""
+    top = entry.queries()["similarity_topk_cosine"](spark, SF_DIR).collect()
+    assert abs(top[0]["cos_sim"] - 1.0) < 1e-6

@@ -1,0 +1,103 @@
+"""Local stand-in for the driver's t2 oracle gate.
+
+Runs every queries() entry at a given sf_dir, runs its oracle_sql() twin in
+DuckDB over the same parquet, and compares row count + column names + an
+order-insensitive value comparison (exact on sorted rows). Prints per-query
+PASS/FAIL and a summary; exits nonzero on failure.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def normalize(rows, cols):
+    """Rows -> sorted list of tuples with columns sorted by name."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+def main():
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from quackio_jl_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark(cpus=16)
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: oracle error: {type(e).__name__}: {str(e)[:300]}")
+            continue
+        status = []
+        if len(srows) != len(orows):
+            status.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            status.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        if not status:
+            ns, no = normalize(srows, scols), normalize(orows, ocols)
+            if ns != no:
+                diffs = [(a, b) for a, b in zip(ns, no) if a != b][:3]
+                status.append(f"values differ, first diffs: {diffs}")
+        if status:
+            failures.append(name)
+            print(f"FAIL {name}: {'; '.join(status)}")
+        else:
+            print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+
+    print(f"\n{len(failures)} failures / {len(only) if only else len(queries)} checked")
+    if failures:
+        print("failed:", ", ".join(failures))
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
