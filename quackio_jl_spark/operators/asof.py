@@ -1,0 +1,152 @@
+"""As-of join and bucketized range join — operators Spark lacks natively,
+built as compositions of existing DataFrame ops (preference (a) from the
+build contract; no Pandas UDF needed).
+
+As-of join (union + window fill):
+  Tag right rows 0 and left rows 1, union them, sort within each ``by``
+  partition on (time, side, tiebreak), and forward-fill the right-side
+  payload with last(ignorenulls) over an unbounded-preceding frame. Left
+  rows then carry the most recent right row with t_right <= t_left.
+  Cost: ONE shuffle on the by-key + a per-partition sort — same complexity
+  as a sort-merge join, no range explosion, no per-group pandas. This is
+  the at-scale shape (pd.merge_asof per group would bottleneck on the
+  largest key).
+
+Range join (bucketize + equi-join):
+  |t_a - t_b| <= R becomes an equi-join on bucket = floor(t / R) after
+  exploding one side into {bucket-1, bucket, bucket+1}, then an exact
+  filter. Shuffle key = (by, bucket): work fans out by time bucket instead
+  of concentrating on the by-key alone — the standard trick for interval
+  joins at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..plans.registry import query, table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_on: str,
+    right_on: str,
+    right_values: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_on`` <= ``left_on`` within the same ``by`` group (backward
+    as-of; ties at equal time resolve to the right row, matching DuckDB's
+    ``ASOF JOIN ... ON l.t >= r.t``)."""
+    lcols = [c for c in left.columns]
+    L = left.select(
+        *lcols,
+        F.col(left_on).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_values],
+    )
+    R = right.select(
+        *by,
+        F.col(right_on).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_values],
+    )
+    for c in lcols:
+        if c not in by:
+            R = R.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    u = L.unionByName(R.select(*L.columns))
+    order = [F.col("_t"), F.col("_side")]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc_nulls_first())
+    w = (
+        W.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = u.select(
+        *[c for c in lcols],
+        "_side",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c) for c in right_values],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+@query(
+    "asof_join_purchase_click",
+    oracle="""
+    SELECT p.event_id, p.user_id, c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_purchase_click(spark, sf_dir):
+    """For every purchase, the user's most recent preceding click (NULL if
+    none) — oracle-checked against DuckDB's native ASOF LEFT JOIN."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+    )
+    res = asof_join(
+        purchases,
+        clicks,
+        by=["user_id"],
+        left_on="ts",
+        right_on="ts",
+        right_values=["click_id"],
+        tiebreak="event_id",
+    )
+    return res.select("event_id", "user_id", "click_id")
+
+
+@query(
+    "range_join_close_events",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_id <> a.event_id
+     AND b.ts >= a.ts
+     AND b.ts - a.ts <= INTERVAL 10 MINUTE
+     AND (b.ts > a.ts OR b.event_id > a.event_id)
+    """,
+)
+def range_join_close_events(spark, sf_dir):
+    """Pairs of same-user events within 10 minutes (a before-or-equal b).
+    Implemented as a bucketized equi-join: a explodes into {bucket, bucket+1}
+    candidate buckets, the join key is (user_id, bucket), and the exact
+    interval predicate filters after — no O(n^2) per user, no
+    broadcast-nested-loop."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t")
+    )
+    r_us = 10 * 60 * 1_000_000
+    a = e.select(
+        F.col("event_id").alias("id_a"),
+        "user_id",
+        F.col("t").alias("ta"),
+        F.explode(
+            F.array(F.floor(F.col("t") / r_us), F.floor(F.col("t") / r_us) + 1)
+        ).alias("bucket"),
+    )
+    b = e.select(
+        F.col("event_id").alias("id_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("t").alias("tb"),
+        F.floor(F.col("t") / r_us).alias("bucket_b"),
+    )
+    return (
+        a.join(b, (F.col("user_id") == F.col("user_b")) & (F.col("bucket") == F.col("bucket_b")))
+        .filter(
+            (F.col("id_b") != F.col("id_a"))
+            & (F.col("tb") >= F.col("ta"))
+            & (F.col("tb") - F.col("ta") <= r_us)
+            & ((F.col("tb") > F.col("ta")) | (F.col("id_b") > F.col("id_a")))
+        )
+        .select("id_a", "id_b")
+    )

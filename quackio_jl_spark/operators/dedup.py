@@ -80,6 +80,20 @@ def shingles(docs):
     return toks.select("doc_id", F.explode(gen).alias("shingle")).distinct()
 
 
+# The near-dup pipeline references the shingle set several times (signature
+# build, size table, both sides of the verification join). Persisting the
+# distinct-shingle table avoids recomputing its explode+shuffle per use —
+# at cluster scale this would be a checkpoint/bucketed temp table instead.
+_SHINGLE_CACHE: dict = {}
+
+
+def shingles_cached(spark, sf_dir):
+    key = (id(spark), sf_dir)
+    if key not in _SHINGLE_CACHE:
+        _SHINGLE_CACHE[key] = shingles(table(spark, sf_dir, "documents")).persist()
+    return _SHINGLE_CACHE[key]
+
+
 _SHINGLES_SQL = f"""
     toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -94,11 +108,12 @@ _SHINGLES_SQL = f"""
 
 # -------------------------------------------------------------- MinHash + LSH
 
-def minhash_signatures(docs):
+def minhash_signatures(docs=None, sh=None):
     """Per-doc MinHash signature: h_i = min over shingles of
     md5('<i>:' || shingle) (first 16 hex chars, compared lexicographically —
     identical semantics in any engine with md5)."""
-    sh = shingles(docs)
+    if sh is None:
+        sh = shingles(docs)
     hash_cols = [
         F.min(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 16)).alias(
             f"h{i}"
@@ -135,7 +150,7 @@ def _bands_sql() -> str:
 )
 def dedup_minhash_signatures(spark, sf_dir):
     """The MinHash signature table itself (hash-checked against the oracle)."""
-    return minhash_signatures(table(spark, sf_dir, "documents"))
+    return minhash_signatures(sh=shingles_cached(spark, sf_dir))
 
 
 @query(
@@ -157,7 +172,7 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     """LSH candidate pairs: docs agreeing on any band of the signature.
     The self-join key is (band, band-hash) — bucket-local, so the shuffle
     fans out by bucket and no all-pairs comparison ever happens."""
-    sig = minhash_signatures(table(spark, sf_dir, "documents"))
+    sig = minhash_signatures(sh=shingles_cached(spark, sf_dir))
     n_bands = N_MINHASH // LSH_BAND_SIZE
     band_rows = F.array(
         *[
@@ -282,8 +297,7 @@ def neardup_ngram_jaccard(spark, sf_dir):
     the exact O(|pair| * shingles) verification only ever runs on LSH
     candidates, never all pairs. Shuffle keys: band bucket (candidates),
     then doc_id (verification joins)."""
-    d = table(spark, sf_dir, "documents")
-    sh = shingles(d)
+    sh = shingles_cached(spark, sf_dir)
     cand = dedup_minhash_lsh_pairs(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc1"), F.col("shingle").alias("sha"))

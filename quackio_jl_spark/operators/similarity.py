@@ -147,20 +147,27 @@ def _hyperplane_coeff_sql(p: int, i: str) -> str:
     )
 
 
-def _hyperplane_coeff(p: int, i: Column) -> Column:
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{p}:"), i.cast("string"))), 1, 8), 16, 10
-    ).cast("bigint")
-    return h.cast("double") / F.lit(2147483648.0) - F.lit(1.0)
+def _hyperplane_coeff_py(p: int, i: int) -> float:
+    """Python twin of _hyperplane_coeff_sql: same md5 derivation, evaluated
+    once on the driver. int(hex,16)/2^31 - 1 is exact in double, so the
+    value is bit-identical to what the SQL expression computes."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16)
+    return h / 2147483648.0 - 1.0
 
 
-def _plane_sign(p: int) -> Column:
-    """Sign bit of <embedding, hyperplane_p> (fixed-point accumulation)."""
-    prods = F.transform(
-        F.sequence(F.lit(1), F.size("embedding")),
-        lambda i: F.floor(
-            F.element_at("embedding", i).cast("double") * _hyperplane_coeff(p, i) * F.lit(_SCALE)
-        ),
+def _plane_sign(p: int, dims: int) -> Column:
+    """Sign bit of <embedding, hyperplane_p> (fixed-point accumulation).
+
+    Perf: the coefficient vector is a CONSTANT — materialized driver-side as
+    an array literal instead of 64 md5 calls per row (was the bench's worst
+    offender: 8 planes x 64 dims x md5 per row)."""
+    coeffs = F.array(*[F.lit(_hyperplane_coeff_py(p, i)) for i in range(1, dims + 1)])
+    prods = F.zip_with(
+        F.col("embedding"),
+        coeffs,
+        lambda x, c: F.floor(x.cast("double") * c * F.lit(_SCALE)),
     )
     dot = F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
     return F.when(dot > 0, F.lit(1)).otherwise(F.lit(0))
@@ -190,8 +197,9 @@ def ann_lsh_buckets(spark, sf_dir):
     in buckets, and the subsequent within-bucket brute force replaces the
     global O(N^2). Map-side only — one projection pass over the corpus."""
     e = table(spark, sf_dir, "embeddings")
+    dims = len(e.select("embedding").first()["embedding"])
     bucket = None
     for p in range(N_HYPERPLANES):
-        term = _plane_sign(p) * F.lit(1 << p)
+        term = _plane_sign(p, dims) * F.lit(1 << p)
         bucket = term if bucket is None else bucket + term
     return e.select("vec_id", bucket.cast("bigint").alias("bucket"))

@@ -117,13 +117,11 @@ def text_quality_score(spark, sf_dir):
 
 
 def _langid_score_col(words):
-    """Spark score column: total whole-token stopword hits (built lazily —
-    Column construction needs an active SparkContext)."""
-    score = None
-    for w in words:
-        c = _count_word(F.col("text"), w)
-        score = c if score is None else score + c
-    return score
+    """Spark score column over a pre-split ``toks`` array: tokens matching
+    any stopword of the language, counted with multiplicity. One filter
+    pass per language instead of one split+filter per word (the per-word
+    sum the oracle computes equals this single IN-set count)."""
+    return F.size(F.filter(F.col("toks"), lambda t: t.isin(*words)))
 
 
 _LANGID_SQL_SCORES = ",\n      ".join(
@@ -154,7 +152,7 @@ _LANGID_SQL_SCORES = ",\n      ".join(
 def text_langid_heuristic(spark, sf_dir):
     """Stopword-count language ID with a fixed priority tie-break
     (en > es > de > fr), mirrored exactly in the oracle CASE chain."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
     scores = {lang: _langid_score_col(words) for lang, words in STOPWORDS.items()}
     d = d.select("doc_id", "lang", *[c.alias(f"score_{l}") for l, c in scores.items()])
     s = {l: F.col(f"score_{l}") for l in scores}

@@ -1,0 +1,221 @@
+"""Advanced analytics pack: full window-function surface, moment statistics
+via exact sums (order-independent), sessionization, and grouping sets.
+
+Determinism notes:
+- rank-family outputs are exact integers; fractional ranks
+  (percent_rank/cume_dist) are single double divisions of exact integers —
+  deterministic in any engine.
+- variance/stddev/corr are NOT computed with the engines' streaming
+  aggregates (whose accumulation order varies); they are reassembled from
+  decimal-exact sums (sum, sum of squares, sum of products) in double —
+  same value at any partition count, same value in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.exact import DEC, dsum
+from .registry import query, table
+
+_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(28,6))) AS DOUBLE)"
+
+
+def _d(x: str) -> str:
+    return _DSUM.format(x=x)
+
+
+@query(
+    "window_rank_family",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+      CAST(RANK()       OVER w AS INTEGER) AS rnk,
+      CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+      CAST(NTILE(4)     OVER w AS INTEGER) AS quartile,
+      PERCENT_RANK()    OVER w AS prnk,
+      CUME_DIST()       OVER w AS cdist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_rank_family(spark, sf_dir):
+    """The whole rank family over one window: one shuffle on the partition
+    key, one per-partition sort — all five functions share the frame."""
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@query(
+    "window_value_family",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+      LEAD(o_totalprice) OVER w AS next_price,
+      LAG(o_totalprice, 2, -1.0) OVER w AS prev2_price,
+      FIRST_VALUE(o_totalprice) OVER
+        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_price,
+      LAST_VALUE(o_totalprice) OVER
+        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+      NTH_VALUE(o_totalprice, 2) OVER
+        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_value_family(spark, sf_dir):
+    """lead/lag-with-default/first/last/nth over explicit full frames
+    (defaults differ between engines, so frames are always spelled out)."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.lag("o_totalprice", 2, -1.0).over(w).alias("prev2_price"),
+        F.first("o_totalprice").over(wf).alias("first_price"),
+        F.last("o_totalprice").over(wf).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
+    )
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER
+        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      / COUNT(*) OVER
+        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3
+    FROM orders
+    """,
+)
+def window_moving_avg(spark, sf_dir):
+    """3-row moving average — bounded frame; decimal-exact numerator."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg3"),
+    )
+
+
+@query(
+    "stats_moments",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+        COUNT(*) AS n,
+        {_d('l_quantity')} AS sx,
+        {_d('l_quantity * l_quantity')} AS sxx,
+        {_d('l_extendedprice')} AS sy,
+        {_d('l_extendedprice * l_extendedprice')} AS syy,
+        {_d('l_quantity * l_extendedprice')} AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+      (sxx - sx * sx / n) / (n - 1) AS var_qty,
+      sqrt((sxx - sx * sx / n) / (n - 1)) AS std_qty,
+      round((sxy - sx * sy / n)
+        / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 9) AS corr_qty_price
+    FROM s
+    """,
+)
+def stats_moments(spark, sf_dir):
+    """Sample variance/stddev/correlation reassembled from exact decimal
+    sums — order-independent, unlike the engines' native streaming moment
+    aggregates. One shuffle (the group-by); moments are map-side partials."""
+    l = table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x).alias("sx"),
+        dsum(x * x).alias("sxx"),
+        dsum(y).alias("sy"),
+        dsum(y * y).alias("syy"),
+        dsum(x * y).alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = [F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy")]
+    var = (sxx - sx * sx / n) / (n - 1)
+    corr = (sxy - sx * sy / n) / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+    return s.select(
+        "l_returnflag",
+        "n",
+        var.alias("var_qty"),
+        F.sqrt(var).alias("std_qty"),
+        F.round(corr, 9).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, {_d('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def grouping_sets_revenue(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup/cube) via the SQL surface —
+    demonstrating the spark.sql() path produces the same Catalyst plans as
+    the DataFrame API (SURVEY.md §3/E3)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+        CASE WHEN LAG(ts) OVER w IS NULL
+               OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(SUM(is_start) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Sessionization: a 30-minute inactivity gap starts a new session
+    (lag + flag + count — the batch twin of streaming session_window).
+    One shuffle on user_id; everything after is per-partition."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    prev = F.lag("ts").over(w)
+    is_start = F.when(
+        prev.isNull() | (F.unix_micros("ts") - F.unix_micros(prev) > gap_us), 1
+    ).otherwise(0)
+    return (
+        e.select("user_id", is_start.alias("is_start"))
+        .groupBy("user_id")
+        .agg(F.sum("is_start").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )

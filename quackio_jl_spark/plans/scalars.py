@@ -1,0 +1,133 @@
+"""Scalar-function surface packs: strings, dates, math (SURVEY.md §2.6).
+
+The reference reaches DuckDB's whole scalar library through its lazy SQL
+handle; these packs demonstrate the equivalent breadth on Spark with
+oracle-checked values. Transcendentals (exp/ln/log10) are rounded to 8
+decimals on BOTH sides — libm implementations may differ in the last ulp
+between JVMs and DuckDB, and 1e-8 is far coarser than that while far finer
+than any analytical use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import query, table
+
+
+@query(
+    "string_pack2",
+    oracle="""
+    SELECT p_partkey,
+      split_part(p_name, ' ', 2) AS second_word,
+      translate(p_brand, '#', '-') AS brand_dash,
+      repeat(left(p_name, 2), 3) AS rep2,
+      reverse(p_type) AS rtype,
+      lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+      trim(' ' || p_name || ' ') AS trimmed,
+      replace(p_name, ' ', '_') AS snake,
+      regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+      CAST(strpos(p_name, ' ') AS INTEGER) AS first_space,
+      right(p_type, 3) AS type_sfx
+    FROM part
+    """,
+)
+def string_pack2(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split_part("p_name", F.lit(" "), F.lit(2)).alias("second_word"),
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+        F.repeat(F.substring("p_name", 1, 2), 3).alias("rep2"),
+        F.reverse("p_type").alias("rtype"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.regexp_replace("p_name", " ", "_").alias("snake"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+        F.instr("p_name", " ").alias("first_space"),
+        F.substring("p_type", -3, 3).alias("type_sfx"),
+    )
+
+
+@query(
+    "date_pack2",
+    oracle="""
+    SELECT o_orderkey,
+      CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+      CAST(quarter(o_orderdate) AS INTEGER) AS q,
+      CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+      CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+      CAST(last_day(o_orderdate) AS DATE) AS month_end,
+      CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month,
+      CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+      CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec
+    FROM orders
+    """,
+)
+def date_pack2(spark, sf_dir):
+    """Date/time surface. isodow == Spark weekday()+1 (Mon=1..Sun=7);
+    Spark's dayofweek (Sun=1) deliberately avoided — engines disagree."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        (F.weekday(d) + 1).alias("iso_dow"),
+        F.quarter(d).alias("q"),
+        F.dayofyear(d).alias("doy"),
+        F.weekofyear(d).alias("iso_week"),
+        F.last_day(d).alias("month_end"),
+        F.add_months(F.to_date(d), 1).alias("next_month"),
+        F.to_date(F.date_trunc("month", d)).alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.to_date(d)).alias("days_to_y2k"),
+        F.unix_timestamp(d).alias("epoch_sec"),
+    )
+
+
+@query(
+    "math_pack",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+      abs(l_extendedprice - 50000.0) AS abs_diff,
+      CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ceil7,
+      CAST(floor(l_quantity / 7.0) AS BIGINT) AS floor7,
+      l_extendedprice / 1000.0 AS price_k,
+      sqrt(l_extendedprice) AS root_price,
+      power(l_discount + 1.0, 2.0) AS disc_sq,
+      round(exp(l_discount), 8) AS exp_disc,
+      round(ln(l_extendedprice), 8) AS ln_price,
+      round(log10(l_extendedprice), 8) AS log10_price,
+      CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+      CAST(mod(CAST(l_quantity AS BIGINT), 5) AS BIGINT) AS qty_mod5,
+      greatest(l_discount, l_tax) AS max_rate,
+      least(l_discount, l_tax) AS min_rate
+    FROM lineitem
+    """,
+)
+def math_pack(spark, sf_dir):
+    """Math surface. sqrt/power with exact-dyadic exponents are IEEE
+    correctly-rounded (identical everywhere); exp/ln/log10 rounded to 8."""
+    l = table(spark, sf_dir, "lineitem")
+    price, qty, disc, tax = (
+        F.col("l_extendedprice"),
+        F.col("l_quantity"),
+        F.col("l_discount"),
+        F.col("l_tax"),
+    )
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(price - 50000.0).alias("abs_diff"),
+        F.ceil(qty / 7.0).alias("ceil7"),
+        F.floor(qty / 7.0).alias("floor7"),
+        (price / 1000.0).alias("price_k"),
+        F.sqrt(price).alias("root_price"),
+        F.pow(disc + 1.0, 2.0).alias("disc_sq"),
+        F.round(F.exp(disc), 8).alias("exp_disc"),
+        F.round(F.log(price), 8).alias("ln_price"),
+        F.round(F.log10(price), 8).alias("log10_price"),
+        F.signum(disc - 0.05).alias("disc_sign"),
+        (qty.cast("bigint") % 5).alias("qty_mod5"),
+        F.greatest(disc, tax).alias("max_rate"),
+        F.least(disc, tax).alias("min_rate"),
+    )

@@ -1,0 +1,227 @@
+"""Additional TPC-H-shaped queries over the star schema — deepens SURVEY.md
+§2.3/§2.4 coverage (joins, correlated EXISTS, conditional aggregation,
+ratio-of-sums, large-group HAVING) with oracle-checked results.
+
+Same determinism contract as plans/relational.py (decimal-exact sums).
+Scale notes inline: every query names its shuffles and broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.exact import DEC, davg, dsum
+from .registry import query, table
+
+_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(28,6))) AS DOUBLE)"
+
+
+def _d(x: str) -> str:
+    return _DSUM.format(x=x)
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4: correlated EXISTS == left-semi join on orderkey.
+    The date filter prunes orders before the join (predicate pushdown);
+    shuffle key = orderkey."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01")) & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    sat = o.join(
+        l, (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate), "left_semi"
+    )
+    return sat.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {_d('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: pure scan+filter+agg — the pushdown showcase. All four
+    predicates land in PushedFilters; zero shuffles (single global agg)."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, {_d("l_extendedprice * (1 - l_discount)")} AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10: top-20 customers by returned revenue. nation broadcasts;
+    shuffles on orderkey then custkey; final top-k is TakeOrderedAndProject."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(rev).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q12_shipmode_priority",
+    oracle="""
+    SELECT l_linestatus,
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape: join + conditional counts (no shipmode column in
+    this schema; linestatus stands in). One shuffle on orderkey."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT 100.0 * {_d("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+           / {_d("l_extendedprice * (1 - l_discount)")} AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14: ratio-of-sums with a conditional numerator. part
+    broadcasts (small dim) — the lineitem side never shuffles."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01")) & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    p = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg((F.lit(100.0) * dsum(promo) / dsum(rev)).alias("promo_revenue"))
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c_custkey, o_orderkey, {_d('l_quantity')} AS total_qty
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_custkey, o_orderkey
+    HAVING {_d('l_quantity')} > 150
+    ORDER BY total_qty DESC, o_orderkey LIMIT 20
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING over a grouped sum, then top-k. Shuffle on
+    orderkey; the HAVING filter runs post-aggregation (tiny)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    oracle=f"""
+    SELECT {_d("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+    """,
+)
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19: disjunctive multi-clause predicate across the join.
+    part broadcasts; the OR-of-ANDs evaluates post-join (Catalyst extracts
+    the common l_partkey=p_partkey equi-condition)."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & q.between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#2") & q.between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & q.between(20, 30) & F.col("p_size").between(1, 15))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(dsum(rev).alias("revenue"))
+    )
