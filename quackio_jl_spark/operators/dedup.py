@@ -317,3 +317,134 @@ def neardup_ngram_jaccard(spark, sf_dir):
         .select("doc1", "doc2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+# -------------------------------------------- SimHash hamming-ball pairs
+
+_SIMHASH_SQL = f"""
+    tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tv AS (
+      SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS v FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, j,
+        SUM(CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM tv, UNNEST(range({SIMHASH_BITS})) AS u(j)
+      GROUP BY doc_id, j
+    ),
+    sig AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+"""
+
+HAMMING_MAX = 3
+_N_BLOCKS = 8  # 8 nibbles of 4 bits; d <= 3 < 8 blocks => >= 1 identical block (pigeonhole)
+
+
+@query(
+    "dedup_simhash_hamming_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_SQL},
+    blocks AS (
+      SELECT doc_id, simhash, b, (simhash >> (4 * b)) & 15 AS nib
+      FROM sig, UNNEST(range({_N_BLOCKS})) AS u(b)
+    )
+    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+      CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM blocks a JOIN blocks b
+      ON a.b = b.b AND a.nib = b.nib AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """,
+)
+def dedup_simhash_hamming_pairs(spark, sf_dir):
+    """Near-dup pairs with simhash hamming distance <= 3, found WITHOUT an
+    all-pairs scan: split the 32-bit signature into 8 nibbles; by
+    pigeonhole, any pair within distance 3 agrees on at least one nibble,
+    so candidates come from an equi-join on (block, nibble) and only they
+    get the exact bit_count check. Shuffle key = (block, nibble)."""
+    sig = dedup_simhash(spark, sf_dir)
+    blocks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_BLOCKS - 1))).alias("b"),
+    ).withColumn("nib", F.expr("(simhash >> (4 * b)) & 15"))
+    other = blocks.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("simhash").alias("simhash2"),
+        F.col("b").alias("b2"),
+        F.col("nib").alias("nib2"),
+    )
+    ham = F.bit_count(F.col("simhash").bitwiseXOR(F.col("simhash2")))
+    return (
+        blocks.join(
+            other,
+            (F.col("b") == F.col("b2"))
+            & (F.col("nib") == F.col("nib2"))
+            & (F.col("doc_id") < F.col("doc2")),
+        )
+        .filter(ham <= HAMMING_MAX)
+        .select(F.col("doc_id").alias("doc1"), "doc2", ham.cast("int").alias("hamming"))
+        .distinct()
+    )
+
+
+# ----------------------------------------------------- winnowing fingerprint
+
+WINNOW_WINDOW = 4  # hashes per winnowing window
+
+
+@query(
+    "dedup_winnowing_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= {SHINGLE_K}
+    ),
+    kgrams AS (
+      SELECT doc_id, i AS pos,
+        substr(md5(array_to_string(t[i+1:i+{SHINGLE_K}], ' ')), 1, 16) AS h
+      FROM toks, UNNEST(range(len(t) - {SHINGLE_K - 1})) AS u(i)
+    ),
+    winnowed AS (
+      SELECT doc_id,
+        MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN {WINNOW_WINDOW - 1} PRECEDING AND CURRENT ROW) AS fp
+      FROM kgrams
+    )
+    SELECT DISTINCT doc_id, fp FROM winnowed
+    """,
+)
+def dedup_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing (Schleimer et al., SIGMOD'03): positional k-gram hashes,
+    sliding-window minimum, distinct minima = the document's fingerprint
+    set. Entirely map-side + one per-doc window sort — linear in corpus.
+    Fingerprint overlap between docs localizes shared passages (the
+    containment analogue of MinHash's resemblance)."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= SHINGLE_K
+    )
+    kgrams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - SHINGLE_K),
+                lambda i: F.substring(
+                    F.md5(F.concat_ws(" ", F.slice("t", i + 1, SHINGLE_K))), 1, 16
+                ),
+            )
+        ).alias("pos", "h"),
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_WINDOW - 1), W.currentRow)
+    )
+    return kgrams.select("doc_id", F.min("h").over(w).alias("fp")).distinct()

@@ -196,10 +196,62 @@ def ann_lsh_buckets(spark, sf_dir):
     256-bucket signature. This is the ANN scale path: near-neighbors collide
     in buckets, and the subsequent within-bucket brute force replaces the
     global O(N^2). Map-side only — one projection pass over the corpus."""
+    return _bucketed(spark, sf_dir).select("vec_id", "bucket")
+
+
+def _bucketed(spark, sf_dir):
+    """(vec_id, embedding, bucket) — the LSH index table."""
     e = table(spark, sf_dir, "embeddings")
     dims = len(e.select("embedding").first()["embedding"])
     bucket = None
     for p in range(N_HYPERPLANES):
         term = _plane_sign(p, dims) * F.lit(1 << p)
         bucket = term if bucket is None else bucket + term
-    return e.select("vec_id", bucket.cast("bigint").alias("bucket"))
+    return e.select("vec_id", "label", "embedding", bucket.cast("bigint").alias("bucket"))
+
+
+_BUCKET_SQL = "CAST(" + " + ".join(
+    f"({_plane_sign_sql(p)} * {1 << p})" for p in range(N_HYPERPLANES)
+) + " AS BIGINT)"
+
+
+@query(
+    "ann_search_within_buckets",
+    oracle=f"""
+    WITH idx AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM idx WHERE vec_id % 100 = 0),
+    cand AS (
+      SELECT q.qid, i.vec_id,
+        {_cosine_sql('i.embedding', 'q.qv')} AS cos_sim
+      FROM q JOIN idx i ON i.bucket = q.bucket AND i.vec_id <> q.qid
+    )
+    SELECT qid, vec_id, cos_sim, rnk FROM (
+      SELECT qid, vec_id, cos_sim,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id)
+             AS INTEGER) AS rnk
+      FROM cand) t
+    WHERE rnk <= 3
+    """,
+)
+def ann_search_within_buckets(spark, sf_dir):
+    """The COMPLETE ANN pipeline: LSH-bucket the corpus once, equi-join
+    queries to their bucket, exact cosine only within the bucket, top-3 per
+    query via row_number. Per-query cost is O(bucket size), not O(N) —
+    the shuffle key is the bucket, so work fans out evenly. Brute-force twin
+    for recall comparison: similarity_topk_cosine."""
+    idx = _bucketed(spark, sf_dir).drop("label")
+    q = (
+        idx.filter(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
+                F.col("bucket").alias("qbucket"))
+    )
+    cand = idx.join(
+        q, (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid"))
+    ).select("qid", "vec_id", cosine("embedding", "qv").alias("cos_sim"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        cand.select("qid", "vec_id", "cos_sim", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )

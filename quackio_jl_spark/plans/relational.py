@@ -619,3 +619,35 @@ def events_hourly_window(spark, sf_dir):
             "total_value",
         )
     )
+
+
+@query(
+    "events_sliding_window",
+    oracle=f"""
+    WITH starts AS (
+      SELECT event_type, value, time_bucket(INTERVAL 30 MINUTE, ts) AS s FROM events
+      UNION ALL
+      SELECT event_type, value,
+             time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE FROM events
+    )
+    SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
+           COUNT(*) AS n, {_dsum_sql('value')} AS total_value
+    FROM starts GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark, sf_dir):
+    """Sliding windows (1h length, 30min hop): each event lands in two
+    overlapping windows — F.window handles the fan-out natively; the oracle
+    reproduces it as a two-bucket UNION ALL. Batch twin of the streaming
+    sliding-window aggregation."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

@@ -50,10 +50,45 @@ def _apply_select(df: DataFrame, select: Iterable[Any]) -> DataFrame:
     return df.select(*cols)
 
 
-def _paths(file: str | Sequence[str]) -> list[str]:
+def _localize(p, suffix: str = "") -> str:
+    """Resolve one path-like input to a local path Spark can scan.
+
+    - file-like objects (the reference's IOBuffer support,
+      src/QuackIO.jl:108-112): spilled to a temp file;
+    - http(s) URLs (the reference's httpfs pass-through, README.md:43,53):
+      fetched to a temp file. On a cluster you'd use Hadoop-FS URLs
+      (s3a://, hdfs://) which Spark scans natively — plain http has no
+      splittable FS connector, so fetch-to-temp matches DuckDB's behavior;
+    - anything else: returned as-is.
+    """
+    if hasattr(p, "read"):
+        import tempfile
+
+        data = p.read()
+        if isinstance(data, str):
+            data = data.encode()
+        f = tempfile.NamedTemporaryFile(suffix=suffix or ".dat", delete=False)
+        f.write(data)
+        f.close()
+        return f.name
+    s = str(p)
+    if s.startswith(("http://", "https://")):
+        import tempfile
+        import urllib.request
+
+        name = s.rstrip("/").rsplit("/", 1)[-1] or "download"
+        f = tempfile.NamedTemporaryFile(suffix="_" + name, delete=False)
+        with urllib.request.urlopen(s) as resp:
+            f.write(resp.read())
+        f.close()
+        return f.name
+    return s
+
+
+def _paths(file, suffix: str = "") -> list[str]:
     if isinstance(file, (list, tuple)):
-        return [str(p) for p in file]
-    return [str(file)]
+        return [_localize(p, suffix) for p in file]
+    return [_localize(file, suffix)]
 
 
 def _restrict_auto_types(df: DataFrame, candidates: Sequence[str]) -> DataFrame:
@@ -109,7 +144,7 @@ def _read(
         opts.setdefault("header", "true")
         opts.setdefault("inferSchema", "true")
     reader = reader.options(**opts)
-    paths = _paths(file)
+    paths = _paths(file, suffix=f".{fmt}")
     # DataFrameReader.parquet is varargs; csv/json take a path list
     df = reader.parquet(*paths) if fmt == "parquet" else getattr(reader, fmt)(paths)
     if names:
@@ -145,9 +180,20 @@ def read_csv(spark: SparkSession, file, **kw) -> DataFrame:
     return _read(spark, "csv", file, **kw)
 
 
-def read_parquet(spark: SparkSession, file, **kw) -> DataFrame:
-    """Parquet scan (S2)."""
-    return _read(spark, "parquet", file, **kw)
+def read_parquet(spark: SparkSession, file, with_metadata: bool = False, **kw):
+    """Parquet scan (S2). With ``with_metadata=True`` also returns the
+    file-level KV metadata dict — the reference's eager-read behavior of
+    attaching parquet_kv_metadata to the materialized table
+    (src/QuackIO.jl:74,134-147). Returns (result, metadata) in that case."""
+    res = _read(spark, "parquet", file, **kw)
+    if not with_metadata:
+        return res
+    from .metadata import read_kv_metadata
+
+    meta: dict[str, str] = {}
+    for p in _paths(file):
+        meta.update(read_kv_metadata(p))
+    return res, meta
 
 
 def read_json(spark: SparkSession, file, **kw) -> DataFrame:

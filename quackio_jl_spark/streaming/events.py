@@ -58,3 +58,70 @@ def hourly_event_counts_stream(
         f"SELECT date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS bucket, "
         f"event_type, n, total_value FROM {queryName}"
     )
+
+
+def stateful_session_counts(spark: SparkSession, sf_dir: str, gap_minutes: int = 30):
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user session counting with an explicit state object (last event
+    time + open session count), the streaming twin of
+    plans/analytics.py::sessionize_events.
+
+    State is one row per user (bounded by user cardinality); at scale the
+    state store shards by the groupBy key across executors."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def count_sessions(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            last_us, n_sessions = state.get
+        else:
+            last_us, n_sessions = None, 0
+        ts = []
+        for pdf in pdfs:
+            ts.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+        ts.sort()
+        for t in ts:
+            if last_us is None or t - last_us > gap_us:
+                n_sessions += 1
+            last_us = t
+        state.update((last_us, n_sessions))
+        yield pd.DataFrame({"user_id": [user_id], "n_sessions": [n_sessions]})
+
+    out = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            count_sessions,
+            outputStructType="user_id bigint, n_sessions bigint",
+            stateStructType="last_us bigint, n_sessions bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # 'update' mode may emit several rows per user across batches; the last
+    # wins — with one input batch there is exactly one row per user
+    return spark.sql(
+        "SELECT user_id, MAX(n_sessions) AS n_sessions FROM stateful_sessions GROUP BY user_id"
+    )

