@@ -65,11 +65,13 @@ def dedup_exact_normalized(spark, sf_dir):
 
 # ------------------------------------------------------------------ shingling
 
-def shingles(docs):
-    """(doc_id, shingle) rows: distinct 3-token shingles per document.
-
-    Map-side only — explode of a per-row generated array, no shuffle until
-    the caller aggregates."""
+def shingles_all(docs):
+    """(doc_id, shingle) rows WITH duplicates: map-side only — explode of a
+    per-row generated array, zero shuffle. The MinHash path uses this
+    directly because MIN is duplicate-insensitive: partial aggregation
+    (map-side combine) collapses each partition to one row per doc before
+    any shuffle, so deduplicating shingles first would only ADD a full
+    shuffle of shingle text for no semantic gain."""
     toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= SHINGLE_K
     )
@@ -77,21 +79,14 @@ def shingles(docs):
         F.sequence(F.lit(0), F.size("t") - SHINGLE_K),
         lambda i: F.concat_ws(" ", F.slice("t", i + 1, SHINGLE_K)),
     )
-    return toks.select("doc_id", F.explode(gen).alias("shingle")).distinct()
+    return toks.select("doc_id", F.explode(gen).alias("shingle"))
 
 
-# The near-dup pipeline references the shingle set several times (signature
-# build, size table, both sides of the verification join). Persisting the
-# distinct-shingle table avoids recomputing its explode+shuffle per use —
-# at cluster scale this would be a checkpoint/bucketed temp table instead.
-_SHINGLE_CACHE: dict = {}
-
-
-def shingles_cached(spark, sf_dir):
-    key = (id(spark), sf_dir)
-    if key not in _SHINGLE_CACHE:
-        _SHINGLE_CACHE[key] = shingles(table(spark, sf_dir, "documents")).persist()
-    return _SHINGLE_CACHE[key]
+def shingles(docs):
+    """(doc_id, shingle) rows: distinct 3-token shingles per document.
+    Needed where shingles are treated as a SET (Jaccard sizes/intersections);
+    the distinct is one shuffle on (doc_id, shingle)."""
+    return shingles_all(docs).distinct()
 
 
 _SHINGLES_SQL = f"""
@@ -109,23 +104,32 @@ _SHINGLES_SQL = f"""
 # -------------------------------------------------------------- MinHash + LSH
 
 def minhash_signatures(docs=None, sh=None):
-    """Per-doc MinHash signature: h_i = min over shingles of
-    md5('<i>:' || shingle) (first 16 hex chars, compared lexicographically —
-    identical semantics in any engine with md5)."""
+    """Per-doc MinHash signature: the 8 hash functions are four 8-hex-char
+    slices of each of TWO md5 digests (h_{4g+j} = min over shingles of
+    substr(md5('<g>:' || shingle), 8j+1, 8)) — 2 md5 evaluations per shingle
+    instead of 8, identical semantics in any engine with md5. The explicit
+    pre-aggregation projection guarantees each digest is computed once."""
     if sh is None:
-        sh = shingles(docs)
-    hash_cols = [
-        F.min(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 16)).alias(
-            f"h{i}"
-        )
-        for i in range(N_MINHASH)
-    ]
-    return sh.groupBy("doc_id").agg(*hash_cols)
+        sh = shingles_all(docs)
+    n_groups = (N_MINHASH + 3) // 4
+    proj = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{g}:"), F.col("shingle"))).alias(f"m{g}")
+            for g in range(n_groups)
+        ],
+    )
+    aggs = []
+    for i in range(N_MINHASH):
+        g, j = divmod(i, 4)
+        aggs.append(F.min(F.substring(F.col(f"m{g}"), 8 * j + 1, 8)).alias(f"h{i}"))
+    return proj.groupBy("doc_id").agg(*aggs)
 
 
 def _minhash_sig_sql() -> str:
     mins = ",\n        ".join(
-        f"MIN(substr(md5('{i}:' || shingle), 1, 16)) AS h{i}" for i in range(N_MINHASH)
+        f"MIN(substr(md5('{i // 4}:' || shingle), {8 * (i % 4) + 1}, 8)) AS h{i}"
+        for i in range(N_MINHASH)
     )
     return f"""
     sig AS (
@@ -149,8 +153,10 @@ def _bands_sql() -> str:
     oracle="WITH" + _SHINGLES_SQL + "," + _minhash_sig_sql() + "\n    SELECT * FROM sig",
 )
 def dedup_minhash_signatures(spark, sf_dir):
-    """The MinHash signature table itself (hash-checked against the oracle)."""
-    return minhash_signatures(sh=shingles_cached(spark, sf_dir))
+    """The MinHash signature table itself (hash-checked against the oracle).
+    Single-pass: map-side shingle explode + md5, partial-aggregated MIN, one
+    shuffle keyed on doc_id carrying ~8 hashes per doc per partition."""
+    return minhash_signatures(docs=table(spark, sf_dir, "documents"))
 
 
 @query(
@@ -170,9 +176,16 @@ def dedup_minhash_signatures(spark, sf_dir):
 )
 def dedup_minhash_lsh_pairs(spark, sf_dir):
     """LSH candidate pairs: docs agreeing on any band of the signature.
-    The self-join key is (band, band-hash) — bucket-local, so the shuffle
-    fans out by bucket and no all-pairs comparison ever happens."""
-    sig = minhash_signatures(sh=shingles_cached(spark, sf_dir))
+
+    Shape chosen for scale: instead of a band-table SELF-JOIN (which would
+    run the whole signature pipeline twice and shuffle both copies), group
+    band rows by (band, band-hash) ONCE — with map-side combine — and
+    generate the pairs inside each bucket from the sorted doc_id array.
+    One signature computation, one bucket shuffle, one small distinct over
+    candidate pairs; never an all-pairs comparison. At production scale a
+    bucket-size cap (drop buckets with >K members as "too common to be
+    informative") bounds the quadratic in-bucket pair fan-out."""
+    sig = minhash_signatures(docs=table(spark, sf_dir, "documents"))
     n_bands = N_MINHASH // LSH_BAND_SIZE
     band_rows = F.array(
         *[
@@ -188,19 +201,21 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     bands = sig.select("doc_id", F.explode(band_rows).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    other = bands.select(
-        F.col("doc_id").alias("doc2"), F.col("band").alias("band2"), F.col("key").alias("key2")
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
-    return (
-        bands.join(
-            other,
-            (F.col("band") == F.col("band2"))
-            & (F.col("key") == F.col("key2"))
-            & (F.col("doc_id") < F.col("doc2")),
-        )
-        .select(F.col("doc_id").alias("doc1"), "doc2")
-        .distinct()
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x AS doc1, y AS doc2))))"
+            )
+        ).alias("p")
     )
+    return pairs.select("p.doc1", "p.doc2").distinct()
 
 
 # ------------------------------------------------------------------- SimHash
@@ -275,45 +290,45 @@ JACCARD_THRESHOLD = 0.5
       FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
                                AND a.doc_id < b.doc_id
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-    common AS (
-      SELECT doc1, doc2, COUNT(*) AS c
-      FROM cand
-      JOIN sh a ON a.doc_id = doc1
-      JOIN sh b ON b.doc_id = doc2 AND b.shingle = a.shingle
-      GROUP BY doc1, doc2
+    sets AS (
+      SELECT doc_id, list(substr(md5(shingle), 1, 16)) AS s
+      FROM sh GROUP BY doc_id
     )
     SELECT doc1, doc2,
-      CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) AS jaccard
-    FROM common
-    JOIN sizes s1 ON s1.doc_id = doc1
-    JOIN sizes s2 ON s2.doc_id = doc2
-    WHERE CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) >= {JACCARD_THRESHOLD}
+      CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+        / (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s))) AS jaccard
+    FROM cand
+    JOIN sets s1 ON s1.doc_id = doc1
+    JOIN sets s2 ON s2.doc_id = doc2
+    WHERE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+        / (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s)))
+        >= {JACCARD_THRESHOLD}
     """,
 )
 def neardup_ngram_jaccard(spark, sf_dir):
     """The full near-dup pipeline: MinHash-LSH candidate pairs -> exact
     3-gram Jaccard verification -> threshold. This is the at-scale shape:
-    the exact O(|pair| * shingles) verification only ever runs on LSH
-    candidates, never all pairs. Shuffle keys: band bucket (candidates),
-    then doc_id (verification joins)."""
-    sh = shingles_cached(spark, sf_dir)
+    the exact verification only ever touches LSH candidates, never all
+    pairs. Verification compares per-doc SETS OF 64-BIT SHINGLE HASHES
+    (collect_set of md5 prefixes, one partial-aggregated shuffle on doc_id)
+    rather than joining raw shingle text: the candidate table is tiny, so
+    both verification joins broadcast it, and the intersection is a local
+    array_intersect — no shingle-text shuffle at any point."""
+    d = table(spark, sf_dir, "documents")
     cand = dedup_minhash_lsh_pairs(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc_id").alias("doc1"), F.col("shingle").alias("sha"))
-    b = sh.select(F.col("doc_id").alias("doc2b"), F.col("shingle").alias("shb"))
-    common = (
-        cand.join(a, "doc1")
-        .join(b, (F.col("doc2") == F.col("doc2b")) & (F.col("sha") == F.col("shb")))
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("c"))
+    sets_ = (
+        shingles_all(d)
+        .select("doc_id", F.substring(F.md5("shingle"), 1, 16).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("s"))
     )
-    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("sz").alias("sz1"))
-    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("sz").alias("sz2"))
-    jac = F.col("c").cast("double") / (F.col("sz1") + F.col("sz2") - F.col("c"))
+    a = sets_.select(F.col("doc_id").alias("doc1"), F.col("s").alias("s1"))
+    b = sets_.select(F.col("doc_id").alias("doc2"), F.col("s").alias("s2"))
+    c = F.size(F.array_intersect("s1", "s2"))
+    jac = c.cast("double") / (F.size("s1") + F.size("s2") - c)
     return (
-        common.join(s1, "doc1")
-        .join(s2, "doc2")
+        cand.join(a, "doc1")
+        .join(b, "doc2")
         .select("doc1", "doc2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
