@@ -1,0 +1,125 @@
+"""Physical-plan assertions: the engine must not merely return correct rows,
+it must produce the plan you'd run at 100 TB. These tests freeze the key
+plan properties documented in PLANS.md so a refactor can't silently
+reintroduce a cartesian product, a row-at-a-time Python UDF, or an
+un-pushed filter.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from conftest import SF_DIR
+
+from quackio_jl_spark.registry import QUERIES
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def count_exchanges(p: str) -> int:
+    """Count shuffle boundaries in a formatted plan: detail headers look
+    like '(4) Exchange' (each node appears once there; the tree rendering
+    would double-count)."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", p, flags=re.MULTILINE))
+
+
+def test_no_cartesian_or_row_python_udf_in_any_query(spark):
+    """Sweep EVERY registered query: no CartesianProduct (unbounded
+    all-pairs — the classic scale killer) and no BatchEvalPython
+    (row-at-a-time Python UDF; Arrow-batched MapInPandas/ArrowEvalPython
+    are the sanctioned Python escapes)."""
+    offenders = {}
+    for name, fn in QUERIES.items():
+        p = plan_of(fn(spark, SF_DIR))
+        bad = [
+            marker
+            for marker in ("CartesianProduct", "BatchEvalPython")
+            if marker in p
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"scale-hostile plan nodes: {offenders}"
+
+
+def test_q6_filters_reach_the_scan(spark):
+    """TPC-H Q6 is the pushdown showcase: shipdate/discount/quantity
+    predicates must appear in the parquet scan's PushedFilters, and the
+    scan must read only the 4 referenced columns."""
+    p = plan_of(QUERIES["q6_forecast_revenue"](spark, SF_DIR))
+    assert "PushedFilters" in p
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_quantity" in p
+    read_schema = next(ln for ln in p.splitlines() if "ReadSchema" in ln)
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read_schema
+    assert "l_orderkey" not in read_schema  # untouched columns pruned
+
+
+def test_projection_prunes_scan_columns(spark):
+    p = plan_of(QUERIES["projection"](spark, SF_DIR))
+    read_schema = next(ln for ln in p.splitlines() if "ReadSchema" in ln)
+    assert "p_type" not in read_schema and "p_size" not in read_schema
+
+
+def test_small_dims_broadcast(spark):
+    """part/nation/region joins must be broadcast — never a shuffled join
+    of a huge fact against a tiny dim."""
+    for name in ("q14_promo_revenue", "q5_local_supplier_volume", "q8_market_share"):
+        p = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in p, name
+    # and the fact side of q14 must NOT shuffle at all pre-aggregation
+    p = plan_of(QUERIES["q14_promo_revenue"](spark, SF_DIR))
+    assert "SortMergeJoin" not in p
+
+
+def test_topk_uses_takeordered(spark):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-partition
+    heaps, O(k) driver memory) — not a global sort."""
+    for name in ("topk_orders", "q3_shipping_priority", "q10_returned_items"):
+        p = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in p, name
+
+
+def test_limit_pushdown_no_shuffle(spark):
+    p = plan_of(QUERIES["limit_pushdown"](spark, SF_DIR))
+    assert "Exchange" not in p or "SinglePartition" in p
+
+
+def test_minhash_shuffle_budget(spark):
+    """The rewritten MinHash-LSH pipeline has exactly three shuffle
+    boundaries: signature groupBy(doc_id), bucket groupBy(band,key), and
+    the final pair distinct. A regression to the self-join shape would
+    double the signature pipeline and add exchanges."""
+    p = plan_of(QUERIES["dedup_minhash_lsh_pairs"](spark, SF_DIR))
+    n = count_exchanges(p)
+    assert n <= 3, f"expected <=3 exchanges, saw {n}:\n{p}"
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
+def test_exact_dedup_single_shuffle(spark):
+    p = plan_of(QUERIES["dedup_exact"](spark, SF_DIR))
+    assert count_exchanges(p) == 1, p
+
+
+def test_scalar_subquery_broadcasts(spark):
+    """q11's global threshold must reach the per-part aggregate via a
+    broadcast nested-loop of a 1-row relation, not a shuffle."""
+    p = plan_of(QUERIES["q11_important_parts"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_wholestage_codegen_everywhere(spark):
+    """Hot relational queries must run inside whole-stage codegen."""
+    for name in ("q1_pricing_summary", "q6_forecast_revenue", "text_quality_score"):
+        p = plan_of(QUERIES[name](spark, SF_DIR), mode="codegen")
+        assert "WholeStageCodegen subtree" in p, name
