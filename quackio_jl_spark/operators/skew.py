@@ -1,0 +1,57 @@
+"""Skew-resistant join: salting for hot keys.
+
+A shuffled equi-join sends every row of key k to one reducer. At 100 TB a
+hot key (the empty-string document, the null user, the one viral item) can
+put 100 GB on a single task — the job runs at the speed of that straggler
+or OOMs. Two mitigations, both shipped here:
+
+1. **AQE skew-join splitting** (on by default in session.py): Spark splits
+   oversized shuffle blocks at runtime and replicates the matching side.
+   Zero code, works for sort-merge joins; the first thing to rely on.
+2. **Explicit salting** (this module): when AQE can't help (broadcast-less
+   joins feeding further stages, deterministic plan requirements, engines
+   without AQE), spray each big-side row into one of ``n_salts`` sub-keys
+   and replicate the small side once per salt. The hot key's reducer
+   becomes ``n_salts`` even reducers; the join result is IDENTICAL.
+
+The salt must vary WITHIN a key's rows (else it renames the problem);
+``spark_partition_id() % n_salts`` is deterministic, free, and spreads a
+hot key over as many salts as it has input partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_join"]
+
+_SALT = "__salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``big ⋈ small`` on column(s) ``on``, skew-protected.
+
+    Semantics match ``big.join(small, on, how)`` for ``inner`` and ``left``
+    joins (the salt spreads big-side rows; every salt sees the full small
+    side, so no match is lost and none duplicates — each big row joins
+    exactly the small rows of its key, once).
+
+    Cost model: small side is written ``n_salts``× into the shuffle
+    (acceptable when |small| << |big|, the situation where skew hurts);
+    big side shuffles once on (key, salt)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+
+    big_s = big.withColumn(_SALT, F.pmod(F.spark_partition_id(), F.lit(n_salts)))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias(_SALT)
+    small_s = small.select("*", salts)
+    out = big_s.join(small_s, keys + [_SALT], how)
+    return out.drop(_SALT)

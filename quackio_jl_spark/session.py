@@ -54,7 +54,13 @@ def get_spark(
         # long with this flag, and plans.registry.table() converts to micros
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Djava.io.tmpdir=/tmp -Dderby.system.home=/tmp/quackio_derby",
+        )
+        # bucketed tables (sources/bucketing.py) need a catalog location;
+        # keep it out of the repo tree
+        .config("spark.sql.warehouse.dir", "/tmp/quackio_warehouse")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,107 @@
+"""Scale-pattern tests: bucketed co-located joins, partition-pruned reads,
+salted skew joins. These verify the 100-TB design levers work and produce
+the intended plans, at test scale."""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_DIR
+from test_plans import count_exchanges, plan_of
+
+from pyspark.sql import functions as F
+
+from quackio_jl_spark.operators.skew import salted_join
+from quackio_jl_spark.plans.registry import table
+from quackio_jl_spark.sources.bucketing import read_bucketed, write_bucketed
+from quackio_jl_spark.sources.writers import write_table
+from quackio_jl_spark.sources.readers import read_parquet
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """Bucket lineitem and orders on orderkey; the join must then run with
+    ZERO Exchange nodes — the write-time shuffle is reused by every
+    subsequent join on the key."""
+    l = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    try:
+        write_bucketed(l, "li_b", "l_orderkey", 8, sort_cols="l_orderkey")
+        write_bucketed(o, "ord_b", "o_orderkey", 8, sort_cols="o_orderkey")
+        lb, ob = read_bucketed(spark, "li_b"), read_bucketed(spark, "ord_b")
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        p = plan_of(joined)
+        assert count_exchanges(p) == 0, p
+        # same answer as the straight join
+        plain = l.join(o, l.l_orderkey == o.o_orderkey)
+        assert joined.count() == plain.count()
+        # and a groupBy on the bucket key also skips its shuffle
+        agg = lb.groupBy("l_orderkey").agg(F.sum("l_quantity"))
+        assert count_exchanges(plan_of(agg)) == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_partitioned_write_prunes_on_read(tmp_path, spark):
+    """write_table(partition_by=...) + a filter on the partition column
+    must show PartitionFilters (directory pruning — at 100 TB this is the
+    difference between scanning one partition and the whole lake) and scan
+    fewer files than the full dataset."""
+    src = table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    dest = str(tmp_path / "orders_part")
+    write_table(src, dest, format="parquet", single_file=False,
+                partition_by=["o_orderstatus"])
+    back = read_parquet(spark, dest).filter(F.col("o_orderstatus") == "F")
+    p = plan_of(back)
+    pf_line = next(ln for ln in p.splitlines() if "PartitionFilters" in ln)
+    assert "o_orderstatus" in pf_line, p
+    expected = src.filter(F.col("o_orderstatus") == "F").count()
+    assert back.count() == expected
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join must return exactly the rows of the plain join — same
+    multiset — while spreading each key over n_salts sub-keys."""
+    e = table(spark, SF_DIR, "events").select("user_id", "event_type", "value")
+    users = (
+        table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    salted = salted_join(e, users, "user_id", n_salts=8)
+    plain = e.join(users, "user_id")
+    assert salted.count() == plain.count()
+    a = {tuple(r) for r in salted.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_events").alias("s")).collect()}
+    b = {tuple(r) for r in plain.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_events").alias("s")).collect()}
+    assert a == b
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    """Left salted join: big-side rows with no match must survive exactly
+    once, as in a plain left join."""
+    e = table(spark, SF_DIR, "events").select("user_id", "event_id")
+    # a small side that deliberately misses most users
+    few = (
+        table(spark, SF_DIR, "events")
+        .select("user_id")
+        .distinct()
+        .limit(3)
+        .withColumn("flag", F.lit(1))
+    )
+    salted = salted_join(e, few, "user_id", n_salts=8, how="left")
+    plain = e.join(few, "user_id", "left")
+    assert salted.count() == plain.count()
+    assert (
+        salted.filter(F.col("flag").isNull()).count()
+        == plain.filter(F.col("flag").isNull()).count()
+    )
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    e = table(spark, SF_DIR, "events")
+    with pytest.raises(ValueError):
+        salted_join(e, e, "user_id", how="full")
