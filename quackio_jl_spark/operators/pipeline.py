@@ -1,0 +1,239 @@
+"""Training-data pipeline operators (driver mandate, beyond the reference's
+surface): deterministic dataset splitting, document chunking, embedding
+centroids, and an IVF-style ANN index (centroid coarse quantizer + inverted
+cells) complementing the LSH path in operators/similarity.py.
+
+Determinism rules as elsewhere: md5 for content hashes (cross-engine),
+fixed-point integer accumulation for vector math (see similarity.py
+docstring), unique tie-breaks on every ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..plans.registry import query, table
+from .similarity import _cosine_sql, cosine
+
+# ------------------------------------------------------------ dataset split
+
+SPLIT_TRAIN_PCT = 90
+
+
+@query(
+    "split_train_test",
+    oracle=f"""
+    SELECT doc_id,
+      CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                % 100 < {SPLIT_TRAIN_PCT}
+           THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split_train_test(spark, sf_dir):
+    """Deterministic 90/10 split keyed on md5(doc_id): reproducible across
+    runs, engines, partitionings and cluster sizes (the property random()
+    splits lack), and stable under re-sharding of the input. Map-side only
+    — a filter on `split` composes with any downstream pipeline."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "bigint"
+    ) % 100
+    return d.select(
+        "doc_id",
+        F.when(bucket < SPLIT_TRAIN_PCT, "train").otherwise("test").alias("split"),
+    )
+
+
+# -------------------------------------------------------- document chunking
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+      CAST(len(t[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}])
+           AS INTEGER) AS n_tokens,
+      md5(array_to_string(
+        t[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' '))
+        AS chunk_hash
+    FROM toks, UNNEST(range((len(t) + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE})) AS u(i)
+    """,
+)
+def chunk_documents(spark, sf_dir):
+    """Sliding-window chunking for context-length-bounded training: 32-token
+    chunks every 24 tokens (8-token overlap). Pure map-side explode — the
+    operator that turns a 100 TB corpus into model-ready pieces without a
+    single shuffle. Rows carry md5(chunk) instead of the chunk text so the
+    correctness hash stays compact; a real pipeline would keep the text."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    n_chunks = F.expr(f"(size(t) + {CHUNK_STRIDE - 1}) div {CHUNK_STRIDE}")
+    chunk = lambda i: F.slice("t", i * CHUNK_STRIDE + 1, CHUNK_TOKENS)  # noqa: E731
+    return toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    F.size(chunk(i)).alias("n_tokens"),
+                    F.md5(F.concat_ws(" ", chunk(i))).alias("chunk_hash"),
+                ),
+            )
+        ).alias("chunk_id", "c"),
+    ).select("doc_id", "chunk_id", F.col("c.n_tokens"), F.col("c.chunk_hash"))
+
+
+# ------------------------------------------------------- embedding centroids
+
+_CENT_SQL = """
+    cent AS (
+      SELECT label, i - 1 AS j,
+        CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT))
+             AS DOUBLE) / COUNT(*) / 1e9 AS v
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+      GROUP BY label, j
+    )
+"""
+
+
+def _centroid_rows(spark, sf_dir):
+    """(label, j, v): per-label per-dimension mean, exact-integer-sum based
+    so every engine and partitioning produces bit-identical centroids."""
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("j", "x"))
+        .select(
+            "label", "j", F.floor(F.col("x").cast("double") * F.lit(1e9)).alias("fx")
+        )
+        .groupBy("label", "j")
+        .agg((F.sum("fx").cast("double") / F.count(F.lit(1)) / F.lit(1e9)).alias("v"))
+    )
+
+
+@query(
+    "embedding_centroids",
+    oracle=f"WITH {_CENT_SQL} SELECT label, CAST(j AS INTEGER) AS j, v FROM cent",
+)
+def embedding_centroids(spark, sf_dir):
+    """Per-label centroid, one row per (label, dimension). Shuffle key is
+    (label, dim) — at 10^9 vectors the explode is map-side and the partial
+    sums keep shuffle volume at k*dims rows per partition."""
+    return _centroid_rows(spark, sf_dir).select(
+        "label", F.col("j").cast("int").alias("j"), "v"
+    )
+
+
+def _centroid_vectors(spark, sf_dir):
+    """(cell, cv): centroid arrays, assembled in dimension order."""
+    return (
+        _centroid_rows(spark, sf_dir)
+        .groupBy(F.col("label").alias("cell"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("j", "v"))), lambda s: s["v"]
+            ).alias("cv")
+        )
+    )
+
+
+_CENTVEC_SQL = (
+    _CENT_SQL
+    + ",\n    centvec AS (SELECT label AS cell, list(v ORDER BY j) AS cv FROM cent GROUP BY label)"
+)
+
+
+# ----------------------------------------------------------------- IVF ANN
+
+@query(
+    "ann_ivf_cells",
+    oracle=f"""
+    WITH {_CENTVEC_SQL},
+    scored AS (
+      SELECT vec_id, cell, {_cosine_sql('embedding', 'cv')} AS cs,
+        ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY {_cosine_sql('embedding', 'cv')} DESC, cell) AS rn
+      FROM embeddings CROSS JOIN centvec
+    )
+    SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM scored WHERE rn = 1
+    """,
+)
+def ann_ivf_cells(spark, sf_dir):
+    """IVF coarse quantization: assign every vector to its nearest centroid
+    (max cosine, tie-break on cell id). The centroid table is k rows and
+    BROADCASTS; assignment is one scan of the corpus — the classic IVF
+    build step, embarrassingly parallel. The resulting `cell` column is the
+    inverted-list key (store-partition by it at scale)."""
+    e = table(spark, sf_dir, "embeddings")
+    cv = _centroid_vectors(spark, sf_dir)
+    w = W.partitionBy("vec_id").orderBy(
+        cosine("embedding", "cv").desc(), F.col("cell")
+    )
+    return (
+        e.crossJoin(F.broadcast(cv))
+        .select("vec_id", "cell", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cell").cast("int").alias("cell"))
+    )
+
+
+@query(
+    "ann_ivf_search",
+    oracle=f"""
+    WITH {_CENTVEC_SQL},
+    scored AS (
+      SELECT vec_id, embedding, cell,
+        ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY {_cosine_sql('embedding', 'cv')} DESC, cell) AS rn
+      FROM embeddings CROSS JOIN centvec
+    ),
+    cells AS (SELECT vec_id, embedding, cell FROM scored WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, embedding AS qv, cell FROM cells WHERE vec_id % 100 = 0),
+    cand AS (
+      SELECT q.qid, c.vec_id, {_cosine_sql('c.embedding', 'q.qv')} AS cos_sim
+      FROM q JOIN cells c ON c.cell = q.cell AND c.vec_id <> q.qid
+    )
+    SELECT qid, vec_id, cos_sim, rnk FROM (
+      SELECT qid, vec_id, cos_sim,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id)
+             AS INTEGER) AS rnk
+      FROM cand) t
+    WHERE rnk <= 3
+    """,
+)
+def ann_ivf_search(spark, sf_dir):
+    """IVF search, nprobe=1: route each query to its cell, exact cosine only
+    against that cell's inverted list, top-3 per query. Per-query cost is
+    O(N/k) instead of O(N); the equi-join on `cell` is the only shuffle.
+    The LSH twin (ann_search_within_buckets) trades recall differently —
+    IVF adapts to the data distribution, LSH needs no training pass."""
+    e = table(spark, sf_dir, "embeddings")
+    cv = _centroid_vectors(spark, sf_dir)
+    w = W.partitionBy("vec_id").orderBy(
+        cosine("embedding", "cv").desc(), F.col("cell")
+    )
+    cells = (
+        e.crossJoin(F.broadcast(cv))
+        .select("vec_id", "embedding", "cell", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    q = cells.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
+        F.col("cell").alias("qcell"),
+    )
+    cand = cells.join(
+        q, (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("qid"))
+    ).select("qid", "vec_id", cosine("embedding", "qv").alias("cos_sim"))
+    wr = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        cand.select("qid", "vec_id", "cos_sim", F.row_number().over(wr).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )

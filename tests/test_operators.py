@@ -99,3 +99,50 @@ def test_ann_recall_vs_brute_force(spark):
     assert all(r["qid"] != r["vec_id"] for r in res)
     assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in res)
     assert all(1 <= r["rnk"] <= 3 for r in res)
+
+
+def test_split_ratio_and_determinism(spark):
+    """Hash split: ~90/10, and stable across invocations."""
+    q = entry.queries()["split_train_test"]
+    rows = {r["doc_id"]: r["split"] for r in q(spark, SF_DIR).collect()}
+    frac = sum(1 for v in rows.values() if v == "train") / len(rows)
+    assert 0.8 < frac < 0.98
+    assert rows == {r["doc_id"]: r["split"] for r in q(spark, SF_DIR).collect()}
+
+
+def test_chunks_cover_every_token(spark):
+    """Chunking invariant: per doc, chunks start every STRIDE tokens and the
+    final chunk reaches the end of the document."""
+    from quackio_jl_spark.operators.pipeline import CHUNK_STRIDE, CHUNK_TOKENS
+    from quackio_jl_spark.plans.registry import table as t
+
+    chunks = entry.queries()["chunk_documents"](spark, SF_DIR)
+    per_doc = {
+        r["doc_id"]: (r["n"], r["last_tokens"])
+        for r in chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.struct("chunk_id", "n_tokens")).alias("last"),
+        )
+        .select("doc_id", "n", F.col("last.n_tokens").alias("last_tokens"))
+        .collect()
+    }
+    doc_len = {
+        r["doc_id"]: r["len"]
+        for r in t(spark, SF_DIR, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("len"))
+        .collect()
+    }
+    for doc, (n, last_tokens) in per_doc.items():
+        L = doc_len[doc]
+        assert n == (L + CHUNK_STRIDE - 1) // CHUNK_STRIDE
+        # the last chunk ends exactly at the document end
+        assert (n - 1) * CHUNK_STRIDE + last_tokens == L or last_tokens == CHUNK_TOKENS
+
+
+def test_ivf_cells_partition_corpus(spark):
+    """Every vector lands in exactly one cell; all centroids get members."""
+    cells = entry.queries()["ann_ivf_cells"](spark, SF_DIR).collect()
+    total = entry.queries()["embedding_norms"](spark, SF_DIR).count()
+    assert len(cells) == total
+    assert len({r["vec_id"] for r in cells}) == total
