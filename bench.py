@@ -21,6 +21,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q13_customer_distribution",
+    "q16_supplier_part_count",
     "join_left_orders_per_customer",
     "window_running_spend",
     "events_hourly_window",
@@ -30,6 +33,9 @@ HEADLINE = [
     "neardup_ngram_jaccard",
     "similarity_topk_cosine",
     "ann_lsh_buckets",
+    "ann_ivf_search",
+    "chunk_documents",
+    "split_train_test",
     "text_quality_score",
     "text_langid_heuristic",
     "text_bpe_token_count",

@@ -125,3 +125,92 @@ def stateful_session_counts(spark: SparkSession, sf_dir: str, gap_minutes: int =
     return spark.sql(
         "SELECT user_id, MAX(n_sessions) AS n_sessions FROM stateful_sessions GROUP BY user_id"
     )
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (schema probed from the
+    static file; TIMESTAMP(NANOS) truncated to micros as in batch)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def purchase_click_join_stream(
+    spark: SparkSession, sf_dir: str, queryName: str = "pc_join"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding 30 minutes. Both sides carry watermarks
+    so the join state is EVICTABLE — without the time bound + watermarks a
+    stream-stream join would buffer both streams forever; with them Spark
+    drops click state older than (watermark - 30 min). This is the
+    streaming twin of the batch range join (range_join_close_events) /
+    as-of family. Returns the matched (click_id, purchase_id) pairs."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 30 MINUTES"
+        ),
+    ).select("click_id", "purchase_id")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT click_id, purchase_id FROM {queryName}")
+
+
+def dedup_events_stream(
+    spark: SparkSession, sf_dir: str, queryName: str = "dedup_stream"
+) -> DataFrame:
+    """Streaming deduplication: first event per (user_id, event_type),
+    state bounded by the watermark (dropDuplicatesWithinWatermark evicts
+    keys older than the horizon — the only way streaming dedup survives an
+    unbounded stream). Batch twin: dropDuplicates on the same keys."""
+    events = _events_stream(spark, sf_dir).withWatermark("ts", "24 hours")
+    deduped = events.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT user_id, event_type FROM {queryName}")

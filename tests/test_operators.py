@@ -146,3 +146,59 @@ def test_ivf_cells_partition_corpus(spark):
     total = entry.queries()["embedding_norms"](spark, SF_DIR).count()
     assert len(cells) == total
     assert len({r["vec_id"] for r in cells}) == total
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Watermarked stream-stream interval join == batch interval join."""
+    from quackio_jl_spark.plans.registry import table as t
+    from quackio_jl_spark.streaming.events import purchase_click_join_stream
+
+    stream_pairs = {
+        (r["click_id"], r["purchase_id"])
+        for r in purchase_click_join_stream(spark, SF_DIR).collect()
+    }
+    e = t(spark, SF_DIR, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch_pairs = {
+        (r["click_id"], r["purchase_id"])
+        for r in purchases.join(
+            clicks,
+            F.expr(
+                "p_user = c_user AND purchase_ts >= click_ts "
+                "AND purchase_ts <= click_ts + INTERVAL 30 MINUTES"
+            ),
+        )
+        .select("click_id", "purchase_id")
+        .collect()
+    }
+    assert stream_pairs == batch_pairs
+    assert len(stream_pairs) > 0
+
+
+def test_streaming_dedup_matches_batch(spark):
+    """Streaming dropDuplicatesWithinWatermark == batch dropDuplicates
+    (single ordered batch; the watermark horizon spans the dataset)."""
+    from quackio_jl_spark.plans.registry import table as t
+    from quackio_jl_spark.streaming.events import dedup_events_stream
+
+    stream_keys = {
+        (r["user_id"], r["event_type"])
+        for r in dedup_events_stream(spark, SF_DIR).collect()
+    }
+    batch_keys = {
+        (r["user_id"], r["event_type"])
+        for r in t(spark, SF_DIR, "events")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+        .collect()
+    }
+    assert stream_keys == batch_keys
