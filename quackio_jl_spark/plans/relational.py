@@ -651,3 +651,65 @@ def events_sliding_window(spark, sf_dir):
             "total_value",
         )
     )
+
+
+@query(
+    "events_gapfill_ffill",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h, event_type,
+             COUNT(*) AS n, {_dsum_sql('value')} AS v
+      FROM events GROUP BY h, event_type
+    ),
+    bounds AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM hourly),
+    spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM bounds),
+    grid AS (SELECT h, event_type FROM spine
+             CROSS JOIN (SELECT DISTINCT event_type FROM events) t)
+    SELECT strftime(g.h, '%Y-%m-%d %H:%M:%S') AS bucket, g.event_type,
+      COALESCE(hourly.n, 0) AS n,
+      last_value(hourly.v IGNORE NULLS) OVER (
+        PARTITION BY g.event_type ORDER BY g.h
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+    FROM grid g LEFT JOIN hourly ON hourly.h = g.h AND hourly.event_type = g.event_type
+    """,
+)
+def events_gapfill_ffill(spark, sf_dir):
+    """Time-series gap-fill (the hypertable-rollup pattern): build the
+    complete hourly spine x event-type grid, left-join the real hourly
+    aggregates, then forward-fill missing values with the last observation
+    (per-series ordered window, IGNORE NULLS). The spine generates from a
+    broadcast 1-row bounds table — no driver-side loop; the only big
+    shuffles are the hourly aggregate and the per-series window sort. At
+    scale the spine is tiny (hours x types) and the join broadcasts IT,
+    not the data."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("v"))
+    )
+    bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    grid = F.broadcast(spine.crossJoin(types))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(hourly, ["h", "event_type"], "left")
+        .select(
+            "h",
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.last("v", ignorenulls=True).over(w).alias("v_ffill"),
+        )
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+            "n",
+            "v_ffill",
+        )
+    )

@@ -202,3 +202,40 @@ def test_streaming_dedup_matches_batch(spark):
         .collect()
     }
     assert stream_keys == batch_keys
+
+
+def test_approx_sketches_within_bounds(spark):
+    """The 100-TB aggregation path uses sketches (HLL count-distinct,
+    t-digest percentiles) — single-pass, mergeable, fixed memory. Verify
+    their error against exact answers at test scale."""
+    from quackio_jl_spark.plans.registry import table as t
+
+    e = t(spark, SF_DIR, "events")
+    exact = e.select(F.countDistinct("user_id")).first()[0]
+    approx = e.select(F.approx_count_distinct("user_id", rsd=0.02)).first()[0]
+    assert abs(approx - exact) / exact < 0.05
+
+    pcts = e.select(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("p")
+    ).first()["p"]
+    exact_sorted = sorted(r["value"] for r in e.select("value").collect())
+    for frac, got in zip([0.5, 0.95, 0.99], pcts):
+        lo = exact_sorted[max(0, int(len(exact_sorted) * (frac - 0.02)))]
+        hi = exact_sorted[min(len(exact_sorted) - 1, int(len(exact_sorted) * (frac + 0.02)))]
+        assert lo <= got <= hi, (frac, got, lo, hi)
+
+
+def test_sampling_is_proportional(spark):
+    """df.sample at a fixed seed: reproducible and near the asked fraction
+    (block-level TABLESAMPLE is the petabyte-scale variant; row-level
+    sample keeps statistical guarantees)."""
+    from quackio_jl_spark.plans.registry import table as t
+
+    l = t(spark, SF_DIR, "lineitem")
+    n = l.count()
+    # NB: sample(0.1, seed=42) silently DROPS the seed (PySpark overload
+    # resolution); the fraction= keyword form is the deterministic one.
+    s1 = l.sample(fraction=0.1, seed=42).count()
+    s2 = l.sample(fraction=0.1, seed=42).count()
+    assert s1 == s2  # seeded determinism
+    assert 0.05 < s1 / n < 0.15
