@@ -22,14 +22,17 @@ from .functions import (
     string_split,
 )
 from .session import get_spark
+from .operators.skew import salted_join
 from .sources import (
     attach_kv_metadata,
+    read_bucketed,
     materialize,
     read_csv,
     read_file,
     read_json,
     read_kv_metadata,
     read_parquet,
+    write_bucketed,
     write_table,
 )
 
@@ -42,6 +45,9 @@ __all__ = [
     "read_json",
     "read_file",
     "write_table",
+    "write_bucketed",
+    "read_bucketed",
+    "salted_join",
     "materialize",
     "attach_kv_metadata",
     "read_kv_metadata",

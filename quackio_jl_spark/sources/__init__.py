@@ -1,3 +1,4 @@
+from .bucketing import read_bucketed, write_bucketed
 from .metadata import attach_kv_metadata, read_kv_metadata
 from .options import (
     duckdb_schema_to_ddl,
@@ -11,6 +12,8 @@ from .writers import write_table
 
 __all__ = [
     "read_csv",
+    "write_bucketed",
+    "read_bucketed",
     "read_parquet",
     "read_json",
     "read_file",
