@@ -179,9 +179,9 @@ def translate_write_options(fmt: str, opts: dict[str, Any]) -> dict[str, str]:
             codec = _WRITE_CODEC.get(str(v).lstrip(":").lower(), str(v))
             out["compression"] = codec
         elif lk == "force_quote":
-            # DuckDB allows per-column quoting; Spark CSV only has global
-            # quoteAll. Documented deviation (SURVEY.md §4(d)).
-            out["quoteAll"] = "true"
+            # handled by writers.write_table (per-column pre-wrap; Spark CSV
+            # itself only has global quoteAll)
+            continue
         elif lk == "quote" and fmt == "csv":
             out["quote"] = str(v)
         elif lk == "nullstr" and fmt == "csv":

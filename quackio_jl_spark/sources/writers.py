@@ -36,6 +36,36 @@ __all__ = ["write_table"]
 _EXT = {"csv": ".csv", "parquet": ".parquet", "json": ".json"}
 
 
+def _apply_force_quote(df: DataFrame, cols, opts: dict) -> tuple[DataFrame, dict]:
+    """DuckDB per-column ``force_quote`` (reference behavior
+    /root/reference/test/runtests.jl:61-64: named columns quoted, nulls
+    stay as unquoted empty fields). Spark CSV only offers global quoteAll,
+    so we pre-wrap the chosen columns' values in the quote char and disable
+    the writer's own quoting. Valid while values don't contain the
+    delimiter/quote (the writer can no longer protect them — DuckDB parity
+    for such values would need quoteAll instead)."""
+    from pyspark.sql import functions as F
+
+    qc = opts.get("quote", '"') or '"'
+    names = [cols] if isinstance(cols, str) else [str(c) for c in cols]
+    exprs = []
+    for c in df.columns:
+        if c in names:
+            exprs.append(
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.concat(F.lit(qc), F.col(c).cast("string"), F.lit(qc)),
+                )
+                .otherwise(F.lit(None))
+                .alias(c)
+            )
+        else:
+            exprs.append(F.col(c))
+    out_opts = dict(opts)
+    out_opts["quote"] = ""  # disable writer quoting; our wraps pass through
+    return df.select(*exprs), out_opts
+
+
 def write_table(
     df: DataFrame,
     file: str,
@@ -49,9 +79,12 @@ def write_table(
 ) -> str:
     """Write ``df`` to ``file``; returns the path written."""
     fmt = normalize_format(format) if format is not None else guess_format(file)
+    force_quote = options.pop("force_quote", None)
     opts = translate_write_options(fmt, options)
     if fmt == "csv":
         opts.setdefault("header", "true")
+        if force_quote:
+            df, opts = _apply_force_quote(df, force_quote, opts)
     elif fmt == "json":
         # DuckDB/the reference write explicit nulls (test/runtests.jl:43);
         # Spark omits null fields unless told otherwise

@@ -229,3 +229,15 @@ def test_directory_write_scale_path(tmp_path, spark, basic_df):
     assert os.path.isdir(p)
     back = read_parquet(spark, p)
     assert _as_rows(back.select("a", "b", "c")) == _as_rows(basic_df)
+
+
+def test_force_quote_per_column_golden(tmp_path, spark, basic_df):
+    """Reference golden (/root/reference/test/runtests.jl:61-64): only the
+    named columns are quoted; nulls stay as unquoted empty fields."""
+    from quackio_jl_spark.sources.writers import write_table
+
+    p = str(tmp_path / "fq.csv")
+    write_table(basic_df, p, force_quote=["a", "c"])
+    assert open(p).read().splitlines() == ['a,b,c', '"1",x,"1.0"', '"2",yz,']
+    write_table(basic_df, p, force_quote=("a", "c"))  # tuple form, same result
+    assert open(p).read().splitlines() == ['a,b,c', '"1",x,"1.0"', '"2",yz,']
