@@ -83,6 +83,10 @@ def write_table(
     opts = translate_write_options(fmt, options)
     if fmt == "csv":
         opts.setdefault("header", "true")
+        # Spark's CSV writer TRIMS cell whitespace by default; DuckDB (and
+        # the reference) preserve it. Found by tests/test_property_roundtrip.
+        opts.setdefault("ignoreLeadingWhiteSpace", "false")
+        opts.setdefault("ignoreTrailingWhiteSpace", "false")
         if force_quote:
             df, opts = _apply_force_quote(df, force_quote, opts)
     elif fmt == "json":
