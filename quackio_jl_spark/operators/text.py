@@ -209,3 +209,94 @@ def lang_stats(spark, sf_dir):
             "avg_chars"
         ),
     )
+
+
+# ----------------------------------------------------------------- TF-IDF
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, tf.term,
+        round(tf * ln((n + 1.0) / (df + 1.0)), 8) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rnk FROM (
+      SELECT doc_id, term, tfidf,
+        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS INTEGER) AS rnk
+      FROM scored) t
+    WHERE rnk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms. Shape at scale: token explode is
+    map-side; tf aggregates on (doc, term); the document-frequency table
+    aggregates on term and BROADCASTS (vocabulary << corpus); the corpus
+    count is a broadcast scalar. tfidf rounds to 8 decimals before ranking
+    so the ln() ULP difference between engines can't flip an order (ties
+    break on the term itself)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 8
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.select(
+            "doc_id", "term", "tfidf", F.row_number().over(w).alias("rnk")
+        ).filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "top_terms_per_lang",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    cnt AS (SELECT lang, term, COUNT(*) AS n FROM tok GROUP BY lang, term)
+    SELECT lang, term, n, rnk FROM (
+      SELECT lang, term, n,
+        CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term)
+             AS INTEGER) AS rnk
+      FROM cnt) t
+    WHERE rnk <= 5
+    """,
+)
+def top_terms_per_lang(spark, sf_dir):
+    """Top-5 most frequent terms per language — the corpus-inspection query
+    every dataset card needs. Integer counts only (fully deterministic);
+    two shuffles: (lang, term) counts with map-side combine, then the
+    per-lang top-k window over the small aggregate."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), "term")
+    return cnt.select(
+        "lang", "term", "n", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= 5)
