@@ -36,11 +36,15 @@ def asof_join(
     right_on: str,
     right_values: list[str],
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``right_on`` <= ``left_on`` within the same ``by`` group (backward
     as-of; ties at equal time resolve to the right row, matching DuckDB's
-    ``ASOF JOIN ... ON l.t >= r.t``)."""
+    ``ASOF JOIN ... ON l.t >= r.t``). ``direction="forward"`` attaches the
+    SMALLEST ``right_on`` >= ``left_on`` instead (DuckDB
+    ``ON l.t <= r.t``); same union + window mechanics with the frame
+    flipped to (currentRow, unboundedFollowing)."""
     lcols = [c for c in left.columns]
     L = left.select(
         *lcols,
@@ -58,18 +62,25 @@ def asof_join(
         if c not in by:
             R = R.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     u = L.unionByName(R.select(*L.columns))
-    order = [F.col("_t"), F.col("_side")]
+    if direction == "backward":
+        order = [F.col("_t").asc(), F.col("_side").asc()]
+        frame = (W.unboundedPreceding, W.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    elif direction == "forward":
+        # left rows sort BEFORE right rows at equal time so an inclusive
+        # following frame sees equal-time right rows
+        order = [F.col("_t").asc(), F.col("_side").desc()]
+        frame = (W.currentRow, W.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if tiebreak:
         order.append(F.col(tiebreak).asc_nulls_first())
-    w = (
-        W.partitionBy(*by)
-        .orderBy(*order)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    w = W.partitionBy(*by).orderBy(*order).rowsBetween(*frame)
     filled = u.select(
         *[c for c in lcols],
         "_side",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c) for c in right_values],
+        *[pick(f"_r_{c}").over(w).alias(c) for c in right_values],
     )
     return filled.filter(F.col("_side") == 1).drop("_side")
 
@@ -150,3 +161,38 @@ def range_join_close_events(spark, sf_dir):
         )
         .select("id_a", "id_b")
     )
+
+
+@query(
+    "asof_join_next_click",
+    oracle="""
+    SELECT p.event_id, p.user_id, c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def asof_join_next_click(spark, sf_dir):
+    """Forward as-of: for every purchase, the user's NEXT click at-or-after
+    it (NULL if none) — the attribution mirror of the backward join,
+    oracle-checked against DuckDB's native forward ASOF LEFT JOIN. Same
+    single-shuffle union+window plan with the frame flipped."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+    )
+    res = asof_join(
+        purchases,
+        clicks,
+        by=["user_id"],
+        left_on="ts",
+        right_on="ts",
+        right_values=["click_id"],
+        tiebreak="event_id",
+        direction="forward",
+    )
+    return res.select("event_id", "user_id", "click_id")

@@ -219,3 +219,41 @@ def sessionize_events(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.sum("is_start").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@query(
+    "window_pack_ranks",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+      CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      percent_rank() OVER w AS pct_rank,
+      cume_dist() OVER w AS cume,
+      nth_value(o_orderkey, 2) OVER
+        (PARTITION BY o_orderstatus ORDER BY o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key,
+      lead(o_totalprice) OVER w AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+    """,
+)
+def window_pack_ranks(spark, sf_dir):
+    """The remaining ranking/distribution window functions in one pass:
+    ntile, percent_rank, cume_dist, nth_value (explicit running frame so
+    engines agree), lead. All five share ONE window spec -> one shuffle on
+    o_orderstatus + one per-partition sort; the unique o_orderkey ordering
+    makes every output deterministic. percent_rank/cume_dist are integer
+    ratios of identical counts, so doubles match bit-for-bit."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
