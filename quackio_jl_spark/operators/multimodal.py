@@ -116,3 +116,62 @@ def multimodal_decoded(spark, sf_dir):
     md5-of-binary fake decode), so it takes the driver's rows-only check;
     tests/test_multimodal.py asserts exact values."""
     return extract_media_features(documents_as_media(spark, sf_dir))
+
+
+@query(
+    "multimodal_decoded_dims",
+    oracle="""
+    SELECT doc_id,
+      CASE WHEN doc_id % 3 = 0 THEN 'image'
+           WHEN doc_id % 3 = 1 THEN 'audio'
+           ELSE 'video' END AS media_type,
+      CAST(16 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 64 AS INTEGER) AS width,
+      CAST(16 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 64 AS INTEGER) AS height,
+      CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                ELSE 1 + ('0x' || substr(md5(text), 5, 2))::BIGINT % 30
+           END AS INTEGER) AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_decoded_dims(spark, sf_dir):
+    """The decoded dimensions, WITH a value-level oracle: the fake decoder
+    is md5-byte-derived, so DuckDB can reproduce it in SQL and the driver
+    hash-checks the mapInPandas pipeline's actual output values (not just
+    row counts). This pins the whole Arrow round-trip: binary column in,
+    python decode, typed columns out."""
+    return extract_media_features(documents_as_media(spark, sf_dir)).select(
+        "doc_id", "media_type", "width", "height", "n_frames"
+    )
+
+
+FRAME_EVERY = 5
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH dec AS (
+      SELECT doc_id,
+        CAST(1 + ('0x' || substr(md5(text), 5, 2))::BIGINT % 30 AS INTEGER) AS n_frames
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id, n_frames, CAST(f AS INTEGER) AS frame_idx
+    FROM dec, UNNEST(range(n_frames)) AS u(f)
+    WHERE f % {FRAME_EVERY} = 0
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame sampling for video payloads: decode ONCE in the Arrow UDF
+    (python only where unavoidable), then explode/filter frames JVM-side —
+    sequence + explode stay in whole-stage codegen, so sampling density is
+    a query knob, not a UDF change. Map-side only, linear in frames."""
+    feats = extract_media_features(documents_as_media(spark, sf_dir))
+    return (
+        feats.filter(F.col("media_type") == "video")
+        .select(
+            "doc_id",
+            "n_frames",
+            F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
+        )
+        .filter(F.col("frame_idx") % FRAME_EVERY == 0)
+    )
