@@ -247,27 +247,33 @@ SIMHASH_BITS = 32  # bits drawn from the first 8 hex chars of md5(token)
 def dedup_simhash(spark, sf_dir):
     """SimHash over distinct tokens: per-bit majority vote of token hashes,
     reassembled into a 32-bit signature. Near-dup docs differ in few bits.
-    Pipeline: map-side explode (tokens × bits), one shuffle on (doc_id, j),
-    one on doc_id — linear in corpus size."""
+
+    Shape: the per-bit votes are 32 CONDITIONAL AGGREGATES over the token
+    rows — not a tokens×32 bit-explode (which would 32× the row count and
+    add a (doc_id, bit) shuffle). One distinct on (doc_id, token), one
+    partial-aggregated shuffle on doc_id carrying 32 small counters per
+    doc per partition; the signature assembles from the 32 columns in a
+    final map-side projection."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token")).distinct()
     tv = tok.select(
         "doc_id", F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint").alias("v")
     )
-    bits = (
-        tv.select("doc_id", "v", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"))
-        .groupBy("doc_id", "j")
-        .agg(
-            F.sum(
-                F.when(F.expr("(v >> j) & 1") == 1, 1).otherwise(-1)
-            ).alias("s")
-        )
+    # sum of (v>>j)&1 per bit; the +1/-1 majority becomes 2*ones > count
+    votes = tv.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[
+            F.sum(F.expr(f"(v >> {j}) & 1")).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ],
     )
-    return bits.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0))).alias(
-            "simhash"
-        )
-    )
+    sig = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(
+            2 * F.col(f"s{j}") > F.col("cnt"), F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return votes.select("doc_id", sig.alias("simhash"))
 
 
 # ------------------------------------------------------------ n-gram Jaccard
