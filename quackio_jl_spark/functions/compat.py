@@ -95,3 +95,114 @@ DUCKDB_FUNCTIONS = {
     "regexp_matches": regexp_matches,
     "len": len_,
 }
+
+
+def strptime(col: Column | str, fmt: str) -> Column:
+    """DuckDB strptime(str, '%Y-%m-%d') -> F.to_timestamp with the
+    translated pattern."""
+    return F.to_timestamp(col, _strftime_to_spark_pattern(fmt))
+
+
+_DATE_PARTS = {
+    "year": F.year, "month": F.month, "day": F.dayofmonth, "hour": F.hour,
+    "minute": F.minute, "second": F.second, "quarter": F.quarter,
+    "week": F.weekofyear, "doy": F.dayofyear, "dow": F.dayofweek,
+    "isodow": lambda c: F.when(F.dayofweek(c) == 1, 7).otherwise(F.dayofweek(c) - 1),
+}
+
+
+def date_part(part: str, col: Column | str) -> Column:
+    """DuckDB date_part('hour', ts) — same part names incl. isodow
+    (Monday=1..Sunday=7, which Spark's Sunday=1 dayofweek doesn't match
+    directly)."""
+    try:
+        return _DATE_PARTS[part.lower()](col)
+    except KeyError:
+        raise ValueError(f"unsupported date part: {part!r}") from None
+
+
+def epoch(col: Column | str) -> Column:
+    """DuckDB epoch(ts) -> seconds since 1970 (bigint)."""
+    return F.unix_timestamp(F.col(col) if isinstance(col, str) else col)
+
+
+def epoch_ms(col: Column | str) -> Column:
+    """DuckDB epoch_ms(ts) -> milliseconds since 1970."""
+    return F.unix_millis(F.col(col) if isinstance(col, str) else col)
+
+
+def list_contains(col: Column | str, value) -> Column:
+    """DuckDB list_contains -> array_contains."""
+    return F.array_contains(col, value)
+
+
+def list_distinct(col: Column | str) -> Column:
+    """DuckDB list_distinct -> array_distinct."""
+    return F.array_distinct(col)
+
+
+def list_unique(col: Column | str) -> Column:
+    """DuckDB list_unique (COUNT of distinct elements) -> size(array_distinct)."""
+    return F.size(F.array_distinct(col))
+
+
+def list_transform(col: Column | str, fn) -> Column:
+    """DuckDB list_transform -> F.transform."""
+    return F.transform(col, fn)
+
+
+def list_filter(col: Column | str, fn) -> Column:
+    """DuckDB list_filter -> F.filter."""
+    return F.filter(col, fn)
+
+
+def array_to_string(col: Column | str, sep: str) -> Column:
+    """DuckDB array_to_string(l, sep) -> array_join (null elements dropped
+    by both engines)."""
+    return F.array_join(col, sep)
+
+
+def string_agg(col: Column | str, sep: str = ",") -> Column:
+    """DuckDB string_agg aggregate -> array_join(collect_list(...)).
+    Order is input order in both engines — add an ORDER BY/sort_array
+    upstream for determinism at scale."""
+    return F.array_join(F.collect_list(col), sep)
+
+
+def levenshtein(a: Column | str, b: Column | str) -> Column:
+    """DuckDB levenshtein -> same-named Spark builtin."""
+    return F.levenshtein(a, b)
+
+
+def starts_with(col: Column | str, prefix: str) -> Column:
+    """DuckDB starts_with -> Column.startswith."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.startswith(prefix)
+
+
+def regexp_replace_g(col: Column | str, pattern: str, replacement: str) -> Column:
+    """DuckDB regexp_replace(..., 'g') — replace ALL matches (Spark's only
+    mode). DuckDB's default first-match-only mode has no Spark builtin; use
+    an anchored pattern if you need it."""
+    return F.regexp_replace(
+        F.col(col) if isinstance(col, str) else col, pattern, replacement
+    )
+
+
+DUCKDB_FUNCTIONS.update({
+    "strptime": strptime,
+    "date_part": date_part,
+    "datepart": date_part,
+    "epoch": epoch,
+    "epoch_ms": epoch_ms,
+    "list_contains": list_contains,
+    "list_distinct": list_distinct,
+    "list_unique": list_unique,
+    "list_transform": list_transform,
+    "list_filter": list_filter,
+    "array_to_string": array_to_string,
+    "string_agg": string_agg,
+    "levenshtein": levenshtein,
+    "starts_with": starts_with,
+    "regexp_replace": regexp_replace_g,
+})

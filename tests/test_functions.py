@@ -52,3 +52,67 @@ def test_exact_sum_order_independent(spark):
     assert s1["s"] == s32["s"]
     assert s1["a"] == s32["a"]
     assert math.isclose(s1["s"], sum(v for (v,) in vals), rel_tol=1e-9)
+
+
+def test_compat_functions_match_duckdb(spark):
+    """Each new compat mapping produces the same value DuckDB produces."""
+    import duckdb
+
+    from quackio_jl_spark.functions.compat import (
+        array_to_string,
+        date_part,
+        epoch,
+        epoch_ms,
+        levenshtein,
+        list_contains,
+        list_distinct,
+        list_unique,
+        starts_with,
+        strptime,
+    )
+
+    con = duckdb.connect()
+    dk = con.execute("""
+      SELECT strptime('2020-03-04 05:06', '%Y-%m-%d %H:%M') AS ts,
+             date_part('hour', TIMESTAMP '2020-03-04 05:06:07') AS h,
+             date_part('isodow', TIMESTAMP '2020-03-08 00:00:00') AS iso,
+             epoch(TIMESTAMP '2020-03-04 05:06:07') AS ep,
+             epoch_ms(TIMESTAMP '2020-03-04 05:06:07') AS epms,
+             list_contains([1, 2, 3], 2) AS lc,
+             list_distinct([1, 2, 2, 3]) AS ld,
+             list_unique([1, 2, 2, 3]) AS lu,
+             array_to_string(['a', 'b'], '-') AS ats,
+             levenshtein('kitten', 'sitting') AS lev,
+             starts_with('foobar', 'foo') AS sw
+    """).fetchone()
+
+    df = spark.sql(
+        "SELECT TIMESTAMP '2020-03-04 05:06:07' AS t, "
+        "TIMESTAMP '2020-03-08 00:00:00' AS sun, "
+        "array(1, 2, 2, 3) AS l, 'kitten' AS s1, 'sitting' AS s2"
+    )
+    r = df.select(
+        strptime(F.lit("2020-03-04 05:06"), "%Y-%m-%d %H:%M").alias("ts"),
+        date_part("hour", "t").alias("h"),
+        date_part("isodow", "sun").alias("iso"),
+        epoch("t").alias("ep"),
+        epoch_ms("t").alias("epms"),
+        list_contains(F.array(F.lit(1), F.lit(2), F.lit(3)), 2).alias("lc"),
+        list_distinct("l").alias("ld"),
+        list_unique("l").alias("lu"),
+        array_to_string(F.array(F.lit("a"), F.lit("b")), "-").alias("ats"),
+        levenshtein("s1", "s2").alias("lev"),
+        starts_with(F.lit("foobar"), "foo").alias("sw"),
+    ).first()
+
+    assert r["ts"] == dk[0]
+    assert r["h"] == dk[1]
+    assert r["iso"] == dk[2]
+    assert r["ep"] == dk[3]
+    assert r["epms"] == dk[4]
+    assert r["lc"] == dk[5]
+    assert sorted(r["ld"]) == sorted(dk[6])
+    assert r["lu"] == dk[7]
+    assert r["ats"] == dk[8]
+    assert r["lev"] == dk[9]
+    assert r["sw"] == dk[10]
