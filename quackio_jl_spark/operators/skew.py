@@ -55,3 +55,38 @@ def salted_join(
     small_s = small.select("*", salts)
     out = big_s.join(small_s, keys + [_SALT], how)
     return out.drop(_SALT)
+
+
+from ..plans.registry import query, table  # noqa: E402
+from ..functions.exact import dsum  # noqa: E402
+
+_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(28,6))) AS DOUBLE)"
+
+
+@query(
+    "salted_join_user_spend",
+    oracle=f"""
+    WITH spend AS (
+      SELECT user_id, {_DSUM.format(x='value')} AS total_spend
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, s.total_spend
+    FROM events e JOIN spend s ON s.user_id = e.user_id
+    WHERE e.event_type = 'click'
+    """,
+)
+def salted_join_user_spend(spark, sf_dir):
+    """Every click annotated with the user's total purchase spend, joined
+    THROUGH salted_join — the oracle is the plain SQL join, so the gate
+    proves salting is semantics-preserving while the big side's hot keys
+    spread over 16 sub-keys."""
+    e = table(spark, sf_dir, "events")
+    spend = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(dsum("value").alias("total_spend"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id")
+    return salted_join(clicks, spend, "user_id", n_salts=16).select(
+        "event_id", "user_id", "total_spend"
+    )
