@@ -237,3 +237,66 @@ def ann_ivf_search(spark, sf_dir):
         cand.select("qid", "vec_id", "cos_sim", F.row_number().over(wr).alias("rnk"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+N_PROBE = 2
+
+
+@query(
+    "ann_ivf_search_nprobe2",
+    oracle=f"""
+    WITH {_CENTVEC_SQL},
+    scored AS (
+      SELECT vec_id, embedding, cell,
+        ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY {_cosine_sql('embedding', 'cv')} DESC, cell) AS rn
+      FROM embeddings CROSS JOIN centvec
+    ),
+    cells AS (SELECT vec_id, embedding, cell FROM scored WHERE rn = 1),
+    qcells AS (SELECT vec_id AS qid, embedding AS qv, cell AS qcell
+               FROM scored WHERE rn <= {N_PROBE} AND vec_id % 100 = 0),
+    cand AS (
+      SELECT q.qid, c.vec_id, {_cosine_sql('c.embedding', 'q.qv')} AS cos_sim
+      FROM qcells q JOIN cells c ON c.cell = q.qcell AND c.vec_id <> q.qid
+    )
+    SELECT qid, vec_id, cos_sim, rnk FROM (
+      SELECT qid, vec_id, cos_sim,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id)
+             AS INTEGER) AS rnk
+      FROM cand) t
+    WHERE rnk <= 3
+    """,
+)
+def ann_ivf_search_nprobe2(spark, sf_dir):
+    """IVF search with nprobe=2 — the standard recall knob: each query
+    probes its TWO nearest cells (the corpus stays single-assigned), so
+    candidates double and recall rises while per-query cost stays
+    O(nprobe * N/k). Implementation: the query side keeps centroid ranks
+    rn <= 2 instead of 1 and the cell equi-join fans out per probe; the
+    final top-3 dedups across probes."""
+    e = table(spark, sf_dir, "embeddings")
+    cv = _centroid_vectors(spark, sf_dir)
+    w = W.partitionBy("vec_id").orderBy(
+        cosine("embedding", "cv").desc(), F.col("cell")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(cv))
+        .select("vec_id", "embedding", "cell", F.row_number().over(w).alias("rn"))
+    )
+    cells = scored.filter(F.col("rn") == 1).drop("rn")
+    qcells = (
+        scored.filter((F.col("rn") <= N_PROBE) & (F.col("vec_id") % 100 == 0))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("cell").alias("qcell"),
+        )
+    )
+    cand = cells.join(
+        qcells, (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("qid"))
+    ).select("qid", "vec_id", cosine("embedding", "qv").alias("cos_sim"))
+    wr = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        cand.select("qid", "vec_id", "cos_sim", F.row_number().over(wr).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )

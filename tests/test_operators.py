@@ -297,3 +297,19 @@ def test_ivf_search_is_exact_within_probed_cell(spark):
         qid: [(i + 1, v) for i, v in enumerate(vs[:3])] for qid, vs in per_q.items()
     }
     assert got == {k: sorted(v) for k, v in expected.items()}, (got, expected)
+
+
+def test_nprobe2_recall_dominates_nprobe1(spark):
+    """Probing more cells can only help: nprobe=2 results per query must be
+    a superset-or-equal ranking improvement — its top-3 cosine at each rank
+    must be >= the nprobe=1 value (monotonicity holds on any data)."""
+    one = {}
+    for r in entry.queries()["ann_ivf_search"](spark, SF_DIR).collect():
+        one.setdefault(r["qid"], {})[r["rnk"]] = r["cos_sim"]
+    two = {}
+    for r in entry.queries()["ann_ivf_search_nprobe2"](spark, SF_DIR).collect():
+        two.setdefault(r["qid"], {})[r["rnk"]] = r["cos_sim"]
+    assert set(one) <= set(two)
+    for qid, ranks in one.items():
+        for rnk, cs in ranks.items():
+            assert two[qid].get(rnk, -2.0) >= cs - 1e-12, (qid, rnk)
