@@ -300,3 +300,61 @@ def ann_ivf_search_nprobe2(spark, sf_dir):
         cand.select("qid", "vec_id", "cos_sim", F.row_number().over(wr).alias("rnk"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# --------------------------------------------- the composed corpus pipeline
+
+MIN_TOKENS = 20
+
+
+@query(
+    "corpus_prep_pipeline",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+          < {SPLIT_TRAIN_PCT} AS is_train
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    dups AS (
+      SELECT DISTINCT doc2 AS doc_id FROM (
+        SELECT MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper, doc_id AS doc2
+        FROM documents) t
+      WHERE doc2 <> keeper
+    )
+    SELECT d.doc_id, d.lang, CAST(q.n_tokens AS BIGINT) AS n_tokens
+    FROM documents d
+    JOIN split s USING (doc_id)
+    JOIN quality q USING (doc_id)
+    WHERE s.is_train AND q.n_tokens >= {MIN_TOKENS}
+      AND NOT EXISTS (SELECT 1 FROM dups WHERE dups.doc_id = d.doc_id)
+    """,
+)
+def corpus_prep_pipeline(spark, sf_dir):
+    """The whole training-corpus preparation as ONE composed lazy plan —
+    what a user of this engine actually runs: hash-split to train, drop
+    short documents, drop exact duplicates (keep lowest doc_id). Because
+    every stage is a DataFrame transformation, Catalyst fuses the split
+    and quality filters into the scan and the only shuffles are the dedup
+    group and the anti join — composition costs nothing extra. Output:
+    the surviving corpus with token counts, ready for chunk_documents."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("bigint") % 100
+    n_tokens = F.size(F.split("text", " "))
+    W_ = W.partitionBy(F.md5("text"))
+    dups = (
+        d.select("doc_id", F.min("doc_id").over(W_).alias("keeper"))
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
+    )
+    return (
+        d.filter(bucket < SPLIT_TRAIN_PCT)
+        .filter(n_tokens >= MIN_TOKENS)
+        .join(dups, "doc_id", "left_anti")
+        .select("doc_id", "lang", n_tokens.cast("bigint").alias("n_tokens"))
+    )

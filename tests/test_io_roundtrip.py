@@ -241,3 +241,24 @@ def test_force_quote_per_column_golden(tmp_path, spark, basic_df):
     assert open(p).read().splitlines() == ['a,b,c', '"1",x,"1.0"', '"2",yz,']
     write_table(basic_df, p, force_quote=("a", "c"))  # tuple form, same result
     assert open(p).read().splitlines() == ['a,b,c', '"1",x,"1.0"', '"2",yz,']
+
+
+def test_write_modes(tmp_path, spark, basic_df):
+    """Directory-mode write modes: overwrite replaces, append accumulates,
+    ignore is a no-op on existing data, error raises."""
+    import pytest
+
+    from quackio_jl_spark.sources.readers import read_parquet
+    from quackio_jl_spark.sources.writers import write_table
+
+    p = str(tmp_path / "modes.parquet")
+    write_table(basic_df, p, single_file=False)
+    assert read_parquet(spark, p).count() == 2
+    write_table(basic_df, p, single_file=False, mode="append")
+    assert read_parquet(spark, p).count() == 4
+    write_table(basic_df, p, single_file=False, mode="overwrite")
+    assert read_parquet(spark, p).count() == 2
+    write_table(basic_df, p, single_file=False, mode="ignore")
+    assert read_parquet(spark, p).count() == 2
+    with pytest.raises(Exception):
+        write_table(basic_df, p, single_file=False, mode="error")
