@@ -55,8 +55,17 @@ def main() -> None:
     def run(df):
         df.write.format("noop").mode("overwrite").save()
 
-    # warm-up: JVM/codegen/file-listing paths
-    run(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    # Warm-up: run every headline query once at the smallest SF so the
+    # timed pass measures steady-state engine throughput, not first-use
+    # constants (JVM class loading, whole-stage-codegen compilation — the
+    # generated code is data-size-independent, so compiling against
+    # sf0.001 warms the cache for the sf0.1 run). Falls back to the bench
+    # dir itself if the small SF isn't present.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        run(QUERIES[name](spark, warm_dir))
 
     times: dict[str, float] = {}
     for name in HEADLINE:
