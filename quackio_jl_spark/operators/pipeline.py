@@ -152,6 +152,36 @@ _CENTVEC_SQL = (
 
 # ----------------------------------------------------------------- IVF ANN
 
+def _assigned(spark, sf_dir):
+    """(vec_id, embedding, cell): each corpus vector assigned to its
+    nearest centroid (max cosine, ties to the smaller cell id).
+
+    The argmax is ONE aggregate — max(struct(cs, -cell, cell, embedding))
+    — with map-side partial aggregation collapsing the k-per-vector scored
+    rows before any shuffle. A row_number window would instead shuffle and
+    SORT all k*N scored rows; at 10^9 vectors that is the difference
+    between a combine-collapsed shuffle of N rows and a full sort of kN."""
+    e = table(spark, sf_dir, "embeddings")
+    cv = _centroid_vectors(spark, sf_dir)
+    scored = e.crossJoin(F.broadcast(cv)).select(
+        "vec_id",
+        "cell",
+        "embedding",
+        cosine("embedding", "cv").alias("cs"),
+    )
+    m = F.max(
+        F.struct(
+            F.col("cs"),
+            (-F.col("cell")).alias("nc"),  # ties -> smaller cell id wins
+            F.col("cell"),
+            F.col("embedding"),
+        )
+    ).alias("m")
+    return scored.groupBy("vec_id").agg(m).select(
+        "vec_id", F.col("m.embedding").alias("embedding"), F.col("m.cell").alias("cell")
+    )
+
+
 @query(
     "ann_ivf_cells",
     oracle=f"""
@@ -171,16 +201,8 @@ def ann_ivf_cells(spark, sf_dir):
     BROADCASTS; assignment is one scan of the corpus — the classic IVF
     build step, embarrassingly parallel. The resulting `cell` column is the
     inverted-list key (store-partition by it at scale)."""
-    e = table(spark, sf_dir, "embeddings")
-    cv = _centroid_vectors(spark, sf_dir)
-    w = W.partitionBy("vec_id").orderBy(
-        cosine("embedding", "cv").desc(), F.col("cell")
-    )
-    return (
-        e.crossJoin(F.broadcast(cv))
-        .select("vec_id", "cell", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cell").cast("int").alias("cell"))
+    return _assigned(spark, sf_dir).select(
+        "vec_id", F.col("cell").cast("int").alias("cell")
     )
 
 
@@ -214,17 +236,7 @@ def ann_ivf_search(spark, sf_dir):
     O(N/k) instead of O(N); the equi-join on `cell` is the only shuffle.
     The LSH twin (ann_search_within_buckets) trades recall differently —
     IVF adapts to the data distribution, LSH needs no training pass."""
-    e = table(spark, sf_dir, "embeddings")
-    cv = _centroid_vectors(spark, sf_dir)
-    w = W.partitionBy("vec_id").orderBy(
-        cosine("embedding", "cv").desc(), F.col("cell")
-    )
-    cells = (
-        e.crossJoin(F.broadcast(cv))
-        .select("vec_id", "embedding", "cell", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+    cells = _assigned(spark, sf_dir)
     q = cells.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
         F.col("cell").alias("qcell"),
@@ -273,19 +285,22 @@ def ann_ivf_search_nprobe2(spark, sf_dir):
     candidates double and recall rises while per-query cost stays
     O(nprobe * N/k). Implementation: the query side keeps centroid ranks
     rn <= 2 instead of 1 and the cell equi-join fans out per probe; the
-    final top-3 dedups across probes."""
+    final top-3 dedups across probes. The corpus side assigns via the
+    partial-aggregated argmax (_assigned); only the QUERY side (1% of
+    rows) needs a top-nprobe window."""
     e = table(spark, sf_dir, "embeddings")
     cv = _centroid_vectors(spark, sf_dir)
+    cells = _assigned(spark, sf_dir)
     w = W.partitionBy("vec_id").orderBy(
         cosine("embedding", "cv").desc(), F.col("cell")
     )
-    scored = (
-        e.crossJoin(F.broadcast(cv))
+    scored_q = (
+        e.filter(F.col("vec_id") % 100 == 0)
+        .crossJoin(F.broadcast(cv))
         .select("vec_id", "embedding", "cell", F.row_number().over(w).alias("rn"))
     )
-    cells = scored.filter(F.col("rn") == 1).drop("rn")
     qcells = (
-        scored.filter((F.col("rn") <= N_PROBE) & (F.col("vec_id") % 100 == 0))
+        scored_q.filter(F.col("rn") <= N_PROBE)
         .select(
             F.col("vec_id").alias("qid"),
             F.col("embedding").alias("qv"),
