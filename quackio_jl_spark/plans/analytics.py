@@ -257,3 +257,49 @@ def window_pack_ranks(spark, sf_dir):
         F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
         F.lead("o_totalprice").over(w).alias("next_price"),
     )
+
+
+@query(
+    "events_session_window_agg",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, value,
+        CASE WHEN LAG(ts) OVER w IS NULL
+               OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+        SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    )
+    SELECT user_id,
+      strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+      COUNT(*) AS n, {_d('value')} AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_session_window_agg(spark, sf_dir):
+    """Per-session aggregates via Spark's NATIVE session_window operator
+    (dynamic-gap windows merged at aggregation time — one shuffle on the
+    session key). The oracle reproduces the semantics with the classic
+    lag/gap-flag/cumsum technique: a session closes when the next event is
+    >= 30 minutes after the previous one, and the window end is last event
+    + gap. Works identically as a streaming aggregation (session_window is
+    Structured-Streaming-native)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n",
+            "total_value",
+        )
+    )
