@@ -22,6 +22,7 @@ from .functions import (
     string_split,
 )
 from .session import get_spark
+from .operators.merge import upsert
 from .operators.skew import salted_join
 from .sources import (
     attach_kv_metadata,
@@ -48,6 +49,7 @@ __all__ = [
     "write_bucketed",
     "read_bucketed",
     "salted_join",
+    "upsert",
     "materialize",
     "attach_kv_metadata",
     "read_kv_metadata",

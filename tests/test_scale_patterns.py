@@ -105,3 +105,18 @@ def test_salted_join_rejects_unsupported_how(spark):
     e = table(spark, SF_DIR, "events")
     with pytest.raises(ValueError):
         salted_join(e, e, "user_id", how="full")
+
+
+def test_upsert_null_update_preserves_base(spark):
+    """Column-level merge: a NULL in an update column must NOT clobber the
+    base value (MERGE's UPDATE SET col = COALESCE(src.col, tgt.col) idiom)."""
+    from quackio_jl_spark.operators.merge import upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, s string, v double"
+    )
+    upd = spark.createDataFrame(
+        [(1, None, 99.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    got = {r["k"]: (r["s"], r["v"]) for r in upsert(base, upd, "k").collect()}
+    assert got == {1: ("a", 99.0), 2: ("b", 20.0), 3: ("c", 30.0)}
