@@ -131,17 +131,31 @@ def embedding_centroids(spark, sf_dir):
     )
 
 
+_CENTROID_CACHE: dict = {}
+
+
 def _centroid_vectors(spark, sf_dir):
-    """(cell, cv): centroid arrays, assembled in dimension order."""
-    return (
-        _centroid_rows(spark, sf_dir)
-        .groupBy(F.col("label").alias("cell"))
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("j", "v"))), lambda s: s["v"]
-            ).alias("cv")
+    """(cell, cv): centroid arrays, assembled in dimension order.
+
+    Cached+persisted per (session, sf_dir): centroids are an IVF index's
+    precomputed state — every real vector store trains once and serves many
+    queries. Without the cache each query subtree re-runs the corpus-wide
+    explode/aggregate (the audit showed it twice per search); with it both
+    the corpus-assignment and query-routing subtrees read a 10-row
+    in-memory table."""
+    key = (id(spark), sf_dir)
+    if key not in _CENTROID_CACHE:
+        _CENTROID_CACHE[key] = (
+            _centroid_rows(spark, sf_dir)
+            .groupBy(F.col("label").alias("cell"))
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("j", "v"))), lambda s: s["v"]
+                ).alias("cv")
+            )
+            .persist()
         )
-    )
+    return _CENTROID_CACHE[key]
 
 
 _CENTVEC_SQL = (
