@@ -22,7 +22,7 @@ from .functions import (
     string_split,
 )
 from .session import get_spark
-from .operators.merge import upsert
+from .operators.merge import scd2_apply, upsert
 from .operators.skew import salted_join
 from .sources import (
     attach_kv_metadata,
@@ -50,6 +50,7 @@ __all__ = [
     "read_bucketed",
     "salted_join",
     "upsert",
+    "scd2_apply",
     "materialize",
     "attach_kv_metadata",
     "read_kv_metadata",

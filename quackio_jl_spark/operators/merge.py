@@ -81,3 +81,88 @@ def upsert_orders(spark, sf_dir):
         F.col("o_totalprice"),
     )
     return upsert(o, upd.unionByName(ins), "o_orderkey")
+
+
+def scd2_apply(
+    history: DataFrame,
+    updates: DataFrame,
+    key: str,
+    ts_col: str = "valid_from",
+    open_col: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: one micro-batch of updates against
+    a versioned history table (columns = key, attrs..., valid_from,
+    valid_to with NULL meaning 'current').
+
+    - closed rows pass through untouched;
+    - current rows whose key receives an update close (valid_to := the
+      update's timestamp);
+    - each update inserts a new current row.
+
+    At most one update per key per batch (the standard micro-batch
+    contract; chain batches for more). Cost: one shuffle of the (small)
+    update side against the history key — with history bucketed on the
+    key, the history side never re-shuffles."""
+    upd_ts = updates.select(
+        F.col(key), F.col(ts_col).alias("__new_from")
+    )
+    closed_or_kept = (
+        history.join(F.broadcast(upd_ts), key, "left")
+        .withColumn(
+            open_col,
+            F.when(
+                F.col(open_col).isNull() & F.col("__new_from").isNotNull(),
+                F.col("__new_from"),
+            ).otherwise(F.col(open_col)),
+        )
+        .drop("__new_from")
+    )
+    inserts = updates.withColumn(open_col, F.lit(None).cast(
+        dict(history.dtypes)[open_col]
+    ))
+    return closed_or_kept.unionByName(inserts.select(*history.columns))
+
+
+@query(
+    "scd2_customer_history",
+    oracle="""
+    WITH hist AS (
+      SELECT c_custkey, c_acctbal,
+             TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal,
+             TIMESTAMP '2000-06-01 00:00:00' AS valid_from
+      FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT h.c_custkey, h.c_acctbal, h.valid_from,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.valid_from END AS valid_to
+    FROM hist h LEFT JOIN upd u ON u.c_custkey = h.c_custkey
+    UNION ALL
+    SELECT c_custkey, c_acctbal, valid_from, CAST(NULL AS TIMESTAMP)
+    FROM upd
+    """,
+)
+def scd2_customer_history(spark, sf_dir):
+    """SCD-2 exercised end-to-end: seed a history from customer, apply one
+    update batch (~14% of keys get a new acctbal), and hash-verify all
+    three row classes — untouched current rows, closed-out rows with
+    valid_to stamped, and the inserted new versions."""
+    c = table(spark, sf_dir, "customer")
+    hist = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit("1995-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    upd = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+            F.lit("2000-06-01 00:00:00").cast("timestamp").alias("valid_from"),
+        )
+    )
+    return scd2_apply(hist, upd, "c_custkey")
