@@ -303,3 +303,30 @@ def events_session_window_agg(spark, sf_dir):
             "total_value",
         )
     )
+
+
+@query(
+    "percentiles_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+      quantile_cont(o_totalprice, 0.5) AS median_price,
+      quantile_cont(o_totalprice, 0.9) AS p90_price,
+      quantile_disc(o_totalprice, 0.99) AS p99_disc
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentiles_by_status(spark, sf_dir):
+    """EXACT percentiles per group (continuous-interpolated median/p90 and
+    discrete p99). Both engines use the same sorted-linear-interpolation
+    formula, so doubles match bit-for-bit — verified, no tolerance. Exact
+    percentiles imply a per-group sort at scale; the sketch path for 100 TB
+    is percentile_approx (t-digest), error-bounded in
+    tests/test_operators.py::test_approx_sketches_within_bounds."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.5).alias("median_price"),
+        F.percentile("o_totalprice", 0.9).alias("p90_price"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)").alias(
+            "p99_disc"
+        ),
+    )

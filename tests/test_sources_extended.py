@@ -67,3 +67,29 @@ def test_callable_materializer(tmp_path, spark, basic_df):
     write_table(basic_df, p)
     got = read_csv(spark, p, materializer=lambda df: df.count())
     assert got == 2
+
+
+def test_python_datasource_custom_format(spark):
+    """Spark-4 Python DataSource API: a custom format registers on the
+    session and reads through spark.read like any built-in — partitioned,
+    deterministic, schema-carrying (the reference's reader-extension point,
+    realized Spark-native)."""
+    from quackio_jl_spark.sources.pydatasource import _doc_text, register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("rows", 50)
+        .option("partitions", 5)
+        .load()
+    )
+    assert df.columns == ["doc_id", "text"]
+    assert df.rdd.getNumPartitions() == 5
+    rows = {r["doc_id"]: r["text"] for r in df.collect()}
+    assert len(rows) == 50
+    assert rows[7] == _doc_text(7)  # deterministic content
+    # and it composes with the normal relational surface
+    from pyspark.sql import functions as F
+
+    n = df.filter(F.col("text").contains("alpha")).count()
+    assert 0 < n < 50
