@@ -490,3 +490,50 @@ def dedup_winnowing_fingerprints(spark, sf_dir):
         .rowsBetween(-(WINNOW_WINDOW - 1), W.currentRow)
     )
     return kgrams.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
+
+
+# ----------------------------------------------- edit-distance verification
+
+LEV_PREFIX = 40
+
+
+@query(
+    "neardup_levenshtein_verify",
+    oracle="WITH"
+    + _SHINGLES_SQL
+    + ","
+    + _minhash_sig_sql()
+    + f""",
+    bands AS (
+      {_bands_sql()}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                               AND a.doc_id < b.doc_id
+    )
+    SELECT doc1, doc2,
+      CAST(levenshtein(substr(d1.text, 1, {LEV_PREFIX}),
+                       substr(d2.text, 1, {LEV_PREFIX})) AS INTEGER) AS lev
+    FROM cand
+    JOIN documents d1 ON d1.doc_id = doc1
+    JOIN documents d2 ON d2.doc_id = doc2
+    """,
+)
+def neardup_levenshtein_verify(spark, sf_dir):
+    """Edit-distance verification of LSH candidates (character-level, on a
+    40-char prefix — full-text levenshtein is O(len^2) per pair and only
+    ever runs on candidates, never all pairs). Integer output, identical in
+    any engine. The third verifier in the family: Jaccard (set overlap),
+    hamming (simhash bits), levenshtein (character edits)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, LEV_PREFIX).alias("prefix")
+    )
+    cand = dedup_minhash_lsh_pairs(spark, sf_dir)
+    d1 = d.select(F.col("doc_id").alias("doc1"), F.col("prefix").alias("p1"))
+    d2 = d.select(F.col("doc_id").alias("doc2"), F.col("prefix").alias("p2"))
+    return (
+        cand.join(d1, "doc1")
+        .join(d2, "doc2")
+        .select("doc1", "doc2", F.levenshtein("p1", "p2").cast("int").alias("lev"))
+    )
