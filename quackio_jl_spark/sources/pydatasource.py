@@ -67,3 +67,75 @@ def register(spark) -> None:
     if not HAS_DATASOURCE_API:  # pragma: no cover
         raise NotImplementedError("pyspark >= 4 required for the DataSource API")
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+# ------------------------------------------------------------- writer side
+
+if HAS_DATASOURCE_API:
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    class _Committed(WriterCommitMessage):
+        def __init__(self, path: str, n: int):
+            self.path = path
+            self.n = n
+
+    class JsonlDirWriter(DataSourceWriter):
+        """Executor-side writer: each partition streams its rows to one
+        JSON-lines file in the target directory; commit messages flow back
+        to the driver, which writes a _SUCCESS manifest — the same
+        task-commit/job-commit protocol file sources use, expressed through
+        the Python API."""
+
+        def __init__(self, options, overwrite: bool):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("jsonl_dir writer requires a path")
+            self.overwrite = overwrite
+
+        def write(self, iterator):
+            import json as _json
+            import os
+            import uuid
+
+            os.makedirs(self.path, exist_ok=True)
+            part = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+            n = 0
+            with open(part, "w") as f:
+                for row in iterator:
+                    f.write(_json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _Committed(part, n)
+
+        def commit(self, messages):
+            import json as _json
+            import os
+
+            manifest = {
+                "files": sorted(m.path for m in messages),
+                "rows": sum(m.n for m in messages),
+            }
+            with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+                f.write(_json.dumps(manifest))
+
+        def abort(self, messages):
+            import os
+
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
+    class JsonlDirDataSource(DataSource):
+        """df.write.format("jsonl_dir").option("path", d).mode("append").save()"""
+
+        @classmethod
+        def name(cls) -> str:
+            return "jsonl_dir"
+
+        def schema(self) -> str:  # pragma: no cover - writer-only source
+            return "value string"
+
+        def writer(self, schema, overwrite: bool) -> JsonlDirWriter:
+            return JsonlDirWriter(self.options, overwrite)
+
+    def register_writer(spark) -> None:
+        spark.dataSource.register(JsonlDirDataSource)

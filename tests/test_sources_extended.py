@@ -93,3 +93,26 @@ def test_python_datasource_custom_format(spark):
 
     n = df.filter(F.col("text").contains("alpha")).count()
     assert 0 < n < 50
+
+
+def test_python_datasource_custom_writer(tmp_path, spark):
+    """Writer side of the DataSource API: executor partitions write their
+    own files, driver commits a manifest — the file-sink commit protocol
+    through the Python extension point."""
+    import json
+
+    from quackio_jl_spark.sources.pydatasource import register_writer
+
+    register_writer(spark)
+    df = spark.range(100).selectExpr("id", "id * 2 AS double_id").repartition(4)
+    dest = str(tmp_path / "out")
+    df.write.format("jsonl_dir").option("path", dest).mode("append").save()
+
+    manifest = json.load(open(f"{dest}/_SUCCESS"))
+    assert manifest["rows"] == 100
+    assert len(manifest["files"]) == 4
+    rows = []
+    for fp in manifest["files"]:
+        rows += [json.loads(ln) for ln in open(fp)]
+    assert sorted(r["id"] for r in rows) == list(range(100))
+    assert all(r["double_id"] == 2 * r["id"] for r in rows)
