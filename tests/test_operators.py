@@ -313,3 +313,17 @@ def test_nprobe2_recall_dominates_nprobe1(spark):
     for qid, ranks in one.items():
         for rnk, cs in ranks.items():
             assert two[qid].get(rnk, -2.0) >= cs - 1e-12, (qid, rnk)
+
+
+def test_connected_components_multihop(spark):
+    """Transitive closure: a chain a-b, b-c, c-d collapses into ONE cluster
+    even though a-d never appear as a pair; isolated nodes self-label."""
+    from quackio_jl_spark.operators.cluster import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 7)], "a long, b long"
+    )
+    got = {r["id"]: r["cluster"] for r in
+           connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}
