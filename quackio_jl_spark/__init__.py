@@ -22,6 +22,7 @@ from .functions import (
     string_split,
 )
 from .session import get_spark
+from .operators.cluster import connected_components
 from .operators.merge import scd2_apply, upsert
 from .operators.skew import salted_join
 from .sources import (
@@ -51,6 +52,7 @@ __all__ = [
     "salted_join",
     "upsert",
     "scd2_apply",
+    "connected_components",
     "materialize",
     "attach_kv_metadata",
     "read_kv_metadata",
