@@ -96,5 +96,8 @@ def test_json_roundtrip(spark, rows):
 def test_csv_roundtrip(spark, rows):
     got, want = _norm(_roundtrip(spark, rows, "csv")), _norm(rows)
     # CSV cannot distinguish null from empty string; normalize both to None
+    # BEFORE ordering (an '' vs None difference flips the sort order)
     fix = lambda t: (t[0], t[1], t[2] if t[2] else None)  # noqa: E731
-    assert [fix(t) for t in got] == [fix(t) for t in want]
+    assert sorted((fix(t) for t in got), key=repr) == sorted(
+        (fix(t) for t in want), key=repr
+    )
