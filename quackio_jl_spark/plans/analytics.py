@@ -330,3 +330,41 @@ def percentiles_by_status(spark, sf_dir):
             "p99_disc"
         ),
     )
+
+
+@query(
+    "events_zscore_anomalies",
+    oracle=f"""
+    WITH st AS (
+      SELECT event_type,
+        {_d('value')} / COUNT(*) AS mu,
+        sqrt(({_d('value * value')} - {_d('value')} * {_d('value')} / COUNT(*))
+             / (COUNT(*) - 1)) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, (value - mu) / sigma AS z
+    FROM events e JOIN st ON st.event_type = e.event_type
+    WHERE abs((value - mu) / sigma) > 3.0
+    """,
+)
+def events_zscore_anomalies(spark, sf_dir):
+    """Per-type z-score outliers (|z| > 3). The per-type stats come from a
+    groupBy producing k rows that BROADCAST back onto the stream — NOT a
+    window partitioned by event_type, which would funnel the whole table
+    into k skewed partitions. Mean and variance reassemble from exact
+    decimal sums (order-independent), so z and the 3.0 cut agree with any
+    engine bit-for-bit."""
+    e = table(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    sum_v = F.sum(F.col("value").cast(DEC)).cast("double")
+    sum_v2 = F.sum((F.col("value") * F.col("value")).cast(DEC)).cast("double")
+    st = e.groupBy("event_type").agg(
+        (sum_v / n).alias("mu"),
+        F.sqrt((sum_v2 - sum_v * sum_v / n) / (n - 1)).alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(st), "event_type")
+        .select("event_id", "event_type", z.alias("z"))
+        .filter(F.abs("z") > 3.0)
+    )
