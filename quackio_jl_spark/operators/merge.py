@@ -166,3 +166,91 @@ def scd2_customer_history(spark, sf_dir):
         )
     )
     return scd2_apply(hist, upd, "c_custkey")
+
+
+def scd2_apply_multi(
+    history: DataFrame,
+    updates: DataFrame,
+    key: str,
+    ts_col: str = "valid_from",
+    open_col: str = "valid_to",
+) -> DataFrame:
+    """SCD-2 accepting SEVERAL updates per key in one batch: updates chain
+    in timestamp order (each version closes at the next version's
+    valid_from; the latest stays open), and the previously-current history
+    row closes at the key's EARLIEST update. Ties on the timestamp are
+    not allowed (versioning needs a total order per key)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key).orderBy(ts_col)
+    chained = updates.withColumn(open_col, F.lead(ts_col).over(w))
+    first_ts = updates.groupBy(key).agg(F.min(ts_col).alias("__new_from"))
+    closed_or_kept = (
+        history.join(F.broadcast(first_ts), key, "left")
+        .withColumn(
+            open_col,
+            F.when(
+                F.col(open_col).isNull() & F.col("__new_from").isNotNull(),
+                F.col("__new_from"),
+            ).otherwise(F.col(open_col)),
+        )
+        .drop("__new_from")
+    )
+    return closed_or_kept.unionByName(chained.select(*history.columns))
+
+
+@query(
+    "scd2_multi_update_history",
+    oracle="""
+    WITH hist AS (
+      SELECT c_custkey, c_acctbal,
+             TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal,
+             TIMESTAMP '2000-06-01 00:00:00' AS valid_from
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, c_acctbal + 200.0,
+             TIMESTAMP '2001-01-01 00:00:00'
+      FROM customer WHERE c_custkey % 14 = 0
+    ),
+    chained AS (
+      SELECT c_custkey, c_acctbal, valid_from,
+        LEAD(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from)
+          AS valid_to
+      FROM upd
+    ),
+    first_ts AS (SELECT c_custkey, MIN(valid_from) AS nf FROM upd GROUP BY c_custkey)
+    SELECT h.c_custkey, h.c_acctbal, h.valid_from,
+           CASE WHEN f.c_custkey IS NOT NULL THEN f.nf END AS valid_to
+    FROM hist h LEFT JOIN first_ts f ON f.c_custkey = h.c_custkey
+    UNION ALL
+    SELECT c_custkey, c_acctbal, valid_from, valid_to FROM chained
+    """,
+)
+def scd2_multi_update_history(spark, sf_dir):
+    """SCD-2 with a batch containing TWO updates for half the updated keys:
+    the mid-version must close at the later version's start (lead window),
+    the later stays open, and the original row closes at the EARLIEST
+    update — chain integrity hash-verified."""
+    c = table(spark, sf_dir, "customer")
+    hist = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit("1995-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    u1 = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit("2000-06-01 00:00:00").cast("timestamp").alias("valid_from"),
+    )
+    u2 = c.filter(F.col("c_custkey") % 14 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 200.0).alias("c_acctbal"),
+        F.lit("2001-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+    )
+    return scd2_apply_multi(hist, u1.unionByName(u2), "c_custkey")

@@ -214,3 +214,53 @@ def dedup_events_stream(
     finally:
         q.stop()
     return spark.sql(f"SELECT user_id, event_type FROM {queryName}")
+
+
+def streaming_upsert_user_totals(
+    spark: SparkSession, sf_dir: str, dest: str
+) -> DataFrame:
+    """foreachBatch sink: maintain an upserted per-user spend table from a
+    stream. Each micro-batch aggregates its slice and MERGEs it into the
+    parquet state via operators.merge.upsert (add-to-existing semantics),
+    writing atomically by full rewrite — the pattern a table format
+    (Delta/Iceberg) optimizes with file-level merge, expressed here on
+    plain parquet. foreachBatch is the escape hatch for sinks Structured
+    Streaming lacks natively: any batch writer becomes a streaming sink."""
+    import os
+
+    from ..operators.merge import upsert
+    from ..sources.writers import write_table
+
+    stream = _events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        upd = batch_df.groupBy("user_id").agg(
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_spend")
+        )
+        if os.path.exists(dest):
+            base = batch_df.sparkSession.read.parquet(dest)
+            merged = (
+                base.unionByName(upd)
+                .groupBy("user_id")
+                .agg(
+                    F.sum(F.col("total_spend").cast(DEC))
+                    .cast("double")
+                    .alias("total_spend")
+                )
+            )
+        else:
+            merged = upsert(upd.limit(0), upd, "user_id")
+        merged = merged.localCheckpoint()  # cut lineage before overwriting dest
+        write_table(merged, dest, format="parquet", single_file=False)
+
+    q = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(apply_batch)
+        .option("checkpointLocation", dest + "_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(dest)

@@ -327,3 +327,24 @@ def test_connected_components_multihop(spark):
     got = {r["id"]: r["cluster"] for r in
            connected_components(nodes, edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}
+
+
+def test_streaming_foreachbatch_upsert(tmp_path, spark):
+    """foreachBatch-maintained per-user totals == the batch aggregate."""
+    from quackio_jl_spark.plans.registry import table as t
+    from quackio_jl_spark.streaming.events import streaming_upsert_user_totals
+
+    dest = str(tmp_path / "user_totals")
+    got = {
+        r["user_id"]: round(r["total_spend"], 6)
+        for r in streaming_upsert_user_totals(spark, SF_DIR, dest).collect()
+    }
+    want = {
+        r["user_id"]: round(r["total_spend"], 6)
+        for r in t(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_spend"))
+        .collect()
+    }
+    assert got == want
