@@ -166,17 +166,15 @@ _CENTVEC_SQL = (
 
 # ----------------------------------------------------------------- IVF ANN
 
-def _assigned(spark, sf_dir):
-    """(vec_id, embedding, cell): each corpus vector assigned to its
-    nearest centroid (max cosine, ties to the smaller cell id).
+def _assign_to(e, cv):
+    """(vec_id, embedding, cell): each vector of ``e`` assigned to its
+    nearest centroid in ``cv`` (max cosine, ties to the smaller cell id).
 
     The argmax is ONE aggregate — max(struct(cs, -cell, cell, embedding))
     — with map-side partial aggregation collapsing the k-per-vector scored
     rows before any shuffle. A row_number window would instead shuffle and
     SORT all k*N scored rows; at 10^9 vectors that is the difference
     between a combine-collapsed shuffle of N rows and a full sort of kN."""
-    e = table(spark, sf_dir, "embeddings")
-    cv = _centroid_vectors(spark, sf_dir)
     scored = e.crossJoin(F.broadcast(cv)).select(
         "vec_id",
         "cell",
@@ -193,6 +191,12 @@ def _assigned(spark, sf_dir):
     ).alias("m")
     return scored.groupBy("vec_id").agg(m).select(
         "vec_id", F.col("m.embedding").alias("embedding"), F.col("m.cell").alias("cell")
+    )
+
+
+def _assigned(spark, sf_dir):
+    return _assign_to(
+        table(spark, sf_dir, "embeddings"), _centroid_vectors(spark, sf_dir)
     )
 
 
@@ -386,4 +390,91 @@ def corpus_prep_pipeline(spark, sf_dir):
         .filter(n_tokens >= MIN_TOKENS)
         .join(dups, "doc_id", "left_anti")
         .select("doc_id", "lang", n_tokens.cast("bigint").alias("n_tokens"))
+    )
+
+
+# ------------------------------------------------------- k-means refinement
+
+_ASSIGN1_SQL = f"""
+    a1 AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT vec_id, embedding, cell,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY {_cosine_sql('embedding', 'cv')} DESC, cell) AS rn
+        FROM embeddings CROSS JOIN centvec) t
+      WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "ann_ivf_kmeans_centroids",
+    oracle=f"""
+    WITH {_CENTVEC_SQL},
+    {_ASSIGN1_SQL}
+    SELECT cell, CAST(i - 1 AS INTEGER) AS j,
+      CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT))
+           AS DOUBLE) / COUNT(*) / 1e9 AS v
+    FROM a1, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    GROUP BY cell, j
+    """,
+)
+def ann_ivf_kmeans_centroids(spark, sf_dir):
+    """One Lloyd iteration of k-means on the IVF coarse quantizer:
+    re-assign every vector to its nearest current centroid, then recompute
+    each cell's centroid as the exact-integer mean of its members. Each
+    iteration is (broadcast-argmax assignment) + (explode + partial-sum
+    aggregate) — both single-shuffle, so training scales like two extra
+    aggregations per round. Iterating = feeding the output back as the
+    next round's centroid table (the oracle pins round 1 bit-for-bit;
+    every further round reuses the same two verified building blocks)."""
+    e = table(spark, sf_dir, "embeddings")
+    a1 = _assign_to(e, _centroid_vectors(spark, sf_dir))
+    return (
+        a1.select("cell", F.posexplode("embedding").alias("j", "x"))
+        .select(
+            "cell",
+            F.col("j").cast("int").alias("j"),
+            F.floor(F.col("x").cast("double") * F.lit(1e9)).alias("fx"),
+        )
+        .groupBy("cell", "j")
+        .agg((F.sum("fx").cast("double") / F.count(F.lit(1)) / F.lit(1e9)).alias("v"))
+    )
+
+
+@query(
+    "ann_ivf_kmeans_cells",
+    oracle=f"""
+    WITH {_CENTVEC_SQL},
+    {_ASSIGN1_SQL},
+    cent1 AS (
+      SELECT cell, i - 1 AS j,
+        CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT))
+             AS DOUBLE) / COUNT(*) / 1e9 AS v
+      FROM a1, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+      GROUP BY cell, j
+    ),
+    centvec1 AS (SELECT cell, list(v ORDER BY j) AS cv FROM cent1 GROUP BY cell)
+    SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM (
+      SELECT vec_id, cell,
+        ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY {_cosine_sql('embedding', 'cv')} DESC, cell) AS rn
+      FROM embeddings CROSS JOIN centvec1) t
+    WHERE rn = 1
+    """,
+)
+def ann_ivf_kmeans_cells(spark, sf_dir):
+    """Cell assignments under the k-means-refined centroids (round-1
+    output of ann_ivf_kmeans_centroids fed back through the assignment
+    step) — the trained-quantizer inverted list, hash-verified through
+    BOTH pipeline stages."""
+    e = table(spark, sf_dir, "embeddings")
+    cent1 = ann_ivf_kmeans_centroids(spark, sf_dir)
+    cv1 = cent1.groupBy("cell").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("j", "v"))), lambda s: s["v"]
+        ).alias("cv")
+    )
+    return _assign_to(e, cv1).select(
+        "vec_id", F.col("cell").cast("int").alias("cell")
     )
