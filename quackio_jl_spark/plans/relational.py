@@ -713,3 +713,63 @@ def events_gapfill_ffill(spark, sf_dir):
             "v_ffill",
         )
     )
+
+
+@query(
+    "integrity_checks",
+    oracle="""
+    SELECT 'orders_orphan_custkey' AS check_name,
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS violations
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'customer_dup_custkey',
+           (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer
+                                  GROUP BY c_custkey HAVING COUNT(*) > 1) t)
+    UNION ALL
+    SELECT 'orders_null_orderdate',
+           (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+    """,
+)
+def integrity_checks(spark, sf_dir):
+    """Data-quality suite as ONE query (the dbt-tests shape): referential
+    integrity via ANTI joins (orphan orders/lineitems), key uniqueness via
+    HAVING, null and domain constraints via filters — each check is a
+    (name, violation_count) row, so the report unions cheaply and a
+    downstream gate just asserts max(violations) == 0. Anti joins shuffle
+    on the key; the dimension sides broadcast at dim scale."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    l = table(spark, sf_dir, "lineitem")
+
+    def one(name, cnt_df):
+        return cnt_df.select(
+            F.lit(name).alias("check_name"), F.count(F.lit(1)).alias("violations")
+        )
+
+    orphan_orders = o.join(
+        c.select("c_custkey"), o.o_custkey == c.c_custkey, "left_anti"
+    )
+    orphan_lines = l.join(
+        o.select("o_orderkey"), l.l_orderkey == o.o_orderkey, "left_anti"
+    )
+    dup_cust = (
+        c.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+    )
+    null_dates = o.filter(F.col("o_orderdate").isNull())
+    bad_qty = l.filter(F.col("l_quantity") <= 0)
+    return (
+        one("orders_orphan_custkey", orphan_orders)
+        .unionByName(one("lineitem_orphan_orderkey", orphan_lines))
+        .unionByName(one("customer_dup_custkey", dup_cust))
+        .unionByName(one("orders_null_orderdate", null_dates))
+        .unionByName(one("lineitem_nonpositive_qty", bad_qty))
+    )
