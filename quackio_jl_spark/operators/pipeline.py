@@ -478,3 +478,45 @@ def ann_ivf_kmeans_cells(spark, sf_dir):
     return _assign_to(e, cv1).select(
         "vec_id", F.col("cell").cast("int").alias("cell")
     )
+
+
+# ------------------------------------------------------ deterministic mixing
+
+# per-source sampling rates (percent); sources not listed keep DEFAULT_RATE.
+MIX_RATES = {"src0": 100, "src1": 75, "src2": 50, "src3": 25, "src4": 10}
+DEFAULT_RATE = 40
+
+
+def _mix_rate_sql() -> str:
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {r}" for s, r in sorted(MIX_RATES.items())
+    )
+    return f"CASE {whens} ELSE {DEFAULT_RATE} END"
+
+
+@query(
+    "mixture_sample_by_source",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+          % 100 < {_mix_rate_sql()}
+    """,
+)
+def mixture_sample_by_source(spark, sf_dir):
+    """Training-mixture sampling: each source keeps a configured fraction
+    of its documents (upweight curated sources, downsample crawl), decided
+    by a salted md5 of the doc id — DETERMINISTIC, so the mixture is
+    reproducible across runs/engines/cluster sizes and each document's
+    in/out fate is stable as the corpus grows (unlike rand()-based
+    sampleBy). Map-side only; composes with split/chunk/dedup stages."""
+    d = table(spark, sf_dir, "documents")
+    rate = F.lit(DEFAULT_RATE)
+    for s, r in sorted(MIX_RATES.items()):
+        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("bigint") % 100
+    return d.filter(bucket < rate).select("doc_id", "source")
