@@ -520,3 +520,53 @@ def mixture_sample_by_source(spark, sf_dir):
         10,
     ).cast("bigint") % 100
     return d.filter(bucket < rate).select("doc_id", "source")
+
+
+# ------------------------------------------------------------ context packing
+
+CONTEXT_BUDGET = 256  # tokens per packed training context
+
+
+@query(
+    "pack_chunks_into_contexts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, lang, CAST(i AS INTEGER) AS chunk_id,
+        len(t[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS n_tokens
+      FROM toks, UNNEST(range((len(t) + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE})) AS u(i)
+    )
+    SELECT doc_id, chunk_id, lang,
+      CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id, chunk_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - n_tokens) // {CONTEXT_BUDGET} AS BIGINT) AS context_id
+    FROM chunks
+    """,
+)
+def pack_chunks_into_contexts(spark, sf_dir):
+    """Pack chunked documents into fixed-token training contexts:
+    cumulative-sum packing — a chunk's context is floor(tokens-before-it /
+    budget) within its language stream. Deterministic (unique (doc, chunk)
+    order), one window per language partition; at corpus scale the packing
+    stream partitions by (lang, shard) so no single ordered window spans
+    the world. Greedy first-fit packs ~budget/avg_chunk tighter but is
+    sequential; cumsum packing is the distributed-friendly standard."""
+    chunks = chunk_documents(spark, sf_dir).drop("chunk_hash")
+    langs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        chunks.join(F.broadcast(langs), "doc_id")
+        .select(
+            "doc_id",
+            "chunk_id",
+            "lang",
+            (before / CONTEXT_BUDGET).cast("bigint").alias("context_id"),
+        )
+    )
