@@ -570,3 +570,63 @@ def pack_chunks_into_contexts(spark, sf_dir):
             (before / CONTEXT_BUDGET).cast("bigint").alias("context_id"),
         )
     )
+
+
+# ----------------------------------------------------- decontamination check
+
+CONTAM_K = 8  # 8-token shingles: long enough that overlap implies copying
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= {CONTAM_K}
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+        substr(md5(array_to_string(t[i+1:i+{CONTAM_K}], ' ')), 1, 16) AS h
+      FROM toks, UNNEST(range(len(t) - {CONTAM_K - 1})) AS u(i)
+    ),
+    bench AS (SELECT doc_id AS bench_doc, h FROM grams WHERE doc_id % 50 = 0),
+    train AS (SELECT doc_id AS train_doc, h FROM grams WHERE doc_id % 50 <> 0)
+    SELECT train_doc, bench_doc, COUNT(*) AS n_shared
+    FROM train JOIN bench USING (h)
+    GROUP BY train_doc, bench_doc
+    """,
+)
+def contamination_check(spark, sf_dir):
+    """Benchmark decontamination: training documents sharing any 8-token
+    n-gram with a held-out benchmark set (here: doc_id % 50 == 0 stands in
+    for the eval suite), with the shared-gram count per (train, bench)
+    pair. The benchmark side is tiny and BROADCASTS as hashed grams, so
+    the corpus is scanned once map-side and only hits shuffle into the
+    final count — the shape that decontaminates 100 TB against a few MB of
+    eval data without moving the corpus."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= CONTAM_K
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - CONTAM_K),
+                lambda i: F.substring(
+                    F.md5(F.concat_ws(" ", F.slice("t", i + 1, CONTAM_K))), 1, 16
+                ),
+            )
+        ).alias("h"),
+    ).distinct()
+    bench = grams.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_doc"), "h"
+    )
+    train = grams.filter(F.col("doc_id") % 50 != 0).select(
+        F.col("doc_id").alias("train_doc"), "h"
+    )
+    return (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
