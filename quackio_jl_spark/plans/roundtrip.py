@@ -71,3 +71,22 @@ def roundtrip_csv_gzip_delim(spark, sf_dir):
 def roundtrip_json(spark, sf_dir):
     """orders -> NDJSON sink -> JSON scan -> aggregate."""
     return _roundtrip(spark, sf_dir, "json")
+
+
+@query("roundtrip_parquet_zstd", oracle=_ORACLE)
+def roundtrip_parquet_zstd(spark, sf_dir):
+    """orders -> zstd-compressed parquet sink (directory mode, the scale
+    path) -> parquet scan -> aggregate. Covers S8 for the columnar format;
+    zstd is the production codec choice at 100 TB (better ratio than
+    snappy at similar scan speed)."""
+    import os
+    import tempfile
+
+    from ..sources.readers import read_parquet
+
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="quackio_rt_"), "orders_rt_zstd")
+    write_table(src, path, format="parquet", single_file=False, compression="zstd")
+    return _agg(read_parquet(spark, path))
