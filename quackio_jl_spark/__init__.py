@@ -35,6 +35,7 @@ from .sources import (
     read_kv_metadata,
     read_parquet,
     write_bucketed,
+    write_sorted,
     write_table,
 )
 
@@ -48,6 +49,7 @@ __all__ = [
     "read_file",
     "write_table",
     "write_bucketed",
+    "write_sorted",
     "read_bucketed",
     "salted_join",
     "upsert",

@@ -1,4 +1,4 @@
-from .bucketing import read_bucketed, write_bucketed
+from .bucketing import read_bucketed, write_bucketed, write_sorted
 from .metadata import attach_kv_metadata, read_kv_metadata
 from .options import (
     duckdb_schema_to_ddl,
@@ -14,6 +14,7 @@ __all__ = [
     "read_csv",
     "write_bucketed",
     "read_bucketed",
+    "write_sorted",
     "read_parquet",
     "read_json",
     "read_file",

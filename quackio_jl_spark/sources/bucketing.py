@@ -52,3 +52,27 @@ def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
     """Read a bucketed table back; Spark's catalog carries the bucket spec,
     so joins/aggregations on the bucket key skip their Exchange."""
     return spark.table(name)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    n_files: int = 8,
+    format: str = "parquet",
+) -> str:
+    """Range-partitioned, internally-sorted write: repartitionByRange
+    splits the keyspace into ``n_files`` contiguous ranges and each file is
+    sorted within. Parquet footers then carry TIGHT min/max statistics per
+    row group, so any range predicate on ``sort_col`` prunes whole files
+    and row groups at scan time (zone maps) — on 100 TB of time-series this
+    is the difference between touching one day's files and all of them.
+    The sort costs one range-exchange at write time, paid once."""
+    (
+        df.repartitionByRange(n_files, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.format(format)
+        .mode("overwrite")
+        .save(path)
+    )
+    return path

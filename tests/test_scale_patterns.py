@@ -120,3 +120,36 @@ def test_upsert_null_update_preserves_base(spark):
     )
     got = {r["k"]: (r["s"], r["v"]) for r in upsert(base, upd, "k").collect()}
     assert got == {1: ("a", 99.0), 2: ("b", 20.0), 3: ("c", 30.0)}
+
+
+def test_sorted_write_produces_tight_zone_maps(tmp_path, spark):
+    """write_sorted must produce parquet files whose min/max statistics are
+    non-overlapping ranges (verified via pyarrow footers) — the physical
+    property that makes predicate pushdown skip row groups."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from quackio_jl_spark.sources.bucketing import write_sorted
+
+    src = table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    dest = str(tmp_path / "sorted")
+    write_sorted(src, dest, "o_orderkey", n_files=4)
+
+    ranges = []
+    for f in glob.glob(f"{dest}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.statistics is not None and col.statistics.has_min_max
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {ranges}"
+    # and the data is intact
+    back = spark.read.parquet(dest)
+    assert back.count() == src.count()
