@@ -368,3 +368,52 @@ def events_zscore_anomalies(spark, sf_dir):
         .select("event_id", "event_type", z.alias("z"))
         .filter(F.abs("z") > 3.0)
     )
+
+
+@query(
+    "events_user_trend",
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id,
+        CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', ts) AS BIGINT) AS d,
+        value
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, COUNT(*) AS n,
+        CAST(SUM(d) AS BIGINT) AS sx,
+        CAST(SUM(d * d) AS BIGINT) AS sxx,
+        {_d('value')} AS sy,
+        {_d('d * value')} AS sxy
+      FROM x GROUP BY user_id
+    )
+    SELECT user_id, n,
+      (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_per_day
+    FROM s
+    WHERE n >= 3 AND n * sxx - sx * sx <> 0
+    """,
+)
+def events_user_trend(spark, sf_dir):
+    """Per-user spend trend: least-squares slope of value over day index,
+    assembled from EXACT sums (integer day sums, decimal value sums) so the
+    closed-form (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) is bit-identical in any
+    engine — unlike regr_slope's order-sensitive double accumulation. One
+    partial-aggregated shuffle on user_id. The grouped-map pandas twin
+    (np.polyfit per user via applyInPandas) is compared in tests as the
+    escape-hatch pattern for genuinely non-closed-form per-group fits."""
+    e = table(spark, sf_dir, "events")
+    d = F.datediff("ts", F.lit("1995-01-01")).cast("bigint")
+    x = e.select("user_id", d.alias("d"), "value")
+    s = x.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("sx"),
+        F.sum(F.col("d") * F.col("d")).alias("sxx"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("d") * F.col("value")).cast(DEC)).cast("double").alias("sxy"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    return (
+        s.filter((F.col("n") >= 3) & (denom != 0))
+        .select("user_id", "n", slope.alias("slope_per_day"))
+    )

@@ -348,3 +348,40 @@ def test_streaming_foreachbatch_upsert(tmp_path, spark):
         .collect()
     }
     assert got == want
+
+
+def test_user_trend_matches_pandas_polyfit(spark):
+    """The exact-sums slope == np.polyfit per group computed through
+    applyInPandas (the grouped-map escape hatch for per-group model fits
+    that DON'T have a closed form; this one does, so it cross-checks)."""
+    import numpy as np
+    import pandas as pd
+
+    from quackio_jl_spark.plans.registry import table as t
+
+    exact = {
+        r["user_id"]: r["slope_per_day"]
+        for r in entry.queries()["events_user_trend"](spark, SF_DIR).collect()
+    }
+
+    e = t(spark, SF_DIR, "events").select(
+        "user_id",
+        F.datediff("ts", F.lit("1995-01-01")).cast("double").alias("d"),
+        "value",
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 3 or pdf["d"].nunique() < 2:
+            return pd.DataFrame({"user_id": [], "slope": []})
+        slope = np.polyfit(pdf["d"], pdf["value"], 1)[0]
+        return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]], "slope": [slope]})
+
+    fitted = {
+        r["user_id"]: r["slope"]
+        for r in e.groupBy("user_id")
+        .applyInPandas(fit, "user_id long, slope double")
+        .collect()
+    }
+    assert set(fitted) == set(exact)
+    for u, s in exact.items():
+        assert abs(fitted[u] - s) < 1e-6 * max(1.0, abs(s)), u
