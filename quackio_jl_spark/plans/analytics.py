@@ -417,3 +417,49 @@ def events_user_trend(spark, sf_dir):
         s.filter((F.col("n") >= 3) & (denom != 0))
         .select("user_id", "n", slope.alias("slope_per_day"))
     )
+
+
+N_HIST_BINS = 20
+
+
+@query(
+    "totalprice_histogram",
+    oracle=f"""
+    WITH mm AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+    SELECT CAST(LEAST(floor((o_totalprice - lo) / (hi - lo) * {N_HIST_BINS}),
+                      {N_HIST_BINS - 1}) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           lo + (LEAST(floor((o_totalprice - lo) / (hi - lo) * {N_HIST_BINS}),
+                       {N_HIST_BINS - 1})) * (hi - lo) / {N_HIST_BINS} AS bin_lo
+    FROM orders, mm
+    GROUP BY bin, bin_lo
+    """,
+)
+def totalprice_histogram(spark, sf_dir):
+    """Equi-width histogram over order value: the (min, max) bounds come
+    from one broadcast scalar row, binning is per-row IEEE arithmetic
+    (identical in any engine), and the histogram itself is a tiny
+    aggregate. Two passes over the column — the single-pass alternative at
+    scale is a fixed a-priori binning or a t-digest sketch."""
+    o = table(spark, sf_dir, "orders")
+    mm = o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    bin_ = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("lo"))
+            / (F.col("hi") - F.col("lo"))
+            * N_HIST_BINS
+        ),
+        F.lit(N_HIST_BINS - 1),
+    )
+    return (
+        o.join(F.broadcast(mm))
+        .select(
+            bin_.cast("bigint").alias("bin"),
+            (F.col("lo") + bin_ * (F.col("hi") - F.col("lo")) / N_HIST_BINS).alias(
+                "bin_lo"
+            ),
+        )
+        .groupBy("bin", "bin_lo")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("bin", "n", "bin_lo")
+    )

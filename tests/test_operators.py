@@ -385,3 +385,36 @@ def test_user_trend_matches_pandas_polyfit(spark):
     assert set(fitted) == set(exact)
     for u, s in exact.items():
         assert abs(fitted[u] - s) < 1e-6 * max(1.0, abs(s)), u
+
+
+def test_streaming_available_now_trigger(spark):
+    """Trigger.AvailableNow: drain everything currently available in
+    bounded micro-batches, then stop — the production backfill mode
+    (processAllAvailable is a test-only blocking call; availableNow is the
+    API you'd ship). Result must equal the batch aggregate."""
+    from quackio_jl_spark.streaming.events import _events_stream
+    from quackio_jl_spark.plans.registry import table as t
+
+    agg = (
+        _events_stream(spark, SF_DIR)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("avail_now")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)  # availableNow terminates by itself
+    got = {r["event_type"]: r["n"] for r in spark.sql(
+        "SELECT * FROM avail_now").collect()}
+    want = {
+        r["event_type"]: r["n"]
+        for r in t(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
