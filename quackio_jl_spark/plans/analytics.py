@@ -463,3 +463,46 @@ def totalprice_histogram(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .select("bin", "n", "bin_lo")
     )
+
+
+@query(
+    "winsorize_order_values",
+    oracle=f"""
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice, 0.01) AS lo,
+             quantile_cont(o_totalprice, 0.99) AS hi
+      FROM orders
+    )
+    SELECT o_orderstatus,
+      COUNT(*) AS n,
+      CAST(SUM(CASE WHEN o_totalprice < lo OR o_totalprice > hi
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+      {_d('LEAST(GREATEST(o_totalprice, lo), hi)')} AS clamped_total
+    FROM orders, b
+    GROUP BY o_orderstatus
+    """,
+)
+def winsorize_order_values(spark, sf_dir):
+    """Winsorization: clamp values to the exact [p1, p99] band before
+    aggregating — the standard heavy-tail guard for training statistics.
+    The bounds are one broadcast scalar row (exact percentiles,
+    cross-engine bit-identical — see percentiles_by_status); clamping is
+    per-row, and the decimal-exact clamped sum hash-matches."""
+    o = table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.percentile("o_totalprice", 0.01).alias("lo"),
+        F.percentile("o_totalprice", 0.99).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    out_of_band = (F.col("o_totalprice") < F.col("lo")) | (
+        F.col("o_totalprice") > F.col("hi")
+    )
+    return (
+        o.join(F.broadcast(b))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(out_of_band, 1).otherwise(0)).alias("n_clamped"),
+            dsum(clamped).alias("clamped_total"),
+        )
+    )
