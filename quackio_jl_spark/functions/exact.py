@@ -1,4 +1,5 @@
-"""Order-independent (bit-reproducible) aggregation helpers.
+"""Order-independent (bit-reproducible) aggregation helpers — the
+foundation of the DuckDB-oracle gate (SURVEY.md §5 test strategy).
 
 Double-precision SUM/AVG depend on accumulation order, which differs between
 Spark partitions and any oracle engine. At 100 TB (thousands of partitions)

@@ -13,6 +13,8 @@ shuffle on the node id. At web scale you'd switch to the large-star/
 small-star algorithm (Kiveris et al.) — same DataFrame mechanics, fewer
 rounds on skewed graphs; labels persist per round and unpersist after.
 
+Beyond-reference (driver-mandated dedup pipeline, BASELINE.json
+north_star; the reference ships no dedup — SURVEY.md §0 Tier map).
 The oracle is a DuckDB recursive CTE (min label over the reachability
 set), so the driver hash-checks the full transitive closure.
 """

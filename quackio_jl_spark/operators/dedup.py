@@ -1,4 +1,5 @@
-"""Deduplication operators for LLM training-data pipelines (driver mandate):
+"""Deduplication operators for LLM training-data pipelines (driver mandate,
+BASELINE.json north_star; beyond the reference's I/O-only surface):
 exact, MinHash+LSH, SimHash, n-gram Jaccard. All built-in Spark SQL — the
 hash functions are md5-based so the DuckDB oracle reproduces them bit-for-bit
 (Spark's murmur3 ``hash()`` has no DuckDB twin).

@@ -1,5 +1,7 @@
 """Upsert (MERGE INTO) as a composition of DataFrame ops.
 
+Beyond-reference capability (the reference is read/write-only I/O,
+/root/reference/src/QuackIO.jl:33-42 COPY TO — no update semantics).
 Spark's file sources have no transactional MERGE (that's the table-format
 layer: Delta/Iceberg/Hudi). The relational semantics, though, are exactly a
 full-outer join + per-column COALESCE with the update side winning — which

@@ -1,4 +1,5 @@
-"""Multimodal column plumbing (driver mandate): image/audio/video as opaque
+"""Multimodal column plumbing (driver mandate, BASELINE.json north_star;
+beyond the reference's I/O-only surface): image/audio/video as opaque
 ``binary`` columns with typed metadata, processed by Arrow-batched pandas
 UDFs via ``mapInPandas``.
 

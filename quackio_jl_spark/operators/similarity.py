@@ -1,4 +1,5 @@
-"""Similarity search over embedding columns (driver mandate):
+"""Similarity search over embedding columns (driver mandate, BASELINE.json
+north_star; beyond the reference's I/O-only surface):
 brute-force cosine top-k baseline + embedding-cosine near-dup, with an
 LSH-bucketed scale path (random-hyperplane signatures, deterministic seeds).
 

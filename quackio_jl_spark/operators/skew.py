@@ -1,5 +1,7 @@
 """Skew-resistant join: salting for hot keys.
 
+Beyond-reference scale tooling (single-process DuckDB has no shuffle,
+so the reference has no skew problem to solve — SURVEY.md §3).
 A shuffled equi-join sends every row of key k to one reducer. At 100 TB a
 hot key (the empty-string document, the null user, the one viral item) can
 put 100 GB on a single task — the job runs at the speed of that straggler

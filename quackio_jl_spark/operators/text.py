@@ -1,5 +1,6 @@
 """Text-analysis operators for LLM training-data pipelines (driver mandate;
-SURVEY.md §7 M5): token counting, quality scoring, language-ID heuristic,
+SURVEY.md §7 M5; beyond the reference's surface, which ships no text
+processing — /root/reference/src/QuackIO.jl is pure I/O): token counting, quality scoring, language-ID heuristic,
 document fingerprinting. All pure built-in SQL functions — per-document work
 with no shuffle at all except the final aggregations, so these scale linearly
 to 100 TB (embarrassingly parallel over parquet row-groups).

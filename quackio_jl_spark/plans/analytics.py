@@ -1,6 +1,11 @@
 """Advanced analytics pack: full window-function surface, moment statistics
 via exact sums (order-independent), sessionization, and grouping sets.
 
+Beyond-reference surface: the reference demonstrates only count and
+group_vg aggregation (/root/reference/test/runtests.jl:97-105; SURVEY.md
+§2.4 'no distinct/grouping-sets/cube/rollup/window functions appear') —
+this module is the driver-mandated widening, every query oracle-gated.
+
 Determinism notes:
 - rank-family outputs are exact integers; fractional ranks
   (percent_rank/cume_dist) are single double divisions of exact integers —

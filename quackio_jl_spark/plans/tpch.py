@@ -3,6 +3,9 @@
 ratio-of-sums, large-group HAVING) with oracle-checked results.
 
 Same determinism contract as plans/relational.py (decimal-exact sums).
+Beyond-reference surface: the reference contains NO joins at all
+(SURVEY.md §2.3 — none in /root/reference/src/, ext/, test/, README);
+these queries exist for the driver's star-schema correctness gate.
 Scale notes inline: every query names its shuffles and broadcasts.
 """
 

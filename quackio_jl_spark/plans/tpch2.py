@@ -3,6 +3,7 @@ schema (it has no partsupp table and no commit/receipt dates, so q2/q9/q16
 keep the SHAPE — correlated min, profit rollup, NOT-IN exclusion — with
 lineitem as the part<->supplier link and p_retailprice as the cost proxy).
 
+Beyond-reference (SURVEY.md §2.3: the reference has no joins).
 Every query names its shuffles/broadcasts; all aggregates use the
 order-independent decimal recipe from functions/exact.py so results are
 bit-reproducible at any partition count (see that module's docstring).
@@ -143,7 +144,7 @@ def q8_market_share(spark, sf_dir):
 def q9_product_profit(spark, sf_dir):
     """TPC-H Q9 shape (no partsupp in this schema: p_retailprice stands in
     for ps_supplycost). Profit by supplier nation x order year for parts
-    whose name contains '5'. part/supplier/nation broadcast; one shuffle on
+    whose name contains 'gear'. part/supplier/nation broadcast; one shuffle on
     orderkey, one on the small (nation, year) aggregate."""
     l = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
