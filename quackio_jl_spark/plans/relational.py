@@ -773,3 +773,41 @@ def integrity_checks(spark, sf_dir):
         .unionByName(one("orders_null_orderdate", null_dates))
         .unionByName(one("lineitem_nonpositive_qty", bad_qty))
     )
+
+
+@query(
+    "intersect_all_segments",
+    oracle="""
+    SELECT c_mktsegment AS seg FROM customer WHERE c_acctbal > 0
+    INTERSECT ALL
+    SELECT c_mktsegment FROM customer WHERE c_acctbal <= 5000
+    """,
+)
+def intersect_all_segments(spark, sf_dir):
+    """Bag-semantics INTERSECT ALL (multiplicities = min of both sides) —
+    the multiset twin of intersect_nations. Spark expands it to a
+    count-and-replicate aggregate; one shuffle on the value."""
+    c = table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 0).select(F.col("c_mktsegment").alias("seg"))
+    b = c.filter(F.col("c_acctbal") <= 5000).select(F.col("c_mktsegment").alias("seg"))
+    return a.intersectAll(b)
+
+
+@query(
+    "except_all_statuses",
+    oracle="""
+    SELECT o_orderstatus AS status FROM orders WHERE o_totalprice > 100000
+    EXCEPT ALL
+    SELECT o_orderstatus FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def except_all_statuses(spark, sf_dir):
+    """Bag-semantics EXCEPT ALL (multiplicities subtract, floored at 0)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_orderstatus").alias("status")
+    )
+    b = o.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_orderstatus").alias("status")
+    )
+    return a.exceptAll(b)
