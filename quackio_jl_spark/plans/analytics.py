@@ -511,3 +511,84 @@ def winsorize_order_values(spark, sf_dir):
             dsum(clamped).alias("clamped_total"),
         )
     )
+
+
+@query(
+    "customer_rfm",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(o_orderdate) AS latest FROM orders),
+    base AS (
+      SELECT o_custkey AS c_custkey,
+        CAST(date_diff('day', MAX(o_orderdate), latest) AS BIGINT) AS recency_days,
+        COUNT(*) AS frequency,
+        {_d('o_totalprice')} AS monetary
+      FROM orders, mx GROUP BY o_custkey, latest
+    )
+    SELECT c_custkey, recency_days, frequency, monetary,
+      CAST(ntile(4) OVER (ORDER BY recency_days, c_custkey) AS INTEGER) AS r_quartile,
+      CAST(ntile(4) OVER (ORDER BY frequency DESC, c_custkey) AS INTEGER) AS f_quartile,
+      CAST(ntile(4) OVER (ORDER BY monetary DESC, c_custkey) AS INTEGER) AS m_quartile
+    FROM base
+    """,
+)
+def customer_rfm(spark, sf_dir):
+    """RFM segmentation: recency (days since last order, vs the dataset's
+    max date — a broadcast scalar), frequency, exact-decimal monetary, each
+    quartiled with a unique tie-break so bucket assignment is
+    deterministic. The ntile windows are global (ORDER BY over all
+    customers) — fine for a segmentation REPORT; a per-shard approximate
+    quantile cut replaces it when customers stop fitting one partition."""
+    o = table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("latest"))
+    base = (
+        o.join(F.broadcast(mx))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.datediff(F.first("latest"), F.max("o_orderdate"))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("o_totalprice").alias("monetary"),
+        )
+    )
+    return base.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(W.orderBy("recency_days", "c_custkey")).alias("r_quartile"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("frequency").desc(), "c_custkey"))
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("monetary").desc(), "c_custkey"))
+        .alias("m_quartile"),
+    )
+
+
+@query(
+    "market_basket_pairs",
+    oracle="""
+    SELECT a.l_partkey AS part1, b.l_partkey AS part2, COUNT(*) AS n_orders
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part1, part2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def market_basket_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: part pairs appearing together in >= 2
+    orders. The pair fan-out is per-order quadratic but orders are small
+    (bounded basket size), so the self-join on orderkey is safe at any
+    corpus size — the same bounded-group pattern as the LSH bucket joins.
+    Distinct first so multi-line parts count once per order."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part1"))
+    b = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part2"))
+    return (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part1") < F.col("part2")))
+        .groupBy("part1", "part2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
