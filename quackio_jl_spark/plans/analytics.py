@@ -592,3 +592,92 @@ def market_basket_pairs(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+        MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      COUNT(*) AS n_users,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS step1_view,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS step2_click_after_view,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS step3_purchase_after_click
+    FROM f
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered funnel: users whose FIRST view precedes their first click
+    precedes their first purchase. One conditional-min aggregate per step
+    (single shuffle on user_id, map-side combined), then a scalar rollup —
+    the funnel never materializes event sequences, so it costs the same as
+    a count at any event volume. (First-touch ordering is the standard
+    conversion-funnel semantics; NULL comparisons drop non-converters.)"""
+    e = table(spark, sf_dir, "events")
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    f = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    return f.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(s1, 1).otherwise(0)).alias("step1_view"),
+        F.sum(F.when(s2, 1).otherwise(0)).alias("step2_click_after_view"),
+        F.sum(F.when(s3, 1).otherwise(0)).alias("step3_purchase_after_click"),
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH first_d AS (
+      SELECT user_id, MIN(time_bucket(INTERVAL 1 DAY, ts)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, time_bucket(INTERVAL 1 DAY, ts) AS d FROM events
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+      CAST(date_diff('day', cohort, d) AS INTEGER) AS day_offset,
+      COUNT(*) AS n_users
+    FROM activity JOIN first_d USING (user_id)
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by first-activity day,
+    counted on every later day they reappear (daily grain because this
+    dataset spans one month; the month/week variants swap one truncation
+    function). Two aggregates on user_id (first day, distinct active days)
+    and one count — the cohort table is the small side and broadcasts back
+    onto activity. Day differences of truncated timestamps are exact
+    integers in both engines."""
+    e = table(spark, sf_dir, "events")
+    d = F.date_trunc("day", "ts")
+    first_d = e.groupBy("user_id").agg(F.min(d).alias("cohort"))
+    activity = e.select("user_id", d.alias("d")).distinct()
+    return (
+        activity.join(F.broadcast(first_d), "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "cohort").cast("int").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
