@@ -154,3 +154,110 @@ def dedup_cluster_sizes(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("size"))
         .filter(F.col("size") > 1)
     )
+
+
+# ------------------------------------------------------------- PageRank-lite
+
+PR_DAMPING = 0.85
+_PR_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(28,12))) AS DOUBLE)"
+
+_PR_GRAPH_SQL = """
+    pairs AS (
+      SELECT a.l_partkey AS part1, b.l_partkey AS part2
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY part1, part2 HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+      SELECT part1 AS src, part2 AS dst FROM pairs
+      UNION ALL SELECT part2, part1 FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    deg AS (SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM nodes)
+"""
+
+
+def _pr_round_sql(prev: str, out: str) -> str:
+    contrib = _PR_DSUM.format(x=f"{prev}.r / deg.d")
+    return f"""
+    {out}_c AS (
+      SELECT e.dst AS id, {contrib} AS c
+      FROM edges e JOIN {prev} ON {prev}.id = e.src JOIN deg ON deg.id = e.src
+      GROUP BY e.dst
+    ),
+    {out} AS (
+      SELECT nodes.id,
+        CAST({(1 - PR_DAMPING)!r} AS DOUBLE) / nn.n
+          + CAST({PR_DAMPING!r} AS DOUBLE) * COALESCE({out}_c.c, 0.0) AS r
+      FROM nodes CROSS JOIN nn LEFT JOIN {out}_c ON {out}_c.id = nodes.id
+    )"""
+
+
+@query(
+    "part_pagerank",
+    oracle=f"""
+    WITH {_PR_GRAPH_SQL},
+    r0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+    {_pr_round_sql('r0', 'r1')},
+    {_pr_round_sql('r1', 'r2')}
+    SELECT id AS part, r AS rank FROM r2
+    """,
+)
+def part_pagerank(spark, sf_dir):
+    """PageRank (2 unrolled power iterations, d=0.85) over the part
+    co-occurrence graph: which parts sit at the center of shared baskets.
+    Per round: one join edges x ranks (shuffle on src), one decimal-exact
+    contribution aggregate on dst (order-independent, so ranks are
+    bit-reproducible), one broadcast of the scalar node count. Unrolling
+    keeps the whole 2-round computation a single declarative plan; a
+    production run loops the same round function with persist() per
+    iteration like connected_components does. Dangling-node mass is not
+    redistributed (both engines agree on the same simplification)."""
+    prs = dedup_minhash_lsh_pairs  # noqa: F841  (namespacing hint only)
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part1"))
+    b = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part2"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part1") < F.col("part2")))
+        .groupBy("part1", "part2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("part1", "part2")
+    )
+    edges = pairs.select(
+        F.col("part1").alias("src"), F.col("part2").alias("dst")
+    ).union(pairs.select(F.col("part2").alias("src"), F.col("part1").alias("dst")))
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+
+    DEC12 = "decimal(28,12)"
+
+    def pr_round(prev):
+        contrib = (
+            edges.join(prev.withColumnRenamed("id", "pid"), F.col("src") == F.col("pid"))
+            .join(deg.withColumnRenamed("id", "did"), F.col("src") == F.col("did"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                F.sum((F.col("r") / F.col("d")).cast(DEC12))
+                .cast("double")
+                .alias("c")
+            )
+        )
+        return (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    (1 - PR_DAMPING) / F.col("n")
+                    + PR_DAMPING * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+
+    r0 = nodes.crossJoin(F.broadcast(nn)).select("id", (F.lit(1.0) / F.col("n")).alias("r"))
+    r2 = pr_round(pr_round(r0))
+    return r2.select(F.col("id").alias("part"), F.col("r").alias("rank"))
