@@ -131,3 +131,64 @@ def math_pack(spark, sf_dir):
         F.greatest(disc, tax).alias("max_rate"),
         F.least(disc, tax).alias("min_rate"),
     )
+
+
+@query(
+    "null_semantics_pack",
+    oracle="""
+    SELECT o_orderkey,
+      NULLIF(o_orderstatus, 'O') AS status_or_null,
+      COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS coalesced,
+      (NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL) AS is_null_safe_eq,
+      CASE WHEN NULLIF(o_orderstatus, 'O') IS NULL THEN -1.0
+           ELSE o_totalprice END AS guarded_price
+    FROM orders
+    """,
+)
+def null_semantics_pack(spark, sf_dir):
+    """NULL-semantics parity: NULLIF manufacture, COALESCE recovery,
+    null-safe equality (Spark's <=> == SQL IS NOT DISTINCT FROM), and a
+    CASE null guard — the classic cross-engine traps, value-checked over
+    every row. (Three-valued logic means a plain = NULL comparison yields
+    NULL; the null-safe operator is the only one that returns TRUE.)"""
+    o = table(spark, sf_dir, "orders")
+    son = F.nullif("o_orderstatus", F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        son.alias("status_or_null"),
+        F.coalesce(son, F.lit("open")).alias("coalesced"),
+        son.eqNullSafe(F.lit(None).cast("string")).alias("is_null_safe_eq"),
+        F.when(son.isNull(), F.lit(-1.0)).otherwise(F.col("o_totalprice")).alias(
+            "guarded_price"
+        ),
+    )
+
+
+@query(
+    "unicode_functions_pack",
+    oracle="""
+    SELECT r_regionkey,
+      length(r_name || ' — café 中文 🚀') AS n_chars,
+      CAST(strlen(r_name || ' — café 中文 🚀') AS INTEGER) AS n_bytes,
+      upper('café') AS up,
+      reverse('abc') AS rev,
+      substr(r_name || ' — café 中文 🚀', 1, 12) AS prefix12
+    FROM region
+    """,
+)
+def unicode_functions_pack(spark, sf_dir):
+    """Unicode parity: length counts CODE POINTS (not bytes) in both
+    engines, byte length via octet_length/strlen, case mapping on
+    accented letters, and substr slicing through multibyte content —
+    engine-compat traps exercised on real multibyte strings (em dash,
+    accents, CJK, an emoji)."""
+    r = table(spark, sf_dir, "region")
+    s = F.concat(F.col("r_name"), F.lit(" — café 中文 🚀"))
+    return r.select(
+        "r_regionkey",
+        F.length(s).alias("n_chars"),
+        F.octet_length(s).alias("n_bytes"),
+        F.upper(F.lit("café")).alias("up"),
+        F.reverse(F.lit("abc")).alias("rev"),
+        F.substring(s, 1, 12).alias("prefix12"),
+    )
