@@ -116,3 +116,27 @@ def test_python_datasource_custom_writer(tmp_path, spark):
         rows += [json.loads(ln) for ln in open(fp)]
     assert sorted(r["id"] for r in rows) == list(range(100))
     assert all(r["double_id"] == 2 * r["id"] for r in rows)
+
+
+def test_csv_malformed_row_modes(tmp_path, spark):
+    """Corrupt-input policy: PERMISSIVE nulls the bad cells (default),
+    DROPMALFORMED skips the row, FAILFAST raises — the three modes a 100 TB
+    ingest needs to choose between explicitly."""
+    import pytest
+
+    from quackio_jl_spark.sources.readers import read_csv
+
+    p = str(tmp_path / "bad.csv")
+    with open(p, "w") as f:
+        f.write("a,b\n1,x\nnot_an_int,y\n3,z\n")
+    schema = {"a": "bigint", "b": "varchar"}
+
+    permissive = read_csv(spark, p, columns=schema).collect()
+    assert len(permissive) == 3
+    assert sorted(r["a"] for r in permissive if r["a"] is not None) == [1, 3]
+
+    dropped = read_csv(spark, p, columns=schema, mode="DROPMALFORMED").collect()
+    assert sorted(r["a"] for r in dropped) == [1, 3]
+
+    with pytest.raises(Exception):
+        read_csv(spark, p, columns=schema, mode="FAILFAST").collect()
