@@ -301,3 +301,29 @@ def top_terms_per_lang(spark, sf_dir):
     return cnt.select(
         "lang", "term", "n", F.row_number().over(w).alias("rnk")
     ).filter(F.col("rnk") <= 5)
+
+
+@query(
+    "source_quality_report",
+    oracle="""
+    SELECT source,
+      COUNT(*) AS n_docs,
+      CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      CAST(SUM(CASE WHEN len(string_split(text, ' ')) < 20 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_short,
+      CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents GROUP BY source
+    """,
+)
+def source_quality_report(spark, sf_dir):
+    """Per-source corpus report (the dataset-card table): volume, token
+    mass, short-doc count, language spread. Integer aggregates only —
+    deterministic; one map-side-combined shuffle on source."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens.cast("bigint")).alias("total_tokens"),
+        F.sum(F.when(n_tokens < 20, 1).otherwise(0)).alias("n_short"),
+        F.countDistinct("lang").alias("n_langs"),
+    )

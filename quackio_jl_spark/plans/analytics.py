@@ -681,3 +681,24 @@ def cohort_retention(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "orders_by_weekday",
+    oracle=f"""
+    SELECT CAST(isodow(o_orderdate) AS INTEGER) AS weekday,
+      COUNT(*) AS n, {_d('o_totalprice')} AS revenue
+    FROM orders GROUP BY weekday
+    """,
+)
+def orders_by_weekday(spark, sf_dir):
+    """Weekly seasonality: order volume and exact revenue by ISO weekday
+    (Monday=1..Sunday=7 — computed explicitly because Spark's dayofweek
+    says Sunday=1; see functions.compat.date_part('isodow'))."""
+    o = table(spark, sf_dir, "orders")
+    isodow = F.when(F.dayofweek("o_orderdate") == 1, 7).otherwise(
+        F.dayofweek("o_orderdate") - 1
+    )
+    return o.groupBy(isodow.alias("weekday")).agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("revenue")
+    )
