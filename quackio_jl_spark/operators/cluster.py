@@ -261,3 +261,65 @@ def part_pagerank(spark, sf_dir):
     r0 = nodes.crossJoin(F.broadcast(nn)).select("id", (F.lit(1.0) / F.col("n")).alias("r"))
     r2 = pr_round(pr_round(r0))
     return r2.select(F.col("id").alias("part"), F.col("r").alias("rank"))
+
+
+@query(
+    "dedup_canonical_docs",
+    oracle="WITH RECURSIVE"
+    + _SHINGLES_SQL
+    + ","
+    + _minhash_sig_sql()
+    + f""",
+    bands AS (
+      {_bands_sql()}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                               AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT doc1 AS a, doc2 AS b FROM cand
+      UNION ALL SELECT doc2, doc1 FROM cand
+    ),
+    walk(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT sym.a, w.label FROM walk w JOIN sym ON sym.b = w.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(label) AS cluster FROM walk GROUP BY id)
+    SELECT cluster, doc_id AS canonical_doc, n_tokens FROM (
+      SELECT comp.cluster, d.doc_id,
+        len(string_split(d.text, ' ')) AS n_tokens,
+        ROW_NUMBER() OVER (PARTITION BY comp.cluster
+                           ORDER BY len(string_split(d.text, ' ')) DESC, d.doc_id)
+          AS rn
+      FROM comp JOIN documents d ON d.doc_id = comp.doc_id) t
+    WHERE rn = 1
+    """,
+)
+def dedup_canonical_docs(spark, sf_dir):
+    """Canonical document per near-dup cluster, chosen by QUALITY (longest
+    first, doc_id tie-break) rather than lowest id — the policy a real
+    pipeline wants ('keep the most complete copy'). Cluster labels come
+    from connected_components; the per-cluster argmax is a window over the
+    tiny (doc, cluster, len) projection. Downstream: semi-join the corpus
+    on canonical_doc to materialize the deduplicated training set."""
+    from pyspark.sql import Window as W
+
+    clusters = dedup_clusters(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = W.partitionBy("cluster").orderBy(F.col("n_tokens").desc(), "doc_id")
+    return (
+        clusters.join(d, "doc_id")
+        .select(
+            "cluster",
+            F.col("doc_id").alias("canonical_doc"),
+            "n_tokens",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
