@@ -702,3 +702,60 @@ def orders_by_weekday(spark, sf_dir):
     return o.groupBy(isodow.alias("weekday")).agg(
         F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("revenue")
     )
+
+
+@query(
+    "customer_pareto_abc",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o_custkey AS c_custkey, {_d('o_totalprice')} AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT {_d('o_totalprice')} AS total FROM orders),
+    ranked AS (
+      SELECT c_custkey, spend,
+        CAST(SUM(CAST(spend AS DECIMAL(28,6)))
+               OVER (ORDER BY spend DESC, c_custkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) / total AS cum_share
+      FROM spend CROSS JOIN tot
+    )
+    SELECT c_custkey, spend, cum_share,
+      CASE WHEN cum_share <= 0.5 THEN 'A'
+           WHEN cum_share <= 0.8 THEN 'B' ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def customer_pareto_abc(spark, sf_dir):
+    """Pareto / ABC analysis: customers ranked by spend, cumulative revenue
+    share, classed A (first 50% of revenue) / B (to 80%) / C (tail). The
+    running share is a decimal-exact cumulative sum over a uniquely-ordered
+    window divided by the broadcast exact total, so the class cutoffs are
+    engine-independent. The global window is fine for a REPORT over
+    customers; shard it by a hash prefix when 'customers' stops fitting a
+    partition."""
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        dsum("o_totalprice").alias("spend")
+    )
+    tot = o.agg(dsum("o_totalprice").alias("total"))
+    w = (
+        W.orderBy(F.col("spend").desc(), "c_custkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum_share = (
+        F.sum(F.col("spend").cast(DEC)).over(w).cast("double") / F.col("total")
+    )
+    return (
+        spend.crossJoin(F.broadcast(tot))
+        .select("c_custkey", "spend", cum_share.alias("cum_share"))
+        .select(
+            "c_custkey",
+            "spend",
+            "cum_share",
+            F.when(F.col("cum_share") <= 0.5, "A")
+            .when(F.col("cum_share") <= 0.8, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
