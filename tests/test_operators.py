@@ -418,3 +418,57 @@ def test_streaming_available_now_trigger(spark):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_state_across_multiple_microbatches(tmp_path, spark):
+    """Real multi-batch streaming: the events table split into 4 files,
+    drained one file per trigger (maxFilesPerTrigger=1), so the windowed
+    aggregation state must carry across FOUR micro-batches — a much
+    stronger check than the single-batch drains (state merge, late rows
+    landing in already-open windows). Result must equal the batch twin."""
+    from quackio_jl_spark.functions.exact import DEC
+    from quackio_jl_spark.plans.registry import table as t
+
+    src = t(spark, SF_DIR, "events")
+    d = str(tmp_path / "events_split")
+    # split by event_id ranges -> files arrive out of time order too
+    src.repartition(4, "event_id").write.mode("overwrite").parquet(d)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 days")  # late data must stay includable
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("multibatch")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+
+    got = {
+        (r["bucket"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql(
+            "SELECT date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS bucket, "
+            "event_type, n, total_value FROM multibatch"
+        ).collect()
+    }
+    want = {
+        (r["bucket"], r["event_type"]): (r["n"], r["total_value"])
+        for r in entry.queries()["events_hourly_window"](spark, SF_DIR).collect()
+    }
+    assert got == want
