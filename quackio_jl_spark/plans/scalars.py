@@ -192,3 +192,29 @@ def unicode_functions_pack(spark, sf_dir):
         F.reverse(F.lit("abc")).alias("rev"),
         F.substring(s, 1, 12).alias("prefix12"),
     )
+
+
+@query(
+    "regexp_pack",
+    oracle=r"""
+    SELECT doc_id,
+      regexp_extract(text, '\b(s[a-z]+)', 1) AS first_s_word,
+      regexp_extract(text, '([a-z]+)\s+(table)', 2) AS before_table_hit,
+      CAST(len(regexp_extract_all(text, 'table')) AS INTEGER) AS n_table,
+      regexp_matches(text, 'scan.*stream|stream.*scan') AS scan_and_stream
+    FROM documents
+    """,
+)
+def regexp_pack(spark, sf_dir):
+    """Regex parity pack: group extraction (explicit group index, '' on no
+    match in both engines), occurrence counting, and alternation matching —
+    all JVM-side regexp expressions inside codegen; the classic
+    text-wrangling surface an analytics engine must get right."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"\b(s[a-z]+)", 1).alias("first_s_word"),
+        F.regexp_extract("text", r"([a-z]+)\s+(table)", 2).alias("before_table_hit"),
+        F.regexp_count("text", F.lit("table")).cast("int").alias("n_table"),
+        F.col("text").rlike("scan.*stream|stream.*scan").alias("scan_and_stream"),
+    )
