@@ -630,3 +630,39 @@ def contamination_check(spark, sf_dir):
         .groupBy("train_doc", "bench_doc")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+# --------------------------------------------------- feature normalization
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    SELECT CAST(i - 1 AS INTEGER) AS j,
+      CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT))
+           AS DOUBLE) / COUNT(*) / 1e9 AS mu,
+      MIN(CAST(embedding[i] AS DOUBLE)) AS lo,
+      MAX(CAST(embedding[i] AS DOUBLE)) AS hi
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    GROUP BY j
+    """,
+)
+def embedding_dim_stats(spark, sf_dir):
+    """Per-dimension normalization statistics (mean via exact integer
+    sums, min, max) — what a feature-standardization stage broadcasts
+    before training. Map-side explode + one shuffle on the dimension
+    index; output is dims rows regardless of corpus size."""
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.posexplode("embedding").alias("j", "x"))
+        .select("j", F.col("x").cast("double").alias("x"))
+        .groupBy(F.col("j").cast("int").alias("j"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("x") * F.lit(1e9)).cast("long")).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1e9)
+            ).alias("mu"),
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+        )
+    )

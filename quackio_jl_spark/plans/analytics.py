@@ -759,3 +759,39 @@ def customer_pareto_abc(spark, sf_dir):
             .alias("abc_class"),
         )
     )
+
+
+@query(
+    "hourly_top_event_type",
+    oracle="""
+    WITH h AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hr, event_type, COUNT(*) AS n
+      FROM events GROUP BY hr, event_type
+    )
+    SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS bucket,
+      MAX({'n': n, 't': event_type}).t AS top_type,
+      MAX({'n': n, 't': event_type}).n AS n
+    FROM h GROUP BY hr
+    """,
+)
+def hourly_top_event_type(spark, sf_dir):
+    """Per-hour dominant event type — the argmax-per-group pattern done
+    with max(struct(count, type)) so ties resolve identically everywhere
+    (highest count, then lexicographically last type; engine-native
+    max_by/arg_max have UNSPECIFIED tie order, which would break the hash
+    match). Two small shuffles: (hour, type) counts, then hour."""
+    e = table(spark, sf_dir, "events")
+    h = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hr"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = F.max(F.struct("n", "event_type")).alias("m")
+    return (
+        h.groupBy("hr")
+        .agg(m)
+        .select(
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            F.col("m.event_type").alias("top_type"),
+            F.col("m.n").alias("n"),
+        )
+    )
