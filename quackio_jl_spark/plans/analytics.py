@@ -795,3 +795,28 @@ def hourly_top_event_type(spark, sf_dir):
             F.col("m.n").alias("n"),
         )
     )
+
+
+@query(
+    "grouping_sets_df_api",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, {_d('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def grouping_sets_df_api(spark, sf_dir):
+    """The SAME grouping sets through Spark 4's native DataFrame
+    ``groupingSets`` API (no SQL string, no temp view) — the declarative
+    twin of grouping_sets_revenue, proving both surfaces reach the identical
+    Expand-based plan and identical values."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], ["l_returnflag", "l_linestatus"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .select("l_returnflag", "l_linestatus", "sum_qty")
+    )
