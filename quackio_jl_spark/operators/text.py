@@ -327,3 +327,68 @@ def source_quality_report(spark, sf_dir):
         F.sum(F.when(n_tokens < 20, 1).otherwise(0)).alias("n_short"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+@query(
+    "top_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT t[i+1] || ' ' || t[i+2] AS bigram
+      FROM toks, UNNEST(range(len(t) - 1)) AS u(i)
+    )
+    SELECT bigram, n, rnk FROM (
+      SELECT bigram, COUNT(*) AS n,
+        CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram) AS INTEGER) AS rnk
+      FROM bg GROUP BY bigram) t
+    WHERE rnk <= 50
+    """,
+)
+def top_bigrams(spark, sf_dir):
+    """Corpus bigram table, top-50 — the n-gram language-model counting
+    shape: map-side window explode, one combined count shuffle, global
+    top-k via TakeOrderedAndProject equivalents (window + filter here for
+    the rank column). Integer counts, lexicographic tie-break."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
+    bg = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.concat_ws(" ", F.slice("t", i + 1, 2)),
+            )
+        ).alias("bigram")
+    )
+    cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = W.orderBy(F.col("n").desc(), "bigram")
+    return cnt.select("bigram", "n", F.row_number().over(w).alias("rnk")).filter(
+        F.col("rnk") <= 50
+    )
+
+
+@query(
+    "doc_length_percentiles_by_lang",
+    oracle="""
+    SELECT lang,
+      COUNT(*) AS n_docs,
+      quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS median_chars,
+      quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS p95_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_length_percentiles_by_lang(spark, sf_dir):
+    """Length distribution per language (exact interpolated percentiles —
+    cross-engine bit-identical, see percentiles_by_status) — the filter-
+    threshold table a curation pipeline derives before cutting outliers."""
+    d = table(spark, sf_dir, "documents")
+    c = F.col("n_chars").cast("double")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile(c, 0.5).alias("median_chars"),
+        F.percentile(c, 0.95).alias("p95_chars"),
+    )
