@@ -820,3 +820,51 @@ def grouping_sets_df_api(spark, sf_dir):
         .agg(dsum("l_quantity").alias("sum_qty"))
         .select("l_returnflag", "l_linestatus", "sum_qty")
     )
+
+
+@query(
+    "rollup_with_grouping_flags",
+    oracle=f"""
+    SELECT
+      CASE WHEN GROUPING(r_name) = 1 THEN '(all)' ELSE r_name END AS region,
+      CASE WHEN GROUPING(n_name) = 1 THEN '(all)' ELSE n_name END AS nation,
+      CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INTEGER) AS gid,
+      COUNT(*) AS n_customers, {_d('c_acctbal')} AS total_balance
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup_with_grouping_flags(spark, sf_dir):
+    """ROLLUP with GROUPING() indicators: subtotal rows are distinguishable
+    from data rows whose value happens to be NULL — the function every
+    report layer needs and engines must agree on (Spark's grouping() and
+    grouping_id bit order match the standard). Labels rewritten via the
+    flag, not via NULL checks."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    g_r, g_n = F.grouping("r_name").cast("int"), F.grouping("n_name").cast("int")
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            (g_r * 2 + g_n).alias("gid"),
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_balance"),
+        )
+        .select(
+            F.when(F.col("gid").bitwiseAND(2) == 2, "(all)")
+            .otherwise(F.col("r_name"))
+            .alias("region"),
+            F.when(F.col("gid").bitwiseAND(1) == 1, "(all)")
+            .otherwise(F.col("n_name"))
+            .alias("nation"),
+            "gid",
+            "n_customers",
+            "total_balance",
+        )
+    )
