@@ -79,8 +79,21 @@ def regexp_matches(col: Column | str, pattern: str) -> Column:
     return c.rlike(pattern)
 
 
-def len_(col: Column | str) -> Column:
-    """DuckDB len() on strings or lists."""
+def len_(col: Column | str, df=None) -> Column:
+    """DuckDB len(): string length on strings, element count on lists.
+
+    A bare Column carries no type, so the polymorphic dispatch needs the
+    owning DataFrame: pass ``df`` (and ``col`` by name) and array columns
+    get ``F.size``, everything else ``F.length``. Without ``df`` this is
+    string-``len`` only (``F.length`` raises on array columns at analysis
+    time rather than silently miscounting)."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    if df is not None and isinstance(col, str):
+        dtype = df.schema[col].dataType
+        if isinstance(dtype, (ArrayType, MapType)):
+            return F.size(F.col(col))
+        return F.length(F.col(col))
     c = F.col(col) if isinstance(col, str) else col
     return F.length(c)
 

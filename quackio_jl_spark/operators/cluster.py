@@ -3,15 +3,16 @@ after pair generation: near-dup PAIRS only say "these two match"; keeping
 one copy per GROUP requires the transitive closure (A~B, B~C => one
 cluster {A,B,C}).
 
-Spark implementation: iterative min-label propagation over the symmetric
-edge list — each round every node takes the min label among itself and its
-neighbors; fixpoint = every node labeled with the smallest doc_id in its
-component. Rounds ~ graph diameter (near-dup clusters are shallow; the
-driver loop runs a bounded number of rounds and stops early on
-convergence, checked with one tiny count per round). Each round is one
-shuffle on the node id. At web scale you'd switch to the large-star/
-small-star algorithm (Kiveris et al.) — same DataFrame mechanics, fewer
-rounds on skewed graphs; labels persist per round and unpersist after.
+Spark implementation: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) over the edge
+list. Each round is two groupBy-shuffles on node id; the edge set contracts
+toward a forest of stars whose roots are the component minima. Rounds are
+O(log^2 n) on ANY graph shape — unlike plain min-label propagation, which
+needs O(diameter) rounds and dies on long chains / skewed near-dup graphs
+at 100 TB. Convergence is detected with one tiny (count, checksum)
+aggregate per round; the converged star edges are persisted and the
+returned labels read from that cache, so the caller's action does NOT
+recompute the iterative lineage.
 
 Beyond-reference (driver-mandated dedup pipeline, BASELINE.json
 north_star; the reference ships no dedup — SURVEY.md §0 Tier map).
@@ -30,49 +31,115 @@ from .dedup import _SHINGLES_SQL, _bands_sql, _minhash_sig_sql, dedup_minhash_ls
 __all__ = ["connected_components"]
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every node connects its strictly-larger neighbors
+    to m(u) = min({u} ∪ N(u)). Output edges oriented (big, small)."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+        "u", F.least("mn", "u").alias("m")
+    )
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: orient edges big→small, then every node connects
+    its smaller-or-equal neighborhood (and itself) to its minimum."""
+    directed = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    m = directed.groupBy("u").agg(F.min("v").alias("m"))
+    # emit (x, m) for x in N(u) ∪ {u}, x != m. Join-back rather than
+    # collect_set so a hub node's neighborhood never materializes as one
+    # in-memory array (skew-safe at 100 TB; AQE handles the hot key).
+    from_nbrs = directed.join(m, "u").select(F.col("v").alias("x"), "m")
+    from_self = m.select(F.col("u").alias("x"), "m")
+    return (
+        from_nbrs.union(from_self)
+        .filter(F.col("x") != F.col("m"))
+        .select(F.col("x").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
     id_col: str = "id",
     src: str = "a",
     dst: str = "b",
-    max_iter: int = 25,
+    max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, cluster) with cluster = min node id reachable from id.
 
     ``nodes``: one column ``id_col`` (singletons allowed); ``edges``:
-    undirected pairs (``src``, ``dst``)."""
-    sym = edges.select(
-        F.col(src).alias("ea"), F.col(dst).alias("eb")
-    ).union(edges.select(F.col(dst).alias("ea"), F.col(src).alias("eb")))
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
-    labels = labels.persist()
-    labels.count()  # materialize
+    undirected pairs (``src``, ``dst``). Alternates large-star/small-star
+    until the edge set reaches a fixpoint (O(log^2 n) rounds); at the
+    fixpoint every edge points a node at its component's minimum id.
+
+    Each round the edge set is CHECKPOINTED, not merely cached: an
+    iterative dataflow's logical plan otherwise grows geometrically (each
+    star step references its input several times) and Catalyst's analyzer
+    blows up after ~6 rounds — caching short-circuits execution but not
+    analysis. Checkpointing truncates the lineage so every round plans
+    against a leaf. Uses a reliable checkpoint when the session has a
+    checkpoint dir (``sc.setCheckpointDir`` — survives executor loss, the
+    right choice on a 1000-executor cluster); falls back to
+    ``localCheckpoint`` otherwise. The converged edge set is materialized,
+    so the caller's action does not replay the rounds.
+    """
+    import warnings
+
+    sc = nodes.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+    e = _truncate(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_sig = None
+    converged = False
+    rounds = 0
     for _ in range(max_iter):
-        prop = (
-            sym.join(labels, sym.eb == labels.id)
-            .select(F.col("ea").alias("id"), "label")
-        )
-        new_labels = (
-            labels.select("id", "label")
-            .union(prop)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        rounds += 1
+        e = _truncate(_small_star(_large_star(e)))
+        # one driver action per round: size + order-independent checksum
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("chk"),
+        ).first()
+        sig = (row["n"], row["chk"])
+        if sig == prev_sig:
+            converged = True
             break
-    out = labels.select("id", F.col("label").alias("cluster"))
-    labels.unpersist()
-    return out
+        prev_sig = sig
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
+    if not converged:
+        warnings.warn(
+            f"connected_components did not reach a fixpoint in {max_iter} "
+            "rounds; labels may be partially propagated",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # fixpoint edges are (node, component-min); roots/singletons self-label
+    stars = e.groupBy("u").agg(F.min("v").alias("v"))
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(stars.select(F.col("u").alias("id"), "v"), "id", "left")
+        .select("id", F.coalesce("v", "id").alias("cluster"))
+    )
 
 
 @query(
@@ -206,16 +273,18 @@ def _pr_round_sql(prev: str, out: str) -> str:
     """,
 )
 def part_pagerank(spark, sf_dir):
-    """PageRank (2 unrolled power iterations, d=0.85) over the part
-    co-occurrence graph: which parts sit at the center of shared baskets.
-    Per round: one join edges x ranks (shuffle on src), one decimal-exact
-    contribution aggregate on dst (order-independent, so ranks are
-    bit-reproducible), one broadcast of the scalar node count. Unrolling
-    keeps the whole 2-round computation a single declarative plan; a
-    production run loops the same round function with persist() per
-    iteration like connected_components does. Dangling-node mass is not
+    """PageRank (2 power iterations, d=0.85) over the part co-occurrence
+    graph: which parts sit at the center of shared baskets. The edge list,
+    degrees, and node set are built ONCE and persisted — every iteration
+    then reads the cache instead of re-deriving the self-join (the
+    unrolled-lineage version re-computed the co-occurrence graph per round:
+    a 75-exchange plan that only gets worse with more iterations). Per
+    round: one join edges x ranks, one decimal-exact contribution aggregate
+    on dst (order-independent, so ranks are bit-reproducible), one
+    broadcast of the scalar node count; the round result is persisted so
+    iteration i+1's plan starts from an InMemoryTableScan, keeping plan
+    depth O(1) in the iteration count. Dangling-node mass is not
     redistributed (both engines agree on the same simplification)."""
-    prs = dedup_minhash_lsh_pairs  # noqa: F841  (namespacing hint only)
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part1"))
     b = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part2"))
@@ -226,11 +295,17 @@ def part_pagerank(spark, sf_dir):
         .filter(F.col("n_orders") >= 2)
         .select("part1", "part2")
     )
-    edges = pairs.select(
-        F.col("part1").alias("src"), F.col("part2").alias("dst")
-    ).union(pairs.select(F.col("part2").alias("src"), F.col("part1").alias("dst")))
-    nodes = edges.select(F.col("src").alias("id")).distinct()
-    deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    edges = (
+        pairs.select(F.col("part1").alias("src"), F.col("part2").alias("dst"))
+        .union(pairs.select(F.col("part2").alias("src"), F.col("part1").alias("dst")))
+        .persist()
+    )
+    nodes = edges.select(F.col("src").alias("id")).distinct().persist()
+    deg = (
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
+    )
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
 
     DEC12 = "decimal(28,12)"
@@ -258,9 +333,15 @@ def part_pagerank(spark, sf_dir):
             )
         )
 
-    r0 = nodes.crossJoin(F.broadcast(nn)).select("id", (F.lit(1.0) / F.col("n")).alias("r"))
-    r2 = pr_round(pr_round(r0))
-    return r2.select(F.col("id").alias("part"), F.col("r").alias("rank"))
+    # materialize the graph cache once; iterations read InMemoryTableScan
+    edges.count()
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "id", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(2):
+        r = pr_round(r).persist()
+        r.count()  # fill the cache: next round (and the caller) plan on it
+    return r.select(F.col("id").alias("part"), F.col("r").alias("rank"))
 
 
 @query(

@@ -10,11 +10,13 @@ Reference semantics:
   test/runtests.jl:158-165).
 
 Spark has no public API for arbitrary Parquet footer KV pairs (it only writes
-``org.apache.spark.sql.parquet.row.metadata``), so we do a pyarrow footer pass.
-Scale note: rewriting footers touches each part file once, metadata-only
-(O(parts), not O(bytes)) via ``pq.ParquetFile``+table rewrite for single files;
-for directory outputs we rewrite each part's footer independently so the work
-parallelizes trivially (here: sequential loop; cluster: one task per part).
+``org.apache.spark.sql.parquet.row.metadata``), so we do a pyarrow pass.
+Scale note: pyarrow exposes no footer-only rewrite, so each part is decoded
+and re-encoded once — O(bytes of that part), done atomically (temp file +
+``os.replace``) so a crash mid-write never corrupts a part. Each part is
+independent, so on a cluster this is one task per part; the expected use is
+result-set-sized outputs (the reference's COPY TO shape), not 100 TB tables —
+for those, pass the metadata at write time instead of patching after.
 """
 
 from __future__ import annotations
@@ -65,16 +67,32 @@ def attach_kv_metadata(path: str, kv: Mapping[str, Any]) -> None:
         existing = table.schema.metadata or {}
         merged = dict(existing)
         merged.update({k.encode(): v.encode() for k, v in new_meta.items()})
-        # preserve the original compression where cheap to detect
+        # preserve the original compression and row-group layout where cheap
         pf = pq.ParquetFile(part)
         codec = "snappy"
+        row_group_size = None
         try:
             codec = pf.metadata.row_group(0).column(0).compression.lower()
             if codec == "uncompressed":
                 codec = "none"
+            row_group_size = max(
+                pf.metadata.row_group(i).num_rows for i in range(pf.metadata.num_row_groups)
+            )
         except Exception:
             pass
-        pq.write_table(table.replace_schema_metadata(merged), part, compression=codec)
+        # atomic: write the patched part next to the original, then replace
+        tmp = part + ".quackio_meta_tmp"
+        try:
+            pq.write_table(
+                table.replace_schema_metadata(merged),
+                tmp,
+                compression=codec,
+                **({"row_group_size": row_group_size} if row_group_size else {}),
+            )
+            os.replace(tmp, part)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
 
 
 def read_kv_metadata(path: str) -> dict[str, str]:

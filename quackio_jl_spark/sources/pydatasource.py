@@ -107,11 +107,21 @@ if HAS_DATASOURCE_API:
             return _Committed(part, n)
 
         def commit(self, messages):
+            import glob as _glob
             import json as _json
             import os
 
+            committed = sorted(m.path for m in messages)
+            if self.overwrite:
+                # overwrite semantics: stale parts from prior jobs must not
+                # survive the commit, or directory-glob readers see mixed
+                # old+new data while the manifest lists only the new files
+                keep = set(committed)
+                for old in _glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                    if old not in keep:
+                        os.remove(old)
             manifest = {
-                "files": sorted(m.path for m in messages),
+                "files": committed,
                 "rows": sum(m.n for m in messages),
             }
             with open(os.path.join(self.path, "_SUCCESS"), "w") as f:

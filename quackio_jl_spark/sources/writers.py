@@ -105,7 +105,19 @@ def write_table(
             attach_kv_metadata(file, kv_metadata)
         return file
 
-    # single-file mode: write to a scratch dir, move the one part file out
+    # single-file mode: write to a scratch dir, move the one part file out.
+    # The move replaces the target, so only modes with well-defined
+    # single-file semantics are honored; 'append' would need a read-merge
+    # pass and is rejected rather than silently clobbering.
+    if mode in ("error", "errorifexists") and os.path.exists(file):
+        raise FileExistsError(f"path already exists (mode={mode!r}): {file}")
+    if mode == "ignore" and os.path.exists(file):
+        return file
+    if mode not in ("overwrite", "error", "errorifexists", "ignore"):
+        raise ValueError(
+            f"mode={mode!r} is not supported with single_file=True "
+            "(single-file writes replace the target; use single_file=False for append)"
+        )
     tmpdir = tempfile.mkdtemp(prefix="quackio_write_", dir=os.path.dirname(file) or ".")
     try:
         df.coalesce(1).write.format(fmt).options(**opts).mode("overwrite").save(tmpdir + "/out")

@@ -42,6 +42,22 @@ def test_list_functions(spark):
     assert r["sp"] == ["x", "y", "z"]
 
 
+def test_len_dispatches_on_column_type(spark):
+    """DuckDB len() is polymorphic: string length on varchar, element count
+    on lists. With the owning DataFrame, len_ dispatches; without it,
+    strings only."""
+    from quackio_jl_spark.functions.compat import len_
+
+    df = spark.createDataFrame(
+        [("abc", [1, 2, 3, 4])], schema="s string, arr array<int>"
+    )
+    r = df.select(
+        len_("s", df).alias("ls"), len_("arr", df).alias("la")
+    ).first()
+    assert r["ls"] == 3
+    assert r["la"] == 4
+
+
 def test_exact_sum_order_independent(spark):
     """dsum must not vary with partitioning — the whole point."""
     vals = [(float(f"{i}.{i % 97:02d}"),) for i in range(1, 5000)]

@@ -262,3 +262,19 @@ def test_write_modes(tmp_path, spark, basic_df):
     assert read_parquet(spark, p).count() == 2
     with pytest.raises(Exception):
         write_table(basic_df, p, single_file=False, mode="error")
+
+
+def test_single_file_write_modes(tmp_path, spark, basic_df):
+    """Single-file mode honors error/ignore and REJECTS append instead of
+    silently clobbering (the move-into-place mechanism can't append)."""
+    p = str(tmp_path / "single.csv")
+    write_table(basic_df, p)
+    with pytest.raises(FileExistsError):
+        write_table(basic_df, p, mode="error")
+    before = _lines(p)
+    write_table(basic_df.limit(1), p, mode="ignore")
+    assert _lines(p) == before  # untouched
+    with pytest.raises(ValueError, match="single_file"):
+        write_table(basic_df, p, mode="append")
+    write_table(basic_df.limit(1), p, mode="overwrite")
+    assert len(_lines(p)) == 2  # header + 1 row

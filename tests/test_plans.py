@@ -118,6 +118,39 @@ def test_scalar_subquery_broadcasts(spark):
     assert "BroadcastNestedLoopJoin" in p
 
 
+def test_connected_components_logarithmic_rounds(spark):
+    """Large-star/small-star must converge in O(log^2 n) rounds, not
+    O(diameter): a 64-node chain (diameter 63) has to finish in <=8 rounds
+    — the old min-label loop needed one round per hop and would blow the
+    cap. This is THE property that makes dedup clustering survive a skewed
+    100 TB near-dup graph."""
+    from quackio_jl_spark.operators.cluster import connected_components
+
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "a long, b long")
+    stats = {}
+    got = connected_components(nodes, edges, stats=stats).collect()
+    assert all(r["cluster"] == 0 for r in got)
+    assert stats["converged"]
+    assert stats["rounds"] <= 8, f"expected O(log^2 n) rounds, took {stats['rounds']}"
+
+
+def test_pagerank_iterations_read_cached_graph(spark):
+    """part_pagerank persists the co-occurrence graph and per-iteration
+    ranks: the final plan must read InMemoryTableScans and stay shallow
+    (the old unrolled-lineage version was a 75-exchange plan that
+    re-derived the edge self-join every round)."""
+    p = plan_of(QUERIES["part_pagerank"](spark, SF_DIR), mode="simple")
+    assert "InMemoryTableScan" in p
+    # explain() recursively prints the CACHED subtree's stored plan too;
+    # execution reads the cache, so only exchanges ABOVE the first
+    # InMemoryRelation actually run when the caller acts on the result.
+    outer = p.split("InMemoryRelation", 1)[0]
+    n = outer.count("Exchange")
+    assert n <= 2, f"expected <=2 live exchanges above the rank cache, saw {n}:\n{p}"
+
+
 def test_wholestage_codegen_everywhere(spark):
     """Hot relational queries must run inside whole-stage codegen."""
     for name in ("q1_pricing_summary", "q6_forecast_revenue", "text_quality_score"):

@@ -118,6 +118,29 @@ def test_python_datasource_custom_writer(tmp_path, spark):
     assert all(r["double_id"] == 2 * r["id"] for r in rows)
 
 
+def test_python_datasource_writer_overwrite_clears_stale_parts(tmp_path, spark):
+    """mode('overwrite') must leave NO stale part files from prior jobs:
+    directory-glob readers would otherwise see mixed old+new data that the
+    fresh manifest doesn't list."""
+    import glob
+    import json
+
+    from quackio_jl_spark.sources.pydatasource import register_writer
+
+    register_writer(spark)
+    dest = str(tmp_path / "out")
+    big = spark.range(50).repartition(4)
+    big.write.format("jsonl_dir").option("path", dest).mode("append").save()
+    assert len(glob.glob(f"{dest}/part-*.jsonl")) == 4
+
+    small = spark.range(10).repartition(1)
+    small.write.format("jsonl_dir").option("path", dest).mode("overwrite").save()
+    parts = glob.glob(f"{dest}/part-*.jsonl")
+    manifest = json.load(open(f"{dest}/_SUCCESS"))
+    assert sorted(parts) == manifest["files"]  # directory == manifest
+    assert manifest["rows"] == 10
+
+
 def test_csv_malformed_row_modes(tmp_path, spark):
     """Corrupt-input policy: PERMISSIVE nulls the bad cells (default),
     DROPMALFORMED skips the row, FAILFAST raises — the three modes a 100 TB
