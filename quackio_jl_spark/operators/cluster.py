@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.registry import query, table
-from .dedup import _SHINGLES_SQL, _bands_sql, _minhash_sig_sql, dedup_minhash_lsh_pairs
+from .dedup import _SHINGLES_SQL, _cand_sql, _minhash_sig_sql, dedup_minhash_lsh_pairs
 
 __all__ = ["connected_components"]
 
@@ -148,15 +148,9 @@ def connected_components(
     + _SHINGLES_SQL
     + ","
     + _minhash_sig_sql()
-    + f""",
-    bands AS (
-      {_bands_sql()}
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-                               AND a.doc_id < b.doc_id
-    ),
+    + ","
+    + _cand_sql()
+    + """,
     sym AS (
       SELECT doc1 AS a, doc2 AS b FROM cand
       UNION ALL SELECT doc2, doc1 FROM cand
@@ -189,15 +183,9 @@ def dedup_clusters(spark, sf_dir):
     + _SHINGLES_SQL
     + ","
     + _minhash_sig_sql()
-    + f""",
-    bands AS (
-      {_bands_sql()}
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-                               AND a.doc_id < b.doc_id
-    ),
+    + ","
+    + _cand_sql()
+    + """,
     sym AS (
       SELECT doc1 AS a, doc2 AS b FROM cand
       UNION ALL SELECT doc2, doc1 FROM cand
@@ -350,15 +338,9 @@ def part_pagerank(spark, sf_dir):
     + _SHINGLES_SQL
     + ","
     + _minhash_sig_sql()
-    + f""",
-    bands AS (
-      {_bands_sql()}
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-                               AND a.doc_id < b.doc_id
-    ),
+    + ","
+    + _cand_sql()
+    + """,
     sym AS (
       SELECT doc1 AS a, doc2 AS b FROM cand
       UNION ALL SELECT doc2, doc1 FROM cand

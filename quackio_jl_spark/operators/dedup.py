@@ -28,6 +28,18 @@ N_MINHASH = 8          # 8 hash functions
 LSH_BAND_SIZE = 2      # → 4 bands of 2 — catches moderately-similar pairs
 SHINGLE_K = 3          # 3-token shingles
 
+# Skew guard: an LSH bucket with more than this many members generates
+# O(n^2) candidate pairs from one shuffle key — one degenerate shingle set
+# (boilerplate headers, empty docs) can melt a 100 TB run. Buckets past the
+# cap are dropped as "too common to be informative": their members are
+# near-certainly exact/boilerplate dupes that exact dedup already catches,
+# and genuinely similar pairs still meet in their other (informative)
+# bands. Applied identically in the Spark pipeline and the DuckDB oracle,
+# so the gate verifies the CAPPED semantics. Measured bucket max at sf0.1
+# is 12, so the cap never triggers at test scale; it exists for the
+# adversarial tail at 10^9 docs.
+LSH_MAX_BUCKET = 1000
+
 
 # ----------------------------------------------------------------- exact dedup
 
@@ -149,6 +161,27 @@ def _bands_sql() -> str:
     return "\n      UNION ALL\n      ".join(selects)
 
 
+def _cand_sql() -> str:
+    """The shared ``cand`` CTE chain (bands -> capped buckets -> candidate
+    pairs) used by every oracle that consumes LSH candidates; mirrors the
+    Spark pipeline's LSH_MAX_BUCKET skew cap exactly."""
+    return f"""
+    bands AS (
+      {_bands_sql()}
+    ),
+    bok AS (
+      SELECT band, key FROM bands GROUP BY band, key
+      HAVING COUNT(*) BETWEEN 2 AND {LSH_MAX_BUCKET}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM bands a
+      JOIN bok ON bok.band = a.band AND bok.key = a.key
+      JOIN bands b ON a.band = b.band AND a.key = b.key
+                  AND a.doc_id < b.doc_id
+    )"""
+
+
 @query(
     "dedup_minhash_signatures",
     oracle="WITH" + _SHINGLES_SQL + "," + _minhash_sig_sql() + "\n    SELECT * FROM sig",
@@ -166,14 +199,9 @@ def dedup_minhash_signatures(spark, sf_dir):
     + _SHINGLES_SQL
     + ","
     + _minhash_sig_sql()
-    + f""",
-    bands AS (
-      {_bands_sql()}
-    )
-    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-                             AND a.doc_id < b.doc_id
-    """,
+    + ","
+    + _cand_sql()
+    + "\n    SELECT doc1, doc2 FROM cand",
 )
 def dedup_minhash_lsh_pairs(spark, sf_dir):
     """LSH candidate pairs: docs agreeing on any band of the signature.
@@ -183,9 +211,9 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     band rows by (band, band-hash) ONCE — with map-side combine — and
     generate the pairs inside each bucket from the sorted doc_id array.
     One signature computation, one bucket shuffle, one small distinct over
-    candidate pairs; never an all-pairs comparison. At production scale a
-    bucket-size cap (drop buckets with >K members as "too common to be
-    informative") bounds the quadratic in-bucket pair fan-out."""
+    candidate pairs; never an all-pairs comparison. Buckets larger than
+    LSH_MAX_BUCKET are dropped (skew guard — see its comment; the oracle
+    applies the identical cap)."""
     sig = minhash_signatures(docs=table(spark, sf_dir, "documents"))
     n_bands = N_MINHASH // LSH_BAND_SIZE
     band_rows = F.array(
@@ -205,7 +233,7 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     buckets = (
         bands.groupBy("band", "key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= LSH_MAX_BUCKET))
     )
     pairs = buckets.select(
         F.explode(
@@ -221,7 +249,18 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
 
 # ------------------------------------------------------------------- SimHash
 
-SIMHASH_BITS = 32  # bits drawn from the first 8 hex chars of md5(token)
+SIMHASH_BITS = 64  # two 32-bit words: md5(token) hex chars 1-8 and 9-16
+_WORD_BITS = 32
+
+# Skew guard for the Hamming-block candidate join, same contract as
+# LSH_MAX_BUCKET: a block bucket past the cap is dropped before the
+# in-bucket self-join (quadratic fan-out). This synthetic corpus is
+# simhash-degenerate (tiny vocabulary — measured hottest 16-bit block
+# bucket at sf0.1: 1639 of 5000 docs), so the cap is sized above that to
+# keep test-scale results complete while still bounding an adversarial
+# bucket at 10^9 docs to <= cap^2/2 pairs. Applied identically in the
+# oracle SQL.
+SIMHASH_MAX_BUCKET = 4096
 
 
 @query(
@@ -232,49 +271,73 @@ SIMHASH_BITS = 32  # bits drawn from the first 8 hex chars of md5(token)
       FROM documents
     ),
     tv AS (
-      SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS v FROM tok
+      SELECT doc_id,
+        ('0x' || substr(md5(token), 1, 8))::BIGINT AS vhi,
+        ('0x' || substr(md5(token), 9, 8))::BIGINT AS vlo
+      FROM tok
     ),
     bits AS (
       SELECT doc_id, j,
-        SUM(CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-      FROM tv, UNNEST(range({SIMHASH_BITS})) AS u(j)
+        SUM(CASE WHEN (vhi >> j) & 1 = 1 THEN 1 ELSE -1 END) AS shi,
+        SUM(CASE WHEN (vlo >> j) & 1 = 1 THEN 1 ELSE -1 END) AS slo
+      FROM tv, UNNEST(range({_WORD_BITS})) AS u(j)
       GROUP BY doc_id, j
     )
     SELECT doc_id,
-      CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+      CAST(SUM(CASE WHEN shi > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash_hi,
+      CAST(SUM(CASE WHEN slo > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash_lo
     FROM bits GROUP BY doc_id
     """,
 )
 def dedup_simhash(spark, sf_dir):
     """SimHash over distinct tokens: per-bit majority vote of token hashes,
-    reassembled into a 32-bit signature. Near-dup docs differ in few bits.
+    reassembled into a 64-bit signature carried as TWO 32-bit words
+    (simhash_hi, simhash_lo — hex chars 1-8 and 9-16 of md5(token)). Two
+    words instead of one 64-bit int keeps every intermediate inside signed
+    BIGINT range in both engines (no unsigned-overflow edge at bit 63);
+    32-bit signatures collide far too often at 10^9 docs.
 
-    Shape: the per-bit votes are 32 CONDITIONAL AGGREGATES over the token
-    rows — not a tokens×32 bit-explode (which would 32× the row count and
+    Shape: the per-bit votes are 64 CONDITIONAL AGGREGATES over the token
+    rows — not a tokens×64 bit-explode (which would 64× the row count and
     add a (doc_id, bit) shuffle). One distinct on (doc_id, token), one
-    partial-aggregated shuffle on doc_id carrying 32 small counters per
-    doc per partition; the signature assembles from the 32 columns in a
+    partial-aggregated shuffle on doc_id carrying 64 small counters per
+    doc per partition; the signature assembles from the vote columns in a
     final map-side projection."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token")).distinct()
+    h = F.md5("token")
     tv = tok.select(
-        "doc_id", F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint").alias("v")
+        "doc_id",
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("vhi"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("vlo"),
     )
     # sum of (v>>j)&1 per bit; the +1/-1 majority becomes 2*ones > count
     votes = tv.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("cnt"),
         *[
-            F.sum(F.expr(f"(v >> {j}) & 1")).alias(f"s{j}")
-            for j in range(SIMHASH_BITS)
+            F.sum(F.expr(f"(vhi >> {j}) & 1")).alias(f"a{j}")
+            for j in range(_WORD_BITS)
+        ],
+        *[
+            F.sum(F.expr(f"(vlo >> {j}) & 1")).alias(f"b{j}")
+            for j in range(_WORD_BITS)
         ],
     )
-    sig = None
-    for j in range(SIMHASH_BITS):
-        bit = F.when(
-            2 * F.col(f"s{j}") > F.col("cnt"), F.lit(1 << j).cast("long")
-        ).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    return votes.select("doc_id", sig.alias("simhash"))
+
+    def assemble(prefix):
+        sig = None
+        for j in range(_WORD_BITS):
+            bit = F.when(
+                2 * F.col(f"{prefix}{j}") > F.col("cnt"), F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0))
+            sig = bit if sig is None else sig + bit
+        return sig
+
+    return votes.select(
+        "doc_id",
+        assemble("a").alias("simhash_hi"),
+        assemble("b").alias("simhash_lo"),
+    )
 
 
 # ------------------------------------------------------------ n-gram Jaccard
@@ -288,15 +351,9 @@ JACCARD_THRESHOLD = 0.5
     + _SHINGLES_SQL
     + ","
     + _minhash_sig_sql()
+    + ","
+    + _cand_sql()
     + f""",
-    bands AS (
-      {_bands_sql()}
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-                               AND a.doc_id < b.doc_id
-    ),
     sets AS (
       SELECT doc_id, list(substr(md5(shingle), 1, 16)) AS s
       FROM sh GROUP BY doc_id
@@ -349,17 +406,22 @@ _SIMHASH_SQL = f"""
       FROM documents
     ),
     tv AS (
-      SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS v FROM tok
+      SELECT doc_id,
+        ('0x' || substr(md5(token), 1, 8))::BIGINT AS vhi,
+        ('0x' || substr(md5(token), 9, 8))::BIGINT AS vlo
+      FROM tok
     ),
     bits AS (
       SELECT doc_id, j,
-        SUM(CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-      FROM tv, UNNEST(range({SIMHASH_BITS})) AS u(j)
+        SUM(CASE WHEN (vhi >> j) & 1 = 1 THEN 1 ELSE -1 END) AS shi,
+        SUM(CASE WHEN (vlo >> j) & 1 = 1 THEN 1 ELSE -1 END) AS slo
+      FROM tv, UNNEST(range({_WORD_BITS})) AS u(j)
       GROUP BY doc_id, j
     ),
     sig AS (
       SELECT doc_id,
-        CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+        CAST(SUM(CASE WHEN shi > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS hi,
+        CAST(SUM(CASE WHEN slo > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS lo
       FROM bits GROUP BY doc_id
     )
 """
@@ -367,10 +429,11 @@ _SIMHASH_SQL = f"""
 HAMMING_MAX = 3
 # Manku et al. (WWW'07) blocking: split the signature into HAMMING_MAX+1
 # blocks; <= HAMMING_MAX differing bits touch <= HAMMING_MAX blocks, so at
-# least one full block matches exactly. 4 blocks of 8 bits -> 4 candidate
-# rows per doc, 4x256 buckets.
+# least one full block matches exactly. With the 64-bit signature that is
+# 4 blocks of 16 bits (2 per word) — 4 candidate rows per doc and 4x65536
+# buckets, 256x more selective than the old 32-bit/8-bit-block geometry.
 _N_BLOCKS = HAMMING_MAX + 1
-_BLOCK_BITS = SIMHASH_BITS // _N_BLOCKS
+_BLOCK_BITS = SIMHASH_BITS // _N_BLOCKS  # 16
 
 
 @query(
@@ -378,47 +441,73 @@ _BLOCK_BITS = SIMHASH_BITS // _N_BLOCKS
     oracle=f"""
     WITH {_SIMHASH_SQL},
     blocks AS (
-      SELECT doc_id, simhash, b,
-        (simhash >> ({_BLOCK_BITS} * b)) & {(1 << _BLOCK_BITS) - 1} AS key
+      SELECT doc_id, hi, lo, b,
+        CASE WHEN b < 2 THEN (lo >> ({_BLOCK_BITS} * b)) & {(1 << _BLOCK_BITS) - 1}
+             ELSE (hi >> ({_BLOCK_BITS} * (b - 2))) & {(1 << _BLOCK_BITS) - 1} END AS key
       FROM sig, UNNEST(range({_N_BLOCKS})) AS u(b)
+    ),
+    bok AS (
+      SELECT b, key FROM blocks GROUP BY b, key
+      HAVING COUNT(*) BETWEEN 2 AND {SIMHASH_MAX_BUCKET}
     )
     SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
-      CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-    FROM blocks a JOIN blocks b
-      ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+      CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
+    FROM blocks a
+    JOIN bok ON bok.b = a.b AND bok.key = a.key
+    JOIN blocks b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= {HAMMING_MAX}
     """,
 )
 def dedup_simhash_hamming_pairs(spark, sf_dir):
     """Near-dup pairs with simhash hamming distance <= 3, found WITHOUT an
-    all-pairs scan: split the 32-bit signature into 8 nibbles; by
-    pigeonhole, any pair within distance 3 agrees on at least one nibble.
+    all-pairs scan: by pigeonhole, any pair within distance 3 agrees
+    exactly on at least one of the 4 16-bit blocks of the 64-bit
+    signature, so candidates come from equality buckets on (block, key).
 
-    Blocking per Manku et al.: d+1 = 4 blocks of 8 bits, exact-match on a
-    block — only 4 candidate rows per doc and 1024 buckets (vs 128 for
-    single nibbles, whose fan-in melted down at 430 s on sf0.1).
-    Candidate generation is a codegen'd self-join on (block, key); an
-    array-collect variant (as in minhash LSH) loses badly here because
-    interpreted higher-order-function pair generation over the large
-    buckets this simhash-degenerate synthetic corpus produces (tiny
-    vocabulary: 12% of all pairs sit within d<=3) is 10-20x slower than
-    the join. The exact bit_count check filters false candidates."""
+    Blocking per Manku et al.: d+1 = 4 blocks of 16 bits. Candidate
+    generation is a codegen'd self-join on (block, key); an array-collect
+    variant (as in minhash LSH) loses badly here because interpreted
+    higher-order-function pair generation over the large buckets this
+    simhash-degenerate synthetic corpus produces (tiny vocabulary) is
+    10-20x slower than the join. Buckets past SIMHASH_MAX_BUCKET are
+    dropped before the self-join (skew guard, mirrored in the oracle);
+    hamming = popcount(hi XOR hi') + popcount(lo XOR lo') filters false
+    candidates exactly."""
     sig = dedup_simhash(spark, sf_dir)
     mask = (1 << _BLOCK_BITS) - 1
     block_keys = F.array(
         *[
             F.struct(
                 F.lit(b).alias("b"),
-                F.expr(f"(simhash >> {_BLOCK_BITS * b}) & {mask}").alias("key"),
+                F.expr(
+                    f"(simhash_lo >> {_BLOCK_BITS * b}) & {mask}"
+                    if b < 2
+                    else f"(simhash_hi >> {_BLOCK_BITS * (b - 2)}) & {mask}"
+                ).alias("key"),
             )
             for b in range(_N_BLOCKS)
         ]
     )
-    blocks = sig.select("doc_id", "simhash", F.explode(block_keys).alias("bk")).select(
-        "doc_id", "simhash", F.col("bk.b").alias("b"), F.col("bk.key").alias("key")
+    blocks = sig.select(
+        "doc_id", "simhash_hi", "simhash_lo", F.explode(block_keys).alias("bk")
+    ).select(
+        "doc_id",
+        "simhash_hi",
+        "simhash_lo",
+        F.col("bk.b").alias("b"),
+        F.col("bk.key").alias("key"),
     )
-    a, b = blocks.alias("a"), blocks.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    bok = (
+        blocks.groupBy("b", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= SIMHASH_MAX_BUCKET))
+        .select("b", "key")
+    )
+    gated = blocks.join(bok, ["b", "key"])
+    a, b = gated.alias("a"), gated.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash_hi").bitwiseXOR(F.col("b.simhash_hi"))
+    ) + F.bit_count(F.col("a.simhash_lo").bitwiseXOR(F.col("b.simhash_lo")))
     return (
         a.join(
             b,
@@ -504,15 +593,9 @@ LEV_PREFIX = 40
     + _SHINGLES_SQL
     + ","
     + _minhash_sig_sql()
-    + f""",
-    bands AS (
-      {_bands_sql()}
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-                               AND a.doc_id < b.doc_id
-    )
+    + ","
+    + _cand_sql()
+    + f"""
     SELECT doc1, doc2,
       CAST(levenshtein(substr(d1.text, 1, {LEV_PREFIX}),
                        substr(d2.text, 1, {LEV_PREFIX})) AS INTEGER) AS lev

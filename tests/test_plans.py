@@ -151,6 +151,38 @@ def test_pagerank_iterations_read_cached_graph(spark):
     assert n <= 2, f"expected <=2 live exchanges above the rank cache, saw {n}:\n{p}"
 
 
+def test_lsh_hot_bucket_capped(tmp_path, spark):
+    """Skew guard: an LSH bucket larger than LSH_MAX_BUCKET is dropped
+    before in-bucket pair generation, so one degenerate shingle set can't
+    produce O(n^2) candidates; normal buckets still pair."""
+    import quackio_jl_spark.operators.dedup as dd
+
+    hot = [(i, "spam ham eggs spam ham eggs spam ham") for i in range(dd.LSH_MAX_BUCKET + 100)]
+    ctrl = [(900000, "unique control document text here okay"),
+            (900001, "unique control document text here okay")]
+    spark.createDataFrame(hot + ctrl, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    pairs = dd.dedup_minhash_lsh_pairs(spark, str(tmp_path)).collect()
+    assert {(r["doc1"], r["doc2"]) for r in pairs} == {(900000, 900001)}
+
+
+def test_simhash_hot_bucket_capped(tmp_path, spark):
+    """Same guard on the simhash Hamming-block join: a block bucket past
+    SIMHASH_MAX_BUCKET never reaches the self-join."""
+    import quackio_jl_spark.operators.dedup as dd
+
+    hot = [(i, "spam ham eggs foo bar baz qux quux") for i in range(dd.SIMHASH_MAX_BUCKET + 50)]
+    ctrl = [(900000, "a genuinely distinct control document text"),
+            (900001, "a genuinely distinct control document text")]
+    spark.createDataFrame(hot + ctrl, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    pairs = dd.dedup_simhash_hamming_pairs(spark, str(tmp_path)).collect()
+    assert {(r["doc1"], r["doc2"]) for r in pairs} == {(900000, 900001)}
+    assert pairs[0]["hamming"] == 0
+
+
 def test_wholestage_codegen_everywhere(spark):
     """Hot relational queries must run inside whole-stage codegen."""
     for name in ("q1_pricing_summary", "q6_forecast_revenue", "text_quality_score"):
