@@ -121,6 +121,21 @@ def _restrict_auto_types(df: DataFrame, candidates: Sequence[str]) -> DataFrame:
     return df.select(*out)
 
 
+_GLOB_CHARS = ("*", "?", "[", "{")
+
+
+def _glob_base(path: str) -> str:
+    """Directory prefix of a glob pattern — everything before the first
+    path segment containing a wildcard."""
+    parts = str(path).split("/")
+    keep = []
+    for seg in parts:
+        if any(c in seg for c in _GLOB_CHARS):
+            break
+        keep.append(seg)
+    return "/".join(keep) or "."
+
+
 def _read(
     spark: SparkSession,
     fmt: str,
@@ -131,6 +146,8 @@ def _read(
     columns: dict[str, str] | None = None,
     names: Sequence[str] | None = None,
     auto_type_candidates: Sequence[str] | None = None,
+    hive_partitioning: bool | None = None,
+    union_by_name: bool = False,
     materializer: str = "df",
     **options: Any,
 ) -> Any:
@@ -143,10 +160,34 @@ def _read(
     elif fmt == "csv":
         opts.setdefault("header", "true")
         opts.setdefault("inferSchema", "true")
-    reader = reader.options(**opts)
     paths = _paths(file, suffix=f".{fmt}")
-    # DataFrameReader.parquet is varargs; csv/json take a path list
-    df = reader.parquet(*paths) if fmt == "parquet" else getattr(reader, fmt)(paths)
+    # DuckDB `hive_partitioning` (Tier B pass-through,
+    # /root/reference/src/QuackIO.jl:100-121): key=value path segments
+    # become columns. Spark discovers them natively on directory reads; a
+    # GLOB that reaches the leaf files needs basePath so discovery knows
+    # where the partition segments start. hive_partitioning=False disables
+    # discovery (recursiveFileLookup reads leaves as plain files) — this
+    # is what partition PRUNING hangs off, the #1 scan saver at 100 TB.
+    if hive_partitioning is True and len(paths) == 1:
+        opts.setdefault("basePath", _glob_base(paths[0]))
+    elif hive_partitioning is False:
+        opts.setdefault("recursiveFileLookup", "true")
+    # DuckDB `union_by_name`: align multi-file schemas by column NAME
+    # (missing columns -> NULL) instead of by position.
+    if union_by_name and fmt == "parquet":
+        opts.setdefault("mergeSchema", "true")  # Spark's native name-union
+    reader = reader.options(**opts)
+    if union_by_name and fmt != "parquet" and len(paths) > 1:
+        # csv/json: infer each file independently, then name-union
+        from functools import reduce
+
+        parts_dfs = [getattr(spark.read.options(**opts), fmt)(p) for p in paths]
+        df = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts_dfs
+        )
+    else:
+        # DataFrameReader.parquet is varargs; csv/json take a path list
+        df = reader.parquet(*paths) if fmt == "parquet" else getattr(reader, fmt)(paths)
     if names:
         # positional rename, reference `names=` (test/runtests.jl:72-76)
         df = df.toDF(*[str(n) for n in names], *df.columns[len(list(names)):])

@@ -79,6 +79,10 @@ def write_table(
 ) -> str:
     """Write ``df`` to ``file``; returns the path written."""
     fmt = normalize_format(format) if format is not None else guess_format(file)
+    # DuckDB COPY-style PARTITION_BY as a plain option (Tier B pass-through)
+    pb = options.pop("partition_by", None)
+    if partition_by is None and pb is not None:
+        partition_by = [pb] if isinstance(pb, str) else [str(c) for c in pb]
     force_quote = options.pop("force_quote", None)
     opts = translate_write_options(fmt, options)
     if fmt == "csv":

@@ -188,3 +188,48 @@ def test_wholestage_codegen_everywhere(spark):
     for name in ("q1_pricing_summary", "q6_forecast_revenue", "text_quality_score"):
         p = plan_of(QUERIES[name](spark, SF_DIR), mode="codegen")
         assert "WholeStageCodegen subtree" in p, name
+
+
+def test_hive_partition_pruning(tmp_path, spark):
+    """hive_partitioning=True + a filter on the partition column must become
+    partition PRUNING at the scan (PartitionFilters), not a post-scan filter
+    over every file — at 100 TB this is the difference between reading one
+    directory and reading all of them. Also: the partition column must come
+    back (as a column) and the data files must NOT contain it."""
+    from pyspark.sql import functions as F
+
+    from quackio_jl_spark.sources.readers import read_parquet
+    from quackio_jl_spark.sources.writers import write_table
+
+    src = spark.createDataFrame(
+        [(i, "FPO"[i % 3], float(i)) for i in range(90)],
+        "k long, status string, v double",
+    )
+    path = str(tmp_path / "hive")
+    write_table(src, path, format="parquet", single_file=False,
+                partition_by=["status"])
+    back = read_parquet(spark, path, hive_partitioning=True)
+    assert set(back.columns) == {"k", "status", "v"}
+    q = back.filter(F.col("status") == "F")
+    p = plan_of(q)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "status" in m.group(1), p
+    assert q.count() == 30
+
+
+def test_glob_scan_and_union_by_name(tmp_path, spark):
+    """Glob paths fan out to every matching file exactly once;
+    union_by_name aligns mismatched schemas by NAME with NULL fill
+    (DuckDB union_by_name ≡ parquet mergeSchema)."""
+    from quackio_jl_spark.sources.readers import read_parquet
+    from quackio_jl_spark.sources.writers import write_table
+
+    a = spark.createDataFrame([(1, "x")], "k long, s string")
+    b = spark.createDataFrame([(2, 3.5)], "k long, v double")
+    write_table(a, str(tmp_path / "a.parquet"))
+    write_table(b, str(tmp_path / "b.parquet"))
+    got = read_parquet(spark, str(tmp_path / "*.parquet"), union_by_name=True)
+    rows = {tuple(r) for r in got.select("k", "s", "v").collect()}
+    assert rows == {(1, "x", None), (2, None, 3.5)}
