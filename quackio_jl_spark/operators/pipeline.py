@@ -480,6 +480,225 @@ def ann_ivf_kmeans_cells(spark, sf_dir):
     )
 
 
+# ----------------------------------------------- multi-round Lloyd training
+
+LLOYD_ROUNDS = 3
+
+
+def _centvec_of(cent):
+    """(cell, j, v) rows -> (cell, cv) centroid arrays in dimension order."""
+    return cent.groupBy("cell").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("j", "v"))), lambda s: s["v"]
+        ).alias("cv")
+    )
+
+
+def _lloyd(spark, sf_dir, rounds: int):
+    """``rounds`` Lloyd iterations from the label-seeded quantizer.
+
+    Scale shape: each round is exactly two shuffles — the broadcast-argmax
+    assignment (map-side partial agg, see _assign_to) and the explode +
+    partial-sum centroid recompute. The k-row centroid table is PERSISTED
+    and materialized per round, so round r+1's plan starts from an
+    InMemoryTableScan of k rows instead of re-deriving r rounds of lineage
+    (the plan would otherwise grow exponentially with rounds — the
+    persist-per-iteration rule from the PageRank fix, operators/cluster.py).
+    Returns the final (cell, j, v) centroid rows."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cv = _centroid_vectors(spark, sf_dir)
+    cent = None
+    for _ in range(rounds):
+        a = _assign_to(e, cv)
+        cent = (
+            a.select("cell", F.posexplode("embedding").alias("j", "x"))
+            .select(
+                "cell",
+                F.col("j").cast("int").alias("j"),
+                F.floor(F.col("x").cast("double") * F.lit(1e9)).alias("fx"),
+            )
+            .groupBy("cell", "j")
+            .agg(
+                (F.sum("fx").cast("double") / F.count(F.lit(1)) / F.lit(1e9)).alias("v")
+            )
+        )
+        cv = _centvec_of(cent).persist()
+        cv.count()  # materialize: next round (and the caller) plan on k rows
+    return cent
+
+
+def _lloyd_sql(rounds: int) -> str:
+    """CTE chain mirroring _lloyd: cent/centvec (label-seeded round 0),
+    then per round r: a{r} (assign) -> cent{r} -> centvec{r}."""
+    parts = [_CENTVEC_SQL]
+    prev_cv = "centvec"
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    a{r} AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT vec_id, embedding, cell,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY {_cosine_sql('embedding', 'cv')} DESC, cell) AS rn
+        FROM embeddings CROSS JOIN {prev_cv}) t
+      WHERE rn = 1
+    ),
+    cent{r} AS (
+      SELECT cell, CAST(i - 1 AS INTEGER) AS j,
+        CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT))
+             AS DOUBLE) / COUNT(*) / 1e9 AS v
+      FROM a{r}, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+      GROUP BY cell, j
+    ),
+    centvec{r} AS (SELECT cell, list(v ORDER BY j) AS cv FROM cent{r} GROUP BY cell)""")
+        prev_cv = f"centvec{r}"
+    return ",".join(parts)
+
+
+@query(
+    "ann_ivf_kmeans3_centroids",
+    oracle=f"""
+    WITH {_lloyd_sql(LLOYD_ROUNDS)}
+    SELECT cell, j, v FROM cent{LLOYD_ROUNDS}
+    """,
+)
+def ann_ivf_kmeans3_centroids(spark, sf_dir):
+    """Three full Lloyd rounds of the IVF coarse quantizer, hash-verified
+    against a 3-round recursive CTE chain in the oracle. Exact-integer
+    centroid means keep every round bit-identical across engines and
+    partitionings, so the equality is exact, not approximate."""
+    return _lloyd(spark, sf_dir, LLOYD_ROUNDS)
+
+
+# ------------------------------------------------------------- recall@k eval
+
+RECALL_K = 3
+
+
+def _ivf_topk(spark, sf_dir, cv, nprobe: int):
+    """(qid, vec_id) IVF top-RECALL_K pairs under quantizer ``cv`` with
+    ``nprobe`` probed cells per query. Corpus assigned by broadcast-argmax;
+    only the 1% query side pays a top-nprobe window."""
+    e = table(spark, sf_dir, "embeddings")
+    cells = _assign_to(e, cv)
+    w = W.partitionBy("vec_id").orderBy(
+        cosine("embedding", "cv").desc(), F.col("cell")
+    )
+    qcells = (
+        e.filter(F.col("vec_id") % 100 == 0)
+        .crossJoin(F.broadcast(cv))
+        .select("vec_id", "embedding", "cell", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("cell").alias("qcell"),
+        )
+    )
+    cand = cells.join(
+        qcells, (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("qid"))
+    ).select("qid", "vec_id", cosine("embedding", "qv").alias("cos_sim"))
+    wr = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        cand.select("qid", "vec_id", F.row_number().over(wr).alias("rnk"))
+        .filter(F.col("rnk") <= RECALL_K)
+        .select("qid", "vec_id")
+    )
+
+
+def _ivf_topk_sql(nprobe: int) -> str:
+    return f"""
+    probe{nprobe} AS (
+      SELECT vec_id AS qid, embedding AS qv, cell AS qcell
+      FROM scored WHERE rn <= {nprobe} AND vec_id % 100 = 0
+    ),
+    ivf{nprobe} AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, c.vec_id,
+          ROW_NUMBER() OVER (PARTITION BY q.qid
+            ORDER BY {_cosine_sql('c.embedding', 'q.qv')} DESC, c.vec_id) AS rnk
+        FROM probe{nprobe} q JOIN cells c
+          ON c.cell = q.qcell AND c.vec_id <> q.qid) t
+      WHERE rnk <= {RECALL_K}
+    )"""
+
+
+@query(
+    "ann_ivf_recall_at_k",
+    oracle=f"""
+    WITH {_CENTVEC_SQL},
+    scored AS (
+      SELECT vec_id, embedding, cell,
+        ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY {_cosine_sql('embedding', 'cv')} DESC, cell) AS rn
+      FROM embeddings CROSS JOIN centvec
+    ),
+    cells AS (SELECT vec_id, embedding, cell FROM scored WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+    gt AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+          ROW_NUMBER() OVER (PARTITION BY q.qid
+            ORDER BY {_cosine_sql('e.embedding', 'q.qv')} DESC, e.vec_id) AS rnk
+        FROM q JOIN embeddings e ON e.vec_id <> q.qid) t
+      WHERE rnk <= {RECALL_K}
+    ),
+    {_ivf_topk_sql(1)},
+    {_ivf_topk_sql(2)},
+    hits AS (
+      SELECT 1 AS nprobe, COUNT(*) AS n_hits
+        FROM ivf1 JOIN gt USING (qid, vec_id)
+      UNION ALL
+      SELECT 2 AS nprobe, COUNT(*) AS n_hits
+        FROM ivf2 JOIN gt USING (qid, vec_id)
+    )
+    SELECT CAST(nprobe AS INTEGER) AS nprobe,
+      CAST(n_hits AS BIGINT) AS n_hits,
+      CAST(n_hits AS DOUBLE) / (SELECT COUNT(*) FROM gt) AS recall
+    FROM hits
+    """,
+)
+def ann_ivf_recall_at_k(spark, sf_dir):
+    """Recall@{k} of the IVF index vs exact brute force — the quality gauge
+    every ANN system ships: ground truth is the exact cosine top-k per query
+    over the WHOLE corpus (the evaluation harness runs on a query sample, so
+    the quadratic bit stays bounded — 1% of vectors probe everything), IVF
+    candidates come from nprobe=1 and nprobe=2 probed cells, and recall is
+    the matched fraction. nprobe=2 is provably >= nprobe=1 on the same data
+    (asserted in tests/test_operators.py): more probes, strictly more
+    candidates, same ranking."""
+    e = table(spark, sf_dir, "embeddings")
+    cv = _centroid_vectors(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    wg = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
+    gt = (
+        e.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine("embedding", "qv").alias("cos_sim"))
+        .select("qid", "vec_id", F.row_number().over(wg).alias("rnk"))
+        .filter(F.col("rnk") <= RECALL_K)
+        .select("qid", "vec_id")
+        .persist()
+    )
+    n_gt = F.broadcast(gt.agg(F.count(F.lit(1)).alias("n_gt")))
+    out = None
+    for nprobe in (1, 2):
+        hits = (
+            _ivf_topk(spark, sf_dir, cv, nprobe)
+            .join(gt, ["qid", "vec_id"])
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(nprobe).alias("nprobe"), "n_hits")
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out.crossJoin(n_gt).select(
+        "nprobe",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_gt")).alias("recall"),
+    )
+
+
 # ------------------------------------------------------ deterministic mixing
 
 # per-source sampling rates (percent); sources not listed keep DEFAULT_RATE.

@@ -472,3 +472,18 @@ def test_streaming_state_across_multiple_microbatches(tmp_path, spark):
         for r in entry.queries()["events_hourly_window"](spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_recall_at_k_monotone_and_bounded(spark):
+    """recall@k is a proper fraction and nprobe=2 recall >= nprobe=1 —
+    probing more cells can only add candidates, never remove them."""
+    rows = {r["nprobe"]: r for r in
+            entry.queries()["ann_ivf_recall_at_k"](spark, SF_DIR).collect()}
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        assert 0.0 <= r["recall"] <= 1.0
+    assert rows[2]["recall"] >= rows[1]["recall"]
+    # the harness must find at least SOME true neighbors (absolute recall
+    # is data-dependent: the synthetic labels only weakly track cosine
+    # geometry, so nprobe=1 over 10 cells is legitimately lossy)
+    assert rows[1]["n_hits"] > 0

@@ -233,3 +233,20 @@ def test_glob_scan_and_union_by_name(tmp_path, spark):
     got = read_parquet(spark, str(tmp_path / "*.parquet"), union_by_name=True)
     rows = {tuple(r) for r in got.select("k", "s", "v").collect()}
     assert rows == {(1, "x", None), (2, None, 3.5)}
+
+
+def test_lloyd_rounds_read_cached_centroids(spark):
+    """Each Lloyd round persists its k-row centroid table; the final
+    round's plan must start from InMemoryTableScan instead of re-deriving
+    the full lineage of every earlier round (plan growth would be
+    exponential in rounds otherwise)."""
+    from quackio_jl_spark.operators.pipeline import ann_ivf_kmeans3_centroids
+
+    p = plan_of(ann_ivf_kmeans3_centroids(spark, SF_DIR), mode="simple")
+    assert "InMemoryTableScan" in p
+    # explain() recursively prints the CACHED subtree's stored plan too;
+    # only exchanges ABOVE the first InMemoryRelation run when the caller
+    # acts — the final round is the assignment agg + centroid agg.
+    outer = p.split("InMemoryRelation", 1)[0]
+    n = outer.count("Exchange")
+    assert n <= 3, f"expected <=3 live exchanges above the round cache, saw {n}:\n{p}"
