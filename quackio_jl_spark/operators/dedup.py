@@ -398,6 +398,75 @@ def neardup_ngram_jaccard(spark, sf_dir):
     )
 
 
+N_VERIFY_BUCKETS = 8
+
+
+@query(
+    "neardup_verify_bucketed",
+    oracle="WITH"
+    + _SHINGLES_SQL
+    + ","
+    + _minhash_sig_sql()
+    + ","
+    + _cand_sql()
+    + f""",
+    sets AS (
+      SELECT doc_id, list(substr(md5(shingle), 1, 16)) AS s
+      FROM sh GROUP BY doc_id
+    )
+    SELECT doc1, doc2,
+      CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+        / (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s))) AS jaccard
+    FROM cand
+    JOIN sets s1 ON s1.doc_id = doc1
+    JOIN sets s2 ON s2.doc_id = doc2
+    WHERE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+        / (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s)))
+        >= {JACCARD_THRESHOLD}
+    """,
+)
+def neardup_verify_bucketed(spark, sf_dir):
+    """Same answer as neardup_ngram_jaccard, via BUCKETED STORAGE — the
+    at-scale verify shape when the candidate table is too big to broadcast:
+    the per-doc shingle-hash sets (corpus-sized) and the LSH candidate pairs
+    are both written as catalog tables bucketed on the join key with the
+    same bucket count, so the shuffles of the dedup pipeline are paid ONCE
+    at index-build time. The verify join then reads bucket i of both sides
+    and merges locally: the doc1 join is Exchange-free on BOTH sides, and
+    the doc2 join re-distributes only the pair-sized stream — the big sets
+    table never shuffles again, however many verify batches run against it
+    (tests/test_scale_patterns.py::test_bucketed_verify_sets_never_shuffle
+    asserts exactly one Exchange in the whole verify plan with broadcast
+    disabled)."""
+    from ..sources.bucketing import read_bucketed, write_bucketed
+
+    d = table(spark, sf_dir, "documents")
+    sets_ = (
+        shingles_all(d)
+        .select("doc_id", F.substring(F.md5("shingle"), 1, 16).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("s"))
+    )
+    write_bucketed(sets_, "neardup_sets_b", "doc_id",
+                   N_VERIFY_BUCKETS, sort_cols="doc_id")
+    write_bucketed(
+        dedup_minhash_lsh_pairs(spark, sf_dir), "neardup_cand_b", "doc1",
+        N_VERIFY_BUCKETS, sort_cols="doc1",
+    )
+    sb = read_bucketed(spark, "neardup_sets_b")
+    cand = read_bucketed(spark, "neardup_cand_b")
+    a = sb.select(F.col("doc_id").alias("doc1"), F.col("s").alias("s1"))
+    b = sb.select(F.col("doc_id").alias("doc2"), F.col("s").alias("s2"))
+    c = F.size(F.array_intersect("s1", "s2"))
+    jac = c.cast("double") / (F.size("s1") + F.size("s2") - c)
+    return (
+        cand.join(a, "doc1")
+        .join(b, "doc2")
+        .select("doc1", "doc2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
 # -------------------------------------------- SimHash hamming-ball pairs
 
 _SIMHASH_SQL = f"""

@@ -15,6 +15,9 @@ tests/test_scale_patterns.py asserts the Exchange-free join plan.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["write_bucketed", "read_bucketed"]
@@ -37,6 +40,17 @@ def write_bucketed(
     keep the plan shape identical)."""
     if isinstance(bucket_cols, str):
         bucket_cols = [bucket_cols]
+    if mode == "overwrite":
+        # a table dropped in a PRIOR session leaves its managed location
+        # behind; saveAsTable then refuses with LOCATION_ALREADY_EXISTS.
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        if warehouse.startswith("file:"):
+            warehouse = warehouse[len("file:"):]
+        leftover = os.path.join(warehouse, name.lower())
+        if warehouse and os.path.isdir(leftover):
+            shutil.rmtree(leftover, ignore_errors=True)
     w = (
         df.write.format(format)
         .bucketBy(n_buckets, *bucket_cols)

@@ -153,3 +153,29 @@ def test_sorted_write_produces_tight_zone_maps(tmp_path, spark):
     # and the data is intact
     back = spark.read.parquet(dest)
     assert back.count() == src.count()
+
+
+def test_bucketed_verify_sets_never_shuffle(spark):
+    """neardup_verify_bucketed reads shingle sets + LSH candidates from
+    co-bucketed tables: with broadcast disabled, the whole verify join
+    plan has exactly ONE Exchange — the pair-sized stream redistributed
+    for the doc2 side. The corpus-sized sets table never shuffles."""
+    import __spark_entry__ as entry
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = entry.queries()["neardup_verify_bucketed"](spark, SF_DIR)
+        p = plan_of(q)
+        n = count_exchanges(p)
+        assert n <= 1, f"expected <=1 Exchange in bucketed verify, saw {n}:\n{p}"
+        assert "SortMergeJoin" in p
+        # and the answer matches the broadcast-path query bit for bit
+        base = {
+            (r["doc1"], r["doc2"], round(r["jaccard"], 12))
+            for r in entry.queries()["neardup_ngram_jaccard"](spark, SF_DIR).collect()
+        }
+        got = {(r["doc1"], r["doc2"], round(r["jaccard"], 12)) for r in q.collect()}
+        assert got == base
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
