@@ -487,3 +487,85 @@ def test_recall_at_k_monotone_and_bounded(spark):
     # is data-dependent: the synthetic labels only weakly track cosine
     # geometry, so nprobe=1 over 10 cells is legitimately lossy)
     assert rows[1]["n_hits"] > 0
+
+
+def test_streaming_watermark_bounds_state(tmp_path, spark):
+    """State EVICTION, not just state carry: events arrive as 8 time-ordered
+    micro-batches (bounded out-of-orderness inside each), the watermark
+    advances behind the max event time, and the windowed-agg state store
+    must EVICT closed windows as it goes — numRowsTotal at the end is a
+    small fraction of the ~720 hourly windows the month of data opens, and
+    the store reports rows actually removed. Without the watermark this
+    state grows with the keyspace forever; WITH it, an infinite stream runs
+    in bounded memory — the property that matters at 100 TB/day."""
+    import os
+    import shutil
+
+    from quackio_jl_spark.plans.registry import table as t
+
+    src = t(spark, SF_DIR, "events").select("event_id", "ts", "event_type")
+    rows = src.orderBy("ts").collect()
+    n_slices = 8
+    per = (len(rows) + n_slices - 1) // n_slices
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    stage = tmp_path / "stage"
+    for i in range(n_slices):
+        part = rows[i * per : (i + 1) * per]
+        if not part:
+            continue
+        sdf = spark.createDataFrame(part, src.schema)
+        pdir = str(stage / f"s{i}")
+        sdf.coalesce(1).write.mode("overwrite").parquet(pdir)
+        pf = [f for f in os.listdir(pdir) if f.endswith(".parquet")][0]
+        dst = os.path.join(watch, f"slice_{i:02d}.parquet")
+        shutil.copyfile(os.path.join(pdir, pf), dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wmbound")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+    assert len(progress) >= 6, f"expected >=6 micro-batches, got {len(progress)}"
+    state = [p["stateOperators"][0] for p in progress if p.get("stateOperators")]
+    removed = sum(s.get("numRowsRemoved", 0) for s in state)
+    final_rows = state[-1]["numRowsTotal"]
+    assert removed > 0, "watermark never evicted any state"
+    # ~720 hourly windows x event_types pass through; bounded state keeps
+    # only the open tail (watermark lag / window size + slack)
+    assert final_rows < 100, f"state not bounded: {final_rows} rows"
+
+    # append-mode output: every CLOSED window's count matches the batch twin
+    got = {
+        (r["b"], r["event_type"]): r["n"]
+        for r in spark.sql(
+            "SELECT date_format(w.start, 'yyyy-MM-dd HH') AS b, event_type, n "
+            "FROM wmbound"
+        ).collect()
+    }
+    want = {
+        (r["bucket"][:13], r["event_type"]): r["n"]
+        for r in entry.queries()["events_hourly_window"](spark, SF_DIR).collect()
+    }
+    for k, v in got.items():
+        assert want.get(k) == v, (k, v, want.get(k))
+    # and nearly all windows DID close (only the final watermark tail is open)
+    assert len(got) >= len(want) - 25, (len(got), len(want))
