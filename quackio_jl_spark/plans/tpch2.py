@@ -402,3 +402,122 @@ def q2_min_cost_supplier(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("l_partkey", "l_suppkey", "unit_price")
     )
+
+
+@query(
+    "q20_potential_promotion",
+    oracle=f"""
+    WITH pq AS (
+      SELECT l_partkey, l_suppkey, {_d('l_quantity')} AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (SELECT l_partkey, SUM(qty) AS total FROM pq GROUP BY l_partkey)
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM pq
+      JOIN tot USING (l_partkey)
+      WHERE qty > 0.5 * total
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    )
+    """,
+)
+def q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 shape (no partsupp table: shipped quantity stands in for
+    availqty): suppliers who moved MORE THAN HALF of some red part's 1996
+    volume — promotion candidates. The nested-IN chain decorrelates into
+    two aggregations on the SAME key prefix (partkey, suppkey) -> (partkey)
+    — the second agg and the back-join both reuse the first shuffle's
+    partitioning — then a LEFT SEMI join into supplier. part is broadcast
+    for the partkey restriction; exact-decimal sums keep the 0.5x
+    comparison engine-independent."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    pq = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum("l_quantity").alias("qty"))
+    )
+    tot = pq.groupBy("l_partkey").agg(F.sum("qty").alias("total"))
+    winners = (
+        pq.join(tot, "l_partkey")
+        .filter(F.col("qty") > 0.5 * F.col("total"))
+        .select("l_suppkey")
+    )
+    s = table(spark, sf_dir, "supplier")
+    return s.join(winners, s.s_suppkey == winners.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "q21_suppliers_who_kept_orders_waiting",
+    oracle="""
+    WITH lo AS (
+      SELECT l_orderkey, l_suppkey,
+        CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END
+          AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    ),
+    po AS (
+      SELECT l_orderkey,
+        COUNT(DISTINCT l_suppkey) AS nsupp,
+        COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS nlate
+      FROM lo GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(*) AS numwait FROM (
+      SELECT DISTINCT lo.l_suppkey, lo.l_orderkey
+      FROM lo JOIN po USING (l_orderkey)
+      WHERE lo.late = 1 AND po.nlate = 1 AND po.nsupp >= 2
+    ) t JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name
+    """,
+)
+def q21_suppliers_who_kept_orders_waiting(spark, sf_dir):
+    """TPC-H Q21 shape (no commit/receipt dates: "late" = shipped more than
+    90 days after the order date): suppliers who were the SOLE late shipper
+    on a finished multi-supplier order. The classic double EXISTS / NOT
+    EXISTS decorrelates into ONE per-order aggregate (distinct suppliers,
+    distinct late suppliers) joined back to the late rows — lineitem⋈orders,
+    the per-order agg, and the back-join all hash on l_orderkey, so the
+    whole middle of the plan rides a single shuffle partitioning; supplier
+    is broadcast at the end. Every EXISTS-chain rewrite a 100 TB engine
+    needs is in this one plan."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    lo = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .cast("int")
+        .alias("late"),
+    )
+    po = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("nsupp"),
+        F.countDistinct(
+            F.when(F.col("late") == 1, F.col("l_suppkey"))
+        ).alias("nlate"),
+    )
+    sole_late = (
+        lo.filter(F.col("late") == 1)
+        .join(po, "l_orderkey")
+        .filter((F.col("nlate") == 1) & (F.col("nsupp") >= 2))
+        .select("l_suppkey", "l_orderkey")
+        .distinct()
+    )
+    s = table(spark, sf_dir, "supplier")
+    return (
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
