@@ -256,3 +256,117 @@ def ann_search_within_buckets(spark, sf_dir):
         cand.select("qid", "vec_id", "cos_sim", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# ------------------------------------------- int8 quantized search + rescore
+
+Q_BITS_MAX = 127
+RESCORE_CANDIDATES = 10
+QUANT_TOPK = 3
+
+
+def _quantize(col):
+    """Per-vector symmetric int8 quantization: scale = 127 / max|x|,
+    q[i] = floor(x[i] * scale) (floor, not round — floor(double) is
+    bit-identical across engines, banker's-vs-half-up round is not).
+    Returns (q: array<int>, scale: double)."""
+    x = F.col(col) if isinstance(col, str) else col
+    mx = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    scale = F.when(mx > 0, F.lit(Q_BITS_MAX) / mx).otherwise(F.lit(1.0))
+    q = F.transform(x, lambda v: F.floor(v.cast("double") * scale).cast("int"))
+    return q, scale
+
+
+def _int_dot(a, b):
+    """Exact integer dot product of two int arrays -> long."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+_QUANT_SQL = f"""
+    qz AS (
+      SELECT vec_id, embedding,
+        CASE WHEN mx > 0 THEN {Q_BITS_MAX} / mx ELSE 1.0 END AS scale,
+        list_transform(embedding,
+          v -> CAST(floor(CAST(v AS DOUBLE)
+                          * CASE WHEN mx > 0 THEN {Q_BITS_MAX} / mx ELSE 1.0 END)
+               AS INTEGER)) AS q
+      FROM (
+        SELECT vec_id, embedding,
+          list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS mx
+        FROM embeddings)
+    )
+"""
+
+
+def _int_dot_sql(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS BIGINT) * CAST({b}[i] AS BIGINT))) AS BIGINT)"
+    )
+
+
+def _int_cos_sql(a: str, b: str) -> str:
+    return (
+        f"(CAST({_int_dot_sql(a, b)} AS DOUBLE) "
+        f"/ (sqrt(CAST({_int_dot_sql(a, a)} AS DOUBLE)) "
+        f"* sqrt(CAST({_int_dot_sql(b, b)} AS DOUBLE))))"
+    )
+
+
+@query(
+    "similarity_quantized_rescored",
+    oracle=f"""
+    WITH {_QUANT_SQL},
+    qv AS (SELECT q AS qq, embedding AS qe
+           FROM qz WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+    approx AS (
+      SELECT vec_id, embedding, {_int_cos_sql('q', 'qq')} AS acos
+      FROM qz, qv
+      ORDER BY acos DESC, vec_id
+      LIMIT {RESCORE_CANDIDATES}
+    )
+    SELECT vec_id, {_cosine_sql('embedding', 'qe')} AS cos_sim
+    FROM approx, qv
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {QUANT_TOPK}
+    """,
+)
+def similarity_quantized_rescored(spark, sf_dir):
+    """Two-stage quantized search: the corpus is symmetric-int8 quantized
+    (4x smaller than float32 — at 100 TB of embeddings that is the
+    difference between the index fitting executor memory or not), the
+    cheap integer-dot cosine ranks everything, the top-{RESCORE_CANDIDATES}
+    survivors are RESCORED with full-precision cosine, and the exact top-3
+    is returned. Both stages are TakeOrderedAndProject (bounded top-k,
+    never a global sort); the query vector broadcasts. Quantization uses
+    floor (bit-identical across engines) so the oracle matches exactly."""
+    e = table(spark, sf_dir, "embeddings")
+    q_arr, _scale = _quantize("embedding")
+    qz = e.select("vec_id", "embedding", q_arr.alias("q"))
+    qid = e.agg(F.min("vec_id").alias("m"))
+    qv = (
+        qz.join(F.broadcast(qid), F.col("vec_id") == F.col("m"))
+        .select(F.col("q").alias("qq"), F.col("embedding").alias("qe"))
+    )
+    icos = (
+        _int_dot("q", "qq").cast("double")
+        / (
+            F.sqrt(_int_dot("q", "q").cast("double"))
+            * F.sqrt(_int_dot("qq", "qq").cast("double"))
+        )
+    )
+    approx = (
+        qz.crossJoin(F.broadcast(qv))
+        .select("vec_id", "embedding", "qe", icos.alias("acos"))
+        .orderBy(F.col("acos").desc(), "vec_id")
+        .limit(RESCORE_CANDIDATES)
+    )
+    return (
+        approx.select("vec_id", cosine("embedding", "qe").alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(QUANT_TOPK)
+    )

@@ -392,3 +392,133 @@ def doc_length_percentiles_by_lang(spark, sf_dir):
         F.percentile(c, 0.5).alias("median_chars"),
         F.percentile(c, 0.95).alias("p95_chars"),
     )
+
+
+# ------------------------------------------- repetition / Gopher-rule signals
+
+@query(
+    "text_repetition_signals",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, len(t) AS n_tokens,
+        len(list_distinct(t)) AS n_distinct,
+        (SELECT MAX(c) FROM (
+           SELECT COUNT(*) AS c FROM UNNEST(t) AS u(tok) GROUP BY tok)) AS top_tok,
+        CASE WHEN len(t) >= 2 THEN (
+          SELECT COUNT(*) - COUNT(DISTINCT g) FROM (
+            SELECT t[i] || ' ' || t[i+1] AS g
+            FROM UNNEST(range(1, len(t))) AS r(i))
+        ) ELSE 0 END AS dup_bigrams
+      FROM toks
+    )
+    SELECT doc_id,
+      1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS repeated_token_ratio,
+      CAST(top_tok AS DOUBLE) / n_tokens AS top_token_share,
+      CASE WHEN n_tokens >= 2
+           THEN CAST(dup_bigrams AS DOUBLE) / (n_tokens - 1) ELSE 0.0 END
+        AS dup_bigram_ratio
+    FROM grams
+    """,
+)
+def text_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1: "repetitious
+    documents are low quality"): per doc, the repeated-token ratio
+    (1 - distinct/total), the most-frequent-token share, and the duplicate
+    bigram fraction. A curation pipeline thresholds these to drop
+    boilerplate and looping generations. Pure map-side higher-order array
+    functions — aggregate_/transform over the token array, zero shuffles,
+    zero Python — so it scans 100 TB at parquet-read speed."""
+    d = table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    n = F.size(t)
+    # most-frequent-token count: sort tokens, then the longest equal run.
+    # aggregate() carries (prev, run, best) through the sorted array.
+    sorted_t = F.sort_array(t)
+    top = F.aggregate(
+        sorted_t,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    # duplicate bigrams: n-1 bigrams minus distinct bigrams
+    bigrams = F.transform(
+        F.slice(t, 1, n - 1), lambda x, i: F.concat_ws(" ", x, F.element_at(t, i + 2))
+    )
+    dup_bg = F.size(bigrams) - F.size(F.array_distinct(bigrams))
+    return d.select(
+        "doc_id",
+        (F.lit(1.0) - F.size(F.array_distinct(t)).cast("double") / n).alias(
+            "repeated_token_ratio"
+        ),
+        (top.cast("double") / n).alias("top_token_share"),
+        F.when(n >= 2, dup_bg.cast("double") / (n - 1))
+        .otherwise(0.0)
+        .alias("dup_bigram_ratio"),
+    )
+
+
+# -------------------------------------------------- vocabulary build + OOV
+
+VOCAB_SIZE = 50
+
+
+@query(
+    "vocab_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+        ORDER BY c DESC, token
+        LIMIT {VOCAB_SIZE})
+    )
+    SELECT doc_id,
+      COUNT(*) AS n_tokens,
+      COUNT(*) FILTER (WHERE vocab.token IS NULL) AS n_oov,
+      CAST(COUNT(*) FILTER (WHERE vocab.token IS NULL) AS DOUBLE) / COUNT(*)
+        AS oov_rate
+    FROM tok LEFT JOIN vocab USING (token)
+    GROUP BY doc_id
+    """,
+)
+def vocab_oov_rate(spark, sf_dir):
+    """Vocabulary coverage: build the top-{VOCAB_SIZE} corpus vocabulary
+    (count + deterministic tie-break), then score every document's
+    out-of-vocabulary rate — the tokenizer-fit signal an LLM pipeline
+    computes before committing to a vocab. Scale shape: the vocab is a
+    bounded top-k (one aggregate + TakeOrdered, never a full sort) and
+    BROADCASTS to the per-doc scoring join; the corpus is scanned twice,
+    shuffled once (token counts)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(VOCAB_SIZE)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+            (
+                F.count(F.when(F.col("in_vocab").isNull(), 1)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("oov_rate"),
+        )
+    )
