@@ -712,3 +712,114 @@ def neardup_levenshtein_verify(spark, sf_dir):
         .join(d2, "doc2")
         .select("doc1", "doc2", F.levenshtein("p1", "p2").cast("int").alias("lev"))
     )
+
+
+# ----------------------------------------------------- paragraph-level dedup
+
+# Corpus-wide duplicated-passage removal (the CCNet / C4 "dedup at the
+# paragraph level" step). The synthetic documents carry no newlines, so a
+# "paragraph" here is a fixed non-overlapping window of PARA_TOKENS tokens —
+# the same segmentation a byte-window passage dedup uses when documents
+# aren't line-structured.
+PARA_TOKENS = 10
+
+
+def _para_segments(spark, sf_dir):
+    """doc_id, seg_idx, seg_hash for every non-overlapping PARA_TOKENS-token
+    segment. Pure map-side: split once, explode an index sequence, slice.
+    Rows carry md5(segment), never segment text — at 100 TB the shuffle that
+    follows moves 16-byte keys, not corpus bytes."""
+    d = table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    nseg = F.floor((F.size(t) + F.lit(PARA_TOKENS - 1)) / F.lit(PARA_TOKENS)).cast("int")
+    segs = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(t, i * PARA_TOKENS + 1, PARA_TOKENS))
+                ),
+            )
+        ).alias("seg_idx", "seg_hash"),
+    )
+    return segs
+
+
+_PARA_SEGS_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+        md5(array_to_string(
+          t[i * {PARA_TOKENS} + 1 : i * {PARA_TOKENS} + {PARA_TOKENS}], ' '))
+          AS seg_hash
+      FROM toks,
+           UNNEST(range((len(t) + {PARA_TOKENS - 1}) // {PARA_TOKENS})) AS u(i)
+    )
+"""
+
+
+@query(
+    "dedup_paragraphs",
+    oracle=_PARA_SEGS_SQL
+    + """
+    SELECT seg_hash,
+      CAST(count(*) AS BIGINT) AS n_copies,
+      min(doc_id) AS canonical_doc
+    FROM segs
+    GROUP BY seg_hash
+    HAVING count(*) > 1
+    """,
+)
+def dedup_paragraphs(spark, sf_dir):
+    """Cross-document duplicated passages: segment hashes occurring more
+    than once corpus-wide, with copy count and the lowest doc_id as the
+    canonical holder. One partial-aggregated shuffle on the 16-byte hash —
+    the exact shape of a 100 TB passage-dedup pass (the heavy lifting is
+    map-side segmentation + hashing; the group-by sees only hashes)."""
+    segs = _para_segments(spark, sf_dir)
+    return (
+        segs.groupBy("seg_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+@query(
+    "paragraph_dedup_stats",
+    oracle=_PARA_SEGS_SQL
+    + """
+    , per AS (
+      SELECT d.source, s.seg_hash
+      FROM segs s JOIN documents d USING (doc_id)
+    )
+    SELECT source,
+      CAST(count(*) AS BIGINT) AS total_segments,
+      CAST(count(DISTINCT seg_hash) AS BIGINT) AS distinct_segments,
+      round(1.0 - count(DISTINCT seg_hash) / count(*), 6) AS dup_ratio
+    FROM per
+    GROUP BY source
+    """,
+)
+def paragraph_dedup_stats(spark, sf_dir):
+    """Per-source duplication audit: what fraction of passages in each
+    source slice are repeats. The number a corpus owner reads before
+    deciding whether a source is worth keeping. Join to recover `source`
+    is broadcast (documents' (doc_id, source) projection is small relative
+    to the exploded segment stream; at full scale carry source through
+    _para_segments instead — one column, no join)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    segs = _para_segments(spark, sf_dir)
+    per = segs.join(F.broadcast(d), "doc_id").select("source", "seg_hash")
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_segments"),
+        F.countDistinct("seg_hash").alias("distinct_segments"),
+        F.round(
+            1.0 - F.countDistinct("seg_hash") / F.count(F.lit(1)), 6
+        ).alias("dup_ratio"),
+    )

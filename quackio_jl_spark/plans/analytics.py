@@ -868,3 +868,97 @@ def rollup_with_grouping_flags(spark, sf_dir):
             "total_balance",
         )
     )
+
+
+# ------------------------------------------------------- sketch aggregates
+
+# Approximate aggregates are how a 100 TB pipeline answers cardinality /
+# quantile questions without an exact-distinct or full-sort shuffle: HLL++
+# and KLL-style sketches merge associatively, so the partial-agg stage sends
+# one small sketch per partition instead of the value stream. The sketch
+# VALUES aren't comparable across engines (DuckDB's HLL differs from
+# Spark's HLL++), so the oracle gate checks the property that matters:
+# the estimate lands within the configured error envelope of the exact
+# answer, which the oracle computes exactly and asserts as TRUE. The flag
+# is computed from the real Spark sketch — a broken sketch fails the hash
+# compare.
+
+
+@query(
+    "approx_distinct_bounds",
+    oracle="""
+    SELECT o_orderstatus,
+      CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_uniques,
+      TRUE AS within_5pct
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def approx_distinct_bounds(spark, sf_dir):
+    """HLL++ distinct-count vs exact, per order status. rsd=0.01 (1% target
+    standard error) against a 5% acceptance envelope — the gate fails only
+    on a genuinely broken sketch, not statistical noise. At scale the
+    approx path replaces the exact count-distinct's per-key value shuffle
+    with fixed-size mergeable registers; the exact column here exists to
+    referee and would be dropped in production."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_uniques"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", rsd=0.01)
+                - F.countDistinct("o_custkey")
+            )
+            <= 0.05 * F.countDistinct("o_custkey")
+        ).alias("within_5pct"),
+    )
+
+
+@query(
+    "approx_quantile_bounds",
+    oracle="""
+    SELECT o_orderstatus,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      TRUE AS median_rank_ok,
+      TRUE AS p95_rank_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def approx_quantile_bounds(spark, sf_dir):
+    """percentile_approx (Greenwald-Khanna style sketch) checked by RANK
+    error, the guarantee the sketch actually makes: the fraction of rows at
+    or below the returned value must sit within the 1/accuracy = 1/2000 rank-error guarantee (+ 1/n tie slack)
+    of the target quantile. Value-space comparison would be meaningless —
+    two correct sketches can return different order statistics. One
+    partial-agg shuffle carrying fixed-size sketches; the referee rank scan
+    is a second pass only the correctness gate pays for."""
+    o = table(spark, sf_dir, "orders")
+    approx = o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 2000).alias("med_a"),
+        F.percentile_approx("o_totalprice", 0.95, 2000).alias("p95_a"),
+    )
+    rank = (
+        o.join(F.broadcast(approx), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.abs(
+                    F.avg((F.col("o_totalprice") <= F.col("med_a")).cast("double"))
+                    - 0.5
+                )
+                <= F.lit(1.0 / 2000) + 1.0 / F.count(F.lit(1))
+            ).alias("median_rank_ok"),
+            (
+                F.abs(
+                    F.avg((F.col("o_totalprice") <= F.col("p95_a")).cast("double"))
+                    - 0.95
+                )
+                <= F.lit(1.0 / 2000) + 1.0 / F.count(F.lit(1))
+            ).alias("p95_rank_ok"),
+        )
+    )
+    return rank.select(
+        "o_orderstatus", "n_rows", "median_rank_ok", "p95_rank_ok"
+    )

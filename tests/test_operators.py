@@ -569,3 +569,59 @@ def test_streaming_watermark_bounds_state(tmp_path, spark):
         assert want.get(k) == v, (k, v, want.get(k))
     # and nearly all windows DID close (only the final watermark tail is open)
     assert len(got) >= len(want) - 25, (len(got), len(want))
+
+
+def test_pii_redaction_removes_all_pii(spark):
+    """After redaction no phone/email pattern survives, placeholders appear
+    exactly n_phone/n_email times, and synthesis hit the expected rows."""
+    from quackio_jl_spark.operators.privacy import (
+        EMAIL_RE,
+        PHONE_RE,
+        pii_redact_customers,
+    )
+
+    df = pii_redact_customers(spark, SF_DIR)
+    leftovers = df.where(
+        F.col("redacted").rlike(PHONE_RE) | F.col("redacted").rlike(EMAIL_RE)
+    ).count()
+    assert leftovers == 0
+    bad = df.where(
+        (
+            F.size(F.split("redacted", r"\[PHONE\]", -1)) - 1 != F.col("n_phone")
+        )
+        | (F.size(F.split("redacted", r"\[EMAIL\]", -1)) - 1 != F.col("n_email"))
+    ).count()
+    assert bad == 0
+    agg = df.agg(F.sum("n_phone"), F.sum("n_email"), F.count("*")).first()
+    # every 3rd key gets a phone, every 4th an email (keys are dense 0..n-1)
+    assert agg[0] >= agg[2] // 3 and agg[1] >= agg[2] // 4
+
+
+def test_paragraph_dedup_counts_are_consistent(spark):
+    """Duplicate-passage copies must reconcile with the per-source stats,
+    and every reported duplicate really occurs n_copies times."""
+    from quackio_jl_spark.operators.dedup import (
+        _para_segments,
+        dedup_paragraphs,
+        paragraph_dedup_stats,
+    )
+
+    segs = _para_segments(spark, SF_DIR).cache()
+    dups = dedup_paragraphs(spark, SF_DIR)
+    recount = (
+        segs.groupBy("seg_hash").count().where(F.col("count") > 1)
+    )
+    joined = dups.join(recount, "seg_hash", "full_outer").where(
+        (F.col("n_copies") != F.col("count"))
+        | F.col("n_copies").isNull()
+        | F.col("count").isNull()
+    )
+    assert joined.count() == 0
+
+    stats = paragraph_dedup_stats(spark, SF_DIR).collect()
+    total = sum(r["total_segments"] for r in stats)
+    assert total == segs.count()
+    for r in stats:
+        assert 0.0 <= r["dup_ratio"] < 1.0
+        assert r["distinct_segments"] <= r["total_segments"]
+    segs.unpersist()
