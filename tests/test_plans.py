@@ -250,3 +250,53 @@ def test_lloyd_rounds_read_cached_centroids(spark):
     outer = p.split("InMemoryRelation", 1)[0]
     n = outer.count("Exchange")
     assert n <= 3, f"expected <=3 live exchanges above the round cache, saw {n}:\n{p}"
+
+
+def test_zorder_partition_pruning(tmp_path, spark):
+    """The z-layout roundtrip's bucket-range filter must reach the scan as
+    PartitionFilters (directory pruning), and the bucket envelope must be
+    sound: every row matching the 2-D rectangle lives inside [zmin, zmax].
+    At 100 TB the envelope is what turns a 2-D range query into reading a
+    handful of partition dirs instead of the whole table."""
+    from pyspark.sql import functions as F
+
+    from quackio_jl_spark.plans.layout import (
+        _SPARK_Z,
+        Z_BITS,
+        _rect_bucket_bounds,
+    )
+    from quackio_jl_spark.plans.registry import table
+    from quackio_jl_spark.sources.readers import read_parquet
+    from quackio_jl_spark.sources.writers import write_table
+
+    o = table(spark, "/root/testdata/sf0.001", "orders")
+    z = o.select(
+        "o_orderkey", "o_orderdate", "o_totalprice",
+        F.expr(_SPARK_Z).cast("bigint").alias("zval"),
+    ).withColumn("zbucket", F.shiftright("zval", 2 * Z_BITS - 6).cast("int"))
+    path = str(tmp_path / "orders_z")
+    write_table(z, path, format="parquet", single_file=False,
+                partition_by=["zbucket"])
+    back = read_parquet(spark, path, hive_partitioning=True)
+
+    zmin, zmax = _rect_bucket_bounds("1995-01-01", "1995-07-01", 0.0, 50000.0)
+    pruned = back.filter((F.col("zbucket") >= zmin) & (F.col("zbucket") <= zmax))
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan_of(pruned))
+    assert m and "zbucket" in m.group(1), plan_of(pruned)
+
+    # envelope soundness: no rectangle row escapes the pruned bucket range
+    rect = back.filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-07-01")
+        & (F.col("o_totalprice") < 50000)
+    )
+    assert rect.count() == pruned.filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-07-01")
+        & (F.col("o_totalprice") < 50000)
+    ).count()
+    # and it actually prunes: the kept range is a strict subset of buckets
+    all_buckets = back.select("zbucket").distinct().count()
+    assert zmax - zmin + 1 < all_buckets
