@@ -522,3 +522,152 @@ def vocab_oov_rate(spark, sf_dir):
             ).alias("oov_rate"),
         )
     )
+
+
+# ----------------------------------------------------------- inverted index
+
+INDEX_MIN_DF = 3  # tokens rarer than this don't earn a posting list here
+
+
+@query(
+    "inverted_index_postings",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    )
+    SELECT token,
+      CAST(count(*) AS BIGINT) AS df,
+      list_sort(list(doc_id)) AS postings
+    FROM tok
+    GROUP BY token
+    HAVING count(*) >= {INDEX_MIN_DF}
+    """,
+)
+def inverted_index_postings(spark, sf_dir):
+    """Search-index build: token -> document frequency + sorted posting
+    list. One distinct on (doc_id, token), one group-by on token — the
+    exact shape of a distributed index build, where each reducer emits its
+    tokens' postings as an index shard. Posting arrays are sorted so the
+    output is deterministic (collect_list order is partition-dependent;
+    array_sort fixes it — and sorted postings are what delta-encoding
+    wants anyway). At 100 TB: stopword-class tokens produce giant lists —
+    production splits postings into fixed-size blocks per (token, block_id);
+    the df cutoff here keeps the toy output readable, the blocking variant
+    is the same groupBy with one more key."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_sort(F.collect_list("doc_id")).alias("postings"),
+        )
+        .where(F.col("df") >= INDEX_MIN_DF)
+    )
+
+
+# ------------------------------------------------------- bigram LM scoring
+
+
+@query(
+    "bigram_lm_doc_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, t[i+1] AS w1, t[i+1] || ' ' || t[i+2] AS bigram
+      FROM toks, UNNEST(range(len(t) - 1)) AS u(i)
+    ),
+    bgc AS (SELECT bigram, count(*) AS cb FROM bg GROUP BY bigram),
+    ugc AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1)
+    SELECT doc_id,
+      CAST(count(*) AS BIGINT) AS n_bigrams,
+      round(avg(ln((cb + 1.0) / (cu + 1.0))), 8) AS avg_logprob
+    FROM bg JOIN bgc USING (bigram) JOIN ugc USING (w1)
+    GROUP BY doc_id
+    """,
+)
+def bigram_lm_doc_score(spark, sf_dir):
+    """Corpus-self-scored bigram language model: each document's average
+    add-one-smoothed log P(w2 | w1), the classic cheap fluency/quality
+    signal (gibberish and boilerplate both land in the tails). Three
+    aggregates over one map-side bigram explode; the count tables join
+    back BROADCAST (vocabulary-sized, not corpus-sized — at web scale the
+    bigram table gets a count cutoff first, same broadcast afterwards).
+    Rounded to 8 decimals before comparison (established ln() hygiene,
+    see text_tfidf_top_terms)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.element_at("t", i + 1).alias("w1"),
+                    F.concat_ws(" ", F.slice("t", i + 1, 2)).alias("bigram"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.bigram")
+    bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
+    ugc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    scored = (
+        bg.join(F.broadcast(bgc), "bigram")
+        .join(F.broadcast(ugc), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("cb") + 1.0) / (F.col("cu") + 1.0))), 8
+            ).alias("avg_logprob"),
+        )
+    )
+    return scored
+
+
+# ------------------------------------------- deterministic per-stratum k
+
+SAMPLE_K = 20
+
+
+@query(
+    "sample_k_per_source",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+        row_number() OVER (
+          PARTITION BY source
+          ORDER BY md5('smp:' || CAST(doc_id AS VARCHAR)), doc_id
+        ) AS rnk
+      FROM documents) t
+    WHERE rnk <= {SAMPLE_K}
+    """,
+)
+def sample_k_per_source(spark, sf_dir):
+    """EXACTLY k docs per source (inspection samples, eval holdouts), chosen
+    by ranking a salted md5 — deterministic across runs/engines/cluster
+    sizes, and stable-ish under corpus growth (a doc's rank only moves when
+    new docs hash below it). Fraction-based sampling can't hit exact k;
+    rand()-based can't reproduce. One window shuffle on source; at scale
+    with a hot stratum this becomes the two-phase variant (per-partition
+    top-k then global top-k over k*parts rows — same as TakeOrdered, keyed
+    per group)."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("smp:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= SAMPLE_K)
+        .select("doc_id", "source")
+    )

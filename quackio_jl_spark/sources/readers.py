@@ -73,13 +73,32 @@ def _localize(p, suffix: str = "") -> str:
         return f.name
     s = str(p)
     if s.startswith(("http://", "https://")):
+        import os
         import tempfile
         import urllib.request
 
+        # Driver-side fetch is for modest side files (the reference's httpfs
+        # use case); streamed in 1 MiB chunks — never the whole body in RAM —
+        # and capped so a mistyped URL to a multi-TB object fails fast
+        # instead of filling the driver's disk.
+        max_bytes = int(
+            os.environ.get("QUACKIO_HTTP_MAX_BYTES", 4 * 1024**3)
+        )
         name = s.rstrip("/").rsplit("/", 1)[-1] or "download"
         f = tempfile.NamedTemporaryFile(suffix="_" + name, delete=False)
+        written = 0
         with urllib.request.urlopen(s) as resp:
-            f.write(resp.read())
+            while chunk := resp.read(1 << 20):
+                written += len(chunk)
+                if written > max_bytes:
+                    f.close()
+                    os.unlink(f.name)
+                    raise ValueError(
+                        f"http source exceeds QUACKIO_HTTP_MAX_BYTES="
+                        f"{max_bytes} ({s}); use a distributed filesystem "
+                        f"URL (s3a://, hdfs://) for large inputs"
+                    )
+                f.write(chunk)
         f.close()
         return f.name
     return s

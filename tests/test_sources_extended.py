@@ -163,3 +163,31 @@ def test_csv_malformed_row_modes(tmp_path, spark):
 
     with pytest.raises(Exception):
         read_csv(spark, p, columns=schema, mode="FAILFAST").collect()
+
+
+def test_http_scan_size_cap(tmp_path, spark, basic_df, monkeypatch):
+    """The driver-side http fetch streams in chunks and fails fast past
+    QUACKIO_HTTP_MAX_BYTES instead of filling the driver's disk."""
+    import pytest
+
+    p = str(tmp_path / "t.csv")
+    write_table(basic_df, p)
+
+    def make(*args, **kw):
+        handler = type(
+            "H",
+            (http.server.SimpleHTTPRequestHandler,),
+            {"log_message": lambda *a, **k: None},
+        )
+        return handler(*args, directory=str(tmp_path), **kw)
+
+    monkeypatch.setenv("QUACKIO_HTTP_MAX_BYTES", "10")
+    with socketserver.TCPServer(("127.0.0.1", 0), make) as httpd:
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            with pytest.raises(ValueError, match="QUACKIO_HTTP_MAX_BYTES"):
+                read_csv(spark, f"http://127.0.0.1:{port}/t.csv")
+        finally:
+            httpd.shutdown()
