@@ -386,3 +386,79 @@ def dedup_canonical_docs(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "part_triangle_counts",
+    oracle=f"""
+    WITH {_PR_GRAPH_SQL}
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+      CAST(count(DISTINCT e1.part1) AS BIGINT) AS n_apex_parts
+    FROM pairs e1
+    JOIN pairs e2 ON e1.part2 = e2.part1
+    JOIN pairs e3 ON e3.part1 = e1.part1 AND e3.part2 = e2.part2
+    """,
+)
+def part_triangle_counts(spark, sf_dir):
+    """Triangle counting over the part co-occurrence graph (clustering-
+    coefficient numerator — how cliquish shared-basket parts are). Uses the
+    ORIENTED edge list (part1 < part2): each triangle {a<b<c} is found
+    exactly once as (a,b)+(b,c)+(a,c), so the join never enumerates a
+    triangle 6 ways and the quadratic wedge step fans out only on ordered
+    wedges. At scale the standard refinement orients edges by DEGREE
+    (low->high) instead of id, bounding per-node wedge fan-out by
+    O(sqrt(m)) even under power-law skew — same plan shape, different
+    comparator. Two shuffle joins on edge keys; AQE handles moderate key
+    skew."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part1"))
+    b = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part2"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part1") < F.col("part2")))
+        .groupBy("part1", "part2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("part1", "part2")
+    )
+    e1 = pairs.select(F.col("part1").alias("a"), F.col("part2").alias("b"))
+    e2 = pairs.select(F.col("part1").alias("b"), F.col("part2").alias("c"))
+    e3 = pairs.select(F.col("part1").alias("a"), F.col("part2").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return tri.agg(
+        F.count(F.lit(1)).alias("n_triangles"),
+        F.countDistinct("a").alias("n_apex_parts"),
+    )
+
+
+@query(
+    "part_degree_distribution",
+    oracle=f"""
+    WITH {_PR_GRAPH_SQL}
+    SELECT CAST(d AS INTEGER) AS degree,
+      CAST(count(*) AS BIGINT) AS n_parts
+    FROM deg
+    GROUP BY d
+    """,
+)
+def part_degree_distribution(spark, sf_dir):
+    """Degree histogram of the co-occurrence graph — the skew diagnostic
+    read BEFORE running triangles/PageRank/CC at scale (a power-law tail
+    here is what motivates degree-oriented triangle counting and salted
+    joins). Two partial-agg shuffles, both on small keys."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part1"))
+    b = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part2"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part1") < F.col("part2")))
+        .groupBy("part1", "part2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("part1", "part2")
+    )
+    edges = pairs.select(F.col("part1").alias("src")).union(
+        pairs.select(F.col("part2").alias("src"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    return deg.groupBy(F.col("d").cast("int").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
