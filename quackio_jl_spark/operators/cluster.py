@@ -409,7 +409,9 @@ def part_triangle_counts(spark, sf_dir):
     (low->high) instead of id, bounding per-node wedge fan-out by
     O(sqrt(m)) even under power-law skew — same plan shape, different
     comparator. Two shuffle joins on edge keys; AQE handles moderate key
-    skew."""
+    skew. The pairs edge list feeds all three join legs, so it is built
+    ONCE and persisted (same recompute fix as part_pagerank — without it
+    the basket self-join runs three times)."""
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part1"))
     b = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part2"))
@@ -419,7 +421,9 @@ def part_triangle_counts(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
         .select("part1", "part2")
+        .persist()
     )
+    pairs.count()  # materialize: the three legs below read the cache
     e1 = pairs.select(F.col("part1").alias("a"), F.col("part2").alias("b"))
     e2 = pairs.select(F.col("part1").alias("b"), F.col("part2").alias("c"))
     e3 = pairs.select(F.col("part1").alias("a"), F.col("part2").alias("c"))
