@@ -625,3 +625,30 @@ def test_paragraph_dedup_counts_are_consistent(spark):
         assert 0.0 <= r["dup_ratio"] < 1.0
         assert r["distinct_segments"] <= r["total_segments"]
     segs.unpersist()
+
+
+def test_pipeline_operators_survive_empty_corpus(tmp_path, spark):
+    """A 100 TB pipeline routinely hits empty slices (a new source, an
+    over-aggressive filter): every documents/embeddings operator must
+    plan and execute on a zero-row corpus, returning an empty result
+    rather than throwing."""
+    d = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    e = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    e.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    names = [
+        "dedup_exact", "dedup_minhash_lsh_pairs", "dedup_simhash",
+        "dedup_paragraphs", "paragraph_dedup_stats", "dedup_clusters",
+        "text_token_stats", "text_quality_score", "text_langid_heuristic",
+        "bigram_lm_doc_score", "inverted_index_postings",
+        "sample_k_per_source", "split_train_test", "chunk_documents",
+        "similarity_topk_cosine", "embedding_norms",
+    ]
+    qs = entry.queries()
+    for name in names:
+        assert qs[name](spark, str(tmp_path)).count() == 0, name

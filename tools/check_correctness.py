@@ -42,7 +42,11 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark(cpus=16)
+    # SPARK_GRAFT_CPUS must win here — the partition-count-invariance check
+    # (PLANS.md) runs this gate at 7 and 32 shuffle partitions.
+    import os
+
+    spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
