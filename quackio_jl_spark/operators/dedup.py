@@ -20,6 +20,7 @@ Scale design (the point of each operator):
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W_
 from pyspark.sql import functions as F
 
 from ..plans.registry import query, table
@@ -822,4 +823,127 @@ def paragraph_dedup_stats(spark, sf_dir):
         F.round(
             1.0 - F.countDistinct("seg_hash") / F.count(F.lit(1)), 6
         ).alias("dup_ratio"),
+    )
+
+
+# ------------------------------------------------- prefix-filter near-dup
+
+# PPJoin-style set-similarity self-join: order each doc's shingle set by
+# GLOBAL rarity; any pair with Jaccard >= t must collide inside each side's
+# first |S| - ceil(t*|S|) + 1 shingles, so only those prefix shingles
+# generate candidates. Algorithmically independent of MinHash-LSH (exact
+# recall at the threshold — no probabilistic misses) and cheaper than it
+# when sets are small; the classic companion in a dedup toolbox.
+PF_JACCARD_T = 0.5
+PF_MAX_BUCKET = 50  # same skew contract as LSH_MAX_BUCKET
+
+
+def _pf_oracle_sql() -> str:
+    return f"""
+    dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    ranked AS (
+      SELECT s.doc_id, s.shingle, z.sz,
+        row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.shingle)
+          AS rnk
+      FROM sh s JOIN dfc d USING (shingle) JOIN sz z USING (doc_id)
+    ),
+    pref AS (
+      SELECT doc_id, shingle FROM ranked
+      WHERE rnk <= sz - CAST(ceil({PF_JACCARD_T} * sz) AS BIGINT) + 1
+    ),
+    pok AS (
+      SELECT shingle FROM pref GROUP BY shingle
+      HAVING COUNT(*) BETWEEN 2 AND {PF_MAX_BUCKET}
+    ),
+    pcand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM pref a JOIN pok USING (shingle)
+      JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT doc1, doc2, count(*) AS i
+      FROM pcand
+      JOIN sh s1 ON s1.doc_id = doc1
+      JOIN sh s2 ON s2.doc_id = doc2 AND s1.shingle = s2.shingle
+      GROUP BY doc1, doc2
+    )
+    SELECT doc1, doc2,
+      round(i / (z1.sz + z2.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sz z1 ON z1.doc_id = doc1
+    JOIN sz z2 ON z2.doc_id = doc2
+    WHERE i / (z1.sz + z2.sz - i) >= {PF_JACCARD_T}
+    """
+
+
+@query(
+    "neardup_prefix_filter_pairs",
+    oracle="WITH" + _SHINGLES_SQL + "," + _pf_oracle_sql(),
+)
+def neardup_prefix_filter_pairs(spark, sf_dir):
+    """Prefix-filtered exact-Jaccard pairs at t >= 0.5.
+
+    Plan: shingle distinct (1 shuffle) -> global df counts joined back
+    BROADCAST (vocabulary-sized) -> per-doc rarity rank (1 window shuffle
+    on doc_id) -> prefix shingles only -> bucket-grouped pair generation
+    on the shingle key (1 shuffle; same sorted-array in-bucket explode and
+    size cap as the LSH path — rare shingles make tiny buckets, and the
+    cap bounds the hot ones) -> exact Jaccard verify on candidates only.
+    Recall is EXACT at the threshold (prefix-filter completeness), unlike
+    MinHash-LSH's probabilistic recall — proven against brute force in
+    tests/test_operators.py::test_prefix_filter_finds_all_pairs."""
+    d = table(spark, sf_dir, "documents")
+    sh = shingles(d)
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    w = W_.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        sh.join(F.broadcast(dfc), "shingle")
+        .join(F.broadcast(sz), "doc_id")
+        .select(
+            "doc_id",
+            "shingle",
+            "sz",
+            F.row_number().over(w).alias("rnk"),
+        )
+    )
+    pref = ranked.where(
+        F.col("rnk")
+        <= F.col("sz") - F.ceil(PF_JACCARD_T * F.col("sz")).cast("bigint") + 1
+    ).select("doc_id", "shingle")
+    buckets = (
+        pref.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= PF_MAX_BUCKET))
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS doc1, y AS doc2))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc1", "p.doc2")
+        .distinct()
+    )
+    s1 = sh.select(F.col("doc_id").alias("doc1"), F.col("shingle").alias("sg1"))
+    s2 = sh.select(F.col("doc_id").alias("d2"), F.col("shingle").alias("sg2"))
+    inter = (
+        cand.join(s1, "doc1")
+        .join(s2, (F.col("doc2") == F.col("d2")) & (F.col("sg1") == F.col("sg2")))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    z1 = sz.select(F.col("doc_id").alias("doc1"), F.col("sz").alias("sz1"))
+    z2 = sz.select(F.col("doc_id").alias("doc2"), F.col("sz").alias("sz2"))
+    jac = F.col("i") / (F.col("sz1") + F.col("sz2") - F.col("i"))
+    return (
+        inter.join(F.broadcast(z1), "doc1")
+        .join(F.broadcast(z2), "doc2")
+        .where(jac >= PF_JACCARD_T)
+        .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
     )

@@ -652,3 +652,38 @@ def test_pipeline_operators_survive_empty_corpus(tmp_path, spark):
     qs = entry.queries()
     for name in names:
         assert qs[name](spark, str(tmp_path)).count() == 0, name
+
+
+def test_prefix_filter_finds_all_pairs(spark):
+    """Prefix-filter completeness: every pair with Jaccard >= t (computed
+    BRUTE FORCE over all doc pairs) must be found by the prefix-filtered
+    path — the exact-recall guarantee that distinguishes it from
+    MinHash-LSH. (The skew cap can only drop pairs inside oversized hot
+    buckets; this corpus has none at the cap.)"""
+    from itertools import combinations
+
+    from quackio_jl_spark.operators.dedup import (
+        PF_JACCARD_T,
+        neardup_prefix_filter_pairs,
+        shingles,
+    )
+    from quackio_jl_spark.plans.registry import table
+
+    d = table(spark, SF_DIR, "documents")
+    sets = {
+        r["doc_id"]: set(r["sh"])
+        for r in shingles(d)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+        .collect()
+    }
+    brute = set()
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter and inter / (len(sets[a]) + len(sets[b]) - inter) >= PF_JACCARD_T:
+            brute.add((a, b))
+    got = {
+        (r["doc1"], r["doc2"])
+        for r in neardup_prefix_filter_pairs(spark, SF_DIR).collect()
+    }
+    assert got == brute
