@@ -892,9 +892,15 @@ def neardup_prefix_filter_pairs(spark, sf_dir):
     cap bounds the hot ones) -> exact Jaccard verify on candidates only.
     Recall is EXACT at the threshold (prefix-filter completeness), unlike
     MinHash-LSH's probabilistic recall — proven against brute force in
-    tests/test_operators.py::test_prefix_filter_finds_all_pairs."""
+    tests/test_operators.py::test_prefix_filter_finds_all_pairs.
+
+    The distinct shingle table feeds FIVE consumers (df counts, set sizes,
+    rarity ranking, both verify legs), so it is computed once and persisted
+    — same recompute fix as part_pagerank/part_triangle_counts; without it
+    the shingle shuffle runs five times (15-exchange plan)."""
     d = table(spark, sf_dir, "documents")
-    sh = shingles(d)
+    sh = shingles(d).persist()
+    sh.count()  # materialize: every consumer below reads the cache
     dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     w = W_.partitionBy("doc_id").orderBy("df", "shingle")
