@@ -180,9 +180,9 @@ def roundtrip_zorder_pruned(spark, sf_dir):
         & (F.col("o_orderdate") < F.lit("1995-07-01"))
         & (F.col("o_totalprice") < 50000)
     )
-    zmin, zmax = _rect_bucket_bounds("1995-01-01", "1995-07-01", 0.0, 50000.0)
+    zbuckets = rect_zorder_buckets("1995-01-01", "1995-07-01", 0.0, 50000.0)
     return (
-        back.filter((F.col("zbucket") >= zmin) & (F.col("zbucket") <= zmax))
+        back.filter(F.col("zbucket").isin(zbuckets))
         .filter(filt)
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -223,6 +223,78 @@ def _rect_bucket_bounds(d_lo: str, d_hi: str, p_lo: float, p_hi: float):
     zhi = _interleave_py(q(days(d_hi) - 1), q(p_hi - 1e-9, Z_PRICE_STEP))
     shift = 2 * Z_BITS - 6
     return zlo >> shift, zhi >> shift
+
+
+def _days_since_epoch(s: str) -> int:
+    from datetime import date
+
+    y, m, d = map(int, s.split("-"))
+    return (date(y, m, d) - date(1992, 1, 1)).days
+
+
+def rect_zorder_buckets(
+    d_lo: str, d_hi: str, p_lo: float, p_hi: float, max_cells: int = 256
+) -> list[int]:
+    """EXACT z-prefix-bucket set of a query rectangle, via quadtree
+    decomposition (the BIGMIN/LITMAX-family refinement of the corner
+    envelope in _rect_bucket_bounds).
+
+    Walk the implicit quadtree of the 2-D key space top-down: a cell fully
+    inside the rectangle contributes its whole z-range; a disjoint cell is
+    skipped; a straddling cell recurses into its 4 children (one more bit
+    of each dimension). Recursion stops once the cell is smaller than a
+    partition bucket (top-6 z-bits), so the walk visits O(perimeter)
+    cells — driver-side integer arithmetic, no data touched. The result is
+    the MINIMAL set of partition dirs that can hold rectangle rows; on a
+    thin rectangle far from the z-curve's diagonal this reads a fraction
+    of what the [corner_lo, corner_hi] envelope reads (the envelope is
+    kept as the fallback when the cell budget trips). Soundness +
+    minimality are asserted in
+    tests/test_plans.py::test_zorder_quadtree_refinement."""
+    clamp = (1 << Z_BITS) - 1
+    x_lo = max(0, min(_days_since_epoch(d_lo), clamp))
+    x_hi = max(0, min(_days_since_epoch(d_hi) - 1, clamp))
+    y_lo = max(0, min(int(p_lo // Z_PRICE_STEP), clamp))
+    y_hi = max(0, min(int((p_hi - 1e-9) // Z_PRICE_STEP), clamp))
+    shift = 2 * Z_BITS - 6
+    bucket_bits = 2 * Z_BITS - shift  # prefix bits that define a bucket
+    buckets: set[int] = set()
+    cells = 0
+
+    # (level, cx, cy): cell = all points whose top `level` bits of each
+    # dim equal (cx, cy); covers side 2^(Z_BITS-level) per dimension.
+    stack = [(0, 0, 0)]
+    while stack:
+        level, cx, cy = stack.pop()
+        cells += 1
+        if cells > max_cells:
+            lo, hi = _rect_bucket_bounds(d_lo, d_hi, p_lo, p_hi)
+            return list(range(lo, hi + 1))
+        side = Z_BITS - level
+        cell_x_lo, cell_x_hi = cx << side, ((cx + 1) << side) - 1
+        cell_y_lo, cell_y_hi = cy << side, ((cy + 1) << side) - 1
+        if cell_x_lo > x_hi or cell_x_hi < x_lo or cell_y_lo > y_hi or cell_y_hi < y_lo:
+            continue
+        z_prefix = _interleave_py(cx, cy)  # top 2*level z-bits of the cell
+        if 2 * level >= bucket_bits:
+            # cell lies inside one bucket — no need to look closer
+            buckets.add(z_prefix >> (2 * level - bucket_bits))
+            continue
+        if (
+            cell_x_lo >= x_lo
+            and cell_x_hi <= x_hi
+            and cell_y_lo >= y_lo
+            and cell_y_hi <= y_hi
+        ):
+            # fully inside: the cell's z-range covers whole buckets
+            span_bits = bucket_bits - 2 * level
+            base = z_prefix << span_bits
+            buckets.update(range(base, base + (1 << span_bits)))
+            continue
+        for dx in (0, 1):
+            for dy in (0, 1):
+                stack.append((level + 1, (cx << 1) | dx, (cy << 1) | dy))
+    return sorted(buckets)
 
 
 @query(

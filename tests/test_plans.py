@@ -300,3 +300,44 @@ def test_zorder_partition_pruning(tmp_path, spark):
     # and it actually prunes: the kept range is a strict subset of buckets
     all_buckets = back.select("zbucket").distinct().count()
     assert zmax - zmin + 1 < all_buckets
+
+
+def test_zorder_quadtree_refinement():
+    """The quadtree bucket set must be (a) SOUND — a superset of the
+    buckets that actually contain rectangle rows, checked by direct
+    z-value enumeration of the rectangle's quantized grid — and (b) no
+    worse than the corner envelope, (c) strictly better on a rectangle
+    far from the z-curve diagonal (the case where the envelope
+    over-reads). Pure driver-side math, no Spark session."""
+    from quackio_jl_spark.plans.layout import (
+        Z_BITS,
+        Z_PRICE_STEP,
+        _days_since_epoch,
+        _interleave_py,
+        _rect_bucket_bounds,
+        rect_zorder_buckets,
+    )
+
+    shift = 2 * Z_BITS - 6
+
+    def true_buckets(d_lo, d_hi, p_lo, p_hi):
+        xs = range(_days_since_epoch(d_lo), _days_since_epoch(d_hi))
+        ys = range(int(p_lo // Z_PRICE_STEP), int((p_hi - 1e-9) // Z_PRICE_STEP) + 1)
+        return {_interleave_py(x, y) >> shift for x in xs for y in ys}
+
+    for rect in [
+        ("1995-01-01", "1995-07-01", 0.0, 50000.0),
+        ("1993-02-01", "1993-02-15", 100000.0, 200000.0),
+        ("1996-01-01", "1998-01-01", 400000.0, 600000.0),
+    ]:
+        quad = set(rect_zorder_buckets(*rect))
+        lo, hi = _rect_bucket_bounds(*rect)
+        envelope = set(range(lo, hi + 1))
+        truth = true_buckets(*rect)
+        assert truth <= quad, rect       # sound: never prunes a hit
+        assert quad <= envelope, rect    # refines: subset of the envelope
+    # (c): a short-date, high-price slab — envelope spans the interleave
+    # gap, the quadtree does not
+    quad = set(rect_zorder_buckets("1993-02-01", "1993-02-15", 100000.0, 200000.0))
+    lo, hi = _rect_bucket_bounds("1993-02-01", "1993-02-15", 100000.0, 200000.0)
+    assert len(quad) < (hi - lo + 1)
