@@ -466,3 +466,64 @@ def part_degree_distribution(spark, sf_dir):
     return deg.groupBy(F.col("d").cast("int").alias("degree")).agg(
         F.count(F.lit(1)).alias("n_parts")
     )
+
+
+@query(
+    "part_triangle_count_degree_oriented",
+    oracle=f"""
+    WITH {_PR_GRAPH_SQL}
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM pairs e1
+    JOIN pairs e2 ON e1.part2 = e2.part1
+    JOIN pairs e3 ON e3.part1 = e1.part1 AND e3.part2 = e2.part2
+    """,
+)
+def part_triangle_count_degree_oriented(spark, sf_dir):
+    """Triangle counting with DEGREE orientation — the skew-proof variant:
+    every undirected edge points low-degree -> high-degree ((d, id)
+    lexicographic tie-break makes the orientation acyclic and total), so a
+    node's out-wedge fan-out is bounded by O(sqrt(m)) even on power-law
+    graphs, where the id-oriented variant lets one hot node generate
+    O(d_hot^2) wedges. The triangle TOTAL is orientation-invariant, which
+    is exactly what the oracle pins: the id-oriented SQL must equal the
+    degree-oriented Spark plan — a disagreement means an orientation bug
+    (dropped or double-counted triangle). Same persist-once edge cache."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part1"))
+    b = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part2"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part1") < F.col("part2")))
+        .groupBy("part1", "part2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("part1", "part2")
+        .persist()
+    )
+    pairs.count()
+    # undirected degree per node, then orient each pair low -> high
+    deg = (
+        pairs.select(F.col("part1").alias("id"))
+        .union(pairs.select(F.col("part2").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    d1 = deg.select(F.col("id").alias("part1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("id").alias("part2"), F.col("d").alias("d2"))
+    lo_first = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("part1") < F.col("part2"))
+    )
+    oriented = (
+        pairs.join(F.broadcast(d1), "part1")
+        .join(F.broadcast(d2), "part2")
+        .select(
+            F.when(lo_first, F.col("part1")).otherwise(F.col("part2")).alias("u"),
+            F.when(lo_first, F.col("part2")).otherwise(F.col("part1")).alias("v"),
+        )
+        .persist()
+    )
+    oriented.count()
+    e1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = oriented.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -671,3 +671,46 @@ def sample_k_per_source(spark, sf_dir):
         .where(F.col("rnk") <= SAMPLE_K)
         .select("doc_id", "source")
     )
+
+
+INDEX_BLOCK = 200  # doc_ids per posting block
+
+
+@query(
+    "inverted_index_blocked",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    )
+    SELECT token,
+      CAST(doc_id // {INDEX_BLOCK} AS INTEGER) AS block_id,
+      CAST(count(*) AS BIGINT) AS block_df,
+      list_sort(list(doc_id)) AS postings
+    FROM tok
+    GROUP BY token, block_id
+    HAVING count(*) >= {INDEX_MIN_DF}
+    """,
+)
+def inverted_index_blocked(spark, sf_dir):
+    """The scale path for inverted_index_postings: posting lists split into
+    fixed doc_id-range blocks keyed (token, block_id), so a stopword-class
+    token produces MANY bounded rows instead of one giant array — no
+    reducer ever materializes an unbounded list, and block-at-a-time query
+    evaluation (and delta-encoding per block) falls out of the layout.
+    Same single distinct + group-by shape, one more grouping key."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    return (
+        tok.groupBy(
+            "token",
+            F.floor(F.col("doc_id") / INDEX_BLOCK).cast("int").alias("block_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("block_df"),
+            F.array_sort(F.collect_list("doc_id")).alias("postings"),
+        )
+        .where(F.col("block_df") >= INDEX_MIN_DF)
+    )
