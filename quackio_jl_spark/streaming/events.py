@@ -264,3 +264,47 @@ def streaming_upsert_user_totals(
     finally:
         q.stop()
     return spark.read.parquet(dest)
+
+
+def pii_scrub_stream(
+    spark: SparkSession, sf_dir: str, queryName: str = "pii_scrub"
+) -> DataFrame:
+    """Streaming twin of operators/privacy.py::pii_redact_customers: the
+    same synthesize->redact->count projection applied to a customer file
+    STREAM (append mode, no state, no watermark — a stateless scrub is the
+    easiest possible streaming operator, which is the point: the batch
+    column expressions transfer verbatim). In production this is the
+    shape of a scrub-on-ingest hook: new corpus files land, redacted rows
+    flow out, per-microbatch audit counts feed monitoring; throughput
+    scales with source parallelism because there is no shuffle at all."""
+    from ..operators.privacy import EMAIL_RE, PHONE_RE, _notes_col
+
+    schema = spark.read.parquet(f"{sf_dir}/customer.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "customer.parquet")
+        .load(sf_dir)
+    )
+    raw = _notes_col()
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, PHONE_RE, "[PHONE]"), EMAIL_RE, "[EMAIL]"
+    )
+    out = stream.select(
+        "c_custkey",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all(raw, F.lit(PHONE_RE), F.lit(0))).alias("n_phone"),
+        F.size(F.regexp_extract_all(raw, F.lit(EMAIL_RE), F.lit(0))).alias("n_email"),
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {queryName}")

@@ -687,3 +687,20 @@ def test_prefix_filter_finds_all_pairs(spark):
         for r in neardup_prefix_filter_pairs(spark, SF_DIR).collect()
     }
     assert got == brute
+
+
+def test_streaming_pii_scrub_matches_batch(spark):
+    """The stateless streaming scrub must produce exactly the batch
+    result — same rows, same redactions, same counts."""
+    from quackio_jl_spark.operators.privacy import pii_redact_customers
+    from quackio_jl_spark.streaming.events import pii_scrub_stream
+
+    s = {
+        r["c_custkey"]: (r["redacted"], r["n_phone"], r["n_email"])
+        for r in pii_scrub_stream(spark, SF_DIR).collect()
+    }
+    b = {
+        r["c_custkey"]: (r["redacted"], r["n_phone"], r["n_email"])
+        for r in pii_redact_customers(spark, SF_DIR).collect()
+    }
+    assert s == b and len(s) > 0
