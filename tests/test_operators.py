@@ -704,3 +704,29 @@ def test_streaming_pii_scrub_matches_batch(spark):
         for r in pii_redact_customers(spark, SF_DIR).collect()
     }
     assert s == b and len(s) > 0
+
+
+def test_pipeline_operators_survive_null_text(tmp_path, spark):
+    """Null text/lang/source rows (failed upstream extraction) must not
+    crash the per-document operators: null-text docs simply contribute no
+    tokens/segments, and never produce a null-keyed explosion."""
+    d = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s0", 57),
+            (2, None, "en", "s0", None),
+            (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa", None, None, 57),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    qs = entry.queries()
+    for name in (
+        "dedup_exact", "dedup_simhash", "dedup_paragraphs",
+        "text_token_stats", "bigram_lm_doc_score", "inverted_index_postings",
+        "chunk_documents", "sample_k_per_source",
+    ):
+        rows = qs[name](spark, str(tmp_path)).collect()
+        assert all(v is not None for r in rows for v in [r[0]]), name
+    # the duplicated pair of non-null docs is still found
+    segs = qs["dedup_paragraphs"](spark, str(tmp_path)).collect()
+    assert any(r["n_copies"] == 2 for r in segs)
