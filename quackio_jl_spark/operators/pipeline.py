@@ -885,3 +885,129 @@ def embedding_dim_stats(spark, sf_dir):
             F.max("x").alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------- covariance / projection
+
+COV_SCALE = 10_000  # fixed-point quantizer for exact covariance sums
+EMB_DIM = 64
+RP_DIM = 8  # Johnson-Lindenstrauss target dimensionality
+
+
+@query(
+    "embedding_covariance",
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(i - 1 AS INTEGER) AS i, CAST(j - 1 AS INTEGER) AS j,
+        CAST(floor(CAST(embedding[i] AS DOUBLE) * {COV_SCALE}) AS BIGINT) AS qi,
+        CAST(floor(CAST(embedding[j] AS DOUBLE) * {COV_SCALE}) AS BIGINT) AS qj
+      FROM embeddings,
+           UNNEST(range(1, {EMB_DIM + 1})) AS u(i),
+           UNNEST(range(1, {EMB_DIM + 1})) AS v(j)
+      WHERE j >= i
+    )
+    SELECT i, j,
+      CAST(count(*) * sum(qi * qj) - sum(qi) * sum(qj) AS DOUBLE)
+        / count(*) / count(*) / {COV_SCALE}.0 / {COV_SCALE}.0 AS cov
+    FROM q GROUP BY i, j
+    """,
+)
+def embedding_covariance(spark, sf_dir):
+    """Upper-triangular covariance matrix of the embedding corpus — the
+    single-pass statistic behind PCA/whitening stages. Exact integer
+    arithmetic end-to-end (population covariance as
+    (n·Σqiqj − Σqi·Σqj) / n² on fixed-point values; ONE double division at
+    the very end), so the result is order- and partition-independent and
+    hash-matches the oracle bit-for-bit. Shape: map-side pair explode +
+    one partial-aggregated shuffle on the (i, j) key — d(d+1)/2 groups
+    regardless of corpus size. At 10^9+ rows the int64 product sums need a
+    DECIMAL(38) upcast, or swap the explode for a mapInPandas per-batch
+    X^T·X accumulation (same exact integers, d² floats per Arrow batch
+    instead of d² rows per vector)."""
+    e = table(spark, sf_dir, "embeddings")
+    qarr = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * COV_SCALE).cast("bigint")
+    )
+    ex = e.select(F.posexplode(qarr).alias("i", "qi"), qarr.alias("q"))
+    pairs = ex.select(
+        F.col("i").cast("int").alias("i"),
+        "qi",
+        F.posexplode("q").alias("j", "qj"),
+    ).where(F.col("j") >= F.col("i"))
+    n = F.count(F.lit(1))
+    return (
+        pairs.select("i", F.col("j").cast("int").alias("j"), "qi", "qj")
+        .groupBy("i", "j")
+        .agg(
+            (
+                (n * F.sum(F.col("qi") * F.col("qj")) - F.sum("qi") * F.sum("qj"))
+                .cast("double")
+                / n
+                / n
+                / F.lit(float(COV_SCALE))
+                / F.lit(float(COV_SCALE))
+            ).alias("cov")
+        )
+    )
+
+
+def _rp_signs() -> list[list[int]]:
+    """RP_DIM x EMB_DIM deterministic ±1 sign matrix, md5-derived on the
+    DRIVER (hashlib) and embedded as plan literals — zero per-row hashing
+    in either engine, and both engines consume the exact same constants."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"rp:{m}:{j}".encode()).hexdigest()[:2], 16) % 2 == 0
+            else -1
+            for j in range(EMB_DIM)
+        ]
+        for m in range(RP_DIM)
+    ]
+
+
+@query(
+    "embedding_random_projection",
+    oracle=f"""
+    SELECT vec_id,
+      {", ".join(
+          "CAST(("
+          + " + ".join(
+              f"({s}) * CAST(floor(CAST(embedding[{j + 1}] AS DOUBLE) * {COV_SCALE}) AS BIGINT)"
+              for j, s in enumerate(signs_row)
+          )
+          + f") AS DOUBLE) / {COV_SCALE}.0 / sqrt({RP_DIM}.0) AS y{m}"
+          for m, signs_row in enumerate(_rp_signs())
+      )}
+    FROM embeddings
+    """,
+)
+def embedding_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64 -> 8 dims with a ±1
+    (Achlioptas) matrix: the cheap dimensionality reduction a pipeline
+    runs before ANN indexing or dedup-by-cosine when full-width vectors
+    are too heavy to shuffle. Pure map-side zip_with dot products against
+    literal sign arrays — no shuffle, no per-row hashing (signs are
+    md5-derived ON THE DRIVER and baked into the plan), fixed-point sums
+    so both engines agree exactly; the one double division + sqrt at the
+    end is IEEE-identical."""
+    e = table(spark, sf_dir, "embeddings")
+    qarr = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * COV_SCALE).cast("bigint")
+    )
+    cols = [F.col("vec_id")]
+    for m, signs_row in enumerate(_rp_signs()):
+        lit_signs = F.array(*[F.lit(s).cast("bigint") for s in signs_row])
+        acc = F.aggregate(
+            F.zip_with(qarr, lit_signs, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        cols.append(
+            (
+                acc.cast("double") / F.lit(float(COV_SCALE)) / F.sqrt(F.lit(float(RP_DIM)))
+            ).alias(f"y{m}")
+        )
+    return e.select(*cols)
