@@ -1,0 +1,220 @@
+"""Ranked retrieval over the documents corpus (driver mandate; beyond the
+reference's surface — /root/reference/src/QuackIO.jl is pure I/O, no text
+search): BM25 scoring, positional phrase search, and a time-range windowed
+activity profile. These are the query-side companions to the inverted-index
+builders in operators/text.py.
+
+Scale notes (100 TB):
+- BM25 filters the token stream to the query's terms BEFORE any shuffle, so
+  the grouped state is O(matching_docs x |query|), never O(corpus tokens).
+  Document-frequency and corpus stats are broadcast (a handful of rows).
+- Phrase search ships (doc_id, position) postings only for the phrase's two
+  terms; the positional join is an equi-join on (doc_id, pos) — co-partitioned
+  by the same shuffle, no range scan, no cartesian.
+- Score determinism follows functions/exact.py: per-term double arithmetic is
+  IEEE-identical across engines, contributions are rounded then summed as
+  DECIMAL (associative, order-free), and only the final scalar returns to
+  DOUBLE — so a 1000-executor run and the single-threaded oracle agree
+  bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..plans.registry import query, table
+
+# BM25 constants (Robertson/Sparck-Jones defaults; Lucene's always-positive
+# idf variant ln(1 + (N - df + .5)/(df + .5)) so rare-term scores never flip
+# negative). Literals are written identically in the Spark plan and the
+# oracle SQL: both engines parse the same decimal literal to the same double.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ["spark", "join", "query"]
+BM25_TOPK = 10
+
+PHRASE_W1 = "data"
+PHRASE_W2 = "column"
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+    WITH dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(dl AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tok AS (
+      SELECT d.doc_id, dl.dl, unnest(string_split(d.text, ' ')) AS term
+      FROM documents d JOIN dl ON d.doc_id = dl.doc_id
+    ),
+    tf AS (
+      SELECT doc_id, term, dl, COUNT(*) AS tf FROM tok
+      WHERE term IN ({terms})
+      GROUP BY doc_id, term, dl
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id,
+        round(
+          ln(1.0 + ((stats.n - df.df + 0.5) / (df.df + 0.5)))
+          * ((tf.tf * ({BM25_K1} + 1.0))
+             / (tf.tf + {BM25_K1}
+                * ((1.0 - {BM25_B}) + (({BM25_B} * tf.dl) / stats.avgdl)))),
+          8) AS c
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats
+    )
+    SELECT doc_id,
+      CAST(SUM(CAST(c AS DECIMAL(28,8))) AS DOUBLE) AS bm25
+    FROM contrib GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}
+    """
+
+
+@query("bm25_topk", oracle=_bm25_oracle())
+def bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval for a fixed conjunctive query.
+
+    Plan shape: one scan; tokens filtered to the query's terms map-side
+    (the explode emits only matching tokens, so the first shuffle carries
+    O(matching docs x |query terms|) rows); per-(doc, term) tf via groupBy;
+    document frequencies + corpus stats are tiny and broadcast; per-doc score
+    is an exact decimal sum of rounded per-term contributions; final top-k is
+    TakeOrderedAndProject (no global sort)."""
+    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t.isin(BM25_TERMS))
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term", "dl").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = d.select(F.size(F.split("text", " ")).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("dl").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    )
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                idf
+                * (
+                    (F.col("tf") * (k1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + k1
+                        * (
+                            (F.lit(1.0) - b)
+                            + ((b * F.col("dl")) / F.col("avgdl"))
+                        )
+                    )
+                ),
+                8,
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.sum(F.col("c").cast("decimal(28,8)")).cast("double").alias("bm25")
+    )
+    return scored.orderBy(F.desc("bm25"), "doc_id").limit(BM25_TOPK)
+
+
+@query(
+    "phrase_search_positional",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(list_filter(range(1, len(toks)),
+        i -> toks[i] = '{PHRASE_W1}' AND toks[i+1] = '{PHRASE_W2}'))
+        AS BIGINT) AS n_matches
+    FROM t
+    WHERE len(list_filter(range(1, len(toks)),
+        i -> toks[i] = '{PHRASE_W1}' AND toks[i+1] = '{PHRASE_W2}')) > 0
+    """,
+)
+def phrase_search_positional(spark, sf_dir):
+    """Exact phrase search via positional postings.
+
+    Builds (doc_id, pos) postings for exactly the phrase's two terms
+    (posexplode filtered map-side), then matches adjacency with an equi-join
+    on (doc_id, pos): the first term's postings are shifted by +1 so both
+    sides shuffle once on the same composite key — the distributed version of
+    a positional inverted-index phrase intersection (Manning IR ch.2), with
+    no per-doc array materialization on the reduce side.
+
+    The oracle evaluates the same adjacency predicate per document with a
+    lambda over token positions — same semantics, engine-local."""
+    d = table(spark, sf_dir, "documents")
+    posting = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    first = posting.filter(F.col("tok") == PHRASE_W1).select(
+        "doc_id", (F.col("pos") + 1).alias("pos")
+    )
+    second = posting.filter(F.col("tok") == PHRASE_W2).select("doc_id", "pos")
+    return (
+        first.join(second, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
+@query(
+    "events_time_range_stats",
+    oracle="""
+    SELECT event_id,
+      COUNT(*) OVER w AS n_1h,
+      CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DECIMAL(28,6))
+        AS sum_value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_time_range_stats(spark, sf_dir):
+    """Per-event trailing-1-hour activity profile: a RANGE (time-interval)
+    window frame, not a ROWS frame — the frame holds every same-user event
+    whose timestamp is within the preceding hour, regardless of row count.
+
+    Spark expresses time-RANGE frames as rangeBetween over epoch
+    microseconds (exact integers, so the frame boundaries match DuckDB's
+    INTERVAL arithmetic exactly); the sum is decimal-exact so frame
+    accumulation order is irrelevant (functions/exact.py recipe). One
+    shuffle on user_id; the frame is evaluated with a sliding two-pointer
+    over each sorted partition — O(n) per partition, no per-row rescans."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    hour_us = 3_600 * 1_000_000
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-hour_us, 0)
+    )
+    return e.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .over(w)
+        .cast("decimal(28,6)")
+        .alias("sum_value_1h"),
+    )

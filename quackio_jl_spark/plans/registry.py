@@ -34,14 +34,33 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP.
+
+    The testdata parquet stores naive timestamps (isAdjustedToUTC=false), which
+    Spark >= 3.4 infers as TIMESTAMP_NTZ. DuckDB reads the same column as plain
+    TIMESTAMP and treats the wall-clock value as the instant; with the session
+    timezone pinned to UTC (session.py) this cast is the identical
+    naive-as-UTC interpretation, and it unlocks epoch functions (unix_micros,
+    unix_timestamp) that reject NTZ input. Columns already TIMESTAMP pass
+    through untouched."""
+    ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    if not ntz:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table (TESTDATA.md contract).
 
-    events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized parquet
-    reader rejects; we read it as long (nanosAsLong) and truncate to
-    microseconds with integer division — bit-identical to DuckDB's
-    nanos->micros truncation. (Double division would lose precision: at
-    1.7e18 ns a double's ulp is ~256 ns.)"""
+    Historical testdata generations stored events.ts as TIMESTAMP(NANOS),
+    which Spark's vectorized parquet reader rejects; we read it as long
+    (nanosAsLong) and truncate to microseconds with integer division —
+    bit-identical to DuckDB's nanos->micros truncation. (Double division
+    would lose precision: at 1.7e18 ns a double's ulp is ~256 ns.)
+    Current generations store naive micros; see _normalize_timestamps."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -49,5 +68,5 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             from pyspark.sql import functions as F
 
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _normalize_timestamps(df)
+    return _normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))

@@ -18,24 +18,38 @@ from pyspark.sql import functions as F
 from ..functions.exact import DEC
 
 
-def hourly_event_counts_stream(
-    spark: SparkSession, sf_dir: str, queryName: str = "hourly_events"
-) -> DataFrame:
-    """Run the hourly tumbling-window count as a Structured Streaming query
-    over the events parquet (file source), draining it synchronously into a
-    memory sink; returns the materialized result as a DataFrame."""
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table.
+
+    The schema is probed from the static file (the file stream source wants
+    a directory; glob-filter to the one table). Two timestamp encodings are
+    normalized to plain TIMESTAMP, matching plans.registry.table():
+    TIMESTAMP(NANOS) arrives as long under nanosAsLong and is truncated to
+    micros; naive micros arrive as TIMESTAMP_NTZ, which watermarks reject
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and is cast under the UTC
+    session timezone — the same naive-as-UTC instant."""
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file stream source wants a directory; glob-filter to the one table
     stream = (
         spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    # TIMESTAMP(NANOS) arrives as long under nanosAsLong; truncate to micros
-    # (same conversion as plans.registry.table)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+def hourly_event_counts_stream(
+    spark: SparkSession, sf_dir: str, queryName: str = "hourly_events"
+) -> DataFrame:
+    """Run the hourly tumbling-window count as a Structured Streaming query
+    over the events parquet (file source), draining it synchronously into a
+    memory sink; returns the materialized result as a DataFrame."""
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -71,15 +85,7 @@ def stateful_session_counts(spark: SparkSession, sf_dir: str, gap_minutes: int =
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _events_stream(spark, sf_dir)
 
     gap_us = gap_minutes * 60 * 1_000_000
 
@@ -125,21 +131,6 @@ def stateful_session_counts(spark: SparkSession, sf_dir: str, gap_minutes: int =
     return spark.sql(
         "SELECT user_id, MAX(n_sessions) AS n_sessions FROM stateful_sessions GROUP BY user_id"
     )
-
-
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table (schema probed from the
-    static file; TIMESTAMP(NANOS) truncated to micros as in batch)."""
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
 
 
 def purchase_click_join_stream(

@@ -341,3 +341,31 @@ def test_zorder_quadtree_refinement():
     quad = set(rect_zorder_buckets("1993-02-01", "1993-02-15", 100000.0, 200000.0))
     lo, hi = _rect_bucket_bounds("1993-02-01", "1993-02-15", 100000.0, 200000.0)
     assert len(quad) < (hi - lo + 1)
+
+
+def test_bm25_plan_broadcasts_stats_and_takes_topk(spark):
+    """BM25: the df/corpus-stats sides are tiny and must broadcast (never a
+    shuffled join against the token stream), and the final top-k must be
+    TakeOrderedAndProject, not a global sort."""
+    p = plan_of(QUERIES["bm25_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p            # tf ⋈ df
+    assert "BroadcastNestedLoopJoin" in p      # ⨯ one-row corpus stats
+    assert "CartesianProduct" not in p
+
+
+def test_phrase_search_is_copartitioned_equijoin(spark):
+    """Phrase search: postings match on (doc_id, pos) as a plain equi-join;
+    plan must stay within a small fixed shuffle budget (two posting sides +
+    per-doc count) with no cartesian/range explosion."""
+    p = plan_of(QUERIES["phrase_search_positional"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert count_exchanges(p) <= 4, p
+
+
+def test_time_range_window_single_shuffle(spark):
+    """The trailing-1h RANGE frame is one shuffle on user_id and a
+    RangeFrame window — not a self-join and not a ROWS approximation."""
+    p = plan_of(QUERIES["events_time_range_stats"](spark, SF_DIR))
+    assert count_exchanges(p) == 1, p
+    assert "RangeFrame" in p or "specifiedwindowframe(RangeFrame" in p, p
