@@ -527,3 +527,60 @@ def part_triangle_count_degree_oriented(spark, sf_dir):
     e3 = oriented.select(F.col("u").alias("x"), F.col("v").alias("z"))
     tri = e1.join(e2, "y").join(e3, ["x", "z"])
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# ----------------------------------------- semantic (embedding-level) dedup
+
+def _semantic_cand_sql() -> str:
+    from .similarity import _cosine_sql
+
+    return _cosine_sql("a.embedding", "b.embedding")
+
+
+@query(
+    "semantic_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sub AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    cand AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+      WHERE {_semantic_cand_sql()} >= 0.2
+    ),
+    sym AS (
+      SELECT id1 AS a, id2 AS b FROM cand
+      UNION ALL SELECT id2, id1 FROM cand
+    ),
+    walk(id, label) AS (
+      SELECT vec_id, vec_id FROM sub
+      UNION
+      SELECT sym.a, w.label FROM walk w JOIN sym ON sym.b = w.id
+    )
+    SELECT id AS vec_id, MIN(label) AS cluster FROM walk GROUP BY id
+    """,
+)
+def semantic_dedup_clusters(spark, sf_dir):
+    """SemDeDup-style semantic duplicate clustering: connected components
+    over the embedding-cosine near-dup graph (similarity.py::
+    neardup_embedding_cosine supplies the candidate edges), each vector
+    labeled with the smallest vec_id reachable through cosine >= 0.2 links.
+    Downstream keeps one representative per cluster — the embedding-level
+    complement to the lexical MinHash clustering (dedup_clusters): catches
+    paraphrases that share no shingles.
+
+    Scale path: the pair generation swaps to LSH buckets (ann_lsh_buckets)
+    at corpus scale; the component step is the same large-star/small-star
+    loop either way. Oracle = recursive-CTE transitive closure, so the
+    hash check covers multi-hop merges."""
+    from .similarity import neardup_embedding_cosine
+
+    sub = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id")
+    )
+    pairs = neardup_embedding_cosine(spark, sf_dir).select("id1", "id2")
+    return connected_components(
+        sub, pairs, id_col="vec_id", src="id1", dst="id2"
+    ).select(F.col("id").alias("vec_id"), "cluster")

@@ -1,0 +1,97 @@
+"""Model-based quality filtering (driver mandate; beyond the reference's
+I/O-only surface — /root/reference/src/QuackIO.jl): a fixed-weight logistic
+classifier over the document quality signals, the batch shape of the
+"quality model" stage every LLM data pipeline runs (fastText/linear probes
+in C4/CCNet/RefinedWeb pipelines).
+
+The model here is deliberately a deterministic linear-logistic with frozen
+weights so the DuckDB oracle can reproduce every score bit-for-bit; swapping
+in a real trained model changes ONLY the scoring expression (a broadcast
+weight vector + the same dot product), or — for a non-linear model — an
+Arrow-batched ``mapInPandas`` like operators/multimodal.py. The Spark-side
+plumbing (map-side feature extraction, no shuffle, scan-pruned columns) is
+the production shape either way: at 100 TB this runs at parquet-scan speed,
+embarrassingly parallel over row-groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..plans.registry import query, table
+
+# Frozen classifier weights (intercept, ln(1+n_tokens), mean_token_len,
+# vowel_ratio, digit_ratio). Chosen so the corpus splits non-trivially at
+# the 0.5 keep-threshold. Written as decimal literals parsed identically by
+# both engines.
+W0 = -3.0
+W_LOG_TOKENS = 0.9
+W_MEAN_TOK_LEN = -0.15
+W_VOWEL = 4.0
+W_DIGIT = -6.0
+KEEP_THRESHOLD = 0.5
+
+
+@query(
+    "quality_model_filter",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, lang, source,
+        ln(1.0 + len(string_split(text, ' '))) AS f_log_tokens,
+        CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
+          AS f_mean_tok_len,
+        CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))
+             AS DOUBLE) / length(text) AS f_vowel,
+        CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+             AS DOUBLE) / length(text) AS f_digit
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, source,
+        round(1.0 / (1.0 + exp(-(({W0})
+          + ({W_LOG_TOKENS} * f_log_tokens)
+          + ({W_MEAN_TOK_LEN} * f_mean_tok_len)
+          + ({W_VOWEL} * f_vowel)
+          + ({W_DIGIT} * f_digit)))), 8) AS quality_score
+      FROM feats
+    )
+    SELECT doc_id, lang, source, quality_score,
+      CASE WHEN quality_score >= {KEEP_THRESHOLD} THEN TRUE ELSE FALSE END
+        AS keep
+    FROM scored
+    """,
+)
+def quality_model_filter(spark, sf_dir):
+    """Logistic quality classifier + keep/drop decision per document.
+
+    Map-side only: features, the linear score, and the sigmoid are all
+    built-in JVM expressions over the scanned row — zero shuffles, columns
+    pruned to (doc_id, text, lang, source). The score is rounded to 8
+    decimals before the threshold compare so the keep flag is
+    engine-portable (same recipe as text_tfidf_top_terms)."""
+    d = table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_tokens = F.size(F.split("text", " "))
+    f_log_tokens = F.log(F.lit(1.0) + n_tokens)
+    f_mean_tok_len = n_chars.cast("double") / n_tokens
+    f_vowel = (
+        n_chars - F.length(F.regexp_replace("text", "[aeiou]", ""))
+    ).cast("double") / n_chars
+    f_digit = (
+        n_chars - F.length(F.regexp_replace("text", "[0-9]", ""))
+    ).cast("double") / n_chars
+    z = (
+        F.lit(W0)
+        + (F.lit(W_LOG_TOKENS) * f_log_tokens)
+        + (F.lit(W_MEAN_TOK_LEN) * f_mean_tok_len)
+        + (F.lit(W_VOWEL) * f_vowel)
+        + (F.lit(W_DIGIT) * f_digit)
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 8)
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        score.alias("quality_score"),
+        (score >= F.lit(KEEP_THRESHOLD)).alias("keep"),
+    )

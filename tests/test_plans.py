@@ -369,3 +369,12 @@ def test_time_range_window_single_shuffle(spark):
     p = plan_of(QUERIES["events_time_range_stats"](spark, SF_DIR))
     assert count_exchanges(p) == 1, p
     assert "RangeFrame" in p or "specifiedwindowframe(RangeFrame" in p, p
+
+
+def test_quality_model_filter_is_pure_map(spark):
+    """The quality classifier must be shuffle-free (pure map over the scan)
+    with columns pruned to the four referenced fields."""
+    p = plan_of(QUERIES["quality_model_filter"](spark, SF_DIR))
+    assert count_exchanges(p) == 0, p
+    read_schema = next(ln for ln in p.splitlines() if "ReadSchema" in ln)
+    assert "text" in read_schema and "n_chars" not in read_schema
