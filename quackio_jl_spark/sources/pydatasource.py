@@ -48,8 +48,45 @@ class SyntheticDocsReader(DataSourceReader):
             yield (doc_id, _doc_text(doc_id))
 
 
+try:  # streaming side of the DataSource API (pyspark >= 4)
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    HAS_STREAM_API = True
+except ImportError:  # pragma: no cover
+    HAS_STREAM_API = False
+    SimpleDataSourceStreamReader = object  # type: ignore
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream over the same synthetic corpus: offsets are row
+    positions, each batch emits the next ``batchRows`` ids. read() returns
+    (rows, nextOffset); when the corpus is exhausted it returns an empty
+    batch with an unchanged offset, so processAllAvailable() terminates —
+    the replayable-offset contract a Kafka-like source implements, expressed
+    through the Python API. readBetweenOffsets() makes batches replayable
+    for recovery."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 100))
+        self.batch = int(options.get("batchRows", 40))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        pos = int(start["pos"])
+        end = min(pos + self.batch, self.n_rows)
+        return iter([(i, _doc_text(i)) for i in range(pos, end)]), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [(i, _doc_text(i)) for i in range(int(start["pos"]), int(end["pos"]))]
+        )
+
+
 class SyntheticDocsDataSource(DataSource):
-    """spark.read.format("synthetic_docs").option("rows", N).load()"""
+    """spark.read.format("synthetic_docs").option("rows", N).load() — also
+    streamable: spark.readStream.format("synthetic_docs")."""
 
     @classmethod
     def name(cls) -> str:
@@ -60,6 +97,9 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticDocsReader:
         return SyntheticDocsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticDocsStreamReader:
+        return SyntheticDocsStreamReader(self.options)
 
 
 def register(spark) -> None:

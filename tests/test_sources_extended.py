@@ -191,3 +191,37 @@ def test_http_scan_size_cap(tmp_path, spark, basic_df, monkeypatch):
                 read_csv(spark, f"http://127.0.0.1:{port}/t.csv")
         finally:
             httpd.shutdown()
+
+
+def test_python_datasource_streaming_reader(spark):
+    """Streaming side of the custom Python DataSource: the same format
+    reads as a micro-batch stream with replayable offsets
+    (SimpleDataSourceStreamReader). Drains 100 rows in 37-row batches into
+    a memory sink and must produce exactly the batch reader's corpus —
+    stream/batch parity for a custom source."""
+    from quackio_jl_spark.sources.pydatasource import _doc_text, register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("rows", 100)
+        .option("batchRows", 37)
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("synthetic_docs_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        r["doc_id"]: r["text"]
+        for r in spark.sql("SELECT * FROM synthetic_docs_stream").collect()
+    }
+    assert len(rows) == 100
+    assert rows[42] == _doc_text(42)
+    assert set(rows) == set(range(100))
