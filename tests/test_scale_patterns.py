@@ -179,3 +179,86 @@ def test_bucketed_verify_sets_never_shuffle(spark):
         assert got == base
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_observe_metrics_single_pass(spark):
+    """Pipeline observability: df.observe() collects data-quality counters
+    DURING the action — no second scan, no separate count() jobs. At 100 TB
+    a monitoring pass that re-reads the corpus doubles the bill; observe()
+    rides the existing job. Checks the collected metrics against directly
+    computed values."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from quackio_jl_spark.operators.pipeline import corpus_prep_pipeline
+
+    obs = Observation("corpus_prep_metrics")
+    out = corpus_prep_pipeline(spark, SF_DIR).observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_out"),
+        F.sum("n_tokens").alias("tokens_out"),
+        # DISTINCT aggregates are disallowed in observed metrics;
+        # HLL++ is exact at this cardinality (sparse mode, 4 langs)
+        F.approx_count_distinct("lang").alias("n_langs"),
+    )
+    collected = out.collect()  # one action drives both result and metrics
+    m = obs.get
+    assert m["rows_out"] == len(collected)
+    assert m["tokens_out"] == sum(r["n_tokens"] for r in collected)
+    assert m["n_langs"] == len({r["lang"] for r in collected})
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime bloom-filter join pruning: with a selective predicate on the
+    dimension side of a shuffle join, Spark builds a bloom filter from the
+    filtered keys and injects might_contain() into the FACT side's scan —
+    rows that cannot match are dropped before the shuffle. At 100 TB this
+    is the difference between shuffling the whole fact table and shuffling
+    the ~1% that survives the dimension filter. (Thresholds are tuned for
+    cluster-sized inputs — the application side must look big enough, hence
+    the scan-size threshold override here.)"""
+    from pyspark.sql import functions as F
+
+    from quackio_jl_spark.plans.registry import table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        l = table(spark, SF_DIR, "lineitem")
+        o = table(spark, SF_DIR, "orders").filter(F.col("o_totalprice") > 500000)
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        p = buf.getvalue()
+        assert "might_contain" in p, p
+        # and the filter sits on the fact (lineitem) side's scan condition
+        assert "l_orderkey" in next(
+            ln for ln in p.splitlines() if "might_contain" in ln
+        )
+        # answers unchanged by the rewrite
+        plain = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sorted(map(tuple, j.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
