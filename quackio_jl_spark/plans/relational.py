@@ -597,6 +597,41 @@ def json_extract_events(spark, sf_dir):
 
 
 @query(
+    "events_variant_agg",
+    oracle="""
+    SELECT event_type,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        AS sum_k,
+      CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        AS max_k,
+      CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM events GROUP BY event_type
+    """,
+)
+def events_variant_agg(spark, sf_dir):
+    """Semi-structured aggregation through VariantType (Spark 4): props is
+    parsed ONCE into the binary variant encoding, then fields are extracted
+    with variant_get — the scale path for repeated access into JSON columns
+    (get_json_object re-parses the string per call; variant parses per row
+    and shreds access into cheap binary probes). The oracle reaches the
+    same values through DuckDB's JSON extraction, proving the variant
+    round-trip is lossless for this access pattern."""
+    e = table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_high"),
+        )
+    )
+
+
+@query(
     "events_hourly_window",
     oracle="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS bucket,

@@ -132,3 +132,68 @@ def test_compat_functions_match_duckdb(spark):
     assert r["ats"] == dk[8]
     assert r["lev"] == dk[9]
     assert r["sw"] == dk[10]
+
+
+def test_python_udtf_sentence_splitter(spark):
+    """Python UDTF (Spark 4 §2.8 surface): a table function exploding each
+    document into numbered sentence rows. UDTFs are the sanctioned shape
+    for one-row-to-many-rows Python logic (tokenizers, parsers) — the
+    lateral-join analogue of the reference's materializer extension point.
+    Cross-checked against the pure-JVM posexplode equivalent."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="part_id int, sentence string")
+    class SentenceSplit:
+        def eval(self, text: str):
+            for i, s in enumerate(text.split(". ")):
+                if s:
+                    yield i, s
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    spark.createDataFrame(
+        [(1, "a b. c d. e"), (2, "solo")], "doc_id long, text string"
+    ).createOrReplaceTempView("udtf_docs")
+    got = {
+        (r.doc_id, r.part_id, r.sentence)
+        for r in spark.sql(
+            "SELECT d.doc_id, s.part_id, s.sentence "
+            "FROM udtf_docs d, LATERAL sentence_split(d.text) s"
+        ).collect()
+    }
+    expect = {
+        (r.doc_id, r.part_id, r.sentence)
+        for r in spark.sql(
+            "SELECT doc_id, posexplode(split(text, '\\\\. ')) AS (part_id, sentence) "
+            "FROM udtf_docs"
+        ).collect()
+    }
+    assert got == expect and (1, 1, "c d") in got
+
+
+def test_pandas_grouped_agg_udaf(spark):
+    """Grouped-aggregate pandas UDF (Arrow-vectorized UDAF): geometric mean
+    per group, checked against the closed-form exp(avg(ln)) computed with
+    built-in JVM expressions."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v).mean()))
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 4.0), ("a", 16.0), ("b", 9.0), ("b", 1.0)],
+        "g string, x double",
+    )
+    got = {r.g: r.gm for r in df.groupBy("g").agg(geo_mean("x").alias("gm")).collect()}
+    ref = {
+        r.g: r.gm
+        for r in df.groupBy("g")
+        .agg(F.exp(F.avg(F.log("x"))).alias("gm"))
+        .collect()
+    }
+    assert set(got) == {"a", "b"}
+    for g in got:
+        assert math.isclose(got[g], ref[g], rel_tol=1e-12), (g, got[g], ref[g])
