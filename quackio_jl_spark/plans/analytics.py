@@ -962,3 +962,68 @@ def approx_quantile_bounds(spark, sf_dir):
     return rank.select(
         "o_orderstatus", "n_rows", "median_rank_ok", "p95_rank_ok"
     )
+
+
+# ------------------------------------------------------------ reshape pack
+
+@query(
+    "unpivot_price_stats",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderstatus,
+        CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+        CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+        CAST(COUNT(*) AS DOUBLE) AS n_orders
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, 'min_price' AS metric, min_price AS value FROM s
+    UNION ALL
+    SELECT o_orderstatus, 'max_price', max_price FROM s
+    UNION ALL
+    SELECT o_orderstatus, 'n_orders', n_orders FROM s
+    """,
+)
+def unpivot_price_stats(spark, sf_dir):
+    """Wide->long reshape (melt/UNPIVOT): per-status price stats unpivoted
+    to (status, metric, value) rows — the inverse of pivot_linestatus.
+    Spark's unpivot is a zero-shuffle Expand over the aggregated rows
+    (3 output rows per input row, no join, no union re-scan); the oracle
+    spells the same reshape as UNION ALL."""
+    o = table(spark, sf_dir, "orders")
+    s = o.groupBy("o_orderstatus").agg(
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+    )
+    return s.unpivot(
+        ["o_orderstatus"],
+        ["min_price", "max_price", "n_orders"],
+        "metric",
+        "value",
+    )
+
+
+@query(
+    "orders_priority_listagg",
+    oracle="""
+    SELECT o_orderstatus,
+      string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+        AS priorities,
+      CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def orders_priority_listagg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG/string_agg): the distinct
+    priorities per status, sorted then joined — collect_set carries no
+    order guarantee in a distributed agg, so the sort happens explicitly
+    AFTER collection (array_sort), making the result partition-order
+    independent by construction. State is bounded by the distinct-value
+    count per group, not the row count."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), "|"
+        ).alias("priorities"),
+        F.count_distinct("o_orderpriority").cast("bigint").alias("n_priorities"),
+    )
