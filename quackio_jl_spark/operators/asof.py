@@ -196,3 +196,90 @@ def asof_join_next_click(spark, sf_dir):
         direction="forward",
     )
     return res.select("event_id", "user_id", "click_id")
+
+
+@query(
+    "asof_join_nearest_click",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    x AS (
+      SELECT p.event_id, p.user_id, p.ts,
+        (SELECT {'ts': c.ts, 'id': c.event_id} FROM c
+          WHERE c.user_id = p.user_id AND c.ts <= p.ts
+          ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS b,
+        (SELECT {'ts': c.ts, 'id': c.event_id} FROM c
+          WHERE c.user_id = p.user_id AND c.ts > p.ts
+          ORDER BY c.ts ASC, c.event_id ASC LIMIT 1) AS f
+      FROM p
+    )
+    SELECT event_id, user_id,
+      CASE WHEN b IS NULL AND f IS NULL THEN NULL
+           WHEN f IS NULL THEN b.id
+           WHEN b IS NULL THEN f.id
+           WHEN epoch_us(ts) - epoch_us(b.ts) <= epoch_us(f.ts) - epoch_us(ts)
+             THEN b.id
+           ELSE f.id END AS click_id
+    FROM x
+    """,
+)
+def asof_join_nearest_click(spark, sf_dir):
+    """Nearest-direction as-of join: each purchase matched to the
+    temporally CLOSEST same-user click, before or after (ties prefer the
+    preceding click; equal-time clicks count as preceding with the largest
+    event_id winning, and equal-distance following picks the smallest).
+
+    Both directions resolve in ONE shuffle + ONE per-partition sort: the
+    union stream is sorted once on (t, side, click_id), a
+    backward-looking last(ignorenulls) window and a forward-looking
+    first(ignorenulls) window each fill their candidate over the same
+    sort, and a final map-side CASE picks the closer one. Running the
+    backward/forward asof_join twice and joining would cost 3 shuffles;
+    this is the at-scale shape. The oracle spells the same semantics with
+    per-row scalar subqueries (fine at oracle SF, quadratic at scale —
+    which is the point of the windowed plan)."""
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t_us")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.col("event_id").alias("click_id"),
+    )
+    u = p.withColumn("click_id", F.lit(None).cast("long")).withColumn(
+        "_side", F.lit(1)
+    ).unionByName(c.withColumn("_side", F.lit(0)))
+    cand = F.when(
+        F.col("_side") == 0, F.struct(F.col("t_us").alias("t"), F.col("click_id").alias("id"))
+    )
+    order = [F.col("t_us").asc(), F.col("_side").asc(), F.col("click_id").asc_nulls_last()]
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    filled = u.select(
+        "event_id",
+        "user_id",
+        "t_us",
+        "_side",
+        F.last(cand, ignorenulls=True).over(wb).alias("b"),
+        F.first(cand, ignorenulls=True).over(wf).alias("f"),
+    ).filter(F.col("_side") == 1)
+    b, f, t = F.col("b"), F.col("f"), F.col("t_us")
+    click = (
+        F.when(b.isNull() & f.isNull(), F.lit(None).cast("long"))
+        .when(f.isNull(), b["id"])
+        .when(b.isNull(), f["id"])
+        .when((t - b["t"]) <= (f["t"] - t), b["id"])
+        .otherwise(f["id"])
+    )
+    return filled.select("event_id", "user_id", click.alias("click_id"))

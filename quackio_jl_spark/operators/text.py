@@ -714,3 +714,48 @@ def inverted_index_blocked(spark, sf_dir):
         )
         .where(F.col("block_df") >= INDEX_MIN_DF)
     )
+
+
+# ------------------------------------------------- tokenizer vocabulary fit
+
+VOCAB_TOP_N = 200
+
+
+@query(
+    "vocab_build_topn",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cnt AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token)
+    SELECT token,
+      CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS token_id,
+      n
+    FROM cnt
+    QUALIFY token_id <= {VOCAB_TOP_N}
+    """,
+)
+def vocab_build_topn(spark, sf_dir):
+    """Tokenizer-vocabulary fit: the top-N tokens by corpus frequency,
+    assigned dense ids in (count desc, token) order — the deterministic
+    tie-break makes the id assignment reproducible run-to-run, which a
+    tokenizer artifact must be. One (token) count shuffle with map-side
+    combine; the ranking window runs over the aggregated vocabulary (vocab-
+    sized, tiny next to the corpus), and the single-partition window is
+    bounded by top-N. Downstream, vocab_oov_rate consumes exactly this
+    table shape."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.orderBy(F.col("n").desc(), "token")
+    return (
+        cnt.select(
+            "token", F.row_number().over(w).cast("bigint").alias("token_id"), "n"
+        )
+        .filter(F.col("token_id") <= VOCAB_TOP_N)
+    )
