@@ -1087,3 +1087,46 @@ def profile_orders(spark, sf_dir):
     return wide.select(F.explode(F.array(*per_col)).alias("p")).select(
         "p.col", "p.n_null", "p.n_distinct", "p.min_val", "p.max_val"
     )
+
+
+@query(
+    "events_ohlc_15min",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts), '%Y-%m-%d %H:%M:%S')
+        AS bucket,
+      event_type,
+      FIRST(value ORDER BY ts, event_id) AS open,
+      CAST(MAX(value) AS DOUBLE) AS high,
+      CAST(MIN(value) AS DOUBLE) AS low,
+      LAST(value ORDER BY ts, event_id) AS close,
+      CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_ohlc_15min(spark, sf_dir):
+    """OHLC downsampling (the time-series resample shape): per 15-minute
+    bucket and event type, the opening/highest/lowest/closing value.
+    Open/close are ordered aggregates — expressed as min/max over a
+    (epoch, event_id, value) struct so the lexicographic comparison makes
+    the pick deterministic under any partitioning (min_by/first have
+    unspecified tie order in a distributed agg). One partial-agg shuffle;
+    high/low/count are plain aggregates riding the same pass."""
+    e = table(spark, sf_dir, "events")
+    key = F.struct(
+        F.unix_micros("ts").alias("t"), F.col("event_id").alias("i"),
+        F.col("value").alias("v"),
+    )
+    return (
+        e.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.min(key)["v"].alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(key)["v"].alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type", "open", "high", "low", "close", "n",
+        )
+    )
