@@ -256,3 +256,68 @@ def scd2_multi_update_history(spark, sf_dir):
         F.lit("2001-01-01 00:00:00").cast("timestamp").alias("valid_from"),
     )
     return scd2_apply_multi(hist, u1.unionByName(u2), "c_custkey")
+
+
+@query(
+    "pit_join_orders_customer_version",
+    oracle="""
+    WITH hist AS (
+      SELECT c_custkey, c_acctbal,
+             TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal,
+             TIMESTAMP '2000-06-01 00:00:00' AS valid_from
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    versions AS (
+      SELECT h.c_custkey, h.c_acctbal, h.valid_from,
+             CASE WHEN u.c_custkey IS NOT NULL THEN u.valid_from END AS valid_to
+      FROM hist h LEFT JOIN upd u ON u.c_custkey = h.c_custkey
+      UNION ALL
+      SELECT c_custkey, c_acctbal, valid_from, CAST(NULL AS TIMESTAMP) FROM upd
+    )
+    SELECT o.o_orderkey, o.o_custkey, v.c_acctbal AS acctbal_at_order
+    FROM orders o LEFT JOIN versions v
+      ON v.c_custkey = o.o_custkey
+     AND v.valid_from <= o.o_orderdate
+     AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+    """,
+)
+def pit_join_orders_customer_version(spark, sf_dir):
+    """Point-in-time (temporal) join: each order attached to the customer
+    SCD-2 version that was valid at the order date — the lookup every
+    feature-store / training-label pipeline needs to avoid leakage from
+    future attribute values. Orders before the first version match nothing
+    (NULL), proving the temporal bound really filters.
+
+    Implemented as a backward as-of join on (custkey, valid_from <=
+    o_orderdate): ONE union+window shuffle regardless of version count —
+    the interval-overlap formulation the oracle uses would be a range
+    join; on contiguous SCD-2 history the as-of pick IS the valid version,
+    so the cheap shape is also the correct one."""
+    from .asof import asof_join
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderdate",
+    )
+    versions = scd2_customer_history(spark, sf_dir).select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal_at_order"),
+        "valid_from",
+    )
+    res = asof_join(
+        o,
+        versions,
+        by=["c_custkey"],
+        left_on="o_orderdate",
+        right_on="valid_from",
+        right_values=["acctbal_at_order"],
+        tiebreak="o_orderkey",
+    )
+    return res.select("o_orderkey", "o_custkey", "acctbal_at_order")

@@ -299,3 +299,36 @@ def pii_scrub_stream(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {queryName}")
+
+
+def sliding_event_counts_stream(
+    spark: SparkSession, sf_dir: str, queryName: str = "sliding_events"
+) -> DataFrame:
+    """Streaming twin of plans/relational.py::events_sliding_window:
+    1-hour windows hopping every 30 minutes — each event updates TWO
+    overlapping window states; the watermark bounds how long each window
+    stays open. Same aggregation expressions as the batch query, drained
+    synchronously into a memory sink."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"SELECT date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS bucket, "
+        f"event_type, n, total_value FROM {queryName}"
+    )

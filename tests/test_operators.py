@@ -730,3 +730,22 @@ def test_pipeline_operators_survive_null_text(tmp_path, spark):
     # the duplicated pair of non-null docs is still found
     segs = qs["dedup_paragraphs"](spark, str(tmp_path)).collect()
     assert any(r["n_copies"] == 2 for r in segs)
+
+
+def test_streaming_sliding_window_matches_batch(spark):
+    """Sliding (overlapping) windows must agree between the streaming query
+    and the oracle-gated batch twin — each event lands in two window
+    states."""
+    from quackio_jl_spark.streaming.events import sliding_event_counts_stream
+
+    stream_res = sliding_event_counts_stream(spark, SF_DIR, queryName="t_slide")
+    batch_res = entry.queries()["events_sliding_window"](spark, SF_DIR)
+    s = {
+        (r["bucket"], r["event_type"]): (r["n"], r["total_value"])
+        for r in stream_res.collect()
+    }
+    b = {
+        (r["bucket"], r["event_type"]): (r["n"], r["total_value"])
+        for r in batch_res.collect()
+    }
+    assert s == b
