@@ -32,10 +32,10 @@ W_DIGIT = -6.0
 KEEP_THRESHOLD = 0.5
 
 
-@query(
-    "quality_model_filter",
-    oracle=f"""
-    WITH feats AS (
+# Shared oracle fragment: feats + scored CTEs (also consumed by
+# curriculum_stages below).
+_SCORED_SQL = f"""
+    feats AS (
       SELECT doc_id, lang, source,
         ln(1.0 + len(string_split(text, ' '))) AS f_log_tokens,
         CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
@@ -55,6 +55,13 @@ KEEP_THRESHOLD = 0.5
           + ({W_DIGIT} * f_digit)))), 8) AS quality_score
       FROM feats
     )
+"""
+
+
+@query(
+    "quality_model_filter",
+    oracle=f"""
+    WITH {_SCORED_SQL}
     SELECT doc_id, lang, source, quality_score,
       CASE WHEN quality_score >= {KEEP_THRESHOLD} THEN TRUE ELSE FALSE END
         AS keep
@@ -70,6 +77,20 @@ def quality_model_filter(spark, sf_dir):
     decimals before the threshold compare so the keep flag is
     engine-portable (same recipe as text_tfidf_top_terms)."""
     d = table(spark, sf_dir, "documents")
+    score = quality_score_col()
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        score.alias("quality_score"),
+        (score >= F.lit(KEEP_THRESHOLD)).alias("keep"),
+    )
+
+
+def quality_score_col():
+    """The rounded logistic quality score as a Column over a `text` field
+    (shared by quality_model_filter and curriculum_stages — identical
+    expression tree, identical oracle fragment)."""
     n_chars = F.length("text")
     n_tokens = F.size(F.split("text", " "))
     f_log_tokens = F.log(F.lit(1.0) + n_tokens)
@@ -87,11 +108,36 @@ def quality_model_filter(spark, sf_dir):
         + (F.lit(W_VOWEL) * f_vowel)
         + (F.lit(W_DIGIT) * f_digit)
     )
-    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 8)
-    return d.select(
-        "doc_id",
-        "lang",
-        "source",
-        score.alias("quality_score"),
-        (score >= F.lit(KEEP_THRESHOLD)).alias("keep"),
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 8)
+
+
+N_STAGES = 4
+
+
+@query(
+    "curriculum_stages",
+    oracle=f"""
+    WITH {_SCORED_SQL}
+    SELECT doc_id, quality_score,
+      CAST(NTILE({N_STAGES}) OVER (ORDER BY quality_score, doc_id) AS INTEGER)
+        AS stage
+    FROM scored
+    """,
+)
+def curriculum_stages(spark, sf_dir):
+    """Curriculum ordering: documents bucketed into N_STAGES difficulty
+    stages by quality score (easy/high-quality last or first is the
+    trainer's choice — the engine's job is a DETERMINISTIC stage
+    assignment, pinned by the (score, doc_id) total order). NTILE over a
+    global order is a single-partition window — fine here because the
+    ranked input is (doc_id, score) pairs, tiny next to the corpus; at
+    extreme scale swap to percent_rank-binning over a range-partitioned
+    sort, which needs no single reducer."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    scored = d.select("doc_id", quality_score_col().alias("quality_score"))
+    w = W.orderBy("quality_score", "doc_id")
+    return scored.select(
+        "doc_id", "quality_score", F.ntile(N_STAGES).over(w).alias("stage")
     )

@@ -1130,3 +1130,57 @@ def events_ohlc_15min(spark, sf_dir):
             "event_type", "open", "high", "low", "close", "n",
         )
     )
+
+
+@query(
+    "events_mad_anomalies",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+        quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+        abs(CAST(e.value AS DOUBLE) - m.med) AS adev
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.value,
+      round(d.adev / (1.4826 * t.mad), 8) AS robust_z
+    FROM dev d JOIN mad t ON d.event_type = t.event_type
+    WHERE t.mad > 0 AND d.adev / (1.4826 * t.mad) > 3.0
+    """,
+)
+def events_mad_anomalies(spark, sf_dir):
+    """Robust (median/MAD) outlier detection — the mean/std z-score
+    (events_zscore_anomalies) breaks when outliers inflate the std; the
+    median absolute deviation does not. Two grouped exact-percentile
+    passes (per-type median, then median of absolute deviations), each
+    result broadcast back to the row stream — no per-row window, no skew
+    (per-type stats are a handful of rows). Exact interpolated percentiles
+    are cross-engine bit-identical (see percentiles_by_status); the robust
+    z rounds to 8 decimals AFTER the > 3.0 cut, and the cut itself uses
+    the unrounded value in both engines."""
+    e = table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile(F.col("value").cast("double"), 0.5).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.abs(F.col("value").cast("double") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
+    rz = F.col("adev") / (F.lit(1.4826) * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (rz > 3.0))
+        .select(
+            "event_id", "event_type", "value", F.round(rz, 8).alias("robust_z")
+        )
+    )

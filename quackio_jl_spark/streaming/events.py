@@ -332,3 +332,37 @@ def sliding_event_counts_stream(
         f"SELECT date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS bucket, "
         f"event_type, n, total_value FROM {queryName}"
     )
+
+
+def enriched_purchases_stream(
+    spark: SparkSession, sf_dir: str, queryName: str = "enriched_purchases"
+) -> DataFrame:
+    """Stream-static join: the purchase event stream enriched with the
+    STATIC customer dimension (joined on user_id = c_custkey). The static
+    side is planned per micro-batch as an ordinary batch relation — no
+    watermark, no join state to evict (only stream-stream joins buffer),
+    and Spark broadcasts the dimension exactly as it would in batch. This
+    is the bread-and-butter enrichment topology: facts stream in,
+    dimensions sit in the warehouse."""
+    purchases = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    customers = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    joined = purchases.join(
+        customers, purchases.user_id == customers.c_custkey, "left"
+    ).select("event_id", "user_id", "c_mktsegment", "value")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"SELECT event_id, user_id, c_mktsegment, value FROM {queryName}"
+    )

@@ -749,3 +749,27 @@ def test_streaming_sliding_window_matches_batch(spark):
         for r in batch_res.collect()
     }
     assert s == b
+
+
+def test_stream_static_join_matches_batch(spark):
+    """Stream-static enrichment must equal the same join run in batch —
+    the static dimension is re-planned per micro-batch with no join
+    state."""
+    from pyspark.sql import functions as F
+
+    from quackio_jl_spark.plans.registry import table
+    from quackio_jl_spark.streaming.events import enriched_purchases_stream
+
+    stream_res = enriched_purchases_stream(spark, SF_DIR, queryName="t_enrich")
+    purchases = table(spark, SF_DIR, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    customers = table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    batch = purchases.join(
+        customers, purchases.user_id == customers.c_custkey, "left"
+    ).select("event_id", "user_id", "c_mktsegment", "value")
+    s = {tuple(r) for r in stream_res.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b and len(s) > 0
