@@ -141,3 +141,40 @@ def curriculum_stages(spark, sf_dir):
     return scored.select(
         "doc_id", "quality_score", F.ntile(N_STAGES).over(w).alias("stage")
     )
+
+
+@query(
+    "weighted_sample_by_quality",
+    oracle=f"""
+    WITH {_SCORED_SQL},
+    u AS (
+      SELECT doc_id, quality_score,
+        CAST(('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             AS DOUBLE) / 4294967296.0 AS unif
+      FROM scored
+    )
+    SELECT doc_id, quality_score FROM u WHERE unif < quality_score
+    """,
+)
+def weighted_sample_by_quality(spark, sf_dir):
+    """Quality-weighted Bernoulli sampling (the DCLM/RefinedWeb resampling
+    shape: keep probability proportional to the quality score, so good
+    documents survive and bad ones thin out). The per-row coin is an
+    md5-derived uniform in [0,1) keyed on ('wsamp:', doc_id) — a salted,
+    engine-reproducible hash, NOT rand(): the sample is identical across
+    runs, engines, partitionings and cluster sizes, and re-running the
+    pipeline yields the same corpus (the property a training-data lineage
+    audit needs). Map-side only; composes with any downstream filter."""
+    d = table(spark, sf_dir, "documents")
+    unif = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    score = quality_score_col()
+    return d.select(
+        "doc_id", score.alias("quality_score"), unif.alias("_u")
+    ).filter(F.col("_u") < F.col("quality_score")).drop("_u")

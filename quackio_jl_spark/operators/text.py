@@ -759,3 +759,49 @@ def vocab_build_topn(spark, sf_dir):
         )
         .filter(F.col("token_id") <= VOCAB_TOP_N)
     )
+
+
+@query(
+    "text_token_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token
+    ),
+    n AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY doc_id)
+    SELECT cnt.doc_id,
+      CAST(SUM(CAST(round(-(cnt.c / CAST(n.n AS DOUBLE))
+                    * ln(cnt.c / CAST(n.n AS DOUBLE)), 10)
+               AS DECIMAL(28,10))) AS DOUBLE) AS token_entropy,
+      CAST(MAX(n.n) AS BIGINT) AS n_tokens
+    FROM cnt JOIN n ON cnt.doc_id = n.doc_id
+    GROUP BY cnt.doc_id
+    """,
+)
+def text_token_entropy(spark, sf_dir):
+    """Shannon entropy of each document's token distribution — the classic
+    diversity/quality signal (low entropy = repetitive or boilerplate,
+    complementing text_repetition_signals' ratio heuristics). Per-token
+    contributions -p*ln(p) are IEEE-identical in both engines; each is
+    rounded to 10 decimals and summed as DECIMAL so the per-doc total is
+    independent of token order and partitioning. One (doc_id, token)
+    count shuffle + one doc_id rollup."""
+    d = table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    contrib = F.round(-p * F.log(p), 10).cast("decimal(28,10)")
+    return (
+        cnt.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(contrib).cast("double").alias("token_entropy"),
+            F.max("n").cast("bigint").alias("n_tokens"),
+        )
+    )
