@@ -117,29 +117,47 @@ N_STAGES = 4
 @query(
     "curriculum_stages",
     oracle=f"""
-    WITH {_SCORED_SQL}
+    WITH {_SCORED_SQL},
+    b AS (
+      SELECT quantile_cont(quality_score, 0.25) AS b1,
+             quantile_cont(quality_score, 0.50) AS b2,
+             quantile_cont(quality_score, 0.75) AS b3
+      FROM scored
+    )
     SELECT doc_id, quality_score,
-      CAST(NTILE({N_STAGES}) OVER (ORDER BY quality_score, doc_id) AS INTEGER)
+      CAST(1 + CASE WHEN quality_score > b1 THEN 1 ELSE 0 END
+             + CASE WHEN quality_score > b2 THEN 1 ELSE 0 END
+             + CASE WHEN quality_score > b3 THEN 1 ELSE 0 END AS INTEGER)
         AS stage
-    FROM scored
+    FROM scored CROSS JOIN b
     """,
 )
 def curriculum_stages(spark, sf_dir):
-    """Curriculum ordering: documents bucketed into N_STAGES difficulty
-    stages by quality score (easy/high-quality last or first is the
-    trainer's choice — the engine's job is a DETERMINISTIC stage
-    assignment, pinned by the (score, doc_id) total order). NTILE over a
-    global order is a single-partition window — fine here because the
-    ranked input is (doc_id, score) pairs, tiny next to the corpus; at
-    extreme scale swap to percent_rank-binning over a range-partitioned
-    sort, which needs no single reducer."""
+    """Curriculum ordering: documents bucketed into {N_STAGES} difficulty
+    stages by quality-score quartile. Deliberately NOT a global NTILE —
+    that is a single-partition window over one row per document, a
+    scale-killer at corpus size. Instead the three quartile boundaries are
+    computed with exact interpolated percentiles (cross-engine
+    bit-identical, see percentiles_by_status), broadcast, and each row
+    bins itself with three comparisons: one tiny aggregate + a map-side
+    projection, no global sort, no single reducer. Ties at a boundary go
+    to the lower stage in both engines (strict >)."""
     d = table(spark, sf_dir, "documents")
-    from pyspark.sql import Window as W
-
     scored = d.select("doc_id", quality_score_col().alias("quality_score"))
-    w = W.orderBy("quality_score", "doc_id")
-    return scored.select(
-        "doc_id", "quality_score", F.ntile(N_STAGES).over(w).alias("stage")
+    b = scored.agg(
+        F.percentile("quality_score", 0.25).alias("b1"),
+        F.percentile("quality_score", 0.50).alias("b2"),
+        F.percentile("quality_score", 0.75).alias("b3"),
+    )
+    s = F.col("quality_score")
+    stage = (
+        F.lit(1)
+        + F.when(s > F.col("b1"), 1).otherwise(0)
+        + F.when(s > F.col("b2"), 1).otherwise(0)
+        + F.when(s > F.col("b3"), 1).otherwise(0)
+    )
+    return scored.crossJoin(F.broadcast(b)).select(
+        "doc_id", "quality_score", stage.cast("int").alias("stage")
     )
 
 
