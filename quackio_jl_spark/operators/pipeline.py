@@ -1011,3 +1011,57 @@ def embedding_random_projection(spark, sf_dir):
             ).alias(f"y{m}")
         )
     return e.select(*cols)
+
+
+# ------------------------------------------- contiguous ids / shard layout
+
+SHARD_SIZE = 100
+
+
+@query(
+    "contiguous_row_ids",
+    oracle=f"""
+    SELECT doc_id,
+      CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id,
+      CAST((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // {SHARD_SIZE} AS BIGINT)
+        AS shard
+    FROM documents
+    """,
+)
+def contiguous_row_ids(spark, sf_dir):
+    """Contiguous 0..N-1 row ids + shard assignment in doc_id order — the
+    index a training loader needs (monotonically_increasing_id is
+    non-contiguous; a global ROW_NUMBER window is a single reducer).
+
+    Scale shape: range-partition by the sort key, count rows per partition
+    (a tiny aggregate), turn counts into per-partition starting offsets
+    with a cumulative sum over the handful of partition rows, broadcast
+    the offsets back, and number rows within each partition. Total cost:
+    the range-partition shuffle + one tiny agg — no global sort into one
+    task, and the ids are identical for ANY partition count because they
+    depend only on the doc_id total order."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    parts = d.repartitionByRange(8, "doc_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = counts.select(
+        "_pid",
+        (
+            F.sum("_n").over(
+                W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+            )
+        ).alias("_offset"),
+    ).fillna({"_offset": 0})
+    w_in = W.partitionBy("_pid").orderBy("doc_id")
+    row_id = F.col("_offset") + F.row_number().over(w_in) - 1
+    return (
+        parts.join(F.broadcast(offsets), "_pid")
+        .select(
+            "doc_id",
+            row_id.cast("bigint").alias("row_id"),
+            (row_id / SHARD_SIZE).cast("bigint").alias("shard"),
+        )
+    )
