@@ -953,3 +953,75 @@ def neardup_prefix_filter_pairs(spark, sf_dir):
         .where(jac >= PF_JACCARD_T)
         .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# --------------------------------------------------- asymmetric containment
+
+CONTAINMENT_THRESHOLD = 0.7
+
+
+@query(
+    "neardup_containment",
+    oracle="WITH"
+    + _SHINGLES_SQL
+    + ","
+    + _minhash_sig_sql()
+    + ","
+    + _cand_sql()
+    + f""",
+    sets AS (
+      SELECT doc_id, list(substr(md5(shingle), 1, 16)) AS s
+      FROM sh GROUP BY doc_id
+    )
+    SELECT doc1, doc2,
+      CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) / len(s1.s)
+        AS containment_1_in_2,
+      CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) / len(s2.s)
+        AS containment_2_in_1
+    FROM cand
+    JOIN sets s1 ON s1.doc_id = doc1
+    JOIN sets s2 ON s2.doc_id = doc2
+    WHERE greatest(
+        CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) / len(s1.s),
+        CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) / len(s2.s))
+      >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def neardup_containment(spark, sf_dir):
+    """Asymmetric containment verification over the LSH candidates:
+    C(A in B) = |A∩B| / |A| — catches SUBSUMED documents (a quote, an
+    excerpt, a doc embedded in a larger one) that symmetric Jaccard
+    misses, because the union in Jaccard's denominator punishes size
+    mismatch. The classic case: a 50-shingle doc fully contained in a
+    500-shingle doc has Jaccard ~0.1 but containment 1.0. Same plan shape
+    as neardup_ngram_jaccard (hashed shingle sets, broadcast candidate
+    joins, local array_intersect); a pair survives when EITHER direction
+    crosses the threshold, and both directions are reported so the caller
+    can keep the superset doc."""
+    d = table(spark, sf_dir, "documents")
+    cand = dedup_minhash_lsh_pairs(spark, sf_dir)
+    sets_ = (
+        shingles_all(d)
+        .select("doc_id", F.substring(F.md5("shingle"), 1, 16).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("s"))
+    )
+    a = sets_.select(F.col("doc_id").alias("doc1"), F.col("s").alias("s1"))
+    b = sets_.select(F.col("doc_id").alias("doc2"), F.col("s").alias("s2"))
+    c = F.size(F.array_intersect("s1", "s2")).cast("double")
+    c12 = c / F.size("s1")
+    c21 = c / F.size("s2")
+    return (
+        cand.join(a, "doc1")
+        .join(b, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            c12.alias("containment_1_in_2"),
+            c21.alias("containment_2_in_1"),
+        )
+        .filter(
+            F.greatest("containment_1_in_2", "containment_2_in_1")
+            >= CONTAINMENT_THRESHOLD
+        )
+    )
