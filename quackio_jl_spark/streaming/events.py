@@ -366,3 +366,39 @@ def enriched_purchases_stream(
     return spark.sql(
         f"SELECT event_id, user_id, c_mktsegment, value FROM {queryName}"
     )
+
+
+def session_window_stream(
+    spark: SparkSession, sf_dir: str, queryName: str = "session_stream"
+) -> DataFrame:
+    """Native session_window running as a TRUE streaming aggregation —
+    dynamic-gap windows whose state merges adjacent sessions as events
+    arrive, closed and emitted once the watermark passes the gap. This is
+    the operator the batch twin (plans/analytics.py::
+    events_session_window_agg) promises is streaming-native; here that
+    promise is executed. Complete output mode drains the final merged
+    sessions for comparison."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"SELECT date_format(sw.start, 'yyyy-MM-dd HH:mm:ss') AS session_start, "
+        f"date_format(sw.end, 'yyyy-MM-dd HH:mm:ss') AS session_end, "
+        f"user_id, n, total_value FROM {queryName}"
+    )

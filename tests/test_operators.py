@@ -773,3 +773,22 @@ def test_stream_static_join_matches_batch(spark):
     s = {tuple(r) for r in stream_res.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert s == b and len(s) > 0
+
+
+def test_native_session_window_stream_matches_batch(spark):
+    """The native session_window operator must produce identical merged
+    sessions whether run as a batch aggregation or a streaming one (state
+    merging + watermark close vs one-shot merge)."""
+    from quackio_jl_spark.streaming.events import session_window_stream
+
+    stream_res = session_window_stream(spark, SF_DIR, queryName="t_sess_native")
+    batch_res = entry.queries()["events_session_window_agg"](spark, SF_DIR)
+    s = {
+        (r["session_start"], r["session_end"], r["user_id"]): (r["n"], r["total_value"])
+        for r in stream_res.collect()
+    }
+    b = {
+        (r["session_start"], r["session_end"], r["user_id"]): (r["n"], r["total_value"])
+        for r in batch_res.collect()
+    }
+    assert s == b and len(s) > 0
