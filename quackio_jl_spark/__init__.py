@@ -26,6 +26,7 @@ from .operators.cluster import connected_components
 from .operators.merge import scd2_apply, upsert
 from .operators.skew import salted_join
 from .sources import (
+    UnknownOptionError,
     attach_kv_metadata,
     read_bucketed,
     materialize,
@@ -66,4 +67,5 @@ __all__ = [
     "list_dot_product",
     "list_cosine_similarity",
     "DUCKDB_FUNCTIONS",
+    "UnknownOptionError",
 ]

@@ -1,6 +1,7 @@
 from .bucketing import read_bucketed, write_bucketed, write_sorted
 from .metadata import attach_kv_metadata, read_kv_metadata
 from .options import (
+    UnknownOptionError,
     duckdb_schema_to_ddl,
     guess_format,
     normalize_format,
@@ -27,4 +28,5 @@ __all__ = [
     "duckdb_schema_to_ddl",
     "translate_read_options",
     "translate_write_options",
+    "UnknownOptionError",
 ]

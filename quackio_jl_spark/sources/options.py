@@ -2,14 +2,22 @@
 
 The reference passes every kwarg straight through to DuckDB's
 ``read_csv``/``read_parquet``/``read_json``/``COPY`` (serialization machinery
-at /root/reference/src/QuackIO.jl:100-121). Spark's readers use different
-option names; this module is the compatibility table (SURVEY.md §4(b)).
+at /root/reference/src/QuackIO.jl:100-121), and DuckDB's binder *errors* on
+unknown option names (the reference likewise throws on kwargs without a known
+filetype, src/QuackIO.jl:85-89). Spark's readers use different option names
+and silently IGNORE unknown ones — so a misspelled or untranslated DuckDB
+option would silently read wrong data. This module is the compatibility
+table (SURVEY.md §4(b)) and it reproduces DuckDB's fail-fast posture:
+**unknown option names raise** ``UnknownOptionError``. Genuine Spark-native
+options go through the documented ``spark_options={...}`` escape hatch on
+``read_*``/``write_table`` instead.
 
 Only *translation* lives here — no I/O.
 """
 
 from __future__ import annotations
 
+import difflib
 from typing import Any
 
 __all__ = [
@@ -18,7 +26,23 @@ __all__ = [
     "duckdb_schema_to_ddl",
     "normalize_format",
     "guess_format",
+    "UnknownOptionError",
 ]
+
+
+class UnknownOptionError(ValueError):
+    """Raised for option names with no DuckDB->Spark translation."""
+
+
+def _reject(kind: str, fmt: str, key: str, known: set[str], reason: str | None = None) -> None:
+    if reason is None:
+        close = difflib.get_close_matches(key.lower(), sorted(known), n=1)
+        hint = f" (did you mean {close[0]!r}?)" if close else ""
+        reason = (
+            f"no Spark translation{hint}; known {fmt} {kind} options: "
+            f"{sorted(known)}. Pass genuine Spark options via spark_options={{...}}"
+        )
+    raise UnknownOptionError(f"{kind}_{fmt} option {key!r}: {reason}")
 
 VALID_FORMATS = {"csv", "parquet", "json"}
 
@@ -105,14 +129,63 @@ def _bool_str(v: Any) -> str:
     return str(v)
 
 
-def translate_read_options(fmt: str, opts: dict[str, Any]) -> dict[str, str]:
-    """DuckDB read_csv/read_json option names -> Spark reader options.
+# Options that exist in DuckDB but have NO faithful Spark translation.
+# Accepting-and-ignoring them is exactly the silent-wrong-data trap this
+# module exists to close, so each raises with tailored guidance.
+_READ_UNSUPPORTED: dict[str, dict[str, str]] = {
+    "csv": {
+        "decimal_separator": (
+            "Spark's CSV parser has no decimal-separator knob; read the "
+            "column as varchar and post-cast with replace(col, ',', '.')"
+        ),
+        "parallel": "Spark always reads splittable CSV in parallel",
+        "buffer_size": "internal DuckDB tuning knob with no Spark analogue",
+    },
+    "json": {
+        "maximum_object_size": "Spark's JSON parser has no per-object size cap",
+        "records": (
+            "Spark reads NDJSON records natively; for JSON arrays use "
+            "format='array' (multiLine), for scalar-per-line files read as "
+            "text"
+        ),
+    },
+    "parquet": {
+        "binary_as_string": (
+            "Spark maps parquet BYTE_ARRAY to binary; cast(col as string) "
+            "after the scan instead"
+        ),
+        "encryption_config": "Spark's parquet reader has no modular-encryption option surface here",
+    },
+}
 
-    Unknown options pass through verbatim (Spark ignores unknown options),
-    matching the reference's Tier-B pass-through posture."""
+# Known-name sets for typo suggestions ("skip"/"sample_size"/"filename"/
+# "file_row_number" are handled by readers._read itself, before translation).
+_READ_KNOWN: dict[str, set[str]] = {
+    "csv": {
+        "delim", "sep", "delimiter", "header", "quote", "escape", "nullstr",
+        "null_str", "compression", "dateformat", "timestampformat",
+        "ignore_errors", "all_varchar", "new_line", "encoding", "skip",
+        "sample_size",
+    },
+    "json": {
+        "compression", "format", "timestampformat", "dateformat",
+        "ignore_errors", "sample_size",
+    },
+    "parquet": {"compression", "filename", "file_row_number"},
+}
+
+
+def translate_read_options(fmt: str, opts: dict[str, Any]) -> dict[str, str]:
+    """DuckDB read_csv/read_json/read_parquet option names -> Spark reader
+    options. Unknown names raise :class:`UnknownOptionError` (DuckDB binder
+    parity) instead of passing through to Spark's silent-ignore."""
     out: dict[str, str] = {}
+    known = _READ_KNOWN.get(fmt, set())
+    unsupported = _READ_UNSUPPORTED.get(fmt, {})
     for k, v in opts.items():
         lk = k.lower()
+        if lk in unsupported:
+            _reject("read", fmt, k, known, unsupported[lk])
         if fmt == "csv":
             if lk in ("delim", "sep", "delimiter"):
                 out["sep"] = str(v)
@@ -131,27 +204,39 @@ def translate_read_options(fmt: str, opts: dict[str, Any]) -> dict[str, str]:
                 out["dateFormat"] = str(v)
             elif lk == "timestampformat":
                 out["timestampFormat"] = str(v)
-            elif lk == "sample_size":
-                out["samplingRatio"] = "1.0"
+            elif lk == "encoding":
+                out["encoding"] = str(v)
+            elif lk == "new_line":
+                nv = str(v)
+                if nv == "\r\n":
+                    continue  # univocity already splits on \r\n by default
+                out["lineSep"] = nv
             elif lk == "ignore_errors":
                 out["mode"] = "DROPMALFORMED" if v else "FAILFAST"
             elif lk == "all_varchar":
                 if v:
                     out["inferSchema"] = "false"
             else:
-                out[k] = _bool_str(v)
+                _reject("read", fmt, k, known)
         elif fmt == "json":
             if lk == "compression":
                 continue
-            if lk in ("format",):  # duckdb json 'format=newline_delimited|array'
+            elif lk == "format":  # duckdb json 'format=newline_delimited|array'
                 if str(v) in ("array",):
                     out["multiLine"] = "true"
             elif lk == "timestampformat":
                 out["timestampFormat"] = str(v)
+            elif lk == "dateformat":
+                out["dateFormat"] = str(v)
+            elif lk == "ignore_errors":
+                out["mode"] = "DROPMALFORMED" if v else "FAILFAST"
             else:
-                out[k] = _bool_str(v)
+                _reject("read", fmt, k, known)
         else:  # parquet
-            out[k] = _bool_str(v)
+            if lk == "compression":
+                continue  # parquet footers are self-describing on read
+            else:
+                _reject("read", fmt, k, known)
     return out
 
 
@@ -166,11 +251,55 @@ _WRITE_CODEC = {
 }
 
 
+_WRITE_UNSUPPORTED: dict[str, dict[str, str]] = {
+    "csv": {
+        "prefix": "DuckDB COPY prefix/suffix framing has no Spark writer analogue",
+        "suffix": "DuckDB COPY prefix/suffix framing has no Spark writer analogue",
+    },
+    "parquet": {
+        "row_group_size": (
+            "DuckDB counts ROWS per row group; Spark's parquet.block.size "
+            "option counts BYTES — pass spark_options={'parquet.block.size': "
+            "<bytes>} if byte-based sizing is acceptable"
+        ),
+        "field_ids": "Spark's parquet writer assigns field ids itself",
+        "encryption_config": "no modular-encryption option surface on Spark's writer here",
+    },
+    "json": {
+        "array": (
+            "Spark writes NDJSON only; wrap post-hoc or use "
+            "format='array' on the read side of the consumer"
+        ),
+    },
+}
+
+_WRITE_KNOWN: dict[str, set[str]] = {
+    "csv": {
+        "delim", "sep", "delimiter", "header", "compression", "force_quote",
+        "quote", "escape", "nullstr", "dateformat", "timestampformat",
+        "use_tmp_file", "new_line", "per_thread_output", "partition_by",
+    },
+    "json": {
+        "compression", "dateformat", "timestampformat", "use_tmp_file",
+        "per_thread_output", "partition_by",
+    },
+    "parquet": {
+        "compression", "kv_metadata", "use_tmp_file", "per_thread_output",
+        "partition_by",
+    },
+}
+
+
 def translate_write_options(fmt: str, opts: dict[str, Any]) -> dict[str, str]:
-    """DuckDB COPY options -> Spark writer options (SURVEY.md §2.1 list)."""
+    """DuckDB COPY options -> Spark writer options (SURVEY.md §2.1 list).
+    Unknown names raise :class:`UnknownOptionError` (DuckDB binder parity)."""
     out: dict[str, str] = {}
+    known = _WRITE_KNOWN.get(fmt, set())
+    unsupported = _WRITE_UNSUPPORTED.get(fmt, {})
     for k, v in opts.items():
         lk = k.lower()
+        if lk in unsupported:
+            _reject("write", fmt, k, known, unsupported[lk])
         if lk in ("delim", "sep", "delimiter") and fmt == "csv":
             out["sep"] = str(v)
         elif lk == "header" and fmt == "csv":
@@ -184,8 +313,18 @@ def translate_write_options(fmt: str, opts: dict[str, Any]) -> dict[str, str]:
             continue
         elif lk == "quote" and fmt == "csv":
             out["quote"] = str(v)
+        elif lk == "escape" and fmt == "csv":
+            out["escape"] = str(v)
         elif lk == "nullstr" and fmt == "csv":
             out["nullValue"] = str(v)
+        elif lk == "new_line" and fmt == "csv":
+            nv = str(v)
+            if nv != "\r\n":
+                out["lineSep"] = nv
+        elif lk == "per_thread_output":
+            # DuckDB writes one file per thread; Spark's directory mode
+            # (single_file=False) is the same contract — one part per task.
+            continue
         elif lk == "dateformat":
             out["dateFormat"] = str(v)
         elif lk == "timestampformat":
@@ -197,5 +336,5 @@ def translate_write_options(fmt: str, opts: dict[str, Any]) -> dict[str, str]:
         elif lk == "kv_metadata":
             continue  # handled by sources.metadata, not the Spark writer
         else:
-            out[k] = _bool_str(v)
+            _reject("write", fmt, k, known)
     return out

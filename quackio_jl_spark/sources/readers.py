@@ -140,6 +140,47 @@ def _restrict_auto_types(df: DataFrame, candidates: Sequence[str]) -> DataFrame:
     return df.select(*out)
 
 
+def _estimate_rows(paths: Sequence[str]) -> int | None:
+    """Cheap row-count estimate for honoring DuckDB's ``sample_size=N``
+    (a row COUNT) through Spark's ``samplingRatio`` (a FRACTION): total
+    bytes / average line length sampled from the first 64 KiB. Local
+    paths only — distributed-FS URLs fall back to full-scan inference."""
+    import os
+
+    total = 0
+    for p in paths:
+        if not os.path.isfile(p):
+            return None
+        total += os.path.getsize(p)
+    try:
+        with open(paths[0], "rb") as f:
+            head = f.read(65536)
+    except OSError:
+        return None
+    lines = head.count(b"\n")
+    if not lines or not total:
+        return None
+    return max(1, int(total / (len(head) / lines)))
+
+
+def _skip_lines(spark: SparkSession, paths: Sequence[str], n: int):
+    """DuckDB csv ``skip=N``: drop the first N lines of EACH file before
+    parsing (preamble text ahead of the header). Spark's CSV reader has no
+    such option, so we feed the parser an RDD of the surviving lines —
+    ``zipWithIndex`` preserves file line order per input. One extra pass
+    over the text; ``skip`` targets curated side files, not the 100 TB
+    scan path (parquet has no preambles)."""
+    sc = spark.sparkContext
+    rdds = [
+        sc.textFile(p)
+        .zipWithIndex()
+        .filter(lambda t, n=n: t[1] >= n)
+        .map(lambda t: t[0])
+        for p in paths
+    ]
+    return rdds[0] if len(rdds) == 1 else sc.union(rdds)
+
+
 _GLOB_CHARS = ("*", "?", "[", "{")
 
 
@@ -167,10 +208,32 @@ def _read(
     auto_type_candidates: Sequence[str] | None = None,
     hive_partitioning: bool | None = None,
     union_by_name: bool = False,
+    skip: int | None = None,
+    sample_size: int | None = None,
+    filename: bool = False,
+    file_row_number: bool = False,
+    spark_options: dict[str, Any] | None = None,
     materializer: str = "df",
     **options: Any,
 ) -> Any:
     opts = translate_read_options(fmt, options)
+    paths = _paths(file, suffix=f".{fmt}")
+    if skip is not None and fmt != "csv":
+        raise ValueError("skip= is a CSV option (DuckDB read_csv skip)")
+    if sample_size is not None and fmt in ("csv", "json"):
+        # DuckDB: number of rows used for sniffing (-1 = all). Spark:
+        # samplingRatio fraction of rows used for schema inference.
+        n = int(sample_size)
+        if n <= 0:
+            opts["samplingRatio"] = "1.0"
+        else:
+            est = _estimate_rows(paths)
+            ratio = min(1.0, n / est) if est else 1.0
+            opts["samplingRatio"] = f"{max(ratio, 1e-4):.6f}"
+    if (filename or file_row_number) and fmt != "parquet":
+        raise ValueError(
+            "filename=/file_row_number= are parquet options (DuckDB read_parquet)"
+        )
     reader = spark.read
     if columns:
         reader = reader.schema(duckdb_schema_to_ddl(columns))
@@ -179,7 +242,12 @@ def _read(
     elif fmt == "csv":
         opts.setdefault("header", "true")
         opts.setdefault("inferSchema", "true")
-    paths = _paths(file, suffix=f".{fmt}")
+    if fmt in ("csv", "json"):
+        # DuckDB fails on malformed rows unless ignore_errors=true; Spark's
+        # default is PERMISSIVE (malformed -> nulls, silently). Align the
+        # DEFAULT to fail-fast; opt out via ignore_errors= or
+        # spark_options={'mode': 'PERMISSIVE'}.
+        opts.setdefault("mode", "FAILFAST")
     # DuckDB `hive_partitioning` (Tier B pass-through,
     # /root/reference/src/QuackIO.jl:100-121): key=value path segments
     # become columns. Spark discovers them natively on directory reads; a
@@ -195,8 +263,14 @@ def _read(
     # (missing columns -> NULL) instead of by position.
     if union_by_name and fmt == "parquet":
         opts.setdefault("mergeSchema", "true")  # Spark's native name-union
+    if spark_options:
+        # documented escape hatch: genuine Spark reader options, verbatim,
+        # overriding any translated/default value
+        opts.update({k: str(v) for k, v in spark_options.items()})
     reader = reader.options(**opts)
-    if union_by_name and fmt != "parquet" and len(paths) > 1:
+    if skip:
+        df = reader.csv(_skip_lines(spark, paths, int(skip)))
+    elif union_by_name and fmt != "parquet" and len(paths) > 1:
         # csv/json: infer each file independently, then name-union
         from functools import reduce
 
@@ -207,6 +281,13 @@ def _read(
     else:
         # DataFrameReader.parquet is varargs; csv/json take a path list
         df = reader.parquet(*paths) if fmt == "parquet" else getattr(reader, fmt)(paths)
+    if filename:
+        # DuckDB read_parquet(filename=true): which file each row came from
+        df = df.withColumn("filename", F.input_file_name())
+    if file_row_number:
+        # DuckDB read_parquet(file_row_number=true) -> Spark's hidden
+        # _metadata.row_index (computed by the scan, no extra pass)
+        df = df.select("*", F.col("_metadata.row_index").alias("file_row_number"))
     if names:
         # positional rename, reference `names=` (test/runtests.jl:72-76)
         df = df.toDF(*[str(n) for n in names], *df.columns[len(list(names)):])

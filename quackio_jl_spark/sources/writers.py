@@ -75,9 +75,13 @@ def write_table(
     mode: str = "overwrite",
     kv_metadata: Mapping[str, Any] | None = None,
     partition_by: list[str] | None = None,
+    spark_options: Mapping[str, Any] | None = None,
     **options: Any,
 ) -> str:
-    """Write ``df`` to ``file``; returns the path written."""
+    """Write ``df`` to ``file``; returns the path written.
+
+    Unknown DuckDB COPY option names raise (options.UnknownOptionError);
+    genuine Spark writer options go through ``spark_options={...}``."""
     fmt = normalize_format(format) if format is not None else guess_format(file)
     # DuckDB COPY-style PARTITION_BY as a plain option (Tier B pass-through)
     pb = options.pop("partition_by", None)
@@ -85,6 +89,8 @@ def write_table(
         partition_by = [pb] if isinstance(pb, str) else [str(c) for c in pb]
     force_quote = options.pop("force_quote", None)
     opts = translate_write_options(fmt, options)
+    if spark_options:
+        opts.update({k: str(v) for k, v in spark_options.items()})
     if fmt == "csv":
         opts.setdefault("header", "true")
         # Spark's CSV writer TRIMS cell whitespace by default; DuckDB (and

@@ -142,9 +142,11 @@ def test_python_datasource_writer_overwrite_clears_stale_parts(tmp_path, spark):
 
 
 def test_csv_malformed_row_modes(tmp_path, spark):
-    """Corrupt-input policy: PERMISSIVE nulls the bad cells (default),
-    DROPMALFORMED skips the row, FAILFAST raises — the three modes a 100 TB
-    ingest needs to choose between explicitly."""
+    """Corrupt-input policy, DuckDB-aligned DEFAULT: a malformed row FAILS
+    the read (DuckDB read_csv errors unless ignore_errors). ignore_errors=True
+    drops the row; Spark's null-filling PERMISSIVE mode stays reachable via
+    the spark_options escape hatch — the three modes a 100 TB ingest needs
+    to choose between explicitly."""
     import pytest
 
     from quackio_jl_spark.sources.readers import read_csv
@@ -154,15 +156,17 @@ def test_csv_malformed_row_modes(tmp_path, spark):
         f.write("a,b\n1,x\nnot_an_int,y\n3,z\n")
     schema = {"a": "bigint", "b": "varchar"}
 
-    permissive = read_csv(spark, p, columns=schema).collect()
-    assert len(permissive) == 3
-    assert sorted(r["a"] for r in permissive if r["a"] is not None) == [1, 3]
+    with pytest.raises(Exception):  # FAILFAST is now the default
+        read_csv(spark, p, columns=schema).collect()
 
-    dropped = read_csv(spark, p, columns=schema, mode="DROPMALFORMED").collect()
+    dropped = read_csv(spark, p, columns=schema, ignore_errors=True).collect()
     assert sorted(r["a"] for r in dropped) == [1, 3]
 
-    with pytest.raises(Exception):
-        read_csv(spark, p, columns=schema, mode="FAILFAST").collect()
+    permissive = read_csv(
+        spark, p, columns=schema, spark_options={"mode": "PERMISSIVE"}
+    ).collect()
+    assert len(permissive) == 3
+    assert sorted(r["a"] for r in permissive if r["a"] is not None) == [1, 3]
 
 
 def test_http_scan_size_cap(tmp_path, spark, basic_df, monkeypatch):
