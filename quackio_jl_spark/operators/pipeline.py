@@ -573,18 +573,34 @@ def ann_ivf_kmeans3_centroids(spark, sf_dir):
 
 RECALL_K = 3
 
+# Absolute cap on the evaluation query sample. A pure 1% modulo sample
+# scales linearly with the corpus (1% of 10^11 vectors is 10^9 queries) and
+# ground truth is O(N*Q); the cap keeps the harness a fixed-cost offline
+# eval at any corpus size. Non-binding at the test SFs, so Spark and the
+# oracle stay hash-identical.
+EVAL_MAX_QUERIES = 1000
+_QSAMPLE_SQL = f"vec_id % 100 = 0 AND vec_id < {100 * EVAL_MAX_QUERIES}"
+
+
+def _eval_queries(e):
+    """Deterministic, bounded eval query sample (<= EVAL_MAX_QUERIES)."""
+    return e.filter(
+        (F.col("vec_id") % 100 == 0)
+        & (F.col("vec_id") < 100 * EVAL_MAX_QUERIES)
+    )
+
 
 def _ivf_topk(spark, sf_dir, cv, nprobe: int):
     """(qid, vec_id) IVF top-RECALL_K pairs under quantizer ``cv`` with
     ``nprobe`` probed cells per query. Corpus assigned by broadcast-argmax;
-    only the 1% query side pays a top-nprobe window."""
+    only the bounded query sample pays a top-nprobe window."""
     e = table(spark, sf_dir, "embeddings")
     cells = _assign_to(e, cv)
     w = W.partitionBy("vec_id").orderBy(
         cosine("embedding", "cv").desc(), F.col("cell")
     )
     qcells = (
-        e.filter(F.col("vec_id") % 100 == 0)
+        _eval_queries(e)
         .crossJoin(F.broadcast(cv))
         .select("vec_id", "embedding", "cell", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= nprobe)
@@ -609,7 +625,7 @@ def _ivf_topk_sql(nprobe: int) -> str:
     return f"""
     probe{nprobe} AS (
       SELECT vec_id AS qid, embedding AS qv, cell AS qcell
-      FROM scored WHERE rn <= {nprobe} AND vec_id % 100 = 0
+      FROM scored WHERE rn <= {nprobe} AND {_QSAMPLE_SQL}
     ),
     ivf{nprobe} AS (
       SELECT qid, vec_id FROM (
@@ -633,7 +649,7 @@ def _ivf_topk_sql(nprobe: int) -> str:
       FROM embeddings CROSS JOIN centvec
     ),
     cells AS (SELECT vec_id, embedding, cell FROM scored WHERE rn = 1),
-    q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE {_QSAMPLE_SQL}),
     gt AS (
       SELECT qid, vec_id FROM (
         SELECT q.qid, e.vec_id,
@@ -660,15 +676,15 @@ def _ivf_topk_sql(nprobe: int) -> str:
 def ann_ivf_recall_at_k(spark, sf_dir):
     """Recall@{k} of the IVF index vs exact brute force — the quality gauge
     every ANN system ships: ground truth is the exact cosine top-k per query
-    over the WHOLE corpus (the evaluation harness runs on a query sample, so
-    the quadratic bit stays bounded — 1% of vectors probe everything), IVF
-    candidates come from nprobe=1 and nprobe=2 probed cells, and recall is
-    the matched fraction. nprobe=2 is provably >= nprobe=1 on the same data
-    (asserted in tests/test_operators.py): more probes, strictly more
-    candidates, same ranking."""
+    over the WHOLE corpus (the evaluation harness runs on a query sample
+    capped at EVAL_MAX_QUERIES absolute, so the quadratic bit stays a fixed
+    cost at any corpus size), IVF candidates come from nprobe=1 and nprobe=2
+    probed cells, and recall is the matched fraction. nprobe=2 is provably
+    >= nprobe=1 on the same data (asserted in tests/test_operators.py):
+    more probes, strictly more candidates, same ranking."""
     e = table(spark, sf_dir, "embeddings")
     cv = _centroid_vectors(spark, sf_dir)
-    q = e.filter(F.col("vec_id") % 100 == 0).select(
+    q = _eval_queries(e).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
     wg = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
@@ -1033,19 +1049,35 @@ def contiguous_row_ids(spark, sf_dir):
     index a training loader needs (monotonically_increasing_id is
     non-contiguous; a global ROW_NUMBER window is a single reducer).
 
-    Scale shape: range-partition by the sort key, count rows per partition
-    (a tiny aggregate), turn counts into per-partition starting offsets
-    with a cumulative sum over the handful of partition rows, broadcast
-    the offsets back, and number rows within each partition. Total cost:
-    the range-partition shuffle + one tiny agg — no global sort into one
-    task, and the ids are identical for ANY partition count because they
-    depend only on the doc_id total order."""
+    Scale shape: bucket rows into ORDERED key ranges, count rows per bucket
+    (a tiny aggregate), turn counts into per-bucket starting offsets with a
+    cumulative sum over the handful of bucket rows, broadcast the offsets
+    back, and number rows within each bucket. No global sort into one task,
+    and the ids are identical for ANY partition count because they depend
+    only on the doc_id total order.
+
+    The bucket id is a PURE FUNCTION of the row (uniform ranges between the
+    exact min/max, broadcast as a 1-row aggregate) — NOT
+    spark_partition_id over repartitionByRange, whose sampled boundaries
+    are only consistent across the two plan branches while Spark's
+    exchange-reuse happens to evaluate the exchange once. Uniform ranges
+    assume a roughly uniform key distribution (true for doc ids); key skew
+    degrades the in-bucket window's parallelism, never correctness."""
     from pyspark.sql import Window as W
 
+    n_buckets = 8
     d = table(spark, sf_dir, "documents").select("doc_id")
-    parts = d.repartitionByRange(8, "doc_id").withColumn(
-        "_pid", F.spark_partition_id()
+    stats = F.broadcast(
+        d.agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
     )
+    width = (F.col("_hi") - F.col("_lo") + 1).cast("double") / n_buckets
+    parts = d.crossJoin(stats).withColumn(
+        "_pid",
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.col("doc_id") - F.col("_lo")).cast("double") / width).cast("int"),
+        ),
+    ).drop("_lo", "_hi")
     counts = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     offsets = counts.select(
         "_pid",

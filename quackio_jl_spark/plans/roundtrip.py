@@ -188,6 +188,94 @@ def roundtrip_union_by_name(spark, sf_dir):
     )
 
 
+_NESTED_ORACLE = """
+    SELECT o_orderstatus AS status,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+      CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT)
+        AS urgent,
+      COUNT(*) AS consistent
+    FROM orders
+    GROUP BY o_orderstatus
+"""
+
+
+def _nest(src):
+    """Struct with HOSTILE field names (space + unicode + quote, the
+    reference's adversarial-identifier precedent
+    /root/reference/test/runtests.jl:72-76) plus a map column."""
+    return src.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("order status"),
+            F.col("o_totalprice").alias("prix tötal'"),
+        ).alias("info"),
+        F.create_map(
+            F.lit("priority"), F.col("o_orderpriority"),
+            F.lit("status"), F.col("o_orderstatus"),
+        ).alias("tags"),
+    )
+
+
+def _nested_agg(back):
+    return back.groupBy(F.col("info.`order status`").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("info.`prix tötal'`").cast(DEC)).cast("double").alias("total"),
+        F.sum(
+            F.when(F.col("tags")["priority"].startswith("1"), 1).otherwise(0)
+        ).alias("urgent"),
+        # map value must still agree with the struct field after the trip
+        F.sum(
+            F.when(F.col("tags")["status"] == F.col("info.`order status`"), 1)
+            .otherwise(0)
+        ).alias("consistent"),
+    )
+
+
+@query("roundtrip_nested_struct", oracle=_NESTED_ORACLE)
+def roundtrip_nested_struct(spark, sf_dir):
+    """orders -> struct(hostile names)+map columns -> parquet sink ->
+    parquet scan -> nested-field probes -> aggregate (SURVEY §1.3: nested
+    data 'comes along for free' in the reference via DuckDB; this makes the
+    claim true here). The oracle computes the same numbers flat from the
+    source parquet, so any field-name mangling, value loss, or struct/map
+    entry reordering in the round-trip breaks the hash."""
+    import os
+    import tempfile
+
+    from ..sources.readers import read_parquet
+
+    src = table(spark, sf_dir, "orders")
+    path = os.path.join(tempfile.mkdtemp(prefix="quackio_rt_"), "orders_nested")
+    write_table(_nest(src), path, format="parquet", single_file=False)
+    return _nested_agg(read_parquet(spark, path))
+
+
+@query("roundtrip_nested_struct_json", oracle=_NESTED_ORACLE)
+def roundtrip_nested_struct_json(spark, sf_dir):
+    """Same nested payload through the NDJSON sink/scan with an explicit
+    nested schema (struct fields with spaces/unicode/quotes survive JSON
+    key quoting; map<string,string> read back as a real MapType)."""
+    import os
+    import tempfile
+
+    src = table(spark, sf_dir, "orders")
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="quackio_rt_"), "orders_nested.json"
+    )
+    write_table(_nest(src), path, format="json", single_file=False)
+    back = read_json(
+        spark,
+        path,
+        columns={
+            "o_orderkey": "bigint",
+            "info": "struct<`order status`:string,`prix tötal'`:double>",
+            "tags": "map<string,string>",
+        },
+    )
+    return _nested_agg(back)
+
+
 @query("roundtrip_parquet_zstd", oracle=_ORACLE)
 def roundtrip_parquet_zstd(spark, sf_dir):
     """orders -> zstd-compressed parquet sink (directory mode, the scale

@@ -489,6 +489,18 @@ def test_recall_at_k_monotone_and_bounded(spark):
     assert rows[1]["n_hits"] > 0
 
 
+def test_recall_query_sample_absolute_cap(spark):
+    """The eval query sample is bounded by EVAL_MAX_QUERIES no matter how
+    large the corpus id space grows — ground truth is O(N*Q), so an
+    unbounded percentage sample would scale the harness quadratically."""
+    from quackio_jl_spark.operators.pipeline import EVAL_MAX_QUERIES, _eval_queries
+
+    huge = spark.range(0, 1_000_000).withColumnRenamed("id", "vec_id")
+    assert _eval_queries(huge).count() == EVAL_MAX_QUERIES
+    small = spark.range(0, 5_000).withColumnRenamed("id", "vec_id")
+    assert _eval_queries(small).count() == 50  # cap non-binding at test SFs
+
+
 def test_streaming_watermark_bounds_state(tmp_path, spark):
     """State EVICTION, not just state carry: events arrive as 8 time-ordered
     micro-batches (bounded out-of-orderness inside each), the watermark
