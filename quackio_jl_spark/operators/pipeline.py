@@ -1063,8 +1063,6 @@ def contiguous_row_ids(spark, sf_dir):
     exchange-reuse happens to evaluate the exchange once. Uniform ranges
     assume a roughly uniform key distribution (true for doc ids); key skew
     degrades the in-bucket window's parallelism, never correctness."""
-    from pyspark.sql import Window as W
-
     n_buckets = 8
     d = table(spark, sf_dir, "documents").select("doc_id")
     stats = F.broadcast(
@@ -1078,6 +1076,19 @@ def contiguous_row_ids(spark, sf_dir):
             F.floor((F.col("doc_id") - F.col("_lo")).cast("double") / width).cast("int"),
         ),
     ).drop("_lo", "_hi")
+    return _number_in_bucket_order(
+        parts, ["doc_id"], ["doc_id"], "row_id"
+    )
+
+
+def _number_in_bucket_order(parts, order_cols, keep_cols, pos_name):
+    """Shared contiguous-numbering kernel: given rows tagged with an ordered
+    ``_pid`` bucket (a pure function of the row whose int order agrees with
+    the global order of ``order_cols``), produce global 0..N-1 positions +
+    shard ids — per-bucket counts -> cumulative offsets (tiny, broadcast) ->
+    in-bucket ROW_NUMBER. Never a single-reducer global sort."""
+    from pyspark.sql import Window as W
+
     counts = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     offsets = counts.select(
         "_pid",
@@ -1087,13 +1098,50 @@ def contiguous_row_ids(spark, sf_dir):
             )
         ).alias("_offset"),
     ).fillna({"_offset": 0})
-    w_in = W.partitionBy("_pid").orderBy("doc_id")
-    row_id = F.col("_offset") + F.row_number().over(w_in) - 1
-    return (
-        parts.join(F.broadcast(offsets), "_pid")
-        .select(
-            "doc_id",
-            row_id.cast("bigint").alias("row_id"),
-            (row_id / SHARD_SIZE).cast("bigint").alias("shard"),
-        )
+    w_in = W.partitionBy("_pid").orderBy(*order_cols)
+    pos = F.col("_offset") + F.row_number().over(w_in) - 1
+    return parts.join(F.broadcast(offsets), "_pid").select(
+        *keep_cols,
+        pos.cast("bigint").alias(pos_name),
+        (pos / SHARD_SIZE).cast("bigint").alias("shard"),
+    )
+
+
+SHUFFLE_SALT = "epoch-0"
+
+
+@query(
+    "shuffle_corpus_deterministic",
+    oracle=f"""
+    SELECT doc_id,
+      CAST(ROW_NUMBER() OVER (
+        ORDER BY md5('{SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)), doc_id
+      ) - 1 AS BIGINT) AS pos,
+      CAST((ROW_NUMBER() OVER (
+        ORDER BY md5('{SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)), doc_id
+      ) - 1) // {SHARD_SIZE} AS BIGINT) AS shard
+    FROM documents
+    """,
+)
+def shuffle_corpus_deterministic(spark, sf_dir):
+    """Deterministic global corpus shuffle — the step every training run
+    performs before sharding: each document gets a pseudo-random but
+    REPRODUCIBLE position (and shard) defined by md5(salt || doc_id), so
+    any engine, any partition count, any retry produces the same epoch
+    order, and changing the salt reshuffles for the next epoch.
+
+    Scale shape: the md5 key is uniform by construction, so the first two
+    hex chars are a perfectly balanced, ORDER-ALIGNED bucket id (the
+    prefix determines the bucket: bucket order == key order) — no
+    boundary sampling, no skew. Then the shared numbering kernel:
+    per-bucket counts -> broadcast cumulative offsets -> in-bucket sort.
+    One small agg + one bucket-hash window shuffle; never a global
+    single-reducer sort of the corpus."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    key = F.md5(F.concat(F.lit(SHUFFLE_SALT), F.col("doc_id").cast("string")))
+    parts = d.withColumn("_key", key).withColumn(
+        "_pid", F.conv(F.substring("_key", 1, 2), 16, 10).cast("int")
+    )
+    return _number_in_bucket_order(
+        parts, ["_key", "doc_id"], ["doc_id"], "pos"
     )

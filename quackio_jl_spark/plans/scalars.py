@@ -218,3 +218,59 @@ def regexp_pack(spark, sf_dir):
         F.regexp_count("text", F.lit("table")).cast("int").alias("n_table"),
         F.col("text").rlike("scan.*stream|stream.*scan").alias("scan_and_stream"),
     )
+
+
+@query(
+    "decimal_interval_pack",
+    oracle="""
+    SELECT o_orderkey,
+      CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS dec_str,
+      CAST(CAST(o_totalprice AS DECIMAL(18,2))
+           * CAST('1.1' AS DECIMAL(3,1)) AS DOUBLE) AS dec_mul,
+      CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS dec_round1,
+      CAST(o_orderdate + INTERVAL 3 DAY AS TIMESTAMP) AS plus3d,
+      CAST(o_orderdate + INTERVAL 90 MINUTE AS TIMESTAMP) AS plus90min,
+      CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+      CAST(DATE '2020-01-31'
+           + to_months(CAST(o_orderkey % 13 AS INTEGER)) AS DATE) AS eom_clamp,
+      CAST(epoch(TIMESTAMP '2000-01-01 00:00:00')
+           - epoch(o_orderdate) AS BIGINT) AS sec_to_y2k
+    FROM orders
+    """,
+)
+def decimal_interval_pack(spark, sf_dir):
+    """Decimal + interval semantics pinned cross-engine (SURVEY §1.3 lists
+    both as free-from-engine; this makes the claim checked, not assumed):
+
+    - double->DECIMAL(18,2) cast, then VARCHAR rendering (scale digits kept
+      by both engines: '123.40', not '123.4');
+    - exact decimal multiplication with scale growth, compared through the
+      final double conversion (both engines compute the exact product);
+    - round(decimal, 1): Spark HALF_UP == DuckDB half-away-from-zero on the
+      positive domain (why this pack sticks to positive prices);
+    - day/minute interval addition on timestamps; month addition on dates
+      including END-OF-MONTH CLAMPING (2020-01-31 + 1 month = 2020-02-29 in
+      both engines — the classic cross-engine disagreement with engines
+      that overflow into March);
+    - interval-free epoch difference (DuckDB epoch() vs Spark
+      unix_timestamp agree on UTC naive instants).
+    """
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    dec2 = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.select(
+        "o_orderkey",
+        dec2.cast("string").alias("dec_str"),
+        (dec2 * F.lit("1.1").cast("decimal(3,1)")).cast("double").alias("dec_mul"),
+        F.round(dec2, 1).cast("double").alias("dec_round1"),
+        (d + F.expr("INTERVAL 3 DAY")).alias("plus3d"),
+        (d + F.expr("INTERVAL 90 MINUTE")).alias("plus90min"),
+        F.add_months(F.to_date(d), 2).alias("plus2m"),
+        F.add_months(
+            F.lit("2020-01-31").cast("date"), (F.col("o_orderkey") % 13).cast("int")
+        ).alias("eom_clamp"),
+        (
+            F.unix_timestamp(F.lit("2000-01-01 00:00:00").cast("timestamp"))
+            - F.unix_timestamp(d)
+        ).alias("sec_to_y2k"),
+    )
