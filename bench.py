@@ -5,6 +5,12 @@ and prints ONE JSON line:
 
 Each query executes end-to-end via the ``noop`` sink (full plan execution,
 no driver-side materialization cost), after a small JVM warm-up.
+
+Per-query times are MEDIANS over $SPARK_GRAFT_BENCH_REPEATS (default 3)
+full passes of the suite — this host's wall-clock swings several-fold under
+noisy neighbors (20.5-154 s observed for identical code), and interleaved
+passes + medians suppress transient spikes that back-to-back repeats or
+single runs would absorb into one query's number.
 """
 
 from __future__ import annotations
@@ -12,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -67,12 +74,15 @@ def main() -> None:
     for name in HEADLINE:
         run(QUERIES[name](spark, warm_dir))
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        run(QUERIES[name](spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(repeats):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            run(QUERIES[name](spark, sf_dir))
+            samples[name].append(time.perf_counter() - t0)
 
+    times = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -82,6 +92,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "repeats": repeats,
+                "aggregation": "median_per_query_over_interleaved_passes",
             }
         )
     )

@@ -5,7 +5,11 @@ DuckDB over the same parquet, and compares row count + column names + an
 order-insensitive value comparison (exact on sorted rows). Prints per-query
 PASS/FAIL and a summary; exits nonzero on failure.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--json out.json] [sf_dir] [query ...]
+
+--json writes a per-query artifact in the driver's CORRECTNESS_r0x.json
+shape (rows/schema/hash matches + row counts) so full-gate runs are
+reproducible evidence committed to the repo, not just a console claim.
 """
 
 from __future__ import annotations
@@ -39,8 +43,13 @@ def main():
     import __spark_entry__ as entrymod
     from quackio_jl_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_path = None
+    if argv and argv[0] == "--json":
+        json_path = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     # SPARK_GRAFT_CPUS must win here — the partition-count-invariance check
     # (PLANS.md) runs this gate at 7 and 32 shuffle partitions.
@@ -58,44 +67,71 @@ def main():
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    records: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
         t0 = time.time()
+        rec = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        records[name] = rec
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            rec["spark_rows"] = len(srows)
         except Exception as e:
             failures.append(name)
-            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            rec["err"] = f"spark error: {type(e).__name__}: {str(e)[:300]}"
+            print(f"FAIL {name}: {rec['err']}")
             continue
         if name not in oracles:
+            rec.update(rows_match=True, schema_match=True, hash_match=None,
+                       err="rows-only (no oracle by design)")
             print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            rec["oracle_rows"] = len(orows)
         except Exception as e:
             failures.append(name)
-            print(f"FAIL {name}: oracle error: {type(e).__name__}: {str(e)[:300]}")
+            rec["err"] = f"oracle error: {type(e).__name__}: {str(e)[:300]}"
+            print(f"FAIL {name}: {rec['err']}")
             continue
         status = []
-        if len(srows) != len(orows):
+        rec["rows_match"] = len(srows) == len(orows)
+        if not rec["rows_match"]:
             status.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if sorted(scols) != sorted(ocols):
+        rec["schema_match"] = sorted(scols) == sorted(ocols)
+        if not rec["schema_match"]:
             status.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
         if not status:
             ns, no = normalize(srows, scols), normalize(orows, ocols)
-            if ns != no:
+            rec["hash_match"] = ns == no
+            if not rec["hash_match"]:
                 diffs = [(a, b) for a, b in zip(ns, no) if a != b][:3]
                 status.append(f"values differ, first diffs: {diffs}")
         if status:
             failures.append(name)
-            print(f"FAIL {name}: {'; '.join(status)}")
+            rec["err"] = "; ".join(status)
+            print(f"FAIL {name}: {rec['err']}")
         else:
             print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(records, f, indent=2)
+        print(f"wrote {json_path} ({len(records)} queries)")
 
     print(f"\n{len(failures)} failures / {len(only) if only else len(queries)} checked")
     if failures:
