@@ -1145,3 +1145,119 @@ def shuffle_corpus_deterministic(spark, sf_dir):
     return _number_in_bucket_order(
         parts, ["_key", "doc_id"], ["doc_id"], "pos"
     )
+
+
+# --------------------------------------------------- PCA via power iteration
+
+PCA_ITERS = 3
+_DECP = "DECIMAL(38,12)"
+
+
+def _pca_oracle() -> str:
+    """Unrolled power-iteration CTE chain over the exact-integer covariance
+    (same determinism engineering as the Lloyd/bigram oracles): every
+    cross-engine SUM of doubles goes through round(x, 12) -> DECIMAL(38,12)
+    so accumulation order can't produce last-ulp drift, and each iterate is
+    rounded to 10 decimals so no drift can compound across rounds."""
+    cov_q = f"""
+    q AS (
+      SELECT CAST(i - 1 AS INTEGER) AS i, CAST(j - 1 AS INTEGER) AS j,
+        CAST(floor(CAST(embedding[i] AS DOUBLE) * {COV_SCALE}) AS BIGINT) AS qi,
+        CAST(floor(CAST(embedding[j] AS DOUBLE) * {COV_SCALE}) AS BIGINT) AS qj
+      FROM embeddings,
+           UNNEST(range(1, {EMB_DIM + 1})) AS u(i),
+           UNNEST(range(1, {EMB_DIM + 1})) AS v(j)
+      WHERE j >= i
+    ),
+    cov AS (
+      SELECT i, j,
+        CAST(count(*) * sum(qi * qj) - sum(qi) * sum(qj) AS DOUBLE)
+          / count(*) / count(*) / {COV_SCALE}.0 / {COV_SCALE}.0 AS cov
+      FROM q GROUP BY i, j
+    ),
+    covf AS (
+      SELECT i, j, cov FROM cov
+      UNION ALL
+      SELECT j AS i, i AS j, cov FROM cov WHERE i < j
+    ),
+    v0 AS (
+      SELECT CAST(t.j - 1 AS INTEGER) AS j, 1.0 / sqrt({EMB_DIM}.0) AS v
+      FROM UNNEST(range(1, {EMB_DIM + 1})) AS t(j)
+    )"""
+    iters = []
+    for r in range(1, PCA_ITERS + 1):
+        iters.append(f"""
+    u{r} AS (
+      SELECT c.i AS j,
+        CAST(SUM(CAST(round(c.cov * v.v, 12) AS {_DECP})) AS DOUBLE) AS u
+      FROM covf c JOIN v{r - 1} v ON c.j = v.j
+      GROUP BY c.i
+    ),
+    n{r} AS (
+      SELECT CAST(sqrt(CAST(SUM(CAST(round(u * u, 12) AS {_DECP}))
+                       AS DOUBLE)) AS DOUBLE) AS nrm
+      FROM u{r}
+    ),
+    v{r} AS (
+      SELECT j, round(u / nrm, 10) AS v FROM u{r}, n{r}
+    )""")
+    last = PCA_ITERS
+    return (
+        "WITH " + cov_q + "," + ",".join(iters) + f"""
+    SELECT v.j, v.v AS loading, n.nrm AS eigenvalue
+    FROM v{last} v, n{last} n
+    """
+    )
+
+
+@query("embedding_pca_power_iteration", oracle=_pca_oracle())
+def embedding_pca_power_iteration(spark, sf_dir):
+    """Top principal component of the embedding corpus by PCA_ITERS power
+    iterations on the covariance matrix — the whitening/ABBA-direction
+    primitive behind spectral quality filters and anisotropy correction.
+    Returns the PC-1 loadings plus the Rayleigh eigenvalue estimate
+    (||C v|| of the last iterate).
+
+    Scale shape: the corpus is touched ONCE (the exact-integer covariance
+    pass, persisted); every iteration after that runs on the d x d matrix
+    (64 x 64 here) — tiny joins, exact decimal sums for order-independent
+    double accumulation, one broadcast norm per round. Matches the oracle
+    bit-for-bit at any partition count because every floating-point SUM is
+    rounded-then-DECIMAL and each iterate is re-rounded to 10 decimals
+    (no compounding drift)."""
+    cov_u = embedding_covariance(spark, sf_dir).persist()
+    covf = cov_u.unionByName(
+        cov_u.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    )
+    import math
+
+    v = spark.range(EMB_DIM).select(
+        F.col("id").cast("int").alias("j"),
+        F.lit(1.0 / math.sqrt(float(EMB_DIM))).alias("v"),
+    )
+    dec = "decimal(38,12)"
+    nrm = None
+    for _ in range(PCA_ITERS):
+        u = (
+            covf.join(v, "j")
+            .groupBy("i")
+            .agg(
+                F.sum(F.round(F.col("cov") * F.col("v"), 12).cast(dec))
+                .cast("double")
+                .alias("u")
+            )
+            .select(F.col("i").alias("j"), "u")
+        )
+        nrm = u.agg(
+            F.sqrt(
+                F.sum(F.round(F.col("u") * F.col("u"), 12).cast(dec)).cast("double")
+            ).alias("nrm")
+        )
+        v = u.crossJoin(F.broadcast(nrm)).select(
+            "j", F.round(F.col("u") / F.col("nrm"), 10).alias("v")
+        )
+    return v.crossJoin(F.broadcast(nrm)).select(
+        "j", F.col("v").alias("loading"), F.col("nrm").alias("eigenvalue")
+    )

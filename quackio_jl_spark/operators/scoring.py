@@ -196,3 +196,43 @@ def weighted_sample_by_quality(spark, sf_dir):
     return d.select(
         "doc_id", score.alias("quality_score"), unif.alias("_u")
     ).filter(F.col("_u") < F.col("quality_score")).drop("_u")
+
+
+CAP_PER_SOURCE = 15
+
+
+@query(
+    "source_cap_topk",
+    oracle=f"""
+    WITH {_SCORED_SQL},
+    ranked AS (
+      SELECT doc_id, source, quality_score,
+        ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY quality_score DESC, doc_id) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, source, quality_score, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {CAP_PER_SOURCE}
+    """,
+)
+def source_cap_topk(spark, sf_dir):
+    """Per-source document cap — the domain-balancing stage every pretraining
+    mix runs (no single crawl/domain may dominate the corpus): keep the top
+    CAP_PER_SOURCE documents per source by quality score, deterministic
+    tie-break on doc_id.
+
+    Scale shape: one hash shuffle on source + a per-source ROW_NUMBER.
+    Per-key top-k is rank-then-filter (the canonical Spark shape; AQE skew
+    split handles a hot source). The quality expression is the shared
+    frozen-logistic column — map-side, no extra pass."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source", quality_score_col().alias("quality_score"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= CAP_PER_SOURCE)
+    )

@@ -805,3 +805,134 @@ def text_token_entropy(spark, sf_dir):
             F.max("n").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+# ------------------------------------------------------- BPE merge training
+
+BPE_MERGE_ROUNDS = 3
+_BPE_SYM_RE = r"\(([^)]*)\)"
+
+
+def _bpe_oracle() -> str:
+    """Unrolled-CTE oracle for BPE_MERGE_ROUNDS merge-learning rounds
+    (same engineering as the Lloyd-rounds oracle in operators/pipeline.py).
+    Symbols are paren-wrapped — '(b)(e)(s)(t)' — so the merge is a plain
+    left-to-right non-overlapping replace with NO shared boundary chars
+    between adjacent matches (space-joined symbols would share the
+    delimiter and miss back-to-back merges)."""
+    parts = [
+        r"""
+    words AS (
+      SELECT word, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+      ) WHERE regexp_matches(word, '^[a-z]+$')
+      GROUP BY word
+    ),
+    w0 AS (
+      SELECT regexp_replace(word, '(.)', '(\1)', 'g') AS sym, freq FROM words
+    )"""
+    ]
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        parts.append(
+            rf"""
+    p{r} AS (
+      SELECT pair, SUM(freq) AS cnt FROM (
+        SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+                 i -> syms[i] || ' ' || syms[i + 1])) AS pair, freq
+        FROM (SELECT regexp_extract_all(sym, '\(([^)]*)\)', 1) AS syms, freq
+              FROM w{r - 1})
+      ) GROUP BY pair
+    ),
+    b{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1),
+    w{r} AS (
+      SELECT replace(sym,
+        '(' || split_part(b.pair, ' ', 1) || ')('
+            || split_part(b.pair, ' ', 2) || ')',
+        '(' || replace(b.pair, ' ', '') || ')') AS sym, freq
+      FROM w{r - 1}, b{r} b
+    )"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS merge_round, pair AS merge_pair, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, BPE_MERGE_ROUNDS + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n    " + finals
+
+
+def _bpe_pair_counts(w):
+    """Weighted adjacent-symbol pair counts over the word table. The
+    size>=2 filter mirrors DuckDB's generate_series(1,0) -> [] (Spark's
+    sequence(1,0) would DESCEND and fabricate pairs)."""
+    t = w.select(
+        F.regexp_extract_all("sym", F.lit(_BPE_SYM_RE), 1).alias("syms"), "freq"
+    ).filter(F.size("syms") >= 2)
+    pairs = F.expr(
+        "transform(sequence(1, size(syms) - 1),"
+        " i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"
+    )
+    return (
+        t.select(F.explode(pairs).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+@query("bpe_train_merges", oracle=_bpe_oracle())
+def bpe_train_merges(spark, sf_dir):
+    """BPE merge-rule LEARNING (the training half of the tokenizer story —
+    text_bpe_token_count applies rules; this derives them): for each of
+    BPE_MERGE_ROUNDS rounds, count adjacent symbol pairs across the corpus
+    weighted by word frequency, pick the most frequent pair (deterministic
+    tie-break: count desc, pair asc), and merge it corpus-wide. Returns the
+    learned merge table (round, pair, count) — the artifact a tokenizer
+    ships.
+
+    Scale shape per round: word-frequency table is corpus-reduced ONCE
+    (map-side combine); pair counting is one small shuffle over the
+    vocabulary (not the corpus); the argmax is a vocab-sized sort LIMIT 1;
+    the merge itself is a broadcast of ONE row + a map-side replace.
+    Symbols are paren-wrapped so the merge replace is exact (see
+    _bpe_oracle docstring). Word tables persist per round like PageRank's
+    persist-per-iteration; rounds are unrolled into one lazy plan."""
+    from functools import reduce
+
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = words.select(
+        F.regexp_replace("word", "(.)", "($1)").alias("sym"), "freq"
+    ).persist()
+    outs = []
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        best = (
+            _bpe_pair_counts(w)
+            .orderBy(F.col("cnt").desc(), "pair")
+            .limit(1)
+        )
+        outs.append(
+            best.select(
+                F.lit(r).alias("merge_round"),
+                F.col("pair").alias("merge_pair"),
+                F.col("cnt").cast("bigint").alias("pair_count"),
+            )
+        )
+        a = F.split(F.col("pair"), " ").getItem(0)
+        b = F.split(F.col("pair"), " ").getItem(1)
+        w = (
+            w.crossJoin(F.broadcast(best.select("pair")))
+            .select(
+                F.replace(
+                    F.col("sym"),
+                    F.concat(F.lit("("), a, F.lit(")("), b, F.lit(")")),
+                    F.concat(F.lit("("), a, b, F.lit(")")),
+                ).alias("sym"),
+                "freq",
+            )
+            .persist()
+        )
+    return reduce(lambda x, y: x.unionByName(y), outs)
