@@ -1261,3 +1261,85 @@ def embedding_pca_power_iteration(spark, sf_dir):
     return v.crossJoin(F.broadcast(nrm)).select(
         "j", F.col("v").alias("loading"), F.col("nrm").alias("eigenvalue")
     )
+
+
+# --------------------------------------------- composed curation pipeline v2
+
+
+def _curation_oracle() -> str:
+    from .scoring import _SCORED_SQL, CAP_PER_SOURCE, KEEP_THRESHOLD
+
+    shuffled_rn = (
+        f"ROW_NUMBER() OVER (ORDER BY md5('{SHUFFLE_SALT}' "
+        f"|| CAST(doc_id AS VARCHAR)), doc_id)"
+    )
+    return f"""
+    WITH {_SCORED_SQL},
+    dups AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        FROM documents) t
+      WHERE doc_id <> keeper
+    ),
+    kept AS (
+      SELECT s.doc_id, s.source, s.quality_score
+      FROM scored s
+      WHERE s.quality_score >= {KEEP_THRESHOLD}
+        AND NOT EXISTS (SELECT 1 FROM dups WHERE dups.doc_id = s.doc_id)
+    ),
+    capped AS (
+      SELECT doc_id, source, quality_score FROM (
+        SELECT kept.*, ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY quality_score DESC, doc_id) AS rnk FROM kept) t
+      WHERE rnk <= {CAP_PER_SOURCE}
+    )
+    SELECT doc_id, source, quality_score,
+      CAST({shuffled_rn} - 1 AS BIGINT) AS pos,
+      CAST(({shuffled_rn} - 1) // {SHARD_SIZE} AS BIGINT) AS shard
+    FROM capped
+    """
+
+
+@query("corpus_curation_pipeline", oracle=_curation_oracle())
+def corpus_curation_pipeline(spark, sf_dir):
+    """Round-5 end-to-end curation: exact dedup (keep lowest doc_id per
+    content hash) -> frozen-logistic quality filter -> per-source cap ->
+    deterministic epoch shuffle with contiguous positions and shard ids.
+    One composed lazy plan, the order a production pipeline runs these
+    stages (dedup before quality so duplicate votes can't crowd the caps;
+    shuffle last so positions are dense over the SURVIVING corpus).
+
+    Shuffle budget: content-hash window + anti join (dedup), one window on
+    source (cap), then the md5-prefix-bucketed numbering kernel — every
+    stage map-side or key-local, nothing quadratic, no global sort."""
+    from .scoring import CAP_PER_SOURCE, KEEP_THRESHOLD, quality_score_col
+
+    d = table(spark, sf_dir, "documents")
+    w_dup = W.partitionBy(F.md5("text"))
+    dups = (
+        d.select("doc_id", F.min("doc_id").over(w_dup).alias("keeper"))
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
+    )
+    kept = (
+        d.select(
+            "doc_id", "source", quality_score_col().alias("quality_score")
+        )
+        .filter(F.col("quality_score") >= KEEP_THRESHOLD)
+        .join(dups, "doc_id", "left_anti")
+    )
+    w_src = W.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), "doc_id"
+    )
+    capped = (
+        kept.withColumn("rnk", F.row_number().over(w_src))
+        .filter(F.col("rnk") <= CAP_PER_SOURCE)
+        .drop("rnk")
+    )
+    key = F.md5(F.concat(F.lit(SHUFFLE_SALT), F.col("doc_id").cast("string")))
+    parts = capped.withColumn("_key", key).withColumn(
+        "_pid", F.conv(F.substring("_key", 1, 2), 16, 10).cast("int")
+    )
+    return _number_in_bucket_order(
+        parts, ["_key", "doc_id"], ["doc_id", "source", "quality_score"], "pos"
+    )

@@ -111,6 +111,12 @@ def guess_format(path: str) -> str:
     raise ValueError(f"cannot guess format from filename: {path!r}")
 
 
+def duckdb_type_to_spark(duck_type: str) -> str:
+    """One DuckDB type name -> Spark type name (used by ``columns=`` full
+    schemas and ``types=`` partial overrides)."""
+    return _DUCKDB_TO_SPARK_TYPE.get(str(duck_type).lower(), str(duck_type))
+
+
 def duckdb_schema_to_ddl(columns: dict[str, str]) -> str:
     """``columns={'a': 'float', 'b': 'varchar'}`` -> Spark DDL schema string.
 
@@ -118,8 +124,7 @@ def duckdb_schema_to_ddl(columns: dict[str, str]) -> str:
     (/root/reference/test/runtests.jl:67-71)."""
     parts = []
     for name, duck_type in columns.items():
-        spark_type = _DUCKDB_TO_SPARK_TYPE.get(str(duck_type).lower(), str(duck_type))
-        parts.append(f"`{name}` {spark_type}")
+        parts.append(f"`{name}` {duckdb_type_to_spark(duck_type)}")
     return ", ".join(parts)
 
 

@@ -208,6 +208,7 @@ def _read(
     auto_type_candidates: Sequence[str] | None = None,
     hive_partitioning: bool | None = None,
     union_by_name: bool = False,
+    types: dict[str, str] | None = None,
     skip: int | None = None,
     sample_size: int | None = None,
     filename: bool = False,
@@ -291,6 +292,24 @@ def _read(
     if names:
         # positional rename, reference `names=` (test/runtests.jl:72-76)
         df = df.toDF(*[str(n) for n in names], *df.columns[len(list(names)):])
+    if types:
+        # DuckDB read_csv `types=`: PARTIAL per-column type override on top
+        # of inference (unlike `columns=`, which replaces the full schema).
+        # Unknown column names error, as in DuckDB's binder.
+        from .options import duckdb_type_to_spark
+
+        missing = [c for c in types if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"types= names columns not in the file: {missing}; "
+                f"available: {df.columns}"
+            )
+        df = df.withColumns(
+            {
+                c: F.col(f"`{c}`").cast(duckdb_type_to_spark(t))
+                for c, t in types.items()
+            }
+        )
     if auto_type_candidates:
         df = _restrict_auto_types(df, auto_type_candidates)
     if select is not None:
