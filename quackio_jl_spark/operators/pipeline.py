@@ -1343,3 +1343,86 @@ def corpus_curation_pipeline(spark, sf_dir):
     return _number_in_bucket_order(
         parts, ["_key", "doc_id"], ["doc_id", "source", "quality_score"], "pos"
     )
+
+
+# --------------------------------------------- contrastive negative sampling
+
+K_NEG = 2
+
+
+@query(
+    "contrastive_negative_samples",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id,
+        CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS p
+      FROM documents
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    cand AS (
+      SELECT pos.doc_id, t.k, pos.p, nn.n,
+        ('0x' || substr(md5('neg:' || CAST(t.k AS VARCHAR) || ':'
+                            || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % nn.n AS raw
+      FROM pos, nn, UNNEST([{", ".join(str(k) for k in range(1, K_NEG + 1))}]) AS t(k)
+    ),
+    fixed AS (
+      SELECT doc_id, k,
+        CASE WHEN raw = p THEN (raw + 1) % n ELSE raw END AS q
+      FROM cand
+    )
+    SELECT f.doc_id, CAST(f.k AS INTEGER) AS k, p2.doc_id AS neg_doc_id
+    FROM fixed f JOIN pos p2 ON p2.p = f.q
+    """,
+)
+def contrastive_negative_samples(spark, sf_dir):
+    """Deterministic in-batch-free negative sampling for contrastive
+    training: each document draws K_NEG pseudo-random negatives from the
+    WHOLE corpus via a salted md5 over (k, doc_id) mapped onto the
+    contiguous position index, with a +1 skip on self-collision. Salted
+    hash, not rand(): the draw is reproducible across engines, retries,
+    and partitionings, and changing the salt redraws the epoch.
+
+    Scale shape: composes contiguous_row_ids (no global sort), a broadcast
+    1-row corpus count, a map-side hash per (doc, k), and ONE equi-join on
+    the position key to resolve negatives — uniform keys, no skew, no
+    candidate blowup. The same shape serves hard-negative mining by
+    swapping the uniform hash for an ANN-bucket draw."""
+    pos = contiguous_row_ids(spark, sf_dir).select(
+        "doc_id", F.col("row_id").alias("p")
+    )
+    nn = F.broadcast(pos.agg(F.count(F.lit(1)).alias("n")))
+    cand = pos.crossJoin(nn).select(
+        "doc_id",
+        "p",
+        "n",
+        F.explode(F.array(*[F.lit(k) for k in range(1, K_NEG + 1)])).alias("k"),
+    )
+    raw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("neg:"),
+                        F.col("k").cast("string"),
+                        F.lit(":"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.col("n")
+    )
+    fixed = cand.select(
+        "doc_id",
+        "k",
+        F.when(raw == F.col("p"), (raw + 1) % F.col("n"))
+        .otherwise(raw)
+        .alias("q"),
+    )
+    p2 = pos.select(F.col("p").alias("q"), F.col("doc_id").alias("neg_doc_id"))
+    return fixed.join(p2, "q").select("doc_id", "k", "neg_doc_id")

@@ -1184,3 +1184,81 @@ def events_mad_anomalies(spark, sf_dir):
             "event_id", "event_type", "value", F.round(rz, 8).alias("robust_z")
         )
     )
+
+
+GAP_BUCKET_SEC = 21600  # 6-hour resample grid
+
+
+@query(
+    "events_gap_fill_6h",
+    oracle=f"""
+    WITH obs AS (
+      SELECT user_id, CAST(floor(epoch(ts) / {GAP_BUCKET_SEC}) AS BIGINT) AS b,
+        CAST(value AS DOUBLE) AS value, ts, event_id
+      FROM events
+    ),
+    lastobs AS (
+      SELECT user_id, b, value FROM (
+        SELECT obs.*, ROW_NUMBER() OVER (PARTITION BY user_id, b
+          ORDER BY ts DESC, event_id DESC) AS rn FROM obs) t
+      WHERE rn = 1
+    ),
+    spans AS (
+      SELECT user_id, MIN(b) AS b0, MAX(b) AS b1 FROM obs GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(b0, b1)) AS b FROM spans
+    )
+    SELECT g.user_id, g.b AS bucket_id,
+      strftime(make_timestamp(g.b * {GAP_BUCKET_SEC} * 1000000),
+               '%Y-%m-%d %H:%M:%S') AS bucket,
+      last_value(l.value IGNORE NULLS) OVER (
+        PARTITION BY g.user_id ORDER BY g.b
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+      l.value IS NULL AS is_gap
+    FROM grid g LEFT JOIN lastobs l ON g.user_id = l.user_id AND g.b = l.b
+    """,
+)
+def events_gap_fill_6h(spark, sf_dir):
+    """Time-series resample + forward fill (gap filling): a dense 6-hour
+    grid per user from their first to last observation, carrying the last
+    observed value across empty buckets and flagging the gaps — the
+    regularization step before any fixed-step sequence model or window
+    feature.
+
+    Deterministic: the per-bucket representative is the (ts, event_id)-max
+    struct (same idiom as events_ohlc_15min), the grid is integer bucket
+    arithmetic, and the forward fill is last(ignorenulls) over a per-user
+    ordered window. Scale shape: one partial-agg shuffle for per-bucket
+    last values, a tiny span aggregate whose sequence() EXPANDS map-side
+    (no shuffle for the grid), a key-local left join on (user_id, bucket),
+    and one per-user window — nothing global, nothing quadratic."""
+    e = table(spark, sf_dir, "events")
+    b = F.floor(F.unix_micros("ts") / (GAP_BUCKET_SEC * 1_000_000)).cast("bigint")
+    key = F.struct(
+        F.unix_micros("ts").alias("t"),
+        F.col("event_id").alias("i"),
+        F.col("value").alias("v"),
+    )
+    obs = e.select("user_id", b.alias("b"), key.alias("k"))
+    lastobs = obs.groupBy("user_id", "b").agg(F.max("k")["v"].alias("value"))
+    spans = obs.groupBy("user_id").agg(
+        F.min("b").alias("b0"), F.max("b").alias("b1")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("b0", "b1")).alias("b")
+    )
+    j = grid.join(lastobs, ["user_id", "b"], "left")
+    w = W.partitionBy("user_id").orderBy("b").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return j.select(
+        "user_id",
+        F.col("b").alias("bucket_id"),
+        F.date_format(
+            F.timestamp_micros(F.col("b") * GAP_BUCKET_SEC * 1_000_000),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("bucket"),
+        F.last("value", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("value").isNull().alias("is_gap"),
+    )
