@@ -236,3 +236,56 @@ def source_cap_topk(spark, sf_dir):
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= CAP_PER_SOURCE)
     )
+
+
+RANK_BUCKETS = 8
+
+
+@query(
+    "quality_rank_percentile",
+    oracle=f"""
+    WITH {_SCORED_SQL},
+    r AS (
+      SELECT doc_id, quality_score,
+        CAST(ROW_NUMBER() OVER (ORDER BY quality_score, doc_id) - 1 AS BIGINT)
+          AS rnk
+      FROM scored
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM scored)
+    SELECT doc_id, quality_score, rnk,
+      CAST(rnk AS DOUBLE) / (n - 1) AS pct
+    FROM r, nn
+    """,
+)
+def quality_rank_percentile(spark, sf_dir):
+    """Global rank-percentile transform of the quality score (the
+    rank-to-uniform normalization feeding calibration curves and
+    percentile cutoffs) — WITHOUT a single-reducer global sort: the score
+    lives in (0, 1), so floor(score * B) is an order-aligned bucket id and
+    the shared numbering kernel (per-bucket counts -> broadcast cumulative
+    offsets -> in-bucket sort) produces the exact global rank. Skewed
+    score mass degrades one bucket's parallelism, never correctness."""
+    from .pipeline import _number_in_bucket_order
+
+    d = table(spark, sf_dir, "documents")
+    scored = d.select("doc_id", quality_score_col().alias("quality_score"))
+    parts = scored.withColumn(
+        "_pid",
+        F.least(
+            F.lit(RANK_BUCKETS - 1),
+            F.floor(F.col("quality_score") * RANK_BUCKETS).cast("int"),
+        ),
+    )
+    ranked = _number_in_bucket_order(
+        parts,
+        ["quality_score", "doc_id"],
+        ["doc_id", "quality_score"],
+        "rnk",
+    ).drop("shard")
+    nn = F.broadcast(scored.agg(F.count(F.lit(1)).alias("n")))
+    return ranked.crossJoin(nn).select(
+        "doc_id",
+        "quality_score",
+        "rnk",
+        (F.col("rnk").cast("double") / (F.col("n") - 1)).alias("pct"),
+    )

@@ -1262,3 +1262,57 @@ def events_gap_fill_6h(spark, sf_dir):
         F.last("value", ignorenulls=True).over(w).alias("value_filled"),
         F.col("value").isNull().alias("is_gap"),
     )
+
+
+EWMA_LAGS = 8  # alpha = 1/2: weights 2^-1 .. 2^-8 are exact binary doubles
+
+
+@query(
+    "events_ewma_value",
+    oracle=f"""
+    SELECT event_id, user_id,
+      round((
+        {" + ".join(
+            f"COALESCE(lag(CAST(value AS DOUBLE), {i}) OVER w * {2.0 ** -(i + 1)}, 0.0)"
+            for i in range(EWMA_LAGS)
+        )}
+      ) / (
+        {" + ".join(
+            f"CASE WHEN lag(value, {i}) OVER w IS NOT NULL THEN {2.0 ** -(i + 1)} ELSE 0.0 END"
+            for i in range(EWMA_LAGS)
+        )}
+      ), 10) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def events_ewma_value(spark, sf_dir):
+    """Exponentially weighted moving average of each user's event values,
+    truncated at EWMA_LAGS terms — the classic time-series smoother. With
+    alpha = 1/2 every weight 2^-(i+1) is an exact binary double and the
+    term order is a fixed expression tree, so both engines produce
+    bit-identical IEEE results (the round(10) is belt-and-braces). Early
+    rows renormalize over the weights actually present instead of decaying
+    toward zero.
+
+    Scale shape: ONE shuffle on user_id; all {EWMA_LAGS} lags ride the
+    same sorted window frame — Spark evaluates them in a single
+    WindowExec pass, no self-joins."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for i in range(EWMA_LAGS):
+        wt = 2.0 ** -(i + 1)
+        term = F.coalesce(
+            F.lag(F.col("value").cast("double"), i).over(w) * F.lit(wt),
+            F.lit(0.0),
+        )
+        present = F.when(
+            F.lag("value", i).over(w).isNotNull(), F.lit(wt)
+        ).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = present if den is None else den + present
+    return e.select(
+        "event_id", "user_id", F.round(num / den, 10).alias("ewma")
+    )
