@@ -1426,3 +1426,78 @@ def contrastive_negative_samples(spark, sf_dir):
     )
     p2 = pos.select(F.col("p").alias("q"), F.col("doc_id").alias("neg_doc_id"))
     return fixed.join(p2, "q").select("doc_id", "k", "neg_doc_id")
+
+
+# ------------------------------------------------------ hard negative mining
+
+HARD_K = 3
+HARD_CELL_CAP = 200  # skip pathologically hot cells; see docstring
+
+
+@query(
+    "hard_negative_samples",
+    oracle=f"""
+    WITH {_CENTVEC_SQL},
+    scored AS (
+      SELECT vec_id, embedding, cell,
+        ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY {_cosine_sql('embedding', 'cv')} DESC, cell) AS rn
+      FROM embeddings CROSS JOIN centvec
+    ),
+    cells AS (SELECT vec_id, embedding, cell FROM scored WHERE rn = 1),
+    sizes AS (SELECT cell, COUNT(*) AS n FROM cells GROUP BY cell),
+    elig AS (
+      SELECT c.vec_id, c.embedding, c.cell
+      FROM cells c JOIN sizes s ON c.cell = s.cell AND s.n <= {HARD_CELL_CAP}
+    ),
+    pairs AS (
+      SELECT a.vec_id, b.vec_id AS neg_vec_id,
+        {_cosine_sql('a.embedding', 'b.embedding')} AS cos_sim,
+        ROW_NUMBER() OVER (PARTITION BY a.vec_id
+          ORDER BY {_cosine_sql('a.embedding', 'b.embedding')} DESC, b.vec_id)
+          AS rnk
+      FROM elig a JOIN elig b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, CAST(rnk AS INTEGER) AS rnk, neg_vec_id, cos_sim
+    FROM pairs WHERE rnk <= {HARD_K}
+    """,
+)
+def hard_negative_samples(spark, sf_dir):
+    """Hard-negative mining for contrastive training: each vector's top
+    HARD_K most-similar OTHER vectors from its own IVF cell — near enough
+    to be informative, never the anchor itself (the complement of
+    contrastive_negative_samples' uniform draw).
+
+    Scale shape: candidate generation is the IVF cell equi-join (never
+    all-pairs across the corpus); in-cell work is Σ|cell|², bounded by the
+    HARD_CELL_CAP skew guard mirrored in the oracle — production would
+    split a hot cell with a finer quantizer rather than pay its quadratic
+    bill (same posture as LSH_MAX_BUCKET). Cosines are the fixed-point
+    exact kind, so ranking ties are impossible to get wrong cross-engine;
+    tie-break on neg vec_id regardless."""
+    cells = _assigned(spark, sf_dir)
+    sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    elig = cells.join(
+        F.broadcast(sizes.filter(F.col("n") <= HARD_CELL_CAP)), "cell"
+    ).select("vec_id", "embedding", "cell")
+    a = elig.select(
+        "cell", F.col("vec_id").alias("vec_id"), F.col("embedding").alias("ea")
+    )
+    b = elig.select(
+        "cell", F.col("vec_id").alias("neg_vec_id"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(b, "cell").filter(F.col("vec_id") != F.col("neg_vec_id"))
+    w = W.partitionBy("vec_id").orderBy(
+        cosine("ea", "eb").desc(), "neg_vec_id"
+    )
+    return (
+        pairs.select(
+            "vec_id",
+            "neg_vec_id",
+            cosine("ea", "eb").alias("cos_sim"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= HARD_K)
+        .select("vec_id", "rnk", "neg_vec_id", "cos_sim")
+    )

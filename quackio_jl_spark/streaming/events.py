@@ -402,3 +402,86 @@ def session_window_stream(
         f"date_format(sw.end, 'yyyy-MM-dd HH:mm:ss') AS session_end, "
         f"user_id, n, total_value FROM {queryName}"
     )
+
+
+def gap_fill_stream(spark: SparkSession, sf_dir: str):
+    """Streaming twin of plans/analytics.py::events_gap_fill_6h — per-user
+    resample + forward fill as a custom stateful operator
+    (applyInPandasWithState). State is (last emitted bucket, last value):
+    each micro-batch emits the dense grid rows from the bucket after the
+    last emitted one through the batch's max observed bucket, carrying the
+    last value across gaps.
+
+    State is two scalars per user (bounded by user cardinality, sharded by
+    the groupBy key). Batches must be time-ordered per user (the same
+    contract as stateful_session_counts); late rows below the emitted
+    frontier are ignored — production would pair this with a watermark and
+    a small reorder buffer in state."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..plans.analytics import GAP_BUCKET_SEC
+
+    stream = _events_stream(spark, sf_dir)
+    w_us = GAP_BUCKET_SEC * 1_000_000
+
+    def fill(key, pdfs, state: GroupState):
+        (user_id,) = key
+        rows = []
+        for pdf in pdfs:
+            for ts, eid, val in zip(
+                pd.to_datetime(pdf["ts"]), pdf["event_id"], pdf["value"]
+            ):
+                us = int(ts.value // 1000)
+                rows.append((us // w_us, us, int(eid), float(val)))
+        if not rows:
+            return
+        rows.sort()  # (bucket, ts_us, event_id, value): per-bucket last wins
+        per_bucket = {}
+        for b, _us, _eid, val in rows:
+            per_bucket[b] = val
+        last_b, last_v = state.get if state.exists else (None, None)
+        start = min(per_bucket) if last_b is None else last_b + 1
+        out_b, out_v, out_gap = [], [], []
+        for b in range(start, max(per_bucket) + 1):
+            if b in per_bucket:
+                last_v = per_bucket[b]
+                gap = False
+            else:
+                gap = True
+            out_b.append(b)
+            out_v.append(last_v)
+            out_gap.append(gap)
+            last_b = b
+        state.update((last_b, last_v))
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "bucket_id": out_b,
+                "value_filled": out_v,
+                "is_gap": out_gap,
+            }
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        fill,
+        outputStructType=(
+            "user_id bigint, bucket_id bigint, value_filled double, is_gap boolean"
+        ),
+        stateStructType="last_b bigint, last_v double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gap_fill_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        "SELECT user_id, bucket_id, value_filled, is_gap FROM gap_fill_stream"
+    )

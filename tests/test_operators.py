@@ -804,3 +804,19 @@ def test_native_session_window_stream_matches_batch(spark):
         for r in batch_res.collect()
     }
     assert s == b and len(s) > 0
+
+
+def test_gap_fill_stream_matches_batch(spark):
+    """The stateful streaming gap fill must reproduce the batch resample
+    exactly: same dense grid, same carried values, same gap flags."""
+    from quackio_jl_spark.streaming.events import gap_fill_stream
+
+    stream = {
+        (r["user_id"], r["bucket_id"]): (r["value_filled"], r["is_gap"])
+        for r in gap_fill_stream(spark, SF_DIR).collect()
+    }
+    batch = {
+        (r["user_id"], r["bucket_id"]): (r["value_filled"], r["is_gap"])
+        for r in entry.queries()["events_gap_fill_6h"](spark, SF_DIR).collect()
+    }
+    assert stream == batch
