@@ -1225,21 +1225,37 @@ def embedding_pca_power_iteration(spark, sf_dir):
     bit-for-bit at any partition count because every floating-point SUM is
     rounded-then-DECIMAL and each iterate is re-rounded to 10 decimals
     (no compounding drift)."""
+    covf, v0 = _pca_setup(spark, sf_dir)
+    v, nrm = _power_iterate(covf, v0, PCA_ITERS)
+    return v.crossJoin(F.broadcast(nrm)).select(
+        "j", F.col("v").alias("loading"), F.col("nrm").alias("eigenvalue")
+    )
+
+
+def _pca_setup(spark, sf_dir):
+    """(full symmetric covariance frame, deterministic start vector)."""
+    import math
+
     cov_u = embedding_covariance(spark, sf_dir).persist()
     covf = cov_u.unionByName(
         cov_u.filter(F.col("i") < F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "cov"
         )
     )
-    import math
-
-    v = spark.range(EMB_DIM).select(
+    v0 = spark.range(EMB_DIM).select(
         F.col("id").cast("int").alias("j"),
         F.lit(1.0 / math.sqrt(float(EMB_DIM))).alias("v"),
     )
+    return covf, v0
+
+
+def _power_iterate(covf, v, iters):
+    """``iters`` power-iteration rounds of matrix ``covf`` (cols i, j, cov)
+    from start vector ``v`` (cols j, v); returns (unit iterate, norm).
+    Decimal-exact sums + per-round rounding as in _pca_oracle."""
     dec = "decimal(38,12)"
     nrm = None
-    for _ in range(PCA_ITERS):
+    for _ in range(iters):
         u = (
             covf.join(v, "j")
             .groupBy("i")
@@ -1255,12 +1271,19 @@ def embedding_pca_power_iteration(spark, sf_dir):
                 F.sum(F.round(F.col("u") * F.col("u"), 12).cast(dec)).cast("double")
             ).alias("nrm")
         )
-        v = u.crossJoin(F.broadcast(nrm)).select(
-            "j", F.round(F.col("u") / F.col("nrm"), 10).alias("v")
+        # Truncate lineage each round (localCheckpoint, eager): v is d rows
+        # and nrm is 1 row, but both feed every later round AND the output
+        # projection — left lazy, each reference re-embeds all prior
+        # rounds' joins and Catalyst's analysis cost grows multiplicatively
+        # (the two-chain deflation query planned for minutes). Checkpointed,
+        # every round starts from a flat d-row scan.
+        nrm = nrm.localCheckpoint()
+        v = (
+            u.crossJoin(F.broadcast(nrm))
+            .select("j", F.round(F.col("u") / F.col("nrm"), 10).alias("v"))
+            .localCheckpoint()
         )
-    return v.crossJoin(F.broadcast(nrm)).select(
-        "j", F.col("v").alias("loading"), F.col("nrm").alias("eigenvalue")
-    )
+    return v, nrm
 
 
 # --------------------------------------------- composed curation pipeline v2
@@ -1501,3 +1524,98 @@ def hard_negative_samples(spark, sf_dir):
         .filter(F.col("rnk") <= HARD_K)
         .select("vec_id", "rnk", "neg_vec_id", "cos_sim")
     )
+
+
+def _pca_iter_cte(prefix: str, mat: str, v0: str) -> str:
+    """The u/n/v power-iteration CTE chain under a name prefix, over matrix
+    CTE ``mat`` and start-vector CTE ``v0`` (same arithmetic as
+    _pca_oracle)."""
+    out = []
+    prev = v0
+    for r in range(1, PCA_ITERS + 1):
+        out.append(f"""
+    {prefix}u{r} AS (
+      SELECT c.i AS j,
+        CAST(SUM(CAST(round(c.cov * v.v, 12) AS {_DECP})) AS DOUBLE) AS u
+      FROM {mat} c JOIN {prev} v ON c.j = v.j
+      GROUP BY c.i
+    ),
+    {prefix}n{r} AS (
+      SELECT CAST(sqrt(CAST(SUM(CAST(round(u * u, 12) AS {_DECP}))
+                       AS DOUBLE)) AS DOUBLE) AS nrm
+      FROM {prefix}u{r}
+    ),
+    {prefix}v{r} AS (
+      SELECT j, round(u / nrm, 10) AS v FROM {prefix}u{r}, {prefix}n{r}
+    )""")
+        prev = f"{prefix}v{r}"
+    return ",".join(out)
+
+
+def _pca2_oracle() -> str:
+    base = _pca_oracle()
+    # reuse the cov/covf/v0 prelude from _pca_oracle by rebuilding it here.
+    # covf/cov2 are MATERIALIZED: both are referenced by every u-step of
+    # their iteration chain, and DuckDB's default CTE inlining would
+    # re-expand the corpus-wide covariance expression per reference.
+    prelude_end = base.index(",\n    u1 AS")
+    prelude = base[len("WITH "):prelude_end]
+    prelude = prelude.replace("covf AS (", "covf AS MATERIALIZED (")
+    last = PCA_ITERS
+    return f"""
+    WITH {prelude},{_pca_iter_cte("", "covf", "v0")},
+    cov2 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cov - round(n.nrm * vi.v * vj.v, 12) AS cov
+      FROM covf c
+      JOIN v{last} vi ON c.i = vi.j
+      JOIN v{last} vj ON c.j = vj.j
+      CROSS JOIN n{last} n
+    ),{_pca_iter_cte("d", "cov2", "v0")}
+    SELECT 1 AS component, v.j, v.v AS loading, n.nrm AS eigenvalue
+    FROM v{last} v, n{last} n
+    UNION ALL
+    SELECT 2 AS component, v.j, v.v AS loading, n.nrm AS eigenvalue
+    FROM dv{last} v, dn{last} n
+    """
+
+
+@query("embedding_pca_top2_deflation", oracle=_pca2_oracle())
+def embedding_pca_top2_deflation(spark, sf_dir):
+    """Top TWO principal components by Hotelling deflation: power-iterate
+    for PC-1, subtract its rank-1 contribution (lambda * v v^T, rounded to
+    12 decimals so both engines deflate identically) from the covariance,
+    and power-iterate the residual for PC-2 — the standard few-components
+    recipe when d is small and the corpus is huge.
+
+    Scale shape: the corpus is still touched exactly ONCE (the shared
+    persisted covariance); deflation and both iteration chains are d x d
+    arithmetic with broadcast vectors — adding components costs nothing at
+    corpus scale. Same decimal-exact determinism as
+    embedding_pca_power_iteration."""
+    covf, v0 = _pca_setup(spark, sf_dir)
+    v1, n1 = _power_iterate(covf, v0, PCA_ITERS)
+    vi = v1.select(F.col("j").alias("i"), F.col("v").alias("vi"))
+    vj = v1.select("j", F.col("v").alias("vj"))
+    cov2 = (
+        covf.join(F.broadcast(vi), "i")
+        .join(F.broadcast(vj), "j")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("cov") - F.round(F.col("nrm") * F.col("vi") * F.col("vj"), 12)
+            ).alias("cov"),
+        )
+        .localCheckpoint()  # d x d rows; read by every round of chain 2
+    )
+    v2, n2 = _power_iterate(cov2, v0, PCA_ITERS)
+    c1 = v1.crossJoin(F.broadcast(n1)).select(
+        F.lit(1).alias("component"), "j",
+        F.col("v").alias("loading"), F.col("nrm").alias("eigenvalue"),
+    )
+    c2 = v2.crossJoin(F.broadcast(n2)).select(
+        F.lit(2).alias("component"), "j",
+        F.col("v").alias("loading"), F.col("nrm").alias("eigenvalue"),
+    )
+    return c1.unionByName(c2)

@@ -170,7 +170,7 @@ _READ_KNOWN: dict[str, set[str]] = {
         "delim", "sep", "delimiter", "header", "quote", "escape", "nullstr",
         "null_str", "compression", "dateformat", "timestampformat",
         "ignore_errors", "all_varchar", "new_line", "encoding", "skip",
-        "sample_size",
+        "sample_size", "force_not_null",
     },
     "json": {
         "compression", "format", "timestampformat", "dateformat",

@@ -209,6 +209,7 @@ def _read(
     hive_partitioning: bool | None = None,
     union_by_name: bool = False,
     types: dict[str, str] | None = None,
+    force_not_null: Sequence[str] | str | None = None,
     skip: int | None = None,
     sample_size: int | None = None,
     filename: bool = False,
@@ -292,6 +293,31 @@ def _read(
     if names:
         # positional rename, reference `names=` (test/runtests.jl:72-76)
         df = df.toDF(*[str(n) for n in names], *df.columns[len(list(names)):])
+    if force_not_null:
+        # DuckDB read_csv `force_not_null=[cols]`: empty CSV fields in the
+        # listed columns read as '' instead of NULL (csv-only; map-side).
+        if fmt != "csv":
+            raise ValueError("force_not_null= is a CSV option (DuckDB read_csv)")
+        cols = (
+            [force_not_null]
+            if isinstance(force_not_null, str)
+            else [str(c) for c in force_not_null]
+        )
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"force_not_null= names columns not in the file: {missing}"
+            )
+        dtypes = dict(df.dtypes)
+        bad = [c for c in cols if dtypes[c] != "string"]
+        if bad:
+            raise ValueError(
+                f"force_not_null= requires varchar columns (DuckDB casts '' "
+                f"and fails on non-text types); non-string: {bad}"
+            )
+        df = df.withColumns(
+            {c: F.coalesce(F.col(f"`{c}`"), F.lit("")) for c in cols}
+        )
     if types:
         # DuckDB read_csv `types=`: PARTIAL per-column type override on top
         # of inference (unlike `columns=`, which replaces the full schema).

@@ -47,7 +47,10 @@ def _apply_force_quote(df: DataFrame, cols, opts: dict) -> tuple[DataFrame, dict
     from pyspark.sql import functions as F
 
     qc = opts.get("quote", '"') or '"'
-    names = [cols] if isinstance(cols, str) else [str(c) for c in cols]
+    if cols == "*":  # DuckDB FORCE_QUOTE * : quote every column
+        names = list(df.columns)
+    else:
+        names = [cols] if isinstance(cols, str) else [str(c) for c in cols]
     exprs = []
     for c in df.columns:
         if c in names:
