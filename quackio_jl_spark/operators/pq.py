@@ -1,0 +1,304 @@
+"""Product-quantization (PQ) ANN: subspace codebooks + asymmetric-distance
+search (driver mandate, beyond the reference's I/O-only surface; reference
+scope for embeddings is storage only — /root/reference/src/QuackIO.jl:33-42
+round-trips arrays, it has no vector search).
+
+PQ is the memory-compression half of a production vector index (IVF gives
+the candidate pruning, PQ shrinks the candidates' footprint): each vector is
+split into M subvectors, each subvector is quantized to one of KSUB codebook
+entries learned by k-means in that subspace, and search scores candidates
+with an Asymmetric Distance Computation (ADC) — the query stays exact, each
+candidate costs M table lookups instead of a d-dim dot product. At 10^11
+vectors this is the difference between 25 TB of float32 and ~400 GB of codes.
+
+Determinism engineering (same rules as operators/similarity.py):
+- codebook means use floor-based fixed-point integer sums (bit-identical in
+  any engine / partitioning),
+- all L2 distances are kept in *integer* fixed point until the final
+  division, so the ADC sum over M subspaces is exact integer addition —
+  immune to float-addition ordering across partitions,
+- every argmin ties to the smaller code id; every ranking ties to vec_id.
+
+Scale shape:
+- training: per Lloyd round, ONE broadcast equi-join on the subspace id
+  (codebooks are M*KSUB rows — always broadcastable) + one partial-agg
+  argmin + one explode/partial-sum mean recompute. No corpus self-join.
+- encoding: same broadcast join + argmin; output is M small ints per vector.
+- ADC search: the lookup table (Q*M*KSUB rows) is built query-side and
+  broadcast; candidates never shuffle their embeddings, only (vec_id, code)
+  pairs, and the per-query sum is a partial-aggregated groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window as W
+from pyspark.sql import functions as F
+
+from ..plans.registry import query, table
+
+PQ_M = 4  # subspaces (d=64 -> 16-dim subvectors on the fixtures)
+PQ_KSUB = 8  # codebook entries per subspace (codes fit a byte at <=256)
+PQ_TOPK = 5
+
+_S = 1e9  # fixed-point scale shared with operators/similarity.py
+
+
+def _dot_int(a: Column, b: Column) -> Column:
+    """Fixed-point dot product kept as BIGINT (no final division) so sums of
+    these stay exact integer math across engines and partitionings."""
+    prods = F.zip_with(
+        a, b, lambda x, y: F.floor(x.cast("double") * y.cast("double") * F.lit(_S))
+    )
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _d2_int(s: Column, c: Column) -> Column:
+    """Squared-L2 distance in integer fixed point: |s|^2 - 2<s,c> + |c|^2."""
+    return _dot_int(s, s) - F.lit(2) * _dot_int(s, c) + _dot_int(c, c)
+
+
+def _dot_int_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST(floor(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * 1e9) AS BIGINT)))"
+    )
+
+
+def _d2_int_sql(s: str, c: str) -> str:
+    return (
+        f"({_dot_int_sql(s, s)} - 2 * {_dot_int_sql(s, c)} + {_dot_int_sql(c, c)})"
+    )
+
+
+# --------------------------------------------------------------- subvectors
+
+def _subvectors(spark, sf_dir):
+    """(vec_id, m, sv): each embedding split into PQ_M contiguous subvectors.
+    Pure map-side explode — M rows per vector, each carrying d/M floats."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dsub = (F.size("embedding") / PQ_M).cast("int")
+    return e.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+    ).select(
+        "vec_id",
+        F.col("m").cast("int").alias("m"),
+        F.slice("embedding", F.col("m") * dsub + 1, dsub).alias("sv"),
+    )
+
+
+_SUB_SQL = f"""
+    sub AS (
+      SELECT vec_id, CAST(m AS INTEGER) AS m,
+        embedding[m * (len(embedding) // {PQ_M}) + 1 :
+                  (m + 1) * (len(embedding) // {PQ_M})] AS sv
+      FROM embeddings, UNNEST(range({PQ_M})) AS u(m)
+    )
+"""
+
+
+# ---------------------------------------------------------- codebook training
+
+def _means_of(asg):
+    """(m, code, j, v): per-(subspace, code) exact-integer mean vectors."""
+    return (
+        asg.select("m", "code", F.posexplode("sv").alias("j", "x"))
+        .select(
+            "m",
+            "code",
+            F.col("j").cast("int").alias("j"),
+            F.floor(F.col("x").cast("double") * F.lit(_S)).alias("fx"),
+        )
+        .groupBy("m", "code", "j")
+        .agg((F.sum("fx").cast("double") / F.count(F.lit(1)) / F.lit(_S)).alias("v"))
+    )
+
+
+def _cbvec_of(cb):
+    """(m, code, cv): codebook rows assembled into arrays in dim order."""
+    return cb.groupBy("m", "code").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("j", "v"))), lambda s: s["v"]
+        ).alias("cv")
+    )
+
+
+def _assign_codes(sub, cbv):
+    """(vec_id, m, code, sv): nearest codebook entry per subvector (min
+    integer-fixed-point L2, ties to the smaller code).
+
+    One broadcast equi-join on `m` fans each subvector out to its KSUB
+    candidate codes; one partial-aggregated min(struct) collapses them
+    map-side — the same no-window argmax shape as pipeline._assign_to."""
+    scored = sub.join(F.broadcast(cbv), "m").select(
+        "vec_id", "m", "sv", "code", _d2_int(F.col("sv"), F.col("cv")).alias("d2")
+    )
+    mn = F.min(F.struct(F.col("d2"), F.col("code"), F.col("sv"))).alias("mn")
+    return (
+        scored.groupBy("vec_id", "m")
+        .agg(mn)
+        .select(
+            "vec_id", "m", F.col("mn.code").alias("code"), F.col("mn.sv").alias("sv")
+        )
+    )
+
+
+_CB_CACHE: dict = {}
+
+
+def _codebooks(spark, sf_dir):
+    """Trained (m, code, cv) codebooks: seed codes by vec_id % KSUB, one
+    Lloyd refinement round in each subspace. Persisted per (session, sf_dir)
+    — a PQ index trains once and serves every encode/search call; without
+    the cache each query subtree would re-run the training scans."""
+    key = (id(spark), sf_dir)
+    if key not in _CB_CACHE:
+        sub = _subvectors(spark, sf_dir)
+        seeded = sub.select(
+            "vec_id", "m", "sv", (F.col("vec_id") % PQ_KSUB).cast("int").alias("code")
+        )
+        cb0v = _cbvec_of(_means_of(seeded))
+        cb1v = _cbvec_of(_means_of(_assign_codes(sub, cb0v))).persist()
+        cb1v.count()  # materialize: downstream plans start from M*KSUB rows
+        _CB_CACHE[key] = cb1v
+    return _CB_CACHE[key]
+
+
+_CB_SQL = f"""
+    {_SUB_SQL},
+    cb0 AS (
+      SELECT m, CAST(vec_id % {PQ_KSUB} AS INTEGER) AS code,
+        CAST(i - 1 AS INTEGER) AS j,
+        CAST(SUM(CAST(floor(CAST(sv[i] AS DOUBLE) * 1e9) AS BIGINT))
+             AS DOUBLE) / COUNT(*) / 1e9 AS v
+      FROM sub, UNNEST(range(1, len(sv) + 1)) AS u2(i)
+      GROUP BY m, code, j
+    ),
+    cb0v AS (SELECT m, code, list(v ORDER BY j) AS cv FROM cb0 GROUP BY m, code),
+    a1 AS (
+      SELECT vec_id, m, sv, code FROM (
+        SELECT s.vec_id, s.m, s.sv, c.code,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                             ORDER BY {_d2_int_sql('s.sv', 'c.cv')}, c.code) AS rn
+        FROM sub s JOIN cb0v c ON s.m = c.m) t
+      WHERE rn = 1
+    ),
+    cb1 AS (
+      SELECT m, code, CAST(i - 1 AS INTEGER) AS j,
+        CAST(SUM(CAST(floor(CAST(sv[i] AS DOUBLE) * 1e9) AS BIGINT))
+             AS DOUBLE) / COUNT(*) / 1e9 AS v
+      FROM a1, UNNEST(range(1, len(sv) + 1)) AS u3(i)
+      GROUP BY m, code, j
+    ),
+    cb1v AS (SELECT m, code, list(v ORDER BY j) AS cv FROM cb1 GROUP BY m, code)
+"""
+
+
+@query(
+    "ann_pq_codebooks",
+    oracle=f"""
+    WITH {_CB_SQL}
+    SELECT m, code, j, v FROM cb1
+    """,
+)
+def ann_pq_codebooks(spark, sf_dir):
+    """PQ codebook training (k-means per subspace, 1 refinement round from
+    the vec_id-seeded partition), emitted as (m, code, j, v) rows. Both
+    Lloyd stages are hash-verified cross-engine; training cost per round is
+    one broadcast join + two partial aggregations — no corpus self-join."""
+    sub = _subvectors(spark, sf_dir)
+    seeded = sub.select(
+        "vec_id", "m", "sv", (F.col("vec_id") % PQ_KSUB).cast("int").alias("code")
+    )
+    cb0v = _cbvec_of(_means_of(seeded))
+    return _means_of(_assign_codes(sub, cb0v)).select("m", "code", "j", "v")
+
+
+@query(
+    "ann_pq_codes",
+    oracle=f"""
+    WITH {_CB_SQL}
+    SELECT vec_id, m, code FROM (
+      SELECT s.vec_id, s.m, c.code,
+        ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                           ORDER BY {_d2_int_sql('s.sv', 'c.cv')}, c.code) AS rn
+      FROM sub s JOIN cb1v c ON s.m = c.m) t
+    WHERE rn = 1
+    """,
+)
+def ann_pq_codes(spark, sf_dir):
+    """PQ encoding: each vector reduced to M small-int codes under the
+    trained codebooks — the compressed representation a 100 TB index
+    actually stores (M bytes per vector at KSUB<=256). Broadcast join +
+    partial-agg argmin; the corpus is scanned once and never shuffled."""
+    sub = _subvectors(spark, sf_dir)
+    return _assign_codes(sub, _codebooks(spark, sf_dir)).select(
+        "vec_id", "m", "code"
+    )
+
+
+@query(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH {_CB_SQL},
+    codes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.code,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                             ORDER BY {_d2_int_sql('s.sv', 'c.cv')}, c.code) AS rn
+        FROM sub s JOIN cb1v c ON s.m = c.m) t
+      WHERE rn = 1
+    ),
+    lut AS (
+      SELECT s.vec_id AS qid, s.m, c.code,
+        {_d2_int_sql('s.sv', 'c.cv')} AS d2i
+      FROM sub s JOIN cb1v c ON s.m = c.m
+      WHERE s.vec_id % 100 = 0
+    ),
+    adc AS (
+      SELECT l.qid, co.vec_id,
+        CAST(SUM(l.d2i) AS DOUBLE) / 1e9 AS adc_d2
+      FROM codes co JOIN lut l ON co.m = l.m AND co.code = l.code
+      WHERE co.vec_id <> l.qid
+      GROUP BY l.qid, co.vec_id
+    )
+    SELECT qid, vec_id, adc_d2, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT qid, vec_id, adc_d2,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_d2, vec_id) AS rnk
+      FROM adc) t
+    WHERE rnk <= {PQ_TOPK}
+    """,
+)
+def ann_pq_adc_topk(spark, sf_dir):
+    """ADC top-k search: queries (1% sample, same convention as
+    ann_ivf_search) build a (qid, m, code) -> partial-distance lookup table
+    against the codebooks; candidates are scored by summing M table hits —
+    integer fixed point, so the sum is exact regardless of partition order.
+    The corpus side touches only its (vec_id, m, code) rows: at 10^11
+    vectors the scan is M small ints per vector, embeddings stay on disk.
+    LUT is Q*M*KSUB rows — broadcast; the groupBy(qid, vec_id) partial-sum
+    is the only shuffle."""
+    cbv = _codebooks(spark, sf_dir)
+    sub = _subvectors(spark, sf_dir)
+    codes = _assign_codes(sub, cbv).select("vec_id", "m", "code")
+    lut = (
+        sub.filter(F.col("vec_id") % 100 == 0)
+        .join(F.broadcast(cbv), "m")
+        .select(
+            F.col("vec_id").alias("qid"),
+            "m",
+            "code",
+            _d2_int(F.col("sv"), F.col("cv")).alias("d2i"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg((F.sum("d2i").cast("double") / F.lit(_S)).alias("adc_d2"))
+    )
+    wr = W.partitionBy("qid").orderBy("adc_d2", "vec_id")
+    return adc.select(
+        "qid", "vec_id", "adc_d2", F.row_number().over(wr).alias("rnk")
+    ).filter(F.col("rnk") <= PQ_TOPK)

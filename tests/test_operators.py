@@ -820,3 +820,50 @@ def test_gap_fill_stream_matches_batch(spark):
         for r in entry.queries()["events_gap_fill_6h"](spark, SF_DIR).collect()
     }
     assert stream == batch
+
+
+def test_pq_codes_cover_every_subspace(spark):
+    """Every vector gets exactly PQ_M codes, each within [0, PQ_KSUB)."""
+    from quackio_jl_spark.operators.pq import PQ_KSUB, PQ_M
+
+    rows = entry.queries()["ann_pq_codes"](spark, SF_DIR).collect()
+    per_vec = {}
+    for r in rows:
+        assert 0 <= r["code"] < PQ_KSUB
+        per_vec.setdefault(r["vec_id"], set()).add(r["m"])
+    assert per_vec, "no codes emitted"
+    assert all(ms == set(range(PQ_M)) for ms in per_vec.values())
+
+
+def test_pq_adc_approximates_exact_l2(spark):
+    """ADC rank-1 neighbors should usually be near the exact-L2 rank-1
+    neighbor: for each query, the exact L2 of the ADC winner must be within
+    a loose factor of the true nearest non-self distance (PQ is lossy, but
+    a 1-round 8x4 codebook on 64-dim data cannot be arbitrarily bad)."""
+    import math
+
+    from quackio_jl_spark.plans.registry import table as load
+
+    e = {r["vec_id"]: r["embedding"] for r in
+         load(spark, SF_DIR, "embeddings").collect()}
+    top = entry.queries()["ann_pq_adc_topk"](spark, SF_DIR).collect()
+    assert top, "no ADC results"
+
+    def l2(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    winners = {r["qid"]: r["vec_id"] for r in top if r["rnk"] == 1}
+    for qid, win in winners.items():
+        truth = min(l2(e[qid], v) for k, v in e.items() if k != qid)
+        assert l2(e[qid], e[win]) <= 3.0 * truth + 1e-9
+
+
+def test_pq_codebook_shape(spark):
+    """Codebooks: at most M*KSUB entries, every subvector dim present."""
+    from quackio_jl_spark.operators.pq import PQ_KSUB, PQ_M
+
+    rows = entry.queries()["ann_pq_codebooks"](spark, SF_DIR).collect()
+    entries = {(r["m"], r["code"]) for r in rows}
+    assert len(entries) <= PQ_M * PQ_KSUB
+    dims = {r["j"] for r in rows}
+    assert dims == set(range(16))  # 64-dim fixtures / 4 subspaces
