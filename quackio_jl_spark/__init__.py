@@ -34,6 +34,7 @@ from .sources import (
     read_file,
     read_json,
     read_kv_metadata,
+    read_orc,
     read_parquet,
     write_bucketed,
     write_sorted,
@@ -47,6 +48,7 @@ __all__ = [
     "read_csv",
     "read_parquet",
     "read_json",
+    "read_orc",
     "read_file",
     "write_table",
     "write_bucketed",

@@ -293,3 +293,48 @@ def roundtrip_parquet_zstd(spark, sf_dir):
     path = os.path.join(tempfile.mkdtemp(prefix="quackio_rt_"), "orders_rt_zstd")
     write_table(src, path, format="parquet", single_file=False, compression="zstd")
     return _agg(read_parquet(spark, path))
+
+
+@query("roundtrip_orc_native", oracle=_ORACLE)
+def roundtrip_orc_native(spark, sf_dir):
+    """orders -> ORC sink (zstd) -> ORC scan -> aggregate. Beyond-reference
+    format breadth: DuckDB has no ORC scanner so the reference cannot touch
+    ORC at all; Spark reads/writes it natively, and the cross-engine oracle
+    still verifies content because it aggregates the original parquet."""
+    import os
+    import tempfile
+
+    from ..sources.readers import read_orc
+
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="quackio_rt_"), "orders_rt.orc")
+    write_table(src, path, compression="gzip")  # format guessed; gzip->zlib
+    return _agg(read_orc(spark, path))
+
+
+@query("roundtrip_sharded_write", oracle=_ORACLE)
+def roundtrip_sharded_write(spark, sf_dir):
+    """orders -> directory-mode parquet sink with a bounded rows-per-file cap
+    (spark_options maxRecordsPerFile — the knob that keeps output shards at a
+    target size when a 100 TB job writes from few large tasks) -> glob scan
+    of the shards -> aggregate. tests/test_io_roundtrip asserts the file
+    count and per-file bound; this query gates the data integrity."""
+    import os
+    import tempfile
+
+    from ..sources.readers import read_parquet
+
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="quackio_rt_"), "orders_sharded")
+    write_table(
+        src,
+        path,
+        format="parquet",
+        single_file=False,
+        spark_options={"maxRecordsPerFile": "500"},
+    )
+    return _agg(read_parquet(spark, path))

@@ -8,7 +8,7 @@ from .options import (
     translate_read_options,
     translate_write_options,
 )
-from .readers import materialize, read_csv, read_file, read_json, read_parquet
+from .readers import materialize, read_csv, read_file, read_json, read_orc, read_parquet
 from .writers import write_table
 
 __all__ = [
@@ -18,6 +18,7 @@ __all__ = [
     "write_sorted",
     "read_parquet",
     "read_json",
+    "read_orc",
     "read_file",
     "materialize",
     "write_table",

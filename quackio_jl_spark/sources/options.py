@@ -44,7 +44,7 @@ def _reject(kind: str, fmt: str, key: str, known: set[str], reason: str | None =
         )
     raise UnknownOptionError(f"{kind}_{fmt} option {key!r}: {reason}")
 
-VALID_FORMATS = {"csv", "parquet", "json"}
+VALID_FORMATS = {"csv", "parquet", "json", "orc"}
 
 # DuckDB type name -> Spark DDL type. Matches the reference's observed cast
 # semantics (columns=(a="float",...) materializes as Float64/double —
@@ -105,6 +105,7 @@ def guess_format(path: str) -> str:
         ("csv", (".csv", ".tsv")),
         ("parquet", (".parquet", ".pq")),
         ("json", (".json", ".ndjson", ".jsonl")),
+        ("orc", (".orc",)),
     ):
         if name.endswith(exts):
             return fmt
@@ -177,6 +178,9 @@ _READ_KNOWN: dict[str, set[str]] = {
         "ignore_errors", "sample_size",
     },
     "parquet": {"compression", "filename", "file_row_number"},
+    # beyond-reference, Spark-native columnar format (DuckDB has no ORC
+    # scanner; the roundtrip oracle verifies content via the aggregate)
+    "orc": {"compression"},
 }
 
 
@@ -237,9 +241,9 @@ def translate_read_options(fmt: str, opts: dict[str, Any]) -> dict[str, str]:
                 out["mode"] = "DROPMALFORMED" if v else "FAILFAST"
             else:
                 _reject("read", fmt, k, known)
-        else:  # parquet
+        else:  # parquet / orc
             if lk == "compression":
-                continue  # parquet footers are self-describing on read
+                continue  # columnar footers are self-describing on read
             else:
                 _reject("read", fmt, k, known)
     return out
@@ -292,6 +296,9 @@ _WRITE_KNOWN: dict[str, set[str]] = {
         "compression", "kv_metadata", "use_tmp_file", "per_thread_output",
         "partition_by",
     },
+    "orc": {
+        "compression", "use_tmp_file", "per_thread_output", "partition_by",
+    },
 }
 
 
@@ -311,6 +318,8 @@ def translate_write_options(fmt: str, opts: dict[str, Any]) -> dict[str, str]:
             out["header"] = _bool_str(v)
         elif lk == "compression":
             codec = _WRITE_CODEC.get(str(v).lstrip(":").lower(), str(v))
+            if fmt == "orc" and codec == "gzip":
+                codec = "zlib"  # ORC's DEFLATE codec is named zlib
             out["compression"] = codec
         elif lk == "force_quote":
             # handled by writers.write_table (per-column pre-wrap; Spark CSV

@@ -387,6 +387,13 @@ def read_json(spark: SparkSession, file, **kw) -> DataFrame:
     return _read(spark, "json", file, **kw)
 
 
+def read_orc(spark: SparkSession, file, **kw) -> DataFrame:
+    """ORC scan — beyond-reference, Spark-native columnar format (DuckDB has
+    no ORC scanner, so the reference cannot read it; kept for Spark-ecosystem
+    interop). Same select=/limit= pushdown surface as read_parquet."""
+    return _read(spark, "orc", file, **kw)
+
+
 def read_file(spark: SparkSession, file, filetype: str | None = None, **kw) -> DataFrame:
     """Format-guessing scan (S4) — reference sniffs when filetype is nothing
     (src/QuackIO.jl:60-67). Kwargs besides select/limit are rejected when the

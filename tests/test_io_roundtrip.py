@@ -278,3 +278,43 @@ def test_single_file_write_modes(tmp_path, spark, basic_df):
         write_table(basic_df, p, mode="append")
     write_table(basic_df.limit(1), p, mode="overwrite")
     assert len(_lines(p)) == 2  # header + 1 row
+
+
+# ------------------------------------------------------------------- ORC
+
+def test_orc_roundtrip_and_guessing(tmp_path, spark, basic_df):
+    """ORC single-file write -> read_orc and extension-guessed read_file;
+    gzip is translated to ORC's zlib codec."""
+    from quackio_jl_spark import read_orc
+
+    p = str(tmp_path / "t.orc")
+    write_table(basic_df, p, compression="gzip")
+    back = read_orc(spark, p).orderBy("a").collect()
+    assert [(r["a"], r["b"], r["c"]) for r in back] == [(1, "x", 1.0), (2, "yz", None)]
+    guessed = read_file(spark, p).orderBy("a").collect()
+    assert [r["a"] for r in guessed] == [1, 2]
+
+
+def test_orc_unknown_option_raises(tmp_path, spark, basic_df):
+    from quackio_jl_spark.sources.options import UnknownOptionError
+
+    with pytest.raises(UnknownOptionError):
+        write_table(basic_df, str(tmp_path / "t.orc"), row_group_size=100)
+
+
+def test_sharded_write_bounds_file_rows(tmp_path, spark):
+    """maxRecordsPerFile via spark_options: every shard <= the cap, and the
+    write actually sharded (more than one part file)."""
+    df = spark.range(2000).selectExpr("id", "id * 2 AS v")
+    out = str(tmp_path / "sharded")
+    write_table(
+        df, out, format="parquet", single_file=False,
+        spark_options={"maxRecordsPerFile": "500"},
+    )
+    parts = [p for p in os.listdir(out) if p.startswith("part-")]
+    assert len(parts) >= 2
+    import pyarrow.parquet as pq
+
+    for p in parts:
+        assert pq.read_metadata(os.path.join(out, p)).num_rows <= 500
+    assert read_parquet(spark, out).count() == 2000
