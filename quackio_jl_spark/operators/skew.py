@@ -23,7 +23,7 @@ hot key over as many salts as it has input partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 __all__ = ["salted_join"]
@@ -91,4 +91,62 @@ def salted_join_user_spend(spark, sf_dir):
     clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id")
     return salted_join(clicks, spend, "user_id", n_salts=16).select(
         "event_id", "user_id", "total_spend"
+    )
+
+
+SKEW_TOP_KEYS = 20
+
+
+@query(
+    "key_skew_report",
+    oracle=f"""
+    WITH kc AS MATERIALIZED (
+      SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(cnt) AS DOUBLE) / count(*) AS avg_cnt
+      FROM kc
+    )
+    SELECT user_id, cnt,
+      round(cnt / avg_cnt, 8) AS skew_ratio,
+      round(100.0 * cnt / total, 8) AS pct_of_total,
+      n_keys, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT user_id, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rnk
+      FROM kc) r CROSS JOIN tot
+    WHERE rnk <= {SKEW_TOP_KEYS}
+    """,
+)
+def key_skew_report(spark, sf_dir):
+    """Join/agg-key skew diagnostics: the top heavy-hitter keys with their
+    share of all rows and ratio to the mean key frequency — the report you
+    run BEFORE picking a join strategy at 100 TB (skew_ratio >> 1 on the
+    planned key means salting / AQE skew-join, see salted_join). One
+    partial-aggregated count by key; the heavy-hitter ranking happens on
+    the already-aggregated key table (keys, not rows) and the 1-row
+    totals attach by broadcast."""
+    e = table(spark, sf_dir, "events")
+    kc = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = kc.agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("avg_cnt"),
+    )
+    wr = W.orderBy(F.col("cnt").desc(), "user_id")
+    return (
+        kc.select("user_id", "cnt", F.row_number().over(wr).alias("rnk"))
+        .filter(F.col("rnk") <= SKEW_TOP_KEYS)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "cnt",
+            F.round(F.col("cnt") / F.col("avg_cnt"), 8).alias("skew_ratio"),
+            F.round(F.lit(100.0) * F.col("cnt") / F.col("total"), 8).alias(
+                "pct_of_total"
+            ),
+            "n_keys",
+            "rnk",
+        )
     )

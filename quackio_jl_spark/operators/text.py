@@ -936,3 +936,206 @@ def bpe_train_merges(spark, sf_dir):
             .persist()
         )
     return reduce(lambda x, y: x.unionByName(y), outs)
+
+
+# ------------------------------------------- interpolated trigram LM
+
+_TRI_L3, _TRI_L2, _TRI_L1 = 0.6, 0.3, 0.1
+
+
+@query(
+    "trigram_lm_doc_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    -- MATERIALIZED: tri is referenced 7 times; DuckDB's default CTE
+    -- inlining re-expands the unnest into every consumer and the 6-way
+    -- join plan blows up combinatorially (observed: minutes + tens of GB
+    -- at 26k trigrams). Materialized once, the whole query is <1 s.
+    tri AS MATERIALIZED (
+      SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2, t[i+3] AS w3
+      FROM toks, UNNEST(range(len(t) - 2)) AS u(i)
+    ),
+    c3 AS (SELECT w1, w2, w3, count(*) AS n3 FROM tri GROUP BY w1, w2, w3),
+    c12 AS (SELECT w1, w2, count(*) AS n12 FROM tri GROUP BY w1, w2),
+    c23 AS (SELECT w2, w3, count(*) AS n23 FROM tri GROUP BY w2, w3),
+    c2 AS (SELECT w2, count(*) AS n2 FROM tri GROUP BY w2),
+    cu AS (SELECT w3, count(*) AS nu FROM tri GROUP BY w3),
+    tot AS (SELECT count(*) AS n FROM tri)
+    SELECT doc_id,
+      CAST(count(*) AS BIGINT) AS n_trigrams,
+      round(avg(ln(
+        {_TRI_L3} * n3 / n12 + {_TRI_L2} * n23 / n2 + {_TRI_L1} * nu / n
+      )), 8) AS avg_logprob
+    FROM tri
+      JOIN c3 USING (w1, w2, w3) JOIN c12 USING (w1, w2)
+      JOIN c23 USING (w2, w3) JOIN c2 USING (w2) JOIN cu USING (w3)
+      CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def trigram_lm_doc_score(spark, sf_dir):
+    """Interpolated trigram language model, corpus-self-scored: per document
+    the average ln of 0.6*P(w3|w1w2) + 0.3*P(w3|w2) + 0.1*P(w3) — the
+    Jelinek-Mercer backoff mixture that separates fluent text from
+    gibberish better than the bigram score (bigram_lm_doc_score) because
+    unseen long contexts fall back smoothly instead of cratering. Every
+    count table derives from the SAME trigram-position relation (so all
+    denominators are >= 1 by construction and the model is
+    self-consistent), and every join back is BROADCAST — vocabulary-sized,
+    not corpus-sized; at web scale the n-gram tables get a count cutoff
+    first, same broadcast afterwards. One corpus explode, five count
+    aggregates, zero corpus shuffles beyond the per-doc regroup. Rounded
+    to 8 decimals (established ln() hygiene)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 3),
+                lambda i: F.struct(
+                    F.element_at("t", i + 1).alias("w1"),
+                    F.element_at("t", i + 2).alias("w2"),
+                    F.element_at("t", i + 3).alias("w3"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2", "p.w3")
+    c3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("n3"))
+    c12 = tri.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c23 = tri.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("n23"))
+    c2 = tri.groupBy("w2").agg(F.count(F.lit(1)).alias("n2"))
+    cu = tri.groupBy("w3").agg(F.count(F.lit(1)).alias("nu"))
+    tot = tri.agg(F.count(F.lit(1)).alias("n"))
+    p = (
+        F.lit(_TRI_L3) * F.col("n3") / F.col("n12")
+        + F.lit(_TRI_L2) * F.col("n23") / F.col("n2")
+        + F.lit(_TRI_L1) * F.col("nu") / F.col("n")
+    )
+    return (
+        tri.join(F.broadcast(c3), ["w1", "w2", "w3"])
+        .join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c23), ["w2", "w3"])
+        .join(F.broadcast(c2), ["w2"])
+        .join(F.broadcast(cu), ["w3"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(F.avg(F.log(p)), 8).alias("avg_logprob"),
+        )
+    )
+
+
+# -------------------------------------- sparse TF-IDF cosine similarity
+
+TFIDF_DF_CAP = 50  # tokens in more docs than this are stopword-class: drop
+TFIDF_COS_MIN = 0.25
+
+
+@query(
+    "tfidf_cosine_pairs",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, t AS token FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+    ),
+    tf AS MATERIALIZED (
+      SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+    ),
+    df AS MATERIALIZED (
+      SELECT token, count(*) AS df FROM tf GROUP BY token
+      HAVING count(*) <= {TFIDF_DF_CAP}
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS MATERIALIZED (
+      SELECT doc_id, token, tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    ),
+    nrm AS MATERIALIZED (
+      SELECT doc_id,
+        sqrt(CAST(sum(CAST(floor(w * w * 1e9) AS BIGINT)) AS DOUBLE) / 1e9) AS nrm
+      FROM w GROUP BY doc_id
+    ),
+    dots AS MATERIALIZED (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        CAST(sum(CAST(floor(a.w * b.w * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS dot,
+        CAST(count(*) AS BIGINT) AS n_shared
+      FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY doc1, doc2
+    )
+    SELECT doc1, doc2, n_shared,
+      round(dot / (n1.nrm * n2.nrm), 8) AS cos_sim
+    FROM dots JOIN nrm n1 ON doc1 = n1.doc_id JOIN nrm n2 ON doc2 = n2.doc_id
+    WHERE dot / (n1.nrm * n2.nrm) >= {TFIDF_COS_MIN}
+    """,
+)
+def tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse lexical similarity: TF-IDF-weighted cosine between document
+    pairs via an inverted-index self-join — the bag-of-words complement to
+    the embedding-space near-dup (neardup_embedding_cosine). The
+    stopword-class document-frequency cap (df <= {TFIDF_DF_CAP}) is what
+    makes the self-join scale: per-token fan-out is bounded by CAP^2 and
+    the hot tokens that would dominate the shuffle carry ~zero IDF signal
+    anyway. Dot products and norms accumulate in fixed-point int64 (the
+    exact_dot discipline) so the pair set is stable at the threshold
+    boundary under any partitioning. At 10^9 docs the df table is
+    broadcast; the pair aggregate shuffles on (doc1, doc2) with map-side
+    combine."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= TFIDF_DF_CAP)
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(df_t), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(F.floor(F.col("w") * F.col("w") * F.lit(1e9))).cast("double")
+            / F.lit(1e9)
+        ).alias("nrm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .agg(
+            (
+                F.sum(F.floor(F.col("a.w") * F.col("b.w") * F.lit(1e9))).cast("double")
+                / F.lit(1e9)
+            ).alias("dot"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+    )
+    n1 = nrm.select(F.col("doc_id").alias("doc1"), F.col("nrm").alias("nrm1"))
+    n2 = nrm.select(F.col("doc_id").alias("doc2"), F.col("nrm").alias("nrm2"))
+    cos = F.col("dot") / (F.col("nrm1") * F.col("nrm2"))
+    return (
+        dots.join(F.broadcast(n1), "doc1")
+        .join(F.broadcast(n2), "doc2")
+        .filter(cos >= TFIDF_COS_MIN)
+        .select("doc1", "doc2", "n_shared", F.round(cos, 8).alias("cos_sim"))
+    )

@@ -867,3 +867,33 @@ def test_pq_codebook_shape(spark):
     assert len(entries) <= PQ_M * PQ_KSUB
     dims = {r["j"] for r in rows}
     assert dims == set(range(16))  # 64-dim fixtures / 4 subspaces
+
+
+def test_tfidf_cosine_pairs_bounds(spark):
+    rows = entry.queries()["tfidf_cosine_pairs"](spark, SF_DIR).collect()
+    for r in rows:
+        assert 0.0 < r["cos_sim"] <= 1.0 + 1e-9
+        assert r["doc1"] < r["doc2"]
+        assert r["n_shared"] >= 1
+
+
+def test_key_skew_report_consistent(spark):
+    rows = entry.queries()["key_skew_report"](spark, SF_DIR).collect()
+    assert [r["rnk"] for r in sorted(rows, key=lambda r: r["rnk"])] == list(
+        range(1, len(rows) + 1)
+    )
+    cnts = [r["cnt"] for r in sorted(rows, key=lambda r: r["rnk"])]
+    assert cnts == sorted(cnts, reverse=True)
+    for r in rows:
+        assert r["skew_ratio"] > 0 and 0 < r["pct_of_total"] <= 100
+
+
+def test_trigram_lm_scores_fluency(spark):
+    """Trigram logprobs are finite negatives; n_trigrams = n_tokens-2."""
+    import math
+
+    rows = entry.queries()["trigram_lm_doc_score"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_trigrams"] >= 1
+        assert math.isfinite(r["avg_logprob"]) and r["avg_logprob"] <= 0.0
