@@ -112,10 +112,68 @@ def guess_format(path: str) -> str:
     raise ValueError(f"cannot guess format from filename: {path!r}")
 
 
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas at paren/bracket nesting depth 0, respecting double
+    quotes (DuckDB's hostile-identifier quoting)."""
+    parts, depth, buf, in_q = [], 0, [], False
+    for ch in s:
+        if ch == '"':
+            in_q = not in_q
+            buf.append(ch)
+        elif in_q:
+            buf.append(ch)
+        elif ch in "([<":
+            depth += 1
+            buf.append(ch)
+        elif ch in ")]>":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("".join(buf).strip())
+    return parts
+
+
+def _split_field(field: str) -> tuple[str, str]:
+    """One DuckDB STRUCT field decl -> (name, type). The name is either a
+    double-quoted identifier (may contain spaces/emoji — the reference's
+    hostile-name precedent, /root/reference/test/runtests.jl:72-76) or a
+    bare word; the rest is the type."""
+    field = field.strip()
+    if field.startswith('"'):
+        end = field.index('"', 1)
+        return field[1:end], field[end + 1 :].strip()
+    name, _, typ = field.partition(" ")
+    return name, typ.strip()
+
+
 def duckdb_type_to_spark(duck_type: str) -> str:
-    """One DuckDB type name -> Spark type name (used by ``columns=`` full
-    schemas and ``types=`` partial overrides)."""
-    return _DUCKDB_TO_SPARK_TYPE.get(str(duck_type).lower(), str(duck_type))
+    """DuckDB type -> Spark DDL type (used by ``columns=`` full schemas and
+    ``types=`` partial overrides). Handles nested types recursively:
+    ``STRUCT(a INTEGER, "weird name" VARCHAR)`` -> ``struct<a:bigint,...>``,
+    ``MAP(VARCHAR, INTEGER)`` -> ``map<string,bigint>``, ``INTEGER[]`` ->
+    ``array<bigint>``, ``DECIMAL(p,s)`` passes through."""
+    t = str(duck_type).strip()
+    lt = t.lower()
+    if lt.endswith("[]"):
+        return f"array<{duckdb_type_to_spark(t[:-2])}>"
+    if lt.startswith("struct(") and t.endswith(")"):
+        fields = _split_top_level(t[7:-1])
+        inner = ",".join(
+            f"`{name}`:{duckdb_type_to_spark(typ)}"
+            for name, typ in (_split_field(f) for f in fields)
+        )
+        return f"struct<{inner}>"
+    if lt.startswith("map(") and t.endswith(")"):
+        k, v = _split_top_level(t[4:-1])
+        return f"map<{duckdb_type_to_spark(k)},{duckdb_type_to_spark(v)}>"
+    if lt.startswith("decimal(") or lt.startswith("numeric("):
+        return "decimal" + t[t.index("(") :]
+    return _DUCKDB_TO_SPARK_TYPE.get(lt, t)
 
 
 def duckdb_schema_to_ddl(columns: dict[str, str]) -> str:

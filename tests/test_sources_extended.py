@@ -229,3 +229,46 @@ def test_python_datasource_streaming_reader(spark):
     assert len(rows) == 100
     assert rows[42] == _doc_text(42)
     assert set(rows) == set(range(100))
+
+
+def test_nested_ddl_translation():
+    """DuckDB nested type syntax -> Spark DDL, recursively, with
+    hostile quoted field names."""
+    from quackio_jl_spark.sources.options import duckdb_type_to_spark
+
+    assert duckdb_type_to_spark("INTEGER[]") == "array<bigint>"
+    assert duckdb_type_to_spark("MAP(VARCHAR, INTEGER)") == "map<string,bigint>"
+    assert duckdb_type_to_spark("DECIMAL(10,2)") == "decimal(10,2)"
+    assert (
+        duckdb_type_to_spark('STRUCT(a INTEGER, "weird name" VARCHAR, c DOUBLE[])')
+        == "struct<`a`:bigint,`weird name`:string,`c`:array<double>>"
+    )
+    assert (
+        duckdb_type_to_spark("STRUCT(inner STRUCT(x FLOAT), m MAP(VARCHAR, VARCHAR))")
+        == "struct<`inner`:struct<`x`:double>,`m`:map<string,string>>"
+    )
+
+
+def test_read_json_nested_columns(tmp_path, spark):
+    """columns= with a DuckDB STRUCT type reads nested JSON with an explicit
+    schema (the json-columns nested-DDL Tier B item)."""
+    from quackio_jl_spark import read_json
+
+    p = tmp_path / "nested.ndjson"
+    p.write_text(
+        '{"id": 1, "s": {"a": 7, "weird name": "x"}, "tags": ["t1", "t2"]}\n'
+        '{"id": 2, "s": {"a": 8, "weird name": null}, "tags": []}\n'
+    )
+    df = read_json(
+        spark,
+        str(p),
+        columns={
+            "id": "bigint",
+            "s": 'STRUCT(a INTEGER, "weird name" VARCHAR)',
+            "tags": "VARCHAR[]",
+        },
+    )
+    assert df.schema["s"].dataType.typeName() == "struct"
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["s"]["a"] == 7 and rows[1]["s"]["weird name"] == "x"
+    assert rows[2]["tags"] == []
