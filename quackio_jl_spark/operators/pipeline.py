@@ -1619,3 +1619,116 @@ def embedding_pca_top2_deflation(spark, sf_dir):
         F.col("v").alias("loading"), F.col("nrm").alias("eigenvalue"),
     )
     return c1.unionByName(c2)
+
+
+# --------------------------------------------- length-grouped batching
+
+BATCH_DOCS = 32
+
+
+@query(
+    "length_grouped_batches",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_tokens,
+        ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) - 1 AS pos
+      FROM toks
+    )
+    SELECT CAST(pos // {BATCH_DOCS} AS BIGINT) AS batch_id,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      MAX(n_tokens) AS max_tokens,
+      SUM(n_tokens) AS sum_tokens,
+      round(CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS DOUBLE)
+            / (COUNT(*) * MAX(n_tokens)), 8) AS pad_waste
+    FROM r GROUP BY batch_id
+    """,
+)
+def length_grouped_batches(spark, sf_dir):
+    """Length-grouped batching: documents sorted by token count and cut
+    into fixed-size batches, reporting each batch's padding waste
+    (1 - sum/len*max) — the batching strategy that cuts padded-token cost
+    vs random batching. The global order comes from the shared numbering
+    kernel with the TOKEN COUNT ITSELF as the order-aligned bucket id
+    (a pure function of the row; bucket count is bounded by the max
+    document length, and each bucket sorts only its own docs) — never a
+    single-reducer global sort. The per-batch aggregate shuffles batch
+    ids, not documents."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    parts = toks.withColumn("_pid", F.col("n_tokens").cast("int"))
+    ranked = _number_in_bucket_order(
+        parts, ["n_tokens", "doc_id"], ["doc_id", "n_tokens"], "pos"
+    ).drop("shard")
+    waste = (
+        F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")
+    ).cast("double") / (F.count(F.lit(1)) * F.max("n_tokens"))
+    return (
+        ranked.select((F.col("pos") / BATCH_DOCS).cast("bigint").alias("batch_id"), "n_tokens")
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.round(waste, 8).alias("pad_waste"),
+        )
+    )
+
+
+# --------------------------------- temperature-scaled mixture weights
+
+MIX_TEMPERATURE = 2.0  # 1/T = 0.5 -> sqrt: IEEE-exact, engine-identical
+
+
+@query(
+    "mixture_temperature_weights",
+    oracle="""
+    WITH src AS MATERIALIZED (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_docs) AS n FROM src),
+    w AS (
+      SELECT source, n_docs,
+        CAST(n_docs AS DOUBLE) / n AS p,
+        sqrt(CAST(n_docs AS DOUBLE) / n) AS w_raw, n
+      FROM src CROSS JOIN tot
+    ),
+    z AS (SELECT SUM(w_raw) AS z FROM w)
+    SELECT source, n_docs, round(p, 8) AS p,
+      round(w_raw / z, 8) AS weight,
+      CAST(floor(w_raw / z * n) AS BIGINT) AS target_docs
+    FROM w CROSS JOIN z
+    """,
+)
+def mixture_temperature_weights(spark, sf_dir):
+    """Temperature-scaled source mixture (the multilingual/multi-source
+    rebalancing rule from multilingual-LM training: sample p_s^(1/T),
+    renormalized — T>1 upweights small sources). T=2 so the exponent is a
+    sqrt: correctly-rounded IEEE, bit-identical in every engine, which
+    keeps the oracle hash exact where a general pow() could differ in the
+    last ulp. Source histogram is one partial-agg; the scalar totals
+    attach by broadcast; target_docs = floor(weight * N) is the quota fed
+    to mixture_sample_by_source."""
+    d = table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = src.agg(F.sum("n_docs").alias("n"))
+    w = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("n")).alias("p"),
+        F.sqrt(F.col("n_docs").cast("double") / F.col("n")).alias("w_raw"),
+        "n",
+    )
+    z = w.agg(F.sum("w_raw").alias("z"))
+    return w.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.round("p", 8).alias("p"),
+        F.round(F.col("w_raw") / F.col("z"), 8).alias("weight"),
+        F.floor(F.col("w_raw") / F.col("z") * F.col("n")).cast("bigint").alias("target_docs"),
+    )

@@ -370,3 +370,85 @@ def similarity_quantized_rescored(spark, sf_dir):
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(QUANT_TOPK)
     )
+
+
+# --------------------------------------------- kNN label-vote classifier
+
+KNN_K = 5
+
+
+@query(
+    "knn_label_vote",
+    oracle=f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id AS qid, embedding AS qv, label AS true_label
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    scored AS MATERIALIZED (
+      SELECT q.qid, q.true_label, e.vec_id, e.label,
+        ROW_NUMBER() OVER (PARTITION BY q.qid
+                           ORDER BY {_cosine_sql('e.embedding', 'q.qv')} DESC,
+                                    e.vec_id) AS rn
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    ),
+    votes AS (
+      SELECT qid, true_label, label, CAST(count(*) AS BIGINT) AS n_votes
+      FROM scored WHERE rn <= {KNN_K}
+      GROUP BY qid, true_label, label
+    )
+    SELECT qid, true_label, label AS pred_label, n_votes FROM (
+      SELECT qid, true_label, label, n_votes,
+        ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY n_votes DESC, label) AS vr
+      FROM votes) t
+    WHERE vr = 1
+    """,
+)
+def knn_label_vote(spark, sf_dir):
+    """kNN majority-vote classification over the embedding space: each query
+    (1% sample, same convention as the ANN suite) takes the majority label
+    of its {KNN_K} nearest corpus neighbors by exact cosine, ties to the
+    smaller label id. The classifier every labeling pipeline starts from
+    (and the quality probe for embedding spaces: high kNN agreement =
+    labels are linearly recoverable). Scale shape: queries broadcast, one
+    corpus scan, per-query top-k window over the 1% fan-out only; the vote
+    is a partial-aggregated count + argmax — no corpus shuffle."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "true_label", "vec_id", "label",
+            cosine("embedding", "qv").alias("cs"),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("cs").desc(), "vec_id")
+    )
+    votes = (
+        scored.select("qid", "true_label", "label", rn.alias("rn"))
+        .filter(F.col("rn") <= KNN_K)
+        .groupBy("qid", "true_label", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    best = F.max(
+        F.struct(F.col("n_votes"), (-F.col("label")).alias("nl"), F.col("label"))
+    ).alias("b")
+    return (
+        votes.groupBy("qid", "true_label")
+        .agg(best)
+        .select(
+            "qid",
+            "true_label",
+            F.col("b.label").alias("pred_label"),
+            F.col("b.n_votes").alias("n_votes"),
+        )
+    )

@@ -897,3 +897,43 @@ def test_trigram_lm_scores_fluency(spark):
     for r in rows:
         assert r["n_trigrams"] >= 1
         assert math.isfinite(r["avg_logprob"]) and r["avg_logprob"] <= 0.0
+
+
+def test_length_grouped_batches_reduce_padding(spark):
+    """Batches are full (except possibly the last), cover all docs, and
+    length grouping wastes less padding than one global batch would."""
+    from quackio_jl_spark.operators.pipeline import BATCH_DOCS
+
+    rows = sorted(
+        entry.queries()["length_grouped_batches"](spark, SF_DIR).collect(),
+        key=lambda r: r["batch_id"],
+    )
+    assert rows
+    assert all(r["n_docs"] == BATCH_DOCS for r in rows[:-1])
+    assert sum(r["n_docs"] for r in rows) == sum(r["n_docs"] for r in rows)
+    total_docs = sum(r["n_docs"] for r in rows)
+    global_max = max(r["max_tokens"] for r in rows)
+    total_tokens = sum(r["sum_tokens"] for r in rows)
+    grouped_padded = sum(r["n_docs"] * r["max_tokens"] for r in rows)
+    assert grouped_padded <= total_docs * global_max
+    assert grouped_padded >= total_tokens
+
+
+def test_mixture_temperature_upweights_small_sources(spark):
+    """T=2 flattens the mixture: every small source's weight exceeds its
+    raw share, every large one's shrinks, and weights sum to ~1."""
+    rows = entry.queries()["mixture_temperature_weights"](spark, SF_DIR).collect()
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-6
+    mean_p = 1.0 / len(rows)
+    for r in rows:
+        if r["p"] < mean_p:
+            assert r["weight"] >= r["p"]
+
+
+def test_knn_label_vote_valid(spark):
+    from quackio_jl_spark.operators.similarity import KNN_K
+
+    rows = entry.queries()["knn_label_vote"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_votes"] <= KNN_K
