@@ -584,3 +584,78 @@ def semantic_dedup_clusters(spark, sf_dir):
     return connected_components(
         sub, pairs, id_col="vec_id", src="id1", dst="id2"
     ).select(F.col("id").alias("vec_id"), "cluster")
+
+
+# ----------------------------------------------------- k-core (3 peel rounds)
+
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+
+def _kcore_sql() -> str:
+    parts = [f"alive0 AS (SELECT id FROM deg WHERE d >= {KCORE_K})"]
+    prev = "alive0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(f"""
+    e{r} AS (
+      SELECT e.src, e.dst FROM edges e
+      JOIN {prev} s ON e.src = s.id JOIN {prev} t ON e.dst = t.id
+    ),
+    d{r} AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d FROM e{r} GROUP BY src),
+    alive{r} AS (SELECT id, d FROM d{r} WHERE d >= {KCORE_K})""")
+        prev = f"alive{r}"
+    return ",\n".join(parts)
+
+
+@query(
+    "part_kcore",
+    oracle=f"""
+    WITH {_PR_GRAPH_SQL},
+    {_kcore_sql()}
+    SELECT id AS part_id, d AS core_degree FROM alive{KCORE_ROUNDS}
+    """,
+)
+def part_kcore(spark, sf_dir):
+    """k-core peeling ({KCORE_ROUNDS} unrolled rounds, k={KCORE_K}) on the
+    part co-purchase graph: repeatedly drop nodes whose degree falls below
+    k among the SURVIVORS — the dense-subgraph extraction behind spam-ring
+    and community-nucleus detection (PageRank finds central nodes; k-core
+    finds mutually dense ones). Per round: two semi-joins of the edge list
+    against the shrinking survivor set + one degree aggregate; the edge
+    list and degrees are built once and PERSISTED (the
+    persist-per-iteration rule from part_pagerank), so round r+1 plans on
+    a cached survivor table, never on r rounds of lineage. Fixed round
+    count keeps the oracle expressible; on this graph peeling converges
+    within the unrolled rounds (asserted in tests)."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part1"))
+    b = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part2"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part1") < F.col("part2")))
+        .groupBy("part1", "part2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("part1", "part2")
+    )
+    edges = (
+        pairs.select(F.col("part1").alias("src"), F.col("part2").alias("dst"))
+        .union(pairs.select(F.col("part2").alias("src"), F.col("part1").alias("dst")))
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    alive = deg.filter(F.col("d") >= KCORE_K).select("src").persist()
+    alive.count()
+    for _ in range(KCORE_ROUNDS):
+        surv = (
+            edges.join(alive.withColumnRenamed("src", "id"), F.col("src") == F.col("id"), "left_semi")
+            .join(alive.withColumnRenamed("src", "id"), F.col("dst") == F.col("id"), "left_semi")
+        )
+        d = surv.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        nxt = d.filter(F.col("d") >= KCORE_K).persist()
+        nxt.count()
+        alive.unpersist()
+        alive, last_d = nxt.select("src"), nxt
+        alive = alive.persist()
+    return last_d.select(
+        F.col("src").alias("part_id"), F.col("d").cast("bigint").alias("core_degree")
+    )

@@ -846,3 +846,51 @@ def except_all_statuses(spark, sf_dir):
         F.col("o_orderstatus").alias("status")
     )
     return a.exceptAll(b)
+
+
+@query(
+    "join_full_outer_click_purchase",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    p AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+      COALESCE(n_clicks, 0) AS n_clicks,
+      COALESCE(n_purchases, 0) AS n_purchases,
+      (c.user_id IS NULL) AS purchase_only,
+      (p.user_id IS NULL) AS click_only
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    """,
+)
+def join_full_outer_click_purchase(spark, sf_dir):
+    """FULL OUTER join (the one join type the suite didn't yet expose as a
+    query): per-user click vs purchase activity with both unmatched sides
+    kept and flagged. Shuffles both pre-aggregated key tables (users, not
+    events) — a full-outer can't broadcast either side by definition, so
+    the scale design is to aggregate BEFORE joining."""
+    e = table(spark, sf_dir, "events")
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+        .withColumnRenamed("user_id", "cu")
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .withColumnRenamed("user_id", "pu")
+    )
+    j = c.join(p, F.col("cu") == F.col("pu"), "full_outer")
+    return j.select(
+        F.coalesce("cu", "pu").alias("user_id"),
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.col("cu").isNull().alias("purchase_only"),
+        F.col("pu").isNull().alias("click_only"),
+    )

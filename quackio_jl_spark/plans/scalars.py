@@ -274,3 +274,34 @@ def decimal_interval_pack(spark, sf_dir):
             - F.unix_timestamp(d)
         ).alias("sec_to_y2k"),
     )
+
+
+@query(
+    "bitwise_pack",
+    oracle="""
+    SELECT o_orderkey,
+      o_orderkey & 255 AS band,
+      o_orderkey | 4096 AS bor,
+      xor(o_orderkey, o_custkey) AS bxor,
+      o_orderkey << 2 AS shl,
+      o_orderkey >> 3 AS shr,
+      CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def bitwise_pack(spark, sf_dir):
+    """Bitwise scalar pack: and/or/xor, shifts, popcount — the primitives
+    under hash partitioners, bloom filters and the simhash/z-order
+    operators, pinned cross-engine on the same rows. All JVM built-ins
+    inside whole-stage codegen."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("bor"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("bxor"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+        F.bit_count(k).alias("popcount"),
+    )

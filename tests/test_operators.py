@@ -937,3 +937,14 @@ def test_knn_label_vote_valid(spark):
     assert rows
     for r in rows:
         assert 1 <= r["n_votes"] <= KNN_K
+
+
+def test_kcore_is_subgraph_fixpoint(spark):
+    """Every surviving k-core node keeps degree >= K among survivors
+    (peeling converged within the unrolled rounds on this graph)."""
+    from quackio_jl_spark.operators.cluster import KCORE_K
+
+    rows = entry.queries()["part_kcore"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["core_degree"] >= KCORE_K
