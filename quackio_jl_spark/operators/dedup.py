@@ -1025,3 +1025,115 @@ def neardup_containment(spark, sf_dir):
             >= CONTAINMENT_THRESHOLD
         )
     )
+
+
+# ------------------------------------------- incremental dedup vs an index
+
+BATCH_MOD = 10  # doc_id % 10 == 0 plays the "incoming batch"; rest = index
+
+
+@query(
+    "dedup_incremental_vs_index",
+    oracle="WITH"
+    + _SHINGLES_SQL
+    + ","
+    + _minhash_sig_sql()
+    + f""",
+    bands AS (
+      {_bands_sql()}
+    ),
+    nb AS (SELECT * FROM bands WHERE doc_id % {BATCH_MOD} = 0),
+    ib AS (SELECT * FROM bands WHERE doc_id % {BATCH_MOD} <> 0),
+    iok AS (
+      SELECT band, key FROM ib GROUP BY band, key
+      HAVING COUNT(*) <= {LSH_MAX_BUCKET}
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_doc, i.doc_id AS dup_of
+      FROM nb n
+      JOIN iok ON iok.band = n.band AND iok.key = n.key
+      JOIN ib i ON i.band = n.band AND i.key = n.key
+    ),
+    sets AS (
+      SELECT doc_id, list(substr(md5(shingle), 1, 16)) AS s
+      FROM sh GROUP BY doc_id
+    )
+    SELECT new_doc, dup_of,
+      CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+        / (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s))) AS jaccard
+    FROM cand
+    JOIN sets s1 ON s1.doc_id = new_doc
+    JOIN sets s2 ON s2.doc_id = dup_of
+    WHERE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+        / (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s)))
+        >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_incremental_vs_index(spark, sf_dir):
+    """Incremental ingestion dedup: an incoming batch (doc_id % {BATCH_MOD}
+    == 0 stands in for "today's crawl") is checked against the EXISTING
+    corpus index without ever comparing index docs to each other — the
+    production shape where the index's band table is precomputed and
+    stored (bucketed by (band, key), see sources/bucketing.py) and each
+    ingest only shuffles the new batch's bands. The asymmetric join is
+    what makes daily ingestion O(batch), not O(corpus): index-side hot
+    buckets past LSH_MAX_BUCKET are dropped (same skew guard, mirrored in
+    the oracle), and the exact-Jaccard verify touches only surviving
+    candidates with broadcast hash-set intersections."""
+    d = table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d)
+    n_bands = N_MINHASH // LSH_BAND_SIZE
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            *[
+                                F.col(f"h{b * LSH_BAND_SIZE + j}")
+                                for j in range(LSH_BAND_SIZE)
+                            ]
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    nb = bands.filter(F.col("doc_id") % BATCH_MOD == 0)
+    ib = bands.filter(F.col("doc_id") % BATCH_MOD != 0)
+    iok = (
+        ib.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= LSH_MAX_BUCKET)
+        .select("band", "key")
+    )
+    cand = (
+        nb.join(iok, ["band", "key"])
+        .join(
+            ib.select(
+                F.col("doc_id").alias("dup_of"), "band", "key"
+            ),
+            ["band", "key"],
+        )
+        .select(F.col("doc_id").alias("new_doc"), "dup_of")
+        .distinct()
+    )
+    sets_ = (
+        shingles_all(d)
+        .select("doc_id", F.substring(F.md5("shingle"), 1, 16).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("s"))
+    )
+    s1 = sets_.select(F.col("doc_id").alias("new_doc"), F.col("s").alias("s1"))
+    s2 = sets_.select(F.col("doc_id").alias("dup_of"), F.col("s").alias("s2"))
+    c = F.size(F.array_intersect("s1", "s2"))
+    jac = c.cast("double") / (F.size("s1") + F.size("s2") - c)
+    return (
+        cand.join(s1, "new_doc")
+        .join(s2, "dup_of")
+        .select("new_doc", "dup_of", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )

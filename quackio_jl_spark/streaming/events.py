@@ -485,3 +485,47 @@ def gap_fill_stream(spark: SparkSession, sf_dir: str):
     return spark.sql(
         "SELECT user_id, bucket_id, value_filled, is_gap FROM gap_fill_stream"
     )
+
+
+def ohlc_stream(
+    spark: SparkSession, sf_dir: str, queryName: str = "ohlc_stream"
+) -> DataFrame:
+    """Streaming twin of events_ohlc_15min: OHLC bars computed as a
+    Structured Streaming tumbling-window aggregate. Open/close use the same
+    min/max-over-(epoch, event_id, value)-struct trick as the batch query —
+    ordered aggregates with a deterministic tie-break are exactly what
+    survives the unordered, incremental arrival of a stream; first()/last()
+    would be micro-batch-order-dependent. Complete mode + memory sink for
+    the drain-and-compare harness; a production run would use update mode
+    with the watermark closing bars."""
+    stream = _events_stream(spark, sf_dir)
+    key = F.struct(
+        F.unix_micros("ts").alias("t"),
+        F.col("event_id").alias("i"),
+        F.col("value").alias("v"),
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.min(key)["v"].alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(key)["v"].alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"SELECT date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS bucket, "
+        f"event_type, open, high, low, close, n FROM {queryName}"
+    )

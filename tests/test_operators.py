@@ -948,3 +948,18 @@ def test_kcore_is_subgraph_fixpoint(spark):
     assert rows
     for r in rows:
         assert r["core_degree"] >= KCORE_K
+
+
+def test_streaming_ohlc_matches_batch(spark):
+    """OHLC bars from the streaming twin must equal the oracle-gated batch
+    query, including the order-sensitive open/close picks."""
+    from quackio_jl_spark.streaming.events import ohlc_stream
+
+    stream_res = ohlc_stream(spark, SF_DIR, queryName="t_ohlc")
+    batch_res = entry.queries()["events_ohlc_15min"](spark, SF_DIR)
+    key = lambda r: (r["bucket"], r["event_type"])  # noqa: E731
+    s = {key(r): (r["open"], r["high"], r["low"], r["close"], r["n"])
+         for r in stream_res.collect()}
+    b = {key(r): (r["open"], r["high"], r["low"], r["close"], r["n"])
+         for r in batch_res.collect()}
+    assert s == b
