@@ -176,7 +176,7 @@ _CB_SQL = f"""
       GROUP BY m, code, j
     ),
     cb0v AS (SELECT m, code, list(v ORDER BY j) AS cv FROM cb0 GROUP BY m, code),
-    a1 AS (
+    pqa1 AS (
       SELECT vec_id, m, sv, code FROM (
         SELECT s.vec_id, s.m, s.sv, c.code,
           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
@@ -188,7 +188,7 @@ _CB_SQL = f"""
       SELECT m, code, CAST(i - 1 AS INTEGER) AS j,
         CAST(SUM(CAST(floor(CAST(sv[i] AS DOUBLE) * 1e9) AS BIGINT))
              AS DOUBLE) / COUNT(*) / 1e9 AS v
-      FROM a1, UNNEST(range(1, len(sv) + 1)) AS u3(i)
+      FROM pqa1, UNNEST(range(1, len(sv) + 1)) AS u3(i)
       GROUP BY m, code, j
     ),
     cb1v AS (SELECT m, code, list(v ORDER BY j) AS cv FROM cb1 GROUP BY m, code)
@@ -302,3 +302,191 @@ def ann_pq_adc_topk(spark, sf_dir):
     return adc.select(
         "qid", "vec_id", "adc_d2", F.row_number().over(wr).alias("rnk")
     ).filter(F.col("rnk") <= PQ_TOPK)
+
+
+# ------------------------------------------------------------- IVF-PQ search
+
+_CODES_SQL = f"""
+    codes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.code,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                             ORDER BY {_d2_int_sql('s.sv', 'c.cv')}, c.code) AS rn
+        FROM sub s JOIN cb1v c ON s.m = c.m) t
+      WHERE rn = 1
+    ),
+    lut AS (
+      SELECT s.vec_id AS qid, s.m, c.code,
+        {_d2_int_sql('s.sv', 'c.cv')} AS d2i
+      FROM sub s JOIN cb1v c ON s.m = c.m
+      WHERE s.vec_id % 100 = 0
+    )
+"""
+
+
+def _ivfpq_oracle() -> str:
+    from .pipeline import _ASSIGN1_SQL, _CENTVEC_SQL
+
+    return f"""
+    WITH {_CENTVEC_SQL},
+    {_ASSIGN1_SQL},
+    {_CB_SQL},
+    {_CODES_SQL},
+    ivfq AS (SELECT vec_id AS qid, cell AS qcell FROM a1 WHERE vec_id % 100 = 0),
+    cand AS (
+      SELECT q.qid, a.vec_id FROM a1 a
+      JOIN ivfq q ON a.cell = q.qcell AND a.vec_id <> q.qid
+    ),
+    adc AS (
+      SELECT c.qid, c.vec_id, CAST(SUM(l.d2i) AS DOUBLE) / 1e9 AS adc_d2
+      FROM cand c
+      JOIN codes co ON co.vec_id = c.vec_id
+      JOIN lut l ON l.qid = c.qid AND l.m = co.m AND l.code = co.code
+      GROUP BY c.qid, c.vec_id
+    )
+    SELECT qid, vec_id, adc_d2, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT qid, vec_id, adc_d2,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_d2, vec_id) AS rnk
+      FROM adc) t
+    WHERE rnk <= 3
+    """
+
+
+@query("ann_ivfpq_search", oracle=_ivfpq_oracle())
+def ann_ivfpq_search(spark, sf_dir):
+    """IVF-PQ: the production vector-index composition (FAISS's default
+    shape) — the IVF coarse quantizer prunes candidates to the query's
+    cell, PQ's ADC lookup table scores them from M-byte codes. Per query
+    the cost is O(M * N/k_cells) table lookups over compressed codes; the
+    full-precision corpus is touched only at PQ-encode time. Both halves
+    reuse their independently hash-verified building blocks (_assigned
+    from the IVF suite, _codebooks/codes/LUT from the PQ suite); the cell
+    equi-join and the (qid, vec_id) partial-sum are the only shuffles."""
+    from .pipeline import _assigned
+
+    cells = _assigned(spark, sf_dir)
+    cbv = _codebooks(spark, sf_dir)
+    sub = _subvectors(spark, sf_dir)
+    codes = _assign_codes(sub, cbv).select("vec_id", "m", "code")
+    q = cells.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("cell").alias("qcell")
+    )
+    cand = cells.select("vec_id", "cell").join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("qid")),
+    ).select("qid", "vec_id")
+    lut = (
+        sub.filter(F.col("vec_id") % 100 == 0)
+        .join(F.broadcast(cbv), "m")
+        .select(
+            F.col("vec_id").alias("qid"), "m", "code",
+            _d2_int(F.col("sv"), F.col("cv")).alias("d2i"),
+        )
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["qid", "m", "code"])
+        .groupBy("qid", "vec_id")
+        .agg((F.sum("d2i").cast("double") / F.lit(_S)).alias("adc_d2"))
+    )
+    wr = W.partitionBy("qid").orderBy("adc_d2", "vec_id")
+    return adc.select(
+        "qid", "vec_id", "adc_d2", F.row_number().over(wr).alias("rnk")
+    ).filter(F.col("rnk") <= 3)
+
+
+# ----------------------------------------------------------- PQ recall@k
+
+PQ_RECALL_K = 5
+
+
+@query(
+    "ann_pq_recall_at_k",
+    oracle=f"""
+    WITH {_CB_SQL},
+    {_CODES_SQL},
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                             ORDER BY {_d2_int_sql('e.embedding', 'q.embedding')},
+                                      e.vec_id) AS rn
+        FROM embeddings e JOIN embeddings q
+          ON q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id) t
+      WHERE rn <= {PQ_RECALL_K}
+    ),
+    approx AS (
+      SELECT qid, vec_id FROM (
+        SELECT l.qid, co.vec_id,
+          ROW_NUMBER() OVER (PARTITION BY l.qid
+                             ORDER BY SUM(l.d2i), co.vec_id) AS rn
+        FROM codes co JOIN lut l ON co.m = l.m AND co.code = l.code
+        WHERE co.vec_id <> l.qid
+        GROUP BY l.qid, co.vec_id) t
+      WHERE rn <= {PQ_RECALL_K}
+    )
+    SELECT e.qid,
+      CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+      CAST(COUNT(a.vec_id) AS DOUBLE) / {PQ_RECALL_K} AS recall
+    FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id
+    GROUP BY e.qid
+    """,
+)
+def ann_pq_recall_at_k(spark, sf_dir):
+    """Recall@{PQ_RECALL_K} of PQ-ADC search against exact fixed-point-L2
+    ground truth — the eval harness that tells you whether M=4/KSUB=8
+    compression is costing retrieval quality. Ground truth is O(N*Q) by
+    construction, so Q is the 1%-sample query set (same absolute-cap
+    rationale as ann_ivf_recall_at_k); ADC reuses the verified code/LUT
+    pipeline. A LEFT join from exact to approx counts hits without ever
+    materializing the miss set."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", _d2_int(F.col("embedding"), F.col("qv")).alias("d2"))
+    )
+    wx = W.partitionBy("qid").orderBy("d2", "vec_id")
+    exact = (
+        scored.select("qid", "vec_id", F.row_number().over(wx).alias("rn"))
+        .filter(F.col("rn") <= PQ_RECALL_K)
+        .select("qid", "vec_id")
+    )
+    cbv = _codebooks(spark, sf_dir)
+    sub = _subvectors(spark, sf_dir)
+    codes = _assign_codes(sub, cbv).select("vec_id", "m", "code")
+    lut = (
+        sub.filter(F.col("vec_id") % 100 == 0)
+        .join(F.broadcast(cbv), "m")
+        .select(
+            F.col("vec_id").alias("qid"), "m", "code",
+            _d2_int(F.col("sv"), F.col("cv")).alias("d2i"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d2i").alias("d2sum"))
+    )
+    wa = W.partitionBy("qid").orderBy("d2sum", "vec_id")
+    approx = (
+        adc.select("qid", "vec_id", F.row_number().over(wa).alias("rn"))
+        .filter(F.col("rn") <= PQ_RECALL_K)
+        .select("qid", F.col("vec_id").alias("avid"))
+    )
+    return (
+        exact.join(
+            approx.withColumnRenamed("qid", "aqid"),
+            (F.col("qid") == F.col("aqid")) & (F.col("vec_id") == F.col("avid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("avid").alias("n_hits"),
+            (F.count("avid").cast("double") / PQ_RECALL_K).alias("recall"),
+        )
+    )

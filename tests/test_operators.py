@@ -963,3 +963,26 @@ def test_streaming_ohlc_matches_batch(spark):
     b = {key(r): (r["open"], r["high"], r["low"], r["close"], r["n"])
          for r in batch_res.collect()}
     assert s == b
+
+
+def test_pq_recall_reasonable(spark):
+    """PQ-ADC recall must beat random guessing by a clear margin (the
+    fixture embeddings are near-random, so absolute recall is low by
+    design — chance is k/N ~= 0.01 at sf0.001/0.01; the harness's job is
+    to measure the compression loss, and 'indistinguishable from random'
+    would mean the codes carry no signal)."""
+    rows = entry.queries()["ann_pq_recall_at_k"](spark, SF_DIR).collect()
+    assert rows
+    mean_recall = sum(r["recall"] for r in rows) / len(rows)
+    assert mean_recall >= 0.03  # >= 3x chance
+    for r in rows:
+        assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_ivfpq_subset_of_cell(spark):
+    """Every IVF-PQ result must come from the query's own IVF cell."""
+    from quackio_jl_spark.operators.pipeline import ann_ivf_cells
+
+    cells = {r["vec_id"]: r["cell"] for r in ann_ivf_cells(spark, SF_DIR).collect()}
+    for r in entry.queries()["ann_ivfpq_search"](spark, SF_DIR).collect():
+        assert cells[r["vec_id"]] == cells[r["qid"]]
