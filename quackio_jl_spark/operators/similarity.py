@@ -452,3 +452,47 @@ def knn_label_vote(spark, sf_dir):
             F.col("b.n_votes").alias("n_votes"),
         )
     )
+
+
+@query(
+    "knn_confusion_matrix",
+    oracle=f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id AS qid, embedding AS qv, label AS true_label
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    scored AS MATERIALIZED (
+      SELECT q.qid, q.true_label, e.label,
+        ROW_NUMBER() OVER (PARTITION BY q.qid
+                           ORDER BY {_cosine_sql('e.embedding', 'q.qv')} DESC,
+                                    e.vec_id) AS rn
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    ),
+    votes AS (
+      SELECT qid, true_label, label, CAST(count(*) AS BIGINT) AS n_votes
+      FROM scored WHERE rn <= {KNN_K}
+      GROUP BY qid, true_label, label
+    ),
+    pred AS (
+      SELECT qid, true_label, label AS pred_label FROM (
+        SELECT qid, true_label, label,
+          ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY n_votes DESC, label) AS vr
+        FROM votes) t
+      WHERE vr = 1
+    )
+    SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY true_label, pred_label
+    """,
+)
+def knn_confusion_matrix(spark, sf_dir):
+    """Confusion matrix of the kNN label-vote classifier — the evaluation
+    summary a labeling-pipeline report actually shows. One extra tiny
+    aggregate over knn_label_vote's per-query predictions (query-sample
+    sized, so the regroup is negligible next to the scoring pass)."""
+    return (
+        knn_label_vote(spark, sf_dir)
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1316,3 +1316,40 @@ def events_ewma_value(spark, sf_dir):
     return e.select(
         "event_id", "user_id", F.round(num / den, 10).alias("ewma")
     )
+
+
+@query(
+    "events_rolling_median5",
+    oracle="""
+    SELECT event_id, user_id,
+      list_sort(list(value) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+      ))[(
+        len(list(value) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+        )) + 1) // 2] AS med5
+    FROM events
+    """,
+)
+def events_rolling_median5(spark, sf_dir):
+    """Rolling 5-row lower median per user — the robust smoother for spiky
+    per-entity streams (EWMA follows outliers; the median ignores them).
+    Both engines compute the SAME explicit definition — sort the window's
+    values and take element ceil(n/2) — instead of their built-in median()
+    (DuckDB interpolates on even counts, Spark has no windowed median at
+    all). Bounded 5-row frame -> collect_list stays O(1) per row; the
+    window shuffles once on user_id."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    vals = F.sort_array(F.collect_list("value").over(w))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.element_at(vals, ((F.size(vals) + 1) / 2).cast("int")).alias("med5"),
+    )
