@@ -176,3 +176,57 @@ def multimodal_frame_sample(spark, sf_dir):
         )
         .filter(F.col("frame_idx") % FRAME_EVERY == 0)
     )
+
+
+# ------------------------------------------------ audio window energies
+
+N_AUDIO_WINDOWS = 8
+
+
+def extract_audio_energy(media: DataFrame) -> DataFrame:
+    """mapInPandas audio 'decode': per audio payload, emit one array of
+    N_AUDIO_WINDOWS window energies. The DETERMINISTIC FAKE derives window
+    w's energy from md5(payload) byte 6+w (replace the body with a real
+    torchaudio/librosa frame-RMS loop in production); everything around it
+    — Arrow batch iteration, array<double> output column, decode-once
+    shape — is the real scale plumbing."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            energies = []
+            for p in pdf["payload"]:
+                h = hashlib.md5(bytes(p)).digest()
+                energies.append(
+                    [h[6 + w] / 255.0 for w in range(N_AUDIO_WINDOWS)]
+                )
+            out = pdf[["doc_id"]].copy()
+            out["energies"] = energies
+            yield out
+
+    return media.mapInPandas(op, schema="doc_id bigint, energies array<double>")
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle=f"""
+    SELECT doc_id, CAST(w AS INTEGER) AS window_idx,
+      ('0x' || substr(md5(text), 13 + 2 * w, 2))::BIGINT / 255.0 AS energy
+    FROM documents, UNNEST(range({N_AUDIO_WINDOWS})) AS u(w)
+    WHERE doc_id % 3 = 1
+    """,
+)
+def multimodal_audio_energy(spark, sf_dir):
+    """Windowed audio-energy extraction, VALUE-gated end to end: the Arrow
+    UDF decodes each audio payload once into an energy array; the
+    per-window explode happens JVM-side (posexplode in codegen), so window
+    granularity is a query knob, not a UDF change. The fake decode is
+    md5-byte-derived, so the oracle reproduces the actual doubles and the
+    gate hash-checks the full binary -> Arrow -> array -> explode path.
+    Map-side only; linear in audio bytes."""
+    media = documents_as_media(spark, sf_dir).filter(
+        F.col("media_type") == "audio"
+    )
+    dec = extract_audio_energy(media)
+    return dec.select(
+        "doc_id", F.posexplode("energies").alias("window_idx", "energy")
+    )

@@ -1139,3 +1139,94 @@ def tfidf_cosine_pairs(spark, sf_dir):
         .filter(cos >= TFIDF_COS_MIN)
         .select("doc1", "doc2", "n_shared", F.round(cos, 8).alias("cos_sim"))
     )
+
+
+# --------------------------------------------- feature-hash embeddings
+
+HASH_EMB_DIM = 8
+
+
+@query(
+    "text_hash_embeddings",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, t AS token
+      FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+    )
+    SELECT doc_id, CAST(j AS INTEGER) AS j,
+      CAST(SUM(('0x' || substr(md5(token), 1 + 2 * j, 2))::BIGINT) AS DOUBLE)
+        / COUNT(*) / 255.0 AS v
+    FROM toks, UNNEST(range({HASH_EMB_DIM})) AS u2(j)
+    GROUP BY doc_id, j
+    """,
+)
+def text_hash_embeddings(spark, sf_dir):
+    """Feature-hash document embeddings: dimension j is the mean of
+    md5(token) byte j over the document's tokens, scaled to [0, 1] — the
+    deterministic model-free stand-in that bridges the text tables to the
+    embedding operators (these vectors can feed the PQ/IVF/kNN suites
+    without any trained model in the container). Integer byte sums divide
+    once at the end, so values are exact in any engine/partitioning. One
+    token explode x D dims, partial-aggregated on (doc_id, j) — map-side
+    combine keeps the shuffle at D rows per doc."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    dims = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(HASH_EMB_DIM - 1)),
+                lambda j: F.conv(
+                    F.substring(F.md5("token"), j * 2 + 1, 2), 16, 10
+                ).cast("bigint"),
+            )
+        ).alias("j", "b"),
+    )
+    return (
+        dims.groupBy("doc_id", "j")
+        .agg(
+            (F.sum("b").cast("double") / F.count(F.lit(1)) / F.lit(255.0)).alias("v")
+        )
+        .select("doc_id", F.col("j").cast("int").alias("j"), "v")
+    )
+
+
+# ------------------------------------------------ context budget report
+
+CONTEXT_LEN = 512
+
+
+@query(
+    "context_budget_report",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN n <= {CONTEXT_LEN} THEN 1 ELSE 0 END) AS BIGINT) AS n_fit,
+      CAST(SUM(CASE WHEN n > {CONTEXT_LEN} THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+      CAST(SUM(n) AS BIGINT) AS total_tokens,
+      CAST(SUM(least(n, {CONTEXT_LEN})) AS BIGINT) AS kept_tokens,
+      round(CAST(SUM(least(n, {CONTEXT_LEN})) AS DOUBLE) / SUM(n), 8)
+        AS kept_frac
+    FROM toks
+    """,
+)
+def context_budget_report(spark, sf_dir):
+    """Context-length budget report for L={CONTEXT_LEN}: how many documents
+    fit, how many get truncated, and what fraction of corpus tokens
+    survives truncation — the one-aggregate sanity check run before
+    choosing between truncation (this) and chunking (chunk_documents).
+    Single map-side pass, integer sums, one scalar row."""
+    d = table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " ")).cast("bigint")
+    kept = F.least(n, F.lit(CONTEXT_LEN).cast("bigint"))
+    return d.select(n.alias("n"), kept.alias("k")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n") <= CONTEXT_LEN, 1).otherwise(0)).alias("n_fit"),
+        F.sum(F.when(F.col("n") > CONTEXT_LEN, 1).otherwise(0)).alias("n_truncated"),
+        F.sum("n").alias("total_tokens"),
+        F.sum("k").alias("kept_tokens"),
+        F.round(F.sum("k").cast("double") / F.sum("n"), 8).alias("kept_frac"),
+    )
