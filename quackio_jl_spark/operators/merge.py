@@ -321,3 +321,63 @@ def pit_join_orders_customer_version(spark, sf_dir):
         tiebreak="o_orderkey",
     )
     return res.select("o_orderkey", "o_custkey", "acctbal_at_order")
+
+
+# ----------------------------------------------------------- CDC snapshot diff
+
+@query(
+    "snapshot_diff_cdc",
+    oracle="""
+    WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),
+    b AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 13 = 0 THEN md5(upper(text)) ELSE md5(text) END AS h
+      FROM documents WHERE doc_id % 17 <> 0
+    )
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      CASE WHEN b.doc_id IS NULL THEN 'deleted'
+           WHEN a.doc_id IS NULL THEN 'added'
+           ELSE 'updated' END AS change_type
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    WHERE b.doc_id IS NULL OR a.doc_id IS NULL OR a.h <> b.h
+    """,
+)
+def snapshot_diff_cdc(spark, sf_dir):
+    """Change-data-capture diff between two corpus snapshots: full-outer
+    join on the key, rows classified added/deleted/updated by md5 content
+    hash (unchanged rows are filtered out BEFORE leaving the join — at
+    100 TB the diff output is change-sized, not corpus-sized, and the
+    hashes mean no text ever shuffles twice). Snapshot B is simulated
+    deterministically from the fixture (every 17th doc deleted, every
+    13th edited) so the oracle reproduces it; in production both sides
+    are real snapshot scans — ideally bucketed by the key so the
+    full-outer is exchange-free (sources/bucketing.py). The downstream
+    consumers are upsert (apply the diff) and scd2_apply (keep history)."""
+    d = table(spark, sf_dir, "documents")
+    a = d.select("doc_id", F.md5("text").alias("h"))
+    b = (
+        d.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 13 == 0, F.md5(F.upper("text")))
+            .otherwise(F.md5("text"))
+            .alias("h"),
+        )
+        .withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("h", "b_h")
+    )
+    j = a.join(b, F.col("doc_id") == F.col("b_id"), "full_outer")
+    return (
+        j.filter(
+            F.col("b_id").isNull()
+            | F.col("doc_id").isNull()
+            | (F.col("h") != F.col("b_h"))
+        )
+        .select(
+            F.coalesce("doc_id", "b_id").alias("doc_id"),
+            F.when(F.col("b_id").isNull(), "deleted")
+            .when(F.col("doc_id").isNull(), "added")
+            .otherwise("updated")
+            .alias("change_type"),
+        )
+    )

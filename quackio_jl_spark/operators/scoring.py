@@ -289,3 +289,54 @@ def quality_rank_percentile(spark, sf_dir):
         "rnk",
         (F.col("rnk").cast("double") / (F.col("n") - 1)).alias("pct"),
     )
+
+
+# ----------------------------------------- weighted fixed-size sampling
+
+RESERVOIR_K = 50
+
+
+@query(
+    "weighted_reservoir_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        round(
+          ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT + 1)
+             / 65536.0) / n_chars, 8) AS k
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, w, k, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT doc_id, w, k,
+        ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS rnk
+      FROM keyed) t
+    WHERE rnk <= {RESERVOIR_K}
+    """,
+)
+def weighted_reservoir_sample(spark, sf_dir):
+    """Fixed-size weighted sample (Efraimidis-Spirakis A-ES): each doc gets
+    key u^(1/w) — equivalently ln(u)/w, ranked descending — with u a
+    DETERMINISTIC md5-derived uniform, and the top-{RESERVOIR_K} keys are
+    the sample. This is the exactly-k companion to the Bernoulli
+    weighted_sample_by_quality: expected inclusion proportional to weight,
+    sample size pinned, reproducible on any engine/partitioning. ln() is
+    the one non-exact step, so keys are rounded to 8 decimals with doc_id
+    tie-break before ranking (established ln() hygiene). The rank-limit
+    rewrites to a top-k (TakeOrderedAndProject shape) — never a global
+    sort of the corpus."""
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") + 1
+    ) / F.lit(65536.0)
+    keyed = d.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("w"),
+        F.round(F.log(u) / F.col("n_chars"), 8).alias("k"),
+    )
+    from pyspark.sql import Window as W
+
+    wr = W.orderBy(F.col("k").desc(), "doc_id")
+    return keyed.select(
+        "doc_id", "w", "k", F.row_number().over(wr).alias("rnk")
+    ).filter(F.col("rnk") <= RESERVOIR_K)

@@ -1353,3 +1353,75 @@ def events_rolling_median5(spark, sf_dir):
         "user_id",
         F.element_at(vals, ((F.size(vals) + 1) / 2).cast("int")).alias("med5"),
     )
+
+
+# ------------------------------------------------- deterministic bootstrap
+
+BOOT_B = 32  # resamples
+
+
+@query(
+    "bootstrap_mean_ci",
+    oracle=f"""
+    WITH grid AS (
+      SELECT b, o_orderkey, o_totalprice
+      FROM orders, UNNEST(range({BOOT_B})) AS u(b)
+      WHERE ('0x' || substr(md5(b || ':' || CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT
+            % 2 = 0
+    ),
+    means AS (
+      SELECT b,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS m
+      FROM grid GROUP BY b
+    ),
+    lst AS (SELECT list(m ORDER BY m) AS ms, COUNT(*) AS nb FROM means)
+    SELECT CAST(nb AS BIGINT) AS n_resamples,
+      round(CAST(list_sum(list_transform(ms, x -> CAST(floor(x * 1e6) AS BIGINT)))
+                 AS DOUBLE) / nb / 1e6, 6) AS mean_of_means,
+      ms[2] AS ci_lo,
+      ms[nb - 1] AS ci_hi
+    FROM lst
+    """,
+)
+def bootstrap_mean_ci(spark, sf_dir):
+    """Deterministic subsampling bootstrap of the order-value mean: {BOOT_B}
+    half-sample resamples defined by an md5 coin on (resample, key) — the
+    error-bar machinery every metrics pipeline wants, made REPRODUCIBLE
+    (same resamples on any engine, partitioning or cluster size; a
+    random() bootstrap cannot be cross-validated at all). Each resample
+    mean is a decimal-exact sum, so the {BOOT_B} means are bit-identical
+    cross-engine and so are their order statistics (2nd smallest / 2nd
+    largest ~ a 94% CI at B={BOOT_B}). Scale shape: the grid explode is
+    map-side (B rows per input row, combine-collapsed before the shuffle
+    of B partial sums per partition); the final step touches B values."""
+    o = table(spark, sf_dir, "orders")
+    grid = (
+        o.select("o_orderkey", "o_totalprice",
+                 F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"))
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("b"), F.lit(":"), F.col("o_orderkey"))),
+                    1, 4,
+                ), 16, 10,
+            ).cast("bigint") % 2 == 0
+        )
+    )
+    means = grid.groupBy("b").agg(
+        (F.sum(F.col("o_totalprice").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    lst = means.agg(
+        F.sort_array(F.collect_list("m")).alias("ms"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    msum = F.aggregate(
+        F.transform(F.col("ms"), lambda x: F.floor(x * F.lit(1e6))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return lst.select(
+        F.col("nb").alias("n_resamples"),
+        F.round(msum.cast("double") / F.col("nb") / F.lit(1e6), 6).alias("mean_of_means"),
+        F.element_at("ms", 2).alias("ci_lo"),
+        F.element_at("ms", F.col("nb").cast("int") - 1).alias("ci_hi"),
+    )

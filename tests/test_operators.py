@@ -986,3 +986,52 @@ def test_ivfpq_subset_of_cell(spark):
     cells = {r["vec_id"]: r["cell"] for r in ann_ivf_cells(spark, SF_DIR).collect()}
     for r in entry.queries()["ann_ivfpq_search"](spark, SF_DIR).collect():
         assert cells[r["vec_id"]] == cells[r["qid"]]
+
+
+def test_snapshot_diff_classifies_all_simulated_changes(spark):
+    """Every 17th doc deleted, every remaining 13th updated, nothing else."""
+    rows = entry.queries()["snapshot_diff_cdc"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r["change_type"] == "deleted":
+            assert r["doc_id"] % 17 == 0
+        else:
+            assert r["change_type"] == "updated"
+            assert r["doc_id"] % 13 == 0 and r["doc_id"] % 17 != 0
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    from quackio_jl_spark.plans.registry import table as load
+    from pyspark.sql import functions as F
+
+    row = entry.queries()["bootstrap_mean_ci"](spark, SF_DIR).collect()[0]
+    assert row["ci_lo"] <= row["mean_of_means"] <= row["ci_hi"]
+    true_mean = (
+        load(spark, SF_DIR, "orders")
+        .agg(F.avg("o_totalprice").alias("m"))
+        .collect()[0]["m"]
+    )
+    spread = row["ci_hi"] - row["ci_lo"]
+    assert abs(row["mean_of_means"] - true_mean) <= 3 * spread + 1e-6
+
+
+def test_weighted_reservoir_favors_heavy_docs(spark):
+    """Exactly K sampled; mean weight of the sample should exceed the
+    corpus mean weight (inclusion ∝ weight)."""
+    from quackio_jl_spark.operators.scoring import RESERVOIR_K
+    from quackio_jl_spark.plans.registry import table as load
+    from pyspark.sql import functions as F
+
+    rows = entry.queries()["weighted_reservoir_sample"](spark, SF_DIR).collect()
+    assert len(rows) == min(
+        RESERVOIR_K,
+        load(spark, SF_DIR, "documents").filter(F.col("n_chars") > 0).count(),
+    )
+    corpus_mean_w = (
+        load(spark, SF_DIR, "documents")
+        .filter(F.col("n_chars") > 0)
+        .agg(F.avg("n_chars").alias("m"))
+        .collect()[0]["m"]
+    )
+    sample_mean_w = sum(r["w"] for r in rows) / len(rows)
+    assert sample_mean_w > corpus_mean_w * 0.9
