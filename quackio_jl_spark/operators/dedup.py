@@ -1137,3 +1137,77 @@ def dedup_incremental_vs_index(spark, sf_dir):
         .select("new_doc", "dup_of", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+# ------------------------------------------------- split leakage check
+
+@query(
+    "split_leakage_check",
+    oracle="WITH"
+    + _SHINGLES_SQL
+    + ","
+    + _minhash_sig_sql()
+    + ","
+    + _cand_sql()
+    + f""",
+    sets AS (
+      SELECT doc_id, list(substr(md5(shingle), 1, 16)) AS s
+      FROM sh GROUP BY doc_id
+    ),
+    verified AS (
+      SELECT doc1, doc2,
+        CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+          / (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s))) AS jaccard
+      FROM cand
+      JOIN sets s1 ON s1.doc_id = doc1
+      JOIN sets s2 ON s2.doc_id = doc2
+      WHERE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+          / (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s)))
+          >= {JACCARD_THRESHOLD}
+    ),
+    sp AS (
+      SELECT doc_id,
+        CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                  % 100 < 90 THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT
+      CASE WHEN a.split = 'test' THEN doc1 ELSE doc2 END AS test_doc,
+      CASE WHEN a.split = 'test' THEN doc2 ELSE doc1 END AS train_doc,
+      jaccard
+    FROM verified
+    JOIN sp a ON a.doc_id = doc1
+    JOIN sp b ON b.doc_id = doc2
+    WHERE a.split <> b.split
+    """,
+)
+def split_leakage_check(spark, sf_dir):
+    """Train/test leakage audit: near-duplicate pairs that STRADDLE the
+    deterministic 90/10 split — a test document with a near-dup in train
+    is contamination that inflates eval scores, and is invisible to both
+    the dedup pass (which sees only pairs) and the split (which sees only
+    ids). Composes two verified pipelines: LSH+Jaccard near-dup pairs and
+    the md5 split; the split table joins back broadcast-sized onto the
+    (already tiny) verified-pair set, so the audit costs two map-side
+    joins beyond the dedup pass it would piggyback on. Output is oriented
+    (test_doc, train_doc)."""
+    from .pipeline import split_train_test
+
+    pairs = neardup_ngram_jaccard(spark, sf_dir)
+    sp = split_train_test(spark, sf_dir)
+    a = sp.select(F.col("doc_id").alias("doc1"), F.col("split").alias("split1"))
+    b = sp.select(F.col("doc_id").alias("doc2"), F.col("split").alias("split2"))
+    return (
+        pairs.join(F.broadcast(a), "doc1")
+        .join(F.broadcast(b), "doc2")
+        .filter(F.col("split1") != F.col("split2"))
+        .select(
+            F.when(F.col("split1") == "test", F.col("doc1"))
+            .otherwise(F.col("doc2"))
+            .alias("test_doc"),
+            F.when(F.col("split1") == "test", F.col("doc2"))
+            .otherwise(F.col("doc1"))
+            .alias("train_doc"),
+            "jaccard",
+        )
+    )

@@ -660,10 +660,19 @@ def test_pipeline_operators_survive_empty_corpus(tmp_path, spark):
         "bigram_lm_doc_score", "inverted_index_postings",
         "sample_k_per_source", "split_train_test", "chunk_documents",
         "similarity_topk_cosine", "embedding_norms",
+        # late-round-5 operators
+        "trigram_lm_doc_score", "tfidf_cosine_pairs", "text_hash_embeddings",
+        "length_grouped_batches", "mixture_temperature_weights",
+        "dedup_incremental_vs_index", "split_leakage_check",
+        "ann_pq_codebooks", "ann_pq_codes", "knn_label_vote",
+        "snapshot_diff_cdc", "weighted_reservoir_sample",
     ]
     qs = entry.queries()
     for name in names:
         assert qs[name](spark, str(tmp_path)).count() == 0, name
+    # scalar reports return their one zero-valued row instead of no rows
+    row = qs["context_budget_report"](spark, str(tmp_path)).collect()[0]
+    assert row["n_docs"] == 0
 
 
 def test_prefix_filter_finds_all_pairs(spark):
