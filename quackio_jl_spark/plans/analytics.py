@@ -1425,3 +1425,78 @@ def bootstrap_mean_ci(spark, sf_dir):
         F.element_at("ms", 2).alias("ci_lo"),
         F.element_at("ms", F.col("nb").cast("int") - 1).alias("ci_hi"),
     )
+
+
+# ------------------------------------------ funnel conversion latency
+
+FUNNEL_WINDOW_MIN = 30
+
+
+@query(
+    "funnel_latency_percentiles",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    conv AS (
+      SELECT p.event_id,
+        CAST(date_part('hour', p.ts) AS INTEGER) AS hr,
+        MIN(epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS delta_s
+      FROM p JOIN c ON c.user_id = p.user_id
+        AND c.ts <= p.ts
+        AND c.ts >= p.ts - INTERVAL {FUNNEL_WINDOW_MIN} MINUTE
+      GROUP BY p.event_id, hr
+    ),
+    g AS (
+      SELECT hr, list_sort(list(delta_s)) AS ds, COUNT(*) AS n
+      FROM conv GROUP BY hr
+    )
+    SELECT hr, CAST(n AS BIGINT) AS n_conversions,
+      ds[CAST(ceil(n * 0.5) AS BIGINT)] AS p50_s,
+      ds[CAST(ceil(n * 0.9) AS BIGINT)] AS p90_s
+    FROM g
+    """,
+)
+def funnel_latency_percentiles(spark, sf_dir):
+    """Click->purchase conversion latency, exact p50/p90 per hour of day:
+    each purchase is matched to its NEAREST preceding click within
+    {FUNNEL_WINDOW_MIN} minutes (min-delta aggregate over the bounded
+    interval join — the same pair semantics as the stream-stream funnel
+    join), then per-group exact order statistics over integer seconds.
+    Grouping by hour keeps the sorted-list aggregate bounded per group
+    (never a corpus-wide sort); deltas are exact integers so both engines
+    sort identically."""
+    e = table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    conv = (
+        p.join(
+            c,
+            (F.col("cu") == F.col("user_id"))
+            & (F.col("cts") <= F.col("ts"))
+            & (F.col("cts") >= F.col("ts") - F.expr(f"INTERVAL {FUNNEL_WINDOW_MIN} MINUTES")),
+        )
+        .groupBy("event_id", F.hour("ts").alias("hr"))
+        .agg(
+            ((F.min(F.unix_micros("ts") - F.unix_micros("cts"))) / 1000000)
+            .cast("long")
+            .alias("delta_s")
+        )
+    )
+    g = conv.groupBy("hr").agg(
+        F.sort_array(F.collect_list("delta_s")).alias("ds"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return g.select(
+        "hr",
+        F.col("n").alias("n_conversions"),
+        F.element_at("ds", F.ceil(F.col("n") * 0.5).cast("int")).alias("p50_s"),
+        F.element_at("ds", F.ceil(F.col("n") * 0.9).cast("int")).alias("p90_s"),
+    )
