@@ -1211,3 +1211,44 @@ def split_leakage_check(spark, sf_dir):
             "jaccard",
         )
     )
+
+
+@query(
+    "dedup_rate_by_source",
+    oracle="""
+    WITH h AS (
+      SELECT source, md5(text) AS hh, doc_id FROM documents
+    ),
+    k AS (
+      SELECT source, hh, CAST(COUNT(*) AS BIGINT) AS n,
+        MIN(doc_id) AS keeper
+      FROM h GROUP BY source, hh
+    )
+    SELECT source,
+      CAST(SUM(n) AS BIGINT) AS n_docs,
+      CAST(COUNT(*) AS BIGINT) AS n_unique,
+      CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dupes,
+      round(CAST(SUM(n) - COUNT(*) AS DOUBLE) / SUM(n), 8) AS dup_frac
+    FROM k GROUP BY source
+    """,
+)
+def dedup_rate_by_source(spark, sf_dir):
+    """Per-source exact-duplication report: docs, uniques, dupes and the
+    duplicate fraction — the dataset-card number that tells you which
+    crawl source is flooding the corpus with copies BEFORE you spend the
+    near-dup budget on it. Hash-keyed per-source aggregate (content never
+    shuffles, only md5 keys), then a source-level rollup of counts."""
+    d = table(spark, sf_dir, "documents")
+    k = (
+        d.select("source", F.md5("text").alias("hh"), "doc_id")
+        .groupBy("source", "hh")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keeper"))
+    )
+    return k.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        (F.sum("n") - F.count(F.lit(1))).alias("n_dupes"),
+        F.round(
+            (F.sum("n") - F.count(F.lit(1))).cast("double") / F.sum("n"), 8
+        ).alias("dup_frac"),
+    )

@@ -1500,3 +1500,40 @@ def funnel_latency_percentiles(spark, sf_dir):
         F.element_at("ds", F.ceil(F.col("n") * 0.5).cast("int")).alias("p50_s"),
         F.element_at("ds", F.ceil(F.col("n") * 0.9).cast("int")).alias("p90_s"),
     )
+
+
+@query(
+    "events_trailing_wau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+      CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+    FROM days JOIN du ON du.d <= days.d AND du.d > days.d - 7
+    GROUP BY days.d
+    """,
+)
+def events_trailing_wau(spark, sf_dir):
+    """Trailing-7-day active users per day (WAU) — the rolling COUNT
+    DISTINCT that window functions cannot express distributed. Shape:
+    dedup to (day, user) FIRST (the one corpus-sized shuffle — 10^11
+    events become |days| x |users| pairs at most), then a bounded range
+    join against the tiny day spine fans each pair into <= 7 day buckets
+    and a distinct-count per day finishes it. The spine side broadcasts;
+    at web scale the (day, user) table is the thing you'd persist daily
+    and this query is incremental over it."""
+    e = table(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = du.select(F.col("d").alias("day_d")).distinct()
+    return (
+        du.join(
+            F.broadcast(days),
+            (F.col("d") <= F.col("day_d"))
+            & (F.col("d") > F.date_sub(F.col("day_d"), 7)),
+        )
+        .groupBy("day_d")
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .select(F.date_format("day_d", "yyyy-MM-dd").alias("day"), "wau")
+    )
