@@ -496,3 +496,71 @@ def knn_confusion_matrix(spark, sf_dir):
         .groupBy("true_label", "pred_label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ------------------------------------------------- embedding whitening
+
+@query(
+    "embedding_whitening",
+    oracle="""
+    WITH x AS MATERIALIZED (
+      SELECT vec_id, CAST(i - 1 AS INTEGER) AS j,
+        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT) AS fx
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    st AS (
+      SELECT j,
+        CAST(SUM(fx) AS DOUBLE) / COUNT(*) / 1e9 AS mu,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        (CAST(SUM(CAST(fx AS DECIMAL(38,0)) * fx) AS DOUBLE) / 1e18
+          - (CAST(SUM(fx) AS DOUBLE) / 1e9) * (CAST(SUM(fx) AS DOUBLE) / 1e9)
+            / COUNT(*)) / COUNT(*) AS var
+      FROM x GROUP BY j
+    )
+    SELECT vec_id, x.j,
+      round((CAST(fx AS DOUBLE) / 1e9 - mu) / sqrt(var + 1e-9), 8) AS v
+    FROM x JOIN st ON st.j = x.j
+    """,
+)
+def embedding_whitening(spark, sf_dir):
+    """Per-dimension whitening (zero mean, unit variance) — the standard
+    embedding post-processing before cosine retrieval or PQ training
+    (dominant dimensions otherwise drown the rest of the space).
+    Statistics accumulate as exact fixed-point sums — int64 for the mean,
+    DECIMAL(38,0) for the sum of squares (|fx^2| <= 1e18, so an int64
+    accumulator would overflow past ~9 rows-of-1.0 corpus-side; decimal
+    is exact at any corpus size) — so mu and var are bit-identical
+    cross-engine; the
+    transform itself is a broadcast join of d per-dim stat rows onto the
+    exploded corpus — map-side after one (j)-keyed aggregate. Output
+    rounded to 8 decimals (sqrt hygiene)."""
+    e = table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("j", "xx")
+    ).select(
+        "vec_id",
+        F.col("j").cast("int").alias("j"),
+        F.floor(F.col("xx").cast("double") * F.lit(1e9)).alias("fx"),
+    )
+    st = x.groupBy("j").agg(
+        (F.sum("fx").cast("double") / F.count(F.lit(1)) / F.lit(1e9)).alias("mu"),
+        (
+            (
+                F.sum(F.col("fx").cast("decimal(38,0)") * F.col("fx"))
+                .cast("double") / F.lit(1e18)
+                - (F.sum("fx").cast("double") / F.lit(1e9))
+                * (F.sum("fx").cast("double") / F.lit(1e9))
+                / F.count(F.lit(1))
+            )
+            / F.count(F.lit(1))
+        ).alias("var"),
+    )
+    return x.join(F.broadcast(st), "j").select(
+        "vec_id",
+        "j",
+        F.round(
+            (F.col("fx").cast("double") / F.lit(1e9) - F.col("mu"))
+            / F.sqrt(F.col("var") + F.lit(1e-9)),
+            8,
+        ).alias("v"),
+    )

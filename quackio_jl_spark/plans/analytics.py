@@ -1537,3 +1537,65 @@ def events_trailing_wau(spark, sf_dir):
         .agg(F.count_distinct("user_id").alias("wau"))
         .select(F.date_format("day_d", "yyyy-MM-dd").alias("day"), "wau")
     )
+
+
+@query(
+    "market_basket_lift",
+    oracle="""
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_part FROM op GROUP BY l_partkey),
+    tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders_total FROM op),
+    pairs AS (
+      SELECT a.l_partkey AS part1, b.l_partkey AS part2, CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY part1, part2 HAVING COUNT(*) >= 3
+    )
+    SELECT part1, part2, n_both,
+      round(CAST(n_both AS DOUBLE) / p1.n_part, 8) AS confidence,
+      round(CAST(n_both AS DOUBLE) * n_orders_total / (p1.n_part * p2.n_part), 8)
+        AS lift
+    FROM pairs
+    JOIN pc p1 ON p1.l_partkey = part1
+    JOIN pc p2 ON p2.l_partkey = part2
+    CROSS JOIN tot
+    """,
+)
+def market_basket_lift(spark, sf_dir):
+    """Association-rule metrics over part co-purchases: support count,
+    confidence P(part2|part1) and lift — the ranking that separates
+    genuinely-associated items from merely-popular ones (raw co-counts,
+    market_basket_pairs, rank popular parts first regardless of
+    association). The support-3 floor prunes the pair table before the
+    metric joins; per-part counts and the scalar order total broadcast
+    back onto it. The order-key self-join is the one big shuffle — same
+    key as the co-purchase graph suite, so bucketed storage amortizes it
+    across all of them."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    pc = l.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    tot = l.agg(F.count_distinct("l_orderkey").alias("n_orders_total"))
+    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part1"))
+    b = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part2"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part1") < F.col("part2")))
+        .groupBy("part1", "part2")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    p1 = pc.select(F.col("l_partkey").alias("part1"), F.col("n_part").alias("np1"))
+    p2 = pc.select(F.col("l_partkey").alias("part2"), F.col("n_part").alias("np2"))
+    return (
+        pairs.join(F.broadcast(p1), "part1")
+        .join(F.broadcast(p2), "part2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part1", "part2", "n_both",
+            F.round(F.col("n_both").cast("double") / F.col("np1"), 8).alias("confidence"),
+            F.round(
+                F.col("n_both").cast("double") * F.col("n_orders_total")
+                / (F.col("np1") * F.col("np2")), 8,
+            ).alias("lift"),
+        )
+    )
