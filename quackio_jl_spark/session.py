@@ -56,11 +56,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config(
             "spark.driver.extraJavaOptions",
-            "-Djava.io.tmpdir=/tmp -Dderby.system.home=/tmp/quackio_derby",
+            # derby.system.home also per-process: Derby holds an exclusive
+            # db.lck on its home, so concurrent sessions sharing one path
+            # fail metastore init
+            f"-Djava.io.tmpdir=/tmp -Dderby.system.home=/tmp/quackio_derby_{os.getpid()}",
         )
         # bucketed tables (sources/bucketing.py) need a catalog location;
-        # keep it out of the repo tree
-        .config("spark.sql.warehouse.dir", "/tmp/quackio_warehouse")
+        # keep it out of the repo tree AND unique per process — concurrent
+        # sessions (e.g. two gate runs side by side) otherwise race on the
+        # same managed-table directories and corrupt each other's buckets
+        .config("spark.sql.warehouse.dir", f"/tmp/quackio_warehouse_{os.getpid()}")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
