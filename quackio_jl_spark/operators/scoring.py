@@ -340,3 +340,60 @@ def weighted_reservoir_sample(spark, sf_dir):
     return keyed.select(
         "doc_id", "w", "k", F.row_number().over(wr).alias("rnk")
     ).filter(F.col("rnk") <= RESERVOIR_K)
+
+
+@query(
+    "quality_zscore_by_lang",
+    oracle=f"""
+    WITH {_SCORED_SQL},
+    fx AS (
+      SELECT doc_id, lang, quality_score,
+        CAST(floor(quality_score * 1e9) AS BIGINT) AS f
+      FROM scored
+    ),
+    st AS (
+      SELECT lang,
+        CAST(SUM(f) AS DOUBLE) / COUNT(*) / 1e9 AS mu,
+        (CAST(SUM(CAST(f AS DECIMAL(38,0)) * f) AS DOUBLE) / 1e18
+          - (CAST(SUM(f) AS DOUBLE) / 1e9) * (CAST(SUM(f) AS DOUBLE) / 1e9)
+            / COUNT(*)) / COUNT(*) AS var
+      FROM fx GROUP BY lang
+    )
+    SELECT doc_id, fx.lang, quality_score,
+      round((quality_score - mu) / sqrt(var + 1e-9), 8) AS z
+    FROM fx JOIN st ON st.lang = fx.lang
+    """,
+)
+def quality_zscore_by_lang(spark, sf_dir):
+    """Per-language z-normalization of the quality score — the grouped
+    twin of embedding_whitening, and the right pre-step before applying
+    ONE quality threshold across languages (raw score distributions
+    differ per language; a global cutoff silently over-filters some).
+    Same exactness recipe: int64 fixed-point mean, DECIMAL(38,0) sum of
+    squares, group stats broadcast back map-side."""
+    d = table(spark, sf_dir, "documents")
+    score = quality_score_col()
+    fx = d.select(
+        "doc_id", "lang", score.alias("quality_score"),
+        F.floor(score * F.lit(1e9)).alias("f"),
+    )
+    st = fx.groupBy("lang").agg(
+        (F.sum("f").cast("double") / F.count(F.lit(1)) / F.lit(1e9)).alias("mu"),
+        (
+            (
+                F.sum(F.col("f").cast("decimal(38,0)") * F.col("f")).cast("double")
+                / F.lit(1e18)
+                - (F.sum("f").cast("double") / F.lit(1e9))
+                * (F.sum("f").cast("double") / F.lit(1e9))
+                / F.count(F.lit(1))
+            )
+            / F.count(F.lit(1))
+        ).alias("var"),
+    )
+    return fx.join(F.broadcast(st), "lang").select(
+        "doc_id", "lang", "quality_score",
+        F.round(
+            (F.col("quality_score") - F.col("mu"))
+            / F.sqrt(F.col("var") + F.lit(1e-9)), 8,
+        ).alias("z"),
+    )

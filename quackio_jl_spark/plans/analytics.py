@@ -1599,3 +1599,58 @@ def market_basket_lift(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "events_heatmap_dow_hour",
+    oracle="""
+    SELECT CAST(date_part('dow', ts) AS INTEGER) AS dow,
+      CAST(date_part('hour', ts) AS INTEGER) AS hr,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY dow, hr
+    """,
+)
+def events_heatmap_dow_hour(spark, sf_dir):
+    """Day-of-week x hour activity heatmap (0=Sunday, DuckDB dow
+    convention — Spark's dayofweek() is 1-based so it shifts by one).
+    One partial-agg shuffle of at most 168 cells; the profiling query
+    every events table gets first."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        (F.dayofweek("ts") - 1).alias("dow"), F.hour("ts").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("total_value"),
+    )
+
+
+@query(
+    "orders_yoy_growth",
+    oracle="""
+    WITH y AS (
+      SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS yr,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY yr
+    )
+    SELECT yr, revenue,
+      round((revenue - LAG(revenue) OVER (ORDER BY yr))
+            / LAG(revenue) OVER (ORDER BY yr), 8) AS yoy_growth
+    FROM y
+    """,
+)
+def orders_yoy_growth(spark, sf_dir):
+    """Year-over-year revenue growth: decimal-exact yearly revenue, then a
+    lag window over the handful of year rows (the window's single
+    partition holds |years| rows — the aggregate-then-window shape that
+    keeps time-series reporting off the raw fact table)."""
+    o = table(spark, sf_dir, "orders")
+    y = o.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        dsum("o_totalprice").alias("revenue")
+    )
+    w = W.orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return y.select(
+        "yr", "revenue",
+        F.round((F.col("revenue") - prev) / prev, 8).alias("yoy_growth"),
+    )
