@@ -230,3 +230,44 @@ def multimodal_audio_energy(spark, sf_dir):
     return dec.select(
         "doc_id", F.posexplode("energies").alias("window_idx", "energy")
     )
+
+
+VIT_PATCH = 16
+
+
+@query(
+    "multimodal_vit_patch_budget",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+        CAST(16 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 64 AS INTEGER) AS w,
+        CAST(16 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 64 AS INTEGER) AS h
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_images,
+      CAST(SUM((w // {VIT_PATCH}) * (h // {VIT_PATCH})) AS BIGINT) AS total_patches,
+      CAST(MAX((w // {VIT_PATCH}) * (h // {VIT_PATCH})) AS INTEGER) AS max_patches,
+      round(CAST(SUM((w // {VIT_PATCH}) * (h // {VIT_PATCH})) AS DOUBLE)
+            / COUNT(*), 8) AS avg_patches
+    FROM dims
+    """,
+)
+def multimodal_vit_patch_budget(spark, sf_dir):
+    """ViT token budgeting for the image corpus: each image contributes
+    (w//{VIT_PATCH}) * (h//{VIT_PATCH}) patches, and the budget report is
+    what sizes a vision-encoder training job (patches ~= tokens). Dims
+    come from the SAME Arrow-UDF decode as multimodal_decoded_dims —
+    decode once, derive budgets JVM-side — and the md5-derived fake means
+    the oracle value-checks the whole path. One scalar aggregate."""
+    feats = extract_media_features(documents_as_media(spark, sf_dir)).filter(
+        F.col("media_type") == "image"
+    )
+    patches = (
+        F.floor(F.col("width") / VIT_PATCH) * F.floor(F.col("height") / VIT_PATCH)
+    ).cast("bigint")
+    return feats.select(patches.alias("p")).agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("p").alias("total_patches"),
+        F.max("p").cast("int").alias("max_patches"),
+        F.round(F.sum("p").cast("double") / F.count(F.lit(1)), 8).alias("avg_patches"),
+    )

@@ -564,3 +564,53 @@ def embedding_whitening(spark, sf_dir):
             8,
         ).alias("v"),
     )
+
+
+# ------------------------------------------- similarity distribution
+
+SIM_HIST_BINS = 20
+
+
+@query(
+    "similarity_histogram",
+    oracle=f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id AS qid, embedding AS qv
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    cs AS (
+      SELECT least({SIM_HIST_BINS - 1}, CAST(floor(
+        ({_cosine_sql('e.embedding', 'q.qv')} + 1.0) / 2.0 * {SIM_HIST_BINS}
+      ) AS INTEGER)) AS bin
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n
+    FROM cs GROUP BY bin
+    """,
+)
+def similarity_histogram(spark, sf_dir):
+    """Histogram of query-to-corpus cosine similarities ({SIM_HIST_BINS}
+    bins over [-1, 1]) — the calibration evidence behind every similarity
+    threshold in the suite (near-dup cutoffs, ANN recall targets): you
+    pick 0.8 by looking at THIS distribution, not by folklore. Cosines
+    are the exact fixed-point values, binned JVM-side; the query sample
+    broadcasts, the corpus is scanned once, and the aggregate ships
+    {SIM_HIST_BINS} partial counts per partition."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    binned = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            F.least(
+                F.lit(SIM_HIST_BINS - 1),
+                F.floor(
+                    (cosine("embedding", "qv") + 1.0) / 2.0 * SIM_HIST_BINS
+                ).cast("int"),
+            ).alias("bin")
+        )
+    )
+    return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))

@@ -1230,3 +1230,44 @@ def context_budget_report(spark, sf_dir):
         F.sum("k").alias("kept_tokens"),
         F.round(F.sum("k").cast("double") / F.sum("n"), 8).alias("kept_frac"),
     )
+
+
+# ------------------------------------------------------ sentence analytics
+
+@query(
+    "sentence_stats",
+    oracle="""
+    WITH sents AS MATERIALIZED (
+      SELECT doc_id, s
+      FROM documents, UNNEST(string_split(text, '. ')) AS u(s)
+      WHERE length(s) > 0
+    )
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_sentences,
+      CAST(SUM(len(string_split(s, ' '))) AS BIGINT) AS n_tokens,
+      CAST(MAX(len(string_split(s, ' '))) AS INTEGER) AS max_sentence_tokens,
+      round(CAST(SUM(len(string_split(s, ' '))) AS DOUBLE) / COUNT(*), 8)
+        AS avg_sentence_tokens
+    FROM sents GROUP BY doc_id
+    """,
+)
+def sentence_stats(spark, sf_dir):
+    """Sentence-level analytics: per document the sentence count and token
+    distribution over '. '-split segments — the pre-pass for per-sentence
+    quality filtering and the batch shape of the sentence-splitter UDTF
+    (tests/test_python_udtf_sentence_splitter drives the same split as a
+    lateral UDTF; this keeps it in whole-stage codegen). Map-side explode,
+    one per-doc regroup."""
+    d = table(spark, sf_dir, "documents")
+    sents = d.select(
+        "doc_id", F.explode(F.split("text", "\\. ")).alias("s")
+    ).filter(F.length("s") > 0)
+    ntoks = F.size(F.split("s", " "))
+    return sents.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sentences"),
+        F.sum(ntoks.cast("bigint")).alias("n_tokens"),
+        F.max(ntoks).alias("max_sentence_tokens"),
+        F.round(
+            F.sum(ntoks.cast("bigint")).cast("double") / F.count(F.lit(1)), 8
+        ).alias("avg_sentence_tokens"),
+    )

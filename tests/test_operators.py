@@ -745,6 +745,14 @@ def test_pipeline_operators_survive_null_text(tmp_path, spark):
         "dedup_exact", "dedup_simhash", "dedup_paragraphs",
         "text_token_stats", "bigram_lm_doc_score", "inverted_index_postings",
         "chunk_documents", "sample_k_per_source",
+        # late-round-5 text/pipeline operators
+        "trigram_lm_doc_score", "tfidf_cosine_pairs", "text_hash_embeddings",
+        "length_grouped_batches", "dedup_incremental_vs_index",
+        "weighted_reservoir_sample", "quality_zscore_by_lang",
+        "snapshot_diff_cdc",
+        # dedup_rate_by_source intentionally emits a NULL-source group
+        # (standard SQL group-by semantics, mirrored by its oracle), so it
+        # doesn't fit this first-column-not-null sweep
     ):
         rows = qs[name](spark, str(tmp_path)).collect()
         assert all(v is not None for r in rows for v in [r[0]]), name
