@@ -1271,3 +1271,109 @@ def sentence_stats(spark, sf_dir):
             F.sum(ntoks.cast("bigint")).cast("double") / F.count(F.lit(1)), 8
         ).alias("avg_sentence_tokens"),
     )
+
+
+@query(
+    "langid_confusion_matrix",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+      {_LANGID_SQL_SCORES}
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+        CASE
+          WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr
+            AND score_en > 0 THEN 'en'
+          WHEN score_es >= score_de AND score_es >= score_fr AND score_es > 0 THEN 'es'
+          WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+          WHEN score_fr > 0 THEN 'fr'
+          ELSE 'unknown'
+        END AS pred_lang
+      FROM scored
+    )
+    SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY lang, pred_lang
+    """,
+)
+def langid_confusion_matrix(spark, sf_dir):
+    """Confusion matrix of the stopword language-ID heuristic against the
+    corpus's true lang labels — the evaluation rollup that turns a
+    classifier query into a measurable component (same pattern as
+    knn_confusion_matrix). One tiny aggregate over the map-side scorer."""
+    return (
+        text_langid_heuristic(spark, sf_dir)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ------------------------------------------------ vocabulary coverage
+
+COVERAGE_CUTS = [100, 500, 1000, 5000]
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT t AS token FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+    ),
+    freq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY token
+    ),
+    ranked AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk FROM freq
+    ),
+    tot AS (SELECT SUM(n) AS total FROM freq)
+    SELECT cut AS n_vocab,
+      CAST(SUM(CASE WHEN rnk <= cut THEN n ELSE 0 END) AS BIGINT) AS covered,
+      round(CAST(SUM(CASE WHEN rnk <= cut THEN n ELSE 0 END) AS DOUBLE) / total, 8)
+        AS coverage
+    FROM ranked CROSS JOIN tot
+    CROSS JOIN UNNEST(ARRAY{COVERAGE_CUTS}) AS c(cut)
+    GROUP BY cut, total
+    """,
+)
+def vocab_coverage_curve(spark, sf_dir):
+    """Vocabulary coverage curve: for each candidate vocab size N, the
+    fraction of corpus TOKENS covered by the N most frequent types — the
+    plot that sizes a tokenizer vocabulary (where the curve flattens is
+    where bigger vocabs stop paying). Token histogram is one corpus
+    aggregate; ranking and the cutoff grid act on the (much smaller)
+    type table, and the grid explode is {len(COVERAGE_CUTS)} rows per
+    type with map-side combine. The type-table window rides the
+    rank-limit optimization; ties at a frequency break by token so both
+    engines cut identically."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+
+    ranked = freq.select(
+        "n",
+        F.row_number()
+        .over(W.orderBy(F.col("n").desc(), "token"))
+        .alias("rnk"),
+    )
+    tot = freq.agg(F.sum("n").alias("total"))
+    cuts = F.explode(F.array(*[F.lit(c) for c in COVERAGE_CUTS])).alias("cut")
+    return (
+        ranked.select("n", "rnk", cuts)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("cut", "total")
+        .agg(
+            F.sum(F.when(F.col("rnk") <= F.col("cut"), F.col("n")).otherwise(0)).alias(
+                "covered"
+            ),
+            F.round(
+                F.sum(
+                    F.when(F.col("rnk") <= F.col("cut"), F.col("n")).otherwise(0)
+                ).cast("double")
+                / F.col("total"),
+                8,
+            ).alias("coverage"),
+        )
+        .select(F.col("cut").alias("n_vocab"), "covered", "coverage")
+    )

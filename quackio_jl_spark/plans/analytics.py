@@ -1654,3 +1654,49 @@ def orders_yoy_growth(spark, sf_dir):
         "yr", "revenue",
         F.round((F.col("revenue") - prev) / prev, 8).alias("yoy_growth"),
     )
+
+
+@query(
+    "priority_ship_latency_percentiles",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority,
+        CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS delay_d
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    g AS (
+      SELECT o_orderpriority, list_sort(list(delay_d)) AS ds, COUNT(*) AS n
+      FROM d GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n_items,
+      ds[CAST(ceil(n * 0.5) AS BIGINT)] AS p50_days,
+      ds[CAST(ceil(n * 0.9) AS BIGINT)] AS p90_days,
+      ds[CAST(ceil(n * 0.99) AS BIGINT)] AS p99_days
+    FROM g
+    """,
+)
+def priority_ship_latency_percentiles(spark, sf_dir):
+    """Order-to-ship latency distribution per order priority, exact
+    p50/p90/p99 in days — the SLA report proving urgent orders actually
+    ship faster. Same bounded-group exact-order-statistics shape as
+    funnel_latency_percentiles (5 priority groups; at 100 TB sub-bucket
+    by month first, same recipe); integer day deltas sort identically in
+    both engines. The fact-to-orders join shuffles on the shared
+    l_orderkey/o_orderkey — the key the TPC-H suite already co-locates."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    d = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("delay_d"),
+    )
+    g = d.groupBy("o_orderpriority").agg(
+        F.sort_array(F.collect_list("delay_d")).alias("ds"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return g.select(
+        "o_orderpriority",
+        F.col("n").alias("n_items"),
+        F.element_at("ds", F.ceil(F.col("n") * 0.5).cast("int")).alias("p50_days"),
+        F.element_at("ds", F.ceil(F.col("n") * 0.9).cast("int")).alias("p90_days"),
+        F.element_at("ds", F.ceil(F.col("n") * 0.99).cast("int")).alias("p99_days"),
+    )
