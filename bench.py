@@ -48,6 +48,22 @@ HEADLINE = [
     "text_bpe_token_count",
 ]
 
+# Round-5 flagship additions, timed separately so the headline total stays
+# comparable across rounds (the driver's trend line sums `queries` only via
+# `value`; these land in `extended_queries`).
+EXTENDED = [
+    "ann_pq_codes",
+    "ann_pq_adc_topk",
+    "ann_ivfpq_search",
+    "tfidf_cosine_pairs",
+    "trigram_lm_doc_score",
+    "dedup_incremental_vs_index",
+    "length_grouped_batches",
+    "shuffle_corpus_deterministic",
+    "knn_label_vote",
+    "weighted_reservoir_sample",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -71,18 +87,20 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in HEADLINE:
+    for name in HEADLINE + EXTENDED:
         run(QUERIES[name](spark, warm_dir))
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE + EXTENDED}
     for _ in range(repeats):
-        for name in HEADLINE:
+        for name in HEADLINE + EXTENDED:
             t0 = time.perf_counter()
             run(QUERIES[name](spark, sf_dir))
             samples[name].append(time.perf_counter() - t0)
 
-    times = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
+    med = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
+    times = {name: med[name] for name in HEADLINE}
+    extended = {name: med[name] for name in EXTENDED}
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -91,6 +109,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "extended_queries": extended,
+                "extended_total_sec": round(sum(extended.values()), 3),
                 "sf": sf,
                 "repeats": repeats,
                 "aggregation": "median_per_query_over_interleaved_passes",

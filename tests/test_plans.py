@@ -378,3 +378,51 @@ def test_quality_model_filter_is_pure_map(spark):
     assert count_exchanges(p) == 0, p
     read_schema = next(ln for ln in p.splitlines() if "ReadSchema" in ln)
     assert "text" in read_schema and "n_chars" not in read_schema
+
+
+def test_pq_codebook_joins_broadcast(spark):
+    """PQ encode: the codebook side must broadcast (M*KSUB rows), never
+    shuffle the corpus for the assignment join."""
+    p = plan_of(QUERIES["ann_pq_codes"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_adc_lut_broadcasts(spark):
+    """ADC search: the lookup table joins broadcast; the only SMJ-free
+    aggregation shuffle is the (qid, vec_id) partial sum."""
+    p = plan_of(QUERIES["ann_pq_adc_topk"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_weighted_reservoir_is_topk(spark):
+    """A-ES sampling must compile to a top-k (rank-limit rewrite), not a
+    global sort of the corpus."""
+    p = plan_of(QUERIES["weighted_reservoir_sample"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p or "WindowGroupLimit" in p
+
+
+def test_trigram_count_tables_broadcast(spark):
+    """All five n-gram count tables must broadcast back onto the corpus
+    explode — a sort-merge join would shuffle the corpus five times."""
+    p = plan_of(QUERIES["trigram_lm_doc_score"](spark, SF_DIR))
+    assert p.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in p
+
+
+def test_tfidf_pairs_bounded_fanout_plan(spark):
+    """TF-IDF pair generation: df table and norms broadcast; no cartesian
+    anywhere in the self-join pipeline."""
+    p = plan_of(QUERIES["tfidf_cosine_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_audio_energy_is_pure_map(spark):
+    """The audio decode pipeline must be map-side only: one Arrow python
+    node, zero exchanges."""
+    p = plan_of(QUERIES["multimodal_audio_energy"](spark, SF_DIR))
+    assert count_exchanges(p) == 0
+    assert "MapInPandas" in p
