@@ -490,3 +490,56 @@ def ann_pq_recall_at_k(spark, sf_dir):
             (F.count("avid").cast("double") / PQ_RECALL_K).alias("recall"),
         )
     )
+
+
+# --------------------------------------------- label-outlier detection
+
+OUTLIER_TOP = 20
+
+
+def _label_outliers_oracle() -> str:
+    from .pipeline import _CENTVEC_SQL
+
+    return f"""
+    WITH {_CENTVEC_SQL}
+    SELECT vec_id, label, d2, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT e.vec_id, e.label,
+        CAST({_dot_int_sql('e.embedding', 'e.embedding')}
+          - 2 * {_dot_int_sql('e.embedding', 'c.cv')}
+          + {_dot_int_sql('c.cv', 'c.cv')} AS DOUBLE) / 1e9 AS d2,
+        ROW_NUMBER() OVER (ORDER BY
+          ({_dot_int_sql('e.embedding', 'e.embedding')}
+            - 2 * {_dot_int_sql('e.embedding', 'c.cv')}
+            + {_dot_int_sql('c.cv', 'c.cv')}) DESC, e.vec_id) AS rnk
+      FROM embeddings e JOIN centvec c ON c.cell = e.label) t
+    WHERE rnk <= {OUTLIER_TOP}
+    """
+
+
+@query("embedding_label_outliers", oracle=_label_outliers_oracle())
+def embedding_label_outliers(spark, sf_dir):
+    """Mislabel candidates: the {OUTLIER_TOP} vectors farthest (integer
+    fixed-point L2) from their OWN label's centroid — the cheap first
+    pass of every label-cleaning loop (far-from-own-centroid points are
+    either mislabeled or genuinely hard; both deserve review). Centroids
+    broadcast (k rows), one corpus scan, and the global ranking is over
+    scalars so it rides the rank-limit top-k — never a corpus sort."""
+    from pyspark.sql import Window as W
+
+    from .pipeline import _centroid_vectors
+
+    e = table(spark, sf_dir, "embeddings")
+    cv = _centroid_vectors(spark, sf_dir)
+    d2i = _d2_int(F.col("embedding"), F.col("cv"))
+    scored = e.join(
+        F.broadcast(cv), F.col("label") == F.col("cell")
+    ).select("vec_id", "label", d2i.alias("d2i"))
+    wr = W.orderBy(F.col("d2i").desc(), "vec_id")
+    return (
+        scored.select(
+            "vec_id", "label",
+            (F.col("d2i").cast("double") / F.lit(_S)).alias("d2"),
+            F.row_number().over(wr).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= OUTLIER_TOP)
+    )

@@ -1377,3 +1377,81 @@ def vocab_coverage_curve(spark, sf_dir):
         )
         .select(F.col("cut").alias("n_vocab"), "covered", "coverage")
     )
+
+
+# --------------------------------------------------- keyphrase extraction
+
+KEYPHRASE_TOP = 3
+
+
+@query(
+    "doc_keyphrases",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS MATERIALIZED (
+      SELECT doc_id, t[i+1] || ' ' || t[i+2] AS bigram
+      FROM toks, UNNEST(range(len(t) - 1)) AS u(i)
+    ),
+    tf AS (
+      SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS tf
+      FROM bg GROUP BY doc_id, bigram
+    ),
+    df AS (
+      SELECT bigram, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY bigram
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM toks)
+    SELECT doc_id, bigram, CAST(rnk AS INTEGER) AS rnk, score FROM (
+      SELECT doc_id, bigram,
+        round(tf * ln(CAST(n_docs AS DOUBLE) / df), 8) AS score,
+        ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY round(tf * ln(CAST(n_docs AS DOUBLE) / df), 8) DESC, bigram)
+          AS rnk
+      FROM tf JOIN df USING (bigram) CROSS JOIN nn) t
+    WHERE rnk <= {KEYPHRASE_TOP} AND score > 0
+    """,
+)
+def doc_keyphrases(spark, sf_dir):
+    """Per-document keyphrase extraction: top-{KEYPHRASE_TOP} bigrams by
+    TF-IDF (corpus-specific phrases outrank boilerplate, which carries
+    ~zero IDF) — the summary column a data-card or search-index pipeline
+    attaches to every document. Bigram df table is vocabulary-sized and
+    broadcasts; the per-doc top-k window rides the rank-limit
+    optimization over each doc's own bigrams. Scores rounded to 8
+    decimals before ranking (ln() hygiene), ties to the
+    lexicographically smaller bigram."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.concat_ws(" ", F.slice("t", i + 1, 2)),
+            )
+        ).alias("bigram"),
+    )
+    tf = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("bigram").agg(F.count(F.lit(1)).alias("df"))
+    nn = toks.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.round(
+        F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 8
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        tf.join(F.broadcast(df_t), "bigram")
+        .crossJoin(F.broadcast(nn))
+        .select("doc_id", "bigram", score.alias("score"))
+    )
+    wr = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "bigram")
+    return (
+        scored.select(
+            "doc_id", "bigram", F.row_number().over(wr).alias("rnk"), "score"
+        )
+        .filter((F.col("rnk") <= KEYPHRASE_TOP) & (F.col("score") > 0))
+    )

@@ -529,3 +529,77 @@ def ohlc_stream(
         f"SELECT date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS bucket, "
         f"event_type, open, high, low, close, n FROM {queryName}"
     )
+
+
+MG_CAPACITY = 8  # Misra-Gries counters per group
+
+
+def heavy_hitters_stream(spark: SparkSession, sf_dir: str):
+    """Streaming heavy hitters via a Misra-Gries summary held in
+    applyInPandasWithState: per event_type, at most MG_CAPACITY
+    (user_id -> count) counters survive in state regardless of stream
+    length — the bounded-memory answer to "top users right now" that an
+    exact streaming groupBy can't give without unbounded state.
+
+    Guarantee (the classic MG bound, asserted in tests): every user with
+    true frequency > N/(capacity+1) is present in the summary, and each
+    reported count understates the true count by at most N/(capacity+1).
+    State is capacity rows per group key — at scale the state store
+    shards by event_type (or a finer salt) across executors."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = _events_stream(spark, sf_dir)
+
+    def summarize(key, pdfs, state: GroupState):
+        (event_type,) = key
+        counters: dict[int, int] = {}
+        if state.exists:
+            (ids, counts) = state.get
+            counters = dict(zip(ids, counts))
+        for pdf in pdfs:
+            for uid in pdf["user_id"]:
+                uid = int(uid)
+                if uid in counters:
+                    counters[uid] += 1
+                elif len(counters) < MG_CAPACITY:
+                    counters[uid] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    counters = {u: c - 1 for u, c in counters.items() if c > 1}
+        ids = list(counters.keys())
+        state.update((ids, [counters[u] for u in ids]))
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type] * len(ids),
+                "user_id": ids,
+                "mg_count": [counters[u] for u in ids],
+            }
+        )
+
+    out = (
+        stream.groupBy("event_type")
+        .applyInPandasWithState(
+            summarize,
+            outputStructType="event_type string, user_id bigint, mg_count bigint",
+            stateStructType="ids array<bigint>, counts array<bigint>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("mg_hh")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode re-emits per micro-batch; keep the LAST emission per key
+    return spark.sql(
+        "SELECT event_type, user_id, mg_count FROM ("
+        " SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, user_id"
+        " ORDER BY mg_count DESC) rn FROM mg_hh) WHERE rn = 1"
+    )

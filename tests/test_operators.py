@@ -1052,3 +1052,29 @@ def test_weighted_reservoir_favors_heavy_docs(spark):
     )
     sample_mean_w = sum(r["w"] for r in rows) / len(rows)
     assert sample_mean_w > corpus_mean_w * 0.9
+
+
+def test_streaming_heavy_hitters_mg_guarantee(spark):
+    """Misra-Gries summary from the stateful stream must satisfy the MG
+    bound vs exact batch counts: any user with true count > N/(k+1) per
+    event_type appears, and reported counts never exceed the truth."""
+    from quackio_jl_spark.plans.registry import table as load
+    from quackio_jl_spark.streaming.events import MG_CAPACITY, heavy_hitters_stream
+
+    mg = {}
+    for r in heavy_hitters_stream(spark, SF_DIR).collect():
+        mg[(r["event_type"], r["user_id"])] = r["mg_count"]
+    e = load(spark, SF_DIR, "events")
+    exact = {}
+    totals = {}
+    for r in (
+        e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    ):
+        exact[(r["event_type"], r["user_id"])] = r["n"]
+        totals[r["event_type"]] = totals.get(r["event_type"], 0) + r["n"]
+    assert mg, "no heavy hitters emitted"
+    for (et, uid), c in mg.items():
+        assert c <= exact[(et, uid)], "MG must undercount, never overcount"
+    for (et, uid), n in exact.items():
+        if n > totals[et] / (MG_CAPACITY + 1):
+            assert (et, uid) in mg, f"guaranteed heavy hitter missing: {et}/{uid}"
