@@ -1252,3 +1252,90 @@ def dedup_rate_by_source(spark, sf_dir):
             (F.sum("n") - F.count(F.lit(1))).cast("double") / F.sum("n"), 8
         ).alias("dup_frac"),
     )
+
+
+# -------------------------------------- MinHash Jaccard estimation error
+
+@query(
+    "minhash_jaccard_estimate",
+    oracle="WITH"
+    + _SHINGLES_SQL
+    + ","
+    + _minhash_sig_sql()
+    + ","
+    + _cand_sql()
+    + f""",
+    est AS (
+      SELECT doc1, doc2,
+        CAST({" + ".join(f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH))}
+          AS DOUBLE) / {N_MINHASH} AS jaccard_est
+      FROM cand JOIN sig a ON a.doc_id = doc1 JOIN sig b ON b.doc_id = doc2
+    ),
+    sets AS (
+      SELECT doc_id, list(substr(md5(shingle), 1, 16)) AS s
+      FROM sh GROUP BY doc_id
+    )
+    SELECT doc1, doc2, jaccard_est,
+      CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+        / (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s)))
+        AS jaccard_exact,
+      round(abs(jaccard_est
+        - CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+          / (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s)))), 8)
+        AS abs_err
+    FROM est
+    JOIN sets s1 ON s1.doc_id = doc1
+    JOIN sets s2 ON s2.doc_id = doc2
+    """,
+)
+def minhash_jaccard_estimate(spark, sf_dir):
+    """MinHash-estimated vs exact Jaccard on every LSH candidate pair —
+    the estimator-quality evidence behind the whole MinHash stack
+    (fraction of agreeing signature slots IS the unbiased Jaccard
+    estimate; its error at {N_MINHASH} hashes tells you whether to spend
+    more signature bytes). Signatures join broadcast onto the tiny
+    candidate set; the exact side reuses the hashed-set verify machinery.
+    At scale this runs on a sampled candidate subset — the estimator
+    audit, not the dedup path itself."""
+    d = table(spark, sf_dir, "documents")
+    cand = dedup_minhash_lsh_pairs(spark, sf_dir)
+    sig = minhash_signatures(d)
+    a = sig.select(
+        F.col("doc_id").alias("doc1"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_MINHASH)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc2"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_MINHASH)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    est = (
+        cand.join(F.broadcast(a), "doc1")
+        .join(F.broadcast(b), "doc2")
+        .select(
+            "doc1", "doc2",
+            (agree.cast("double") / N_MINHASH).alias("jaccard_est"),
+        )
+    )
+    sets_ = (
+        shingles_all(d)
+        .select("doc_id", F.substring(F.md5("shingle"), 1, 16).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("s"))
+    )
+    s1 = sets_.select(F.col("doc_id").alias("doc1"), F.col("s").alias("s1"))
+    s2 = sets_.select(F.col("doc_id").alias("doc2"), F.col("s").alias("s2"))
+    c = F.size(F.array_intersect("s1", "s2"))
+    exact = c.cast("double") / (F.size("s1") + F.size("s2") - c)
+    return (
+        est.join(F.broadcast(s1), "doc1")
+        .join(F.broadcast(s2), "doc2")
+        .select(
+            "doc1", "doc2", "jaccard_est",
+            exact.alias("jaccard_exact"),
+            F.round(F.abs(F.col("jaccard_est") - exact), 8).alias("abs_err"),
+        )
+    )

@@ -614,3 +614,70 @@ def similarity_histogram(spark, sf_dir):
         )
     )
     return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "ann_search_multiprobe",
+    oracle=f"""
+    WITH idx AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM idx WHERE vec_id % 100 = 0),
+    probes AS (
+      SELECT qid, qv, CAST(xor(bucket, p) AS BIGINT) AS pbucket
+      FROM q, UNNEST([0{"".join(f", {1 << p}" for p in range(N_HYPERPLANES))}]) AS u(p)
+    ),
+    cand AS (
+      SELECT DISTINCT probes.qid, i.vec_id, probes.qv
+      FROM probes JOIN idx i ON i.bucket = probes.pbucket AND i.vec_id <> probes.qid
+    )
+    SELECT qid, vec_id, cos_sim, rnk FROM (
+      SELECT qid, vec_id,
+        {_cosine_sql('i.embedding', 'cand.qv')} AS cos_sim,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+          {_cosine_sql('i.embedding', 'cand.qv')} DESC, vec_id) AS INTEGER) AS rnk
+      FROM cand JOIN embeddings i USING (vec_id)) t
+    WHERE rnk <= 3
+    """,
+)
+def ann_search_multiprobe(spark, sf_dir):
+    """Multiprobe LSH search: each query probes its own bucket PLUS the
+    {N_HYPERPLANES} buckets at Hamming distance 1 (one hyperplane sign
+    flipped) — the standard recall knob for sign-LSH, mirroring what
+    nprobe does for IVF (a vector near a hyperplane lands on either side
+    with ~equal probability; probing the flips recovers those misses
+    without growing the index). The probe fan-out multiplies only the
+    QUERY side (1% sample x 9 buckets); the corpus
+    stays single-bucketed, and the candidate dedup + per-query top-k are
+    query-sample-sized. tests assert multiprobe recall dominates
+    single-probe."""
+    idx = _bucketed(spark, sf_dir).drop("label")
+    q = idx.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    flips = F.array(*[F.lit(0)] + [F.lit(1 << p) for p in range(N_HYPERPLANES)])
+    probes = q.select(
+        "qid", "qv",
+        F.explode(F.transform(flips, lambda p: F.col("qbucket").bitwiseXOR(p))).alias(
+            "pbucket"
+        ),
+    )
+    cand = (
+        idx.select("vec_id", "bucket")
+        .join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("pbucket")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    scored = cand.join(idx.select("vec_id", "embedding"), "vec_id").join(
+        F.broadcast(q.select("qid", "qv")), "qid"
+    ).select("qid", "vec_id", cosine("embedding", "qv").alias("cos_sim"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.select("qid", "vec_id", "cos_sim", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )

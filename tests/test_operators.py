@@ -1078,3 +1078,28 @@ def test_streaming_heavy_hitters_mg_guarantee(spark):
     for (et, uid), n in exact.items():
         if n > totals[et] / (MG_CAPACITY + 1):
             assert (et, uid) in mg, f"guaranteed heavy hitter missing: {et}/{uid}"
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multiprobe candidates strictly contain the single-bucket candidates,
+    so its top-3 cosine per query is >= the single-probe top-3."""
+    single = {}
+    for r in entry.queries()["ann_search_within_buckets"](spark, SF_DIR).collect():
+        if r["rnk"] == 1:
+            single[r["qid"]] = r["cos_sim"]
+    multi = {}
+    for r in entry.queries()["ann_search_multiprobe"](spark, SF_DIR).collect():
+        if r["rnk"] == 1:
+            multi[r["qid"]] = r["cos_sim"]
+    assert set(single) <= set(multi)
+    for qid, cs in single.items():
+        assert multi[qid] >= cs - 1e-12
+
+
+def test_minhash_estimate_unbiased_on_candidates(spark):
+    """Estimator audit: mean |est - exact| over candidate pairs stays well
+    under the k=8 standard error envelope (1/sqrt(8) ~= 0.35)."""
+    rows = entry.queries()["minhash_jaccard_estimate"](spark, SF_DIR).collect()
+    assert rows
+    mean_err = sum(r["abs_err"] for r in rows) / len(rows)
+    assert mean_err <= 0.35
