@@ -1339,3 +1339,75 @@ def minhash_jaccard_estimate(spark, sf_dir):
             F.round(F.abs(F.col("jaccard_est") - exact), 8).alias("abs_err"),
         )
     )
+
+
+# ------------------------------------------------------ LSH recall audit
+
+@query(
+    "lsh_recall_audit",
+    oracle="WITH"
+    + _SHINGLES_SQL
+    + ","
+    + _minhash_sig_sql()
+    + ","
+    + _cand_sql()
+    + f""",
+    sets AS (
+      SELECT doc_id, list(substr(md5(shingle), 1, 16)) AS s
+      FROM sh WHERE doc_id % 2 = 0 GROUP BY doc_id
+    ),
+    truth AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+          >= {JACCARD_THRESHOLD}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+      CAST(SUM(CASE WHEN cand.doc1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_caught,
+      round(CAST(SUM(CASE WHEN cand.doc1 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*), 8) AS recall
+    FROM truth LEFT JOIN cand
+      ON cand.doc1 = truth.doc1 AND cand.doc2 = truth.doc2
+    """,
+)
+def lsh_recall_audit(spark, sf_dir):
+    """Measured LSH recall at the Jaccard threshold: ground truth is the
+    brute-force O(n^2) pair set on a 50% doc sample (the subset bounds
+    the quadratic cost — the same absolute-cap discipline as the ANN
+    recall harnesses), and recall is the fraction of true pairs the
+    banded-LSH candidate generator catches. THE number a dedup pipeline
+    reports before anyone trusts its candidate pruning; the b=4, r=2
+    S-curve predicts ~1 at J>=0.5, and the audit checks reality against
+    that. Sample-side sets broadcast; the LEFT join is truth-sized."""
+    d = table(spark, sf_dir, "documents")
+    sub = d.filter(F.col("doc_id") % 2 == 0)
+    sets_ = (
+        shingles_all(sub)
+        .select("doc_id", F.substring(F.md5("shingle"), 1, 16).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("s"))
+    )
+    a = sets_.select(F.col("doc_id").alias("doc1"), F.col("s").alias("s1"))
+    b = sets_.select(F.col("doc_id").alias("doc2"), F.col("s").alias("s2"))
+    c = F.size(F.array_intersect("s1", "s2"))
+    jac = c.cast("double") / (F.size("s1") + F.size("s2") - c)
+    truth = (
+        a.join(F.broadcast(b), F.col("doc1") < F.col("doc2"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2")
+    )
+    cand = dedup_minhash_lsh_pairs(spark, sf_dir).withColumn(
+        "caught", F.lit(1)
+    )
+    j = truth.join(F.broadcast(cand), ["doc1", "doc2"], "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.sum(F.coalesce("caught", F.lit(0))).alias("n_caught"),
+        F.round(
+            F.sum(F.coalesce("caught", F.lit(0))).cast("double")
+            / F.count(F.lit(1)),
+            8,
+        ).alias("recall"),
+    )

@@ -1103,3 +1103,12 @@ def test_minhash_estimate_unbiased_on_candidates(spark):
     assert rows
     mean_err = sum(r["abs_err"] for r in rows) / len(rows)
     assert mean_err <= 0.35
+
+
+def test_lsh_recall_audit_meaningful_and_high(spark):
+    """The audit must have ground-truth pairs to measure (non-vacuous at
+    the fixtures) and banded LSH at b=4/r=2 must catch essentially all
+    pairs at J >= 0.5 (S-curve prediction)."""
+    row = entry.queries()["lsh_recall_audit"](spark, SF_DIR).collect()[0]
+    assert row["n_true_pairs"] >= 1
+    assert row["recall"] >= 0.99
