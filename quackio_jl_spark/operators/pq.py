@@ -543,3 +543,67 @@ def embedding_label_outliers(spark, sf_dir):
         )
         .filter(F.col("rnk") <= OUTLIER_TOP)
     )
+
+
+# ------------------------------------- cross-modal feature correlation
+
+def _quality_corr_oracle() -> str:
+    from .scoring import _SCORED_SQL
+    from .similarity import _dot_sql
+
+    return f"""
+    WITH {_SCORED_SQL},
+    pairs AS (
+      SELECT
+        CAST(floor(quality_score * 1e9) AS BIGINT) AS qx,
+        CAST(floor(sqrt({_dot_sql('embedding', 'embedding')}) * 1e9) AS BIGINT) AS ny
+      FROM scored JOIN embeddings ON vec_id = doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      round(
+        (CAST(SUM(CAST(qx AS DECIMAL(38,0)) * ny) AS DOUBLE) / 1e18
+          - (CAST(SUM(qx) AS DOUBLE) / 1e9) * (CAST(SUM(ny) AS DOUBLE) / 1e9)
+            / COUNT(*))
+        / sqrt(
+          (CAST(SUM(CAST(qx AS DECIMAL(38,0)) * qx) AS DOUBLE) / 1e18
+            - (CAST(SUM(qx) AS DOUBLE) / 1e9) * (CAST(SUM(qx) AS DOUBLE) / 1e9)
+              / COUNT(*))
+          * (CAST(SUM(CAST(ny AS DECIMAL(38,0)) * ny) AS DOUBLE) / 1e18
+            - (CAST(SUM(ny) AS DOUBLE) / 1e9) * (CAST(SUM(ny) AS DOUBLE) / 1e9)
+              / COUNT(*))
+        ), 8) AS pearson_r
+    FROM pairs
+    """
+
+
+@query("quality_vs_embedding_corr", oracle=_quality_corr_oracle())
+def quality_vs_embedding_corr(spark, sf_dir):
+    """Cross-modal sanity correlation: Pearson r between each document's
+    quality score and its embedding's L2 norm over the doc_id = vec_id
+    join — the one-number check that the text table and the vector table
+    actually describe the same corpus (a shuffled or stale embedding
+    export shows up as r ~ 0 drift from the expected value). All moments
+    accumulate in int64 / DECIMAL(38,0) fixed point (the whitening
+    recipe), so r is bit-identical cross-engine. One equi-join on the
+    shared id — bucketed storage makes it exchange-free — and one scalar
+    aggregate."""
+    from .scoring import quality_score_col
+    from .similarity import exact_dot
+
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.floor(F.sqrt(exact_dot("embedding", "embedding")) * F.lit(1e9)).alias("ny"),
+    )
+    pairs = d.select(
+        "doc_id", F.floor(quality_score_col() * F.lit(1e9)).alias("qx")
+    ).join(e, "doc_id")
+    n = F.count(F.lit(1))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sx = F.sum("qx").cast("double") / F.lit(1e9)
+    sy = F.sum("ny").cast("double") / F.lit(1e9)
+    sxy = F.sum(dec("qx") * F.col("ny")).cast("double") / F.lit(1e18)
+    sxx = F.sum(dec("qx") * F.col("qx")).cast("double") / F.lit(1e18)
+    syy = F.sum(dec("ny") * F.col("ny")).cast("double") / F.lit(1e18)
+    r = (sxy - sx * sy / n) / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+    return pairs.agg(n.alias("n"), F.round(r, 8).alias("pearson_r"))
