@@ -1700,3 +1700,55 @@ def priority_ship_latency_percentiles(spark, sf_dir):
         F.element_at("ds", F.ceil(F.col("n") * 0.9).cast("int")).alias("p90_days"),
         F.element_at("ds", F.ceil(F.col("n") * 0.99).cast("int")).alias("p99_days"),
     )
+
+
+@query(
+    "events_longest_error_streak",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_id,
+        (event_type = 'error') AS is_err,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        ROW_NUMBER() OVER (PARTITION BY user_id, (event_type = 'error')
+                           ORDER BY ts, event_id) AS rne
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak
+      FROM r WHERE is_err
+      GROUP BY user_id, rn - rne
+    )
+    SELECT user_id,
+      CAST(MAX(streak) AS BIGINT) AS longest_error_streak,
+      CAST(COUNT(*) AS BIGINT) AS n_error_bursts
+    FROM islands GROUP BY user_id
+    """,
+)
+def events_longest_error_streak(spark, sf_dir):
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE error
+    events and how many distinct error bursts they had — the
+    run-length-encoding pattern behind outage detection and flaky-client
+    triage. Island id is the classic rn - rn_within_type difference
+    (constant within a consecutive run, strictly increasing across
+    runs); both windows share one (user_id)-partitioned sort, so the
+    whole query is a single shuffle plus two cheap regroupings of
+    already-partitioned data."""
+    e = table(spark, sf_dir, "events")
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_err = W.partitionBy("user_id", "is_err").orderBy("ts", "event_id")
+    r = e.withColumn("is_err", F.col("event_type") == "error").select(
+        "user_id",
+        "event_id",
+        "is_err",
+        F.row_number().over(w_all).alias("rn"),
+        F.row_number().over(w_err).alias("rne"),
+    )
+    islands = (
+        r.filter("is_err")
+        .groupBy("user_id", (F.col("rn") - F.col("rne")).alias("island"))
+        .agg(F.count(F.lit(1)).alias("streak"))
+    )
+    return islands.groupBy("user_id").agg(
+        F.max("streak").alias("longest_error_streak"),
+        F.count(F.lit(1)).alias("n_error_bursts"),
+    )
