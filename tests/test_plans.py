@@ -426,3 +426,28 @@ def test_audio_energy_is_pure_map(spark):
     p = plan_of(QUERIES["multimodal_audio_energy"](spark, SF_DIR))
     assert count_exchanges(p) == 0
     assert "MapInPandas" in p
+
+
+def test_incremental_dedup_joins_broadcast(spark):
+    """Incremental dedup: the band/bucket joins and verify joins must all
+    broadcast — nothing corpus-sized meets a sort-merge."""
+    p = plan_of(QUERIES["dedup_incremental_vs_index"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_wau_spine_broadcasts(spark):
+    """Trailing-WAU: the day spine must broadcast onto the (day, user)
+    table; the range join must not become a cartesian product."""
+    p = plan_of(QUERIES["events_trailing_wau"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # bounded range condition on the tiny spine
+
+
+def test_error_streak_single_sort_partition_key(spark):
+    """Gaps-and-islands: both window functions share the user_id shuffle;
+    the plan must not add a second corpus-wide exchange beyond the two
+    aggregation regroupings."""
+    p = plan_of(QUERIES["events_longest_error_streak"](spark, SF_DIR))
+    assert count_exchanges(p) <= 4
+    assert "CartesianProduct" not in p

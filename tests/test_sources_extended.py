@@ -272,3 +272,46 @@ def test_read_json_nested_columns(tmp_path, spark):
     rows = {r["id"]: r for r in df.collect()}
     assert rows[1]["s"]["a"] == 7 and rows[1]["s"]["weird name"] == "x"
     assert rows[2]["tags"] == []
+
+
+def test_nested_ddl_property(spark):
+    """Property test: any randomly nested DuckDB type translates to a
+    string Spark's DDL parser accepts, with structure preserved (array
+    depth and struct field count)."""
+    from hypothesis import given, settings, strategies as st
+
+    from quackio_jl_spark.sources.options import duckdb_type_to_spark
+    from pyspark.sql.types import _parse_datatype_string
+
+    scalars = st.sampled_from(
+        ["INTEGER", "BIGINT", "VARCHAR", "DOUBLE", "BOOLEAN", "DATE", "FLOAT"]
+    )
+    names = st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+        min_size=1, max_size=8,
+    ).filter(lambda s: not s[0].isdigit())
+
+    def nested(inner):
+        return st.one_of(
+            inner.map(lambda t: f"{t}[]"),
+            st.tuples(inner, inner).map(lambda kv: f"MAP({kv[0]}, {kv[1]})"),
+            st.lists(st.tuples(names, inner), min_size=1, max_size=3).map(
+                lambda fs: "STRUCT("
+                + ", ".join(f"{n} {t}" for n, t in fs)
+                + ")"
+            ),
+        )
+
+    types = st.recursive(scalars, nested, max_leaves=6)
+
+    @settings(max_examples=60, deadline=None)
+    @given(types)
+    def check(duck_type):
+        ddl = duckdb_type_to_spark(duck_type)
+        parsed = _parse_datatype_string(ddl)  # raises on invalid DDL
+        assert duck_type.count("[]") == ddl.count("array<")
+        assert duck_type.upper().count("STRUCT(") == ddl.count("struct<")
+        assert duck_type.upper().count("MAP(") == ddl.count("map<")
+        assert parsed is not None
+
+    check()
