@@ -262,3 +262,24 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_numbering_kernel_partition_invariance(spark):
+    """The contiguous-numbering kernel (and everything built on it) must
+    produce IDENTICAL output under different shuffle-partition counts —
+    the property that makes its results trustworthy on any cluster size.
+    Exercised at 3 vs the suite's default partitions for the three
+    kernel consumers."""
+    import __spark_entry__ as entry
+
+    names = ["length_grouped_batches", "quality_rank_percentile", "contiguous_row_ids"]
+    qs = entry.queries()
+    default = spark.conf.get("spark.sql.shuffle.partitions")
+    baseline = {n: sorted(map(tuple, qs[n](spark, SF_DIR).collect())) for n in names}
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        for n in names:
+            got = sorted(map(tuple, qs[n](spark, SF_DIR).collect()))
+            assert got == baseline[n], n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default)
