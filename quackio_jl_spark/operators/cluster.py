@@ -659,3 +659,70 @@ def part_kcore(spark, sf_dir):
     return last_d.select(
         F.col("src").alias("part_id"), F.col("d").cast("bigint").alias("core_degree")
     )
+
+
+@query(
+    "dedup_cluster_purity",
+    oracle="WITH RECURSIVE"
+    + _SHINGLES_SQL
+    + ","
+    + _minhash_sig_sql()
+    + ","
+    + _cand_sql()
+    + """,
+    sym AS (
+      SELECT doc1 AS a, doc2 AS b FROM cand
+      UNION ALL SELECT doc2, doc1 FROM cand
+    ),
+    walk(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT sym.a, w.label FROM walk w JOIN sym ON sym.b = w.id
+    ),
+    cl AS (SELECT id AS doc_id, MIN(label) AS cluster FROM walk GROUP BY id),
+    memb AS (
+      SELECT cluster, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM cl JOIN documents USING (doc_id)
+      GROUP BY cluster, source
+    ),
+    per AS (
+      SELECT cluster,
+        CAST(SUM(n) AS BIGINT) AS size,
+        CAST(COUNT(*) AS BIGINT) AS n_sources,
+        CAST(MAX(n) AS BIGINT) AS majority_n
+      FROM memb GROUP BY cluster
+    )
+    SELECT cluster, size, n_sources,
+      round(CAST(majority_n AS DOUBLE) / size, 8) AS majority_frac
+    FROM per WHERE size >= 2
+    """,
+)
+def dedup_cluster_purity(spark, sf_dir):
+    """Source purity of every non-trivial near-dup cluster: cluster size,
+    distinct sources, and the majority-source fraction — purity < 1 means
+    the SAME content is arriving through MULTIPLE crawl sources
+    (syndication / mirror detection), which changes the dedup keep-policy
+    from 'keep lowest id' to 'keep the canonical source'. Two
+    cluster-keyed aggregates on top of the verified connected-components
+    labels; the documents join is on the id the clusters already carry."""
+    cl = dedup_clusters(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    memb = (
+        cl.join(d, "doc_id")
+        .groupBy("cluster", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per = memb.groupBy("cluster").agg(
+        F.sum("n").alias("size"),
+        F.count(F.lit(1)).alias("n_sources"),
+        F.max("n").alias("majority_n"),
+    )
+    return (
+        per.filter(F.col("size") >= 2)
+        .select(
+            "cluster", "size", "n_sources",
+            F.round(F.col("majority_n").cast("double") / F.col("size"), 8).alias(
+                "majority_frac"
+            ),
+        )
+    )

@@ -1455,3 +1455,72 @@ def doc_keyphrases(spark, sf_dir):
         )
         .filter((F.col("rnk") <= KEYPHRASE_TOP) & (F.col("score") > 0))
     )
+
+
+@query(
+    "langid_with_confidence",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+      {_LANGID_SQL_SCORES}
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang, score_en, score_es, score_de, score_fr,
+        greatest(score_en, score_es, score_de, score_fr) AS top
+      FROM scored
+    )
+    SELECT doc_id, lang,
+      CASE
+        WHEN top = 0 THEN 'unknown'
+        WHEN score_en = top THEN 'en'
+        WHEN score_es = top THEN 'es'
+        WHEN score_de = top THEN 'de'
+        ELSE 'fr'
+      END AS pred_lang,
+      CAST(top AS BIGINT) AS top_score,
+      (top >= 3 AND
+       (top - CASE
+          WHEN score_en = top THEN greatest(score_es, score_de, score_fr)
+          WHEN score_es = top THEN greatest(score_en, score_de, score_fr)
+          WHEN score_de = top THEN greatest(score_en, score_es, score_fr)
+          ELSE greatest(score_en, score_es, score_de) END) >= 2)
+        AS confident
+    FROM m
+    """,
+)
+def langid_with_confidence(spark, sf_dir):
+    """Language ID with an abstain flag: prediction is confident only when
+    the top stopword score clears an absolute floor (>=3 hits) AND beats
+    the runner-up by a margin (>=2) — the calibrated-abstain posture a
+    production pipeline needs (route unconfident docs to a heavier
+    model instead of mislabeling them). Same map-side scorer as
+    text_langid_heuristic; the margin needs the runner-up, computed with
+    a greatest() over the non-top scores."""
+    d = table(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    scores = {lang: _langid_score_col(words) for lang, words in STOPWORDS.items()}
+    d = d.select(
+        "doc_id", "lang", *[c.alias(f"s_{l}") for l, c in scores.items()]
+    )
+    s = {l: F.col(f"s_{l}") for l in scores}
+    top = F.greatest(*s.values())
+    pred = (
+        F.when(top == 0, "unknown")
+        .when(s["en"] == top, "en")
+        .when(s["es"] == top, "es")
+        .when(s["de"] == top, "de")
+        .otherwise("fr")
+    )
+    runner = (
+        F.when(s["en"] == top, F.greatest(s["es"], s["de"], s["fr"]))
+        .when(s["es"] == top, F.greatest(s["en"], s["de"], s["fr"]))
+        .when(s["de"] == top, F.greatest(s["en"], s["es"], s["fr"]))
+        .otherwise(F.greatest(s["en"], s["es"], s["de"]))
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        top.cast("bigint").alias("top_score"),
+        ((top >= 3) & ((top - runner) >= 2)).alias("confident"),
+    )

@@ -1752,3 +1752,49 @@ def events_longest_error_streak(spark, sf_dir):
         F.max("streak").alias("longest_error_streak"),
         F.count(F.lit(1)).alias("n_error_bursts"),
     )
+
+
+@query(
+    "order_value_gini",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(o_totalprice AS DECIMAL(28,6)) AS x,
+        ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS i
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      round(CAST(2 * SUM(i * x) AS DOUBLE) / (COUNT(*) * CAST(SUM(x) AS DOUBLE))
+            - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 8) AS gini
+    FROM r
+    """,
+)
+def order_value_gini(spark, sf_dir):
+    """Gini coefficient of order values — the one-number inequality/skew
+    summary (0 = uniform spend, ->1 = whale-dominated) that decides
+    whether revenue aggregations need skew handling. Needs every row's
+    GLOBAL rank; computed with the shared numbering kernel using the
+    integer price band floor(price/1000) as the order-aligned bucket id
+    — never a single-reducer corpus sort (the oracle's ROW_NUMBER is the
+    semantic spec, not the execution plan). rank*value products
+    accumulate in exact decimals, so the coefficient is bit-stable under
+    any partitioning."""
+    from ..operators.pipeline import _number_in_bucket_order
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    parts = o.withColumn(
+        "_pid", F.floor(F.col("o_totalprice") / 1000).cast("int")
+    )
+    ranked = _number_in_bucket_order(
+        parts, ["o_totalprice", "o_orderkey"], ["o_orderkey", "o_totalprice"], "rk"
+    ).drop("shard")
+    x = F.col("o_totalprice").cast(DEC)
+    i = F.col("rk") + 1  # kernel positions are 0-based; Gini wants 1-based
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            (F.lit(2) * F.sum(i * x)).cast("double")
+            / (F.count(F.lit(1)) * F.sum(x).cast("double"))
+            - (F.count(F.lit(1)) + 1).cast("double") / F.count(F.lit(1)),
+            8,
+        ).alias("gini"),
+    )
