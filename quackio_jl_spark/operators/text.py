@@ -1524,3 +1524,70 @@ def langid_with_confidence(spark, sf_dir):
         top.cast("bigint").alias("top_score"),
         ((top >= 3) & ((top - runner) >= 2)).alias("confident"),
     )
+
+
+ZIPF_TOP = 200
+
+
+@query(
+    "corpus_zipf_fit",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT t AS token FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+    ),
+    freq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY token
+    ),
+    ranked AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk FROM freq
+      QUALIFY rnk <= {ZIPF_TOP}
+    ),
+    pts AS (
+      SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1e9) AS BIGINT) AS x,
+        CAST(floor(ln(CAST(n AS DOUBLE)) * 1e9) AS BIGINT) AS y
+      FROM ranked
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+      round(
+        (CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) / 1e18
+          - (CAST(SUM(x) AS DOUBLE) / 1e9) * (CAST(SUM(y) AS DOUBLE) / 1e9)
+            / COUNT(*))
+        / (CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) / 1e18
+          - (CAST(SUM(x) AS DOUBLE) / 1e9) * (CAST(SUM(x) AS DOUBLE) / 1e9)
+            / COUNT(*)), 8) AS zipf_slope
+    FROM pts
+    """,
+)
+def corpus_zipf_fit(spark, sf_dir):
+    """Zipf-law fit: least-squares slope of ln(frequency) vs ln(rank) over
+    the top-{ZIPF_TOP} token types — natural language sits near -1, and a
+    corpus that drifts far from it (too flat: templated boilerplate; too
+    steep: vocabulary collapse) fails the health check before any model
+    sees it. ln values enter as floor-1e9 fixed point and every moment
+    accumulates in int64/DECIMAL(38,0) (the whitening recipe), so the
+    slope is bit-identical cross-engine. Token histogram is the one
+    corpus aggregate; the regression runs on {ZIPF_TOP} points."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+
+    ranked = (
+        freq.select(
+            "n",
+            F.row_number().over(W.orderBy(F.col("n").desc(), "token")).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= ZIPF_TOP)
+    )
+    pts = ranked.select(
+        F.floor(F.log(F.col("rnk").cast("double")) * F.lit(1e9)).alias("x"),
+        F.floor(F.log(F.col("n").cast("double")) * F.lit(1e9)).alias("y"),
+    )
+    n = F.count(F.lit(1))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sx = F.sum("x").cast("double") / F.lit(1e9)
+    sy = F.sum("y").cast("double") / F.lit(1e9)
+    sxy = F.sum(dec("x") * F.col("y")).cast("double") / F.lit(1e18)
+    sxx = F.sum(dec("x") * F.col("x")).cast("double") / F.lit(1e18)
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    return pts.agg(n.alias("n_points"), F.round(slope, 8).alias("zipf_slope"))

@@ -1798,3 +1798,63 @@ def order_value_gini(spark, sf_dir):
             8,
         ).alias("gini"),
     )
+
+
+@query(
+    "events_value_cusum_drift",
+    oracle="""
+    WITH mu AS (
+      SELECT user_id,
+        CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mu
+      FROM events GROUP BY user_id
+    ),
+    dev AS (
+      SELECT e.user_id,
+        CAST(SUM(CAST(e.value AS DECIMAL(28,6)))
+          OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          - (ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id)
+             * mu.mu)
+          AS cusum
+      FROM events e JOIN mu USING (user_id)
+    )
+    SELECT user_id,
+      round(MAX(cusum), 6) AS max_excursion,
+      round(MIN(cusum), 6) AS min_excursion,
+      round(MAX(cusum) - MIN(cusum), 6) AS cusum_range
+    FROM dev GROUP BY user_id
+    """,
+)
+def events_value_cusum_drift(spark, sf_dir):
+    """CUSUM drift detection per user: the running sum of deviations from
+    the user's own mean — a flat series hovers near zero, a mean-shift
+    (pricing change, bot takeover) shows as a sustained excursion, and
+    the max/min excursion range is the drift statistic thresholded in
+    practice. Two passes sharing the user_id partitioning: a broadcast
+    per-user mean, then cusum_i = exact_decimal_running_sum(value) - i * mu —
+    the deviation sum restructured so the only float arithmetic is ONE
+    multiply-subtract per row on the exact prefix sum (a per-row
+    double->decimal cast of mu would round differently per engine and
+    accumulate). Rounded to 6 decimals at the cross-engine boundary."""
+    e = table(spark, sf_dir, "events")
+    mu = e.groupBy("user_id").agg(
+        (F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dev = e.join(F.broadcast(mu), "user_id").select(
+        "user_id",
+        (
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+            - F.row_number().over(wo) * F.col("mu")
+        ).alias("cusum"),
+    )
+    return dev.groupBy("user_id").agg(
+        F.round(F.max("cusum"), 6).alias("max_excursion"),
+        F.round(F.min("cusum"), 6).alias("min_excursion"),
+        F.round(F.max("cusum") - F.min("cusum"), 6).alias("cusum_range"),
+    )
