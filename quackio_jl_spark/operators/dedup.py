@@ -1411,3 +1411,76 @@ def lsh_recall_audit(spark, sf_dir):
             8,
         ).alias("recall"),
     )
+
+
+# ------------------------------------------------- empirical LSH S-curve
+
+@query(
+    "lsh_scurve_empirical",
+    oracle="WITH"
+    + _SHINGLES_SQL
+    + ","
+    + _minhash_sig_sql()
+    + ","
+    + _cand_sql()
+    + f""",
+    sets AS (
+      SELECT doc_id, list(substr(md5(shingle), 1, 16)) AS s
+      FROM sh WHERE doc_id % 2 = 0 GROUP BY doc_id
+    ),
+    allpairs AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    ),
+    binned AS (
+      SELECT least(9, CAST(floor(j * 10) AS INTEGER)) AS j_bin,
+        CASE WHEN cand.doc1 IS NOT NULL THEN 1 ELSE 0 END AS caught
+      FROM allpairs LEFT JOIN cand
+        ON cand.doc1 = allpairs.doc1 AND cand.doc2 = allpairs.doc2
+      WHERE j > 0
+    )
+    SELECT j_bin, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      CAST(SUM(caught) AS BIGINT) AS n_caught,
+      round(CAST(SUM(caught) AS DOUBLE) / COUNT(*), 8) AS catch_rate
+    FROM binned GROUP BY j_bin
+    """,
+)
+def lsh_scurve_empirical(spark, sf_dir):
+    """Empirical LSH S-curve: candidate catch rate per Jaccard decile over
+    the brute-forced 50% sample — the measured counterpart of the b=4/r=2
+    theory curve 1-(1-j^2)^4 (near 0 below j~0.2, near 1 above j~0.5).
+    This is how you TUNE (b, r): plot measured vs intended curve before
+    committing a 100 TB dedup run to a banding choice. Same bounded-
+    sample discipline as lsh_recall_audit; the bin aggregate is
+    10 rows."""
+    d = table(spark, sf_dir, "documents")
+    sub = d.filter(F.col("doc_id") % 2 == 0)
+    sets_ = (
+        shingles_all(sub)
+        .select("doc_id", F.substring(F.md5("shingle"), 1, 16).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("s"))
+    )
+    a = sets_.select(F.col("doc_id").alias("doc1"), F.col("s").alias("s1"))
+    b = sets_.select(F.col("doc_id").alias("doc2"), F.col("s").alias("s2"))
+    c = F.size(F.array_intersect("s1", "s2"))
+    jac = c.cast("double") / (F.size("s1") + F.size("s2") - c)
+    allpairs = (
+        a.join(F.broadcast(b), F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2", jac.alias("j"))
+        .filter(F.col("j") > 0)
+    )
+    cand = dedup_minhash_lsh_pairs(spark, sf_dir).withColumn("caught", F.lit(1))
+    binned = allpairs.join(F.broadcast(cand), ["doc1", "doc2"], "left").select(
+        F.least(F.lit(9), F.floor(F.col("j") * 10).cast("int")).alias("j_bin"),
+        F.coalesce("caught", F.lit(0)).alias("caught"),
+    )
+    return binned.groupBy("j_bin").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("caught").alias("n_caught"),
+        F.round(F.sum("caught").cast("double") / F.count(F.lit(1)), 8).alias(
+            "catch_rate"
+        ),
+    )
