@@ -1,0 +1,596 @@
+"""Statistical data-quality / time-series operators (round-5 extension).
+
+Beyond-reference surface in the spirit of SURVEY.md §2.4/§2.7 extensions:
+Pareto-skyline extraction, month-over-month deltas, inter-purchase gap
+statistics, seasonality-adjusted anomaly detection and per-entity
+distribution entropy — the report/diagnostic layer a training-data
+pipeline runs next to dedup and quality scoring.
+
+Reference parity note: the reference (QuackIO.jl, src/QuackIO.jl:1-149)
+delegates all query semantics to DuckDB SQL; these operators express the
+same results Spark-first (DataFrame plans, decimal-exact aggregation per
+functions/exact.py) with the DuckDB SQL kept as the oracle.
+
+Determinism engineering (same recipe as plans/analytics.py): per-row
+arithmetic in double (IEEE-identical in both engines), order-independent
+decimal sums at every aggregation boundary, and round-to-10-decimals
+before summing entropy contributions so partitioning never changes a bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.exact import DEC
+from .registry import query, table
+
+_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(28,6))) AS DOUBLE)"
+
+
+def _d(x: str) -> str:
+    return _DSUM.format(x=x)
+
+
+# ------------------------------------------------------------ 2-D skyline
+
+N_SKYLINE_BUCKETS = 16
+
+
+@query(
+    "part_skyline_pareto",
+    oracle="""
+    WITH pts AS (SELECT DISTINCT p_retailprice, p_size FROM part)
+    SELECT p_retailprice, p_size FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+    )
+    """,
+)
+def part_skyline_pareto(spark, sf_dir):
+    """Pareto skyline minimizing (p_retailprice, p_size): the parts for
+    which no other part is at-most-equal on both dimensions and strictly
+    better on one.
+
+    Scale shape (classic two-phase distributed skyline): on DISTINCT
+    points ordered by (price asc, size asc), a point is dominated iff the
+    running MIN of size over any preceding subset is <= its size — so a
+    per-bucket window (parallel, any hash bucketing works) prunes to a
+    local skyline whose union is a superset of the global skyline and is
+    tiny (<= one survivor per distinct size per bucket). Phase 2 repeats
+    the same window globally over only those survivors. NO all-pairs
+    anti-join — the oracle's NOT EXISTS is quadratic and only viable at
+    oracle scale."""
+    pts = (
+        table(spark, sf_dir, "part")
+        .select("p_retailprice", "p_size")
+        .distinct()
+        .withColumn(
+            "_b", F.pmod(F.hash("p_retailprice"), F.lit(N_SKYLINE_BUCKETS))
+        )
+    )
+
+    def survivors(df, *partition):
+        w = (
+            W.partitionBy(*partition).orderBy("p_retailprice", "p_size")
+            if partition
+            else W.orderBy("p_retailprice", "p_size")
+        ).rowsBetween(W.unboundedPreceding, -1)
+        m = F.min("p_size").over(w)
+        return (
+            df.withColumn("_m", m)
+            .filter(F.col("_m").isNull() | (F.col("_m") > F.col("p_size")))
+            .drop("_m")
+        )
+
+    local = survivors(pts, "_b").drop("_b")
+    return survivors(local)  # global pass over the tiny survivor set
+
+
+# ------------------------------------------------- month-over-month delta
+
+
+@query(
+    "orders_mom_pct_change",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        {_d('o_totalprice')} AS revenue,
+        COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue, CAST(n_orders AS BIGINT) AS n_orders,
+      (revenue - lag(revenue) OVER (ORDER BY month))
+        / lag(revenue) OVER (ORDER BY month) AS pct_change
+    FROM m
+    """,
+)
+def orders_mom_pct_change(spark, sf_dir):
+    """Monthly revenue with month-over-month percent change — the
+    canonical trend report. The heavy part is one partial-aggregated
+    shuffle onto ~tens of month rows; the lag window then runs on that
+    tiny aggregate (single partition over dozens of rows is fine — it is
+    NOT a window over the raw fact table). Revenue is an exact decimal
+    sum, so the pct division is bit-identical in any engine."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    prev = F.lag("revenue").over(W.orderBy("month"))
+    return m.select(
+        "month",
+        "revenue",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        ((F.col("revenue") - prev) / prev).alias("pct_change"),
+    )
+
+
+# -------------------------------------------- inter-purchase gap metrics
+
+
+@query(
+    "customer_interpurchase_stats",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+        date_diff('day',
+          CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+          CAST(o_orderdate AS DATE)) AS gap
+      FROM orders
+    )
+    SELECT o_custkey,
+      CAST(COUNT(*) + 1 AS BIGINT) AS n_orders,
+      CAST(SUM(gap) AS DOUBLE) / COUNT(*) AS avg_gap_days,
+      CAST(MAX(gap) AS BIGINT) AS max_gap_days
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY o_custkey
+    """,
+)
+def customer_interpurchase_stats(spark, sf_dir):
+    """Days between consecutive orders per customer: order count, mean
+    gap, max gap (repeat customers only). The lag window is partitioned
+    by o_custkey — millions of small independent partitions, never a
+    global sort — and the gap arithmetic is integer days, so the one
+    double division (mean) is exact-input and engine-identical. Ties on
+    order date are broken by o_orderkey for a deterministic lag."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff("o_orderdate", F.lag("o_orderdate").over(w))
+    return (
+        o.select("o_custkey", gap.alias("gap"))
+        .filter(F.col("gap").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            (F.count(F.lit(1)) + 1).cast("bigint").alias("n_orders"),
+            (F.sum("gap").cast("double") / F.count(F.lit(1))).alias(
+                "avg_gap_days"
+            ),
+            F.max("gap").cast("bigint").alias("max_gap_days"),
+        )
+    )
+
+
+# ---------------------------------------- seasonality-adjusted anomalies
+
+
+@query(
+    "events_seasonal_zscore",
+    oracle=f"""
+    WITH st AS (
+      SELECT event_type, isodow(ts) - 1 AS dow, hour(ts) AS hr,
+        COUNT(*) AS n,
+        {_d('value')} / COUNT(*) AS mu,
+        sqrt(({_d('value * value')} - {_d('value')} * {_d('value')} / COUNT(*))
+             / (COUNT(*) - 1)) AS sigma
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_id, e.event_type,
+      CAST(isodow(ts) - 1 AS INTEGER) AS dow,
+      CAST(hour(ts) AS INTEGER) AS hr,
+      (value - mu) / sigma AS z
+    FROM events e
+    JOIN st ON st.event_type = e.event_type
+      AND st.dow = isodow(ts) - 1 AND st.hr = hour(ts)
+    WHERE n >= 2 AND sigma > 0 AND abs((value - mu) / sigma) > 3.0
+    """,
+)
+def events_seasonal_zscore(spark, sf_dir):
+    """Seasonality-adjusted anomaly detection: z-scores against a
+    per-(event_type, weekday, hour) baseline instead of the global
+    per-type baseline of events_zscore_anomalies — a value that is normal
+    on Saturday 03:00 can be anomalous on Tuesday 14:00. The baseline is
+    a k x 7 x 24-row aggregate (exact decimal sums) BROADCAST back onto
+    the stream; weekday uses Monday=0 on both sides (Spark weekday(),
+    DuckDB isodow-1). Cells with n<2 or zero variance are excluded."""
+    e = table(spark, sf_dir, "events").withColumns(
+        {"dow": F.weekday("ts"), "hr": F.hour("ts")}
+    )
+    n = F.count(F.lit(1))
+    sum_v = F.sum(F.col("value").cast(DEC)).cast("double")
+    sum_v2 = F.sum((F.col("value") * F.col("value")).cast(DEC)).cast("double")
+    st = e.groupBy("event_type", "dow", "hr").agg(
+        n.alias("n"),
+        (sum_v / n).alias("mu"),
+        F.sqrt((sum_v2 - sum_v * sum_v / n) / (n - 1)).alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(st), ["event_type", "dow", "hr"])
+        .filter((F.col("n") >= 2) & (F.col("sigma") > 0) & (F.abs(z) > 3.0))
+        .select(
+            "event_id",
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            F.col("hr").cast("int").alias("hr"),
+            z.alias("z"),
+        )
+    )
+
+
+# ------------------------------------------- per-user event-type entropy
+
+
+@query(
+    "user_event_entropy",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    n AS (SELECT user_id, SUM(c) AS n FROM cnt GROUP BY user_id)
+    SELECT cnt.user_id,
+      CAST(SUM(CAST(round(-(cnt.c / CAST(n.n AS DOUBLE))
+                    * ln(cnt.c / CAST(n.n AS DOUBLE)), 10)
+               AS DECIMAL(28,10))) AS DOUBLE) AS type_entropy,
+      CAST(MAX(n.n) AS BIGINT) AS n_events,
+      CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM cnt JOIN n ON cnt.user_id = n.user_id
+    GROUP BY cnt.user_id
+    """,
+)
+def user_event_entropy(spark, sf_dir):
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity signal (entropy ~0 = single-action bots, high
+    entropy = organic mixed usage). Same determinism recipe as
+    text_token_entropy (operators/text.py): each -p*ln(p) contribution is
+    IEEE-identical per row, rounded to 10 decimals and summed as DECIMAL
+    so the per-user total is independent of partitioning. Two
+    partial-aggregated shuffles on user_id; never a window."""
+    e = table(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    n = cnt.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    contrib = F.round(-p * F.log(p), 10).cast("decimal(28,10)")
+    return (
+        cnt.join(n, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum(contrib).cast("double").alias("type_entropy"),
+            F.max("n").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        )
+    )
+
+
+# ------------------------------------- lang x source mutual information
+
+
+@query(
+    "lang_source_mutual_information",
+    oracle="""
+    WITH j AS (
+      SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY lang, source
+    ),
+    ml AS (SELECT lang, SUM(c) AS cl FROM j GROUP BY lang),
+    ms AS (SELECT source, SUM(c) AS cs FROM j GROUP BY source),
+    t AS (SELECT SUM(c) AS n FROM j)
+    SELECT
+      CAST(SUM(CAST(round(
+          (j.c / CAST(n AS DOUBLE))
+          * ln((CAST(j.c AS DOUBLE) * n) / (CAST(cl AS DOUBLE) * cs)), 10)
+        AS DECIMAL(28,10))) AS DOUBLE) AS mi_nats,
+      CAST(MAX(n) AS BIGINT) AS n_docs,
+      CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM j
+    JOIN ml USING (lang)
+    JOIN ms USING (source)
+    CROSS JOIN t
+    """,
+)
+def lang_source_mutual_information(spark, sf_dir):
+    """Mutual information (nats) between document language and source —
+    the corpus-composition diagnostic: MI ~ 0 means sources share one
+    language mix; high MI means language is concentrated per source (a
+    sampling-bias warning before mixing). Everything reduces to a tiny
+    |langs| x |sources| contingency table: one partial-aggregated shuffle
+    builds the joint counts, marginals and the grand total are broadcast
+    back, and each cell's p*ln(p/(pq)) contribution is rounded to 10
+    decimals and decimal-summed (order-independent, both engines). All
+    count products stay exact in int64 (< 2^53) before the one double
+    division, so the logs see bit-identical inputs."""
+    d = table(spark, sf_dir, "documents")
+    j = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    ml = j.groupBy("lang").agg(F.sum("c").alias("cl"))
+    ms = j.groupBy("source").agg(F.sum("c").alias("cs"))
+    t = j.agg(F.sum("c").alias("n"))
+    cell = (
+        j.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .crossJoin(F.broadcast(t))
+    )
+    p = F.col("c") / F.col("n").cast("double")
+    ratio = (F.col("c").cast("double") * F.col("n")) / (
+        F.col("cl").cast("double") * F.col("cs")
+    )
+    contrib = F.round(p * F.log(ratio), 10).cast("decimal(28,10)")
+    return cell.agg(
+        F.sum(contrib).cast("double").alias("mi_nats"),
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
+
+
+# -------------------------------------------------- Benford digit audit
+
+
+@query(
+    "benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]', 0)
+                  AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    t AS (SELECT COUNT(*) AS n FROM d)
+    SELECT digit,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      COUNT(*) / CAST(MAX(t.n) AS DOUBLE) AS observed_frac,
+      round(log10(1.0 + 1.0 / digit), 10) AS benford_frac,
+      abs(COUNT(*) / CAST(MAX(t.n) AS DOUBLE)
+          - round(log10(1.0 + 1.0 / digit), 10)) AS abs_dev
+    FROM d CROSS JOIN t
+    GROUP BY digit
+    """,
+)
+def benford_first_digit(spark, sf_dir):
+    """Benford's-law audit of order totals: observed first-significant-
+    digit distribution vs log10(1 + 1/d) — the standard fabricated-data /
+    corrupted-ingest screen. The first digit comes from a regexp over the
+    engine's shortest-roundtrip double rendering (identical leading digit
+    in both engines; avoids floor(log10(x)) whose last-ulp libm
+    differences could flip a power-of-ten boundary). One 9-row group-by;
+    the grand total is a broadcast 1-row aggregate. The expected fraction
+    is rounded to 10 decimals on both sides so the comparison column is
+    bit-stable."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.regexp_extract(F.col("o_totalprice").cast("string"), "[1-9]", 0)
+        .cast("int")
+        .alias("digit")
+    )
+    t = d.agg(F.count(F.lit(1)).alias("n"))
+    benford = F.round(F.log10(1.0 + 1.0 / F.col("digit")), 10)
+    frac = F.count(F.lit(1)) / F.max("n").cast("double")
+    return (
+        d.crossJoin(F.broadcast(t))
+        .groupBy("digit")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            frac.alias("observed_frac"),
+            benford.alias("benford_frac"),
+            F.abs(frac - benford).alias("abs_dev"),
+        )
+    )
+
+
+# ----------------------------------------------- weighted median (group)
+
+
+@query(
+    "weighted_median_price_by_flag",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+        SUM(CAST(l_quantity AS DECIMAL(28,6))) OVER (
+          PARTITION BY l_returnflag
+          ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        ) AS cw,
+        SUM(CAST(l_quantity AS DECIMAL(28,6))) OVER (
+          PARTITION BY l_returnflag
+        ) AS tot
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+      MIN(price) AS weighted_median_price,
+      CAST(MAX(tot) AS DOUBLE) AS total_qty
+    FROM w WHERE 2 * cw >= tot
+    GROUP BY l_returnflag
+    """,
+)
+def weighted_median_price_by_flag(spark, sf_dir):
+    """Quantity-weighted median extended price per return flag — the
+    weighted quantile neither engine ships as a builtin: smallest price
+    whose cumulative quantity reaches half the group total. Expressed as
+    a per-group cumulative DECIMAL sum (exact, so the 2*cw >= tot cut is
+    engine-independent) over a deterministic (price, orderkey,
+    linenumber) order, then MIN over qualifying rows. The window is
+    partitioned by the group key — parallel across groups, never a
+    global sort. 100 TB note: for high-cardinality group keys this shape
+    holds; for FEW huge groups the bucketed prefix-sum kernel of
+    ks_test_click_vs_view is the scale path."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast(DEC)
+    w_cum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_all = W.partitionBy("l_returnflag")
+    x = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.sum(q).over(w_cum).alias("cw"),
+        F.sum(q).over(w_all).alias("tot"),
+    )
+    return (
+        x.filter(F.lit(2) * F.col("cw") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").alias("weighted_median_price"),
+            F.max("tot").cast("double").alias("total_qty"),
+        )
+    )
+
+
+# ------------------------------------------- two-sample KS (distributed)
+
+N_KS_BUCKETS = 16
+
+
+@query(
+    "ks_test_click_vs_view",
+    oracle="""
+    WITH f AS (
+      SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    pv AS (
+      SELECT value, SUM(ia) AS a, SUM(1 - ia) AS b FROM f GROUP BY value
+    ),
+    t AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM pv),
+    c AS (
+      SELECT
+        SUM(a) OVER (ORDER BY value) AS ca,
+        SUM(b) OVER (ORDER BY value) AS cb
+      FROM pv
+    )
+    SELECT
+      MAX(abs(ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))) AS ks_stat,
+      CAST(MAX(na) AS BIGINT) AS n_click,
+      CAST(MAX(nb) AS BIGINT) AS n_view
+    FROM c CROSS JOIN t
+    """,
+)
+def ks_test_click_vs_view(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of 'click' and 'view' events — the drift test run
+    between data snapshots or corpus sources. D = max_x |F_a(x) -
+    F_b(x)| needs a global cumulative count in value order; instead of a
+    single-reducer window, the running sums use the bucketed prefix-sum
+    kernel (contiguous_row_ids pattern, operators/pipeline.py): bucket
+    ids are a PURE FUNCTION of value (uniform ranges between broadcast
+    min/max), per-bucket totals roll into broadcast starting offsets,
+    and the in-bucket windows run in parallel. All cumulative counts are
+    exact integers; the two divisions and abs happen per distinct value
+    identically in both engines, and MAX is order-free."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    pv = e.groupBy("value").agg(
+        F.sum((F.col("event_type") == "click").cast("bigint")).alias("a"),
+        F.sum((F.col("event_type") == "view").cast("bigint")).alias("b"),
+    )
+    rng = F.broadcast(pv.agg(F.min("value").alias("_lo"), F.max("value").alias("_hi")))
+    width = (F.col("_hi") - F.col("_lo")).cast("double") / N_KS_BUCKETS
+    parts = pv.crossJoin(rng).withColumn(
+        "_pid",
+        F.least(
+            F.lit(N_KS_BUCKETS - 1),
+            F.floor((F.col("value") - F.col("_lo")) / width).cast("int"),
+        ),
+    ).drop("_lo", "_hi")
+    bucket_tot = parts.groupBy("_pid").agg(
+        F.sum("a").alias("_ba"), F.sum("b").alias("_bb")
+    )
+    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = bucket_tot.select(
+        "_pid",
+        F.sum("_ba").over(w_off).alias("_oa"),
+        F.sum("_bb").over(w_off).alias("_ob"),
+    ).fillna({"_oa": 0, "_ob": 0})
+    w_in = (
+        W.partitionBy("_pid").orderBy("value").rowsBetween(W.unboundedPreceding, 0)
+    )
+    totals = F.broadcast(pv.agg(F.sum("a").alias("na"), F.sum("b").alias("nb")))
+    ca = F.col("_oa") + F.sum("a").over(w_in)
+    cb = F.col("_ob") + F.sum("b").over(w_in)
+    d = F.abs(
+        ca / F.col("na").cast("double") - cb / F.col("nb").cast("double")
+    )
+    return (
+        parts.join(F.broadcast(offsets), "_pid")
+        .crossJoin(totals)
+        .select(d.alias("d"), "na", "nb")
+        .agg(
+            F.max("d").alias("ks_stat"),
+            F.max("na").cast("bigint").alias("n_click"),
+            F.max("nb").cast("bigint").alias("n_view"),
+        )
+    )
+
+
+# --------------------------------------------- equi-depth histogram bins
+
+
+@query(
+    "orders_equidepth_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT
+        quantile_cont(o_totalprice, 0.1) AS b1,
+        quantile_cont(o_totalprice, 0.2) AS b2,
+        quantile_cont(o_totalprice, 0.3) AS b3,
+        quantile_cont(o_totalprice, 0.4) AS b4,
+        quantile_cont(o_totalprice, 0.5) AS b5,
+        quantile_cont(o_totalprice, 0.6) AS b6,
+        quantile_cont(o_totalprice, 0.7) AS b7,
+        quantile_cont(o_totalprice, 0.8) AS b8,
+        quantile_cont(o_totalprice, 0.9) AS b9
+      FROM orders
+    )
+    SELECT
+      CAST(o_totalprice >= b1 AS INTEGER) + CAST(o_totalprice >= b2 AS INTEGER)
+      + CAST(o_totalprice >= b3 AS INTEGER) + CAST(o_totalprice >= b4 AS INTEGER)
+      + CAST(o_totalprice >= b5 AS INTEGER) + CAST(o_totalprice >= b6 AS INTEGER)
+      + CAST(o_totalprice >= b7 AS INTEGER) + CAST(o_totalprice >= b8 AS INTEGER)
+      + CAST(o_totalprice >= b9 AS INTEGER) AS bin,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      MIN(o_totalprice) AS bin_lo,
+      MAX(o_totalprice) AS bin_hi
+    FROM orders CROSS JOIN b
+    GROUP BY 1
+    """,
+)
+def orders_equidepth_histogram(spark, sf_dir):
+    """Equi-DEPTH histogram (decile bins) of order totals — equal-count
+    bins where totalprice_histogram's equal-WIDTH bins would collapse
+    under skew. Boundaries are the exact deciles (F.percentile <->
+    quantile_cont, the bit-identical interpolation pairing proven by
+    percentiles_by_status), computed as ONE 1-row aggregate that
+    broadcasts onto the scan; the bin id is just the count of boundaries
+    <= value, so assignment is a map with no second shuffle beyond the
+    10-row group-by. 100 TB note: swap F.percentile for percentile_approx
+    when exactness isn't contractual — the plan shape is unchanged."""
+    o = table(spark, sf_dir, "orders")
+    b = o.agg(
+        *[
+            F.percentile("o_totalprice", i / 10.0).alias(f"b{i}")
+            for i in range(1, 10)
+        ]
+    )
+    bin_col = sum(
+        (F.col("o_totalprice") >= F.col(f"b{i}")).cast("int")
+        for i in range(1, 10)
+    )
+    return (
+        o.crossJoin(F.broadcast(b))
+        .groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_totalprice").alias("bin_lo"),
+            F.max("o_totalprice").alias("bin_hi"),
+        )
+    )
