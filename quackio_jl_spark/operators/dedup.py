@@ -1484,3 +1484,47 @@ def lsh_scurve_empirical(spark, sf_dir):
             "catch_rate"
         ),
     )
+
+
+# ----------------------------------------- token-set (vocabulary) dedup
+
+
+@query(
+    "dedup_token_set",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id,
+        md5(array_to_string(
+          list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+          AS set_key
+      FROM documents
+    )
+    SELECT set_key,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id
+    FROM k GROUP BY set_key HAVING COUNT(*) > 1
+    """,
+)
+def dedup_token_set(spark, sf_dir):
+    """Vocabulary-identity dedup: documents whose lowercased DISTINCT
+    token sets are identical — catches reordered or repetition-padded
+    boilerplate (Jaccard similarity exactly 1.0) that byte-level exact
+    dedup misses, deterministically and without MinHash's probabilistic
+    machinery. The dedup key is md5 over the sorted distinct-token array
+    (binary string sort in both engines), so — like dedup_exact — the one
+    shuffle moves 16-byte keys, never document bytes. Groups keep the
+    minimum doc_id as the canonical survivor."""
+    d = table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat_ws(
+            " ", F.sort_array(F.array_distinct(F.split(F.lower("text"), " ")))
+        )
+    )
+    return (
+        d.groupBy(key.alias("set_key"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

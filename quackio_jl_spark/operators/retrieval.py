@@ -218,3 +218,98 @@ def events_time_range_stats(spark, sf_dir):
         .cast("decimal(28,6)")
         .alias("sum_value_1h"),
     )
+
+
+# ---------------------------------------- Dirichlet query-likelihood LM
+
+QL_MU = 500.0
+QL_TERMS = ["spark", "join", "query"]
+QL_TOPK = 10
+
+
+def _ql_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in QL_TERMS)
+    nq = len(QL_TERMS)
+    return f"""
+    WITH dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      WHERE term IN ({terms}) GROUP BY doc_id, term
+    ),
+    cf AS (SELECT term, SUM(tf) AS cf FROM tf GROUP BY term),
+    tot AS (SELECT SUM(dl) AS total_tokens FROM dl),
+    matched AS (
+      SELECT tf.doc_id,
+        CAST(SUM(CAST(round(
+            ln(1.0 + tf / ({QL_MU} * (cf / CAST(total_tokens AS DOUBLE)))), 10)
+          AS DECIMAL(28,10))) AS DOUBLE) AS match_part,
+        CAST(COUNT(*) AS BIGINT) AS matched_terms
+      FROM tf JOIN cf USING (term) CROSS JOIN tot
+      GROUP BY tf.doc_id
+    )
+    SELECT m.doc_id,
+      m.match_part + {nq} * round(ln({QL_MU} / (dl.dl + {QL_MU})), 10)
+        AS ql_score,
+      m.matched_terms
+    FROM matched m JOIN dl USING (doc_id)
+    ORDER BY ql_score DESC, m.doc_id
+    LIMIT {QL_TOPK}
+    """
+
+
+@query("retrieval_query_likelihood", oracle=_ql_oracle())
+def retrieval_query_likelihood(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood ranking (Zhai/Lafferty) — the
+    standard LM-retrieval companion to bm25_topk: score(d) = sum_t ln(1 +
+    tf/(mu*p(t|C))) + |Q| ln(mu/(|d|+mu)), restricted to documents
+    matching at least one query term. Same scale shape as BM25: the token
+    stream is filtered to the query's terms BEFORE the only per-doc
+    shuffle, corpus term frequencies and the total-token count are
+    broadcast 1-to-k-row aggregates, and top-k compiles to
+    TakeOrderedAndProject. Determinism: per-term contributions and the
+    doc-length normalizer are rounded to 10 decimals then decimal-summed
+    (functions/exact.py recipe)."""
+    nq = len(QL_TERMS)
+    d = table(spark, sf_dir, "documents")
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t.isin(QL_TERMS))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    tot = dl.agg(F.sum("dl").alias("total_tokens"))
+    pc = F.col("cf") / F.col("total_tokens").cast("double")
+    contrib = F.round(
+        F.log(1.0 + F.col("tf") / (QL_MU * pc)), 10
+    ).cast("decimal(28,10)")
+    matched = (
+        tf.join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(contrib).cast("double").alias("match_part"),
+            F.count(F.lit(1)).cast("bigint").alias("matched_terms"),
+        )
+    )
+    norm = F.lit(nq) * F.round(F.log(QL_MU / (F.col("dl") + QL_MU)), 10)
+    return (
+        matched.join(dl, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("match_part") + norm).alias("ql_score"),
+            "matched_terms",
+        )
+        .orderBy(F.col("ql_score").desc(), "doc_id")
+        .limit(QL_TOPK)
+    )

@@ -1591,3 +1591,59 @@ def corpus_zipf_fit(spark, sf_dir):
     sxx = F.sum(dec("x") * F.col("x")).cast("double") / F.lit(1e18)
     slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
     return pts.agg(n.alias("n_points"), F.round(slope, 8).alias("zipf_slope"))
+
+
+# --------------------------------------------- corpus boilerplate n-grams
+
+BOILER_N = 5
+BOILER_TOPK = 20
+
+
+@query(
+    "boilerplate_ngrams",
+    oracle=f"""
+    WITH ws AS (
+      SELECT string_split(lower(text), ' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT unnest(list_transform(
+        generate_series(1, len(w) - {BOILER_N - 1}),
+        i -> array_to_string(w[i:i + {BOILER_N - 1}], ' '))) AS ngram
+      FROM ws
+    )
+    SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM g GROUP BY ngram
+    ORDER BY n_occurrences DESC, ngram
+    LIMIT {BOILER_TOPK}
+    """,
+)
+def boilerplate_ngrams(spark, sf_dir):
+    """Most frequent corpus-wide word {BOILER_N}-grams — the boilerplate
+    detector (navigation chrome, license headers, templated footers) run
+    before paragraph-level dedup decides what to strip. N-grams are
+    generated JVM-side with transform/slice/array_join over the split
+    token array (no Python UDF), counted with one partial-aggregated
+    shuffle, and the top-k compiles to TakeOrderedAndProject with a
+    deterministic (count desc, ngram) tiebreak. Scale note: at 100 TB
+    add a per-partition Misra-Gries pre-filter (heavy_hitters_stream
+    pattern) to cap the distinct-ngram shuffle; the exact top-k here is
+    the oracle-checkable core."""
+    d = table(spark, sf_dir, "documents")
+    grams = d.select(
+        F.split(F.lower("text"), " ").alias("w")
+    ).select(
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(w) >= {BOILER_N} THEN "
+                f"transform(sequence(1, size(w) - {BOILER_N - 1}), "
+                f"i -> array_join(slice(w, i, {BOILER_N}), ' ')) "
+                f"ELSE array() END"
+            )
+        ).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "ngram")
+        .limit(BOILER_TOPK)
+    )

@@ -594,3 +594,53 @@ def orders_equidepth_histogram(spark, sf_dir):
             F.max("o_totalprice").alias("bin_hi"),
         )
     )
+
+
+# ------------------------------------------ first-order Markov transitions
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH t AS (
+      SELECT
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS from_type,
+        event_type AS to_type
+      FROM events
+    ),
+    c AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM t WHERE from_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    r AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY from_type)
+    SELECT c.from_type, c.to_type,
+      CAST(n AS BIGINT) AS n_transitions,
+      n / CAST(tot AS DOUBLE) AS prob
+    FROM c JOIN r USING (from_type)
+    """,
+)
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next type | current type) — the behavioral model behind
+    next-action prediction and bot detection (bots have near-
+    deterministic rows). The lag window is partitioned by user_id
+    (parallel, deterministic (ts, event_id) order); the matrix itself is
+    a |types|^2 aggregate, with row totals joined back as a broadcast.
+    Counts are exact integers; the single probability division is
+    engine-identical."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    c = t.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    r = c.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return c.join(F.broadcast(r), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        (F.col("n") / F.col("tot").cast("double")).alias("prob"),
+    )
