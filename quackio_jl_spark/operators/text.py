@@ -1647,3 +1647,58 @@ def boilerplate_ngrams(spark, sf_dir):
         .orderBy(F.col("n_occurrences").desc(), "ngram")
         .limit(BOILER_TOPK)
     )
+
+
+# ------------------------------------------------ readability (Flesch)
+
+
+@query(
+    "doc_readability_flesch",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+        len(string_split(text, ' ')) AS n_words,
+        len(string_split(text, '. ')) AS n_sentences,
+        len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(n_words AS BIGINT) AS n_words,
+      CAST(n_sentences AS BIGINT) AS n_sentences,
+      CAST(n_syllables AS BIGINT) AS n_syllables,
+      round(206.835
+            - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+            - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)), 8) AS flesch
+    FROM m WHERE n_words > 0 AND n_sentences > 0
+    """,
+)
+def doc_readability_flesch(spark, sf_dir):
+    """Flesch reading-ease score per document — the classic readability
+    quality signal (very low = legalese/code dumps, implausibly high =
+    keyword-stuffed fragments). Syllables use the standard vowel-group
+    approximation (runs of [aeiouy]), counted engine-side with
+    regexp_count / regexp_extract_all — whitespace breaks vowel runs, so
+    counting over the whole text equals the per-word sum without an
+    explode. Pure map over the scan (zero shuffles); the three counts are
+    exact integers, so the two divisions are engine-identical and the
+    result is rounded to 8 decimals on both sides."""
+    d = table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    n_sents = F.size(F.split("text", "\\. "))
+    n_syl = F.regexp_count(F.lower("text"), F.lit("[aeiouy]+"))
+    flesch = F.round(
+        206.835
+        - 1.015 * (n_words / n_sents.cast("double"))
+        - 84.6 * (n_syl / n_words.cast("double")),
+        8,
+    )
+    return (
+        d.select(
+            "doc_id",
+            n_words.cast("bigint").alias("n_words"),
+            n_sents.cast("bigint").alias("n_sentences"),
+            n_syl.cast("bigint").alias("n_syllables"),
+            flesch.alias("flesch"),
+        )
+        .filter((F.col("n_words") > 0) & (F.col("n_sentences") > 0))
+    )

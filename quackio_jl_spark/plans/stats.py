@@ -644,3 +644,222 @@ def events_markov_transitions(spark, sf_dir):
         F.col("n").cast("bigint").alias("n_transitions"),
         (F.col("n") / F.col("tot").cast("double")).alias("prob"),
     )
+
+
+# --------------------------------------- autocorrelation of daily counts
+
+ACF_MAX_LAG = 7
+
+
+@query(
+    "events_daily_autocorrelation",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', ts)
+                  AS BIGINT) AS d,
+        COUNT(*) AS c
+      FROM events GROUP BY 1
+    ),
+    mu AS (SELECT CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mu FROM c),
+    den AS (
+      SELECT CAST(SUM(CAST(round((c - mu) * (c - mu), 8) AS DECIMAL(28,10)))
+                  AS DOUBLE) AS den
+      FROM c CROSS JOIN mu
+    ),
+    num AS (
+      SELECT k.lag AS lag,
+        CAST(SUM(CAST(round((a.c - mu) * (b.c - mu), 8) AS DECIMAL(28,10)))
+             AS DOUBLE) AS num,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM c a
+      CROSS JOIN (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag) k
+      JOIN c b ON b.d = a.d + k.lag
+      CROSS JOIN mu
+      GROUP BY k.lag
+    )
+    SELECT lag, num / den AS acf, n_pairs
+    FROM num CROSS JOIN den
+    """,
+)
+def events_daily_autocorrelation(spark, sf_dir):
+    """Autocorrelation of the daily event-count series at lags 1..{ACF_MAX_LAG}
+    — the weekly-seasonality detector (a spike at lag 7 says schedule
+    rollups by week). The raw table collapses to one tiny day-count
+    aggregate first; the lag alignment is an equi-join of that aggregate
+    against itself shifted by an exploded lag grid (bounded, never
+    per-event). Mean and denominator are broadcast 1-row aggregates;
+    centered products are rounded to 8 decimals then decimal-summed so
+    the series order never changes a bit."""
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy(
+        F.datediff("ts", F.lit("1995-01-01")).cast("bigint").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    mu_df = c.agg((F.sum("c").cast("double") / F.count(F.lit(1))).alias("mu"))
+    centered2 = F.round(
+        (F.col("c") - F.col("mu")) * (F.col("c") - F.col("mu")), 8
+    ).cast("decimal(28,10)")
+    den_df = (
+        c.crossJoin(F.broadcast(mu_df))
+        .agg(F.sum(centered2).cast("double").alias("den"))
+    )
+    lags = F.explode(
+        F.sequence(F.lit(1), F.lit(ACF_MAX_LAG))
+    ).alias("lag")
+    a = c.select(F.col("d").alias("da"), F.col("c").alias("ca")).crossJoin(
+        spark.range(1).select(lags)
+    )
+    b = c.select(F.col("d").alias("db"), F.col("c").alias("cb"))
+    prod = F.round(
+        (F.col("ca") - F.col("mu")) * (F.col("cb") - F.col("mu")), 8
+    ).cast("decimal(28,10)")
+    num_df = (
+        a.join(b, F.col("db") == F.col("da") + F.col("lag"))
+        .crossJoin(F.broadcast(mu_df))
+        .groupBy("lag")
+        .agg(
+            F.sum(prod).cast("double").alias("num"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    return num_df.crossJoin(F.broadcast(den_df)).select(
+        "lag", (F.col("num") / F.col("den")).alias("acf"), "n_pairs"
+    )
+
+
+# ------------------------------------------------- k-anonymity report
+
+
+K_ANON_THRESHOLD = 5
+
+
+@query(
+    "k_anonymity_report",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+        CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        COUNT(*) AS k
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_groups,
+      CAST(SUM(k) AS BIGINT) AS n_rows,
+      CAST(MIN(k) AS BIGINT) AS min_k,
+      CAST(SUM(CASE WHEN k < {K_ANON_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+        AS unsafe_groups,
+      CAST(SUM(CASE WHEN k < {K_ANON_THRESHOLD} THEN k ELSE 0 END) AS BIGINT)
+        AS unsafe_rows,
+      SUM(CASE WHEN k < {K_ANON_THRESHOLD} THEN k ELSE 0 END)
+        / CAST(SUM(k) AS DOUBLE) AS unsafe_row_frac
+    FROM g
+    """,
+)
+def k_anonymity_report(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier tuple (nation, market
+    segment, account-balance band): how many equivalence classes fall
+    below k={K_ANON_THRESHOLD}, and what fraction of rows they expose —
+    the release-gate report privacy teams run before sharing derived
+    tables (companion to the pii_scan/redact operators). One
+    partial-aggregated shuffle onto the QI tuple, then a 1-row rollup;
+    every figure is an exact integer except the final exposure fraction."""
+    c = table(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    unsafe = F.col("k") < K_ANON_THRESHOLD
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("k").cast("bigint").alias("n_rows"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.sum(unsafe.cast("int")).cast("bigint").alias("unsafe_groups"),
+        F.sum(F.when(unsafe, F.col("k")).otherwise(0))
+        .cast("bigint")
+        .alias("unsafe_rows"),
+        (
+            F.sum(F.when(unsafe, F.col("k")).otherwise(0))
+            / F.sum("k").cast("double")
+        ).alias("unsafe_row_frac"),
+    )
+
+
+# ----------------------------------------------------- rank-sum ROC AUC
+
+N_AUC_BUCKETS = 16
+
+
+@query(
+    "quality_score_auc",
+    oracle="""
+    WITH pv AS (
+      SELECT n_chars AS s,
+        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p,
+        SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS q
+      FROM documents GROUP BY n_chars
+    ),
+    t AS (SELECT SUM(p) AS np, SUM(q) AS nq FROM pv),
+    c AS (
+      SELECT p, q, SUM(q) OVER (ORDER BY s) - q AS qb FROM pv
+    )
+    SELECT
+      CAST(SUM(2 * p * qb + p * q) AS DOUBLE)
+        / (2.0 * MAX(np) * MAX(nq)) AS auc,
+      CAST(MAX(np) AS BIGINT) AS n_pos,
+      CAST(MAX(nq) AS BIGINT) AS n_neg
+    FROM c CROSS JOIN t
+    """,
+)
+def quality_score_auc(spark, sf_dir):
+    """ROC AUC of a score against a binary label via the rank-sum
+    (Mann-Whitney U) identity — the classifier-evaluation harness for
+    any quality model, shown here scoring document length against the
+    is-English label. AUC = sum over distinct scores of (pos_at *
+    negs_below + pos_at*negs_at/2) / (P*N); everything stays in exact
+    integers (doubled to absorb the tie half) until ONE final division.
+    The cumulative negatives-below-score uses the bucketed prefix-sum
+    kernel (same as ks_test_click_vs_view): bucket ids are a pure
+    function of the score, per-bucket totals broadcast as offsets,
+    in-bucket windows run in parallel — never a single-reducer window
+    over the corpus."""
+    d = table(spark, sf_dir, "documents")
+    pv = d.groupBy(F.col("n_chars").alias("s")).agg(
+        F.sum((F.col("lang") == "en").cast("bigint")).alias("p"),
+        F.sum((F.col("lang") != "en").cast("bigint")).alias("q"),
+    )
+    rng = F.broadcast(pv.agg(F.min("s").alias("_lo"), F.max("s").alias("_hi")))
+    width = (F.col("_hi") - F.col("_lo") + 1).cast("double") / N_AUC_BUCKETS
+    parts = pv.crossJoin(rng).withColumn(
+        "_pid",
+        F.least(
+            F.lit(N_AUC_BUCKETS - 1),
+            F.floor((F.col("s") - F.col("_lo")).cast("double") / width).cast(
+                "int"
+            ),
+        ),
+    ).drop("_lo", "_hi")
+    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        parts.groupBy("_pid")
+        .agg(F.sum("q").alias("_bq"))
+        .select("_pid", F.sum("_bq").over(w_off).alias("_oq"))
+        .fillna({"_oq": 0})
+    )
+    w_in = W.partitionBy("_pid").orderBy("s").rowsBetween(W.unboundedPreceding, 0)
+    totals = F.broadcast(pv.agg(F.sum("p").alias("np"), F.sum("q").alias("nq")))
+    qb = F.col("_oq") + F.sum("q").over(w_in) - F.col("q")
+    return (
+        parts.join(F.broadcast(offsets), "_pid")
+        .select("p", "q", qb.alias("qb"))
+        .crossJoin(totals)
+        .agg(
+            (
+                F.sum(
+                    2 * F.col("p") * F.col("qb") + F.col("p") * F.col("q")
+                ).cast("double")
+                / (2.0 * F.max("np") * F.max("nq"))
+            ).alias("auc"),
+            F.max("np").cast("bigint").alias("n_pos"),
+            F.max("nq").cast("bigint").alias("n_neg"),
+        )
+    )
