@@ -1702,3 +1702,105 @@ def doc_readability_flesch(spark, sf_dir):
         )
         .filter((F.col("n_words") > 0) & (F.col("n_sentences") > 0))
     )
+
+
+# ---------------------------------------------------- PMI collocations
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 20
+
+
+@query(
+    "top_pmi_collocations",
+    oracle=f"""
+    WITH uni AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    nu AS (SELECT SUM(c) AS nuni FROM uc),
+    toks AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT t[i+1] AS x, t[i+2] AS y
+      FROM toks, UNNEST(range(len(t) - 1)) AS u(i)
+    ),
+    bc AS (SELECT x, y, COUNT(*) AS cxy FROM bg GROUP BY x, y),
+    nb AS (SELECT SUM(cxy) AS nbi FROM bc)
+    SELECT x || ' ' || y AS bigram,
+      CAST(cxy AS BIGINT) AS n_pair,
+      round(ln((cxy / CAST(nbi AS DOUBLE))
+         / ((ux.c / CAST(nuni AS DOUBLE)) * (uy.c / CAST(nuni AS DOUBLE)))), 8)
+        AS pmi
+    FROM bc
+    JOIN uc ux ON ux.w = bc.x
+    JOIN uc uy ON uy.w = bc.y
+    CROSS JOIN nu CROSS JOIN nb
+    WHERE cxy >= {PMI_MIN_COUNT}
+    ORDER BY pmi DESC, bigram
+    LIMIT {PMI_TOPK}
+    """,
+)
+def top_pmi_collocations(spark, sf_dir):
+    """Top collocations by pointwise mutual information — word pairs that
+    co-occur far above chance (named entities, technical compounds): the
+    phrase-vocabulary miner that runs before tokenizer training. PMI =
+    ln(p(x,y) / (p(x)p(y))) with a min-count floor of {PMI_MIN_COUNT} to
+    kill the low-frequency PMI explosion. Bigrams generate JVM-side from
+    the split array; unigram counts join on each side of the pair (plain
+    equi-joins — the unigram vocab can exceed broadcast size at corpus
+    scale); the two grand totals broadcast as 1-row aggregates. All
+    counts are exact integers; the log is rounded to 8 decimals on
+    both sides (DuckDB's ln and the JVM's differ in the last ulp);
+    top-k compiles to TakeOrderedAndProject with a lexicographic
+    tiebreak."""
+    d = table(spark, sf_dir, "documents")
+    uc = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nu = uc.agg(F.sum("c").alias("nuni"))
+    bc = (
+        d.select(F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS x, t[i+1] AS y))"
+                )
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+    )
+    nb = bc.agg(F.sum("cxy").alias("nbi"))
+    ux = uc.select(F.col("w").alias("x"), F.col("c").alias("cx"))
+    uy = uc.select(F.col("w").alias("y"), F.col("c").alias("cy"))
+    pmi = F.round(
+        F.log(
+            (F.col("cxy") / F.col("nbi").cast("double"))
+            / (
+                (F.col("cx") / F.col("nuni").cast("double"))
+                * (F.col("cy") / F.col("nuni").cast("double"))
+            )
+        ),
+        8,
+    )
+    return (
+        bc.filter(F.col("cxy") >= PMI_MIN_COUNT)
+        .join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.concat_ws(" ", "x", "y").alias("bigram"),
+            F.col("cxy").cast("bigint").alias("n_pair"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(PMI_TOPK)
+    )

@@ -863,3 +863,242 @@ def quality_score_auc(spark, sf_dir):
             F.max("nq").cast("bigint").alias("n_neg"),
         )
     )
+
+
+# ------------------------------------------------- calibration by decile
+
+
+@query(
+    "quality_calibration_bins",
+    oracle="""
+    WITH b AS (
+      SELECT
+        quantile_cont(n_chars, 0.1) AS b1, quantile_cont(n_chars, 0.2) AS b2,
+        quantile_cont(n_chars, 0.3) AS b3, quantile_cont(n_chars, 0.4) AS b4,
+        quantile_cont(n_chars, 0.5) AS b5, quantile_cont(n_chars, 0.6) AS b6,
+        quantile_cont(n_chars, 0.7) AS b7, quantile_cont(n_chars, 0.8) AS b8,
+        quantile_cont(n_chars, 0.9) AS b9
+      FROM documents
+    )
+    SELECT
+      CAST(n_chars >= b1 AS INTEGER) + CAST(n_chars >= b2 AS INTEGER)
+      + CAST(n_chars >= b3 AS INTEGER) + CAST(n_chars >= b4 AS INTEGER)
+      + CAST(n_chars >= b5 AS INTEGER) + CAST(n_chars >= b6 AS INTEGER)
+      + CAST(n_chars >= b7 AS INTEGER) + CAST(n_chars >= b8 AS INTEGER)
+      + CAST(n_chars >= b9 AS INTEGER) AS bin,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)
+        AS pos_rate,
+      CAST(MIN(n_chars) AS BIGINT) AS bin_lo,
+      CAST(MAX(n_chars) AS BIGINT) AS bin_hi
+    FROM documents CROSS JOIN b
+    GROUP BY 1
+    """,
+)
+def quality_calibration_bins(spark, sf_dir):
+    """Calibration curve for a score against a binary label (companion
+    to quality_score_auc): decile bins of the score with the observed
+    positive rate per bin — a well-calibrated scorer shows monotone
+    rates; a cliff reveals threshold artifacts. Same plan shape as
+    orders_equidepth_histogram: ONE broadcast 1-row decile aggregate
+    (F.percentile <-> quantile_cont bit-pairing), bin id = count of
+    boundaries passed, one 10-row group-by. Integer counts; one division
+    per bin."""
+    d = table(spark, sf_dir, "documents")
+    b = d.agg(
+        *[F.percentile("n_chars", i / 10.0).alias(f"b{i}") for i in range(1, 10)]
+    )
+    bin_col = sum(
+        (F.col("n_chars") >= F.col(f"b{i}")).cast("int") for i in range(1, 10)
+    )
+    pos = (F.col("lang") == "en").cast("int")
+    return (
+        d.crossJoin(F.broadcast(b))
+        .groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(pos).cast("bigint").alias("n_pos"),
+            (F.sum(pos) / F.count(F.lit(1)).cast("double")).alias("pos_rate"),
+            F.min("n_chars").cast("bigint").alias("bin_lo"),
+            F.max("n_chars").cast("bigint").alias("bin_hi"),
+        )
+    )
+
+
+# ------------------------------------------- dow seasonal decomposition
+
+
+@query(
+    "events_seasonal_decomposition",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', ts)
+                  AS BIGINT) AS d,
+        COUNT(*) AS c
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT d, c,
+        SUM(c) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+          AS s7,
+        COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+          AS n7
+      FROM c
+    ),
+    det AS (
+      SELECT CAST((d + 6) % 7 AS INTEGER) AS dow,
+        c - CAST(s7 AS DOUBLE) / 7 AS det
+      FROM t WHERE n7 = 7
+    )
+    SELECT dow,
+      CAST(SUM(CAST(round(det, 8) AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)
+        AS seasonal_index,
+      CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM det GROUP BY dow
+    """,
+)
+def events_seasonal_decomposition(spark, sf_dir):
+    """Classical additive seasonal decomposition of the daily event-count
+    series: 7-day centered moving-average trend, detrended residuals,
+    then the day-of-week seasonal index (mean residual per weekday,
+    Monday=0) — the quantified version of what events_daily_
+    autocorrelation only detects. The raw table collapses to the tiny
+    day-count aggregate before any window; the centered MA runs over
+    that aggregate (hundreds of rows, the documented small-aggregate
+    exception to the no-global-window rule). Trend uses the exact
+    integer 7-day sum; residuals are rounded then decimal-summed.
+    Edge days without a full 7-row window are excluded (n7 = 7)."""
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy(
+        F.datediff("ts", F.lit("1995-01-01")).cast("bigint").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w7 = W.orderBy("d").rowsBetween(-3, 3)
+    t = c.select(
+        "d",
+        "c",
+        F.sum("c").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("n7"),
+    ).filter(F.col("n7") == 7)
+    det = t.select(
+        ((F.col("d") + 6) % 7).cast("int").alias("dow"),
+        (F.col("c") - F.col("s7").cast("double") / 7).alias("det"),
+    )
+    contrib = F.round("det", 8).cast("decimal(28,10)")
+    return det.groupBy("dow").agg(
+        (F.sum(contrib).cast("double") / F.count(F.lit(1))).alias(
+            "seasonal_index"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+
+
+# ------------------------------------------------------- churn reporting
+
+CHURN_DAYS = 30
+
+
+@query(
+    "user_churn_report",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(ts) AS corpus_max FROM events),
+    u AS (
+      SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS last_ts
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events, last_ts,
+      CAST(date_diff('day', CAST(last_ts AS DATE), CAST(corpus_max AS DATE))
+           AS BIGINT) AS days_inactive,
+      date_diff('day', CAST(last_ts AS DATE), CAST(corpus_max AS DATE))
+        > {CHURN_DAYS} AS churned
+    FROM u CROSS JOIN mx
+    """,
+)
+def user_churn_report(spark, sf_dir):
+    """Per-user churn status: event count, last activity, days inactive
+    relative to the corpus high-water mark, and the churned flag
+    (> {CHURN_DAYS} days quiet) — the retention denominator feeding
+    cohort_retention and events_trailing_wau. One partial-aggregated
+    user_id shuffle; the corpus max timestamp is a broadcast 1-row
+    aggregate; day arithmetic is pure integers."""
+    e = table(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("corpus_max"))
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("ts").alias("last_ts"),
+    )
+    days = F.datediff("corpus_max", "last_ts").cast("bigint")
+    return u.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        "n_events",
+        "last_ts",
+        days.alias("days_inactive"),
+        (days > CHURN_DAYS).alias("churned"),
+    )
+
+
+# --------------------------------------- per-source KL divergence (len)
+
+KL_BIN_WIDTH = 50
+
+
+@query(
+    "source_length_kl_divergence",
+    oracle=f"""
+    WITH b AS (
+      SELECT source, CAST(floor(n_chars / {KL_BIN_WIDTH}.0) AS BIGINT) AS bin
+      FROM documents
+    ),
+    sb AS (SELECT source, bin, COUNT(*) AS c FROM b GROUP BY source, bin),
+    gb AS (SELECT bin, COUNT(*) AS cg FROM b GROUP BY bin),
+    ns AS (SELECT source, COUNT(*) AS n_docs FROM b GROUP BY source),
+    tot AS (SELECT COUNT(*) AS nbins, SUM(cg) AS ng FROM gb),
+    grid AS (
+      SELECT ns.source, ns.n_docs, gb.bin, gb.cg, COALESCE(sb.c, 0) AS c
+      FROM ns CROSS JOIN gb
+      LEFT JOIN sb ON sb.source = ns.source AND sb.bin = gb.bin
+    )
+    SELECT source,
+      CAST(SUM(CAST(round(
+          ((c + 1) / CAST(n_docs + nbins AS DOUBLE))
+          * ln(((c + 1) / CAST(n_docs + nbins AS DOUBLE))
+               / ((cg + 1) / CAST(ng + nbins AS DOUBLE))), 10)
+        AS DECIMAL(28,10))) AS DOUBLE) AS kl_nats,
+      CAST(MAX(n_docs) AS BIGINT) AS n_docs
+    FROM grid CROSS JOIN tot
+    GROUP BY source
+    """,
+)
+def source_length_kl_divergence(spark, sf_dir):
+    """KL divergence (nats, Laplace-smoothed) of each source's document-
+    length distribution from the corpus-wide distribution — the drift
+    screen that flags a feed whose content shape silently changed. Length
+    histograms use fixed {KL_BIN_WIDTH}-char bins; the source x bin grid
+    (including zero cells, which smoothing makes finite) is a tiny
+    broadcast cross of two small aggregates. Contributions are rounded
+    then decimal-summed; counts stay exact integers until the two
+    smoothing divisions."""
+    d = table(spark, sf_dir, "documents")
+    b = d.select(
+        "source",
+        F.floor(F.col("n_chars") / float(KL_BIN_WIDTH)).cast("bigint").alias("bin"),
+    )
+    sb = b.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("c"))
+    gb = b.groupBy("bin").agg(F.count(F.lit(1)).alias("cg"))
+    ns = b.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = gb.agg(
+        F.count(F.lit(1)).alias("nbins"), F.sum("cg").alias("ng")
+    )
+    grid = (
+        ns.crossJoin(F.broadcast(gb))
+        .join(sb, ["source", "bin"], "left")
+        .fillna({"c": 0})
+        .crossJoin(F.broadcast(tot))
+    )
+    p = (F.col("c") + 1) / (F.col("n_docs") + F.col("nbins")).cast("double")
+    q = (F.col("cg") + 1) / (F.col("ng") + F.col("nbins")).cast("double")
+    contrib = F.round(p * F.log(p / q), 10).cast("decimal(28,10)")
+    return grid.groupBy("source").agg(
+        F.sum(contrib).cast("double").alias("kl_nats"),
+        F.max("n_docs").cast("bigint").alias("n_docs"),
+    )
