@@ -1804,3 +1804,74 @@ def top_pmi_collocations(spark, sf_dir):
         .orderBy(F.col("pmi").desc(), "bigram")
         .limit(PMI_TOPK)
     )
+
+
+# --------------------------------------------- vocab-id tokenization
+
+
+@query(
+    "tokenize_with_vocab",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cnt AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    vocab AS (
+      SELECT token,
+        CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS token_id
+      FROM cnt
+      QUALIFY token_id <= {VOCAB_TOP_N}
+    ),
+    pt AS (
+      SELECT doc_id, i AS pos, t[i + 1] AS token
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        UNNEST(range(len(t))) AS u(i)
+    )
+    SELECT pt.doc_id,
+      list(COALESCE(v.token_id, 0) ORDER BY pt.pos) AS token_ids,
+      CAST(SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_oov
+    FROM pt LEFT JOIN vocab v ON v.token = pt.token
+    GROUP BY pt.doc_id
+    """,
+)
+def tokenize_with_vocab(spark, sf_dir):
+    """Apply the fitted vocabulary (vocab_build_topn's exact id
+    assignment) to the corpus: each document becomes its ordered
+    token-id sequence with OOV mapped to id 0 — the text -> int-array
+    step every training pipeline runs after tokenizer fit, and the input
+    shape chunk/pack operators consume. The vocab is a top-N broadcast;
+    token positions ride through the explode so the id array reassembles
+    in document order via array_sort over (pos, id) structs (collect_list
+    alone is partition-order-dependent). One per-doc shuffle."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.orderBy(F.col("n").desc(), "token")
+    vocab = (
+        cnt.select(
+            "token", F.row_number().over(w).cast("bigint").alias("token_id")
+        )
+        .filter(F.col("token_id") <= VOCAB_TOP_N)
+    )
+    pt = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    j = pt.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce("token_id", F.lit(0)).alias("tid"),
+        F.col("token_id").isNull().cast("bigint").alias("oov"),
+    )
+    return j.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+            lambda x: x["tid"],
+        ).alias("token_ids"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+    )

@@ -1102,3 +1102,219 @@ def source_length_kl_divergence(spark, sf_dir):
         F.sum(contrib).cast("double").alias("kl_nats"),
         F.max("n_docs").cast("bigint").alias("n_docs"),
     )
+
+
+# ------------------------------------------------- Welch's two-sample t
+
+
+@query(
+    "ab_test_welch_click_vs_view",
+    oracle=f"""
+    WITH s AS (
+      SELECT
+        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1,
+        SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n2,
+        {_d("CASE WHEN event_type = 'click' THEN value ELSE 0 END")} AS s1,
+        {_d("CASE WHEN event_type = 'view' THEN value ELSE 0 END")} AS s2,
+        {_d("CASE WHEN event_type = 'click' THEN value * value ELSE 0 END")} AS q1,
+        {_d("CASE WHEN event_type = 'view' THEN value * value ELSE 0 END")} AS q2
+      FROM events WHERE event_type IN ('click', 'view')
+    )
+    SELECT
+      CAST(n1 AS BIGINT) AS n_click,
+      CAST(n2 AS BIGINT) AS n_view,
+      s1 / n1 AS mean_click,
+      s2 / n2 AS mean_view,
+      (s1 / n1 - s2 / n2)
+        / sqrt(((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
+               + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2) AS t_stat,
+      (((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
+       + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2)
+      * (((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
+         + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2)
+      / ((((q1 - s1 * s1 / n1) / (n1 - 1)) / n1)
+         * (((q1 - s1 * s1 / n1) / (n1 - 1)) / n1) / (n1 - 1)
+         + (((q2 - s2 * s2 / n2) / (n2 - 1)) / n2)
+           * (((q2 - s2 * s2 / n2) / (n2 - 1)) / n2) / (n2 - 1)) AS welch_df
+    FROM s
+    """,
+)
+def ab_test_welch_click_vs_view(spark, sf_dir):
+    """Welch's unequal-variance two-sample t-test between 'click' and
+    'view' event values — the A/B significance readout (t statistic +
+    Welch-Satterthwaite degrees of freedom; look up p externally, no
+    distribution tables engine-side). ONE pass over the filtered stream:
+    conditional counts and decimal-exact sums/squares collapse to a
+    single row, and every derived double comes from the same closed-form
+    expression tree in both engines — bit-identical with no tolerance."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    is1 = F.col("event_type") == "click"
+    val = F.col("value")
+    z = F.lit(0.0)
+    s = e.agg(
+        F.sum(is1.cast("bigint")).alias("n1"),
+        F.sum((~is1).cast("bigint")).alias("n2"),
+        F.sum(F.when(is1, val).otherwise(z).cast(DEC)).cast("double").alias("s1"),
+        F.sum(F.when(~is1, val).otherwise(z).cast(DEC)).cast("double").alias("s2"),
+        F.sum(F.when(is1, val * val).otherwise(z).cast(DEC))
+        .cast("double")
+        .alias("q1"),
+        F.sum(F.when(~is1, val * val).otherwise(z).cast(DEC))
+        .cast("double")
+        .alias("q2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    s1, s2, q1, q2 = F.col("s1"), F.col("s2"), F.col("q1"), F.col("q2")
+    v1 = ((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
+    v2 = ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2
+    return s.select(
+        n1.cast("bigint").alias("n_click"),
+        n2.cast("bigint").alias("n_view"),
+        (s1 / n1).alias("mean_click"),
+        (s2 / n2).alias("mean_view"),
+        ((s1 / n1 - s2 / n2) / F.sqrt(v1 + v2)).alias("t_stat"),
+        (
+            (v1 + v2) * (v1 + v2)
+            / (v1 * v1 / (n1 - 1) + v2 * v2 / (n2 - 1))
+        ).alias("welch_df"),
+    )
+
+
+# --------------------------------------- chi-square independence test
+
+
+@query(
+    "lang_source_chi2",
+    oracle="""
+    WITH j AS (
+      SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source
+    ),
+    ml AS (SELECT lang, SUM(o) AS cl FROM j GROUP BY lang),
+    ms AS (SELECT source, SUM(o) AS cs FROM j GROUP BY source),
+    t AS (SELECT SUM(o) AS n FROM j),
+    grid AS (
+      SELECT ml.lang, ms.source, ml.cl, ms.cs, COALESCE(j.o, 0) AS o
+      FROM ml CROSS JOIN ms
+      LEFT JOIN j ON j.lang = ml.lang AND j.source = ms.source
+    )
+    SELECT
+      CAST(SUM(CAST(round(
+          (o - (cl * cs) / CAST(n AS DOUBLE))
+          * (o - (cl * cs) / CAST(n AS DOUBLE))
+          / ((cl * cs) / CAST(n AS DOUBLE)), 10)
+        AS DECIMAL(28,10))) AS DOUBLE) AS chi2_stat,
+      CAST((COUNT(DISTINCT grid.lang) - 1) * (COUNT(DISTINCT grid.source) - 1)
+           AS BIGINT) AS dof,
+      CAST(MAX(n) AS BIGINT) AS n_docs
+    FROM grid CROSS JOIN t
+    """,
+)
+def lang_source_chi2(spark, sf_dir):
+    """Pearson chi-square test of independence between document language
+    and source — the frequentist twin of lang_source_mutual_information
+    (report both: MI quantifies association strength, chi2/dof gives the
+    significance scale). The FULL |langs| x |sources| grid including
+    zero-count cells comes from crossing the two marginal aggregates
+    (zero cells still contribute (0-e)^2/e); per-cell contributions are
+    rounded then decimal-summed. Expected counts keep the exact integer
+    product cl*cs until one division by n."""
+    d = table(spark, sf_dir, "documents")
+    j = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    ml = j.groupBy("lang").agg(F.sum("o").alias("cl"))
+    ms = j.groupBy("source").agg(F.sum("o").alias("cs"))
+    t = j.agg(F.sum("o").alias("n"))
+    grid = (
+        ml.crossJoin(F.broadcast(ms))
+        .join(j, ["lang", "source"], "left")
+        .fillna({"o": 0})
+        .crossJoin(F.broadcast(t))
+    )
+    e_cnt = (F.col("cl") * F.col("cs")) / F.col("n").cast("double")
+    contrib = F.round(
+        (F.col("o") - e_cnt) * (F.col("o") - e_cnt) / e_cnt, 10
+    ).cast("decimal(28,10)")
+    return grid.agg(
+        F.sum(contrib).cast("double").alias("chi2_stat"),
+        (
+            (F.count_distinct(F.col("lang")) - 1)
+            * (F.count_distinct(F.col("source")) - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+        F.max("n").cast("bigint").alias("n_docs"),
+    )
+
+
+# ------------------------------------------- numeric correlation matrix
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_oracle() -> str:
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    sums = ",\n        ".join(
+        f"{_d(c)} AS s_{c}, {_d(f'{c} * {c}')} AS q_{c}" for c in _CORR_COLS
+    )
+    cross = ",\n        ".join(
+        f"{_d(f'{a} * {b}')} AS x_{a}_{b}" for a, b in pairs
+    )
+    sel = "\n      UNION ALL\n".join(
+        f"""      SELECT '{a}' AS col_x, '{b}' AS col_y,
+        round((n * x_{a}_{b} - s_{a} * s_{b})
+          / sqrt((n * q_{a} - s_{a} * s_{a}) * (n * q_{b} - s_{b} * s_{b})), 8)
+          AS pearson_r FROM s"""
+        for a, b in pairs
+    )
+    return f"""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+        {sums},
+        {cross}
+      FROM lineitem
+    )
+{sel}
+    """
+
+
+@query("lineitem_corr_matrix", oracle=_corr_oracle())
+def lineitem_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    columns (quantity, extendedprice, discount, tax) — the feature-
+    redundancy screen run before any modeling on tabular features. ONE
+    scan computes every decimal-exact moment (sums, squares, cross
+    products) in a single 1-row aggregate; the 6 upper-triangle
+    correlations then unfold from that row with stack() — no second pass,
+    no per-pair shuffle. The closed form (n*Sxy - SxSy)/sqrt(...) sees
+    bit-identical inputs in both engines; the final r is rounded to 8
+    decimals (sqrt-of-product ulp parity)."""
+    li = table(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+    ]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(F.col(c).cast(DEC)).cast("double").alias(f"s_{c}"))
+        aggs.append(
+            F.sum((F.col(c) * F.col(c)).cast(DEC)).cast("double").alias(f"q_{c}")
+        )
+    for a, b in pairs:
+        aggs.append(
+            F.sum((F.col(a) * F.col(b)).cast(DEC))
+            .cast("double")
+            .alias(f"x_{a}_{b}")
+        )
+    s = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', round((n * x_{a}_{b} - s_{a} * s_{b}) / "
+        f"sqrt((n * q_{a} - s_{a} * s_{a}) * (n * q_{b} - s_{b} * s_{b})), 8)"
+        for a, b in pairs
+    )
+    return s.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (col_x, col_y, pearson_r)"
+    )
