@@ -62,6 +62,13 @@ EXTENDED = [
     "shuffle_corpus_deterministic",
     "knn_label_vote",
     "weighted_reservoir_sample",
+    # Late round-5 statistics/tokenization pack.
+    "tokenize_with_vocab",
+    "boilerplate_ngrams",
+    "top_pmi_collocations",
+    "quality_score_auc",
+    "ks_test_click_vs_view",
+    "lineitem_corr_matrix",
 ]
 
 
