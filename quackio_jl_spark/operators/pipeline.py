@@ -1732,3 +1732,125 @@ def mixture_temperature_weights(spark, sf_dir):
         F.round(F.col("w_raw") / F.col("z"), 8).alias("weight"),
         F.floor(F.col("w_raw") / F.col("z") * F.col("n")).cast("bigint").alias("target_docs"),
     )
+
+
+# ----------------------------------------- budgeted mixture (water-fill)
+
+MIX_BUDGET_FRAC = 0.5
+
+
+@query(
+    "mixture_token_allocation",
+    oracle=f"""
+    WITH src AS (
+      SELECT source,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS cap
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, cap,
+        CAST(round(sqrt(CAST(cap AS DOUBLE)), 6) AS DECIMAL(28,6)) AS w6
+      FROM src
+    ),
+    tot AS (
+      SELECT SUM(w6) AS totw,
+        CAST(floor(SUM(cap) / 2.0) AS BIGINT) AS budget
+      FROM w
+    ),
+    s AS (
+      SELECT source, cap, w6,
+        cap / CAST(w6 AS DOUBLE) AS r,
+        COALESCE(SUM(cap) OVER (
+          ORDER BY cap / CAST(w6 AS DOUBLE), source
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumcap,
+        COALESCE(SUM(w6) OVER (
+          ORDER BY cap / CAST(w6 AS DOUBLE), source
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          CAST(0 AS DECIMAL(28,6))) AS cumw,
+        CAST(ROW_NUMBER() OVER (
+          ORDER BY cap / CAST(w6 AS DOUBLE), source) AS BIGINT) AS i
+      FROM w
+    ),
+    cand AS (
+      SELECT i, r,
+        CAST(budget - cumcap AS DOUBLE) / CAST(totw - cumw AS DOUBLE) AS t
+      FROM s CROSS JOIN tot
+    ),
+    thr AS (SELECT min_by(t, i) AS tstar FROM cand WHERE t <= r)
+    SELECT source,
+      cap AS n_tokens,
+      CAST(w6 AS DOUBLE) AS weight,
+      round(least(CAST(cap AS DOUBLE), CAST(w6 AS DOUBLE) * tstar), 6)
+        AS allocation,
+      CAST(w6 AS DOUBLE) * tstar >= CAST(cap AS DOUBLE) AS capped
+    FROM s CROSS JOIN thr
+    """,
+)
+def mixture_token_allocation(spark, sf_dir):
+    """Water-filling token allocation for a sampling-without-replacement
+    mixture: spend a token budget (here {MIX_BUDGET_FRAC} of the corpus)
+    across sources proportionally to temperature weights w_s =
+    sqrt(tokens_s) (T=2, same sqrt-not-pow choice as
+    mixture_temperature_weights), but never draw more than a source HAS.
+    The exact threshold t* solves sum_s min(cap_s, w_s*t) = budget:
+    sources sort by cap/w ascending (the order they saturate), prefix
+    sums turn each prefix into a candidate threshold, and the first
+    self-consistent candidate (t <= its own row's ratio) wins via
+    min_by. The source table is tiny — every window here runs over
+    |sources| rows after one token-count shuffle; weights are rounded to
+    6 decimals and cumulated as DECIMAL so the prefix sums are exact."""
+    d = table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ")).cast("bigint"))
+        .cast("bigint")
+        .alias("cap")
+    )
+    w = src.select(
+        "source",
+        "cap",
+        F.round(F.sqrt(F.col("cap").cast("double")), 6)
+        .cast("decimal(28,6)")
+        .alias("w6"),
+    )
+    tot = F.broadcast(
+        w.agg(
+            F.sum("w6").alias("totw"),
+            F.floor(F.sum("cap") / 2.0).cast("bigint").alias("budget"),
+        )
+    )
+    r = F.col("cap") / F.col("w6").cast("double")
+    order = [r.asc(), F.col("source").asc()]
+    w_prev = W.orderBy(*order).rowsBetween(W.unboundedPreceding, -1)
+    s = w.select(
+        "source",
+        "cap",
+        "w6",
+        r.alias("r"),
+        F.coalesce(F.sum("cap").over(w_prev), F.lit(0)).alias("cumcap"),
+        F.coalesce(
+            F.sum("w6").over(w_prev), F.lit(0).cast("decimal(28,6)")
+        ).alias("cumw"),
+        F.row_number().over(W.orderBy(*order)).cast("bigint").alias("i"),
+    )
+    cand = s.crossJoin(tot).select(
+        "i",
+        "r",
+        (
+            (F.col("budget") - F.col("cumcap")).cast("double")
+            / (F.col("totw") - F.col("cumw")).cast("double")
+        ).alias("t"),
+    )
+    thr = F.broadcast(
+        cand.filter(F.col("t") <= F.col("r")).agg(
+            F.min_by("t", "i").alias("tstar")
+        )
+    )
+    wd = F.col("w6").cast("double")
+    return s.crossJoin(thr).select(
+        "source",
+        F.col("cap").alias("n_tokens"),
+        wd.alias("weight"),
+        F.round(F.least(F.col("cap").cast("double"), wd * F.col("tstar")), 6)
+        .alias("allocation"),
+        (wd * F.col("tstar") >= F.col("cap").cast("double")).alias("capped"),
+    )

@@ -1318,3 +1318,149 @@ def lineitem_corr_matrix(spark, sf_dir):
     return s.selectExpr(
         f"stack({len(pairs)}, {stack_args}) AS (col_x, col_y, pearson_r)"
     )
+
+
+# ------------------------------------------------- Theil-Sen robust trend
+
+
+@query(
+    "events_theil_sen_trend",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', ts)
+                  AS BIGINT) AS d,
+        COUNT(*) AS c
+      FROM events GROUP BY 1
+    ),
+    p AS (
+      SELECT (b.c - a.c) / CAST(b.d - a.d AS DOUBLE) AS slope
+      FROM c a JOIN c b ON b.d > a.d
+    ),
+    m AS (SELECT quantile_cont(slope, 0.5) AS ts_slope, COUNT(*) AS n_pairs
+          FROM p)
+    SELECT ts_slope,
+      (SELECT quantile_cont(c - ts_slope * d, 0.5) FROM c) AS ts_intercept,
+      CAST(n_pairs AS BIGINT) AS n_pairs
+    FROM m
+    """,
+)
+def events_theil_sen_trend(spark, sf_dir):
+    """Theil-Sen robust trend of the daily event-count series: the MEDIAN
+    of all pairwise slopes (up to ~29% of days can be corrupted — deploy
+    spikes, outages — without moving the estimate, where least-squares
+    (events_user_trend's closed form) chases every outlier). The O(days^2)
+    pair set is generated AFTER collapsing the corpus to the tiny
+    day-count aggregate — bounded by calendar length (even 30 years is
+    ~10^8 pairs spread across the cluster), never by event volume. Medians
+    use the exact-percentile pairing; slopes are exact-int differences
+    with one division each."""
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy(
+        F.datediff("ts", F.lit("1995-01-01")).cast("bigint").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = c.select(F.col("d").alias("da"), F.col("c").alias("ca"))
+    b = c.select(F.col("d").alias("db"), F.col("c").alias("cb"))
+    p = a.join(b, F.col("db") > F.col("da")).select(
+        ((F.col("cb") - F.col("ca")) / (F.col("db") - F.col("da")).cast("double"))
+        .alias("slope")
+    )
+    m = F.broadcast(
+        p.agg(
+            F.percentile("slope", 0.5).alias("ts_slope"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    return (
+        c.crossJoin(m)
+        .agg(
+            F.first("ts_slope").alias("ts_slope"),
+            F.percentile(
+                F.col("c") - F.col("ts_slope") * F.col("d"), 0.5
+            ).alias("ts_intercept"),
+            F.first("n_pairs").alias("n_pairs"),
+        )
+    )
+
+
+# --------------------------------------------------- Hill tail estimator
+
+HILL_K = 100
+
+
+@query(
+    "order_value_hill_tail_index",
+    oracle=f"""
+    WITH topk AS (
+      SELECT o_totalprice AS x FROM orders
+      ORDER BY o_totalprice DESC LIMIT {HILL_K}
+    ),
+    mn AS (SELECT MIN(x) AS xk FROM topk)
+    SELECT
+      CAST(SUM(CAST(round(ln(x / xk), 10) AS DECIMAL(28,10))) AS DOUBLE)
+        / ({HILL_K} - 1) AS hill_xi,
+      ({HILL_K} - 1)
+        / CAST(SUM(CAST(round(ln(x / xk), 10) AS DECIMAL(28,10))) AS DOUBLE)
+        AS tail_alpha,
+      CAST(COUNT(*) AS BIGINT) AS k,
+      MAX(xk) AS x_k
+    FROM topk CROSS JOIN mn
+    """,
+)
+def order_value_hill_tail_index(spark, sf_dir):
+    """Hill estimator of the right-tail index of order values over the
+    top k={HILL_K} order statistics — the heavy-tail diagnostic that
+    decides whether mean-based capacity planning is even meaningful
+    (alpha <= 2: infinite variance, use quantiles). xi = mean ln(x_i/x_k);
+    rows TIED with x_k contribute ln(1)=0, so the estimate depends only
+    on the top-k VALUE multiset, which is deterministic under ties even
+    though row identity isn't. Top-k compiles to TakeOrderedAndProject;
+    the minimum broadcasts back over the k rows; log contributions are
+    rounded then decimal-summed."""
+    o = table(spark, sf_dir, "orders")
+    topk = (
+        o.select(F.col("o_totalprice").alias("x"))
+        .orderBy(F.col("x").desc())
+        .limit(HILL_K)
+    )
+    mn = F.broadcast(topk.agg(F.min("x").alias("xk")))
+    contrib = F.round(F.log(F.col("x") / F.col("xk")), 10).cast(
+        "decimal(28,10)"
+    )
+    s = F.sum(contrib).cast("double")
+    return topk.crossJoin(mn).agg(
+        (s / (HILL_K - 1)).alias("hill_xi"),
+        ((HILL_K - 1) / s).alias("tail_alpha"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.max("xk").alias("x_k"),
+    )
+
+
+# ---------------------------------------------- daily percentile bands
+
+
+@query(
+    "events_daily_percentile_bands",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      quantile_cont(value, 0.1) AS p10,
+      quantile_cont(value, 0.5) AS p50,
+      quantile_cont(value, 0.9) AS p90
+    FROM events GROUP BY 1
+    """,
+)
+def events_daily_percentile_bands(spark, sf_dir):
+    """Daily p10/p50/p90 bands of the event value — the operations
+    dashboard series behind anomaly triage (a day whose p90 jumps while
+    p50 holds = tail regression, not a level shift). One partial-
+    aggregated shuffle onto days; exact percentiles per group (the
+    F.percentile <-> quantile_cont bit-pairing). At 100 TB with years of
+    days this stays a group-by, never a global window; swap in
+    percentile_approx when exactness isn't contractual."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.percentile("value", 0.1).alias("p10"),
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+    )
