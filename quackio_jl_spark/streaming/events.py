@@ -412,7 +412,7 @@ def gap_fill_stream(spark: SparkSession, sf_dir: str):
     last emitted one through the batch's max observed bucket, carrying the
     last value across gaps.
 
-    State is two scalars per user (bounded by user cardinality, sharded by
+    State is one scalar per user (bounded by user cardinality, sharded by
     the groupBy key). Batches must be time-ordered per user (the same
     contract as stateful_session_counts); late rows below the emitted
     frontier are ignored — production would pair this with a watermark and
@@ -602,4 +602,73 @@ def heavy_hitters_stream(spark: SparkSession, sf_dir: str):
         "SELECT event_type, user_id, mg_count FROM ("
         " SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, user_id"
         " ORDER BY mg_count DESC) rn FROM mg_hh) WHERE rn = 1"
+    )
+
+
+def markov_transitions_stream(spark: SparkSession, sf_dir: str):
+    """Streaming first-order transition counting via applyInPandasWithState:
+    per-user state carries the LAST seen event type so a transition
+    spanning two micro-batches is still counted exactly once —
+    the streaming twin of plans/stats.py::events_markov_transitions'
+    count core (the batch side derives probabilities from the same
+    counts). Within a batch events sort by (ts, event_id), matching the
+    batch window's deterministic order.
+
+    State is one scalar per user (bounded by user cardinality, sharded
+    by the groupBy key across executors); emitted rows are per-batch
+    transition count deltas, summed downstream — so 'update' mode output
+    composes additively across any number of micro-batches."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = _events_stream(spark, sf_dir)
+
+    def count_transitions(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            (last_type,) = state.get
+        else:
+            last_type = None
+        rows = []
+        for pdf in pdfs:
+            for _, r in (
+                pdf.sort_values(["ts", "event_id"]).iterrows()
+            ):
+                rows.append((r["event_type"],))
+        counts: dict[tuple[str, str], int] = {}
+        for (etype,) in rows:
+            if last_type is not None:
+                k = (last_type, etype)
+                counts[k] = counts.get(k, 0) + 1
+            last_type = etype
+        state.update((last_type,))
+        if counts:
+            yield pd.DataFrame(
+                {
+                    "from_type": [k[0] for k in counts],
+                    "to_type": [k[1] for k in counts],
+                    "n": list(counts.values()),
+                }
+            )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        count_transitions,
+        outputStructType="from_type string, to_type string, n bigint",
+        stateStructType="last_type string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("markov_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        "SELECT from_type, to_type, CAST(SUM(n) AS BIGINT) AS n_transitions "
+        "FROM markov_stream GROUP BY from_type, to_type"
     )

@@ -1112,3 +1112,20 @@ def test_lsh_recall_audit_meaningful_and_high(spark):
     row = entry.queries()["lsh_recall_audit"](spark, SF_DIR).collect()[0]
     assert row["n_true_pairs"] >= 1
     assert row["recall"] >= 0.99
+
+
+def test_markov_transitions_stream_matches_batch(spark):
+    """Streaming per-user transition counts (stateful, last-event carried
+    in GroupState) must equal the batch Markov matrix's counts."""
+    from quackio_jl_spark.registry import QUERIES
+    from quackio_jl_spark.streaming.events import markov_transitions_stream
+
+    batch = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in QUERIES["events_markov_transitions"](spark, SF_DIR).collect()
+    }
+    stream = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in markov_transitions_stream(spark, SF_DIR).collect()
+    }
+    assert stream == batch
