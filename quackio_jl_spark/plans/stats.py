@@ -1464,3 +1464,393 @@ def events_daily_percentile_bands(spark, sf_dir):
         F.percentile("value", 0.5).alias("p50"),
         F.percentile("value", 0.9).alias("p90"),
     )
+
+
+# --------------------------------------- population stability index
+
+PSI_SPLIT = "1998-07-01"
+
+
+@query(
+    "orders_psi_first_vs_second_half",
+    oracle=f"""
+    WITH ref AS (
+      SELECT o_totalprice AS x FROM orders
+      WHERE o_orderdate < TIMESTAMP '{PSI_SPLIT} 00:00:00'
+    ),
+    cur AS (
+      SELECT o_totalprice AS x FROM orders
+      WHERE o_orderdate >= TIMESTAMP '{PSI_SPLIT} 00:00:00'
+    ),
+    b AS (
+      SELECT
+        quantile_cont(x, 0.1) AS b1, quantile_cont(x, 0.2) AS b2,
+        quantile_cont(x, 0.3) AS b3, quantile_cont(x, 0.4) AS b4,
+        quantile_cont(x, 0.5) AS b5, quantile_cont(x, 0.6) AS b6,
+        quantile_cont(x, 0.7) AS b7, quantile_cont(x, 0.8) AS b8,
+        quantile_cont(x, 0.9) AS b9
+      FROM ref
+    ),
+    rb AS (
+      SELECT CAST(x >= b1 AS INTEGER) + CAST(x >= b2 AS INTEGER)
+        + CAST(x >= b3 AS INTEGER) + CAST(x >= b4 AS INTEGER)
+        + CAST(x >= b5 AS INTEGER) + CAST(x >= b6 AS INTEGER)
+        + CAST(x >= b7 AS INTEGER) + CAST(x >= b8 AS INTEGER)
+        + CAST(x >= b9 AS INTEGER) AS bin, COUNT(*) AS cr
+      FROM ref CROSS JOIN b GROUP BY 1
+    ),
+    cb AS (
+      SELECT CAST(x >= b1 AS INTEGER) + CAST(x >= b2 AS INTEGER)
+        + CAST(x >= b3 AS INTEGER) + CAST(x >= b4 AS INTEGER)
+        + CAST(x >= b5 AS INTEGER) + CAST(x >= b6 AS INTEGER)
+        + CAST(x >= b7 AS INTEGER) + CAST(x >= b8 AS INTEGER)
+        + CAST(x >= b9 AS INTEGER) AS bin, COUNT(*) AS cc
+      FROM cur CROSS JOIN b GROUP BY 1
+    ),
+    t AS (
+      SELECT (SELECT SUM(cr) FROM rb) AS nr, (SELECT SUM(cc) FROM cb) AS nc
+    ),
+    g AS (
+      SELECT rb.bin, rb.cr, COALESCE(cb.cc, 0) AS cc
+      FROM rb LEFT JOIN cb USING (bin)
+    )
+    SELECT
+      CAST(SUM(CAST(round(
+          ((cr + 1) / CAST(nr + 10 AS DOUBLE)
+           - (cc + 1) / CAST(nc + 10 AS DOUBLE))
+          * ln(((cr + 1) / CAST(nr + 10 AS DOUBLE))
+               / ((cc + 1) / CAST(nc + 10 AS DOUBLE))), 10)
+        AS DECIMAL(28,10))) AS DOUBLE) AS psi,
+      CAST(MAX(nr) AS BIGINT) AS n_ref,
+      CAST(MAX(nc) AS BIGINT) AS n_cur
+    FROM g CROSS JOIN t
+    """,
+)
+def orders_psi_first_vs_second_half(spark, sf_dir):
+    """Population Stability Index of the order-value distribution, second
+    half of the history scored against decile bins fitted on the FIRST
+    half — the standard model-monitoring drift number (rule of thumb:
+    psi > 0.25 = retrain). Reference deciles are one broadcast 1-row
+    aggregate; both periods bin with the same boundaries-passed
+    expression; (p-q)ln(p/q) contributions are Laplace-smoothed (zero
+    bins stay finite), rounded, and decimal-summed. Scale shape: two
+    scans + two 10-row group-bys."""
+    o = table(spark, sf_dir, "orders")
+    split = F.lit(PSI_SPLIT).cast("timestamp")
+    ref = o.filter(F.col("o_orderdate") < split).select(
+        F.col("o_totalprice").alias("x")
+    )
+    cur = o.filter(F.col("o_orderdate") >= split).select(
+        F.col("o_totalprice").alias("x")
+    )
+    b = ref.agg(
+        *[F.percentile("x", i / 10.0).alias(f"b{i}") for i in range(1, 10)]
+    )
+    bin_col = sum((F.col("x") >= F.col(f"b{i}")).cast("int") for i in range(1, 10))
+    rb = (
+        ref.crossJoin(F.broadcast(b))
+        .groupBy(bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    cb = (
+        cur.crossJoin(F.broadcast(b))
+        .groupBy(bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    t = F.broadcast(
+        rb.agg(F.sum("cr").alias("nr")).crossJoin(
+            cb.agg(F.sum("cc").alias("nc"))
+        )
+    )
+    g = rb.join(cb, "bin", "left").fillna({"cc": 0}).crossJoin(t)
+    p = (F.col("cr") + 1) / (F.col("nr") + 10).cast("double")
+    q = (F.col("cc") + 1) / (F.col("nc") + 10).cast("double")
+    contrib = F.round((p - q) * F.log(p / q), 10).cast("decimal(28,10)")
+    return g.agg(
+        F.sum(contrib).cast("double").alias("psi"),
+        F.max("nr").cast("bigint").alias("n_ref"),
+        F.max("nc").cast("bigint").alias("n_cur"),
+    )
+
+
+# --------------------------------------------------- cohort LTV curve
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle=f"""
+    WITH first_order AS (
+      SELECT o_custkey,
+        MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS cm
+      FROM orders GROUP BY o_custkey
+    ),
+    x AS (
+      SELECT f.cm,
+        (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cm AS offset_m,
+        o.o_totalprice AS rev
+      FROM orders o JOIN first_order f ON f.o_custkey = o.o_custkey
+    ),
+    m AS (
+      SELECT cm, offset_m, {_d('rev')} AS revenue, COUNT(*) AS n_orders
+      FROM x GROUP BY cm, offset_m
+    )
+    SELECT
+      CAST(make_timestamp((cm - 1) // 12, (cm - 1) % 12 + 1, 1, 0, 0, 0.0)
+           AS TIMESTAMP) AS cohort_month,
+      CAST(offset_m AS INTEGER) AS offset_m,
+      CAST(SUM(CAST(revenue AS DECIMAL(28,6))) OVER (
+        PARTITION BY cm ORDER BY offset_m) AS DOUBLE) AS cum_revenue,
+      CAST(n_orders AS BIGINT) AS n_orders
+    FROM m
+    """,
+)
+def cohort_ltv_curve(spark, sf_dir):
+    """Cohort lifetime-value curves: for each first-purchase cohort month,
+    cumulative revenue by months-since-first-purchase — the curve whose
+    flattening point prices acquisition (companion to cohort_retention's
+    headcount view). Month arithmetic is pure integers (year*12+month) on
+    both engines; per-cell revenue is a decimal-exact sum and the
+    cumulative window (partitioned by cohort, over the tiny cohort x
+    offset aggregate) re-sums those exact decimals, so every point on
+    the curve is bit-stable. Two shuffles: first-order lookup join +
+    cell aggregation."""
+    o = table(spark, sf_dir, "orders")
+    om = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("om")
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("cm")
+    )
+    x = o.select("o_custkey", om, F.col("o_totalprice").alias("rev")).join(
+        first, "o_custkey"
+    )
+    m = x.groupBy(
+        "cm", (F.col("om") - F.col("cm")).alias("offset_m")
+    ).agg(
+        F.sum(F.col("rev").cast(DEC)).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = W.partitionBy("cm").orderBy("offset_m")
+    cohort_ts = F.make_timestamp(
+        ((F.col("cm") - 1) / 12).cast("int").cast("int"),
+        ((F.col("cm") - 1) % 12 + 1).cast("int"),
+        F.lit(1), F.lit(0), F.lit(0), F.lit(0),
+    )
+    return m.select(
+        cohort_ts.cast("timestamp").alias("cohort_month"),
+        F.col("offset_m").cast("int").alias("offset_m"),
+        F.sum(F.col("revenue").cast(DEC)).over(w).cast("double").alias(
+            "cum_revenue"
+        ),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+    )
+
+
+# ------------------------------------------------ event-type trigrams
+
+TRIGRAM_TOPK = 20
+
+
+@query(
+    "top_event_trigrams",
+    oracle=f"""
+    WITH s AS (
+      SELECT
+        lag(event_type, 2) OVER w AS t1,
+        lag(event_type, 1) OVER w AS t2,
+        event_type AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM s WHERE t1 IS NOT NULL
+    GROUP BY t1, t2, t3
+    ORDER BY n DESC, t1, t2, t3
+    LIMIT {TRIGRAM_TOPK}
+    """,
+)
+def top_event_trigrams(spark, sf_dir):
+    """Most frequent 3-step behavioral paths (event-type trigrams per
+    user) — the second-order sequel to events_markov_transitions that
+    surfaces actual funnels rather than one-step hops. Two lags share
+    ONE per-user window sort; counting is a partial-aggregated shuffle
+    on the (t1,t2,t3) triple; top-k with full lexicographic tiebreak."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        F.lag("event_type", 2).over(w).alias("t1"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.col("event_type").alias("t3"),
+    ).filter(F.col("t1").isNotNull())
+    return (
+        s.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "t1", "t2", "t3")
+        .limit(TRIGRAM_TOPK)
+    )
+
+
+# ------------------------------------------- peak concurrency sweep
+
+CONC_GAP_MIN = 30
+N_SWEEP_BUCKETS = 16
+
+
+@query(
+    "peak_concurrent_sessions",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS NULL
+          OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id))
+             > {CONC_GAP_MIN} * 60 * 1000000
+        THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, sid, MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM (
+        SELECT user_id, ts,
+          SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g
+      ) GROUP BY user_id, sid
+    ),
+    pts AS (
+      SELECT epoch_us(s_start) AS t, 1 AS delta FROM sess
+      UNION ALL
+      SELECT epoch_us(s_end) AS t, -1 AS delta FROM sess
+    ),
+    c AS (
+      SELECT t, SUM(delta) OVER (ORDER BY t, delta DESC
+                                 ROWS UNBOUNDED PRECEDING) AS conc
+      FROM pts
+    )
+    SELECT CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+      CAST(min_by(t, CASE WHEN conc = (SELECT MAX(conc) FROM c)
+                          THEN t END) AS BIGINT) AS peak_at_us,
+      CAST((SELECT COUNT(*) FROM sess) AS BIGINT) AS n_sessions
+    FROM c
+    """,
+)
+def peak_concurrent_sessions(spark, sf_dir):
+    """Peak number of simultaneously open sessions (30-min-gap
+    sessionization) and when it happened — the capacity-planning number.
+    Classic sweep line: sessions become +1/-1 boundary points, the
+    running sum over time order is the live concurrency, its max is the
+    peak. The running sum uses the bucketed prefix-sum kernel (pure-
+    function time buckets from the broadcast min/max, per-bucket offsets,
+    parallel in-bucket windows) — the same no-single-reducer shape as
+    ks_test_click_vs_view, with +1 ordered before -1 at timestamp ties
+    (touching sessions count as overlapping)."""
+    e = table(spark, sf_dir, "events")
+    gap_us = CONC_GAP_MIN * 60 * 1_000_000
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    g = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(wu).isNull()
+            | (us - F.unix_micros(F.lag("ts").over(wu)) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = (
+        g.select(
+            "user_id",
+            "ts",
+            F.sum("new_s")
+            .over(wu.rowsBetween(W.unboundedPreceding, 0))
+            .alias("sid"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    pts = sess.select(
+        F.unix_micros("s_start").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        sess.select(F.unix_micros("s_end").alias("t"), F.lit(-1).alias("delta"))
+    )
+    n_sess = F.broadcast(sess.agg(F.count(F.lit(1)).alias("n_sessions")))
+    rng = F.broadcast(pts.agg(F.min("t").alias("_lo"), F.max("t").alias("_hi")))
+    width = (F.col("_hi") - F.col("_lo") + 1).cast("double") / N_SWEEP_BUCKETS
+    parts = pts.crossJoin(rng).withColumn(
+        "_pid",
+        F.least(
+            F.lit(N_SWEEP_BUCKETS - 1),
+            F.floor((F.col("t") - F.col("_lo")).cast("double") / width).cast(
+                "int"
+            ),
+        ),
+    ).drop("_lo", "_hi")
+    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        parts.groupBy("_pid")
+        .agg(F.sum("delta").alias("_bd"))
+        .select("_pid", F.sum("_bd").over(w_off).alias("_od"))
+        .fillna({"_od": 0})
+    )
+    w_in = (
+        W.partitionBy("_pid")
+        .orderBy("t", F.col("delta").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    c = parts.join(F.broadcast(offsets), "_pid").select(
+        "t", (F.col("_od") + F.sum("delta").over(w_in)).alias("conc")
+    )
+    peak = F.broadcast(c.agg(F.max("conc").alias("peak")))
+    return (
+        c.crossJoin(peak)
+        .crossJoin(n_sess)
+        .agg(
+            F.max("peak").cast("bigint").alias("peak_concurrency"),
+            F.min(F.when(F.col("conc") == F.col("peak"), F.col("t")))
+            .cast("bigint")
+            .alias("peak_at_us"),
+            F.max("n_sessions").cast("bigint").alias("n_sessions"),
+        )
+    )
+
+
+# ----------------------------------------------- min-max feature scaling
+
+
+@query(
+    "minmax_scale_value_by_type",
+    oracle="""
+    WITH st AS (
+      SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type,
+      (value - lo) / (hi - lo) AS value_scaled
+    FROM events e JOIN st USING (event_type)
+    WHERE hi > lo
+    """,
+)
+def minmax_scale_value_by_type(spark, sf_dir):
+    """Per-group min-max feature scaling to [0,1] — the normalization
+    map applied before mixing heterogeneous feature columns. Group
+    extrema come from one partial-aggregated shuffle and BROADCAST back
+    onto the stream (never a window over the fact table); min/max are
+    order-free exact selections, so the one affine transform per row is
+    engine-identical. Degenerate constant groups are excluded."""
+    e = table(spark, sf_dir, "events")
+    st = e.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    return (
+        e.join(F.broadcast(st), "event_type")
+        .filter(F.col("hi") > F.col("lo"))
+        .select(
+            "event_id",
+            "event_type",
+            ((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo"))).alias(
+                "value_scaled"
+            ),
+        )
+    )
