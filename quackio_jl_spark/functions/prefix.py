@@ -1,0 +1,84 @@
+"""Distributed prefix sums without a single-reducer window.
+
+The kernel behind every "global cumulative in key order" operator in the
+package (contiguous_row_ids pioneered the shape; ks_test_click_vs_view,
+quality_score_auc and peak_concurrent_sessions reuse it via this module):
+
+1. bucket ids are a PURE FUNCTION of the ordering key — uniform ranges
+   between the broadcast min/max, NOT spark_partition_id over
+   repartitionByRange (whose sampled boundaries are only stable across
+   plan branches while exchange-reuse holds);
+2. per-bucket totals collapse to a <= n_buckets-row aggregate whose
+   exclusive running sum (a tiny single-partition window) yields each
+   bucket's starting offset;
+3. offsets broadcast back and the in-bucket cumulative windows run in
+   parallel, one partition per bucket.
+
+Results are therefore identical for ANY partition count, and the only
+single-partition window ever executed is over n_buckets rows. Key skew
+degrades bucket balance (performance), never correctness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["bucketed_prefix_sums"]
+
+
+def bucketed_prefix_sums(
+    df: DataFrame,
+    key: str,
+    cols: list[str],
+    n_buckets: int = 16,
+    tiebreak_desc: str | None = None,
+) -> DataFrame:
+    """Append inclusive running sums ``cum_<c>`` of each integer column in
+    ``cols``, taken in ascending ``key`` order over the WHOLE DataFrame.
+
+    ``tiebreak_desc`` optionally orders equal keys by that column
+    DESCENDING inside the cumulative (the sweep-line "+1 before -1 at
+    ties" rule). The helper columns (``_pid``) are dropped; input columns
+    pass through."""
+    rng = F.broadcast(
+        df.agg(F.min(key).alias("_lo"), F.max(key).alias("_hi"))
+    )
+    width = (F.col("_hi") - F.col("_lo")).cast("double") / n_buckets
+    parts = (
+        df.crossJoin(rng)
+        .withColumn(
+            "_pid",
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col(key) - F.col("_lo")).cast("double") / width)
+                .cast("int"),
+            ),
+        )
+        .drop("_lo", "_hi")
+    )
+    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        parts.groupBy("_pid")
+        .agg(*[F.sum(c).alias(f"_b_{c}") for c in cols])
+        .select(
+            "_pid",
+            *[F.sum(f"_b_{c}").over(w_off).alias(f"_o_{c}") for c in cols],
+        )
+        .fillna({f"_o_{c}": 0 for c in cols})
+    )
+    order: list[Column] = [F.col(key).asc()]
+    if tiebreak_desc is not None:
+        order.append(F.col(tiebreak_desc).desc())
+    w_in = (
+        W.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    out = parts.join(F.broadcast(offsets), "_pid")
+    for c in cols:
+        out = out.withColumn(
+            f"cum_{c}", F.col(f"_o_{c}") + F.sum(c).over(w_in)
+        )
+    return out.drop("_pid", *[f"_o_{c}" for c in cols])

@@ -23,6 +23,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.exact import DEC
+from ..functions.prefix import bucketed_prefix_sums
 from .registry import query, table
 
 _DSUM = "CAST(SUM(CAST({x} AS DECIMAL(28,6))) AS DOUBLE)"
@@ -493,36 +494,14 @@ def ks_test_click_vs_view(spark, sf_dir):
         F.sum((F.col("event_type") == "click").cast("bigint")).alias("a"),
         F.sum((F.col("event_type") == "view").cast("bigint")).alias("b"),
     )
-    rng = F.broadcast(pv.agg(F.min("value").alias("_lo"), F.max("value").alias("_hi")))
-    width = (F.col("_hi") - F.col("_lo")).cast("double") / N_KS_BUCKETS
-    parts = pv.crossJoin(rng).withColumn(
-        "_pid",
-        F.least(
-            F.lit(N_KS_BUCKETS - 1),
-            F.floor((F.col("value") - F.col("_lo")) / width).cast("int"),
-        ),
-    ).drop("_lo", "_hi")
-    bucket_tot = parts.groupBy("_pid").agg(
-        F.sum("a").alias("_ba"), F.sum("b").alias("_bb")
-    )
-    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
-    offsets = bucket_tot.select(
-        "_pid",
-        F.sum("_ba").over(w_off).alias("_oa"),
-        F.sum("_bb").over(w_off).alias("_ob"),
-    ).fillna({"_oa": 0, "_ob": 0})
-    w_in = (
-        W.partitionBy("_pid").orderBy("value").rowsBetween(W.unboundedPreceding, 0)
-    )
     totals = F.broadcast(pv.agg(F.sum("a").alias("na"), F.sum("b").alias("nb")))
-    ca = F.col("_oa") + F.sum("a").over(w_in)
-    cb = F.col("_ob") + F.sum("b").over(w_in)
+    c = bucketed_prefix_sums(pv, "value", ["a", "b"], N_KS_BUCKETS)
     d = F.abs(
-        ca / F.col("na").cast("double") - cb / F.col("nb").cast("double")
+        F.col("cum_a") / F.col("na").cast("double")
+        - F.col("cum_b") / F.col("nb").cast("double")
     )
     return (
-        parts.join(F.broadcast(offsets), "_pid")
-        .crossJoin(totals)
+        c.crossJoin(totals)
         .select(d.alias("d"), "na", "nb")
         .agg(
             F.max("d").alias("ks_stat"),
@@ -827,30 +806,11 @@ def quality_score_auc(spark, sf_dir):
         F.sum((F.col("lang") == "en").cast("bigint")).alias("p"),
         F.sum((F.col("lang") != "en").cast("bigint")).alias("q"),
     )
-    rng = F.broadcast(pv.agg(F.min("s").alias("_lo"), F.max("s").alias("_hi")))
-    width = (F.col("_hi") - F.col("_lo") + 1).cast("double") / N_AUC_BUCKETS
-    parts = pv.crossJoin(rng).withColumn(
-        "_pid",
-        F.least(
-            F.lit(N_AUC_BUCKETS - 1),
-            F.floor((F.col("s") - F.col("_lo")).cast("double") / width).cast(
-                "int"
-            ),
-        ),
-    ).drop("_lo", "_hi")
-    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
-    offsets = (
-        parts.groupBy("_pid")
-        .agg(F.sum("q").alias("_bq"))
-        .select("_pid", F.sum("_bq").over(w_off).alias("_oq"))
-        .fillna({"_oq": 0})
-    )
-    w_in = W.partitionBy("_pid").orderBy("s").rowsBetween(W.unboundedPreceding, 0)
     totals = F.broadcast(pv.agg(F.sum("p").alias("np"), F.sum("q").alias("nq")))
-    qb = F.col("_oq") + F.sum("q").over(w_in) - F.col("q")
+    c = bucketed_prefix_sums(pv, "s", ["q"], N_AUC_BUCKETS)
+    qb = F.col("cum_q") - F.col("q")
     return (
-        parts.join(F.broadcast(offsets), "_pid")
-        .select("p", "q", qb.alias("qb"))
+        c.select("p", "q", qb.alias("qb"))
         .crossJoin(totals)
         .agg(
             (
@@ -1776,32 +1736,9 @@ def peak_concurrent_sessions(spark, sf_dir):
         sess.select(F.unix_micros("s_end").alias("t"), F.lit(-1).alias("delta"))
     )
     n_sess = F.broadcast(sess.agg(F.count(F.lit(1)).alias("n_sessions")))
-    rng = F.broadcast(pts.agg(F.min("t").alias("_lo"), F.max("t").alias("_hi")))
-    width = (F.col("_hi") - F.col("_lo") + 1).cast("double") / N_SWEEP_BUCKETS
-    parts = pts.crossJoin(rng).withColumn(
-        "_pid",
-        F.least(
-            F.lit(N_SWEEP_BUCKETS - 1),
-            F.floor((F.col("t") - F.col("_lo")).cast("double") / width).cast(
-                "int"
-            ),
-        ),
-    ).drop("_lo", "_hi")
-    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
-    offsets = (
-        parts.groupBy("_pid")
-        .agg(F.sum("delta").alias("_bd"))
-        .select("_pid", F.sum("_bd").over(w_off).alias("_od"))
-        .fillna({"_od": 0})
-    )
-    w_in = (
-        W.partitionBy("_pid")
-        .orderBy("t", F.col("delta").desc())
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    c = parts.join(F.broadcast(offsets), "_pid").select(
-        "t", (F.col("_od") + F.sum("delta").over(w_in)).alias("conc")
-    )
+    c = bucketed_prefix_sums(
+        pts, "t", ["delta"], N_SWEEP_BUCKETS, tiebreak_desc="delta"
+    ).select("t", F.col("cum_delta").alias("conc"))
     peak = F.broadcast(c.agg(F.max("conc").alias("peak")))
     return (
         c.crossJoin(peak)
