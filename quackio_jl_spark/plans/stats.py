@@ -1791,3 +1791,269 @@ def minmax_scale_value_by_type(spark, sf_dir):
             ),
         )
     )
+
+
+# ----------------------------- exact global percentiles, no global sort
+
+
+@query(
+    "global_percentiles_no_sort",
+    oracle="""
+    SELECT quantile_cont(value, 0.5) AS p50,
+      quantile_cont(value, 0.9) AS p90,
+      quantile_cont(value, 0.99) AS p99,
+      CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    """,
+)
+def global_percentiles_no_sort(spark, sf_dir):
+    """EXACT corpus-wide percentiles computed as distributed order-
+    statistic selection — the scale path where F.percentile (which packs
+    the whole column into one aggregation buffer) stops being an option.
+    Value frequencies collapse to one distinct-value table; the bucketed
+    prefix-sum kernel turns them into ranks in parallel; each target
+    quantile then selects its two bracketing order statistics with
+    conditional MINs and interpolates as lo*(1-frac) + hi*frac —
+    quantile_cont's exact arithmetic (NOT lo + (hi-lo)*frac, which
+    rounds differently in the last ulp). Matches DuckDB's quantile_cont bit-for-bit with
+    no single-reducer sort anywhere (the only global window is over
+    n_buckets rows inside the kernel)."""
+    e = table(spark, sf_dir, "events")
+    pv = e.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
+    tot = F.broadcast(pv.agg(F.sum("c").alias("n")))
+    cum = bucketed_prefix_sums(pv, "value", ["c"]).crossJoin(tot)
+    aggs = [F.max("n").cast("bigint").alias("n")]
+    outs = []
+    for tag, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        pos = (F.col("n") - 1) * F.lit(q)
+        k = F.floor(pos)
+        frac = pos - k
+        lo = F.min(F.when(F.col("cum_c") >= k + 1, F.col("value")))
+        hi = F.min(F.when(F.col("cum_c") >= k + 2, F.col("value")))
+        aggs += [
+            lo.alias(f"_lo_{tag}"),
+            hi.alias(f"_hi_{tag}"),
+            F.max(frac).alias(f"_f_{tag}"),
+        ]
+        outs.append(
+            (
+                F.col(f"_lo_{tag}") * (1 - F.col(f"_f_{tag}"))
+                + F.coalesce(f"_hi_{tag}", f"_lo_{tag}") * F.col(f"_f_{tag}")
+            ).alias(tag)
+        )
+    return cum.agg(*aggs).select(*outs, "n")
+
+
+# --------------------------------------------- session duration stats
+
+
+@query(
+    "session_duration_stats",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS NULL
+          OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id))
+             > {CONC_GAP_MIN} * 60 * 1000000
+        THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, sid,
+        epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us,
+        COUNT(*) AS n_events
+      FROM (
+        SELECT user_id, ts,
+          SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g
+      ) GROUP BY user_id, sid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      CAST(SUM(dur_us) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_duration_s,
+      quantile_cont(dur_us, 0.5) / 1000000.0 AS p50_s,
+      quantile_cont(dur_us, 0.9) / 1000000.0 AS p90_s,
+      CAST(MAX(dur_us) AS DOUBLE) / 1000000.0 AS max_s,
+      CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM sess
+    """,
+)
+def session_duration_stats(spark, sf_dir):
+    """Session-length distribution under the same 30-min-gap
+    sessionization as peak_concurrent_sessions: count, mean, p50/p90 and
+    max durations — the engagement summary next to sessionize_events'
+    per-session rows. Durations are exact integer microseconds until the
+    final /1e6 renders; mean divides an exact bigint sum. The session
+    table is orders of magnitude smaller than events; its exact
+    percentiles use F.percentile here (single aggregation buffer over
+    sessions) — for billions of sessions swap in the
+    global_percentiles_no_sort kernel shape unchanged."""
+    e = table(spark, sf_dir, "events")
+    gap_us = CONC_GAP_MIN * 60 * 1_000_000
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    g = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(wu).isNull()
+            | (us - F.unix_micros(F.lag("ts").over(wu)) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = (
+        g.select(
+            "user_id",
+            "ts",
+            F.sum("new_s")
+            .over(wu.rowsBetween(W.unboundedPreceding, 0))
+            .alias("sid"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "dur_us"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return sess.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        (
+            F.sum("dur_us").cast("double") / F.count(F.lit(1)) / 1_000_000.0
+        ).alias("mean_duration_s"),
+        (F.percentile("dur_us", 0.5) / 1_000_000.0).alias("p50_s"),
+        (F.percentile("dur_us", 0.9) / 1_000_000.0).alias("p90_s"),
+        (F.max("dur_us").cast("double") / 1_000_000.0).alias("max_s"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+# ------------------------------------------ shingle sharing coverage
+
+SHINGLE_N = 8
+
+
+@query(
+    "doc_shingle_dup_coverage",
+    oracle=f"""
+    WITH ds AS (
+      SELECT DISTINCT doc_id,
+        md5(array_to_string(w[i:i + {SHINGLE_N - 1}], ' ')) AS sh
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM documents),
+        UNNEST(generate_series(1, len(w) - {SHINGLE_N - 1})) AS u(i)
+    ),
+    df AS (SELECT sh, COUNT(*) AS n_docs_sh FROM ds GROUP BY sh),
+    t AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT
+      CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+      CAST(COUNT(DISTINCT CASE WHEN n_docs_sh > 1 THEN doc_id END) AS BIGINT)
+        AS docs_with_shared_shingle,
+      COUNT(DISTINCT CASE WHEN n_docs_sh > 1 THEN doc_id END)
+        / CAST(MAX(n_docs) AS DOUBLE) AS coverage_frac,
+      CAST(SUM(CASE WHEN n_docs_sh > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_shared_shingle_slots
+    FROM ds JOIN df USING (sh) CROSS JOIN t
+    """,
+)
+def doc_shingle_dup_coverage(spark, sf_dir):
+    """Corpus near-duplication pressure gauge: what fraction of documents
+    share at least one {SHINGLE_N}-word shingle with another document —
+    the single number that decides whether running the full MinHash
+    pipeline is worth it, and the denominator for its recall. Shingles
+    move as md5 keys (16 bytes, never text); document-frequency is one
+    shuffle over distinct (doc, shingle) pairs; the final report is a
+    1-row rollup."""
+    d = table(spark, sf_dir, "documents")
+    ds = (
+        d.select(F.col("doc_id"), F.split(F.lower("text"), " ").alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(w) >= {SHINGLE_N} THEN "
+                    f"transform(sequence(1, size(w) - {SHINGLE_N - 1}), "
+                    f"i -> md5(array_join(slice(w, i, {SHINGLE_N}), ' '))) "
+                    f"ELSE array() END"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    df_ = ds.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs_sh"))
+    t = F.broadcast(d.agg(F.count(F.lit(1)).alias("n_docs")))
+    shared_doc = F.when(F.col("n_docs_sh") > 1, F.col("doc_id"))
+    return (
+        ds.join(df_, "sh")
+        .crossJoin(t)
+        .agg(
+            F.max("n_docs").cast("bigint").alias("n_docs"),
+            F.count_distinct(shared_doc)
+            .cast("bigint")
+            .alias("docs_with_shared_shingle"),
+            (
+                F.count_distinct(shared_doc) / F.max("n_docs").cast("double")
+            ).alias("coverage_frac"),
+            F.sum((F.col("n_docs_sh") > 1).cast("int"))
+            .cast("bigint")
+            .alias("n_shared_shingle_slots"),
+        )
+    )
+
+
+# ------------------------------------------------- event-rate spikes
+
+
+@query(
+    "events_rate_spikes",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
+        COUNT(*) AS c
+      FROM events GROUP BY 1
+    ),
+    st AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mu,
+        sqrt((CAST(SUM(c * c) AS DOUBLE)
+              - CAST(SUM(c) AS DOUBLE) * SUM(c) / COUNT(*))
+             / (COUNT(*) - 1)) AS sigma
+      FROM c
+    )
+    SELECT minute, CAST(c AS BIGINT) AS n_events,
+      (c - mu) / sigma AS z
+    FROM c CROSS JOIN st
+    WHERE sigma > 0 AND (c - mu) / sigma > 3.0
+    """,
+)
+def events_rate_spikes(spark, sf_dir):
+    """Traffic burst detection: minutes whose event RATE sits more than
+    3 sigma above the per-minute mean — the volume-anomaly complement to
+    the value-anomaly detectors (events_zscore_anomalies watches what
+    events say; this watches how many arrive). The raw stream collapses
+    to minute counts first (one partial-aggregated shuffle); mean/sigma
+    assemble from exact integer count sums in a broadcast 1-row
+    aggregate; one filter pass flags the spikes."""
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy(F.date_trunc("minute", "ts").alias("minute")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = F.count(F.lit(1))
+    sc = F.sum("c").cast("double")
+    sc2 = F.sum(F.col("c") * F.col("c")).cast("double")
+    st = c.agg(
+        (sc / n).alias("mu"),
+        F.sqrt((sc2 - sc * F.sum("c") / n) / (n - 1)).alias("sigma"),
+    )
+    z = (F.col("c") - F.col("mu")) / F.col("sigma")
+    return (
+        c.crossJoin(F.broadcast(st))
+        .filter((F.col("sigma") > 0) & (z > 3.0))
+        .select("minute", F.col("c").cast("bigint").alias("n_events"), z.alias("z"))
+    )
