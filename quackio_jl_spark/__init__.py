@@ -22,6 +22,7 @@ from .functions import (
     string_split,
 )
 from .session import get_spark
+from .sqlapi import register_tables, sql
 from .operators.cluster import connected_components
 from .operators.merge import scd2_apply, upsert
 from .operators.skew import salted_join
@@ -45,6 +46,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "get_spark",
+    "register_tables",
+    "sql",
     "read_csv",
     "read_parquet",
     "read_json",

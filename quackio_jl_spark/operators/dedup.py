@@ -1528,3 +1528,75 @@ def dedup_token_set(spark, sf_dir):
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# --------------------------------------------------- LSH precision audit
+
+
+@query(
+    "lsh_precision_audit",
+    oracle="WITH"
+    + _SHINGLES_SQL
+    + ","
+    + _minhash_sig_sql()
+    + ","
+    + _cand_sql()
+    + f""",
+    sets AS (
+      SELECT doc_id, list(substr(md5(shingle), 1, 16)) AS s
+      FROM sh GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT cand.doc1, cand.doc2,
+        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+      FROM cand
+      JOIN sets a ON a.doc_id = cand.doc1
+      JOIN sets b ON b.doc_id = cand.doc2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+      CAST(SUM(CASE WHEN j >= {JACCARD_THRESHOLD} THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_true,
+      round(CAST(SUM(CASE WHEN j >= {JACCARD_THRESHOLD} THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 8) AS precision,
+      CAST(SUM(CAST(round(j, 8) AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)
+        AS mean_jaccard
+    FROM scored
+    """,
+)
+def lsh_precision_audit(spark, sf_dir):
+    """Measured LSH PRECISION — the complement of lsh_recall_audit: of
+    the candidate pairs the banded generator emits, what fraction are
+    true near-duplicates at the Jaccard threshold, and what is their
+    mean similarity. Together the two audits locate the operating point
+    on the S-curve (recall says what pruning misses; precision prices
+    the exact-verify stage that follows, since every false candidate
+    costs a full Jaccard computation at 100 TB). Exact Jaccard is
+    computed ONLY for candidates — never all pairs; shingle sets join by
+    doc key; the report is a 1-row rollup with round-then-decimal-sum
+    mean."""
+    cand = dedup_minhash_lsh_pairs(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    sets_ = (
+        shingles_all(d)
+        .select("doc_id", F.substring(F.md5("shingle"), 1, 16).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("s"))
+    )
+    a = sets_.select(F.col("doc_id").alias("doc1"), F.col("s").alias("s1"))
+    b = sets_.select(F.col("doc_id").alias("doc2"), F.col("s").alias("s2"))
+    c = F.size(F.array_intersect("s1", "s2"))
+    jac = (c.cast("double") / (F.size("s1") + F.size("s2") - c)).alias("j")
+    scored = cand.join(a, "doc1").join(b, "doc2").select(jac)
+    hit = (F.col("j") >= JACCARD_THRESHOLD).cast("int")
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(hit).cast("bigint").alias("n_true"),
+        F.round(F.sum(hit).cast("double") / F.count(F.lit(1)), 8).alias(
+            "precision"
+        ),
+        (
+            F.sum(F.round("j", 8).cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_jaccard"),
+    )

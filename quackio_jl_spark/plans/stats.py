@@ -2057,3 +2057,60 @@ def events_rate_spikes(spark, sf_dir):
         .filter((F.col("sigma") > 0) & (z > 3.0))
         .select("minute", F.col("c").cast("bigint").alias("n_events"), z.alias("z"))
     )
+
+
+# -------------------------------------------- market concentration (HHI)
+
+
+@query(
+    "parttype_supplier_hhi",
+    oracle=f"""
+    WITH rev AS (
+      SELECT p.p_type, l.l_suppkey, {_d('l.l_extendedprice')} AS r
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_type, l.l_suppkey
+    ),
+    tot AS (
+      SELECT p_type, CAST(SUM(CAST(r AS DECIMAL(28,6))) AS DOUBLE) AS t,
+        COUNT(*) AS n_suppliers
+      FROM rev GROUP BY p_type
+    )
+    SELECT rev.p_type,
+      CAST(SUM(CAST(round((r / t) * (r / t), 10) AS DECIMAL(28,10)))
+           AS DOUBLE) AS hhi,
+      CAST(MAX(n_suppliers) AS BIGINT) AS n_suppliers,
+      MAX(t) AS total_revenue
+    FROM rev JOIN tot USING (p_type)
+    GROUP BY rev.p_type
+    """,
+)
+def parttype_supplier_hhi(spark, sf_dir):
+    """Herfindahl-Hirschman concentration index of supplier revenue
+    within each part type — the supply-chain-risk twin of
+    order_value_gini (HHI > 0.25 = concentrated: one supplier failure
+    takes out the category). Revenue cells are decimal-exact sums; group
+    totals re-sum those decimals so shares divide exact numbers; share^2
+    contributions are rounded then decimal-summed. The part dimension
+    broadcasts onto lineitem; two partial-aggregated shuffles total."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("r"))
+    )
+    tot = rev.groupBy("p_type").agg(
+        F.sum(F.col("r").cast(DEC)).cast("double").alias("t"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    share = F.col("r") / F.col("t")
+    contrib = F.round(share * share, 10).cast("decimal(28,10)")
+    return (
+        rev.join(F.broadcast(tot), "p_type")
+        .groupBy("p_type")
+        .agg(
+            F.sum(contrib).cast("double").alias("hhi"),
+            F.max("n_suppliers").cast("bigint").alias("n_suppliers"),
+            F.max("t").alias("total_revenue"),
+        )
+    )

@@ -197,3 +197,30 @@ def test_pandas_grouped_agg_udaf(spark):
     assert set(got) == {"a", "b"}
     for g in got:
         assert math.isclose(got[g], ref[g], rel_tol=1e-12), (g, got[g], ref[g])
+
+
+def test_sql_front_door_matches_dataframe_plan(spark):
+    """sqlapi.sql over the registered views must agree with the DataFrame
+    query registry on the same question."""
+    import os
+
+    from quackio_jl_spark import sql
+    from quackio_jl_spark.registry import QUERIES
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    got = sql(
+        spark,
+        sf_dir,
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus",
+    ).collect()
+    want = (
+        QUERIES["projection"](spark, sf_dir).sparkSession.read.parquet(
+            f"{sf_dir}/orders.parquet"
+        )
+        .groupBy("o_orderstatus")
+        .count()
+        .collect()
+    )
+    assert {(r["o_orderstatus"], r["n"]) for r in got} == {
+        (r["o_orderstatus"], r["count"]) for r in want
+    }
