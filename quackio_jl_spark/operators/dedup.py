@@ -1600,3 +1600,74 @@ def lsh_precision_audit(spark, sf_dir):
             / F.count(F.lit(1))
         ).alias("mean_jaccard"),
     )
+
+
+# ------------------------------------------------ simhash bit balance
+
+
+@query(
+    "simhash_bit_balance",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tv AS (
+      SELECT doc_id,
+        ('0x' || substr(md5(token), 1, 8))::BIGINT AS vhi,
+        ('0x' || substr(md5(token), 9, 8))::BIGINT AS vlo
+      FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, j,
+        SUM(CASE WHEN (vhi >> j) & 1 = 1 THEN 1 ELSE -1 END) AS shi,
+        SUM(CASE WHEN (vlo >> j) & 1 = 1 THEN 1 ELSE -1 END) AS slo
+      FROM tv, UNNEST(range({_WORD_BITS})) AS u(j)
+      GROUP BY doc_id, j
+    ),
+    t AS (SELECT COUNT(DISTINCT doc_id) AS n FROM bits),
+    b AS (
+      SELECT j + {_WORD_BITS} AS bit,
+        SUM(CASE WHEN shi > 0 THEN 1 ELSE 0 END) AS ones
+      FROM bits GROUP BY j
+      UNION ALL
+      SELECT j AS bit, SUM(CASE WHEN slo > 0 THEN 1 ELSE 0 END) AS ones
+      FROM bits GROUP BY j
+    )
+    SELECT CAST(bit AS INTEGER) AS bit,
+      CAST(ones AS BIGINT) AS n_ones,
+      ones / CAST(n AS DOUBLE) AS frac_ones,
+      abs(ones / CAST(n AS DOUBLE) - 0.5) AS bias
+    FROM b CROSS JOIN t
+    """,
+)
+def simhash_bit_balance(spark, sf_dir):
+    """Hash-health audit of the SimHash family: per bit position, the
+    fraction of documents with that bit set. An unbiased hash sits near
+    0.5 per bit; systematic bias (here: REAL on this tiny-vocabulary
+    synthetic corpus) concentrates signatures into few Hamming blocks
+    and quadratically inflates the candidate join — this audit is the
+    early warning that sized SIMHASH_MAX_BUCKET. Reuses the signature
+    pipeline, explodes the 64 bits over the DOC-count table (not the
+    token table — the explode dedup_simhash itself avoids), one 64-row
+    rollup."""
+    sig = dedup_simhash(spark, sf_dir)
+    t = F.broadcast(sig.agg(F.count(F.lit(1)).alias("n")))
+    bits = sig.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_WORD_BITS - 1))).alias("j"),
+        "simhash_hi",
+        "simhash_lo",
+    )
+    hi = bits.groupBy((F.col("j") + _WORD_BITS).alias("bit")).agg(
+        F.sum(F.expr("shiftright(simhash_hi, j) & 1")).alias("ones")
+    )
+    lo = bits.groupBy(F.col("j").alias("bit")).agg(
+        F.sum(F.expr("shiftright(simhash_lo, j) & 1")).alias("ones")
+    )
+    b = hi.unionAll(lo)
+    return b.crossJoin(t).select(
+        F.col("bit").cast("int").alias("bit"),
+        F.col("ones").cast("bigint").alias("n_ones"),
+        (F.col("ones") / F.col("n").cast("double")).alias("frac_ones"),
+        F.abs(F.col("ones") / F.col("n").cast("double") - 0.5).alias("bias"),
+    )

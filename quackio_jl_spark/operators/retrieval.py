@@ -313,3 +313,73 @@ def retrieval_query_likelihood(spark, sf_dir):
         .orderBy(F.col("ql_score").desc(), "doc_id")
         .limit(QL_TOPK)
     )
+
+
+# ------------------------------------------- reciprocal-rank fusion
+
+RRF_K = 60
+RRF_TOPK = 10
+
+
+def _rrf_oracle() -> str:
+    return f"""
+    WITH bm AS ({_bm25_oracle()}),
+    ql AS ({_ql_oracle()}),
+    br AS (
+      SELECT doc_id,
+        ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM bm
+    ),
+    qr AS (
+      SELECT doc_id,
+        ROW_NUMBER() OVER (ORDER BY ql_score DESC, doc_id) AS r
+      FROM ql
+    )
+    SELECT COALESCE(br.doc_id, qr.doc_id) AS doc_id,
+      round(COALESCE(1.0 / ({RRF_K} + br.r), 0)
+            + COALESCE(1.0 / ({RRF_K} + qr.r), 0), 10) AS rrf_score,
+      CAST(br.r AS BIGINT) AS bm25_rank,
+      CAST(qr.r AS BIGINT) AS ql_rank
+    FROM br FULL JOIN qr ON br.doc_id = qr.doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT {RRF_TOPK}
+    """
+
+
+@query("retrieval_rrf_fusion", oracle=_rrf_oracle())
+def retrieval_rrf_fusion(spark, sf_dir):
+    """Reciprocal Rank Fusion of the BM25 and query-likelihood rankers:
+    score(d) = sum over rankers of 1/({RRF_K} + rank_d) — the standard
+    zero-tuning hybrid-retrieval combiner (robust because it consumes
+    RANKS, not incomparable scores). Both input rankings are top-k
+    results (k={BM25_TOPK}) — the rank windows and the full-outer merge
+    run on 2k rows, so this composes for free on top of any number of
+    retrieval legs; at scale the legs themselves remain the only real
+    work. Docs missing from a leg contribute 0 from it."""
+    from pyspark.sql import Window as W
+
+    bm = bm25_topk(spark, sf_dir)
+    ql = retrieval_query_likelihood(spark, sf_dir)
+    br = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("r_bm"),
+    )
+    qr = ql.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("ql_score"), "doc_id"))
+        .alias("r_ql"),
+    )
+    fused = br.join(qr, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (RRF_K + F.col("r_bm")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("r_ql")), F.lit(0.0)),
+            10,
+        ).alias("rrf_score"),
+        F.col("r_bm").cast("bigint").alias("bm25_rank"),
+        F.col("r_ql").cast("bigint").alias("ql_rank"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(RRF_TOPK)

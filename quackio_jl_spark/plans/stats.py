@@ -2114,3 +2114,110 @@ def parttype_supplier_hhi(spark, sf_dir):
             F.max("t").alias("total_revenue"),
         )
     )
+
+
+# ------------------------------------------------ burstiness by type
+
+
+@query(
+    "events_burstiness_by_type",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+        epoch_us(ts) - epoch_us(lag(ts) OVER (
+          PARTITION BY event_type ORDER BY ts, event_id)) AS gap
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(gap) AS BIGINT) AS sg,
+        CAST(SUM(CAST(gap AS DECIMAL(38,0)) * CAST(gap AS DECIMAL(38,0)))
+             AS DOUBLE) AS sg2
+      FROM g WHERE gap IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type,
+      CAST(n AS BIGINT) AS n_gaps,
+      CAST(sg AS DOUBLE) / n / 1000000.0 AS mean_gap_s,
+      sqrt((sg2 - CAST(sg AS DOUBLE) * sg / n) / (n - 1))
+        / (CAST(sg AS DOUBLE) / n) AS cv,
+      (sqrt((sg2 - CAST(sg AS DOUBLE) * sg / n) / (n - 1))
+       - CAST(sg AS DOUBLE) / n)
+      / (sqrt((sg2 - CAST(sg AS DOUBLE) * sg / n) / (n - 1))
+         + CAST(sg AS DOUBLE) / n) AS burstiness
+    FROM s WHERE n >= 2
+    """,
+)
+def events_burstiness_by_type(spark, sf_dir):
+    """Interarrival burstiness per event type: coefficient of variation
+    of the gaps and the Goh-Barabasi burstiness index B =
+    (sigma-mu)/(sigma+mu) — B ~ 0 is Poisson traffic, B -> 1 is bursty
+    (retry storms, batch jobs behind a user-shaped event type), B < 0 is
+    pacemaker-regular. Gaps are exact integer microseconds from one
+    per-type lag window; the first moment is an exact int64 sum and the
+    second moment is an exact DECIMAL(38,0) sum (microsecond gaps square
+    past int64 — the functions/exact.py recipe, wide enough for
+    century-scale gaps), so both engines feed sqrt identical doubles.
+    One shuffle."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    g = e.select("event_type", gap.alias("gap")).filter(
+        F.col("gap").isNotNull()
+    )
+    s = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gap").cast("bigint").alias("sg"),
+        F.sum(
+            F.col("gap").cast("decimal(38,0)")
+            * F.col("gap").cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("sg2"),
+    )
+    n, sg, sg2 = F.col("n"), F.col("sg"), F.col("sg2")
+    mu = sg.cast("double") / n
+    sigma = F.sqrt((sg2 - sg.cast("double") * sg / n) / (n - 1))
+    return s.filter(n >= 2).select(
+        "event_type",
+        n.cast("bigint").alias("n_gaps"),
+        (mu / 1_000_000.0).alias("mean_gap_s"),
+        (sigma / mu).alias("cv"),
+        ((sigma - mu) / (sigma + mu)).alias("burstiness"),
+    )
+
+
+# --------------------------------------------- daily composition share
+
+
+@query(
+    "events_type_share_daily",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT day, SUM(n) AS tot FROM c GROUP BY day)
+    SELECT c.day, c.event_type,
+      CAST(n AS BIGINT) AS n_events,
+      n / CAST(tot AS DOUBLE) AS share
+    FROM c JOIN t USING (day)
+    """,
+)
+def events_type_share_daily(spark, sf_dir):
+    """Daily event-type composition shares — the stacked-area dashboard
+    series, and the input a composition-drift monitor diffs day-over-day
+    (a feed silently dropping one event type shows up here first). One
+    (day, type) aggregate; day totals rejoin as a broadcast; integer
+    counts with one division per cell."""
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy(
+        F.date_trunc("day", "ts").alias("day"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("day").agg(F.sum("n").alias("tot"))
+    return c.join(F.broadcast(t), "day").select(
+        "day",
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        (F.col("n") / F.col("tot").cast("double")).alias("share"),
+    )
