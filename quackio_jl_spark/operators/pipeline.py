@@ -1854,3 +1854,125 @@ def mixture_token_allocation(spark, sf_dir):
         .alias("allocation"),
         (wd * F.col("tstar") >= F.col("cap").cast("double")).alias("capped"),
     )
+
+
+# ------------------------------------------------ MLM mask assignment
+
+MLM_MASK_RATE = 0.15
+_H32 = 4294967296.0  # 2^32; md5-prefix fraction denominator
+
+
+@query(
+    "mlm_mask_assignment",
+    oracle=f"""
+    WITH pt AS (
+      SELECT doc_id, i AS pos,
+        ('0x' || substr(md5('mlm1|' || doc_id || '|' || i), 1, 8))::BIGINT
+          / {_H32} AS u1,
+        ('0x' || substr(md5('mlm2|' || doc_id || '|' || i), 1, 8))::BIGINT
+          / {_H32} AS u2
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        UNNEST(range(len(t))) AS u(i)
+    )
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      CAST(SUM(CASE WHEN u1 < {MLM_MASK_RATE} THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_masked,
+      CAST(SUM(CASE WHEN u1 < {MLM_MASK_RATE} AND u2 < 0.8 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_mask_token,
+      CAST(SUM(CASE WHEN u1 < {MLM_MASK_RATE} AND u2 >= 0.8 AND u2 < 0.9
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_random_token,
+      CAST(SUM(CASE WHEN u1 < {MLM_MASK_RATE} AND u2 >= 0.9 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_keep_token
+    FROM pt GROUP BY doc_id
+    """,
+)
+def mlm_mask_assignment(spark, sf_dir):
+    """BERT-style MLM masking plan: each token position draws two
+    REPRODUCIBLE uniforms from md5(salt|doc|pos) — u1 selects ~15% of
+    positions, u2 splits the selected into 80% [MASK] / 10% random-token
+    / 10% keep. Deterministic-hash randomness (the split_train_test /
+    shuffle_corpus recipe) means re-running the pipeline reproduces the
+    exact same masks — a property np.random never gives a distributed
+    job. Pure map over the exploded positions + one per-doc rollup; the
+    md5-prefix-over-2^32 fraction is bit-identical in both engines."""
+    d = table(spark, sf_dir, "documents")
+    pt = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+
+    def u(salt):
+        key = F.concat_ws(
+            "|", F.lit(salt), F.col("doc_id").cast("string"),
+            F.col("pos").cast("string"),
+        )
+        return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast(
+            "bigint"
+        ) / F.lit(_H32)
+
+    x = pt.select(
+        "doc_id", u("mlm1").alias("u1"), u("mlm2").alias("u2")
+    )
+    m = F.col("u1") < MLM_MASK_RATE
+    return x.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(m.cast("int")).cast("bigint").alias("n_masked"),
+        F.sum((m & (F.col("u2") < 0.8)).cast("int"))
+        .cast("bigint")
+        .alias("n_mask_token"),
+        F.sum((m & (F.col("u2") >= 0.8) & (F.col("u2") < 0.9)).cast("int"))
+        .cast("bigint")
+        .alias("n_random_token"),
+        F.sum((m & (F.col("u2") >= 0.9)).cast("int"))
+        .cast("bigint")
+        .alias("n_keep_token"),
+    )
+
+
+# ------------------------------------------------- FIM split points
+
+
+@query(
+    "fim_split_points",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+        ('0x' || substr(md5('fim-a|' || doc_id), 1, 8))::BIGINT / {_H32} AS ua,
+        ('0x' || substr(md5('fim-b|' || doc_id), 1, 8))::BIGINT / {_H32} AS ub
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(floor(least(ua, ub) * n_chars) AS BIGINT) AS prefix_len,
+      CAST(floor(greatest(ua, ub) * n_chars)
+           - floor(least(ua, ub) * n_chars) AS BIGINT) AS middle_len,
+      CAST(n_chars - floor(greatest(ua, ub) * n_chars) AS BIGINT)
+        AS suffix_len
+    FROM u
+    """,
+)
+def fim_split_points(spark, sf_dir):
+    """Fill-in-the-middle (FIM) split plan: two reproducible uniforms per
+    document cut it into prefix | middle | suffix character spans (the
+    PSM/SPM training transform for infilling models). Same deterministic
+    md5-hash randomness as mlm_mask_assignment, so shards re-derive
+    identical splits with no coordination and the three lengths always
+    sum exactly to n_chars. Zero-shuffle map."""
+    d = table(spark, sf_dir, "documents")
+
+    def u(salt):
+        key = F.concat_ws("|", F.lit(salt), F.col("doc_id").cast("string"))
+        return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast(
+            "bigint"
+        ) / F.lit(_H32)
+
+    x = d.select(
+        "doc_id", "n_chars", u("fim-a").alias("ua"), u("fim-b").alias("ub")
+    )
+    lo = F.floor(F.least("ua", "ub") * F.col("n_chars"))
+    hi = F.floor(F.greatest("ua", "ub") * F.col("n_chars"))
+    return x.select(
+        "doc_id",
+        lo.cast("bigint").alias("prefix_len"),
+        (hi - lo).cast("bigint").alias("middle_len"),
+        (F.col("n_chars") - hi).cast("bigint").alias("suffix_len"),
+    )

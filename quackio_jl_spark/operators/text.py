@@ -1875,3 +1875,84 @@ def tokenize_with_vocab(spark, sf_dir):
         ).alias("token_ids"),
         F.sum("oov").cast("bigint").alias("n_oov"),
     )
+
+
+# ------------------------------------------------ dataset card summary
+
+
+@query(
+    "dataset_card_summary",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
+        AS mean_doc_tokens,
+      SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)
+        AS frac_en
+    FROM documents
+    """,
+)
+def dataset_card_summary(spark, sf_dir):
+    """The one-row dataset-card header: corpus size in docs/tokens/chars,
+    language and source cardinalities, mean document length, English
+    fraction — the summary block every released dataset ships (pair with
+    source_quality_report, dedup_rate_by_source and corpus_zipf_fit for
+    the full card). Single scan, single 1-row aggregate; distinct counts
+    are exact (small cardinalities — swap approx_count_distinct past
+    ~10^6 groups)."""
+    d = table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " ")).cast("bigint")
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(ntok).cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        (F.sum(ntok).cast("double") / F.count(F.lit(1))).alias(
+            "mean_doc_tokens"
+        ),
+        (
+            F.sum((F.col("lang") == "en").cast("int"))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("frac_en"),
+    )
+
+
+# -------------------------------------------- tokenizer fertility
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle=r"""
+    SELECT lang,
+      CAST(SUM(len(regexp_extract_all(text,
+        '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS n_bpe_tokens,
+      CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+      CAST(SUM(len(regexp_extract_all(text,
+        '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS DOUBLE)
+        / SUM(len(string_split(text, ' '))) AS fertility
+    FROM documents GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility per language: pre-tokenizer tokens per
+    whitespace word (the text_bpe_token_count regex over the
+    text_token_stats denominator) — THE fairness metric for multilingual
+    tokenizers (fertility 2x on one language doubles its effective
+    sequence length and halves its effective context). Map-side regex
+    counts, one tiny per-lang rollup, exact integer sums into one
+    division."""
+    d = table(spark, sf_dir, "documents")
+    pat = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+    bpe = F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).cast(
+        "bigint"
+    )
+    words = F.size(F.split("text", " ")).cast("bigint")
+    return d.groupBy("lang").agg(
+        F.sum(bpe).cast("bigint").alias("n_bpe_tokens"),
+        F.sum(words).cast("bigint").alias("n_words"),
+        (F.sum(bpe).cast("double") / F.sum(words)).alias("fertility"),
+    )
