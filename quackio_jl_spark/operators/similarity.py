@@ -681,3 +681,58 @@ def ann_search_multiprobe(spark, sf_dir):
         scored.select("qid", "vec_id", "cos_sim", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# ------------------------------------------- grid-quantized duplicates
+
+GRID_QUANT_SCALE = 2  # cells of width 0.5 per dimension
+
+
+@query(
+    "embedding_grid_duplicates",
+    oracle=f"""
+    WITH k AS (
+      SELECT vec_id, label,
+        md5(array_to_string(list_transform(embedding,
+          x -> CAST(CAST(round(CAST(x AS DOUBLE) * {GRID_QUANT_SCALE}, 0)
+                         AS BIGINT) AS VARCHAR)), ',')) AS grid_key
+      FROM embeddings
+    )
+    SELECT grid_key,
+      CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      CAST(MIN(vec_id) AS BIGINT) AS canonical_vec_id,
+      CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+    FROM k GROUP BY grid_key HAVING COUNT(*) > 1
+    """,
+)
+def embedding_grid_duplicates(spark, sf_dir):
+    """Grid-quantized near-identical vector buckets: every dimension
+    snaps to a 1/{GRID_QUANT_SCALE}-wide cell, the cell-coordinate tuple
+    md5s into a blocking key, and buckets with >1 vector surface
+    re-exported / near-copy embeddings (n_labels > 1 inside a bucket is
+    the mislabel alarm). Quantized coordinates are exact INTEGERS
+    rendered to strings — no double-formatting dependence — so the one
+    16-byte-key shuffle is bit-identical in both engines. This is the
+    degenerate (single-cell) case of LSH blocking: candidates only,
+    exactness by construction at the cell width."""
+    e = table(spark, sf_dir, "embeddings")
+    key = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * GRID_QUANT_SCALE, 0)
+                .cast("bigint")
+                .cast("string"),
+            ),
+        )
+    )
+    return (
+        e.groupBy(key.alias("grid_key"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.min("vec_id").cast("bigint").alias("canonical_vec_id"),
+            F.count_distinct("label").cast("bigint").alias("n_labels"),
+        )
+        .filter(F.col("n_vecs") > 1)
+    )

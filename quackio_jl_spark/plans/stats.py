@@ -2221,3 +2221,169 @@ def events_type_share_daily(spark, sf_dir):
         F.col("n").cast("bigint").alias("n_events"),
         (F.col("n") / F.col("tot").cast("double")).alias("share"),
     )
+
+
+# ------------------------------------------------ per-doc n-gram novelty
+
+
+@query(
+    "ngram_novelty_score",
+    oracle=f"""
+    WITH ds AS (
+      SELECT DISTINCT doc_id,
+        md5(array_to_string(w[i:i + {SHINGLE_N - 1}], ' ')) AS sh
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM documents),
+        UNNEST(generate_series(1, len(w) - {SHINGLE_N - 1})) AS u(i)
+    ),
+    df AS (SELECT sh, COUNT(*) AS n_docs_sh FROM ds GROUP BY sh)
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      CAST(SUM(CASE WHEN n_docs_sh > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_shared,
+      1.0 - SUM(CASE WHEN n_docs_sh > 1 THEN 1 ELSE 0 END)
+            / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM ds JOIN df USING (sh)
+    GROUP BY doc_id
+    """,
+)
+def ngram_novelty_score(spark, sf_dir):
+    """Per-document novelty: the fraction of a document's {SHINGLE_N}-word
+    shingles that appear in NO other document — the document-level drill-
+    down of doc_shingle_dup_coverage and the ranking signal that keeps
+    the most-original copy when near-dup clusters pick a survivor.
+    Shingle document-frequency is one md5-key shuffle; the per-doc
+    rollup is the second; integer counts, one division."""
+    d = table(spark, sf_dir, "documents")
+    ds = (
+        d.select(F.col("doc_id"), F.split(F.lower("text"), " ").alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(w) >= {SHINGLE_N} THEN "
+                    f"transform(sequence(1, size(w) - {SHINGLE_N - 1}), "
+                    f"i -> md5(array_join(slice(w, i, {SHINGLE_N}), ' '))) "
+                    f"ELSE array() END"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    df_ = ds.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs_sh"))
+    shared = (F.col("n_docs_sh") > 1).cast("int")
+    return (
+        ds.join(df_, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(shared).cast("bigint").alias("n_shared"),
+            (1.0 - F.sum(shared) / F.count(F.lit(1)).cast("double")).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------- basket size histogram
+
+
+@query(
+    "order_basket_size_hist",
+    oracle="""
+    WITH b AS (
+      SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(n_items AS INTEGER) AS basket_size,
+      CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM b GROUP BY n_items
+    """,
+)
+def order_basket_size_hist(spark, sf_dir):
+    """Basket-size histogram (line items per order) — the fan-out profile
+    that sizes the orders-lineitem join at capacity-planning time and
+    feeds market-basket support thresholds. Two partial-aggregated
+    shuffles, the second over the handful of distinct basket sizes."""
+    li = table(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    return b.groupBy(
+        F.col("n_items").cast("int").alias("basket_size")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+
+
+# ------------------------------------------- session entry/exit pairs
+
+
+@query(
+    "session_entry_exit_types",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS NULL
+          OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id))
+             > {CONC_GAP_MIN} * 60 * 1000000
+        THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ),
+    ee AS (
+      SELECT user_id, sid,
+        min_by(event_type, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || '|' || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+          AS entry_type,
+        max_by(event_type, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || '|' || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+          AS exit_type
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT entry_type, exit_type, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM ee GROUP BY entry_type, exit_type
+    """,
+)
+def session_entry_exit_types(spark, sf_dir):
+    """Entry/exit behavior: how sessions begin and end, counted over the
+    (first event type, last event type) pair per 30-min-gap session —
+    the landing/abandonment matrix product teams read next to the funnel
+    ops. First/last are deterministic min_by/max_by on the (ts, event_id)
+    order key (a struct in Spark, a zero-padded string in the oracle —
+    the same total order); sessionization shares the established per-user window;
+    the final matrix is a |types|^2 aggregate."""
+    e = table(spark, sf_dir, "events")
+    gap_us = CONC_GAP_MIN * 60 * 1_000_000
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    g = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(wu).isNull()
+            | (us - F.unix_micros(F.lag("ts").over(wu)) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    s = g.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_s").over(wu.rowsBetween(W.unboundedPreceding, 0)).alias("sid"),
+    )
+    key = F.struct("ts", "event_id")
+    ee = s.groupBy("user_id", "sid").agg(
+        F.min_by("event_type", key).alias("entry_type"),
+        F.max_by("event_type", key).alias("exit_type"),
+    )
+    return ee.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
