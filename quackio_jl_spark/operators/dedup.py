@@ -1671,3 +1671,60 @@ def simhash_bit_balance(spark, sf_dir):
         (F.col("ones") / F.col("n").cast("double")).alias("frac_ones"),
         F.abs(F.col("ones") / F.col("n").cast("double") - 0.5).alias("bias"),
     )
+
+
+# --------------------------------------------- simhash block skew audit
+
+
+@query(
+    "simhash_block_size_hist",
+    oracle=f"""
+    WITH {_SIMHASH_SQL},
+    blocks AS (
+      SELECT doc_id, b,
+        CASE WHEN b < 2 THEN (lo >> ({_BLOCK_BITS} * b)) & {(1 << _BLOCK_BITS) - 1}
+             ELSE (hi >> ({_BLOCK_BITS} * (b - 2))) & {(1 << _BLOCK_BITS) - 1} END AS key
+      FROM sig, UNNEST(range({_N_BLOCKS})) AS u(b)
+    ),
+    bs AS (SELECT b, key, COUNT(*) AS n FROM blocks GROUP BY b, key)
+    SELECT CAST(n AS BIGINT) AS bucket_size,
+      CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      n > {SIMHASH_MAX_BUCKET} AS over_cap
+    FROM bs GROUP BY n
+    """,
+)
+def simhash_block_size_hist(spark, sf_dir):
+    """Block-bucket size distribution for the Manku Hamming join — the
+    skew evidence behind SIMHASH_MAX_BUCKET (candidate pairs grow as
+    bucket_size^2/2, so the tail of this histogram IS the join cost
+    model; over_cap marks buckets the pair generator drops). Pairs with
+    simhash_bit_balance: bit bias is the cause, this is the effect. Two
+    partial-aggregated shuffles over 16-byte keys."""
+    sig = dedup_simhash(spark, sf_dir)
+    mask = (1 << _BLOCK_BITS) - 1
+    block_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.expr(
+                    f"(simhash_lo >> {_BLOCK_BITS * b}) & {mask}"
+                    if b < 2
+                    else f"(simhash_hi >> {_BLOCK_BITS * (b - 2)}) & {mask}"
+                ).alias("key"),
+            )
+            for b in range(_N_BLOCKS)
+        ]
+    )
+    bs = (
+        sig.select(F.explode(block_keys).alias("bk"))
+        .select(F.col("bk.b").alias("b"), F.col("bk.key").alias("key"))
+        .groupBy("b", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return bs.groupBy(F.col("n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets")
+    ).select(
+        F.col("n").cast("bigint").alias("bucket_size"),
+        "n_buckets",
+        (F.col("n") > SIMHASH_MAX_BUCKET).alias("over_cap"),
+    )

@@ -383,3 +383,109 @@ def retrieval_rrf_fusion(spark, sf_dir):
         F.col("r_ql").cast("bigint").alias("ql_rank"),
     )
     return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(RRF_TOPK)
+
+
+# ----------------------------------------------------- nDCG evaluation
+
+
+def _ndcg_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in QL_TERMS)
+    rel = f"""
+    rel AS (
+      SELECT doc_id, COUNT(*) AS rel
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      WHERE term IN ({terms}) GROUP BY doc_id
+    ),
+    ideal AS (
+      SELECT CAST(SUM(CAST(round(rel / log2(rnk + 1), 10)
+                     AS DECIMAL(28,10))) AS DOUBLE) AS idcg
+      FROM (SELECT rel,
+              ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rnk
+            FROM rel)
+      WHERE rnk <= {BM25_TOPK}
+    )"""
+    leg = """
+    SELECT '{name}' AS ranker,
+      CAST(SUM(CAST(round(COALESCE(rel.rel, 0) / log2(r.rnk + 1), 10)
+                    AS DECIMAL(28,10))) AS DOUBLE) AS dcg,
+      MAX(idcg) AS idcg,
+      CAST(SUM(CAST(round(COALESCE(rel.rel, 0) / log2(r.rnk + 1), 10)
+                    AS DECIMAL(28,10))) AS DOUBLE) / MAX(idcg) AS ndcg
+    FROM (SELECT doc_id,
+            ROW_NUMBER() OVER (ORDER BY {score} DESC, doc_id) AS rnk
+          FROM {src}) r
+    LEFT JOIN rel USING (doc_id) CROSS JOIN ideal"""
+    return f"""
+    WITH bm AS ({_bm25_oracle()}),
+    ql AS ({_ql_oracle()}),
+    {rel}
+    {leg.format(name='bm25', score='bm25', src='bm')}
+    UNION ALL
+    {leg.format(name='query_likelihood', score='ql_score', src='ql')}
+    """
+
+
+@query("retrieval_ndcg_at_k", oracle=_ndcg_oracle())
+def retrieval_ndcg_at_k(spark, sf_dir):
+    """nDCG@k for the BM25 and query-likelihood rankers against a
+    term-frequency pseudo-relevance (rel(d) = total query-term
+    occurrences) — the ranking-quality harness pattern: swap in human
+    labels and the plan is production eval. DCG discounts each ranked
+    doc by log2(rank+1); the ideal ordering (rel desc) normalizes. Both
+    rankings are k rows, relevance joins by doc key, and contributions
+    round-then-decimal-sum, so the two nDCG numbers are bit-stable and
+    directly comparable."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    rel = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t.isin(QL_TERMS))
+            ).alias("term"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("rel"))
+    )
+    ideal_contrib = F.round(
+        F.col("rel") / F.log2(F.col("rnk") + 1), 10
+    ).cast("decimal(28,10)")
+    ideal = F.broadcast(
+        rel.select(
+            "rel",
+            F.row_number()
+            .over(W.orderBy(F.desc("rel"), "doc_id"))
+            .alias("rnk"),
+        )
+        .filter(F.col("rnk") <= BM25_TOPK)
+        .agg(F.sum(ideal_contrib).cast("double").alias("idcg"))
+    )
+
+    def leg(name, src, score):
+        r = src.select(
+            "doc_id",
+            F.row_number().over(W.orderBy(F.desc(score), "doc_id")).alias("rnk"),
+        )
+        contrib = F.round(
+            F.coalesce("rel", F.lit(0)) / F.log2(F.col("rnk") + 1), 10
+        ).cast("decimal(28,10)")
+        return (
+            r.join(rel, "doc_id", "left")
+            .crossJoin(ideal)
+            .agg(
+                F.sum(contrib).cast("double").alias("dcg"),
+                F.max("idcg").alias("idcg"),
+                (F.sum(contrib).cast("double") / F.max("idcg")).alias("ndcg"),
+            )
+            .select(F.lit(name).alias("ranker"), "dcg", "idcg", "ndcg")
+        )
+
+    return leg("bm25", bm25_topk(spark, sf_dir), "bm25").unionAll(
+        leg(
+            "query_likelihood",
+            retrieval_query_likelihood(spark, sf_dir),
+            "ql_score",
+        )
+    )

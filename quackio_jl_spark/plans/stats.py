@@ -2387,3 +2387,104 @@ def session_entry_exit_types(spark, sf_dir):
     return ee.groupBy("entry_type", "exit_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sessions")
     )
+
+
+# ----------------------------------------------- business-rule checks
+
+
+@query(
+    "business_rule_violations",
+    oracle="""
+    SELECT 'lineitem_discount_range' AS rule,
+      CAST(COUNT(*) AS BIGINT) AS n_checked,
+      CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+      SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+        / CAST(COUNT(*) AS DOUBLE) AS violation_rate
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_tax_range',
+      CAST(COUNT(*) AS BIGINT),
+      CAST(SUM(CASE WHEN l_tax < 0 OR l_tax > 0.08 THEN 1 ELSE 0 END)
+           AS BIGINT),
+      SUM(CASE WHEN l_tax < 0 OR l_tax > 0.08 THEN 1 ELSE 0 END)
+        / CAST(COUNT(*) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_quantity_range',
+      CAST(COUNT(*) AS BIGINT),
+      CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+           AS BIGINT),
+      SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+        / CAST(COUNT(*) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_positive_total',
+      CAST(COUNT(*) AS BIGINT),
+      CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+      SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        / CAST(COUNT(*) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'ship_not_before_order',
+      CAST(COUNT(*) AS BIGINT),
+      CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+           AS BIGINT),
+      SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+        / CAST(COUNT(*) AS DOUBLE)
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    """,
+)
+def business_rule_violations(spark, sf_dir):
+    """Declarative data-quality rule report (the dbt-test / Great-
+    Expectations shape): each business rule — range constraints on
+    discount/tax/quantity/price plus the cross-table temporal rule
+    "ship date never precedes order date" — contributes one row of
+    checked/violated counts. Single-table rules are conditional sums
+    inside ONE scan each (Catalyst merges the three lineitem rules'
+    scans under exchange reuse when unioned); the temporal rule is the
+    only join. Extending the rulebook = appending a (name, predicate)
+    row — the report schema never changes."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+
+    def rule(name, df, bad):
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+            F.sum(bad.cast("int")).cast("bigint").alias("n_violations"),
+            (F.sum(bad.cast("int")) / F.count(F.lit(1)).cast("double")).alias(
+                "violation_rate"
+            ),
+        ).select("rule", "n_checked", "n_violations", "violation_rate")
+
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    return (
+        rule(
+            "lineitem_discount_range",
+            li,
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+        )
+        .unionAll(
+            rule(
+                "lineitem_tax_range",
+                li,
+                (F.col("l_tax") < 0) | (F.col("l_tax") > 0.08),
+            )
+        )
+        .unionAll(
+            rule(
+                "lineitem_quantity_range",
+                li,
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+            )
+        )
+        .unionAll(rule("orders_positive_total", o, F.col("o_totalprice") <= 0))
+        .unionAll(
+            rule(
+                "ship_not_before_order",
+                joined,
+                F.col("l_shipdate") < F.col("o_orderdate"),
+            )
+        )
+    )
