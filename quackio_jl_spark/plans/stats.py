@@ -2488,3 +2488,99 @@ def business_rule_violations(spark, sf_dir):
             )
         )
     )
+
+
+# ------------------------------------------- multi-touch attribution
+
+ATTR_WINDOW_MIN = 60
+
+
+@query(
+    "attribution_linear_multitouch",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS pts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'
+    )
+    SELECT purchase_id,
+      CAST(COUNT(*) AS BIGINT) AS n_touches,
+      MAX(value) AS purchase_value,
+      MAX(value) / COUNT(*) AS credit_per_touch
+    FROM p JOIN c ON c.user_id = p.user_id
+      AND c.cts <= p.pts
+      AND c.cts > p.pts - INTERVAL {ATTR_WINDOW_MIN} MINUTES
+    GROUP BY purchase_id
+    """,
+)
+def attribution_linear_multitouch(spark, sf_dir):
+    """Linear multi-touch attribution: each purchase's value splits
+    equally across every click by the same user in the preceding
+    {ATTR_WINDOW_MIN} minutes — the many-touch generalization of
+    asof_join_purchase_click's last-touch model. The range join is an
+    equi-join on user_id with the time band as a post-join filter
+    (co-partitioned by the user shuffle, never a cartesian; at scale add
+    coarse time-bucket keys to the join like range_join_close_events).
+    Counts are exact; one division yields the per-touch credit."""
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    win = F.expr(f"INTERVAL {ATTR_WINDOW_MIN} MINUTES")
+    j = p.join(
+        c,
+        (p.user_id == c.user_id)
+        & (c.cts <= p.pts)
+        & (c.cts > p.pts - win),
+    )
+    return j.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.max("value").alias("purchase_value"),
+        (F.max("value") / F.count(F.lit(1))).alias("credit_per_touch"),
+    )
+
+
+# ------------------------------------------------- timezone rendering
+
+
+@query(
+    "timezone_pack",
+    oracle="""
+    SELECT event_id,
+      CAST(hour(ts) AS INTEGER) AS hr_utc,
+      CAST(hour(CAST(ts AS TIMESTAMPTZ) AT TIME ZONE 'America/New_York')
+           AS INTEGER) AS hr_nyc,
+      CAST(hour(CAST(ts AS TIMESTAMPTZ) AT TIME ZONE 'Asia/Tokyo')
+           AS INTEGER) AS hr_tokyo,
+      CAST(CAST(ts AS TIMESTAMPTZ) AT TIME ZONE 'America/New_York'
+           AS TIMESTAMP) AS ts_nyc
+    FROM events WHERE event_id % 100 = 0
+    """,
+)
+def timezone_pack(spark, sf_dir):
+    """Timezone-rendering parity: the same UTC instant rendered in
+    UTC / New York / Tokyo wall-clock (hour extraction + full local
+    timestamp). Both engines resolve zones through the IANA tzdb —
+    Spark's from_utc_timestamp == DuckDB's ::TIMESTAMPTZ AT TIME ZONE
+    under the pinned-UTC sessions (session.py; the oracle connection
+    inherits the container's UTC). Winter dates exercise the EST offset;
+    zone rules, not arithmetic, are the thing under test. Pure map,
+    sampled 1-in-100 by key for a bounded result."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
+    nyc = F.from_utc_timestamp("ts", "America/New_York")
+    tokyo = F.from_utc_timestamp("ts", "Asia/Tokyo")
+    return e.select(
+        "event_id",
+        F.hour("ts").cast("int").alias("hr_utc"),
+        F.hour(nyc).cast("int").alias("hr_nyc"),
+        F.hour(tokyo).cast("int").alias("hr_tokyo"),
+        nyc.alias("ts_nyc"),
+    )
