@@ -2584,3 +2584,172 @@ def timezone_pack(spark, sf_dir):
         F.hour(tokyo).cast("int").alias("hr_tokyo"),
         nyc.alias("ts_nyc"),
     )
+
+
+# ------------------------------------------ k-anonymity generalization
+
+
+@query(
+    "k_anonymity_ladder",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+        CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS b1,
+        CAST(floor(c_acctbal / 5000.0) AS BIGINT) AS b5
+      FROM customer
+    ),
+    g0 AS (SELECT c_nationkey, c_mktsegment, b1, COUNT(*) AS k0
+           FROM c GROUP BY 1, 2, 3),
+    g1 AS (SELECT c_nationkey, c_mktsegment, b5, COUNT(*) AS k1
+           FROM c GROUP BY 1, 2, 3),
+    g2 AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS k2
+           FROM c GROUP BY 1, 2),
+    g3 AS (SELECT c_mktsegment, COUNT(*) AS k3 FROM c GROUP BY 1),
+    lv AS (
+      SELECT c.c_custkey,
+        CASE WHEN k0 >= {K_ANON_THRESHOLD} THEN 0
+             WHEN k1 >= {K_ANON_THRESHOLD} THEN 1
+             WHEN k2 >= {K_ANON_THRESHOLD} THEN 2
+             WHEN k3 >= {K_ANON_THRESHOLD} THEN 3
+             ELSE 4 END AS level
+      FROM c
+      JOIN g0 USING (c_nationkey, c_mktsegment, b1)
+      JOIN g1 USING (c_nationkey, c_mktsegment, b5)
+      JOIN g2 USING (c_nationkey, c_mktsegment)
+      JOIN g3 USING (c_mktsegment)
+    )
+    SELECT CAST(level AS INTEGER) AS level,
+      CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lv GROUP BY level
+    """,
+)
+def k_anonymity_ladder(spark, sf_dir):
+    """k-anonymity generalization ladder: each row gets the FINEST
+    quasi-identifier granularity at which its equivalence class reaches
+    k={K_ANON_THRESHOLD} — level 0 = (nation, segment, $1k balance
+    band), 1 = $5k band, 2 = drop the balance, 3 = segment only, 4 =
+    never safe. This is the actionable sequel to k_anonymity_report:
+    instead of "X% of rows are exposed", it says exactly how much
+    coarsening each row needs. Four group-size aggregates broadcast back
+    onto the row stream; the level pick is one CASE; output is the
+    5-row adoption histogram."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("b1"),
+        F.floor(F.col("c_acctbal") / 5000.0).cast("bigint").alias("b5"),
+    )
+    g0 = c.groupBy("c_nationkey", "c_mktsegment", "b1").agg(
+        F.count(F.lit(1)).alias("k0")
+    )
+    g1 = c.groupBy("c_nationkey", "c_mktsegment", "b5").agg(
+        F.count(F.lit(1)).alias("k1")
+    )
+    g2 = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("k2")
+    )
+    g3 = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("k3"))
+    k = K_ANON_THRESHOLD
+    level = (
+        F.when(F.col("k0") >= k, 0)
+        .when(F.col("k1") >= k, 1)
+        .when(F.col("k2") >= k, 2)
+        .when(F.col("k3") >= k, 3)
+        .otherwise(4)
+    )
+    lv = (
+        c.join(F.broadcast(g0), ["c_nationkey", "c_mktsegment", "b1"])
+        .join(F.broadcast(g1), ["c_nationkey", "c_mktsegment", "b5"])
+        .join(F.broadcast(g2), ["c_nationkey", "c_mktsegment"])
+        .join(F.broadcast(g3), ["c_mktsegment"])
+        .select(level.alias("level"))
+    )
+    return lv.groupBy(F.col("level").cast("int").alias("level")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+
+
+# ------------------------------------- recency-weighted engagement
+
+DECAY_HALF_LIFE_DAYS = 7.0
+
+
+@query(
+    "user_recency_weighted_engagement",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events)
+    SELECT user_id,
+      CAST(SUM(CAST(round(value * exp(-ln(2)
+          * date_diff('day', CAST(ts AS DATE), CAST(m AS DATE))
+          / {DECAY_HALF_LIFE_DAYS}), 8) AS DECIMAL(28,10))) AS DOUBLE)
+        AS engagement,
+      CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events CROSS JOIN mx
+    GROUP BY user_id
+    """,
+)
+def user_recency_weighted_engagement(spark, sf_dir):
+    """Exponentially time-decayed engagement score per user (half-life
+    {DECAY_HALF_LIFE_DAYS} days against the corpus high-water mark) —
+    the recency-aware ranking feature feeding recommendation and churn
+    models, where a raw SUM over-credits ancient activity. Age is
+    integer days; each value*2^(-age/hl) contribution is IEEE-computed
+    per row, rounded, and decimal-summed (exp's last-ulp engine
+    differences are absorbed by the rounding — same recipe as the
+    entropy ops). One broadcast max + one user rollup."""
+    e = table(spark, sf_dir, "events")
+    mx = F.broadcast(e.agg(F.max("ts").alias("m")))
+    age = F.datediff("m", "ts")
+    import math
+
+    w = F.exp(-math.log(2) * age / DECAY_HALF_LIFE_DAYS)
+    contrib = F.round(F.col("value") * w, 8).cast("decimal(28,10)")
+    return (
+        e.crossJoin(mx)
+        .groupBy("user_id")
+        .agg(
+            F.sum(contrib).cast("double").alias("engagement"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+# ------------------------------------------------ daily KPI scorecard
+
+
+@query(
+    "events_daily_scorecard",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      {_d('value')} AS total_value,
+      SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        / CAST(COUNT(*) AS DOUBLE) AS error_share,
+      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        / CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS purchases_per_user
+    FROM events GROUP BY 1
+    """,
+)
+def events_daily_scorecard(spark, sf_dir):
+    """The daily KPI scorecard row: volume, unique users, exact total
+    value, error share, purchases per active user — the one aggregate a
+    morning dashboard reads. COUNT(DISTINCT) is exact per day here; at
+    whale scale the same plan swaps in approx_count_distinct (HLL) with
+    the error bound gated in tests. One shuffle on day (the distinct
+    expands it to two internally); decimal-exact value sum."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        (
+            F.sum((F.col("event_type") == "error").cast("int"))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("error_share"),
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            / F.count_distinct("user_id").cast("double")
+        ).alias("purchases_per_user"),
+    )
