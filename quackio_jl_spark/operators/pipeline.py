@@ -1976,3 +1976,136 @@ def fim_split_points(spark, sf_dir):
         (hi - lo).cast("bigint").alias("middle_len"),
         (F.col("n_chars") - hi).cast("bigint").alias("suffix_len"),
     )
+
+
+# -------------------------------------------- overlapping RAG chunks
+
+OVL_CHUNK_TOKENS = 30
+OVL_STRIDE = 15
+
+
+@query(
+    "chunk_documents_overlapping",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    )
+    SELECT doc_id,
+      CAST(i AS INTEGER) AS chunk_idx,
+      CAST(i * {OVL_STRIDE} AS BIGINT) AS start_tok,
+      CAST(least(i * {OVL_STRIDE} + {OVL_CHUNK_TOKENS}, len(w)) AS BIGINT)
+        AS end_tok,
+      md5(array_to_string(
+        w[i * {OVL_STRIDE} + 1 :
+          least(i * {OVL_STRIDE} + {OVL_CHUNK_TOKENS}, len(w))], ' '))
+        AS chunk_md5
+    FROM t, UNNEST(range(CAST(
+      CASE WHEN len(w) <= {OVL_CHUNK_TOKENS} THEN 1
+           ELSE ceil((len(w) - {OVL_CHUNK_TOKENS})
+                     / CAST({OVL_STRIDE} AS DOUBLE)) + 1 END AS BIGINT)))
+      AS u(i)
+    """,
+)
+def chunk_documents_overlapping(spark, sf_dir):
+    """Sliding-window chunking with overlap ({OVL_CHUNK_TOKENS}-token
+    chunks, {OVL_STRIDE}-token stride) — the RAG-ingestion chunker where
+    chunk_documents' disjoint splits would cut answers in half at
+    boundaries. Chunk count per doc is a closed form of its length, so
+    the explode is a JVM-side sequence (no UDF); chunk content is
+    verified by md5 over the exact token slice rather than shipping the
+    text twice. Zero shuffles — a pure map — and chunk ids are
+    deterministic (doc_id, chunk_idx)."""
+    d = table(spark, sf_dir, "documents")
+    n_chunks = (
+        f"CASE WHEN size(w) <= {OVL_CHUNK_TOKENS} THEN 1 "
+        f"ELSE CAST(ceil((size(w) - {OVL_CHUNK_TOKENS}) / "
+        f"CAST({OVL_STRIDE} AS DOUBLE)) AS INT) + 1 END"
+    )
+    t = d.select("doc_id", F.split("text", " ").alias("w"))
+    x = t.select(
+        "doc_id",
+        "w",
+        F.explode(F.expr(f"sequence(0, {n_chunks} - 1)")).alias("i"),
+    )
+    start = F.col("i") * OVL_STRIDE
+    end = F.least(start + OVL_CHUNK_TOKENS, F.size("w"))
+    return x.select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_idx"),
+        start.cast("bigint").alias("start_tok"),
+        end.cast("bigint").alias("end_tok"),
+        F.md5(
+            F.array_join(
+                F.slice(F.col("w"), start + 1, end - start), " "
+            )
+        ).alias("chunk_md5"),
+    )
+
+
+# ----------------------------------- skip-gram negative sampling table
+
+NEG_SAMPLE_POW = 0.75
+
+
+@query(
+    "skipgram_negative_sampling_weights",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT token, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      ) GROUP BY token
+    ),
+    v AS (
+      SELECT token, n,
+        CAST(round(pow(CAST(n AS DOUBLE), {NEG_SAMPLE_POW}), 6)
+             AS DECIMAL(28,6)) AS w6,
+        CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rnk
+      FROM cnt
+    ),
+    top AS (SELECT * FROM v WHERE rnk <= 200),
+    z AS (SELECT SUM(w6) AS z FROM top)
+    SELECT token, CAST(n AS BIGINT) AS n,
+      CAST(w6 AS DOUBLE) / CAST(z AS DOUBLE) AS neg_sample_prob
+    FROM top CROSS JOIN z
+    """,
+)
+def skipgram_negative_sampling_weights(spark, sf_dir):
+    """word2vec negative-sampling distribution: unigram counts raised to
+    the 3/4 power, normalized over the top-200 vocabulary — the table a
+    skip-gram trainer draws negatives from (the 0.75 exponent flattens
+    the head so frequent words don't dominate). pow's last-ulp engine
+    variance is rounded away at 6 decimals BEFORE normalization, and the
+    normalizer is an exact DECIMAL sum of those rounded weights, so
+    every probability is bit-stable. One count shuffle + a vocab-sized
+    window."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w6 = F.round(F.pow(F.col("n").cast("double"), NEG_SAMPLE_POW), 6).cast(
+        "decimal(28,6)"
+    )
+    top = (
+        cnt.select(
+            "token",
+            "n",
+            w6.alias("w6"),
+            F.row_number()
+            .over(W.orderBy(F.col("n").desc(), "token"))
+            .cast("bigint")
+            .alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 200)
+    )
+    z = F.broadcast(top.agg(F.sum("w6").alias("z")))
+    return top.crossJoin(z).select(
+        "token",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("w6").cast("double") / F.col("z").cast("double")).alias(
+            "neg_sample_prob"
+        ),
+    )

@@ -1956,3 +1956,55 @@ def tokenizer_fertility_by_lang(spark, sf_dir):
         F.sum(words).cast("bigint").alias("n_words"),
         (F.sum(bpe).cast("double") / F.sum(words)).alias("fertility"),
     )
+
+
+# ------------------------------------------------ code-likeness screen
+
+
+@query(
+    "doc_code_likeness",
+    oracle=r"""
+    SELECT doc_id,
+      CAST(length(text)
+           - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+           AS BIGINT) AS n_symbols,
+      CAST(length(text) - length(replace(text, ';', ''))
+           + length(text) - length(replace(text, '{', ''))
+           + length(text) - length(replace(text, '=', '')) AS BIGINT)
+        AS n_code_chars,
+      round((length(text)
+             - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+            / CAST(length(text) AS DOUBLE), 8) AS symbol_ratio,
+      (length(text)
+       - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+        / CAST(length(text) AS DOUBLE) > 0.05
+      AND (length(text) - length(replace(text, ';', ''))
+           + length(text) - length(replace(text, '{', ''))
+           + length(text) - length(replace(text, '=', ''))) > 0
+        AS code_like
+    FROM documents WHERE length(text) > 0
+    """,
+)
+def doc_code_likeness(spark, sf_dir):
+    """Code-vs-prose screen: symbol density plus counts of the three
+    strongest code markers (';', '{', '=') — the router that sends
+    documents to a code-aware tokenizer/quality model instead of the
+    prose pipeline (misrouted code looks like 'low-quality text' to
+    prose heuristics and gets wrongly filtered). Counts come from
+    length-difference tricks (JVM-side, no explode); the flag combines a
+    symbol-ratio floor with at least one hard marker. Zero shuffles."""
+    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ln = F.length("text")
+    n_sym = ln - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+    n_code = sum(
+        ln - F.length(F.replace(F.col("text"), F.lit(ch)))
+        for ch in (";", "{", "=")
+    )
+    ratio = n_sym / ln.cast("double")
+    return d.select(
+        "doc_id",
+        n_sym.cast("bigint").alias("n_symbols"),
+        n_code.cast("bigint").alias("n_code_chars"),
+        F.round(ratio, 8).alias("symbol_ratio"),
+        ((ratio > 0.05) & (n_code > 0)).alias("code_like"),
+    )
