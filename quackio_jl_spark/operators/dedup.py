@@ -1343,6 +1343,11 @@ def minhash_jaccard_estimate(spark, sf_dir):
 
 # ------------------------------------------------------ LSH recall audit
 
+# Brute-force ground-truth sample: an ABSOLUTE doc cap, not a fraction —
+# a % sample scales the O(n^2) truth set quadratically with the corpus
+# (50% of 10^9 docs is 10^17 pairs); 600 docs is ~1.8e5 pairs forever.
+AUDIT_DOC_CAP = 600
+
 @query(
     "lsh_recall_audit",
     oracle="WITH"
@@ -1354,7 +1359,7 @@ def minhash_jaccard_estimate(spark, sf_dir):
     + f""",
     sets AS (
       SELECT doc_id, list(substr(md5(shingle), 1, 16)) AS s
-      FROM sh WHERE doc_id % 2 = 0 GROUP BY doc_id
+      FROM sh WHERE doc_id < {AUDIT_DOC_CAP} GROUP BY doc_id
     ),
     truth AS (
       SELECT a.doc_id AS doc1, b.doc_id AS doc2
@@ -1374,15 +1379,16 @@ def minhash_jaccard_estimate(spark, sf_dir):
 )
 def lsh_recall_audit(spark, sf_dir):
     """Measured LSH recall at the Jaccard threshold: ground truth is the
-    brute-force O(n^2) pair set on a 50% doc sample (the subset bounds
-    the quadratic cost — the same absolute-cap discipline as the ANN
+    brute-force O(n^2) pair set on an ABSOLUTE cap of the first
+    AUDIT_DOC_CAP doc ids (a fractional sample would scale the truth set
+    quadratically with the corpus — same cap discipline as the ANN
     recall harnesses), and recall is the fraction of true pairs the
     banded-LSH candidate generator catches. THE number a dedup pipeline
     reports before anyone trusts its candidate pruning; the b=4, r=2
     S-curve predicts ~1 at J>=0.5, and the audit checks reality against
     that. Sample-side sets broadcast; the LEFT join is truth-sized."""
     d = table(spark, sf_dir, "documents")
-    sub = d.filter(F.col("doc_id") % 2 == 0)
+    sub = d.filter(F.col("doc_id") < AUDIT_DOC_CAP)
     sets_ = (
         shingles_all(sub)
         .select("doc_id", F.substring(F.md5("shingle"), 1, 16).alias("h"))
@@ -1426,7 +1432,7 @@ def lsh_recall_audit(spark, sf_dir):
     + f""",
     sets AS (
       SELECT doc_id, list(substr(md5(shingle), 1, 16)) AS s
-      FROM sh WHERE doc_id % 2 = 0 GROUP BY doc_id
+      FROM sh WHERE doc_id < {AUDIT_DOC_CAP} GROUP BY doc_id
     ),
     allpairs AS (
       SELECT a.doc_id AS doc1, b.doc_id AS doc2,
@@ -1456,7 +1462,7 @@ def lsh_scurve_empirical(spark, sf_dir):
     sample discipline as lsh_recall_audit; the bin aggregate is
     10 rows."""
     d = table(spark, sf_dir, "documents")
-    sub = d.filter(F.col("doc_id") % 2 == 0)
+    sub = d.filter(F.col("doc_id") < AUDIT_DOC_CAP)
     sets_ = (
         shingles_all(sub)
         .select("doc_id", F.substring(F.md5("shingle"), 1, 16).alias("h"))
