@@ -283,3 +283,70 @@ def test_numbering_kernel_partition_invariance(spark):
             assert got == baseline[n], n
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", default)
+
+
+def test_bucketed_prefix_sums_matches_global_window(spark):
+    """The distributed prefix-sum kernel must equal a single global
+    cumulative window on the same data, for any bucket count, including
+    the tiebreak-desc (sweep-line) variant."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from quackio_jl_spark.functions.prefix import bucketed_prefix_sums
+
+    df = (
+        spark.range(500)
+        .select(
+            (F.hash(F.col("id").cast("string")) % 1000).alias("k"),
+            (F.col("id") % 7).cast("bigint").alias("a"),
+            ((F.col("id") * 3) % 5 - 2).cast("bigint").alias("d"),
+        )
+        # duplicate keys exercise the tie path
+        .union(
+            spark.range(50).select(
+                (F.hash(F.col("id").cast("string")) % 1000).alias("k"),
+                F.lit(1).cast("bigint").alias("a"),
+                F.lit(-1).cast("bigint").alias("d"),
+            )
+        )
+    )
+    # distinct keys: plain ascending cumulative
+    pv = df.groupBy("k").agg(F.sum("a").alias("a"))
+    want = {
+        r["k"]: r["cum"]
+        for r in pv.select(
+            "k",
+            F.sum("a")
+            .over(W.orderBy("k").rowsBetween(W.unboundedPreceding, 0))
+            .alias("cum"),
+        ).collect()
+    }
+    for nb in (1, 4, 16):
+        got = {
+            r["k"]: r["cum_a"]
+            for r in bucketed_prefix_sums(pv, "k", ["a"], nb).collect()
+        }
+        assert got == want, f"n_buckets={nb}"
+
+    # tiebreak-desc variant vs explicit window with the same order
+    want2 = sorted(
+        (r["k"], r["d"], r["cum"])
+        for r in df.select(
+            "k",
+            "d",
+            F.sum("d")
+            .over(
+                W.orderBy(F.col("k").asc(), F.col("d").desc()).rowsBetween(
+                    W.unboundedPreceding, 0
+                )
+            )
+            .alias("cum"),
+        ).collect()
+    )
+    got2 = sorted(
+        (r["k"], r["d"], r["cum_d"])
+        for r in bucketed_prefix_sums(
+            df, "k", ["d"], 8, tiebreak_desc="d"
+        ).collect()
+    )
+    assert got2 == want2
