@@ -1734,3 +1734,93 @@ def simhash_block_size_hist(spark, sf_dir):
         "n_buckets",
         (F.col("n") > SIMHASH_MAX_BUCKET).alias("over_cap"),
     )
+
+
+# ------------------------------------------------- dedup funnel report
+
+
+@query(
+    "dedup_funnel_report",
+    oracle="WITH"
+    + _SHINGLES_SQL
+    + ","
+    + _minhash_sig_sql()
+    + ","
+    + _cand_sql()
+    + f""",
+    sets AS (
+      SELECT doc_id, list(substr(md5(shingle), 1, 16)) AS s
+      FROM sh GROUP BY doc_id
+    ),
+    verified AS (
+      SELECT cand.doc1 FROM cand
+      JOIN sets a ON a.doc_id = cand.doc1
+      JOIN sets b ON b.doc_id = cand.doc2
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+          >= {JACCARD_THRESHOLD}
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+      (SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) FROM documents)
+        AS n_unique_exact,
+      (SELECT CAST(COUNT(DISTINCT md5(array_to_string(
+         list_sort(list_distinct(string_split(lower(text), ' '))), ' ')))
+         AS BIGINT) FROM documents) AS n_unique_token_set,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_lsh_candidate_pairs,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM verified)
+        AS n_verified_neardup_pairs
+    """,
+)
+def dedup_funnel_report(spark, sf_dir):
+    """The dedup funnel in one row: corpus size -> unique byte-exact
+    texts -> unique token SETS -> LSH candidate pairs -> exact-verified
+    near-dup pairs. This is the headline a curation run reports (each
+    stage's delta is documents the cheaper stage could not catch), and
+    the sanity chain is monotone by construction: n_docs >=
+    n_unique_exact >= n_unique_token_set, candidates >= verified. Every
+    stage reuses the production operator's exact key/candidate logic
+    (md5 text keys, sorted-distinct-token keys, banded-LSH candidates,
+    Jaccard verify on candidates only) — five bounded aggregates, no
+    new scale surface."""
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    n_exact = d.agg(
+        F.count_distinct(F.md5("text")).cast("bigint").alias("n_unique_exact")
+    )
+    set_key = F.md5(
+        F.concat_ws(
+            " ", F.sort_array(F.array_distinct(F.split(F.lower("text"), " ")))
+        )
+    )
+    n_set = d.agg(
+        F.count_distinct(set_key).cast("bigint").alias("n_unique_token_set")
+    )
+    cand = dedup_minhash_lsh_pairs(spark, sf_dir)
+    n_cand = cand.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lsh_candidate_pairs")
+    )
+    sets_ = (
+        shingles_all(d)
+        .select("doc_id", F.substring(F.md5("shingle"), 1, 16).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("s"))
+    )
+    a = sets_.select(F.col("doc_id").alias("doc1"), F.col("s").alias("s1"))
+    b = sets_.select(F.col("doc_id").alias("doc2"), F.col("s").alias("s2"))
+    c = F.size(F.array_intersect("s1", "s2"))
+    jac = c.cast("double") / (F.size("s1") + F.size("s2") - c)
+    n_ver = (
+        cand.join(a, "doc1")
+        .join(b, "doc2")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_verified_neardup_pairs")
+        )
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_set))
+        .crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_ver))
+    )
