@@ -2109,3 +2109,61 @@ def skipgram_negative_sampling_weights(spark, sf_dir):
             "neg_sample_prob"
         ),
     )
+
+
+# ---------------------------------------------- embedding isotropy
+
+
+def _isotropy_oracle() -> str:
+    return f"""
+    WITH pca AS ({_pca_oracle()}),
+    qd AS (
+      SELECT CAST(i - 1 AS INTEGER) AS i,
+        CAST(floor(CAST(embedding[i] AS DOUBLE) * {COV_SCALE}) AS BIGINT) AS qi
+      FROM embeddings, UNNEST(range(1, {EMB_DIM + 1})) AS u(i)
+    ),
+    covd AS (
+      SELECT i,
+        CAST(count(*) * sum(qi * qi) - sum(qi) * sum(qi) AS DOUBLE)
+          / count(*) / count(*) / {COV_SCALE}.0 / {COV_SCALE}.0 AS cov
+      FROM qd GROUP BY i
+    ),
+    tr AS (
+      SELECT CAST(SUM(CAST(round(cov, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        AS trace FROM covd
+    )
+    SELECT MAX(eigenvalue) AS lambda1,
+      MAX(trace) AS trace_cov,
+      MAX(eigenvalue) / MAX(trace) AS anisotropy,
+      MAX(trace) / MAX(eigenvalue) AS effective_rank
+    FROM pca CROSS JOIN tr
+    """
+
+
+@query("embedding_isotropy", oracle=_isotropy_oracle())
+def embedding_isotropy(spark, sf_dir):
+    """Isotropy diagnostic of the embedding space: top eigenvalue (from
+    the gated power-iteration chain) against the covariance trace —
+    anisotropy = lambda1/trace is the fraction of total variance living
+    in ONE direction (embedding spaces collapse toward a dominant
+    direction as they degrade; whitening fixes what this measures), and
+    trace/lambda1 is the effective rank. Both inputs are already
+    bit-deterministic (fixed-point covariance, rounded iterate chain);
+    the trace is a 64-term rounded decimal sum. Composition adds two
+    broadcast 1-row joins on top of the existing lineage."""
+    pca = embedding_pca_power_iteration(spark, sf_dir)
+    l1 = F.broadcast(pca.agg(F.max("eigenvalue").alias("lambda1")))
+    covd = embedding_covariance(spark, sf_dir).filter(F.col("i") == F.col("j"))
+    tr = F.broadcast(
+        covd.agg(
+            F.sum(F.round("cov", 12).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("trace")
+        )
+    )
+    return l1.crossJoin(tr).select(
+        "lambda1",
+        F.col("trace").alias("trace_cov"),
+        (F.col("lambda1") / F.col("trace")).alias("anisotropy"),
+        (F.col("trace") / F.col("lambda1")).alias("effective_rank"),
+    )
