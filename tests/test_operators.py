@@ -666,6 +666,15 @@ def test_pipeline_operators_survive_empty_corpus(tmp_path, spark):
         "dedup_incremental_vs_index", "split_leakage_check",
         "ann_pq_codebooks", "ann_pq_codes", "knn_label_vote",
         "snapshot_diff_cdc", "weighted_reservoir_sample",
+        # session-continuation operators
+        "tokenize_with_vocab", "dedup_token_set", "boilerplate_ngrams",
+        "top_pmi_collocations", "doc_readability_flesch",
+        "ngram_novelty_score", "source_length_kl_divergence",
+        "mlm_mask_assignment", "fim_split_points",
+        "chunk_documents_overlapping", "skipgram_negative_sampling_weights",
+        "doc_code_likeness", "tokenizer_fertility_by_lang",
+        "embedding_grid_duplicates", "retrieval_query_likelihood",
+        "retrieval_rrf_fusion", "quality_calibration_bins",
     ]
     qs = entry.queries()
     for name in names:
@@ -673,6 +682,14 @@ def test_pipeline_operators_survive_empty_corpus(tmp_path, spark):
     # scalar reports return their one zero-valued row instead of no rows
     row = qs["context_budget_report"](spark, str(tmp_path)).collect()[0]
     assert row["n_docs"] == 0
+    for name, rows in [
+        ("dataset_card_summary", 1), ("dedup_funnel_report", 1),
+        ("embedding_isotropy", 1), ("lsh_precision_audit", 1),
+        ("lang_source_mutual_information", 1), ("lang_source_chi2", 1),
+        ("doc_shingle_dup_coverage", 1), ("quality_score_auc", 1),
+        ("retrieval_ndcg_at_k", 2),
+    ]:
+        assert qs[name](spark, str(tmp_path)).count() == rows, name
 
 
 def test_prefix_filter_finds_all_pairs(spark):
