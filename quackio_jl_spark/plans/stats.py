@@ -2753,3 +2753,86 @@ def events_daily_scorecard(spark, sf_dir):
             / F.count_distinct("user_id").cast("double")
         ).alias("purchases_per_user"),
     )
+
+
+# --------------------------------------------- distribution windows
+
+
+@query(
+    "window_dist_family",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+      round(PERCENT_RANK() OVER w, 10) AS pr,
+      round(CUME_DIST() OVER w, 10) AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_dist_family(spark, sf_dir):
+    """The distribution-window pair missing from window_rank_family:
+    percent_rank ((rank-1)/(n-1)) and cume_dist (rows <= current / n)
+    per market segment — the normalized-position features fed to
+    cross-segment comparisons. The (c_acctbal, c_custkey) order key is
+    unique, so both functions are deterministic; the single division
+    each is engine-identical and rounded to 10 for ulp safety. One
+    per-segment window sort."""
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 10).alias("pr"),
+        F.round(F.cume_dist().over(w), 10).alias("cd"),
+    )
+
+
+# ---------------------------------------- two-level exact stats merge
+
+
+@query(
+    "two_level_variance_merge",
+    oracle=f"""
+    WITH shard AS (
+      SELECT source, COUNT(*) AS n,
+        {_d('n_chars')} AS s1,
+        {_d('n_chars * n_chars')} AS s2
+      FROM documents GROUP BY source
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n,
+      CAST(SUM(CAST(s1 AS DECIMAL(28,6))) AS DOUBLE) / SUM(n) AS mean,
+      (CAST(SUM(CAST(s2 AS DECIMAL(28,6))) AS DOUBLE)
+       - CAST(SUM(CAST(s1 AS DECIMAL(28,6))) AS DOUBLE)
+         * SUM(CAST(s1 AS DECIMAL(28,6))) / SUM(n))
+      / (SUM(n) - 1) AS variance,
+      CAST(COUNT(*) AS BIGINT) AS n_shards
+    FROM shard
+    """,
+)
+def two_level_variance_merge(spark, sf_dir):
+    """Mergeable statistics, demonstrated: per-shard (per-source) exact
+    decimal moment sums combine into the global mean/variance with NO
+    loss — the property that makes the functions/exact.py recipe a
+    100 TB design rather than a nicety (any shard/executor/partition
+    split re-merges to the same bits; naive float moments do not). The
+    oracle computes the same closed form from the same two-level
+    aggregation; tests additionally pin this equal to the single-level
+    stats_moments path."""
+    d = table(spark, sf_dir, "documents")
+    shard = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_chars").cast(DEC)).cast("double").alias("s1"),
+        F.sum((F.col("n_chars") * F.col("n_chars")).cast(DEC))
+        .cast("double")
+        .alias("s2"),
+    )
+    n = F.sum("n")
+    s1 = F.sum(F.col("s1").cast(DEC)).cast("double")
+    s2 = F.sum(F.col("s2").cast(DEC)).cast("double")
+    return shard.agg(
+        n.cast("bigint").alias("n"),
+        (s1 / n).alias("mean"),
+        ((s2 - s1 * F.sum(F.col("s1").cast(DEC)) / n) / (n - 1)).alias(
+            "variance"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+    )
