@@ -2836,3 +2836,85 @@ def two_level_variance_merge(spark, sf_dir):
         ),
         F.count(F.lit(1)).cast("bigint").alias("n_shards"),
     )
+
+
+# ----------------------------------------------- revenue waterfall
+
+
+@query(
+    "revenue_waterfall",
+    oracle=f"""
+    SELECT
+      {_d('l_extendedprice')} AS gross_revenue,
+      {_d('l_extendedprice * l_discount')} AS discount_given,
+      {_d('l_extendedprice * (1 - l_discount)')} AS net_revenue,
+      {_d('l_extendedprice * (1 - l_discount) * l_tax')} AS tax_collected,
+      {_d('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}
+        AS charged_total,
+      CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem
+    """,
+)
+def revenue_waterfall(spark, sf_dir):
+    """The revenue waterfall in one row: gross -> discounts -> net ->
+    tax -> charged, each an exact decimal sum over the same single scan
+    (the q1 aggregate family reshaped as the finance bridge report).
+    Per-row products are IEEE-identical; the five decimal sums are
+    order-free; one partial-aggregated pass, no shuffle beyond the
+    1-row combine."""
+    li = table(spark, sf_dir, "lineitem")
+    p, d_, t = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+
+    def ds(x):
+        return F.sum(x.cast(DEC)).cast("double")
+
+    return li.agg(
+        ds(p).alias("gross_revenue"),
+        ds(p * d_).alias("discount_given"),
+        ds(p * (1 - d_)).alias("net_revenue"),
+        ds(p * (1 - d_) * t).alias("tax_collected"),
+        ds(p * (1 - d_) * (1 + t)).alias("charged_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+    )
+
+
+# ------------------------------------------ trailing 28-day revenue
+
+
+@query(
+    "orders_trailing_28d_revenue",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+                            o_orderdate) AS BIGINT) AS d,
+        {_d('o_totalprice')} AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT d,
+      rev AS day_revenue,
+      CAST(SUM(CAST(rev AS DECIMAL(28,6))) OVER (
+        ORDER BY d RANGE BETWEEN 27 PRECEDING AND CURRENT ROW
+      ) AS DOUBLE) AS trailing_28d_revenue
+    FROM m
+    """,
+)
+def orders_trailing_28d_revenue(spark, sf_dir):
+    """Trailing 28-day revenue per day — the smoothed topline series
+    (month-over-month's rolling cousin, immune to month-length
+    artifacts). A RANGE frame over the integer day index handles
+    calendar gaps correctly where a 28-ROW frame would silently span
+    more days; the window re-sums per-day DECIMAL-exact revenue, so the
+    series is bit-stable. Runs on the tiny day aggregate (the documented
+    small-aggregate window exception)."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.datediff("o_orderdate", F.lit("1995-01-01")).cast("bigint").alias("d")
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev"))
+    w = W.orderBy("d").rangeBetween(-27, 0)
+    return m.select(
+        "d",
+        F.col("rev").alias("day_revenue"),
+        F.sum(F.col("rev").cast(DEC)).over(w).cast("double").alias(
+            "trailing_28d_revenue"
+        ),
+    )
