@@ -607,3 +607,64 @@ def quality_vs_embedding_corr(spark, sf_dir):
     syy = F.sum(dec("ny") * F.col("ny")).cast("double") / F.lit(1e18)
     r = (sxy - sx * sy / n) / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
     return pairs.agg(n.alias("n"), F.round(r, 8).alias("pearson_r"))
+
+
+# ------------------------------------------------------- PQ distortion
+
+
+@query(
+    "ann_pq_distortion",
+    oracle=f"""
+    WITH {_CB_SQL},
+    asg AS (
+      SELECT vec_id, m, sv, code, d2 FROM (
+        SELECT s.vec_id, s.m, s.sv, c.code,
+          {_d2_int_sql('s.sv', 'c.cv')} AS d2,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                             ORDER BY {_d2_int_sql('s.sv', 'c.cv')}, c.code)
+            AS rn
+        FROM sub s JOIN cb1v c ON s.m = c.m) t
+      WHERE rn = 1
+    ),
+    t AS (SELECT COUNT(DISTINCT vec_id) AS n FROM asg)
+    SELECT
+      CAST(SUM(d2) AS DOUBLE) / MAX(n) / 1e9 AS mean_sq_error,
+      CAST(SUM(d2) AS BIGINT) AS total_d2_fixedpoint,
+      CAST(MAX(n) AS BIGINT) AS n_vectors
+    FROM asg CROSS JOIN t
+    """,
+)
+def ann_pq_distortion(spark, sf_dir):
+    """PQ reconstruction distortion: mean squared error between each
+    vector and its nearest-codeword reconstruction, summed across
+    subspaces — the OTHER axis of PQ quality next to ann_pq_recall_at_k
+    (recall says what search finds; distortion prices the compression
+    and decides PQ_M/PQ_KSUB). The per-assignment squared distances are
+    the SAME exact fixed-point integers the encoder minimized, so the
+    corpus total is an exact int64 sum with one division into float at
+    the end. Reuses the trained (persisted) codebooks; one broadcast
+    assignment join, one 1-row rollup."""
+    sub = _subvectors(spark, sf_dir)
+    cbv = _codebooks(spark, sf_dir)
+    scored = sub.join(F.broadcast(cbv), "m").select(
+        "vec_id",
+        "m",
+        _d2_int(F.col("sv"), F.col("cv")).alias("d2"),
+        "code",
+    )
+    mn = F.min(F.struct(F.col("d2"), F.col("code"))).alias("mn")
+    asg = (
+        scored.groupBy("vec_id", "m")
+        .agg(mn)
+        .select("vec_id", F.col("mn.d2").alias("d2"))
+    )
+    t = F.broadcast(
+        asg.agg(F.count_distinct("vec_id").alias("n"))
+    )
+    return asg.crossJoin(t).agg(
+        (F.sum("d2").cast("double") / F.max("n") / 1e9).alias(
+            "mean_sq_error"
+        ),
+        F.sum("d2").cast("bigint").alias("total_d2_fixedpoint"),
+        F.max("n").cast("bigint").alias("n_vectors"),
+    )
