@@ -305,3 +305,134 @@ def bitwise_pack(spark, sf_dir):
         F.shiftright(k, 3).alias("shr"),
         F.bit_count(k).alias("popcount"),
     )
+
+
+@query(
+    "array_hof_pack",
+    oracle="""
+    SELECT p_partkey,
+      array_to_string(list_transform(w, x -> upper(x)), '|') AS words_upper,
+      CAST(len(list_filter(w, x -> length(x) > 4)) AS INTEGER) AS n_long_words,
+      len(list_filter(w, x -> x LIKE 'a%')) > 0 AS has_a_word,
+      len(list_filter(w, x -> length(x) < 2)) = 0 AS all_len_ge2,
+      CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+           AS BIGINT) AS total_chars,
+      array_to_string(
+        list_transform(list_zip(w, list_reverse(w)),
+                       x -> x[1] || '-' || x[2]), ',') AS zipped,
+      array_to_string(list_sort(w), ',') AS sorted_csv,
+      CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct_words,
+      array_to_string(list_slice(w, 1, 2), ',') AS first2,
+      CAST(list_position(w, w[-1]) AS INTEGER) AS last_word_first_pos,
+      CAST(list_aggregate(generate_series(1, 1 + p_size % 5), 'sum')
+           AS BIGINT) AS seq_sum
+    FROM (SELECT p_partkey, p_size, string_split(p_name, ' ') AS w FROM part)
+    """,
+)
+def array_hof_pack(spark, sf_dir):
+    """Higher-order array-function surface (SURVEY.md §2.6 array breadth):
+    transform / filter / exists / forall / aggregate (fold) / zip_with /
+    array_sort / array_distinct / slice / array_position / sequence, all
+    value-pinned against DuckDB's list_* lambda family on the same rows.
+
+    Every lambda here runs inside whole-stage codegen (Catalyst
+    HigherOrderFunction expressions, not Python) — this is the idiom the
+    LLM-pipeline operators (shingling, signature folds, IVF assignment)
+    build on, isolated into a per-primitive oracle so a cross-engine
+    semantics drift (1-based lambda indexes, slice bounds, position of
+    duplicates) is caught here and not deep inside a dedup plan."""
+    p = table(spark, sf_dir, "part")
+    w = F.split("p_name", " ")
+    d = p.select("p_partkey", F.col("p_size"), w.alias("w"))
+    return d.select(
+        "p_partkey",
+        F.array_join(F.transform("w", lambda x: F.upper(x)), "|").alias(
+            "words_upper"
+        ),
+        F.size(F.filter("w", lambda x: F.length(x) > 4)).alias("n_long_words"),
+        F.exists("w", lambda x: x.startswith("a")).alias("has_a_word"),
+        F.forall("w", lambda x: F.length(x) >= 2).alias("all_len_ge2"),
+        F.aggregate(
+            "w", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("total_chars"),
+        F.array_join(
+            F.zip_with("w", F.reverse("w"), lambda a, b: F.concat_ws("-", a, b)),
+            ",",
+        ).alias("zipped"),
+        F.array_join(F.array_sort("w"), ",").alias("sorted_csv"),
+        F.size(F.array_distinct("w")).alias("n_distinct_words"),
+        F.array_join(F.slice("w", 1, 2), ",").alias("first2"),
+        F.array_position("w", F.element_at("w", -1))
+        .cast("int")
+        .alias("last_word_first_pos"),
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(1) + F.col("p_size") % 5),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("seq_sum"),
+    )
+
+
+@query(
+    "map_hof_pack",
+    oracle="""
+    SELECT o_orderkey,
+      3 AS n_keys,
+      'custkey,priority,status' AS keys_csv,
+      o_orderstatus AS status_val,
+      upper(o_orderpriority) || ',' || upper(o_orderstatus) || ',' ||
+        CAST(o_custkey AS VARCHAR) AS upper_vals_csv,
+      2 AS n_keys_no_custkey,
+      'priority=' || o_orderpriority || ';status=' || o_orderstatus ||
+        ';custkey=' || CAST(o_custkey AS VARCHAR) AS entries_csv,
+      4 AS n_keys_concat,
+      'X' AS status_after_zip
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def map_hof_pack(spark, sf_dir):
+    """Map-typed column surface: create_map / map_keys / map_values /
+    element_at / transform_values / map_filter / map_entries / map_concat
+    / map_zip_with. The map is constructed from orders columns so the
+    DuckDB oracle pins the same output values straight from the source
+    columns — the oracle checks results, not implementation. All
+    operations are Catalyst map expressions (codegen), demonstrating that
+    typed metadata maps (the multimodal operators' sidecar pattern,
+    operators/multimodal.py) stay JVM-side end to end."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    m = F.create_map(
+        F.lit("priority"), F.col("o_orderpriority"),
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("custkey"), F.col("o_custkey").cast("string"),
+    )
+    d = o.select("o_orderkey", m.alias("m"))
+    return d.select(
+        "o_orderkey",
+        F.size("m").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("keys_csv"),
+        F.element_at("m", "status").alias("status_val"),
+        F.array_join(
+            F.map_values(F.transform_values("m", lambda k, v: F.upper(v))), ","
+        ).alias("upper_vals_csv"),
+        F.size(F.map_filter("m", lambda k, v: k != "custkey")).alias(
+            "n_keys_no_custkey"
+        ),
+        F.array_join(
+            F.transform(
+                F.map_entries("m"),
+                lambda e: F.concat_ws("=", e.getField("key"), e.getField("value")),
+            ),
+            ";",
+        ).alias("entries_csv"),
+        F.size(
+            F.map_concat("m", F.create_map(F.lit("extra"), F.lit("1")))
+        ).alias("n_keys_concat"),
+        F.element_at(
+            F.map_zip_with(
+                "m",
+                F.create_map(F.lit("status"), F.lit("X")),
+                lambda k, v1, v2: F.coalesce(v2, v1),
+            ),
+            "status",
+        ).alias("status_after_zip"),
+    )
