@@ -1824,3 +1824,88 @@ def dedup_funnel_report(spark, sf_dir):
         .crossJoin(F.broadcast(n_cand))
         .crossJoin(F.broadcast(n_ver))
     )
+
+
+# ----------------- maximal duplicated token spans (substring dedup)
+
+SPAN_SHINGLE_N = 8
+
+
+@query(
+    "neardup_duplicated_spans",
+    oracle=f"""
+    WITH ds AS (
+      SELECT doc_id, i,
+        md5(array_to_string(w[i:i + {SPAN_SHINGLE_N - 1}], ' ')) AS sh
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM documents),
+        UNNEST(generate_series(1, len(w) - {SPAN_SHINGLE_N - 1})) AS u(i)
+    ),
+    dupsh AS (
+      SELECT sh FROM (
+        SELECT sh, COUNT(DISTINCT doc_id) AS nd FROM ds GROUP BY sh
+      ) WHERE nd > 1
+    ),
+    dup AS (SELECT doc_id, i FROM ds JOIN dupsh USING (sh)),
+    isl AS (
+      SELECT doc_id, i,
+        i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM dup
+    )
+    SELECT doc_id,
+      CAST(MIN(i) AS BIGINT) AS span_start,
+      CAST(MAX(i) + {SPAN_SHINGLE_N - 1} AS BIGINT) AS span_end,
+      CAST(MAX(i) - MIN(i) + {SPAN_SHINGLE_N} AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def neardup_duplicated_spans(spark, sf_dir):
+    """Substring-level dedup signal (the Lee et al. 2021 'Deduplicating
+    Training Data' shape, approximated at shingle granularity): for each
+    document, the MAXIMAL token spans covered by {SPAN_SHINGLE_N}-gram
+    shingles that also occur in at least one other document — the spans a
+    span-cut dedup pass would excise, with 1-based token coordinates.
+
+    Runs of consecutive duplicated shingle positions are merged with the
+    gaps-and-islands idiom (position minus row_number is constant within
+    a run), so two overlapping duplicated shingles report as one span,
+    not two.
+
+    Scale shape: shingles travel as md5 keys; doc-frequency is one
+    shuffle over distinct (doc, shingle); the duplicated-position join is
+    sh-keyed; island numbering windows are partitioned by doc_id (never
+    a global sort). Each stage is keyed and combining — the same plan
+    survives a 100x corpus."""
+    d = table(spark, sf_dir, "documents")
+    n = SPAN_SHINGLE_N
+    ds = d.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w")
+    ).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(w) >= {n} THEN "
+                f"transform(sequence(1, size(w) - {n - 1}), "
+                f"i -> md5(array_join(slice(w, i, {n}), ' '))) "
+                f"ELSE array() END"
+            )
+        ).alias("pos0", "sh"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("i"), "sh")
+    dupsh = (
+        ds.select("doc_id", "sh")
+        .distinct()
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("sh")
+    )
+    dup = ds.join(dupsh, "sh").select("doc_id", "i")
+    grp = F.col("i") - F.row_number().over(
+        W_.partitionBy("doc_id").orderBy("i")
+    )
+    isl = dup.select("doc_id", "i", grp.alias("grp"))
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("i").cast("bigint").alias("span_start"),
+        (F.max("i") + (n - 1)).cast("bigint").alias("span_end"),
+        (F.max("i") - F.min("i") + n).cast("bigint").alias("span_tokens"),
+    ).drop("grp")

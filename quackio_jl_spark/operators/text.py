@@ -2008,3 +2008,206 @@ def doc_code_likeness(spark, sf_dir):
         F.round(ratio, 8).alias("symbol_ratio"),
         ((ratio > 0.05) & (n_code > 0)).alias("code_like"),
     )
+
+
+# --------------------------- Gopher-style rule-based quality gate
+
+GOPHER_STOPSET = ["the", "and", "of", "to", "a"]
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    hof AS (
+      SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_words,
+        list_aggregate(list_transform(w, x -> length(x)), 'sum')
+          / CAST(len(w) AS DOUBLE) AS mean_word_len,
+        len(list_filter(w, x -> NOT regexp_matches(x, '[^a-z]')))
+          / CAST(len(w) AS DOUBLE) AS frac_alpha,
+        CAST(len(list_intersect(list_distinct(w),
+             ['the','and','of','to','a'])) AS INTEGER) AS n_stop_distinct,
+        CASE WHEN len(w) > 1 THEN
+          1.0 - len(list_distinct(list_transform(
+                  generate_series(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i + 1])))
+            / CAST(len(w) - 1 AS DOUBLE)
+        ELSE 0.0 END AS dup_bigram_frac
+      FROM base
+    ),
+    top AS (
+      SELECT doc_id, MAX(c) AS max_c FROM (
+        SELECT doc_id, t, COUNT(*) AS c
+        FROM base, UNNEST(w) AS u(t) GROUP BY doc_id, t
+      ) GROUP BY doc_id
+    )
+    SELECT h.doc_id, n_words, round(mean_word_len, 8) AS mean_word_len,
+      round(frac_alpha, 8) AS frac_alpha, n_stop_distinct,
+      round(max_c / CAST(n_words AS DOUBLE), 8) AS top_word_frac,
+      round(dup_bigram_frac, 8) AS dup_bigram_frac,
+      (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3 AND 10
+        AND frac_alpha > 0.8
+        AND n_stop_distinct >= 2
+        AND max_c / CAST(n_words AS DOUBLE) < 0.2
+        AND dup_bigram_frac < 0.2) AS gopher_keep
+    FROM hof h JOIN top USING (doc_id)
+    """,
+)
+def gopher_quality_flags(spark, sf_dir):
+    """Rule-based document quality gate after the published Gopher filters
+    (Rae et al. 2021, §A1.1): word-count bounds, mean-word-length bounds,
+    alphabetic-word fraction, stop-word presence, most-frequent-word
+    share, duplicate-bigram fraction — each emitted as a signal column
+    plus the combined ``gopher_keep`` verdict.
+
+    Scale shape: every rule except the top-word share is a pure map over
+    higher-order array expressions (codegen, zero shuffles); the top-word
+    share is one explode + (doc_id, token) partial-agg keyed by doc —
+    the same single-shuffle shape as token counting. The final join is
+    doc_id-keyed. No corpus-global state, so the gate scales linearly
+    and composes ahead of dedup (cheap filter before expensive LSH)."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    n_words = F.size("w")
+    lens = F.transform("w", lambda x: F.length(x))
+    mean_word_len = F.aggregate(
+        lens, F.lit(0).cast("bigint"), lambda a, x: a + x
+    ) / n_words.cast("double")
+    frac_alpha = F.size(
+        F.filter("w", lambda x: ~x.rlike("[^a-z]"))
+    ) / n_words.cast("double")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct("w"), F.array(*[F.lit(s) for s in GOPHER_STOPSET])
+        )
+    ).cast("int")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n_words - 1),
+        lambda i: F.concat_ws(" ", F.element_at("w", i), F.element_at("w", i + 1)),
+    )
+    dup_bigram = F.when(
+        n_words > 1,
+        F.lit(1.0)
+        - F.size(F.array_distinct(bigrams)) / (n_words - 1).cast("double"),
+    ).otherwise(0.0)
+    hof = base.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha"),
+        n_stop.alias("n_stop_distinct"),
+        dup_bigram.alias("dup_bigram_frac"),
+    )
+    top = (
+        base.select("doc_id", F.explode("w").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_c"))
+    )
+    j = hof.join(top, "doc_id")
+    twf = F.col("max_c") / F.col("n_words").cast("double")
+    return j.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len", 8).alias("mean_word_len"),
+        F.round("frac_alpha", 8).alias("frac_alpha"),
+        "n_stop_distinct",
+        F.round(twf, 8).alias("top_word_frac"),
+        F.round("dup_bigram_frac", 8).alias("dup_bigram_frac"),
+        (
+            F.col("n_words").between(50, 100000)
+            & F.col("mean_word_len").between(3, 10)
+            & (F.col("frac_alpha") > 0.8)
+            & (F.col("n_stop_distinct") >= 2)
+            & (twf < 0.2)
+            & (F.col("dup_bigram_frac") < 0.2)
+        ).alias("gopher_keep"),
+    )
+
+
+# --------------------- CCNet-style per-language LM-score terciles
+
+
+@query(
+    "ccnet_lm_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, t
+      FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+            FROM documents), UNNEST(w) AS u(t)
+    ),
+    freq AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+    tot AS (SELECT COUNT(*) AS n FROM toks),
+    doc AS (
+      SELECT doc_id, lang,
+        round(AVG(-ln(c / CAST(n AS DOUBLE))), 8) AS s
+      FROM toks JOIN freq USING (t) CROSS JOIN tot
+      GROUP BY doc_id, lang
+    ),
+    b AS (
+      SELECT lang, s,
+        NTILE(3) OVER (PARTITION BY lang ORDER BY s, doc_id) AS tercile
+      FROM doc
+    )
+    SELECT lang,
+      CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        ELSE 'tail' END AS bucket,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      round(AVG(s), 8) AS mean_lm_score
+    FROM b GROUP BY lang, tercile
+    """,
+)
+def ccnet_lm_buckets(spark, sf_dir):
+    """CCNet-style corpus partitioning (Wenzek et al. 2020): score each
+    document with a language-model surprisal (here a corpus unigram LM —
+    mean -ln p(token)), then split each language into head/middle/tail
+    terciles by score. Trainers weight or drop the tail.
+
+    Determinism engineering: per-doc scores are rounded to 8 decimals
+    BEFORE ranking (both engines), and the tercile order tie-breaks on
+    doc_id — so the NTILE boundary cannot flip on a last-ulp float
+    difference between JVM and DuckDB summation orders.
+
+    Scale shape: token explode + token-keyed count (one shuffle, heavy
+    hitters combine map-side), broadcast total, doc-keyed mean (second
+    shuffle), then a per-language NTILE — partitioned by lang, so the
+    sort parallelizes across languages; within one language the rank is
+    a range-partitioned sort at scale, never a single reducer over the
+    whole corpus."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = F.broadcast(toks.agg(F.count(F.lit(1)).alias("n")))
+    doc = (
+        toks.join(freq, "t")
+        .crossJoin(tot)
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.avg(-F.ln(F.col("c") / F.col("n").cast("double"))), 8
+            ).alias("s")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("s", "doc_id")
+    b = doc.select("lang", "s", F.ntile(3).over(w).alias("tercile"))
+    return b.groupBy("lang", "tercile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("s"), 8).alias("mean_lm_score"),
+    ).select(
+        "lang",
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        "n_docs",
+        "mean_lm_score",
+    )

@@ -2918,3 +2918,77 @@ def orders_trailing_28d_revenue(spark, sf_dir):
             "trailing_28d_revenue"
         ),
     )
+
+
+# --------------------------------------- closed-form OLS (regr_* family)
+
+_DS = "CAST(SUM(CAST({x} AS DECIMAL(28,6))) AS DOUBLE)"
+
+
+@query(
+    "lineitem_ols_regression",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag, l_linestatus,
+        CAST(COUNT(*) AS DOUBLE) AS n,
+        {_DS.format(x='l_quantity')} AS sx,
+        {_DS.format(x='l_extendedprice')} AS sy,
+        {_DS.format(x='l_quantity * l_quantity')} AS sxx,
+        {_DS.format(x='l_extendedprice * l_extendedprice')} AS syy,
+        {_DS.format(x='l_quantity * l_extendedprice')} AS sxy
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n_rows,
+      round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope,
+      round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 8)
+        AS intercept,
+      round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 8) AS r2
+    FROM s
+    """,
+)
+def lineitem_ols_regression(spark, sf_dir):
+    """Per-group simple linear regression (the regr_slope / regr_intercept
+    / regr_r2 aggregate family) of extended price on quantity, computed
+    closed-form from exact decimal power sums instead of the engines'
+    native regr_* aggregates.
+
+    Why not regr_slope directly: both Spark and DuckDB implement it over
+    order-dependent double accumulation (and with different covariance
+    update algorithms), so the last bits differ per run and per engine.
+    The functions/exact.py recipe — per-row double arithmetic, decimal
+    sums at the aggregation boundary, one final double evaluation of the
+    normal equations — is bit-reproducible on both sides and at any
+    partition count; this query is the oracle-pinned proof.
+
+    Scale shape: one partial-aggregated shuffle carrying six numbers per
+    group per map partition — the same footprint as TPC-H Q1."""
+    l = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+
+    def ds(c):
+        return F.sum(c.cast(DEC)).cast("double")
+
+    s = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        ds(x).alias("sx"),
+        ds(y).alias("sy"),
+        ds(x * x).alias("sxx"),
+        ds(y * y).alias("syy"),
+        ds(x * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return s.select(
+        "l_returnflag",
+        "l_linestatus",
+        n.cast("bigint").alias("n_rows"),
+        F.round(slope, 8).alias("slope"),
+        F.round((sy - slope * sx) / n, 8).alias("intercept"),
+        F.round((cov_n * cov_n) / (var_x * var_y), 8).alias("r2"),
+    )
