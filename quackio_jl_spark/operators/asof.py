@@ -283,3 +283,127 @@ def asof_join_nearest_click(spark, sf_dir):
         .otherwise(f["id"])
     )
     return filled.select("event_id", "user_id", click.alias("click_id"))
+
+
+# -------------------- interval x interval overlap join (binned)
+
+OVERLAP_GAP_US = 48 * 3600 * 1_000_000  # sessionization gap
+OVERLAP_BIN_US = 24 * 3600 * 1_000_000  # time-axis bin width
+
+
+def _typed_sessions(e, etype):
+    """Per-user sessions (48 h gap) of one event type -> intervals [s, e]
+    in epoch micros. Windows are user-partitioned: parallel across users,
+    never a global sort."""
+    from pyspark.sql import Window as W
+
+    x = e.filter(F.col("event_type") == etype).select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id"
+    )
+    wu = W.partitionBy("user_id").orderBy("t", "event_id")
+    new_s = (
+        F.when(
+            F.lag("t").over(wu).isNull()
+            | (F.col("t") - F.lag("t").over(wu) > OVERLAP_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s")
+    )
+    return (
+        x.select("user_id", "t", "event_id", new_s)
+        .select(
+            "user_id",
+            "t",
+            F.sum("new_s").over(wu.rowsBetween(W.unboundedPreceding, 0)).alias("sid"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("t").alias("s"), F.max("t").alias("e"))
+    )
+
+
+_SESSION_SQL = """
+  SELECT user_id, MIN(t) AS s, MAX(t) AS e FROM (
+    SELECT user_id, t,
+      SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id) AS sid
+    FROM (
+      SELECT user_id, epoch_us(ts) AS t, event_id,
+        CASE WHEN lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+             OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+               > {gap} THEN 1 ELSE 0 END AS new_s
+      FROM events WHERE event_type = '{etype}'
+    )
+  ) GROUP BY user_id, sid
+"""
+
+
+@query(
+    "interval_overlap_join_binned",
+    oracle=f"""
+    WITH s1 AS ({_SESSION_SQL.format(gap=OVERLAP_GAP_US, etype="click")}),
+    s2 AS ({_SESSION_SQL.format(gap=OVERLAP_GAP_US, etype="error")})
+    SELECT s1.user_id,
+      CAST(greatest(s1.s, s2.s) AS BIGINT) AS overlap_start_us,
+      CAST(least(s1.e, s2.e) AS BIGINT) AS overlap_end_us,
+      CAST(least(s1.e, s2.e) - greatest(s1.s, s2.s) AS BIGINT) AS overlap_us
+    FROM s1 JOIN s2
+      ON s1.user_id = s2.user_id AND s1.s <= s2.e AND s2.s <= s1.e
+    """,
+)
+def interval_overlap_join_binned(spark, sf_dir):
+    """Interval x interval overlap join — click-activity sessions against
+    error-activity sessions of the same user — via time-axis binning, the
+    scale pattern for overlap joins that Spark would otherwise plan as a
+    sort-merge with a full per-key cross product (or, keyless, a
+    broadcast-nested-loop).
+
+    Each interval explodes into the 24 h bins it covers, candidates meet
+    in an equi-join on (user_id, bin), and the exact overlap predicate
+    filters after. A pair of long intervals shares MANY bins, so each
+    surviving pair is emitted exactly once with the no-dedup rule: it
+    counts only in the bin that contains the overlap's start,
+    floor(max(start_a, start_b) / BIN) == bin — eliminating the distinct
+    shuffle entirely. Work scales with interval-length/BIN, not with
+    per-key session counts squared."""
+    e = table(spark, sf_dir, "events")
+    s1 = _typed_sessions(e, "click")
+    s2 = _typed_sessions(e, "error")
+    B = OVERLAP_BIN_US
+    a = s1.select(
+        "user_id",
+        F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+        F.explode(
+            F.sequence(F.floor(F.col("s") / B), F.floor(F.col("e") / B))
+        ).alias("bin"),
+    )
+    b = s2.select(
+        F.col("user_id").alias("user_b"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+        F.explode(
+            F.sequence(F.floor(F.col("s") / B), F.floor(F.col("e") / B))
+        ).alias("bin_b"),
+    )
+    ov_start = F.greatest("sa", "sb")
+    ov_end = F.least("ea", "eb")
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_b"))
+            & (F.col("bin") == F.col("bin_b")),
+        )
+        .filter(
+            (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea"))
+            & (F.floor(ov_start / B) == F.col("bin"))
+        )
+        .select(
+            "user_id",
+            ov_start.cast("bigint").alias("overlap_start_us"),
+            ov_end.cast("bigint").alias("overlap_end_us"),
+            (ov_end - ov_start).cast("bigint").alias("overlap_us"),
+        )
+    )

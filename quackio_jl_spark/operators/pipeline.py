@@ -2167,3 +2167,68 @@ def embedding_isotropy(spark, sf_dir):
         (F.col("lambda1") / F.col("trace")).alias("anisotropy"),
         (F.col("trace") / F.col("lambda1")).alias("effective_rank"),
     )
+
+
+@query(
+    "centroid_similarity_matrix",
+    oracle=f"""
+    WITH {_CENT_SQL},
+    nrm AS (
+      SELECT label, CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE) AS nn
+      FROM cent GROUP BY label
+    ),
+    dot AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+        CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,18))) AS DOUBLE) AS d
+      FROM cent a JOIN cent b ON a.j = b.j AND a.label <= b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b,
+      round(d / sqrt(na.nn * nb.nn), 8) AS cos_sim
+    FROM dot
+    JOIN nrm na ON na.label = dot.label_a
+    JOIN nrm nb ON nb.label = dot.label_b
+    """,
+)
+def centroid_similarity_matrix(spark, sf_dir):
+    """Pairwise cosine similarity between per-label embedding centroids —
+    the class-confusability map (near-1.0 off-diagonal = labels an ANN
+    index or classifier will blur together). Upper triangle only.
+
+    Determinism: centroids come from the exact-integer-sum helper
+    (bit-identical everywhere); dot products and norms accumulate in
+    DECIMAL(38,18) so the 64-term sums are order-independent too, and
+    the single final double divide/sqrt is pinned by the oracle. The
+    pairwise join is k^2 * dims rows for k labels — index-metadata
+    sized, nothing corpus-scale."""
+    cent = _centroid_rows(spark, sf_dir)
+    D18 = "decimal(38,18)"
+    nrm = cent.groupBy("label").agg(
+        F.sum((F.col("v") * F.col("v")).cast(D18)).cast("double").alias("nn")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "j", F.col("v").alias("va")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("j").alias("jb"),
+        F.col("v").alias("vb"),
+    )
+    dot = (
+        a.join(b, (F.col("j") == F.col("jb")) & (F.col("label_a") <= F.col("label_b")))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum((F.col("va") * F.col("vb")).cast(D18)).cast("double").alias("d"))
+    )
+    na = nrm.select(F.col("label").alias("label_a"), F.col("nn").alias("nna"))
+    nb = nrm.select(F.col("label").alias("label_b"), F.col("nn").alias("nnb"))
+    return (
+        dot.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.col("d") / F.sqrt(F.col("nna") * F.col("nnb")), 8).alias(
+                "cos_sim"
+            ),
+        )
+    )

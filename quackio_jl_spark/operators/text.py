@@ -2211,3 +2211,79 @@ def ccnet_lm_buckets(spark, sf_dir):
         "n_docs",
         "mean_lm_score",
     )
+
+
+# ------------------- corpus diversity: distinct-n n-gram ratios
+
+
+@query(
+    "source_distinct_ngram_diversity",
+    oracle="""
+    WITH base AS (
+      SELECT source, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT source, md5(w[i] || ' ' || w[i + 1]) AS g
+      FROM base, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+    ),
+    tg AS (
+      SELECT source, md5(w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) AS g
+      FROM base, UNNEST(generate_series(1, len(w) - 2)) AS u(i)
+    ),
+    b2 AS (SELECT source, COUNT(*) AS c FROM bg GROUP BY source, g),
+    t3 AS (SELECT source, COUNT(*) AS c FROM tg GROUP BY source, g),
+    ba AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(COUNT(*) AS BIGINT) AS d_bigrams FROM b2 GROUP BY source),
+    ta AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_trigrams,
+             CAST(COUNT(*) AS BIGINT) AS d_trigrams FROM t3 GROUP BY source)
+    SELECT source, n_bigrams,
+      round(d_bigrams / CAST(n_bigrams AS DOUBLE), 8) AS distinct_bigram_ratio,
+      n_trigrams,
+      round(d_trigrams / CAST(n_trigrams AS DOUBLE), 8) AS distinct_trigram_ratio
+    FROM ba JOIN ta USING (source)
+    """,
+)
+def source_distinct_ngram_diversity(spark, sf_dir):
+    """Distinct-n diversity (the distinct-1/2/3 metric of Li et al. 2016,
+    standard for spotting mode-collapsed or templated text): per source,
+    the ratio of distinct bigrams/trigrams to total — low ratios flag
+    boilerplate-heavy or synthetic-loop content before it poisons a
+    training mix.
+
+    Exact distinct at scale without count_distinct's per-group hash sets:
+    two-level aggregation — first (source, md5(ngram)) partial-agg
+    counts (combines map-side), then per-source count-of-groups and
+    sum-of-counts in one pass. N-grams travel as md5 keys, never text."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select("source", F.split(F.lower("text"), " ").alias("w"))
+
+    def grams(n):
+        parts = [F.element_at("w", F.col("i") + j) for j in range(n)]
+        return (
+            base.select(
+                "source",
+                F.explode(F.sequence(F.lit(1), F.size("w") - (n - 1))).alias("i"),
+                "w",
+            )
+            .select("source", F.md5(F.concat_ws(" ", *parts)).alias("g"))
+            .groupBy("source", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("source")
+            .agg(
+                F.sum("c").cast("bigint").alias(f"n_{n}"),
+                F.count(F.lit(1)).cast("bigint").alias(f"d_{n}"),
+            )
+        )
+
+    ba, ta = grams(2), grams(3)
+    return ba.join(ta, "source").select(
+        "source",
+        F.col("n_2").alias("n_bigrams"),
+        F.round(F.col("d_2") / F.col("n_2").cast("double"), 8).alias(
+            "distinct_bigram_ratio"
+        ),
+        F.col("n_3").alias("n_trigrams"),
+        F.round(F.col("d_3") / F.col("n_3").cast("double"), 8).alias(
+            "distinct_trigram_ratio"
+        ),
+    )

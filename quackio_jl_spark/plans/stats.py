@@ -2992,3 +2992,127 @@ def lineitem_ols_regression(spark, sf_dir):
         F.round((sy - slope * sx) / n, 8).alias("intercept"),
         F.round((cov_n * cov_n) / (var_x * var_y), 8).alias("r2"),
     )
+
+
+# ------------------------------------ cumulative distinct users per day
+
+
+@query(
+    "events_cumulative_distinct_users",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT first_day AS day, COUNT(*) AS new_users FROM fs GROUP BY first_day
+    )
+    SELECT day, CAST(new_users AS BIGINT) AS new_users,
+      CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+    FROM daily
+    """,
+)
+def events_cumulative_distinct_users(spark, sf_dir):
+    """Running count of distinct users ever seen, per day — the growth
+    curve every DAU/MAU dashboard needs. The naive plan (per-day COUNT
+    DISTINCT over an expanding window) rescans the whole history per day;
+    this is the first-seen reduction instead: one user-keyed min-reduce
+    (combines map-side), a per-day count, and a cumulative sum over the
+    handful of day rows. The unpartitioned window is over days, not
+    events — ~365 rows/year, driver-trivial at any corpus size."""
+    e = table(spark, sf_dir, "events")
+    fs = (
+        e.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("first_day"))
+    )
+    daily = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
+
+
+# ------------------------------------------ 2-D Mahalanobis outliers
+
+
+@query(
+    "lineitem_mahalanobis_outliers",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        {_DS.format(x='l_quantity')} AS sx,
+        {_DS.format(x='l_extendedprice')} AS sy,
+        {_DS.format(x='l_quantity * l_quantity')} AS sxx,
+        {_DS.format(x='l_extendedprice * l_extendedprice')} AS syy,
+        {_DS.format(x='l_quantity * l_extendedprice')} AS sxy
+      FROM lineitem
+    ),
+    m AS (
+      SELECT n, sx / n AS mx, sy / n AS my,
+        sxx / n - (sx / n) * (sx / n) AS vx,
+        syy / n - (sy / n) * (sy / n) AS vy,
+        sxy / n - (sx / n) * (sy / n) AS cxy
+      FROM s
+    )
+    SELECT l_orderkey, l_linenumber,
+      round(((l_quantity - mx) * (l_quantity - mx) * vy
+           - 2 * (l_quantity - mx) * (l_extendedprice - my) * cxy
+           + (l_extendedprice - my) * (l_extendedprice - my) * vx)
+           / (vx * vy - cxy * cxy), 8) AS d2
+    FROM lineitem CROSS JOIN m
+    ORDER BY d2 DESC, l_orderkey, l_linenumber LIMIT 20
+    """,
+)
+def lineitem_mahalanobis_outliers(spark, sf_dir):
+    """Top-20 bivariate outliers by Mahalanobis distance over (quantity,
+    extended price) — the correlation-aware generalization of the
+    per-column z-score screens: a row can be unremarkable on each axis
+    yet far off the joint distribution's ridge.
+
+    The 2x2 covariance comes from one exact-decimal-sum aggregate
+    (functions/exact.py recipe — bit-identical at any partition count),
+    the inverse is closed-form, and the per-row distance is a broadcast
+    of five scalars into a map stage. Top-20 executes as
+    TakeOrderedAndProject: per-partition heaps, never a global sort."""
+    l = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+
+    def ds(c):
+        return F.sum(c.cast(DEC)).cast("double")
+
+    s = F.broadcast(
+        l.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            ds(x).alias("sx"),
+            ds(y).alias("sy"),
+            ds(x * x).alias("sxx"),
+            ds(y * y).alias("syy"),
+            ds(x * y).alias("sxy"),
+        ).select(
+            (F.col("sx") / F.col("n")).alias("mx"),
+            (F.col("sy") / F.col("n")).alias("my"),
+            (F.col("sxx") / F.col("n")
+             - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))).alias("vx"),
+            (F.col("syy") / F.col("n")
+             - (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n"))).alias("vy"),
+            (F.col("sxy") / F.col("n")
+             - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))).alias("cxy"),
+        )
+    )
+    dx = x - F.col("mx")
+    dy = y - F.col("my")
+    d2 = (
+        dx * dx * F.col("vy") - 2 * dx * dy * F.col("cxy") + dy * dy * F.col("vx")
+    ) / (F.col("vx") * F.col("vy") - F.col("cxy") * F.col("cxy"))
+    return (
+        l.crossJoin(s)
+        .select("l_orderkey", "l_linenumber", F.round(d2, 8).alias("d2"))
+        .orderBy(F.col("d2").desc(), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
