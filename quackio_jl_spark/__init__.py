@@ -37,6 +37,7 @@ from .sources import (
     read_kv_metadata,
     read_orc,
     read_parquet,
+    read_text,
     write_bucketed,
     write_sorted,
     write_table,
@@ -53,6 +54,7 @@ __all__ = [
     "read_json",
     "read_orc",
     "read_file",
+    "read_text",
     "write_table",
     "write_bucketed",
     "write_sorted",

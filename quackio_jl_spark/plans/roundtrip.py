@@ -338,3 +338,36 @@ def roundtrip_sharded_write(spark, sf_dir):
         spark_options={"maxRecordsPerFile": "500"},
     )
     return _agg(read_parquet(spark, path))
+
+
+@query(
+    "roundtrip_text_files",
+    oracle="""
+    SELECT doc_id, text AS content FROM documents WHERE doc_id < 20
+    """,
+)
+def roundtrip_text_files(spark, sf_dir):
+    """documents -> engine TEXT sink partitioned by doc_id (one directory
+    per document, raw bytes, no quoting/escaping layer) -> whole-file
+    read_text scan -> doc_id re-derived from the partition path. Exercises
+    the raw-.txt-shard ingestion path (DuckDB read_text parity) under the
+    oracle gate: any byte mangling in the text sink or whole-file scan
+    breaks the hash match against the source parquet."""
+    from ..sources.readers import read_text
+
+    src = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+    )
+    d = tempfile.mkdtemp(prefix="quackio_rt_") + "/docs_txt"
+    write_table(src, d, format="text", single_file=False, partition_by=["doc_id"])
+    back = read_text(spark, d + "/doc_id=*/part-*")
+    return back.select(
+        F.regexp_extract("filename", r"doc_id=(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        # the text sink terminates every record with \n; strip the one
+        # terminator so content compares against the source bytes
+        F.regexp_replace("content", "\n$", "").alias("content"),
+    )

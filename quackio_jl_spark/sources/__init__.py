@@ -8,7 +8,15 @@ from .options import (
     translate_read_options,
     translate_write_options,
 )
-from .readers import materialize, read_csv, read_file, read_json, read_orc, read_parquet
+from .readers import (
+    materialize,
+    read_csv,
+    read_file,
+    read_json,
+    read_orc,
+    read_parquet,
+    read_text,
+)
 from .writers import write_table
 
 __all__ = [
@@ -20,6 +28,7 @@ __all__ = [
     "read_json",
     "read_orc",
     "read_file",
+    "read_text",
     "materialize",
     "write_table",
     "attach_kv_metadata",

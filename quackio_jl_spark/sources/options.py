@@ -44,7 +44,7 @@ def _reject(kind: str, fmt: str, key: str, known: set[str], reason: str | None =
         )
     raise UnknownOptionError(f"{kind}_{fmt} option {key!r}: {reason}")
 
-VALID_FORMATS = {"csv", "parquet", "json", "orc"}
+VALID_FORMATS = {"csv", "parquet", "json", "orc", "text"}
 
 # DuckDB type name -> Spark DDL type. Matches the reference's observed cast
 # semantics (columns=(a="float",...) materializes as Float64/double —
@@ -106,6 +106,7 @@ def guess_format(path: str) -> str:
         ("parquet", (".parquet", ".pq")),
         ("json", (".json", ".ndjson", ".jsonl")),
         ("orc", (".orc",)),
+        ("text", (".txt", ".text")),
     ):
         if name.endswith(exts):
             return fmt
@@ -239,6 +240,8 @@ _READ_KNOWN: dict[str, set[str]] = {
     # beyond-reference, Spark-native columnar format (DuckDB has no ORC
     # scanner; the roundtrip oracle verifies content via the aggregate)
     "orc": {"compression"},
+    # raw line/whole-file text (DuckDB read_text analogue)
+    "text": {"compression"},
 }
 
 
@@ -355,6 +358,9 @@ _WRITE_KNOWN: dict[str, set[str]] = {
         "partition_by",
     },
     "orc": {
+        "compression", "use_tmp_file", "per_thread_output", "partition_by",
+    },
+    "text": {
         "compression", "use_tmp_file", "per_thread_output", "partition_by",
     },
 }

@@ -31,7 +31,7 @@ from .options import (
     translate_read_options,
 )
 
-__all__ = ["read_csv", "read_parquet", "read_json", "read_file", "materialize"]
+__all__ = ["read_csv", "read_parquet", "read_json", "read_file", "read_text", "materialize"]
 
 
 def _apply_select(df: DataFrame, select: Iterable[Any]) -> DataFrame:
@@ -409,3 +409,44 @@ def read_file(spark: SparkSession, file, filetype: str | None = None, **kw) -> D
     else:
         fmt = normalize_format(filetype)
     return _read(spark, fmt, file, **kw)
+
+
+def read_text(
+    spark: SparkSession,
+    file,
+    *,
+    by_line: bool = False,
+    spark_options: dict[str, Any] | None = None,
+) -> DataFrame:
+    """Raw text scan — DuckDB ``read_text`` parity: one row per FILE with
+    columns ``(filename, content)``. The raw-.txt-shard ingestion path a
+    corpus pipeline starts from.
+
+    ``by_line=True`` switches to Spark's native line-record reader (one
+    row per LINE, filename retained) — the scale default when files are
+    line-oriented: whole-file mode makes each file a single task input
+    (non-splittable, one row in memory per file), line mode splits on
+    block boundaries like any other scan. Filenames are normalized to
+    plain paths (Spark reports ``file:`` URIs; DuckDB reports the path
+    as globbed)."""
+    import glob as _glob
+
+    paths = []
+    for p_ in _paths(file, suffix=".txt"):
+        # whole-file mode's input format does not glob-expand; resolve
+        # local wildcards driver-side (DuckDB read_text globs the same way)
+        if any(ch in p_ for ch in "*?[") and "://" not in p_:
+            paths.extend(sorted(_glob.glob(p_)))
+        else:
+            paths.append(p_)
+    reader = spark.read.options(**{k: str(v) for k, v in (spark_options or {}).items()})
+    fname = F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
+    return (
+        # text()'s wholetext kwarg overwrites any option of the same name,
+        # so it must be passed here, not via .option()
+        reader.text(paths, wholetext=not by_line)
+        .select(
+            F.url_decode(fname).alias("filename"),
+            F.col("value").alias("content"),
+        )
+    )

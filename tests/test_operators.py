@@ -675,6 +675,10 @@ def test_pipeline_operators_survive_empty_corpus(tmp_path, spark):
         "doc_code_likeness", "tokenizer_fertility_by_lang",
         "embedding_grid_duplicates", "retrieval_query_likelihood",
         "retrieval_rrf_fusion", "quality_calibration_bins",
+        # round-5 batch: quality gates, span dedup, diversity
+        "gopher_quality_flags", "ccnet_lm_buckets",
+        "neardup_duplicated_spans", "source_distinct_ngram_diversity",
+        "centroid_similarity_matrix",
     ]
     qs = entry.queries()
     for name in names:

@@ -315,3 +315,39 @@ def test_nested_ddl_property(spark):
         assert parsed is not None
 
     check()
+
+
+def test_read_text_whole_and_lines(tmp_path, spark):
+    """read_text: whole-file mode = DuckDB read_text shape (filename,
+    content); by_line mode = splittable line records."""
+    from quackio_jl_spark import read_text
+
+    (tmp_path / "a.txt").write_text("one\ntwo")
+    (tmp_path / "b.txt").write_text("three")
+    whole = read_text(spark, str(tmp_path / "*.txt"))
+    rows = {r["filename"].rsplit("/", 1)[-1]: r["content"] for r in whole.collect()}
+    assert rows == {"a.txt": "one\ntwo", "b.txt": "three"}
+    lines = read_text(spark, str(tmp_path / "*.txt"), by_line=True)
+    assert sorted(r["content"] for r in lines.collect()) == ["one", "three", "two"]
+    # DuckDB agreement on whole-file semantics
+    import duckdb
+
+    d = dict(
+        duckdb.sql(
+            f"SELECT filename, content FROM read_text('{tmp_path}/*.txt')"
+        ).fetchall()
+    )
+    assert {k.rsplit("/", 1)[-1]: v for k, v in d.items()} == rows
+
+
+def test_write_text_guess_and_single_file(tmp_path, spark):
+    """format guessing maps .txt to the text sink; single-file mode writes
+    the raw lines with no header/quoting."""
+    from quackio_jl_spark import read_text, write_table
+
+    df = spark.createDataFrame([("x y",), ("z w",)], "t string")
+    p = str(tmp_path / "out.txt")
+    write_table(df, p)  # guessed from extension
+    assert sorted(open(p).read().splitlines()) == ["x y", "z w"]
+    back = read_text(spark, p, by_line=True)
+    assert sorted(r["content"] for r in back.collect()) == ["x y", "z w"]
