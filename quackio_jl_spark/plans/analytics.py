@@ -1858,3 +1858,121 @@ def events_value_cusum_drift(spark, sf_dir):
         F.round(F.min("cusum"), 6).alias("min_excursion"),
         F.round(F.max("cusum") - F.min("cusum"), 6).alias("cusum_range"),
     )
+
+
+# ------------------------- gap fill with linear interpolation
+
+INTERP_BUCKET_SEC = 3600  # hourly grid
+
+
+@query(
+    "events_gapfill_linear_interpolation",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type,
+        CAST(floor(epoch(ts) / {INTERP_BUCKET_SEC}) AS BIGINT) AS b,
+        CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS v
+      FROM events GROUP BY event_type, b
+    ),
+    spans AS (
+      SELECT event_type, MIN(b) AS b0, MAX(b) AS b1 FROM obs
+      GROUP BY event_type
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(b0, b1)) AS b FROM spans
+    ),
+    j AS (
+      SELECT g.event_type, g.b, o.v FROM grid g
+      LEFT JOIN obs o ON g.event_type = o.event_type AND g.b = o.b
+    ),
+    ctx AS (
+      SELECT event_type, b, v,
+        last_value(v IGNORE NULLS) OVER w_prev AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+          OVER w_prev AS pb,
+        first_value(v IGNORE NULLS) OVER w_next AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+          OVER w_next AS nb
+      FROM j
+      WINDOW
+        w_prev AS (PARTITION BY event_type ORDER BY b
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY event_type ORDER BY b
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, b AS bucket_id,
+      round(CASE
+        WHEN v IS NOT NULL THEN v
+        WHEN pv IS NOT NULL AND nv IS NOT NULL
+          THEN pv + (nv - pv) * (b - pb) / CAST(nb - pb AS DOUBLE)
+        WHEN pv IS NOT NULL THEN pv
+        ELSE nv END, 8) AS value_interp,
+      v IS NULL AS is_interpolated
+    FROM ctx
+    """,
+)
+def events_gapfill_linear_interpolation(spark, sf_dir):
+    """Hourly resample of per-type mean value with LINEAR interpolation
+    across empty buckets (forward/backward hold at the edges) — the
+    time-series regularization step upstream of any window model, one
+    notch smarter than the locf fill of events_gap_fill_6h.
+
+    Bucket means use the exact-decimal-sum recipe so both engines rank
+    from identical doubles; prev/next anchors come from ignore-nulls
+    window frames partitioned by series key (parallel across types,
+    never a global sort). The dense grid is generated per series from
+    its own [min, max] span — no driver-side calendar."""
+    e = table(spark, sf_dir, "events")
+    b = F.floor(F.unix_micros("ts") / (INTERP_BUCKET_SEC * 1_000_000)).cast(
+        "bigint"
+    )
+    obs = (
+        e.select("event_type", b.alias("b"), F.col("value").cast("double").alias("x"))
+        .groupBy("event_type", "b")
+        .agg(
+            (F.sum(F.col("x").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+                "v"
+            )
+        )
+    )
+    spans = obs.groupBy("event_type").agg(
+        F.min("b").alias("b0"), F.max("b").alias("b1")
+    )
+    grid = spans.select(
+        "event_type", F.explode(F.sequence("b0", "b1")).alias("b")
+    )
+    j = grid.join(obs, ["event_type", "b"], "left")
+    w_prev = (
+        W.partitionBy("event_type").orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_next = (
+        W.partitionBy("event_type").orderBy("b").rowsBetween(0, W.unboundedFollowing)
+    )
+    anchor_b = F.when(F.col("v").isNotNull(), F.col("b"))
+    ctx = j.select(
+        "event_type",
+        "b",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(anchor_b, ignorenulls=True).over(w_prev).alias("pb"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(anchor_b, ignorenulls=True).over(w_next).alias("nb"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("b") - F.col("pb"))
+            / (F.col("nb") - F.col("pb")).cast("double"),
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return ctx.select(
+        "event_type",
+        F.col("b").alias("bucket_id"),
+        F.round(interp, 8).alias("value_interp"),
+        F.col("v").isNull().alias("is_interpolated"),
+    )

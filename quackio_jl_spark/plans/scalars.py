@@ -436,3 +436,48 @@ def map_hof_pack(spark, sf_dir):
             "status",
         ).alias("status_after_zip"),
     )
+
+
+@query(
+    "try_functions_pack",
+    oracle="""
+    SELECT o_orderkey,
+      CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        ELSE o_totalprice / (o_orderkey % 7) END AS safe_div,
+      TRY_CAST(o_orderpriority AS INTEGER) AS bad_int_cast,
+      TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+      CASE WHEN o_orderkey = 0 THEN 9223372036854775807
+        ELSE NULL END AS overflow_add,
+      CASE WHEN o_orderkey > 3037000499 THEN NULL
+        ELSE o_orderkey * o_orderkey END AS safe_square,
+      NULL AS oob_element,
+      TRY_CAST('2024-13-40' AS DATE) AS bad_date
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def try_functions_pack(spark, sf_dir):
+    """ANSI-safety scalar surface: try_divide / try_cast / try_add /
+    try_multiply / try_element_at / try_to_date — NULL instead of a
+    runtime error on division by zero, overflow, malformed casts, and
+    out-of-bounds subscripts. The contract a 100 TB batch job needs: one
+    poisoned row must not kill a 10-hour stage.
+
+    The oracle pins each NULL case explicitly (CASE/TRY_CAST), so this
+    doubles as documentation of exactly which inputs Spark's try_*
+    family nulls out. Everything is codegen'd JVM expressions."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), k % 7).alias("safe_div"),
+        F.expr("try_cast(o_orderpriority AS int)").alias("bad_int_cast"),
+        F.expr("try_cast(substr(o_orderpriority, 1, 1) AS int)").alias(
+            "prio_digit"
+        ),
+        F.try_add(F.lit(9223372036854775807), k).alias("overflow_add"),
+        F.try_multiply(k, k).alias("safe_square"),
+        F.try_element_at(F.array(F.lit(1)), F.lit(5).cast("int")).alias(
+            "oob_element"
+        ),
+        F.try_to_date(F.lit("2024-13-40")).alias("bad_date"),
+    )

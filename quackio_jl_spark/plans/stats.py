@@ -3116,3 +3116,69 @@ def lineitem_mahalanobis_outliers(spark, sf_dir):
         .orderBy(F.col("d2").desc(), "l_orderkey", "l_linenumber")
         .limit(20)
     )
+
+
+L_DIVERSITY_THRESHOLD = 3
+
+
+@query(
+    "l_diversity_report",
+    oracle=f"""
+    WITH sv AS (
+      SELECT c_nationkey, c_mktsegment,
+        CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS sens,
+        COUNT(*) AS c
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    sp AS (
+      SELECT sv.*, CAST(SUM(c) OVER (PARTITION BY c_nationkey,
+        c_mktsegment) AS DOUBLE) AS tot
+      FROM sv
+    ),
+    g AS (
+      SELECT c_nationkey, c_mktsegment,
+        CAST(SUM(c) AS BIGINT) AS n_rows,
+        CAST(COUNT(*) AS BIGINT) AS l_distinct,
+        round(exp(SUM(-(c / tot) * ln(c / tot))), 8) AS entropy_l
+      FROM sp GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment, n_rows, l_distinct, entropy_l,
+      l_distinct >= {L_DIVERSITY_THRESHOLD} AS meets_l
+    FROM g
+    """,
+)
+def l_diversity_report(spark, sf_dir):
+    """l-diversity audit (Machanavajjhala et al. 2007), the companion to
+    k_anonymity_report: a group can be k-large yet still leak if every
+    member shares the same sensitive value. Per quasi-identifier class
+    (nation, market segment) against the balance-band sensitive
+    attribute: distinct-l, entropy-l (exp of the sensitive-value
+    entropy — punishes 99:1 skews that distinct-l misses), and the
+    l>={L_DIVERSITY_THRESHOLD} release flag.
+
+    Two keyed aggregations — (QI, sensitive) counts, then per-QI rollup
+    — both partial-aggregated; the entropy sums over at most
+    |sensitive-domain| terms per group, never over rows."""
+    c = table(spark, sf_dir, "customer")
+    sv = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("sens"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wq = W.partitionBy("c_nationkey", "c_mktsegment")
+    p = F.col("c") / F.sum("c").over(wq).cast("double")
+    g = sv.select(
+        "c_nationkey", "c_mktsegment", "c", (-p * F.ln(p)).alias("h")
+    ).groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("l_distinct"),
+        F.round(F.exp(F.sum("h")), 8).alias("entropy_l"),
+    )
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_rows",
+        "l_distinct",
+        "entropy_l",
+        (F.col("l_distinct") >= L_DIVERSITY_THRESHOLD).alias("meets_l"),
+    )
