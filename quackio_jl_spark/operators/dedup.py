@@ -1909,3 +1909,95 @@ def neardup_duplicated_spans(spark, sf_dir):
         (F.max("i") + (n - 1)).cast("bigint").alias("span_end"),
         (F.max("i") - F.min("i") + n).cast("bigint").alias("span_tokens"),
     ).drop("grp")
+
+
+# ------------------ cross-source contamination / overlap matrix
+
+
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH ds AS (
+      SELECT DISTINCT source,
+        md5(array_to_string(w[i:i + {SPAN_SHINGLE_N - 1}], ' ')) AS sh
+      FROM (SELECT source, string_split(lower(text), ' ') AS w
+            FROM documents),
+        UNNEST(generate_series(1, len(w) - {SPAN_SHINGLE_N - 1})) AS u(i)
+    ),
+    per AS (SELECT source, COUNT(*) AS n_sh FROM ds GROUP BY source),
+    pair AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+        COUNT(*) AS n_shared
+      FROM ds a JOIN ds b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared_shingles,
+      round(n_shared / CAST(pa.n_sh + pb.n_sh - n_shared AS DOUBLE), 8)
+        AS shingle_jaccard
+    FROM pair
+    JOIN per pa ON pa.source = source_a
+    JOIN per pb ON pb.source = source_b
+    """,
+)
+def source_overlap_matrix(spark, sf_dir):
+    """Pairwise cross-source contamination matrix: for every pair of
+    sources, how many distinct {SPAN_SHINGLE_N}-gram shingles they share
+    and the Jaccard of their shingle sets — the leakage map consulted
+    before declaring one source a held-out eval set.
+
+    The oracle states it as a shingle self-join; the Spark plan never
+    self-joins: per shingle, the distinct source set is collected
+    (bounded by the source cardinality, ~dozens) and pairs are generated
+    IN-ROW from the sorted array — the same in-bucket pair-generation
+    idiom as the LSH candidate stage, so shuffle volume is one row per
+    (shingle, source-pair), not |ds|^2 probes."""
+    d = table(spark, sf_dir, "documents")
+    n = SPAN_SHINGLE_N
+    ds = (
+        d.select("source", F.split(F.lower("text"), " ").alias("w"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(w) >= {n} THEN "
+                    f"transform(sequence(1, size(w) - {n - 1}), "
+                    f"i -> md5(array_join(slice(w, i, {n}), ' '))) "
+                    f"ELSE array() END"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    per = ds.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    srcs = ds.groupBy("sh").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    )
+    pairs_expr = F.expr(
+        "flatten(transform(sequence(1, size(ss) - 1), "
+        "i -> transform(sequence(i + 1, size(ss)), "
+        "j -> struct(element_at(ss, i) AS a, element_at(ss, j) AS b))))"
+    )
+    pair = (
+        srcs.filter(F.size("ss") >= 2)
+        .select(F.explode(pairs_expr).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    pa = per.select(F.col("source").alias("source_a"), F.col("n_sh").alias("na"))
+    pb = per.select(F.col("source").alias("source_b"), F.col("n_sh").alias("nb"))
+    return (
+        pair.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared").cast("bigint").alias("n_shared_shingles"),
+            F.round(
+                F.col("n_shared")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")).cast("double"),
+                8,
+            ).alias("shingle_jaccard"),
+        )
+    )

@@ -397,3 +397,76 @@ def quality_zscore_by_lang(spark, sf_dir):
             / F.sqrt(F.col("var") + F.lit(1e-9)), 8,
         ).alias("z"),
     )
+
+
+# ----------------- cross-source quantile normalization
+
+
+@query(
+    "quality_quantile_normalize",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS score FROM documents
+    ),
+    pr AS (
+      SELECT doc_id, source, score,
+        percent_rank() OVER (PARTITION BY source ORDER BY score) AS pr
+      FROM scored
+    ),
+    qs AS (SELECT quantile_cont(score, [0.00, 0.01, 0.02, 0.03, 0.04, 0.05, 0.06, 0.07, 0.08, 0.09, 0.10, 0.11, 0.12, 0.13, 0.14, 0.15, 0.16, 0.17, 0.18, 0.19, 0.20, 0.21, 0.22, 0.23, 0.24, 0.25, 0.26, 0.27, 0.28, 0.29, 0.30, 0.31, 0.32, 0.33, 0.34, 0.35, 0.36, 0.37, 0.38, 0.39, 0.40, 0.41, 0.42, 0.43, 0.44, 0.45, 0.46, 0.47, 0.48, 0.49, 0.50, 0.51, 0.52, 0.53, 0.54, 0.55, 0.56, 0.57, 0.58, 0.59, 0.60, 0.61, 0.62, 0.63, 0.64, 0.65, 0.66, 0.67, 0.68, 0.69, 0.70, 0.71, 0.72, 0.73, 0.74, 0.75, 0.76, 0.77, 0.78, 0.79, 0.80, 0.81, 0.82, 0.83, 0.84, 0.85, 0.86, 0.87, 0.88, 0.89, 0.90, 0.91, 0.92, 0.93, 0.94, 0.95, 0.96, 0.97, 0.98, 0.99, 1.00]) AS q FROM scored),
+    grid AS (
+      SELECT i AS bucket, q[i + 1] AS gq
+      FROM qs, UNNEST(generate_series(0, 100)) AS u(i)
+    )
+    SELECT doc_id, source, score, round(pr, 8) AS pr,
+      round(gq, 8) AS norm_score
+    FROM pr JOIN grid ON CAST(round(pr * 100) AS INTEGER) = bucket
+    """,
+)
+def quality_quantile_normalize(spark, sf_dir):
+    """Quantile normalization of a per-document score across sources: each
+    document's score is replaced by the GLOBAL score at its WITHIN-SOURCE
+    percentile — after which every source has the same score
+    distribution, so a single corpus-wide quality threshold cuts the same
+    fraction from each source instead of silently favoring sources whose
+    raw scores run high (the standard bias when one quality model scores
+    heterogeneous corpora).
+
+    Scale shape: the within-source percent_rank parallelizes across
+    sources; the global quantile function is compressed to a 101-point
+    grid computed in ONE percentile aggregate and broadcast — never a
+    corpus-wide sort joined per row. Ties share a percent_rank peer
+    group identically in both engines, so no tie-break column is needed
+    (and none may be added — it would split peers)."""
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", F.col("n_chars").cast("double").alias("score")
+    )
+    from pyspark.sql import Window as W
+
+    pr = scored.select(
+        "doc_id",
+        "source",
+        "score",
+        F.percent_rank()
+        .over(W.partitionBy("source").orderBy("score"))
+        .alias("pr"),
+    )
+    fracs = "array(" + ",".join(f"{i}/100D" for i in range(101)) + ")"
+    grid = (
+        scored.agg(F.expr(f"percentile(score, {fracs})").alias("gq"))
+        .select(F.posexplode("gq").alias("bucket", "gq"))
+    )
+    return (
+        pr.join(
+            F.broadcast(grid),
+            F.round(F.col("pr") * 100).cast("int") == F.col("bucket"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "score",
+            F.round("pr", 8).alias("pr"),
+            F.round("gq", 8).alias("norm_score"),
+        )
+    )

@@ -2287,3 +2287,64 @@ def source_distinct_ngram_diversity(spark, sf_dir):
             "distinct_trigram_ratio"
         ),
     )
+
+
+def gopher_flags_stateless(d):
+    """The Gopher gate as a PURE MAP (zero shuffles): identical signals to
+    gopher_quality_flags, but the top-word share is computed inside the
+    row via higher-order functions (count each distinct token against the
+    doc's own array) instead of explode + groupBy. O(distinct * n) per
+    document — the right trade for a STREAMING quality gate, where a
+    stateless operator needs no watermark, no state store, and no output
+    mode beyond append. The batch query keeps the explode + partial-agg
+    plan (cheaper for long documents); the streaming twin test pins the
+    two implementations equal row-for-row."""
+    w = F.split(F.lower("text"), " ")
+    base = d.select("doc_id", w.alias("w"))
+    n_words = F.size("w")
+    mean_word_len = F.aggregate(
+        F.transform("w", lambda x: F.length(x)),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    ) / n_words.cast("double")
+    frac_alpha = F.size(
+        F.filter("w", lambda x: ~x.rlike("[^a-z]"))
+    ) / n_words.cast("double")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct("w"), F.array(*[F.lit(s) for s in GOPHER_STOPSET])
+        )
+    ).cast("int")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n_words - 1),
+        lambda i: F.concat_ws(" ", F.element_at("w", i), F.element_at("w", i + 1)),
+    )
+    dup_bigram = F.when(
+        n_words > 1,
+        F.lit(1.0)
+        - F.size(F.array_distinct(bigrams)) / (n_words - 1).cast("double"),
+    ).otherwise(0.0)
+    max_c = F.array_max(
+        F.transform(
+            F.array_distinct("w"),
+            lambda x: F.size(F.filter("w", lambda y: y == x)),
+        )
+    )
+    twf = max_c / n_words.cast("double")
+    return base.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_word_len, 8).alias("mean_word_len"),
+        F.round(frac_alpha, 8).alias("frac_alpha"),
+        n_stop.alias("n_stop_distinct"),
+        F.round(twf, 8).alias("top_word_frac"),
+        F.round(dup_bigram, 8).alias("dup_bigram_frac"),
+        (
+            n_words.cast("bigint").between(50, 100000)
+            & mean_word_len.between(3, 10)
+            & (frac_alpha > 0.8)
+            & (n_stop >= 2)
+            & (twf < 0.2)
+            & (dup_bigram < 0.2)
+        ).alias("gopher_keep"),
+    )

@@ -672,3 +672,41 @@ def markov_transitions_stream(spark: SparkSession, sf_dir: str):
         "SELECT from_type, to_type, CAST(SUM(n) AS BIGINT) AS n_transitions "
         "FROM markov_stream GROUP BY from_type, to_type"
     )
+
+
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table (schema probed from the
+    static file, glob-filtered to the one table)."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+def quality_gate_stream(
+    spark: SparkSession, sf_dir: str, queryName: str = "quality_gate"
+) -> DataFrame:
+    """The Gopher quality gate as a streaming operator: documents arrive on
+    a file stream and every signal + the keep verdict is computed in a
+    stateless map (operators/text.py::gopher_flags_stateless) — append
+    output mode, no watermark, no state store. This is the shape of an
+    ingest-time filter on a live corpus firehose: each micro-batch is
+    gated independently, so the operator backpressures like any stateless
+    projection. Drained synchronously into a memory sink and returned."""
+    from ..operators.text import gopher_flags_stateless
+
+    flags = gopher_flags_stateless(_documents_stream(spark, sf_dir))
+    q = (
+        flags.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {queryName}")

@@ -1150,3 +1150,17 @@ def test_markov_transitions_stream_matches_batch(spark):
         for r in markov_transitions_stream(spark, SF_DIR).collect()
     }
     assert stream == batch
+
+
+def test_quality_gate_stream_matches_batch(spark):
+    """Streaming Gopher gate (stateless pure-map, append mode) must agree
+    row-for-row with the batch explode+groupBy implementation — a
+    cross-implementation check on top of the batch query's DuckDB oracle."""
+    from quackio_jl_spark.streaming.events import quality_gate_stream
+
+    stream_res = quality_gate_stream(spark, SF_DIR, queryName="t_qgate")
+    batch_res = entry.queries()["gopher_quality_flags"](spark, SF_DIR)
+    cols = batch_res.columns
+    s = sorted(tuple(r[c] for c in cols) for r in stream_res.collect())
+    b = sorted(tuple(r[c] for c in cols) for r in batch_res.collect())
+    assert s == b and len(b) > 0
