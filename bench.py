@@ -69,6 +69,15 @@ EXTENDED = [
     "quality_score_auc",
     "ks_test_click_vs_view",
     "lineitem_corr_matrix",
+    # Round-5 session additions: quality gates, substring dedup, overlap join.
+    "gopher_quality_flags",
+    "ccnet_lm_buckets",
+    "neardup_duplicated_spans",
+    "source_overlap_matrix",
+    "interval_overlap_join_binned",
+    "quality_quantile_normalize",
+    "events_gapfill_linear_interpolation",
+    "lineitem_mahalanobis_outliers",
 ]
 
 

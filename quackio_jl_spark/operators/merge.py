@@ -381,3 +381,81 @@ def snapshot_diff_cdc(spark, sf_dir):
             .alias("change_type"),
         )
     )
+
+
+# --------------- fuzzy duplicate detection on structured records
+
+DUP_INV_PRICE_TOL = 10.0
+DUP_INV_DAY_TOL = 90
+_DUP_INV_BAND = 20.0  # band width: > tolerance, so +-1 band suffices
+
+
+@query(
+    "orders_duplicate_invoices",
+    oracle=f"""
+    SELECT a.o_custkey AS custkey,
+      a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
+      round(abs(a.o_totalprice - b.o_totalprice), 2) AS price_diff,
+      CAST(abs(datediff('day', a.o_orderdate, b.o_orderdate)) AS BIGINT)
+        AS day_diff
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+     AND abs(a.o_totalprice - b.o_totalprice) <= {DUP_INV_PRICE_TOL}
+     AND abs(datediff('day', a.o_orderdate, b.o_orderdate))
+         <= {DUP_INV_DAY_TOL}
+    """,
+)
+def orders_duplicate_invoices(spark, sf_dir):
+    """Fuzzy duplicate detection on STRUCTURED records — the
+    double-billing screen: order pairs of the same customer whose totals
+    agree within {DUP_INV_PRICE_TOL} and dates within
+    {DUP_INV_DAY_TOL} days. The record-linkage counterpart of the text
+    near-dup family: blocking key + exact verify, never an unblocked
+    self-join.
+
+    Blocking is (custkey, price band) with the probe side exploded into
+    the three adjacent bands (band width {_DUP_INV_BAND} > 2x tolerance
+    is NOT needed — width > tolerance with +-1 bands guarantees recall);
+    band identity makes each candidate pair meet exactly once, so no
+    distinct pass. Per-key work scales with band occupancy, not with
+    orders-per-customer squared."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.to_date("o_orderdate").alias("d"),
+    )
+    W_ = _DUP_INV_BAND
+    band = F.floor(F.col("o_totalprice") / W_)
+    a = o.select(
+        F.col("o_orderkey").alias("ka"),
+        F.col("o_custkey").alias("ca"),
+        F.col("o_totalprice").alias("pa"),
+        F.col("d").alias("da"),
+        F.explode(F.array(band - 1, band, band + 1)).alias("band"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("kb"),
+        F.col("o_custkey").alias("cb"),
+        F.col("o_totalprice").alias("pb"),
+        F.col("d").alias("db"),
+        band.alias("band_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("ca") == F.col("cb")) & (F.col("band") == F.col("band_b")),
+        )
+        .filter(
+            (F.col("ka") < F.col("kb"))
+            & (F.abs(F.col("pa") - F.col("pb")) <= DUP_INV_PRICE_TOL)
+            & (
+                F.abs(F.datediff("da", "db")) <= DUP_INV_DAY_TOL
+            )
+        )
+        .select(
+            F.col("ca").alias("custkey"),
+            F.col("ka").alias("orderkey_a"),
+            F.col("kb").alias("orderkey_b"),
+            F.round(F.abs(F.col("pa") - F.col("pb")), 2).alias("price_diff"),
+            F.abs(F.datediff("da", "db")).cast("bigint").alias("day_diff"),
+        )
+    )

@@ -1976,3 +1976,34 @@ def events_gapfill_linear_interpolation(spark, sf_dir):
         F.round(interp, 8).alias("value_interp"),
         F.col("v").isNull().alias("is_interpolated"),
     )
+
+
+@query("events_trailing_wau_hll")  # rows-only: HLL estimates are
+# engine-specific by construction; the error bound vs events_trailing_wau
+# is pinned by tests/test_operators.py::test_trailing_wau_hll_error_bound
+def events_trailing_wau_hll(spark, sf_dir):
+    """Trailing-7-day active users via HyperLogLog++ (rsd=0.02) — the
+    sketch twin of events_trailing_wau. Same dedup-first + bounded
+    day-fan-out shape, but the per-day aggregate is approx_count_distinct,
+    whose partial states are fixed-size mergeable registers: at 10^11
+    events the exact variant's per-day distinct shuffle carries user ids,
+    this one carries a few KB per (day, partition) regardless of
+    cardinality — the difference between a report and an incident when
+    WAU is 10^8. Standard error 2% (HLL++ rsd)."""
+    e = table(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = du.select(F.col("d").alias("day_d")).distinct()
+    return (
+        du.join(
+            F.broadcast(days),
+            (F.col("d") <= F.col("day_d"))
+            & (F.col("d") > F.date_sub(F.col("day_d"), 7)),
+        )
+        .groupBy("day_d")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("wau_approx")
+        )
+        .select(
+            F.date_format("day_d", "yyyy-MM-dd").alias("day"), "wau_approx"
+        )
+    )

@@ -1164,3 +1164,20 @@ def test_quality_gate_stream_matches_batch(spark):
     s = sorted(tuple(r[c] for c in cols) for r in stream_res.collect())
     b = sorted(tuple(r[c] for c in cols) for r in batch_res.collect())
     assert s == b and len(b) > 0
+
+
+def test_trailing_wau_hll_error_bound(spark):
+    """HLL++ trailing WAU must track the exact rolling COUNT DISTINCT
+    within 3x the configured rsd (0.02) on every day — the accuracy
+    contract that makes the sketch twin a drop-in at scale."""
+    exact = {
+        r["day"]: r["wau"]
+        for r in entry.queries()["events_trailing_wau"](spark, SF_DIR).collect()
+    }
+    approx = {
+        r["day"]: r["wau_approx"]
+        for r in entry.queries()["events_trailing_wau_hll"](spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(approx) and exact
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(2, 0.06 * n), (day, n, approx[day])
