@@ -894,3 +894,55 @@ def join_full_outer_click_purchase(spark, sf_dir):
         F.col("cu").isNull().alias("purchase_only"),
         F.col("pu").isNull().alias("click_only"),
     )
+
+
+@query(
+    "null_safe_join_semantics",
+    oracle="""
+    WITH keyed AS (
+      SELECT CASE WHEN o_orderkey % 10 = 0 THEN NULL
+        ELSE o_orderkey % 97 END AS k
+      FROM orders WHERE o_orderkey <= 5000
+    ),
+    c AS (SELECT k, COUNT(*) AS c FROM keyed GROUP BY k)
+    SELECT
+      CAST(SUM(CASE WHEN k IS NOT NULL THEN c * c ELSE 0 END) AS BIGINT)
+        AS eq_join_rows,
+      CAST(SUM(c * c) AS BIGINT) AS null_safe_join_rows,
+      CAST(SUM(CASE WHEN k IS NULL THEN c ELSE 0 END) AS BIGINT)
+        AS n_null_keys
+    FROM c
+    """,
+)
+def null_safe_join_semantics(spark, sf_dir):
+    """NULL-join semantics, executed for real: a self-join under `=` drops
+    every NULL-keyed row (SQL three-valued logic), under `<=>`
+    (eqNullSafe / IS NOT DISTINCT FROM) the NULL group joins itself. The
+    Spark side runs BOTH joins through the executor and counts; the
+    oracle pins the closed forms (sum of c^2 over non-null groups vs all
+    groups) — so an engine that ever started matching NULLs under `=`,
+    or hashing NULL into a value bucket under `<=>`, breaks the gate.
+    The one semantics corner every dedup-by-key pipeline with nullable
+    keys hits."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    keyed = o.select(
+        F.when(F.col("o_orderkey") % 10 == 0, None)
+        .otherwise(F.col("o_orderkey") % 97)
+        .alias("k")
+    )
+    a = keyed.select(F.col("k").alias("ka"))
+    b = keyed.select(F.col("k").alias("kb"))
+    eq = a.join(b, F.col("ka") == F.col("kb")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("eq_join_rows")
+    )
+    ns = a.join(b, F.col("ka").eqNullSafe(F.col("kb"))).agg(
+        F.count(F.lit(1)).cast("bigint").alias("null_safe_join_rows")
+    )
+    nn = keyed.filter(F.col("k").isNull()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_null_keys")
+    )
+    return (
+        eq.crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(nn))
+        .select("eq_join_rows", "null_safe_join_rows", "n_null_keys")
+    )

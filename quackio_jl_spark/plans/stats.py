@@ -3182,3 +3182,144 @@ def l_diversity_report(spark, sf_dir):
         "entropy_l",
         (F.col("l_distinct") >= L_DIVERSITY_THRESHOLD).alias("meets_l"),
     )
+
+
+# ---------------- join-size estimation (planner statistics surface)
+
+
+@query(
+    "join_cardinality_estimate",
+    oracle="""
+    WITH ca AS (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+    cb AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+    j AS (SELECT ca.c AS ca, cb.c AS cb FROM ca JOIN cb USING (k))
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM ca) AS n_keys_orders,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM cb) AS n_keys_lineitem,
+      CAST(COUNT(*) AS BIGINT) AS n_keys_common,
+      CAST(SUM(ca * cb) AS BIGINT) AS join_rows,
+      CAST(MAX(ca * cb) AS BIGINT) AS max_key_fanout
+    FROM j
+    """,
+)
+def join_cardinality_estimate(spark, sf_dir):
+    """Exact join-size statistic WITHOUT executing the join: |A JOIN B on k|
+    = sum over keys of cA(k)*cB(k), from two per-key count aggregates and
+    a key-level merge — the number a cost-based planner (or a human
+    deciding broadcast vs shuffle vs salting) needs, at the cost of two
+    partial-aggregated count shuffles over KEYS instead of materializing
+    the join's output rows. max_key_fanout is the skew headline: it is
+    the largest single-key output and the first thing to check before
+    enabling a salted join (operators/skew.py)."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    ca = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    cb = l.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    na = F.broadcast(ca.agg(F.count(F.lit(1)).alias("n_keys_orders")))
+    nb = F.broadcast(cb.agg(F.count(F.lit(1)).alias("n_keys_lineitem")))
+    j = ca.join(cb, "k")
+    return (
+        j.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys_common"),
+            F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("join_rows"),
+            F.max(F.col("ca") * F.col("cb"))
+            .cast("bigint")
+            .alias("max_key_fanout"),
+        )
+        .crossJoin(na)
+        .crossJoin(nb)
+        .select(
+            "n_keys_orders",
+            "n_keys_lineitem",
+            "n_keys_common",
+            "join_rows",
+            "max_key_fanout",
+        )
+    )
+
+
+# --------------------- mix-shift (share vs rate) decomposition
+
+
+@query(
+    "orders_mix_shift_decomposition",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT o_orderpriority AS seg,
+        CASE WHEN year(o_orderdate) < 1998 THEN 1 ELSE 2 END AS half,
+        o_totalprice
+      FROM orders
+    ),
+    seg AS (
+      SELECT seg, half, CAST(COUNT(*) AS DOUBLE) AS n,
+        {_DS.format(x='o_totalprice')} AS s
+      FROM tagged GROUP BY seg, half
+    ),
+    tot AS (
+      SELECT half, CAST(SUM(n) AS DOUBLE) AS nt FROM seg GROUP BY half
+    ),
+    w AS (
+      SELECT seg,
+        MAX(CASE WHEN s1.half = 1 THEN n / nt END) AS share1,
+        MAX(CASE WHEN s1.half = 2 THEN n / nt END) AS share2,
+        MAX(CASE WHEN s1.half = 1 THEN s / n END) AS rate1,
+        MAX(CASE WHEN s1.half = 2 THEN s / n END) AS rate2
+      FROM seg s1 JOIN tot USING (half) GROUP BY seg
+    )
+    SELECT seg, round(share1, 8) AS share1, round(share2, 8) AS share2,
+      round(rate1, 8) AS rate1, round(rate2, 8) AS rate2,
+      round((share2 - share1) * rate1, 8) AS mix_effect,
+      round(share2 * (rate2 - rate1), 8) AS rate_effect,
+      round(share2 * rate2 - share1 * rate1, 8) AS total_effect
+    FROM w
+    """,
+)
+def orders_mix_shift_decomposition(spark, sf_dir):
+    """Mix-shift decomposition of average order value between the pre-1998
+    and 1998+ halves, per priority segment: how much of the change in the
+    overall mean is composition (segment shares moving) vs behavior
+    (per-segment means moving). mix + rate = total per segment, and the
+    segment totals sum exactly to the overall delta — the additivity a
+    BI audience expects from this report.
+
+    All inputs come from ONE partial-aggregated (segment, half) pass with
+    exact decimal sums; shares divide by broadcast half totals; the pivot
+    to side-by-side halves is a 10-row aggregate."""
+    o = table(spark, sf_dir, "orders")
+    tagged = o.select(
+        F.col("o_orderpriority").alias("seg"),
+        F.when(F.year("o_orderdate") < 1998, 1).otherwise(2).alias("half"),
+        "o_totalprice",
+    )
+    seg = tagged.groupBy("seg", "half").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("s"),
+    )
+    tot = seg.groupBy("half").agg(F.sum("n").alias("nt"))
+    j = seg.join(F.broadcast(tot), "half")
+    w = j.groupBy("seg").agg(
+        F.max(F.when(F.col("half") == 1, F.col("n") / F.col("nt"))).alias("share1"),
+        F.max(F.when(F.col("half") == 2, F.col("n") / F.col("nt"))).alias("share2"),
+        F.max(F.when(F.col("half") == 1, F.col("s") / F.col("n"))).alias("rate1"),
+        F.max(F.when(F.col("half") == 2, F.col("s") / F.col("n"))).alias("rate2"),
+    )
+    return w.select(
+        "seg",
+        F.round("share1", 8).alias("share1"),
+        F.round("share2", 8).alias("share2"),
+        F.round("rate1", 8).alias("rate1"),
+        F.round("rate2", 8).alias("rate2"),
+        F.round((F.col("share2") - F.col("share1")) * F.col("rate1"), 8).alias(
+            "mix_effect"
+        ),
+        F.round(F.col("share2") * (F.col("rate2") - F.col("rate1")), 8).alias(
+            "rate_effect"
+        ),
+        F.round(
+            F.col("share2") * F.col("rate2") - F.col("share1") * F.col("rate1"), 8
+        ).alias("total_effect"),
+    )
