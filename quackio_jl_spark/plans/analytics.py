@@ -2007,3 +2007,56 @@ def events_trailing_wau_hll(spark, sf_dir):
             F.date_format("day_d", "yyyy-MM-dd").alias("day"), "wau_approx"
         )
     )
+
+
+@query(
+    "impute_missing_by_group",
+    oracle="""
+    WITH holey AS (
+      SELECT event_id, event_type,
+        CASE WHEN event_id % 20 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, median(v) AS m FROM holey GROUP BY event_type
+    )
+    SELECT h.event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CASE WHEN h.v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_imputed,
+      round(MAX(m), 8) AS imputed_value,
+      CAST(SUM(CAST(COALESCE(h.v, m) AS DECIMAL(28,6))) AS DOUBLE)
+        AS total_after_impute
+    FROM holey h JOIN med USING (event_type)
+    GROUP BY h.event_type
+    """,
+)
+def impute_missing_by_group(spark, sf_dir):
+    """Group-median imputation — the standard repair for sensor dropouts
+    before any windowed model: null measurements (simulated
+    deterministically on event_id % 20) are filled with their event
+    type's median, and the report pins imputed counts plus the
+    decimal-exact post-impute totals.
+
+    Spark's percentile() median and DuckDB's median() agree exactly here
+    because both interpolate the same order statistic. Shape: one
+    grouped median (partial-aggregated typed buffers), broadcast of the
+    per-group medians back onto the stream, one exact-sum rollup —
+    imputation never reshuffles the fact rows themselves."""
+    e = table(spark, sf_dir, "events")
+    holey = e.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 20 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    med = holey.groupBy("event_type").agg(F.percentile("v", 0.5).alias("m"))
+    j = holey.join(F.broadcast(med), "event_type")
+    filled = F.coalesce(F.col("v"), F.col("m"))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("v").isNull().cast("int")).cast("bigint").alias("n_imputed"),
+        F.round(F.max("m"), 8).alias("imputed_value"),
+        F.sum(filled.cast(DEC)).cast("double").alias("total_after_impute"),
+    )

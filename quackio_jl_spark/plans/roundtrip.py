@@ -371,3 +371,48 @@ def roundtrip_text_files(spark, sf_dir):
         # terminator so content compares against the source bytes
         F.regexp_replace("content", "\n$", "").alias("content"),
     )
+
+
+@query(
+    "roundtrip_schema_evolution",
+    oracle="""
+    SELECT o_orderstatus,
+      COUNT(*) AS n,
+      CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey END) AS BIGINT)
+        AS key_sum_v2,
+      CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_v2,
+      CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN NULL
+        ELSE o_orderkey END) AS BIGINT) AS key_sum_v1
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def roundtrip_schema_evolution(spark, sf_dir):
+    """Schema evolution on a parquet directory: a v1 writer emits
+    (status, key), a later v2 writer adds a column (key2) to the same
+    dataset directory; a mergeSchema read must see the union schema with
+    NULLs for v1's missing column — the append-only evolution contract
+    every long-lived 100 TB dataset relies on (each parquet footer is
+    self-describing; the union is resolved at planning time, not by
+    rewriting old files)."""
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    d = tempfile.mkdtemp(prefix="quackio_rt_") + "/evolving"
+    v1 = src.filter(F.col("o_orderkey") % 2 != 0)
+    v2 = src.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_orderkey2", F.col("o_orderkey")
+    )
+    v1.write.mode("overwrite").parquet(d)
+    v2.write.mode("append").parquet(d)
+    back = spark.read.option("mergeSchema", "true").parquet(d)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey2").cast("bigint").alias("key_sum_v2"),
+        F.sum(F.col("o_orderkey2").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("n_v2"),
+        F.sum(F.when(F.col("o_orderkey2").isNull(), F.col("o_orderkey")))
+        .cast("bigint")
+        .alias("key_sum_v1"),
+    )
