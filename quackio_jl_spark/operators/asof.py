@@ -368,9 +368,18 @@ def interval_overlap_join_binned(spark, sf_dir):
     shuffle entirely. Work scales with interval-length/BIN, not with
     per-key session counts squared."""
     e = table(spark, sf_dir, "events")
-    s1 = _typed_sessions(e, "click")
-    s2 = _typed_sessions(e, "error")
-    B = OVERLAP_BIN_US
+    return overlap_join_intervals(
+        _typed_sessions(e, "click"),
+        _typed_sessions(e, "error"),
+        OVERLAP_BIN_US,
+    )
+
+
+def overlap_join_intervals(s1, s2, bin_width):
+    """Core binned overlap join over two (user_id, s, e) interval sets —
+    see interval_overlap_join_binned for the algorithm. Property-tested
+    against a brute-force overlap in tests/test_property_roundtrip.py."""
+    B = bin_width
     a = s1.select(
         "user_id",
         F.col("s").alias("sa"),

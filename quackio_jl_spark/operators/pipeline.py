@@ -2232,3 +2232,56 @@ def centroid_similarity_matrix(spark, sf_dir):
             ),
         )
     )
+
+
+TRUNC_DIMS = 16  # Matryoshka prefix length (full vectors are 32-d+)
+
+
+@query(
+    "embedding_truncation_distortion",
+    oracle=f"""
+    WITH per AS (
+      SELECT label,
+        CAST(floor(
+          list_aggregate(list_transform(embedding[1:{TRUNC_DIMS}],
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')
+          / list_aggregate(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')
+          * 1e9) AS BIGINT) AS fx
+      FROM embeddings
+    )
+    SELECT label,
+      CAST(COUNT(*) AS BIGINT) AS n_vectors,
+      round(CAST(SUM(fx) AS DOUBLE) / COUNT(*) / 1e9, 8)
+        AS mean_energy_retained
+    FROM per GROUP BY label
+    """,
+)
+def embedding_truncation_distortion(spark, sf_dir):
+    """Matryoshka-style truncation audit (Kusupati et al. 2022): how much
+    of each vector's energy (squared norm) survives keeping only the
+    first {TRUNC_DIMS} dimensions — cos^2 between the full vector and
+    its zero-padded prefix, i.e. exactly the retrieval-quality proxy for
+    serving truncated embeddings at a fraction of the memory.
+
+    Per-row ratios are pure double arithmetic over the row's own array
+    (deterministic IEEE, no cross-row order); the per-label mean uses
+    the fixed-point floor(x * 1e9) integer-sum recipe so the aggregate
+    is bit-identical at any partition count. One map + one keyed
+    aggregate; nothing corpus-wide."""
+    e = table(spark, sf_dir, "embeddings")
+    sq = lambda arr: F.aggregate(  # noqa: E731
+        F.transform(arr, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    ratio = sq(F.slice("embedding", 1, TRUNC_DIMS)) / sq(F.col("embedding"))
+    per = e.select(
+        "label", F.floor(ratio * 1e9).cast("bigint").alias("fx")
+    )
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(
+            F.sum("fx").cast("double") / F.count(F.lit(1)) / 1e9, 8
+        ).alias("mean_energy_retained"),
+    )

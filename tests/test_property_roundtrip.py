@@ -101,3 +101,51 @@ def test_csv_roundtrip(spark, rows):
     assert sorted((fix(t) for t in got), key=repr) == sorted(
         (fix(t) for t in want), key=repr
     )
+
+
+# ---------------- binned interval-overlap join == brute force
+
+_iv = st.tuples(
+    st.integers(min_value=0, max_value=3),      # user key
+    st.integers(min_value=0, max_value=500),    # start
+    st.integers(min_value=0, max_value=200),    # duration
+)
+_iv_sets = st.tuples(
+    st.lists(_iv, min_size=0, max_size=8),
+    st.lists(_iv, min_size=0, max_size=8),
+    st.sampled_from([7, 64, 100, 1000]),        # bin width
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=_iv_sets)
+def test_binned_overlap_join_matches_brute_force(spark, data):
+    """The bin-explode + emit-once overlap join must produce EXACTLY the
+    brute-force overlap pairs for arbitrary interval sets and bin widths
+    — including intervals shorter/longer than a bin, zero-length
+    intervals, and boundary-touching pairs (inclusive semantics)."""
+    from quackio_jl_spark.operators.asof import overlap_join_intervals
+
+    left, right, bin_w = data
+    mk = lambda ivs: spark.createDataFrame(  # noqa: E731
+        [(u, s0, s0 + d) for u, s0, d in ivs] or [(None, None, None)],
+        "user_id long, s long, e long",
+    ).filter("user_id IS NOT NULL")
+    res = overlap_join_intervals(mk(left), mk(right), bin_w).collect()
+    got = sorted(
+        (r["user_id"], r["overlap_start_us"], r["overlap_end_us"]) for r in res
+    )
+    want = sorted(
+        (u1, max(s1, s2), min(e1, e2))
+        for u1, s1, d1 in left
+        for u2, s2, d2 in right
+        if u1 == u2
+        for e1 in [s1 + d1]
+        for e2 in [s2 + d2]
+        if s1 <= e2 and s2 <= e1
+    )
+    assert got == want
