@@ -423,7 +423,16 @@ def orders_duplicate_invoices(spark, sf_dir):
         "o_orderkey", "o_custkey", "o_totalprice",
         F.to_date("o_orderdate").alias("d"),
     )
-    W_ = _DUP_INV_BAND
+    return banded_duplicate_pairs(o, DUP_INV_PRICE_TOL, DUP_INV_DAY_TOL, _DUP_INV_BAND)
+
+
+def banded_duplicate_pairs(o, price_tol, day_tol, band_width):
+    """Core blocked fuzzy-pair join over (o_orderkey, o_custkey,
+    o_totalprice, d) — see orders_duplicate_invoices. Requires
+    band_width > price_tol (checked) so +-1 bands guarantee recall;
+    property-tested against brute force in tests/test_property_roundtrip.py."""
+    assert band_width > price_tol, "band width must exceed the tolerance"
+    W_ = band_width
     band = F.floor(F.col("o_totalprice") / W_)
     a = o.select(
         F.col("o_orderkey").alias("ka"),
@@ -446,9 +455,9 @@ def orders_duplicate_invoices(spark, sf_dir):
         )
         .filter(
             (F.col("ka") < F.col("kb"))
-            & (F.abs(F.col("pa") - F.col("pb")) <= DUP_INV_PRICE_TOL)
+            & (F.abs(F.col("pa") - F.col("pb")) <= price_tol)
             & (
-                F.abs(F.datediff("da", "db")) <= DUP_INV_DAY_TOL
+                F.abs(F.datediff("da", "db")) <= day_tol
             )
         )
         .select(

@@ -3323,3 +3323,104 @@ def orders_mix_shift_decomposition(spark, sf_dir):
             F.col("share2") * F.col("rate2") - F.col("share1") * F.col("rate1"), 8
         ).alias("total_effect"),
     )
+
+
+# ------------------------- Kaplan-Meier survival (customer lifetime)
+
+KM_CENSOR_DAYS = 365  # last order within this window of corpus max => censored
+
+
+@query(
+    "customer_survival_km",
+    oracle=f"""
+    WITH life AS (
+      SELECT o_custkey,
+        datediff('day', MIN(o_orderdate), MAX(o_orderdate)) AS dur,
+        MAX(o_orderdate) AS last_d
+      FROM orders GROUP BY o_custkey
+    ),
+    mx AS (SELECT MAX(o_orderdate) AS m FROM orders),
+    obs AS (
+      SELECT dur,
+        CASE WHEN datediff('day', last_d, m) <= {KM_CENSOR_DAYS}
+          THEN 0 ELSE 1 END AS event
+      FROM life CROSS JOIN mx
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM obs),
+    byt AS (
+      SELECT dur, CAST(SUM(event) AS BIGINT) AS d,
+        CAST(COUNT(*) AS BIGINT) AS leave
+      FROM obs GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, d,
+        n - COALESCE(SUM(leave) OVER (ORDER BY dur
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      FROM byt CROSS JOIN tot
+    )
+    SELECT dur AS t_days, d AS n_churned, CAST(n_risk AS BIGINT) AS n_at_risk,
+      round(exp(SUM(ln(1.0 - d / CAST(n_risk AS DOUBLE))) OVER (
+        ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 8)
+        AS survival
+    FROM risk WHERE d > 0
+    """,
+)
+def customer_survival_km(spark, sf_dir):
+    """Kaplan-Meier survival curve of customer ordering lifetime (days
+    between first and last order), right-censored for customers still
+    active within {KM_CENSOR_DAYS} days of the corpus end — the
+    censoring-correct way to answer "how long does a customer stay?"
+    when many haven't left yet (a naive mean lifetime is biased low).
+
+    S(t) = prod over event times (1 - d_i/n_i), computed as exp of a
+    RUNNING ln-sum: the window's ORDER BY t fixes the summation order,
+    so both engines add the same doubles in the same sequence —
+    deterministic without decimal tricks. At-risk counts come from one
+    duration-keyed aggregate and a prefix sum over the handful of
+    distinct durations; the only corpus-scale shuffle is the per-customer
+    min/max."""
+    o = table(spark, sf_dir, "orders")
+    life = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("dur"),
+        F.max("o_orderdate").alias("last_d"),
+    )
+    mx = F.broadcast(o.agg(F.max("o_orderdate").alias("m")))
+    obs = life.crossJoin(mx).select(
+        "dur",
+        F.when(F.datediff("m", "last_d") <= KM_CENSOR_DAYS, 0)
+        .otherwise(1)
+        .alias("event"),
+    )
+    tot = F.broadcast(obs.agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    byt = obs.groupBy("dur").agg(
+        F.sum("event").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("leave"),
+    )
+    w_prev = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    w_run = W.orderBy("dur").rowsBetween(W.unboundedPreceding, 0)
+    risk = byt.crossJoin(tot).select(
+        "dur",
+        "d",
+        (
+            F.col("n")
+            - F.coalesce(F.sum("leave").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    return (
+        risk.select(
+            F.col("dur").alias("t_days"),
+            F.col("d").alias("n_churned"),
+            F.col("n_risk").cast("bigint").alias("n_at_risk"),
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.ln(1.0 - F.col("d") / F.col("n_risk").cast("double"))
+                    ).over(w_run)
+                ),
+                8,
+            ).alias("survival"),
+            "d",
+        )
+        .filter(F.col("d") > 0)
+        .drop("d")
+    )

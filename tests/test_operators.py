@@ -678,7 +678,8 @@ def test_pipeline_operators_survive_empty_corpus(tmp_path, spark):
         # round-5 batch: quality gates, span dedup, diversity
         "gopher_quality_flags", "ccnet_lm_buckets",
         "neardup_duplicated_spans", "source_distinct_ngram_diversity",
-        "centroid_similarity_matrix",
+        "centroid_similarity_matrix", "quality_quantile_normalize",
+        "source_overlap_matrix", "embedding_truncation_distortion",
     ]
     qs = entry.queries()
     for name in names:

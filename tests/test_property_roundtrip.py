@@ -149,3 +149,52 @@ def test_binned_overlap_join_matches_brute_force(spark, data):
         if s1 <= e2 and s2 <= e1
     )
     assert got == want
+
+
+# ------------- banded fuzzy duplicate pairs == brute force
+
+_rec = st.tuples(
+    st.integers(min_value=0, max_value=2),          # custkey
+    st.integers(min_value=0, max_value=300),        # price (int, exact)
+    st.integers(min_value=0, max_value=60),         # day offset
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    recs=st.lists(_rec, min_size=0, max_size=10),
+    tol=st.sampled_from([0, 3, 10]),
+)
+def test_banded_duplicate_pairs_match_brute_force(spark, recs, tol):
+    """Banded blocking must find EXACTLY the brute-force fuzzy pairs for
+    arbitrary records and tolerances — in particular pairs whose prices
+    straddle a band boundary in either direction, and each pair exactly
+    once (the band-identity emit rule)."""
+    import datetime
+
+    from quackio_jl_spark.operators.merge import banded_duplicate_pairs
+
+    day0 = datetime.date(2020, 1, 1)
+    rows = [
+        (i, c, float(p), day0 + datetime.timedelta(days=dd))
+        for i, (c, p, dd) in enumerate(recs)
+    ]
+    df = spark.createDataFrame(
+        rows or [(None, None, None, None)],
+        "o_orderkey long, o_custkey long, o_totalprice double, d date",
+    ).filter("o_orderkey IS NOT NULL")
+    got = sorted(
+        (r["orderkey_a"], r["orderkey_b"])
+        for r in banded_duplicate_pairs(df, tol, 30, tol + 1.0).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (c1, p1, d1) in enumerate(recs)
+        for j, (c2, p2, d2) in enumerate(recs)
+        if i < j and c1 == c2 and abs(p1 - p2) <= tol and abs(d1 - d2) <= 30
+    )
+    assert got == want
