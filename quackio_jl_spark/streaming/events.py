@@ -710,3 +710,63 @@ def quality_gate_stream(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {queryName}")
+
+
+def cumulative_users_stream(
+    spark: SparkSession, sf_dir: str, dest: str
+) -> DataFrame:
+    """foreachBatch sink: maintain the user -> first-seen-day table from a
+    stream, then report new + cumulative distinct users per day — the
+    streaming twin of events_cumulative_distinct_users. The merge keeps
+    MIN(first_day) per user across batches (idempotent under replays, so
+    exactly-once per checkpoint semantics suffice), and the growth curve
+    is recomputed from the compact per-user state — never by re-counting
+    distincts over history. State size is |users|, the same table the
+    batch operator's first-seen reduction materializes once."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    stream = _events_stream(spark, sf_dir)
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        upd = (
+            batch_df.select(
+                "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+            )
+            .groupBy("user_id")
+            .agg(F.min("d").alias("first_day"))
+        )
+        if os.path.exists(dest):
+            base = batch_df.sparkSession.read.parquet(dest)
+            merged = (
+                base.unionByName(upd)
+                .groupBy("user_id")
+                .agg(F.min("first_day").alias("first_day"))
+            )
+        else:
+            merged = upd
+        merged = merged.localCheckpoint()  # cut lineage before overwrite
+        merged.write.mode("overwrite").parquet(dest)
+
+    q = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(apply_batch)
+        .option("checkpointLocation", dest + "_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    daily = (
+        spark.read.parquet(dest)
+        .groupBy(F.col("first_day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )

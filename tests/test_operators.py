@@ -1182,3 +1182,17 @@ def test_trailing_wau_hll_error_bound(spark):
     assert set(exact) == set(approx) and exact
     for day, n in exact.items():
         assert abs(approx[day] - n) <= max(2, 0.06 * n), (day, n, approx[day])
+
+
+def test_cumulative_users_stream_matches_batch(tmp_path, spark):
+    """foreachBatch first-seen merge == batch first-seen reduction: the
+    streaming user-growth curve must equal events_cumulative_distinct_users
+    day for day."""
+    from quackio_jl_spark.streaming.events import cumulative_users_stream
+
+    dest = str(tmp_path / "user_state")
+    stream_res = cumulative_users_stream(spark, SF_DIR, dest)
+    batch_res = entry.queries()["events_cumulative_distinct_users"](spark, SF_DIR)
+    s = {str(r["day"]): (r["new_users"], r["cum_users"]) for r in stream_res.collect()}
+    b = {str(r["day"]): (r["new_users"], r["cum_users"]) for r in batch_res.collect()}
+    assert s == b and len(b) > 0
