@@ -2060,3 +2060,156 @@ def impute_missing_by_group(spark, sf_dir):
         F.round(F.max("m"), 8).alias("imputed_value"),
         F.sum(filled.cast(DEC)).cast("double").alias("total_after_impute"),
     )
+
+
+@query(
+    "customer_order_streaks",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_totalprice,
+        ROW_NUMBER() OVER w AS rn,
+        CASE WHEN o_totalprice > lag(o_totalprice) OVER w
+          THEN 0 ELSE 1 END AS brk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    isl AS (
+      SELECT o_custkey, rn,
+        SUM(brk) OVER (PARTITION BY o_custkey ORDER BY rn) AS grp
+      FROM seq
+    ),
+    runs AS (
+      SELECT o_custkey, CAST(COUNT(*) AS INTEGER) AS run_len
+      FROM isl GROUP BY o_custkey, grp
+    )
+    SELECT o_custkey AS custkey,
+      CAST(SUM(run_len) AS BIGINT) AS n_orders,
+      CAST(MAX(run_len) AS INTEGER) AS longest_increase_streak
+    FROM runs GROUP BY o_custkey
+    """,
+)
+def customer_order_streaks(spark, sf_dir):
+    """Longest run of strictly increasing order totals per customer (in
+    order-date sequence) — the per-entity sequential feature every
+    journey model wants, computed WITHOUT a window sort: orders collect
+    into one bounded per-customer array (sorted in-row by array_sort's
+    struct ordering) and a single aggregate() fold carries
+    (prev, current-run, best) through the sequence.
+
+    Why this shape at 100 TB: a window plan must range-sort every
+    partition's full row stream; the fold shuffles each customer's
+    handful of orders once (partial-agg collect) and runs O(k) per key
+    with no sort exchange after the groupBy. The oracle states the same
+    semantics the classic way (lag + gaps-and-islands), so the fold is
+    value-pinned against an independent formulation. Requires bounded
+    per-key cardinality (true for orders-per-customer; NOT for
+    unbounded event streams — use the window form there)."""
+    o = table(spark, sf_dir, "orders")
+    seq = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("o_orderdate").alias("d"),
+                    F.col("o_orderkey").alias("k"),
+                    F.col("o_totalprice").alias("p"),
+                )
+            )
+        ).alias("a")
+    )
+    init = F.struct(
+        F.lit(None).cast("double").alias("prev"),
+        F.lit(0).alias("cur"),
+        F.lit(0).alias("best"),
+    )
+    step = lambda acc, x: F.struct(  # noqa: E731
+        x["p"].alias("prev"),
+        F.when(
+            acc["prev"].isNotNull() & (x["p"] > acc["prev"]), acc["cur"] + 1
+        )
+        .otherwise(F.lit(1))
+        .alias("cur"),
+        F.greatest(
+            acc["best"],
+            F.when(
+                acc["prev"].isNotNull() & (x["p"] > acc["prev"]), acc["cur"] + 1
+            ).otherwise(F.lit(1)),
+        ).alias("best"),
+    )
+    folded = seq.select(
+        "custkey",
+        F.size("a").cast("bigint").alias("n_orders"),
+        F.aggregate("a", init, step).getField("best").alias(
+            "longest_increase_streak"
+        ),
+    )
+    return folded
+
+
+@query(
+    "revenue_share_of_parent",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+        CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY region, nation
+    ),
+    reg AS (SELECT region, SUM(rev) AS region_rev FROM rev GROUP BY region),
+    tot AS (SELECT SUM(region_rev) AS total_rev FROM reg)
+    SELECT rev.region, rev.nation,
+      round(rev.rev, 2) AS nation_rev,
+      round(rev.rev / region_rev, 8) AS share_of_region,
+      round(region_rev / total_rev, 8) AS region_share_of_total
+    FROM rev JOIN reg USING (region) CROSS JOIN tot
+    """,
+)
+def revenue_share_of_parent(spark, sf_dir):
+    """Percent-of-parent down the region -> nation hierarchy: each
+    nation's share of its region's revenue and each region's share of
+    the total — the drill-down companion to the rollup/grouping-sets
+    family, stated as three aggregation levels re-joined (the leaf
+    aggregate is computed ONCE; parents derive from it, never re-scan
+    the facts). Dimension joins broadcast; decimal sums make every
+    level's total exact, so shares at different levels reconcile to 1
+    bit-for-bit."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    rev = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_d")
+        )
+    )
+    reg = rev.groupBy("region").agg(F.sum("rev_d").alias("region_rev_d"))
+    tot = F.broadcast(
+        reg.agg(F.sum("region_rev_d").alias("total_rev_d"))
+    )
+    return (
+        rev.join(F.broadcast(reg), "region")
+        .crossJoin(tot)
+        .select(
+            "region",
+            "nation",
+            F.round(F.col("rev_d").cast("double"), 2).alias("nation_rev"),
+            F.round(
+                F.col("rev_d").cast("double")
+                / F.col("region_rev_d").cast("double"),
+                8,
+            ).alias("share_of_region"),
+            F.round(
+                F.col("region_rev_d").cast("double")
+                / F.col("total_rev_d").cast("double"),
+                8,
+            ).alias("region_share_of_total"),
+        )
+    )
