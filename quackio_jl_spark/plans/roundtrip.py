@@ -416,3 +416,76 @@ def roundtrip_schema_evolution(spark, sf_dir):
         .cast("bigint")
         .alias("key_sum_v1"),
     )
+
+
+@query(
+    "roundtrip_decimal_column",
+    oracle="""
+    SELECT o_orderstatus,
+      COUNT(*) AS n,
+      SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total_dec,
+      MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS max_dec
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def roundtrip_decimal_column(spark, sf_dir):
+    """DECIMAL data column through the parquet sink and scan: prices cast
+    to DECIMAL(12,2) are written, read back, and aggregated IN DECIMAL —
+    the exact-money path SURVEY §1.3 claims 'comes along for free' from
+    the engine, made true under the gate. The sum stays a decimal in the
+    result (Spark widens to (22,2), DuckDB to (38,2) — both exact; the
+    comparator sees identical digit strings), so any precision loss in
+    either the writer's logical-type mapping or the vectorized decimal
+    reader breaks the hash."""
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderstatus", F.col("o_totalprice").cast("decimal(12,2)").alias("p")
+    )
+    d = tempfile.mkdtemp(prefix="quackio_rt_") + "/dec.parquet"
+    write_table(src, d, format="parquet", single_file=False)
+    back = spark.read.parquet(d)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p").cast("decimal(38,2)").alias("total_dec"),
+        F.max("p").alias("max_dec"),
+    )
+
+
+@query(
+    "roundtrip_binary_column",
+    oracle="""
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CASE WHEN substr(hex(unhex(md5(CAST(o_orderkey AS VARCHAR)))),
+        1, 32) = upper(md5(CAST(o_orderkey AS VARCHAR)))
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_intact,
+      CAST(SUM(octet_length(unhex(md5(CAST(o_orderkey AS VARCHAR)))))
+        AS BIGINT) AS total_bytes
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def roundtrip_binary_column(spark, sf_dir):
+    """BINARY data column through parquet: 16 raw md5 bytes per row are
+    written, read back, and verified byte-for-byte by re-hexing — the
+    opaque-payload path the multimodal operators (operators/multimodal.py)
+    depend on. The oracle computes the same integrity figures without any
+    file I/O, so a writer that mangled or truncated binary values (or a
+    reader that decoded them as text) fails the hash."""
+    src = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            F.unhex(F.md5(F.col("o_orderkey").cast("string"))).alias("payload"),
+        )
+    )
+    d = tempfile.mkdtemp(prefix="quackio_rt_") + "/bin.parquet"
+    write_table(src, d, format="parquet", single_file=False)
+    back = spark.read.parquet(d)
+    intact = (
+        F.hex("payload") == F.upper(F.md5(F.col("o_orderkey").cast("string")))
+    ).cast("int")
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(intact).cast("bigint").alias("n_intact"),
+        F.sum(F.octet_length("payload")).cast("bigint").alias("total_bytes"),
+    )
