@@ -2348,3 +2348,133 @@ def gopher_flags_stateless(d):
             & (dup_bigram < 0.2)
         ).alias("gopher_keep"),
     )
+
+
+# ------------------------- Heaps'-law vocabulary growth curve
+
+HEAPS_BUCKETS = 10
+
+
+@query(
+    "vocab_growth_heaps",
+    oracle=f"""
+    WITH span AS (
+      SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, t
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM documents), UNNEST(w) AS u(t)
+    ),
+    db AS (
+      SELECT doc_id,
+        least({HEAPS_BUCKETS - 1}, CAST(floor((doc_id - lo) /
+          (CAST(hi - lo + 1 AS DOUBLE) / {HEAPS_BUCKETS})) AS INTEGER))
+          AS bucket
+      FROM (SELECT DISTINCT doc_id FROM documents) CROSS JOIN span
+    ),
+    tokb AS (
+      SELECT bucket, COUNT(*) AS n_tok
+      FROM toks JOIN db USING (doc_id) GROUP BY bucket
+    ),
+    first_b AS (
+      SELECT t, MIN(bucket) AS fb
+      FROM (SELECT DISTINCT toks.t, db.bucket
+            FROM toks JOIN db USING (doc_id))
+      GROUP BY t
+    ),
+    typeb AS (SELECT fb AS bucket, COUNT(*) AS n_new FROM first_b GROUP BY fb),
+    curve AS (
+      SELECT tokb.bucket,
+        SUM(n_tok) OVER (ORDER BY tokb.bucket) AS cum_tokens,
+        SUM(COALESCE(n_new, 0)) OVER (ORDER BY tokb.bucket) AS cum_types
+      FROM tokb LEFT JOIN typeb ON tokb.bucket = typeb.bucket
+    ),
+    pts AS (
+      SELECT bucket, cum_tokens, cum_types,
+        round(ln(CAST(cum_tokens AS DOUBLE)), 8) AS lx,
+        round(ln(CAST(cum_types AS DOUBLE)), 8) AS ly
+      FROM curve
+    ),
+    fit AS (
+      SELECT (COUNT(*) * SUM(lx * ly) - SUM(lx) * SUM(ly))
+           / (COUNT(*) * SUM(lx * lx) - SUM(lx) * SUM(lx)) AS beta
+      FROM pts
+    )
+    SELECT bucket, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+      CAST(cum_types AS BIGINT) AS cum_types,
+      round(beta, 6) AS heaps_beta
+    FROM pts CROSS JOIN fit
+    """,
+)
+def vocab_growth_heaps(spark, sf_dir):
+    """Heaps'-law vocabulary growth: cumulative distinct word types vs
+    cumulative tokens across {HEAPS_BUCKETS} corpus prefixes (doc_id
+    order), with the fitted log-log slope beta (V ~ N^beta; natural text
+    sits near 0.4-0.6, a flattening curve means the corpus has stopped
+    teaching the tokenizer new words). The scale trick is the same
+    first-seen reduction as the distinct-user growth curve, lifted to
+    tokens: each type contributes one row at its FIRST bucket (min-reduce
+    keyed by token), buckets are a pure function of doc_id (broadcast
+    min/max, no sampled range partitioner), and the cumulative/OLS pass
+    runs over {HEAPS_BUCKETS} rows. ln inputs are rounded to 8 before
+    the tiny OLS sums so the fit is engine-stable."""
+    d = table(spark, sf_dir, "documents")
+    span = F.broadcast(
+        d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    )
+    nb = HEAPS_BUCKETS
+    width = (F.col("hi") - F.col("lo") + 1).cast("double") / nb
+    db = d.select("doc_id").crossJoin(span).select(
+        "doc_id",
+        F.least(
+            F.lit(nb - 1),
+            F.floor((F.col("doc_id") - F.col("lo")) / width).cast("int"),
+        ).alias("bucket"),
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    tb = toks.join(db, "doc_id")
+    tokb = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tok"))
+    typeb = (
+        tb.select("t", "bucket")
+        .distinct()
+        .groupBy("t")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    curve = (
+        tokb.join(typeb, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("n_tok").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(w).alias("cum_types"),
+        )
+    )
+    pts = curve.select(
+        "bucket",
+        "cum_tokens",
+        "cum_types",
+        F.round(F.ln(F.col("cum_tokens").cast("double")), 8).alias("lx"),
+        F.round(F.ln(F.col("cum_types").cast("double")), 8).alias("ly"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    fit = F.broadcast(
+        pts.agg(
+            (
+                (n * F.sum(F.col("lx") * F.col("ly")) - F.sum("lx") * F.sum("ly"))
+                / (n * F.sum(F.col("lx") * F.col("lx")) - F.sum("lx") * F.sum("lx"))
+            ).alias("beta")
+        )
+    )
+    return pts.crossJoin(fit).select(
+        "bucket",
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.col("cum_types").cast("bigint").alias("cum_types"),
+        F.round("beta", 6).alias("heaps_beta"),
+    )
