@@ -2213,3 +2213,60 @@ def revenue_share_of_parent(spark, sf_dir):
             ).alias("region_share_of_total"),
         )
     )
+
+
+@query(
+    "window_frame_semantics_pack",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority AS seg,
+        CAST(datediff('day', DATE '1995-01-01',
+          CAST(o_orderdate AS DATE)) AS BIGINT) AS day_i,
+        o_orderkey,
+        CAST(o_orderkey % 100 AS BIGINT) AS x
+      FROM orders WHERE o_orderkey <= 3000
+    )
+    SELECT seg, day_i, o_orderkey,
+      CAST(SUM(x) OVER (PARTITION BY seg ORDER BY day_i, o_orderkey
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum_rows2,
+      CAST(SUM(x) OVER (PARTITION BY seg ORDER BY day_i
+        RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum_range2,
+      CAST(COUNT(*) OVER (PARTITION BY seg ORDER BY day_i
+        RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) AS n_peers
+    FROM d
+    """,
+)
+def window_frame_semantics_pack(spark, sf_dir):
+    """ROWS vs RANGE frame semantics, pinned where they actually differ —
+    on TIED order keys (several orders share a day): the ROWS frame takes
+    physically adjacent rows (needs the deterministic tie-break key), the
+    RANGE frame takes every PEER of the key interval regardless of row
+    count, and a CURRENT ROW-to-CURRENT ROW range frame counts the peer
+    group itself. The one windowing corner where a correct-looking
+    trailing sum silently double- or under-counts when the order key has
+    duplicates — worth an explicit cross-engine gate since every rolling
+    metric in this repo picks one of these frames deliberately."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    d = o.select(
+        F.col("o_orderpriority").alias("seg"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).cast("bigint").alias("day_i"),
+        "o_orderkey",
+        (F.col("o_orderkey") % 100).cast("bigint").alias("x"),
+    )
+    w_rows = (
+        W.partitionBy("seg")
+        .orderBy("day_i", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    w_range = W.partitionBy("seg").orderBy("day_i").rangeBetween(-2, 0)
+    w_peer = W.partitionBy("seg").orderBy("day_i").rangeBetween(0, 0)
+    return d.select(
+        "seg",
+        "day_i",
+        "o_orderkey",
+        F.sum("x").over(w_rows).cast("bigint").alias("sum_rows2"),
+        F.sum("x").over(w_range).cast("bigint").alias("sum_range2"),
+        F.count(F.lit(1)).over(w_peer).cast("bigint").alias("n_peers"),
+    )

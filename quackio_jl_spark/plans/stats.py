@@ -3424,3 +3424,94 @@ def customer_survival_km(spark, sf_dir):
         .filter(F.col("d") > 0)
         .drop("d")
     )
+
+
+ATTR_DECAY_HALFLIFE_MIN = 10.0
+
+
+@query(
+    "attribution_time_decay",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS pts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, event_id AS click_id, ts AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    touch AS (
+      SELECT purchase_id, click_id, value,
+        round(exp(-ln(2) * (epoch_us(pts) - epoch_us(cts))
+          / ({ATTR_DECAY_HALFLIFE_MIN} * 60 * 1000000)), 8) AS w
+      FROM p JOIN c ON c.user_id = p.user_id
+        AND c.cts <= p.pts
+        AND c.cts > p.pts - INTERVAL {ATTR_WINDOW_MIN} MINUTES
+    ),
+    norm AS (
+      SELECT purchase_id,
+        CAST(SUM(CAST(w AS DECIMAL(28,8))) AS DOUBLE) AS wsum,
+        CAST(COUNT(*) AS BIGINT) AS n_touches,
+        MAX(value) AS purchase_value
+      FROM touch GROUP BY purchase_id
+    )
+    SELECT t.purchase_id, t.click_id, n_touches,
+      round(t.w / wsum, 8) AS credit_share,
+      round(purchase_value * t.w / wsum, 6) AS credit_value
+    FROM touch t JOIN norm USING (purchase_id)
+    """,
+)
+def attribution_time_decay(spark, sf_dir):
+    """Time-decay multi-touch attribution: clicks closer to the purchase
+    earn exponentially more credit (half-life {ATTR_DECAY_HALFLIFE_MIN}
+    min), normalized so each purchase's credits sum to its value — the
+    recency-weighted sibling of attribution_linear_multitouch, sharing
+    its user-keyed range join.
+
+    Determinism engineering: per-touch decay weights are pure per-row
+    double arithmetic ROUNDED to 8 before the normalizer, and the
+    normalizer itself sums in DECIMAL(28,8) — so per-purchase shares are
+    bit-identical at any partition count (the round-then-decimal-sum
+    recipe from user_recency_weighted_engagement)."""
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    win = F.expr(f"INTERVAL {ATTR_WINDOW_MIN} MINUTES")
+    hl_us = ATTR_DECAY_HALFLIFE_MIN * 60 * 1_000_000
+    w = F.round(
+        F.exp(
+            -F.lit(float(__import__("math").log(2)))
+            * (F.unix_micros("pts") - F.unix_micros("cts"))
+            / hl_us
+        ),
+        8,
+    )
+    touch = p.join(
+        c,
+        (p.user_id == F.col("cu"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") > F.col("pts") - win),
+    ).select("purchase_id", "click_id", "value", w.alias("w"))
+    norm = touch.groupBy("purchase_id").agg(
+        F.sum(F.col("w").cast("decimal(28,8)")).cast("double").alias("wsum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.max("value").alias("purchase_value"),
+    )
+    return touch.join(norm, "purchase_id").select(
+        "purchase_id",
+        "click_id",
+        "n_touches",
+        F.round(F.col("w") / F.col("wsum"), 8).alias("credit_share"),
+        F.round(
+            F.col("purchase_value") * F.col("w") / F.col("wsum"), 6
+        ).alias("credit_value"),
+    )
