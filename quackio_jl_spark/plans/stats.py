@@ -3359,10 +3359,13 @@ KM_CENSOR_DAYS = 365  # last order within this window of corpus max => censored
       FROM byt CROSS JOIN tot
     )
     SELECT dur AS t_days, d AS n_churned, CAST(n_risk AS BIGINT) AS n_at_risk,
-      round(exp(SUM(ln(1.0 - d / CAST(n_risk AS DOUBLE))) OVER (
-        ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 8)
-        AS survival
+      CASE WHEN MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER w = 1
+        THEN 0.0
+        ELSE round(exp(SUM(CASE WHEN d < n_risk
+          THEN ln(1.0 - d / CAST(n_risk AS DOUBLE)) ELSE 0.0 END) OVER w), 8)
+      END AS survival
     FROM risk WHERE d > 0
+    WINDOW w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 )
 def customer_survival_km(spark, sf_dir):
@@ -3391,6 +3394,13 @@ def customer_survival_km(spark, sf_dir):
         .otherwise(1)
         .alias("event"),
     )
+    return km_curve(obs)
+
+
+def km_curve(obs):
+    """Kaplan-Meier estimator over an (dur, event) observation DataFrame
+    (event=1 churn, 0 censored) — see customer_survival_km. Property-
+    tested against a pure-Python KM in tests/test_property_roundtrip.py."""
     tot = F.broadcast(obs.agg(F.count(F.lit(1)).cast("bigint").alias("n")))
     byt = obs.groupBy("dur").agg(
         F.sum("event").cast("bigint").alias("d"),
@@ -3406,19 +3416,22 @@ def customer_survival_km(spark, sf_dir):
             - F.coalesce(F.sum("leave").over(w_prev), F.lit(0))
         ).alias("n_risk"),
     )
+    ln_term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.ln(1.0 - F.col("d") / F.col("n_risk").cast("double")),
+    ).otherwise(0.0)
+    hit_zero = F.max(
+        (F.col("d") >= F.col("n_risk")).cast("int")
+    ).over(w_run)
+    survival = F.when(hit_zero == 1, 0.0).otherwise(
+        F.round(F.exp(F.sum(ln_term).over(w_run)), 8)
+    )
     return (
         risk.select(
             F.col("dur").alias("t_days"),
             F.col("d").alias("n_churned"),
             F.col("n_risk").cast("bigint").alias("n_at_risk"),
-            F.round(
-                F.exp(
-                    F.sum(
-                        F.ln(1.0 - F.col("d") / F.col("n_risk").cast("double"))
-                    ).over(w_run)
-                ),
-                8,
-            ).alias("survival"),
+            survival.alias("survival"),
             "d",
         )
         .filter(F.col("d") > 0)

@@ -198,3 +198,51 @@ def test_banded_duplicate_pairs_match_brute_force(spark, recs, tol):
         if i < j and c1 == c2 and abs(p1 - p2) <= tol and abs(d1 - d2) <= 30
     )
     assert got == want
+
+
+# -------------------- Kaplan-Meier curve == pure-Python estimator
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),   # duration
+            st.integers(min_value=0, max_value=1),    # event flag
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_km_curve_matches_python_estimator(spark, obs):
+    """The windowed KM plan must reproduce the textbook product-limit
+    estimator for arbitrary duration/censoring patterns — ties between
+    events and censorings at the same time included (both leave the risk
+    set at that time; censorings do not reduce survival)."""
+    from quackio_jl_spark.plans.stats import km_curve
+
+    df = spark.createDataFrame(obs, "dur long, event long")
+    got = {
+        r["t_days"]: (r["n_churned"], r["n_at_risk"], r["survival"])
+        for r in km_curve(df).collect()
+    }
+    # pure-Python product-limit estimator
+    n_risk = len(obs)
+    s = 1.0
+    want = {}
+    for t in sorted({d for d, _ in obs}):
+        d_t = sum(1 for d, e in obs if d == t and e == 1)
+        leave_t = sum(1 for d, _ in obs if d == t)
+        if d_t > 0:
+            s *= 1.0 - d_t / n_risk
+            want[t] = (d_t, n_risk, round(s, 8))
+        n_risk -= leave_t
+    assert set(got) == set(want)
+    for t, (d_t, nr, sv) in want.items():
+        gd, gn, gs = got[t]
+        assert (gd, gn) == (d_t, nr), (t, got[t], want[t])
+        assert abs(gs - sv) < 1e-6, (t, gs, sv)
