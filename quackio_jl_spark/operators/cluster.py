@@ -726,3 +726,82 @@ def dedup_cluster_purity(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "part_degree_assortativity",
+    oracle=f"""
+    WITH {_PR_GRAPH_SQL},
+    de AS (
+      SELECT du.d AS dx, dv.d AS dy
+      FROM edges e
+      JOIN deg du ON du.id = e.src
+      JOIN deg dv ON dv.id = e.dst
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+        CAST(SUM(dx) AS DOUBLE) AS sx, CAST(SUM(dy) AS DOUBLE) AS sy,
+        CAST(SUM(dx * dx) AS DOUBLE) AS sxx,
+        CAST(SUM(dy * dy) AS DOUBLE) AS syy,
+        CAST(SUM(dx * dy) AS DOUBLE) AS sxy
+      FROM de
+    )
+    SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+      round((m * sxy - sx * sy)
+        / sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)), 8)
+        AS assortativity
+    FROM s
+    """,
+)
+def part_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-purchase graph (Newman 2002): the
+    Pearson correlation of endpoint degrees over every directed edge.
+    Negative = hubs attach to leaves (typical for baskets: popular
+    staples co-occur with niche parts), positive = hub-hub core. One
+    number, but the one that predicts whether degree-oriented triangle
+    counting and salting will pay off — it quantifies the hub structure
+    the degree histogram only hints at.
+
+    Integer degree sums are exact (BIGINT, no decimal needed); the final
+    correlation is one double expression pinned by the oracle. Edges
+    join their endpoint degrees via two broadcast-or-shuffle hash joins
+    keyed by node id — linear in |E|, no wedge enumeration."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part1"))
+    b = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part2"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part1") < F.col("part2")))
+        .groupBy("part1", "part2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("part1", "part2")
+    )
+    edges = pairs.select(
+        F.col("part1").alias("src"), F.col("part2").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("part2").alias("src"), F.col("part1").alias("dst"))
+    ).persist()
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    du = deg.select(F.col("id").alias("src"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("id").alias("dst"), F.col("d").alias("dy"))
+    de = edges.join(du, "src").join(dv, "dst")
+    s = de.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("dx").cast("double").alias("sx"),
+        F.sum("dy").cast("double").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("double").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("double").alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("double").alias("sxy"),
+    )
+    m, sx, sy = F.col("m"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        (m / 2).cast("bigint").alias("n_edges"),
+        F.round(
+            (m * sxy - sx * sy)
+            / F.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)),
+            8,
+        ).alias("assortativity"),
+    )
