@@ -408,6 +408,16 @@ def read_file(spark: SparkSession, file, filetype: str | None = None, **kw) -> D
             )
     else:
         fmt = normalize_format(filetype)
+    if fmt == "text":
+        # raw text routes to read_text's (filename, content) contract —
+        # line mode (splittable) under format guessing; select/limit apply
+        # on top of the returned DataFrame like any lazy projection
+        df = read_text(spark, file, by_line=True)
+        if kw.get("select") is not None:
+            df = df.select(*[c for c in kw["select"]])
+        if kw.get("limit") is not None:
+            df = df.limit(int(kw["limit"]))
+        return df
     return _read(spark, fmt, file, **kw)
 
 

@@ -351,3 +351,21 @@ def test_write_text_guess_and_single_file(tmp_path, spark):
     assert sorted(open(p).read().splitlines()) == ["x y", "z w"]
     back = read_text(spark, p, by_line=True)
     assert sorted(r["content"] for r in back.collect()) == ["x y", "z w"]
+
+
+def test_read_file_routes_text(tmp_path, spark):
+    """Format guessing maps .txt to the read_text contract: line-mode
+    (filename, content) columns, select/limit honored."""
+    from quackio_jl_spark import read_file
+
+    p = str(tmp_path / "x.txt")
+    with open(p, "w") as f:
+        f.write("hello world\nsecond line")
+    df = read_file(spark, p)
+    assert df.columns == ["filename", "content"]
+    assert sorted(r["content"] for r in df.collect()) == [
+        "hello world",
+        "second line",
+    ]
+    one = read_file(spark, p, select=["content"], limit=1)
+    assert one.columns == ["content"] and one.count() == 1
