@@ -106,6 +106,18 @@ def write_table(
         # DuckDB/the reference write explicit nulls (test/runtests.jl:43);
         # Spark omits null fields unless told otherwise
         opts.setdefault("ignoreNullFields", "false")
+    elif fmt == "text":
+        data_cols = [
+            f for f in df.schema.fields
+            if f.name not in set(partition_by or [])
+        ]
+        if len(data_cols) != 1 or data_cols[0].dataType.typeName() != "string":
+            raise ValueError(
+                "text sink requires exactly ONE string data column "
+                f"(besides partition columns); got {[(f.name, f.dataType.simpleString()) for f in data_cols]}. "
+                "Select/cast the payload column first, or use csv/parquet "
+                "for tabular data."
+            )
 
     if not single_file or partition_by:
         writer = df.write.format(fmt).options(**opts).mode(mode)

@@ -369,3 +369,12 @@ def test_read_file_routes_text(tmp_path, spark):
     ]
     one = read_file(spark, p, select=["content"], limit=1)
     assert one.columns == ["content"] and one.count() == 1
+
+
+def test_write_text_rejects_multi_column(tmp_path, spark, basic_df):
+    """The text sink pre-checks its one-string-column contract with a
+    clear error instead of Spark's datasource type message."""
+    import pytest
+
+    with pytest.raises(ValueError, match="ONE string data column"):
+        write_table(basic_df, str(tmp_path / "o.txt"))
