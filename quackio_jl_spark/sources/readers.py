@@ -427,7 +427,8 @@ def read_text(
     *,
     by_line: bool = False,
     spark_options: dict[str, Any] | None = None,
-) -> DataFrame:
+    materializer: str = "df",
+):
     """Raw text scan — DuckDB ``read_text`` parity: one row per FILE with
     columns ``(filename, content)``. The raw-.txt-shard ingestion path a
     corpus pipeline starts from.
@@ -451,7 +452,7 @@ def read_text(
             paths.append(p_)
     reader = spark.read.options(**{k: str(v) for k, v in (spark_options or {}).items()})
     fname = F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
-    return (
+    df = (
         # text()'s wholetext kwarg overwrites any option of the same name,
         # so it must be passed here, not via .option()
         reader.text(paths, wholetext=not by_line)
@@ -460,3 +461,4 @@ def read_text(
             F.col("value").alias("content"),
         )
     )
+    return materialize(df, materializer)
