@@ -78,6 +78,11 @@ EXTENDED = [
     "quality_quantile_normalize",
     "events_gapfill_linear_interpolation",
     "lineitem_mahalanobis_outliers",
+    "customer_survival_km",
+    "vocab_growth_heaps",
+    "part_degree_assortativity",
+    "orders_duplicate_invoices",
+    "customer_order_streaks",
 ]
 
 
