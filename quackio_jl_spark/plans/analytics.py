@@ -2270,3 +2270,64 @@ def window_frame_semantics_pack(spark, sf_dir):
         F.sum("x").over(w_range).cast("bigint").alias("sum_range2"),
         F.count(F.lit(1)).over(w_peer).cast("bigint").alias("n_peers"),
     )
+
+
+@query(
+    "events_stickiness_ratios",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du),
+    agg AS (
+      SELECT days.d AS day,
+        COUNT(DISTINCT CASE WHEN du.d = days.d THEN du.user_id END) AS dau,
+        COUNT(DISTINCT CASE WHEN du.d > days.d - 7 THEN du.user_id END)
+          AS wau,
+        COUNT(DISTINCT du.user_id) AS mau
+      FROM days JOIN du ON du.d <= days.d AND du.d > days.d - 28
+      GROUP BY days.d
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+      CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+      CAST(mau AS BIGINT) AS mau,
+      round(dau / CAST(wau AS DOUBLE), 8) AS dau_wau,
+      round(dau / CAST(mau AS DOUBLE), 8) AS dau_mau
+    FROM agg
+    """,
+)
+def events_stickiness_ratios(spark, sf_dir):
+    """DAU / WAU / MAU and the stickiness ratios (DAU/WAU, DAU/MAU) per
+    day — the product-engagement headline. One (day, user) dedup pass,
+    ONE bounded 28-day fan-out join against the broadcast day spine, and
+    all three window widths come out of the same aggregate via
+    conditional distinct counts — not three separate rolling scans. The
+    same incremental (day, user) table events_trailing_wau persists at
+    web scale serves all three figures."""
+    e = table(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = du.select(F.col("d").alias("day_d")).distinct()
+    j = du.join(
+        F.broadcast(days),
+        (F.col("d") <= F.col("day_d"))
+        & (F.col("d") > F.date_sub(F.col("day_d"), 28)),
+    )
+    agg = j.groupBy("day_d").agg(
+        F.count_distinct(
+            F.when(F.col("d") == F.col("day_d"), F.col("user_id"))
+        ).alias("dau"),
+        F.count_distinct(
+            F.when(
+                F.col("d") > F.date_sub(F.col("day_d"), 7), F.col("user_id")
+            )
+        ).alias("wau"),
+        F.count_distinct("user_id").alias("mau"),
+    )
+    return agg.select(
+        F.date_format("day_d", "yyyy-MM-dd").alias("day"),
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("wau").cast("bigint").alias("wau"),
+        F.col("mau").cast("bigint").alias("mau"),
+        F.round(F.col("dau") / F.col("wau").cast("double"), 8).alias("dau_wau"),
+        F.round(F.col("dau") / F.col("mau").cast("double"), 8).alias("dau_mau"),
+    )
