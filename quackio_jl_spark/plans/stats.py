@@ -3528,3 +3528,90 @@ def attribution_time_decay(spark, sf_dir):
             F.col("purchase_value") * F.col("w") / F.col("wsum"), 6
         ).alias("credit_value"),
     )
+
+
+@query(
+    "supplier_scorecard",
+    oracle=f"""
+    SELECT l_suppkey AS suppkey,
+      CAST(COUNT(*) AS BIGINT) AS n_lines,
+      CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+      {_DS.format(x='l_extendedprice * (1 - l_discount)')} AS revenue,
+      round(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        / CAST(COUNT(*) AS DOUBLE), 8) AS return_rate,
+      {_DS.format(x='l_discount')} / COUNT(*) AS avg_discount
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def supplier_scorecard(spark, sf_dir):
+    """Per-supplier operations scorecard: volume, assortment breadth,
+    discounted revenue, return rate, mean discount — the dimension
+    profile a procurement dashboard keys on (and the input
+    parttype_supplier_hhi aggregates into concentration). One
+    partial-aggregated shuffle on l_suppkey; the distinct-part count is
+    the only state heavier than a scalar and is bounded by assortment
+    size per supplier."""
+    l = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.count_distinct("l_partkey").cast("bigint").alias("n_parts"),
+        F.sum(rev.cast(DEC)).cast("double").alias("revenue"),
+        F.round(
+            F.sum((F.col("l_returnflag") == "R").cast("int"))
+            / F.count(F.lit(1)).cast("double"),
+            8,
+        ).alias("return_rate"),
+        (F.sum(F.col("l_discount").cast(DEC)).cast("double") / F.count(F.lit(1)))
+        .alias("avg_discount"),
+    )
+
+
+@query(
+    "orders_monthly_seasonality_index",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(month(o_orderdate) AS INTEGER) AS mon,
+        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        {_DS.format(x='o_totalprice')} AS rev
+      FROM orders GROUP BY mon
+    ),
+    t AS (
+      SELECT SUM(rev) / SUM(n_orders) AS overall_aov,
+        SUM(n_orders) / 12.0 AS mean_monthly_orders
+      FROM m
+    )
+    SELECT mon, n_orders, round(rev, 2) AS revenue,
+      round((rev / n_orders) / overall_aov, 8) AS aov_index,
+      round(n_orders / mean_monthly_orders, 8) AS volume_index
+    FROM m CROSS JOIN t
+    """,
+)
+def orders_monthly_seasonality_index(spark, sf_dir):
+    """Classic retail seasonality indices by calendar month: each month's
+    order volume and average order value relative to the overall level
+    (index 1.0 = typical month) — the multiplicative-seasonality view
+    that complements the growth series (MoM/YoY) and the additive
+    decomposition on events. Twelve-row aggregate from one scan; the
+    normalizers are a broadcast 1-row rollup of the month table itself,
+    so the indices average to 1 exactly by construction."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(F.month("o_orderdate").alias("mon")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev"),
+    )
+    t = F.broadcast(
+        m.agg(
+            (F.sum("rev") / F.sum("n_orders")).alias("overall_aov"),
+            (F.sum("n_orders") / 12.0).alias("mean_monthly_orders"),
+        )
+    )
+    return m.crossJoin(t).select(
+        "mon",
+        "n_orders",
+        F.round("rev", 2).alias("revenue"),
+        F.round((F.col("rev") / F.col("n_orders")) / F.col("overall_aov"), 8)
+        .alias("aov_index"),
+        F.round(F.col("n_orders") / F.col("mean_monthly_orders"), 8)
+        .alias("volume_index"),
+    )
