@@ -3615,3 +3615,60 @@ def orders_monthly_seasonality_index(spark, sf_dir):
         F.round(F.col("n_orders") / F.col("mean_monthly_orders"), 8)
         .alias("volume_index"),
     )
+
+
+ERROR_SLO = 0.25  # error-rate objective (synthetic corpus runs ~20% errors)
+
+
+@query(
+    "events_error_budget_burn",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_err
+      FROM events GROUP BY day
+    )
+    SELECT day, n, n_err,
+      round(n_err / CAST(n AS DOUBLE), 8) AS error_rate,
+      round(n_err / CAST(n AS DOUBLE) / {ERROR_SLO}, 8) AS burn_rate,
+      CAST(SUM(n_err - CAST(round(n * {ERROR_SLO}) AS BIGINT)) OVER
+        (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS BIGINT) AS cum_budget_overrun,
+      n_err > CAST(round(n * {ERROR_SLO}) AS BIGINT) AS slo_violated
+    FROM d
+    """,
+)
+def events_error_budget_burn(spark, sf_dir):
+    """SRE error-budget accounting against a {ERROR_SLO:.0%} error-rate
+    SLO: per day the error rate, the burn rate (rate / objective — >1
+    means the budget depletes faster than it accrues), the CUMULATIVE
+    overrun in absolute events, and the violation flag. Integer budget
+    arithmetic end-to-end (the only doubles are the reported ratios), so
+    the running overrun is exact. One day-keyed partial-agg shuffle plus
+    a window over day rows."""
+    e = table(spark, sf_dir, "events")
+    d = e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("event_type") == "error").cast("int"))
+        .cast("bigint")
+        .alias("n_err"),
+    )
+    budget = F.round(F.col("n") * ERROR_SLO).cast("bigint")
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return d.select(
+        "day",
+        "n",
+        "n_err",
+        F.round(F.col("n_err") / F.col("n").cast("double"), 8).alias(
+            "error_rate"
+        ),
+        F.round(
+            F.col("n_err") / F.col("n").cast("double") / ERROR_SLO, 8
+        ).alias("burn_rate"),
+        F.sum(F.col("n_err") - budget).over(w).cast("bigint").alias(
+            "cum_budget_overrun"
+        ),
+        (F.col("n_err") > budget).alias("slo_violated"),
+    )
