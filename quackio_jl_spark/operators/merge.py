@@ -468,3 +468,87 @@ def banded_duplicate_pairs(o, price_tol, day_tol, band_width):
             F.abs(F.datediff("da", "db")).cast("bigint").alias("day_diff"),
         )
     )
+
+
+# ------------- catalog substitution candidates (relative-tolerance ER)
+
+SUBST_REL_TOL = 0.02     # prices within 2% count as substitutable
+_SUBST_LOG_BAND = 1.05   # log-band base: ln(1.05) width > ln(1.02) tolerance
+
+
+@query(
+    "part_substitution_candidates",
+    oracle=f"""
+    SELECT a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
+      a.p_type AS type, CAST(a.p_size AS INTEGER) AS size,
+      a.p_brand AS brand_a, b.p_brand AS brand_b,
+      round(abs(a.p_retailprice - b.p_retailprice)
+        / least(a.p_retailprice, b.p_retailprice), 8) AS price_gap_rel
+    FROM part a JOIN part b
+      ON a.p_type = b.p_type AND a.p_size = b.p_size
+     AND a.p_brand <> b.p_brand
+     AND a.p_partkey < b.p_partkey
+     AND abs(a.p_retailprice - b.p_retailprice)
+         <= {SUBST_REL_TOL} * least(a.p_retailprice, b.p_retailprice)
+    """,
+)
+def part_substitution_candidates(spark, sf_dir):
+    """Catalog substitution candidates: same type and size, different
+    brand, retail price within {SUBST_REL_TOL:.0%} — the
+    assortment-rationalization / competitor-matching screen, i.e. record
+    linkage on STRUCTURED catalog attributes with a RELATIVE price
+    tolerance.
+
+    Relative tolerance needs multiplicative blocking: the band is
+    floor(ln(price) / ln({_SUBST_LOG_BAND})), whose width (≈4.9%)
+    strictly exceeds the 2% tolerance, so exploding one side into
+    {{band-1, band, band+1}} guarantees recall and band identity makes
+    each pair meet once (same emit discipline as
+    orders_duplicate_invoices, different geometry: log-space bands for
+    ratio predicates, linear bands for absolute ones)."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size", "p_retailprice"
+    )
+    lb = F.floor(
+        F.ln("p_retailprice") / float(__import__("math").log(_SUBST_LOG_BAND))
+    )
+    a = p.select(
+        F.col("p_partkey").alias("ka"),
+        F.col("p_brand").alias("ba"),
+        F.col("p_type").alias("ta"),
+        F.col("p_size").alias("sa"),
+        F.col("p_retailprice").alias("pa"),
+        F.explode(F.array(lb - 1, lb, lb + 1)).alias("band"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("kb"),
+        F.col("p_brand").alias("bb"),
+        F.col("p_type").alias("tb"),
+        F.col("p_size").alias("sb"),
+        F.col("p_retailprice").alias("pb"),
+        lb.alias("band_b"),
+    )
+    gap = F.abs(F.col("pa") - F.col("pb"))
+    lo = F.least("pa", "pb")
+    return (
+        a.join(
+            b,
+            (F.col("ta") == F.col("tb"))
+            & (F.col("sa") == F.col("sb"))
+            & (F.col("band") == F.col("band_b")),
+        )
+        .filter(
+            (F.col("ka") < F.col("kb"))
+            & (F.col("ba") != F.col("bb"))
+            & (gap <= SUBST_REL_TOL * lo)
+        )
+        .select(
+            F.col("ka").alias("partkey_a"),
+            F.col("kb").alias("partkey_b"),
+            F.col("ta").alias("type"),
+            F.col("sa").cast("int").alias("size"),
+            F.col("ba").alias("brand_a"),
+            F.col("bb").alias("brand_b"),
+            F.round(gap / lo, 8).alias("price_gap_rel"),
+        )
+    )
