@@ -2331,3 +2331,117 @@ def events_stickiness_ratios(spark, sf_dir):
         F.round(F.col("dau") / F.col("wau").cast("double"), 8).alias("dau_wau"),
         F.round(F.col("dau") / F.col("mau").cast("double"), 8).alias("dau_mau"),
     )
+
+
+@query(
+    "events_user_lifecycle_states",
+    oracle="""
+    WITH wa AS (
+      SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS wk, user_id
+      FROM events
+    ),
+    fs AS (SELECT user_id, MIN(wk) AS first_wk FROM wa GROUP BY user_id),
+    weeks AS (SELECT DISTINCT wk FROM wa),
+    states AS (
+      SELECT w.wk, wa.user_id,
+        CASE
+          WHEN fs.first_wk = w.wk THEN 'new'
+          WHEN prev.user_id IS NOT NULL THEN 'retained'
+          ELSE 'resurrected' END AS state
+      FROM weeks w
+      JOIN wa ON wa.wk = w.wk
+      JOIN fs ON fs.user_id = wa.user_id
+      LEFT JOIN wa prev ON prev.user_id = wa.user_id
+        AND prev.wk = w.wk - INTERVAL 7 DAY
+    ),
+    churn AS (
+      SELECT CAST(prev.wk + INTERVAL 7 DAY AS DATE) AS wk,
+        COUNT(*) AS n_churned
+      FROM wa prev
+      LEFT JOIN wa cur ON cur.user_id = prev.user_id
+        AND cur.wk = prev.wk + INTERVAL 7 DAY
+      WHERE cur.user_id IS NULL
+        AND prev.wk < (SELECT MAX(wk) FROM weeks)
+      GROUP BY 1
+    )
+    SELECT strftime(s.wk, '%Y-%m-%d') AS week,
+      CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_new,
+      CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_retained,
+      CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_resurrected,
+      CAST(COALESCE(MAX(c.n_churned), 0) AS BIGINT) AS n_churned
+    FROM states s LEFT JOIN churn c ON c.wk = s.wk
+    GROUP BY s.wk
+    """,
+)
+def events_user_lifecycle_states(spark, sf_dir):
+    """Growth accounting: weekly counts of NEW (first week ever),
+    RETAINED (also active the week before), RESURRECTED (active, not
+    last week, not new) and CHURNED (active last week, absent this
+    week) users — the decomposition behind every 'net user growth'
+    chart, with the invariant active(w) = new + retained + resurrected.
+
+    Shape: one (week, user) dedup, a user-keyed first-seen reduce, and
+    two self-joins keyed on (user, adjacent week) — all partial-agg
+    shuffles on compact keys; no per-week rescans of history."""
+    e = table(spark, sf_dir, "events")
+    wa = e.select(
+        F.to_date(F.date_trunc("week", "ts")).alias("wk"), "user_id"
+    ).distinct()
+    fs = wa.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    prev = wa.select(
+        F.date_add("wk", 7).alias("wk"),
+        F.col("user_id").alias("prev_user"),
+    )
+    states = (
+        wa.join(fs, "user_id")
+        .join(
+            prev,
+            (prev.wk == wa.wk) & (F.col("prev_user") == wa.user_id),
+            "left",
+        )
+        .select(
+            wa.wk.alias("wk"),
+            F.when(F.col("first_wk") == wa.wk, "new")
+            .when(F.col("prev_user").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("state"),
+        )
+    )
+    max_wk = F.broadcast(wa.agg(F.max("wk").alias("max_wk")))
+    cur = wa.select(
+        F.col("wk").alias("cwk"), F.col("user_id").alias("cur_user")
+    )
+    churn = (
+        wa.crossJoin(max_wk)
+        .filter(F.col("wk") < F.col("max_wk"))
+        .join(
+            cur,
+            (F.col("cwk") == F.date_add("wk", 7))
+            & (F.col("cur_user") == F.col("user_id")),
+            "left",
+        )
+        .filter(F.col("cur_user").isNull())
+        .groupBy(F.date_add("wk", 7).alias("wk"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    agg = states.groupBy("wk").agg(
+        F.sum((F.col("state") == "new").cast("int"))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum((F.col("state") == "retained").cast("int"))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum((F.col("state") == "resurrected").cast("int"))
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    return agg.join(churn, "wk", "left").select(
+        F.date_format("wk", "yyyy-MM-dd").alias("week"),
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce("n_churned", F.lit(0)).cast("bigint").alias("n_churned"),
+    )
