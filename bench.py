@@ -134,6 +134,7 @@ def main() -> None:
                 "extended_total_sec": round(sum(extended.values()), 3),
                 "sf": sf,
                 "repeats": repeats,
+                "n_queries_registered": len(QUERIES),
                 "aggregation": "median_per_query_over_interleaved_passes",
             }
         )
