@@ -2285,3 +2285,55 @@ def embedding_truncation_distortion(spark, sf_dir):
             F.sum("fx").cast("double") / F.count(F.lit(1)) / 1e9, 8
         ).alias("mean_energy_retained"),
     )
+
+
+WDS_SHARD_BYTES = 32_768  # shard capacity in payload bytes (test-scale)
+
+
+@query(
+    "webdataset_shard_manifest",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_bytes FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_bytes,
+        SUM(n_bytes) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM sized
+    )
+    SELECT doc_id, n_bytes,
+      CAST(floor((cum - n_bytes) / {WDS_SHARD_BYTES}) AS BIGINT) AS shard,
+      CAST((cum - n_bytes) - floor((cum - n_bytes) / {WDS_SHARD_BYTES})
+        * {WDS_SHARD_BYTES} AS BIGINT) AS offset_in_shard
+    FROM c
+    """,
+)
+def webdataset_shard_manifest(spark, sf_dir):
+    """WebDataset-style packing manifest: documents laid out in doc_id
+    order into fixed-capacity byte shards, each row carrying its shard
+    id and byte offset (shard = exclusive-prefix-bytes div capacity —
+    the contiguous layout a sequential trainer streams; a sample spills
+    over a boundary rather than leaving tail gaps, matching tar-stream
+    semantics).
+
+    The global byte prefix sum runs on the bucketed kernel
+    (functions/prefix.py): pure-function key ranges, a 16-row offset
+    window, parallel in-bucket cumulatives — identical output at any
+    partition count and never a corpus-wide single-reducer sort. The
+    oracle states the same layout with a plain windowed SUM."""
+    from ..functions.prefix import bucketed_prefix_sums
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_bytes")
+    )
+    c = bucketed_prefix_sums(d, "doc_id", ["n_bytes"])
+    excl = F.col("cum_n_bytes") - F.col("n_bytes")
+    return c.select(
+        "doc_id",
+        "n_bytes",
+        F.floor(excl / WDS_SHARD_BYTES).cast("bigint").alias("shard"),
+        (excl - F.floor(excl / WDS_SHARD_BYTES) * WDS_SHARD_BYTES)
+        .cast("bigint")
+        .alias("offset_in_shard"),
+    )
