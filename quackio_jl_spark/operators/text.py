@@ -2478,3 +2478,138 @@ def vocab_growth_heaps(spark, sf_dir):
         F.col("cum_types").cast("bigint").alias("cum_types"),
         F.round("beta", 6).alias("heaps_beta"),
     )
+
+
+# ---------------- char-trigram language ID (textcat-style profiles)
+
+TRI_PROFILE_K = 50  # trigrams kept per language profile
+
+
+@query(
+    "text_langid_char_trigram",
+    oracle=f"""
+    WITH tri AS (
+      SELECT doc_id, lang, doc_id % 2 = 0 AS is_train,
+        substr(lower(text), i, 3) AS g
+      FROM documents,
+        UNNEST(generate_series(1, length(text) - 2)) AS u(i)
+    ),
+    prof AS (
+      SELECT lang AS plang, g, c FROM (
+        SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS c,
+          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, g)
+            AS rk
+        FROM tri WHERE is_train GROUP BY lang, g
+      ) WHERE rk <= {TRI_PROFILE_K}
+    ),
+    pnorm AS (
+      SELECT plang, sqrt(CAST(SUM(c * c) AS DOUBLE)) AS pn
+      FROM prof GROUP BY plang
+    ),
+    dcnt AS (
+      SELECT doc_id, lang, g, CAST(COUNT(*) AS BIGINT) AS dc
+      FROM tri WHERE NOT is_train GROUP BY doc_id, lang, g
+    ),
+    dnorm AS (
+      SELECT doc_id, sqrt(CAST(SUM(dc * dc) AS DOUBLE)) AS dn
+      FROM dcnt GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang, p.plang,
+        CAST(SUM(d.dc * p.c) AS DOUBLE) / (MAX(dn.dn) * MAX(pn.pn)) AS cs
+      FROM dcnt d
+      JOIN prof p ON p.g = d.g
+      JOIN dnorm dn ON dn.doc_id = d.doc_id
+      JOIN pnorm pn ON pn.plang = p.plang
+      GROUP BY d.doc_id, d.lang, p.plang
+    ),
+    best AS (
+      SELECT doc_id, lang, plang AS pred FROM (
+        SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY cs DESC, plang DESC) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT lang, pred, CAST(COUNT(*) AS BIGINT) AS n
+    FROM best GROUP BY lang, pred
+    """,
+)
+def text_langid_char_trigram(spark, sf_dir):
+    """Character-trigram language ID (the textcat/Cavnar-Trenkle family,
+    the OTHER classic next to the stopword heuristic): per-language
+    profiles of the top-{TRI_PROFILE_K} trigrams are trained on even
+    doc_ids and held-out odd documents are classified by profile cosine;
+    the output is the train/test confusion matrix — an honest accuracy
+    eval, not self-classification.
+
+    Everything stays in exact integer counts until the final cosine
+    (dot and norms from int sums; ties broken deterministically on the
+    language name), so the confusion matrix is engine-stable. Profiles
+    are {TRI_PROFILE_K} rows x |langs| — broadcast-sized index state;
+    per-doc work is one trigram explode and a profile-keyed partial
+    aggregate."""
+    d = table(spark, sf_dir, "documents")
+    tri = d.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % 2 == 0).alias("is_train"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2), "
+                "i -> substring(lower(text), i, 3))"
+            )
+        ).alias("g"),
+    )
+    from pyspark.sql import Window as W
+
+    prof = (
+        tri.filter("is_train")
+        .groupBy(F.col("lang").alias("plang"), "g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("plang").orderBy(F.col("c").desc(), "g")
+            ),
+        )
+        .filter(F.col("rk") <= TRI_PROFILE_K)
+        .drop("rk")
+    )
+    pnorm = prof.groupBy("plang").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("pn")
+    )
+    dcnt = (
+        tri.filter(~F.col("is_train"))
+        .groupBy("doc_id", "lang", "g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dc"))
+    )
+    dnorm = dcnt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("dc") * F.col("dc")).cast("double")).alias("dn")
+    )
+    scored = (
+        dcnt.join(F.broadcast(prof), "g")
+        .join(dnorm, "doc_id")
+        .join(F.broadcast(pnorm), "plang")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(
+            (
+                F.sum(F.col("dc") * F.col("c")).cast("double")
+                / (F.max("dn") * F.max("pn"))
+            ).alias("cs")
+        )
+    )
+    best = (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(
+                    F.col("cs").desc(), F.col("plang").desc()
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("lang", F.col("plang").alias("pred"))
+    )
+    return best.groupBy("lang", "pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
