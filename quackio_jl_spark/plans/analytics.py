@@ -2445,3 +2445,84 @@ def events_user_lifecycle_states(spark, sf_dir):
         "n_resurrected",
         F.coalesce("n_churned", F.lit(0)).cast("bigint").alias("n_churned"),
     )
+
+
+@query(
+    "events_seasonal_naive_backtest",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+        CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, h
+    ),
+    paired AS (
+      SELECT cur.event_type, cur.h, cur.n AS actual,
+        COALESCE(prev.n, 0) AS forecast
+      FROM hourly cur
+      LEFT JOIN hourly prev ON prev.event_type = cur.event_type
+        AND prev.h = cur.h - 168
+      WHERE cur.h >= (SELECT MIN(h) FROM hourly) + 168
+    )
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_hours,
+      round(SUM(abs(actual - forecast)) / CAST(SUM(actual) AS DOUBLE), 8)
+        AS wape,
+      round(AVG(CASE WHEN actual > 0
+        THEN abs(actual - forecast) / CAST(actual AS DOUBLE) END), 8)
+        AS mape,
+      CAST(SUM(abs(actual - forecast)) AS BIGINT) AS total_abs_err
+    FROM paired GROUP BY event_type
+    """,
+)
+def events_seasonal_naive_backtest(spark, sf_dir):
+    """Forecast-quality backtest of the seasonal-naive baseline
+    (prediction = same hour last week) on hourly event volumes: WAPE,
+    MAPE and total absolute error per type — the honest floor every
+    fancier forecaster must beat, and the benchmark shape of an
+    M-competition evaluation. Missing history forecasts 0 (a real
+    cold-start policy), and the first seasonal cycle is excluded from
+    scoring rather than padded.
+
+    One hourly partial-agg, a self-join keyed on (type, hour-168) —
+    co-partitioned, no window over the full series — and exact integer
+    error sums; only the two final ratios are doubles."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 3_600_000_000).cast("bigint").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    mn = F.broadcast(hourly.agg(F.min("h").alias("h0")))
+    prev = hourly.select(
+        F.col("event_type").alias("pt"),
+        (F.col("h") + 168).alias("ph"),
+        F.col("n").alias("pn"),
+    )
+    paired = (
+        hourly.crossJoin(mn)
+        .filter(F.col("h") >= F.col("h0") + 168)
+        .join(
+            prev,
+            (F.col("pt") == F.col("event_type")) & (F.col("ph") == F.col("h")),
+            "left",
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("actual"),
+            F.coalesce("pn", F.lit(0)).alias("forecast"),
+        )
+    )
+    err = F.abs(F.col("actual") - F.col("forecast"))
+    return paired.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.round(F.sum(err) / F.sum("actual").cast("double"), 8).alias("wape"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("actual") > 0, err / F.col("actual").cast("double")
+                )
+            ),
+            8,
+        ).alias("mape"),
+        F.sum(err).cast("bigint").alias("total_abs_err"),
+    )
