@@ -2001,3 +2001,121 @@ def source_overlap_matrix(spark, sf_dir):
             ).alias("shingle_jaccard"),
         )
     )
+
+
+# ----------------- MinHash banding configuration sweep (index tuning)
+
+LSH_SWEEP_CONFIGS = [(8, 1), (4, 2), (2, 4), (1, 8)]  # (bands, rows) over 8 sigs
+
+
+def _sweep_cfg_sql(nb: int, r: int) -> str:
+    selects = []
+    for b in range(nb):
+        key = " || ".join(f"h{b * r + j}" for j in range(r))
+        selects.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sig")
+    bands = "\n        UNION ALL\n        ".join(selects)
+    return f"""
+      SELECT {nb} AS bands, {r} AS rows_per_band,
+        CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs
+      FROM (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM ({bands}) a
+        JOIN ({bands}) b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        JOIN (SELECT band, key FROM ({bands}) GROUP BY band, key
+              HAVING COUNT(*) BETWEEN 2 AND {LSH_MAX_BUCKET}) ok
+          ON ok.band = a.band AND ok.key = a.key
+      )"""
+
+
+@query(
+    "dedup_lsh_config_sweep",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, lower(text) AS text FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        array_to_string(w[i:i + {SHINGLE_K - 1}], ' ') AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+        UNNEST(generate_series(1, len(w) - {SHINGLE_K - 1})) AS u(i)
+    ),
+    {{sig}}
+    SELECT bands, rows_per_band,
+      round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS threshold_50pct,
+      n_candidate_pairs
+    FROM (
+      {{cfgs}}
+    )
+    """.format(
+        sig=_minhash_sig_sql(),
+        cfgs="\n      UNION ALL\n      ".join(
+            _sweep_cfg_sql(nb, r) for nb, r in LSH_SWEEP_CONFIGS
+        ),
+    ),
+)
+def dedup_lsh_config_sweep(spark, sf_dir):
+    """MinHash-LSH index tuning table: for every (bands x rows) split of
+    the 8-hash signature, the theoretical 50%-recall similarity
+    threshold (1/b)^(1/r) and the ACTUAL candidate-pair count on this
+    corpus — the two columns an index designer trades off (more bands =
+    lower threshold = more candidates to verify). The production config
+    (4x2) sits in the middle of the sweep; this query is the evidence
+    for why.
+
+    Signatures are computed ONCE and persisted; each config re-bands the
+    8 cached values (a per-row projection) and counts its candidates via
+    the same capped in-bucket pair generation as the production
+    pipeline — the sweep costs four bucket shuffles over signature rows,
+    never four corpus re-scans."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("text")
+    )
+    sig = minhash_signatures(d).persist()
+    outs = []
+    for nb, r in LSH_SWEEP_CONFIGS:
+        band_rows = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat(
+                        *[F.col(f"h{b * r + j}") for j in range(r)]
+                    ).alias("key"),
+                )
+                for b in range(nb)
+            ]
+        )
+        bands = sig.select("doc_id", F.explode(band_rows).alias("bk")).select(
+            "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        )
+        buckets = (
+            bands.groupBy("band", "key")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+            .filter((F.size("ids") >= 2) & (F.size("ids") <= LSH_MAX_BUCKET))
+        )
+        pairs = (
+            buckets.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, (x, i) -> "
+                        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                        "y -> struct(x AS doc1, y AS doc2))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.doc1", "p.doc2")
+            .distinct()
+        )
+        outs.append(
+            pairs.agg(
+                F.lit(nb).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                F.round(
+                    F.pow(F.lit(1.0) / nb, F.lit(1.0) / r), 6
+                ).alias("threshold_50pct"),
+                F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+            )
+        )
+    from functools import reduce as _reduce
+
+    return _reduce(lambda a, b: a.unionAll(b), outs).select(
+        "bands", "rows_per_band", "threshold_50pct", "n_candidate_pairs"
+    )
