@@ -3672,3 +3672,70 @@ def events_error_budget_burn(spark, sf_dir):
         ),
         (F.col("n_err") > budget).alias("slo_violated"),
     )
+
+
+@query(
+    "customer_segment_migration",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+        CASE WHEN year(o_orderdate) < 1998 THEN 1 ELSE 2 END AS half,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS s
+      FROM orders GROUP BY o_custkey, half
+    ),
+    seg AS (
+      SELECT o_custkey, half,
+        CASE NTILE(3) OVER (PARTITION BY half ORDER BY s, o_custkey)
+          WHEN 1 THEN 'low' WHEN 2 THEN 'mid' ELSE 'high' END AS seg
+      FROM spend
+    ),
+    h1 AS (SELECT o_custkey, seg FROM seg WHERE half = 1),
+    h2 AS (SELECT o_custkey, seg FROM seg WHERE half = 2)
+    SELECT COALESCE(h1.seg, 'none') AS segment_before,
+      COALESCE(h2.seg, 'none') AS segment_after,
+      CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def customer_segment_migration(spark, sf_dir):
+    """Customer segment migration matrix: spend terciles (low/mid/high)
+    computed independently in the pre-1998 and 1998+ halves, full-outer
+    joined per customer so appearances ('none' -> low) and churn
+    (high -> 'none') land in the matrix alongside up/down moves — the
+    CRM transition table behind 'where did our high-value customers
+    go?'.
+
+    Determinism: spend is decimal-exact, NTILE orders by (spend,
+    custkey) so tercile boundaries cannot flip between engines; the
+    per-half rank windows partition by half (two parallel sorts, at
+    scale range-partitioned). One full-outer join on custkey, then a
+    16-cell rollup."""
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy(
+        "o_custkey",
+        F.when(F.year("o_orderdate") < 1998, 1).otherwise(2).alias("half"),
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("s"))
+    w = W.partitionBy("half").orderBy("s", "o_custkey")
+    seg = spend.select(
+        "o_custkey",
+        "half",
+        F.when(F.ntile(3).over(w) == 1, "low")
+        .when(F.ntile(3).over(w) == 2, "mid")
+        .otherwise("high")
+        .alias("seg"),
+    )
+    h1 = seg.filter("half = 1").select(
+        F.col("o_custkey").alias("k1"), F.col("seg").alias("s1")
+    )
+    h2 = seg.filter("half = 2").select(
+        F.col("o_custkey").alias("k2"), F.col("seg").alias("s2")
+    )
+    return (
+        h1.join(h2, F.col("k1") == F.col("k2"), "full_outer")
+        .groupBy(
+            F.coalesce("s1", F.lit("none")).alias("segment_before"),
+            F.coalesce("s2", F.lit("none")).alias("segment_after"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
