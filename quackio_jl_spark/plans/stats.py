@@ -3739,3 +3739,105 @@ def customer_segment_migration(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
     )
+
+
+@query(
+    "orders_ship_aging_buckets",
+    oracle="""
+    WITH age AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+        datediff('day', o.o_orderdate, MIN(l.l_shipdate)) AS days_to_ship
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority AS priority,
+      CASE
+        WHEN days_to_ship <= 7 THEN 'a_0_7'
+        WHEN days_to_ship <= 30 THEN 'b_8_30'
+        WHEN days_to_ship <= 90 THEN 'c_31_90'
+        ELSE 'd_over_90' END AS aging_bucket,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(MIN(days_to_ship) AS BIGINT) AS min_days,
+      CAST(MAX(days_to_ship) AS BIGINT) AS max_days
+    FROM age GROUP BY 1, 2
+    """,
+)
+def orders_ship_aging_buckets(spark, sf_dir):
+    """Receivables-style aging report for fulfillment: days from order to
+    FIRST shipment, bucketed 0-7 / 8-30 / 31-90 / 90+ per priority class
+    — the ops-review table that complements the latency percentiles with
+    absolute SLA bands (bucket labels carry a sort prefix so every
+    consumer orders them identically). One orderkey-keyed min-reduce
+    over lineitem (co-partitioned with the orders join), then a
+    bounded-cardinality rollup."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    age = (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(
+            F.datediff(F.min("l_shipdate"), F.col("o_orderdate")).alias(
+                "days_to_ship"
+            )
+        )
+    )
+    bucket = (
+        F.when(F.col("days_to_ship") <= 7, "a_0_7")
+        .when(F.col("days_to_ship") <= 30, "b_8_30")
+        .when(F.col("days_to_ship") <= 90, "c_31_90")
+        .otherwise("d_over_90")
+    )
+    return age.groupBy(
+        F.col("o_orderpriority").alias("priority"), bucket.alias("aging_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.min("days_to_ship").cast("bigint").alias("min_days"),
+        F.max("days_to_ship").cast("bigint").alias("max_days"),
+    )
+
+
+@query(
+    "events_new_vs_returning_value",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(date_trunc('day', e.ts) AS DATE) AS day,
+      CASE WHEN CAST(date_trunc('day', e.ts) AS DATE) = fs.first_day
+        THEN 'new' ELSE 'returning' END AS cohort,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+      CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN fs ON fs.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_new_vs_returning_value(spark, sf_dir):
+    """Daily value split between NEW users (first-ever-seen that day) and
+    RETURNING users — the first cut of any acquisition-vs-retention
+    revenue question. The first-seen table is the same user-keyed
+    min-reduce the growth operators share (persist it once in
+    production); tagging is a user-keyed join, totals are decimal-exact,
+    and the daily rollup is bounded by |days| x 2 rows."""
+    e = table(spark, sf_dir, "events")
+    fs = (
+        e.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("first_day"))
+    )
+    day = F.to_date(F.date_trunc("day", "ts"))
+    return (
+        e.join(fs, "user_id")
+        .groupBy(
+            day.alias("day"),
+            F.when(day == F.col("first_day"), "new")
+            .otherwise("returning")
+            .alias("cohort"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+    )
