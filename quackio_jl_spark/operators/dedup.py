@@ -2119,3 +2119,53 @@ def dedup_lsh_config_sweep(spark, sf_dir):
     return _reduce(lambda a, b: a.unionAll(b), outs).select(
         "bands", "rows_per_band", "threshold_50pct", "n_candidate_pairs"
     )
+
+
+@query(
+    "duplicate_vs_unique_quality",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, n_chars,
+        len(list_distinct(string_split(lower(text), ' ')))
+          / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS ttr,
+        COUNT(*) OVER (PARTITION BY md5(text)) > 1 AS is_dup
+      FROM documents
+    )
+    SELECT CASE WHEN is_dup THEN 'duplicated' ELSE 'unique' END AS cohort,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      round(AVG(CAST(n_chars AS DOUBLE)), 6) AS mean_chars,
+      round(AVG(ttr), 8) AS mean_type_token_ratio
+    FROM g GROUP BY 1
+    """,
+)
+def duplicate_vs_unique_quality(spark, sf_dir):
+    """The 'are duplicates junk?' interaction report: documents that have
+    at least one exact copy vs singletons, compared on length and
+    type-token ratio — the evidence behind ordering dedup BEFORE quality
+    filtering (if dups skew low-quality, dedup removes them for free; if
+    not, quality thresholds must not be tuned on the deduped corpus).
+    The dup flag is the same md5-key shuffle as dedup_exact (never the
+    text bytes); per-doc signals are pure maps; the report is a 2-row
+    rollup."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), " ")
+    sig = d.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("nc"),
+        (F.size(F.array_distinct(w)) / F.size(w).cast("double")).alias("ttr"),
+        F.md5("text").alias("h"),
+    )
+    counts = sig.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        sig.join(counts, "h")
+        .groupBy(
+            F.when(F.col("c") > 1, "duplicated")
+            .otherwise("unique")
+            .alias("cohort")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("nc"), 6).alias("mean_chars"),
+            F.round(F.avg("ttr"), 8).alias("mean_type_token_ratio"),
+        )
+    )

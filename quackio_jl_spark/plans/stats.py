@@ -3841,3 +3841,102 @@ def events_new_vs_returning_value(spark, sf_dir):
             F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
         )
     )
+
+
+@query(
+    "events_anomaly_consensus",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, hr
+    ),
+    stats AS (
+      SELECT event_type,
+        AVG(n) AS mu,
+        CASE WHEN COUNT(*) > 1 THEN
+          sqrt(SUM((n - mu2) * (n - mu2)) / (COUNT(*) - 1)) ELSE 0 END AS sd,
+        med, mad
+      FROM h
+      JOIN (SELECT event_type AS et2, AVG(n) AS mu2,
+              median(n) AS med FROM h GROUP BY 1) t2
+        ON t2.et2 = h.event_type
+      JOIN (SELECT h2.event_type AS et3,
+              median(abs(h2.n - t3.med3)) AS mad
+            FROM h h2 JOIN (SELECT event_type AS et4, median(n) AS med3
+                            FROM h GROUP BY 1) t3 ON t3.et4 = h2.event_type
+            GROUP BY 1) t4
+        ON t4.et3 = h.event_type
+      GROUP BY event_type, med, mad
+    ),
+    flagged AS (
+      SELECT h.event_type, h.hr, h.n,
+        CASE WHEN sd > 0 AND (h.n - mu) / sd > 3 THEN 1 ELSE 0 END AS f_z,
+        CASE WHEN mad > 0 AND 0.6745 * (h.n - med) / mad > 3.5
+          THEN 1 ELSE 0 END AS f_mad,
+        CASE WHEN prev24 > 0 AND h.n > 2 * prev24 THEN 1 ELSE 0 END
+          AS f_spike
+      FROM (
+        SELECT h.*, AVG(h.n) OVER (PARTITION BY event_type ORDER BY hr
+          ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS prev24
+        FROM h
+      ) h JOIN stats USING (event_type)
+    )
+    SELECT event_type, hr, n,
+      CAST(f_z + f_mad + f_spike AS INTEGER) AS n_detectors
+    FROM flagged WHERE f_z + f_mad + f_spike >= 2
+    """,
+)
+def events_anomaly_consensus(spark, sf_dir):
+    """Ensemble anomaly detection on hourly volumes: an hour pages only
+    when at least TWO independent detectors agree — parametric z-score
+    (> 3 sigma), robust MAD z (> 3.5, the outlier-immune twin) and a
+    trailing-24h rate spike (> 2x) — the consensus rule that kills the
+    single-detector false-positive pages. Per-type global moments are
+    tiny broadcast aggregates; the trailing baseline is a type-
+    partitioned window; all three flags evaluate in one pass over the
+    hourly rollup."""
+    e = table(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 3_600_000_000).cast("bigint").alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    stats = h.groupBy("event_type").agg(
+        F.avg("n").alias("mu"),
+        F.stddev_samp("n").alias("sd"),
+        F.percentile("n", 0.5).alias("med"),
+    )
+    mad = (
+        h.join(stats.select("event_type", "med"), "event_type")
+        .groupBy("event_type")
+        .agg(F.percentile(F.abs(F.col("n") - F.col("med")), 0.5).alias("mad"))
+    )
+    w24 = (
+        W.partitionBy("event_type").orderBy("hr").rowsBetween(-24, -1)
+    )
+    base = h.select(
+        "event_type", "hr", "n", F.avg("n").over(w24).alias("prev24")
+    )
+    j = base.join(F.broadcast(stats), "event_type").join(
+        F.broadcast(mad), "event_type"
+    )
+    f_z = (
+        (F.col("sd") > 0)
+        & ((F.col("n") - F.col("mu")) / F.col("sd") > 3)
+    ).cast("int")
+    f_mad = (
+        (F.col("mad") > 0)
+        & (0.6745 * (F.col("n") - F.col("med")) / F.col("mad") > 3.5)
+    ).cast("int")
+    f_spike = (
+        (F.col("prev24") > 0) & (F.col("n") > 2 * F.col("prev24"))
+    ).cast("int")
+    return (
+        j.select(
+            "event_type",
+            "hr",
+            "n",
+            (f_z + f_mad + f_spike).cast("int").alias("n_detectors"),
+        )
+        .filter(F.col("n_detectors") >= 2)
+    )
