@@ -2337,3 +2337,70 @@ def webdataset_shard_manifest(spark, sf_dir):
         .cast("bigint")
         .alias("offset_in_shard"),
     )
+
+
+@query(
+    "doc_length_anova",
+    oracle="""
+    WITH g AS (
+      SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(n_chars) AS DOUBLE) AS s,
+        CAST(SUM(n_chars * n_chars) AS DOUBLE) AS ss
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT SUM(n) AS nt, SUM(s) AS st, SUM(ss) AS sst,
+        CAST(COUNT(*) AS DOUBLE) AS k,
+        CAST(SUM(CAST(s * s / n AS DECIMAL(38,12))) AS DOUBLE) AS sg
+      FROM g
+    )
+    SELECT CAST(k AS INTEGER) AS n_groups, CAST(nt AS BIGINT) AS n_rows,
+      round((sg - st * st / nt) / (k - 1), 8) AS ms_between,
+      round((sst - sg) / (nt - k), 8) AS ms_within,
+      CASE WHEN sst - sg = 0 THEN NULL
+        ELSE round(((sg - st * st / nt) / (k - 1))
+          / ((sst - sg) / (nt - k)), 8) END AS f_stat
+    FROM t
+    """,
+)
+def doc_length_anova(spark, sf_dir):
+    """One-way ANOVA of document length across sources: the F statistic
+    for 'do sources differ systematically in length?' — the variance
+    decomposition behind source_length_kl_divergence's distributional
+    view, reduced to the single significance number a mixture designer
+    checks before length-normalizing per source (F near 1 = pooled
+    length thresholds are fair; large F = per-source thresholds needed).
+
+    Lengths are integers, so every sum of squares is EXACT before the
+    two final double divisions — no decimal casting even needed; the
+    whole test is one source-keyed partial aggregate plus a k-row
+    rollup. Degenerate zero within-variance reports NULL F on both
+    engines."""
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("n_chars").cast("double").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("double").alias("ss"),
+    )
+    t = g.agg(
+        F.sum("n").alias("nt"),
+        F.sum("s").alias("st"),
+        F.sum("ss").alias("sst"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum((F.col("s") * F.col("s") / F.col("n")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sg"),
+    )
+    ssb = F.col("sg") - F.col("st") * F.col("st") / F.col("nt")
+    ssw = F.col("sst") - F.col("sg")
+    msb = ssb / (F.col("k") - 1)
+    msw = ssw / (F.col("nt") - F.col("k"))
+    return t.select(
+        F.col("k").cast("int").alias("n_groups"),
+        F.col("nt").cast("bigint").alias("n_rows"),
+        F.round(msb, 8).alias("ms_between"),
+        F.round(msw, 8).alias("ms_within"),
+        F.when(ssw == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(msb / msw, 8))
+        .alias("f_stat"),
+    )
