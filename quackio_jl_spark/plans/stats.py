@@ -3940,3 +3940,65 @@ def events_anomaly_consensus(spark, sf_dir):
         )
         .filter(F.col("n_detectors") >= 2)
     )
+
+
+@query(
+    "ab_sample_ratio_mismatch",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+        CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+          AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    c AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM assign
+    )
+    SELECT n_a, n_b,
+      round(n_a / CAST(n_a + n_b AS DOUBLE), 8) AS frac_a,
+      round(pow(n_a - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+          + pow(n_b - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0), 8)
+        AS chi2,
+      (pow(n_a - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+          + pow(n_b - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0))
+        > 3.841 AS srm_detected
+    FROM c
+    """,
+)
+def ab_sample_ratio_mismatch(spark, sf_dir):
+    """Sample-ratio-mismatch guardrail (the first thing every experiment
+    platform checks): users are hash-assigned 50/50 (deterministic md5,
+    the same assignment a real bucketing service computes), the arm
+    counts are chi-square-tested against the design ratio, and
+    srm_detected fires at the 1-dof 5% critical value (3.841). An SRM
+    means the assignment or logging pipeline is broken and every
+    downstream metric comparison (ab_test_welch_*) is void — which is
+    why this runs FIRST. One distinct-users reduce, one 2-cell rollup."""
+    e = table(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 2 == 0,
+        "A",
+    ).otherwise("B")
+    assign = e.select("user_id").distinct().select(arm.alias("arm"))
+    c = assign.agg(
+        F.sum((F.col("arm") == "A").cast("int")).cast("bigint").alias("n_a"),
+        F.sum((F.col("arm") == "B").cast("int")).cast("bigint").alias("n_b"),
+    )
+    half = (F.col("n_a") + F.col("n_b")) / 2.0
+    chi2 = (
+        F.pow(F.col("n_a") - half, 2) / half
+        + F.pow(F.col("n_b") - half, 2) / half
+    )
+    return c.select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("n_a") / (F.col("n_a") + F.col("n_b")).cast("double"), 8
+        ).alias("frac_a"),
+        F.round(chi2, 8).alias("chi2"),
+        (chi2 > 3.841).alias("srm_detected"),
+    )
