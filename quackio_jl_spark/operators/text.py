@@ -2613,3 +2613,69 @@ def text_langid_char_trigram(spark, sf_dir):
     return best.groupBy("lang", "pred").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+# ------------------- term burstiness (Church-Gale cf/df analysis)
+
+BURSTINESS_MIN_CF = 100  # only terms frequent enough to estimate
+
+
+@query(
+    "term_burstiness",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, t
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM documents), UNNEST(w) AS u(t)
+    ),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM toks),
+    stats AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS cf,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY t HAVING COUNT(*) >= {BURSTINESS_MIN_CF}
+    )
+    SELECT t AS term, cf, df,
+      round(cf / CAST(df AS DOUBLE), 8) AS burstiness,
+      round(n * (1 - exp(-(cf / n))), 8) AS poisson_expected_df,
+      round(df / (n * (1 - exp(-(cf / n)))), 8) AS df_vs_poisson
+    FROM stats CROSS JOIN nd
+    """,
+)
+def term_burstiness(spark, sf_dir):
+    """Church-Gale term burstiness: for every frequent term, occurrences
+    per containing document (cf/df) and the observed document frequency
+    against the Poisson expectation n*(1 - e^(-cf/n)) — content words
+    burst (df far below Poisson: when they appear, they repeat), function
+    words spread evenly (ratio near 1). The statistic that separates
+    topical terms from glue BEFORE any stopword list exists, and a
+    direct input to df-based tokenizer/stopword policies.
+
+    One (term, doc) two-level aggregate — the same exact-distinct shape
+    as the diversity metrics — with the frequency floor applied at the
+    term rollup so rare-term noise never reaches the report."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    nd = F.broadcast(
+        toks.agg(F.count_distinct("doc_id").cast("double").alias("n"))
+    )
+    stats = (
+        toks.groupBy("t", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("t")
+        .agg(
+            F.sum("c").cast("bigint").alias("cf"),
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+        )
+        .filter(F.col("cf") >= BURSTINESS_MIN_CF)
+    )
+    pois = F.col("n") * (1 - F.exp(-(F.col("cf") / F.col("n"))))
+    return stats.crossJoin(nd).select(
+        F.col("t").alias("term"),
+        "cf",
+        "df",
+        F.round(F.col("cf") / F.col("df").cast("double"), 8).alias("burstiness"),
+        F.round(pois, 8).alias("poisson_expected_df"),
+        F.round(F.col("df") / pois, 8).alias("df_vs_poisson"),
+    )

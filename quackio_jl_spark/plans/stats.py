@@ -4002,3 +4002,82 @@ def ab_sample_ratio_mismatch(spark, sf_dir):
         F.round(chi2, 8).alias("chi2"),
         (chi2 > 3.841).alias("srm_detected"),
     )
+
+
+@query(
+    "moods_median_test_returnflag",
+    oracle="""
+    WITH med AS (
+      SELECT median(l_extendedprice) AS m FROM lineitem
+    ),
+    c AS (
+      SELECT l_returnflag AS flag,
+        CAST(SUM(CASE WHEN l_extendedprice > m THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_above,
+        CAST(SUM(CASE WHEN l_extendedprice <= m THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_below
+      FROM lineitem CROSS JOIN med GROUP BY l_returnflag
+    ),
+    t AS (
+      SELECT SUM(n_above) AS ta, SUM(n_below) AS tb,
+        SUM(n_above + n_below) AS n
+      FROM c
+    )
+    SELECT flag, n_above, n_below,
+      round((n_above + n_below) * ta / CAST(n AS DOUBLE), 8)
+        AS expected_above,
+      round(pow(n_above - (n_above + n_below) * ta / CAST(n AS DOUBLE), 2)
+          / ((n_above + n_below) * ta / CAST(n AS DOUBLE))
+        + pow(n_below - (n_above + n_below) * tb / CAST(n AS DOUBLE), 2)
+          / ((n_above + n_below) * tb / CAST(n AS DOUBLE)), 8)
+        AS chi2_contrib
+    FROM c CROSS JOIN t
+    """,
+)
+def moods_median_test_returnflag(spark, sf_dir):
+    """Mood's median test (the nonparametric location test next to the
+    parametric Welch t): each return-flag group's counts above/below the
+    GLOBAL median price, with expected counts and per-group chi-square
+    contributions under the no-difference null — robust to the heavy
+    price tails that invalidate a t-test's normality lean.
+
+    The global median is one exact percentile aggregate (typed sort
+    buffers, partial-merged), broadcast into a pure-map classification;
+    counts are exact integers and only the expected/chi2 columns are
+    doubles. Sum the contributions and compare to chi2(k-1) to finish
+    the test."""
+    l = table(spark, sf_dir, "lineitem")
+    med = F.broadcast(l.agg(F.percentile("l_extendedprice", 0.5).alias("m")))
+    c = (
+        l.crossJoin(med)
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.sum((F.col("l_extendedprice") > F.col("m")).cast("int"))
+            .cast("bigint")
+            .alias("n_above"),
+            F.sum((F.col("l_extendedprice") <= F.col("m")).cast("int"))
+            .cast("bigint")
+            .alias("n_below"),
+        )
+    )
+    t = F.broadcast(
+        c.agg(
+            F.sum("n_above").alias("ta"),
+            F.sum("n_below").alias("tb"),
+            F.sum(F.col("n_above") + F.col("n_below")).alias("n"),
+        )
+    )
+    row_n = F.col("n_above") + F.col("n_below")
+    exp_a = row_n * F.col("ta") / F.col("n").cast("double")
+    exp_b = row_n * F.col("tb") / F.col("n").cast("double")
+    return c.crossJoin(t).select(
+        "flag",
+        "n_above",
+        "n_below",
+        F.round(exp_a, 8).alias("expected_above"),
+        F.round(
+            F.pow(F.col("n_above") - exp_a, 2) / exp_a
+            + F.pow(F.col("n_below") - exp_b, 2) / exp_b,
+            8,
+        ).alias("chi2_contrib"),
+    )
