@@ -2679,3 +2679,58 @@ def term_burstiness(spark, sf_dir):
         F.round(pois, 8).alias("poisson_expected_df"),
         F.round(F.col("df") / pois, 8).alias("df_vs_poisson"),
     )
+
+
+MATTR_WINDOW = 25  # moving-average TTR window (tokens)
+
+
+@query(
+    "doc_mattr_lexical_diversity",
+    oracle=f"""
+    SELECT doc_id,
+      CAST(len(w) AS BIGINT) AS n_tokens,
+      round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 8) AS ttr,
+      round(CASE WHEN len(w) <= {MATTR_WINDOW}
+        THEN len(list_distinct(w)) / CAST(len(w) AS DOUBLE)
+        ELSE list_aggregate(list_transform(
+               generate_series(1, len(w) - {MATTR_WINDOW - 1}),
+               i -> len(list_distinct(w[i:i + {MATTR_WINDOW - 1}]))
+                    / CAST({MATTR_WINDOW} AS DOUBLE)), 'sum')
+             / (len(w) - {MATTR_WINDOW - 1}) END, 8) AS mattr
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+    """,
+)
+def doc_mattr_lexical_diversity(spark, sf_dir):
+    """MATTR lexical diversity (Covington-McFall moving-average type-token
+    ratio, window {MATTR_WINDOW}): the length-robust replacement for raw
+    TTR, which mechanically shrinks as documents grow and therefore
+    cannot rank documents of different lengths. Both are reported so the
+    bias is visible side by side.
+
+    Entirely in-row: one pass of window slices via higher-order
+    functions (O(n x w) per document, zero shuffles, zero Python) — the
+    compute shape that makes a quality signal free to bolt onto any
+    existing corpus scan. Sub-window documents fall back to plain TTR,
+    matching the metric's standard definition."""
+    d = table(spark, sf_dir, "documents")
+    wnd = MATTR_WINDOW
+    base = d.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w")
+    )
+    n = F.size("w")
+    ttr = F.size(F.array_distinct("w")) / n.cast("double")
+    win_ttrs = F.transform(
+        F.sequence(F.lit(1), n - (wnd - 1)),
+        lambda i: F.size(F.array_distinct(F.slice("w", i, wnd)))
+        / F.lit(float(wnd)),
+    )
+    mattr = F.when(n <= wnd, ttr).otherwise(
+        F.aggregate(win_ttrs, F.lit(0.0), lambda a, x: a + x)
+        / (n - (wnd - 1)).cast("double")
+    )
+    return base.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.round(ttr, 8).alias("ttr"),
+        F.round(mattr, 8).alias("mattr"),
+    )
