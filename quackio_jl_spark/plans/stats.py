@@ -4081,3 +4081,375 @@ def moods_median_test_returnflag(spark, sf_dir):
             8,
         ).alias("chi2_contrib"),
     )
+
+
+# ------------------------------------------- Mann-Whitney U (rank-sum test)
+
+
+@query(
+    "mannwhitney_u_click_vs_view",
+    oracle="""
+    WITH e AS (
+      SELECT value, event_type FROM events
+      WHERE event_type IN ('click', 'view')
+    ),
+    v AS (
+      SELECT value,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n2
+      FROM e GROUP BY value
+    ),
+    r AS (
+      SELECT n1, n2, n1 + n2 AS n,
+        SUM(n1 + n2) OVER (
+          ORDER BY value
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM v
+    ),
+    s AS (
+      SELECT SUM(n1) AS big_n1, SUM(n2) AS big_n2,
+        SUM(n1 * (2 * (cum - n) + n + 1)) AS two_r1,
+        SUM(n * n * n - n) AS tsum
+      FROM r
+    )
+    SELECT CAST(big_n1 AS BIGINT) AS n_click,
+      CAST(big_n2 AS BIGINT) AS n_view,
+      round(CAST(two_r1 AS DOUBLE) / 2.0
+        - CAST(big_n1 AS DOUBLE) * (big_n1 + 1) / 2.0, 4) AS u_stat,
+      round((CAST(two_r1 AS DOUBLE) / 2.0
+          - CAST(big_n1 AS DOUBLE) * (big_n1 + 1) / 2.0
+          - CAST(big_n1 AS DOUBLE) * big_n2 / 2.0)
+        / sqrt(CAST(big_n1 AS DOUBLE) * big_n2 / 12.0
+          * ((big_n1 + big_n2 + 1)
+            - CAST(tsum AS DOUBLE)
+              / (CAST(big_n1 + big_n2 AS DOUBLE)
+                 * (big_n1 + big_n2 - 1)))), 8) AS z_score
+    FROM s
+    """,
+)
+def mannwhitney_u_click_vs_view(spark, sf_dir):
+    """Mann-Whitney U rank-sum test of click vs view event values — the
+    nonparametric two-sample sibling of ab_test_welch_click_vs_view
+    (median-shift, not mean-shift; immune to the heavy tails that break
+    the t-test). Reports U for the click sample and the tie-corrected
+    normal-approximation z.
+
+    Scale shape: NO global row-level ranking. Rows collapse to the
+    distinct-value table first (one groupBy), average ranks come from a
+    cumulative count over distinct values via the bucketed prefix-sum
+    kernel (functions/prefix.py — the only single-partition window is
+    over n_buckets rows), and every statistic is an exact integer sum:
+    2*R1 = sum n1*(2*cum_below + n + 1) stays integral, so both engines
+    divide the same exact integers into doubles at the very end. Tie
+    correction sum(t^3 - t) rides the same aggregate."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    v = e.groupBy("value").agg(
+        F.sum((F.col("event_type") == "click").cast("int"))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum((F.col("event_type") == "view").cast("int"))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    v = v.withColumn("n", F.col("n1") + F.col("n2"))
+    r = bucketed_prefix_sums(v, "value", ["n"])
+    s = r.agg(
+        F.sum("n1").alias("big_n1"),
+        F.sum("n2").alias("big_n2"),
+        F.sum(
+            F.col("n1")
+            * (2 * (F.col("cum_n") - F.col("n")) + F.col("n") + 1)
+        ).alias("two_r1"),
+        F.sum(
+            F.col("n") * F.col("n") * F.col("n") - F.col("n")
+        ).alias("tsum"),
+    )
+    n1d = F.col("big_n1").cast("double")
+    n2d = F.col("big_n2").cast("double")
+    u1 = F.col("two_r1").cast("double") / 2.0 - n1d * (
+        F.col("big_n1") + 1
+    ) / 2.0
+    big_n = F.col("big_n1") + F.col("big_n2")
+    sigma = F.sqrt(
+        n1d
+        * F.col("big_n2")
+        / 12.0
+        * (
+            (big_n + 1)
+            - F.col("tsum").cast("double")
+            / (big_n.cast("double") * (big_n - 1))
+        )
+    )
+    return s.select(
+        F.col("big_n1").alias("n_click"),
+        F.col("big_n2").alias("n_view"),
+        F.round(u1, 4).alias("u_stat"),
+        F.round((u1 - n1d * n2d / 2.0) / sigma, 8).alias("z_score"),
+    )
+
+
+# ------------------------------------- Kruskal-Wallis H (k-sample ranks)
+
+
+@query(
+    "kruskal_wallis_ship_latency",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority,
+        CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS delay_d
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    pv AS (
+      SELECT o_orderpriority, delay_d, COUNT(*)::BIGINT AS c
+      FROM d GROUP BY o_orderpriority, delay_d
+    ),
+    v AS (
+      SELECT delay_d, SUM(c)::BIGINT AS n FROM pv GROUP BY delay_d
+    ),
+    r AS (
+      SELECT delay_d, n,
+        SUM(n) OVER (ORDER BY delay_d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM v
+    ),
+    g AS (
+      SELECT o_orderpriority, SUM(c) AS n_g,
+        SUM(c * (2 * (cum - n) + n + 1)) AS two_r
+      FROM pv JOIN r USING (delay_d) GROUP BY o_orderpriority
+    ),
+    tot AS (
+      SELECT SUM(n) AS big_n, SUM(n * n * n - n) AS tsum FROM r
+    ),
+    h AS (
+      SELECT SUM(CAST(round(
+          CAST(two_r AS DOUBLE) * two_r / 4.0 / n_g, 4)
+        AS DECIMAL(38,6))) AS ssum
+      FROM g
+    )
+    SELECT o_orderpriority, CAST(n_g AS BIGINT) AS n_items,
+      round(CAST(two_r AS DOUBLE) / 2.0, 2) AS rank_sum,
+      round(CAST(two_r AS DOUBLE) / 2.0 / n_g, 6) AS mean_rank,
+      round(12.0 / (CAST(big_n AS DOUBLE) * (big_n + 1))
+          * CAST(ssum AS DOUBLE) - 3.0 * (big_n + 1), 8) AS h_stat,
+      round((12.0 / (CAST(big_n AS DOUBLE) * (big_n + 1))
+          * CAST(ssum AS DOUBLE) - 3.0 * (big_n + 1))
+        / (1.0 - CAST(tsum AS DOUBLE)
+          / (CAST(big_n AS DOUBLE) * big_n * big_n - big_n)), 8)
+        AS h_tie_corrected
+    FROM g CROSS JOIN tot CROSS JOIN h
+    """,
+)
+def kruskal_wallis_ship_latency(spark, sf_dir):
+    """Kruskal-Wallis H test: do order-to-ship latencies differ across
+    the five order priorities? The k-sample generalization of
+    mannwhitney_u_click_vs_view — one rank-based ANOVA on the latency
+    distribution, tie-corrected (integer day deltas tie heavily).
+
+    Scale shape: rows collapse to (priority, delay) counts, then to the
+    distinct-delay table (bounded — day deltas span ~4 months), so the
+    ranking window runs over a few hundred rows regardless of corpus
+    size. Rank sums stay exact integers (2*R_g), the per-group R^2/n
+    contributions are rounded then decimal-summed (order-independent),
+    and both engines assemble H from the same exact pieces."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    d = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("delay_d"),
+    )
+    pv = d.groupBy("o_orderpriority", "delay_d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    v = pv.groupBy("delay_d").agg(F.sum("c").cast("bigint").alias("n"))
+    w = W.orderBy("delay_d").rowsBetween(W.unboundedPreceding, 0)
+    r = v.withColumn("cum", F.sum("n").over(w))
+    g = (
+        pv.join(F.broadcast(r), "delay_d")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("c").alias("n_g"),
+            F.sum(
+                F.col("c")
+                * (2 * (F.col("cum") - F.col("n")) + F.col("n") + 1)
+            ).alias("two_r"),
+        )
+    )
+    tot = F.broadcast(
+        r.agg(
+            F.sum("n").alias("big_n"),
+            F.sum(F.col("n") * F.col("n") * F.col("n") - F.col("n")).alias(
+                "tsum"
+            ),
+        )
+    )
+    h = F.broadcast(
+        g.agg(
+            F.sum(
+                F.round(
+                    F.col("two_r").cast("double")
+                    * F.col("two_r")
+                    / 4.0
+                    / F.col("n_g"),
+                    4,
+                ).cast("decimal(38,6)")
+            ).alias("ssum")
+        )
+    )
+    bn = F.col("big_n").cast("double")
+    h_stat = (
+        12.0 / (bn * (F.col("big_n") + 1)) * F.col("ssum").cast("double")
+        - 3.0 * (F.col("big_n") + 1)
+    )
+    h_corr = h_stat / (
+        1.0
+        - F.col("tsum").cast("double")
+        / (bn * F.col("big_n") * F.col("big_n") - F.col("big_n"))
+    )
+    return (
+        g.crossJoin(tot)
+        .crossJoin(h)
+        .select(
+            "o_orderpriority",
+            F.col("n_g").cast("bigint").alias("n_items"),
+            F.round(F.col("two_r").cast("double") / 2.0, 2).alias("rank_sum"),
+            F.round(
+                F.col("two_r").cast("double") / 2.0 / F.col("n_g"), 6
+            ).alias("mean_rank"),
+            F.round(h_stat, 8).alias("h_stat"),
+            F.round(h_corr, 8).alias("h_tie_corrected"),
+        )
+    )
+
+
+# --------------------------------- Theil inequality decomposition
+
+
+@query(
+    "theil_index_nation_spend",
+    oracle="""
+    WITH x AS (
+      SELECT o_custkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    xn AS (
+      SELECT n_name, spend
+      FROM x JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(spend AS DECIMAL(28,6))) AS DOUBLE) AS big_x,
+             COUNT(*)::BIGINT AS big_n
+      FROM xn
+    ),
+    g AS (
+      SELECT n_name, COUNT(*)::BIGINT AS n_g,
+        CAST(SUM(CAST(spend AS DECIMAL(28,6))) AS DOUBLE) AS x_g,
+        CAST(SUM(CAST(round(
+            spend * ln(spend), 6) AS DECIMAL(38,10))) AS DOUBLE) AS sxlx
+      FROM xn GROUP BY n_name
+    ),
+    per AS (
+      SELECT n_name, n_g, x_g, big_x, big_n,
+        x_g / big_x AS share,
+        (sxlx / x_g) - ln(x_g / n_g) AS t_within,
+        (x_g / big_x) * ln((x_g / n_g) / (big_x / big_n)) AS t_between
+      FROM g CROSS JOIN tot
+    ),
+    total AS (
+      SELECT CAST(SUM(CAST(round(
+          t_between + share * t_within, 10) AS DECIMAL(38,12)))
+        AS DOUBLE) AS theil_total
+      FROM per
+    )
+    SELECT n_name, n_g AS n_customers,
+      round(share, 8) AS income_share,
+      round(t_within, 8) AS theil_within,
+      round(t_between, 8) AS between_contrib,
+      round(theil_total, 8) AS theil_total
+    FROM per CROSS JOIN total
+    """,
+)
+def theil_index_nation_spend(spark, sf_dir):
+    """Theil-T inequality index of customer lifetime spend, decomposed
+    by nation: T = sum_g share_g*ln(mu_g/mu) (between) + sum_g share_g *
+    T_within_g — the additive inequality decomposition Gini cannot do
+    (order_value_gini is the sibling). Answers "is spend inequality a
+    between-market or within-market phenomenon?".
+
+    Determinism recipe (functions/exact.py): per-customer spend is a
+    decimal-exact sum; the only transcendental, x*ln(x), is computed
+    per row in double (rounded to 6 before the decimal sum, absorbing
+    any last-ulp libm difference), and T_within_g = E[x ln x]/mu_g -
+    ln(mu_g) uses one algebraic form in both engines. Three aggregates
+    total: per-customer, per-nation, one 25-row rollup — the grand
+    totals broadcast back, so nothing beyond the orders groupBy
+    shuffles at scale."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    x = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("spend")
+    )
+    xn = (
+        x.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "spend")
+    )
+    tot = F.broadcast(
+        xn.agg(
+            F.sum(F.col("spend").cast(DEC)).cast("double").alias("big_x"),
+            F.count(F.lit(1)).cast("bigint").alias("big_n"),
+        )
+    )
+    g = xn.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(F.col("spend").cast(DEC)).cast("double").alias("x_g"),
+        F.sum(
+            F.round(F.col("spend") * F.log(F.col("spend")), 6).cast(
+                "decimal(38,10)"
+            )
+        )
+        .cast("double")
+        .alias("sxlx"),
+    )
+    share = F.col("x_g") / F.col("big_x")
+    t_within = (F.col("sxlx") / F.col("x_g")) - F.log(
+        F.col("x_g") / F.col("n_g")
+    )
+    t_between = share * F.log(
+        (F.col("x_g") / F.col("n_g")) / (F.col("big_x") / F.col("big_n"))
+    )
+    per = g.crossJoin(tot).select(
+        "n_name",
+        "n_g",
+        share.alias("share"),
+        t_within.alias("t_within"),
+        t_between.alias("t_between"),
+    )
+    total = F.broadcast(
+        per.agg(
+            F.sum(
+                F.round(
+                    F.col("t_between") + F.col("share") * F.col("t_within"),
+                    10,
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("theil_total")
+        )
+    )
+    return per.crossJoin(total).select(
+        "n_name",
+        F.col("n_g").alias("n_customers"),
+        F.round("share", 8).alias("income_share"),
+        F.round("t_within", 8).alias("theil_within"),
+        F.round("t_between", 8).alias("between_contrib"),
+        F.round("theil_total", 8).alias("theil_total"),
+    )
