@@ -2734,3 +2734,139 @@ def doc_mattr_lexical_diversity(spark, sf_dir):
         F.round(ttr, 8).alias("ttr"),
         F.round(mattr, 8).alias("mattr"),
     )
+
+
+# ------------------------------------------------ Yule's K lexical richness
+
+
+@query(
+    "lang_yules_k",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT lang, term, COUNT(*)::BIGINT AS m FROM tok GROUP BY lang, term
+    ),
+    s AS (
+      SELECT lang, COUNT(*)::BIGINT AS vocab, SUM(m) AS n, SUM(m * m) AS s2
+      FROM tf GROUP BY lang
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_tokens, vocab,
+      round(10000.0 * (CAST(s2 AS DOUBLE) - n)
+        / (CAST(n AS DOUBLE) * n), 8) AS yules_k
+    FROM s
+    """,
+)
+def lang_yules_k(spark, sf_dir):
+    """Yule's characteristic K per language — the classic length-robust
+    lexical-richness constant, K = 10^4 * (sum m^2 V_m - N) / N^2 over
+    the term-frequency spectrum (repetitive/templated corpora score
+    high; it complements doc_mattr_lexical_diversity, which works
+    per-document, with a corpus-level constant).
+
+    Scale shape: one (lang, term) frequency aggregate (the same shuffle
+    every vocabulary op pays) collapsing straight into a per-lang sum of
+    m and m^2 — both exact integers, so the single division at the end
+    is the only floating-point step in either engine."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    s = tf.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("m").alias("n"),
+        F.sum(F.col("m") * F.col("m")).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        "vocab",
+        F.round(
+            10000.0 * (F.col("s2").cast("double") - F.col("n")) / (nd * nd), 8
+        ).alias("yules_k"),
+    )
+
+
+# ------------------------------- Jensen-Shannon divergence source vs corpus
+
+
+@query(
+    "source_js_divergence",
+    oracle="""
+    WITH sl AS (
+      SELECT source, lang, COUNT(*)::BIGINT AS c
+      FROM documents GROUP BY source, lang
+    ),
+    st AS (SELECT source, SUM(c)::BIGINT AS n_s FROM sl GROUP BY source),
+    lt AS (SELECT lang, SUM(c)::BIGINT AS n_l FROM sl GROUP BY lang),
+    tot AS (SELECT SUM(c)::BIGINT AS n FROM sl),
+    grid AS (
+      SELECT st.source, st.n_s, lt.lang, lt.n_l, tot.n,
+        COALESCE(sl.c, 0) AS c
+      FROM st CROSS JOIN lt CROSS JOIN tot
+      LEFT JOIN sl ON sl.source = st.source AND sl.lang = lt.lang
+    ),
+    terms AS (
+      SELECT source, n_s,
+        CAST(c AS DOUBLE) / n_s AS p,
+        CAST(n_l AS DOUBLE) / n AS q
+      FROM grid
+    ),
+    j AS (
+      SELECT source, n_s,
+        SUM(CAST(round(
+          0.5 * (CASE WHEN p = 0 THEN 0
+                 ELSE p * ln(p / ((p + q) / 2)) END)
+          + 0.5 * q * ln(q / ((p + q) / 2)), 12) AS DECIMAL(38,14)))
+          AS jsum
+      FROM terms GROUP BY source, n_s
+    )
+    SELECT source, CAST(n_s AS BIGINT) AS n_docs,
+      round(CAST(jsum AS DOUBLE), 8) AS jsd_nats
+    FROM j
+    """,
+)
+def source_js_divergence(spark, sf_dir):
+    """Jensen-Shannon divergence (nats) between each source's language
+    mix and the corpus-wide language mix — the symmetric, bounded
+    (<= ln 2) sibling of source_length_kl_divergence, and the standard
+    'is this source representative?' gate when choosing mixture weights.
+
+    The mid-distribution m = (p+q)/2 makes zero-support languages safe
+    (p = 0 terms contribute only through the q side), but it also means
+    the q-side sum varies per source — so the plan fans a tiny
+    sources x languages grid out of two broadcast marginals, left-joins
+    the observed counts, and decimal-sums rounded per-cell
+    contributions (order-independent, libm-ulp-tolerant). Everything
+    after the one (source, lang) count aggregate is bounded-size."""
+    d = table(spark, sf_dir, "documents")
+    sl = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    st = sl.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_s"))
+    lt = sl.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n_l"))
+    tot = sl.agg(F.sum("c").cast("bigint").alias("n"))
+    grid = (
+        st.crossJoin(F.broadcast(lt))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(sl), ["source", "lang"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    p = F.col("c").cast("double") / F.col("n_s")
+    q = F.col("n_l").cast("double") / F.col("n")
+    m = (p + q) / 2
+    contrib = (
+        0.5 * F.when(p == 0, F.lit(0.0)).otherwise(p * F.log(p / m))
+        + 0.5 * q * F.log(q / m)
+    )
+    j = grid.groupBy("source", "n_s").agg(
+        F.sum(F.round(contrib, 12).cast("decimal(38,14)")).alias("jsum")
+    )
+    return j.select(
+        "source",
+        F.col("n_s").cast("bigint").alias("n_docs"),
+        F.round(F.col("jsum").cast("double"), 8).alias("jsd_nats"),
+    )

@@ -4453,3 +4453,115 @@ def theil_index_nation_spend(spark, sf_dir):
         F.round("t_between", 8).alias("between_contrib"),
         F.round("theil_total", 8).alias("theil_total"),
     )
+
+
+# ------------------------------------------------- t-closeness audit
+
+T_CLOSENESS_T = 0.2
+
+
+@query(
+    "t_closeness_report",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+        CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+        COUNT(*)::BIGINT AS c
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    qi AS (
+      SELECT c_nationkey, c_mktsegment, SUM(c)::BIGINT AS n_g
+      FROM g GROUP BY 1, 2
+    ),
+    gb AS (SELECT band, SUM(c)::BIGINT AS cb FROM g GROUP BY 1),
+    tot AS (
+      SELECT SUM(c)::BIGINT AS n, COUNT(DISTINCT band)::BIGINT AS k FROM g
+    ),
+    grid AS (
+      SELECT qi.c_nationkey, qi.c_mktsegment, qi.n_g, gb.band, gb.cb,
+        tot.n, tot.k, COALESCE(g.c, 0) AS c
+      FROM qi CROSS JOIN gb CROSS JOIN tot
+      LEFT JOIN g ON g.c_nationkey = qi.c_nationkey
+        AND g.c_mktsegment = qi.c_mktsegment AND g.band = gb.band
+    ),
+    cum AS (
+      SELECT c_nationkey, c_mktsegment, n_g, n, k,
+        SUM(c * n - cb * n_g) OVER (
+          PARTITION BY c_nationkey, c_mktsegment ORDER BY band
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+      FROM grid
+    ),
+    t AS (
+      SELECT c_nationkey, c_mktsegment, n_g,
+        SUM(ABS(cn)) AS s, MAX(n) AS n, MAX(k) AS k
+      FROM cum GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, c_mktsegment, n_g AS n_rows,
+      round(CAST(s AS DOUBLE) / (CAST(k - 1 AS DOUBLE) * n_g * n), 8)
+        AS t_closeness,
+      (CAST(s AS DOUBLE) / (CAST(k - 1 AS DOUBLE) * n_g * n))
+        > {T_CLOSENESS_T} AS exceeds_t
+    FROM t
+    """,
+)
+def t_closeness_report(spark, sf_dir):
+    """t-closeness audit (Li et al.) — the distributional upgrade of
+    k_anonymity_report: for each quasi-identifier group (nation, market
+    segment), the ordered-bucket Earth Mover's Distance between the
+    group's sensitive-attribute distribution (account-balance band) and
+    the global one. k-anonymous groups can still leak ("everyone in
+    this group is broke"); t-closeness catches exactly that.
+
+    EMD over ordered buckets = (1/(k-1)) * sum_b |cumulative
+    (p_b - q_b)|. The plan keeps it EXACT until the last divide: the
+    per-band difference c/n_g - C_b/N becomes the integer numerator
+    c*N - C_b*n_g, cumulated by a window whose partitions are bounded
+    by the band count, so t = sum|cum| / ((k-1)*n_g*N) is one integer
+    division per group. Zero-count cells come from a tiny QI x band
+    grid fanned out of broadcast marginals."""
+    c = table(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("band"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    qi = g.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("c").cast("bigint").alias("n_g")
+    )
+    gb = g.groupBy("band").agg(F.sum("c").cast("bigint").alias("cb"))
+    tot = g.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count_distinct("band").cast("bigint").alias("k"),
+    )
+    grid = (
+        qi.crossJoin(F.broadcast(gb))
+        .crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(g), ["c_nationkey", "c_mktsegment", "band"], "left"
+        )
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    w = (
+        W.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = grid.withColumn(
+        "cn",
+        F.sum(F.col("c") * F.col("n") - F.col("cb") * F.col("n_g")).over(w),
+    )
+    t = cum.groupBy("c_nationkey", "c_mktsegment", "n_g").agg(
+        F.sum(F.abs("cn")).alias("s"),
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+    )
+    tval = F.col("s").cast("double") / (
+        (F.col("k") - 1).cast("double") * F.col("n_g") * F.col("n")
+    )
+    return t.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("n_g").alias("n_rows"),
+        F.round(tval, 8).alias("t_closeness"),
+        (tval > T_CLOSENESS_T).alias("exceeds_t"),
+    )
