@@ -4565,3 +4565,303 @@ def t_closeness_report(spark, sf_dir):
         F.round(tval, 8).alias("t_closeness"),
         (tval > T_CLOSENESS_T).alias("exceeds_t"),
     )
+
+
+# --------------------------------------- Spearman rank correlation
+
+
+@query(
+    "spearman_qty_discount",
+    oracle="""
+    WITH pv AS (
+      SELECT l_quantity AS x, l_discount AS y, COUNT(*)::BIGINT AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    vx AS (
+      SELECT x, n, 2 * (cum - n) + n + 1 AS two_rx FROM (
+        SELECT x, SUM(c)::BIGINT AS n,
+          SUM(SUM(c)) OVER (ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM pv GROUP BY x)
+    ),
+    vy AS (
+      SELECT y, n, 2 * (cum - n) + n + 1 AS two_ry FROM (
+        SELECT y, SUM(c)::BIGINT AS n,
+          SUM(SUM(c)) OVER (ORDER BY y
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM pv GROUP BY y)
+    ),
+    s AS (
+      SELECT SUM(c) AS n,
+        CAST(SUM(c * two_rx) AS DOUBLE) AS sx,
+        CAST(SUM(c * two_ry) AS DOUBLE) AS sy,
+        CAST(SUM(c * two_rx * two_rx) AS DOUBLE) AS sxx,
+        CAST(SUM(c * two_ry * two_ry) AS DOUBLE) AS syy,
+        CAST(SUM(c * two_rx * two_ry) AS DOUBLE) AS sxy
+      FROM pv JOIN vx USING (x) JOIN vy USING (y)
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+      round((CAST(n AS DOUBLE) * sxy - sx * sy)
+        / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+             * (CAST(n AS DOUBLE) * syy - sy * sy)), 8) AS spearman_rho
+    FROM s
+    """,
+)
+def spearman_qty_discount(spark, sf_dir):
+    """Spearman rank correlation between line-item quantity and
+    discount — the monotonic-association sibling of the Pearson
+    lineitem_corr_matrix (ties handled by average ranks, as the
+    tie-heavy integer/centile columns demand).
+
+    Scale shape: NO global row ranking. Rows collapse to the
+    (quantity, discount) pair-count table; average ranks come from each
+    marginal's cumulative count (windows over the bounded distinct-value
+    lists), and rho is Pearson over doubled ranks (2r stays integral) —
+    six exact sums cast to double once, at the end. At 100 TB the only
+    real shuffle is the first pair-count aggregate."""
+    l = table(spark, sf_dir, "lineitem")
+    pv = l.groupBy(
+        F.col("l_quantity").alias("x"), F.col("l_discount").alias("y")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+
+    def marginal(col, rank_name):
+        w = W.orderBy(col).rowsBetween(W.unboundedPreceding, 0)
+        m = pv.groupBy(col).agg(F.sum("c").cast("bigint").alias("n"))
+        m = m.withColumn("cum", F.sum("n").over(w))
+        return m.select(
+            col,
+            (2 * (F.col("cum") - F.col("n")) + F.col("n") + 1).alias(
+                rank_name
+            ),
+        )
+
+    j = pv.join(F.broadcast(marginal("x", "two_rx")), "x").join(
+        F.broadcast(marginal("y", "two_ry")), "y"
+    )
+    s = j.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("two_rx")).cast("double").alias("sx"),
+        F.sum(F.col("c") * F.col("two_ry")).cast("double").alias("sy"),
+        F.sum(F.col("c") * F.col("two_rx") * F.col("two_rx"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("c") * F.col("two_ry") * F.col("two_ry"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.col("c") * F.col("two_rx") * F.col("two_ry"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(
+            (nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            8,
+        ).alias("spearman_rho"),
+    )
+
+
+# ------------------------------------- categorical effect-size pack
+
+
+@query(
+    "events_type_dow_effect_size",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+        COUNT(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, SUM(c)::BIGINT AS rn FROM o GROUP BY 1),
+    ct AS (SELECT dow, SUM(c)::BIGINT AS cn FROM o GROUP BY 1),
+    tot AS (
+      SELECT SUM(c)::BIGINT AS n,
+        COUNT(DISTINCT event_type)::BIGINT AS r,
+        COUNT(DISTINCT dow)::BIGINT AS k
+      FROM o
+    ),
+    grid AS (
+      SELECT rt.rn, ct.cn, tot.n, tot.r, tot.k, COALESCE(o.c, 0) AS c
+      FROM rt CROSS JOIN ct CROSS JOIN tot
+      LEFT JOIN o ON o.event_type = rt.event_type AND o.dow = ct.dow
+    ),
+    chi AS (
+      SELECT MAX(n) AS n, MAX(r) AS r, MAX(k) AS k,
+        CAST(SUM(CAST(round(
+          pow(c - CAST(rn AS DOUBLE) * cn / n, 2)
+            / (CAST(rn AS DOUBLE) * cn / n), 8) AS DECIMAL(38,10)))
+          AS DOUBLE) AS chi2
+      FROM grid
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows, r AS n_types, k AS n_days,
+      round(chi2, 6) AS chi2,
+      round(sqrt(chi2 / (n * (CASE WHEN r < k THEN r ELSE k END - 1))), 8)
+        AS cramers_v,
+      round(sqrt(chi2 / (n * sqrt(CAST((r - 1) * (k - 1) AS DOUBLE)))), 8)
+        AS tschuprow_t,
+      round(sqrt(chi2 / (chi2 + n)), 8) AS contingency_coef
+    FROM chi
+    """,
+)
+def events_type_dow_effect_size(spark, sf_dir):
+    """Effect-size pack for the event-type x day-of-week association:
+    chi-square plus the three normalized strengths — Cramér's V,
+    Tschuprow's T, Pearson's contingency coefficient. lang_source_chi2
+    answers "is there any association?"; at 100 TB-scale row counts
+    EVERYTHING is significant, so the effect size is the number an
+    analyst can actually act on.
+
+    One (type, dow) count aggregate; marginals and the zero-cell-safe
+    grid are broadcast-bounded; per-cell chi-square contributions are
+    rounded then decimal-summed (order-independent). dayofweek() and
+    Spark's dayofweek agree on 1=Sunday."""
+    e = table(spark, sf_dir, "events")
+    o = e.groupBy(
+        "event_type", F.dayofweek("ts").cast("bigint").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    rt = o.groupBy("event_type").agg(F.sum("c").cast("bigint").alias("rn"))
+    ct = o.groupBy("dow").agg(F.sum("c").cast("bigint").alias("cn"))
+    tot = o.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count_distinct("event_type").cast("bigint").alias("r"),
+        F.count_distinct("dow").cast("bigint").alias("k"),
+    )
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(o), ["event_type", "dow"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    e_cell = F.col("rn").cast("double") * F.col("cn") / F.col("n")
+    chi = grid.agg(
+        F.max("n").alias("n"),
+        F.max("r").alias("r"),
+        F.max("k").alias("k"),
+        F.sum(
+            F.round(F.pow(F.col("c") - e_cell, 2) / e_cell, 8).cast(
+                "decimal(38,10)"
+            )
+        )
+        .cast("double")
+        .alias("chi2"),
+    )
+    mind = F.when(F.col("r") < F.col("k"), F.col("r")).otherwise(F.col("k"))
+    return chi.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("r").alias("n_types"),
+        F.col("k").alias("n_days"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(F.sqrt(F.col("chi2") / (F.col("n") * (mind - 1))), 8).alias(
+            "cramers_v"
+        ),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n")
+                    * F.sqrt(
+                        ((F.col("r") - 1) * (F.col("k") - 1)).cast("double")
+                    )
+                )
+            ),
+            8,
+        ).alias("tschuprow_t"),
+        F.round(F.sqrt(F.col("chi2") / (F.col("chi2") + F.col("n"))), 8).alias(
+            "contingency_coef"
+        ),
+    )
+
+
+# ------------------------------------- per-brand log-log price elasticity
+
+
+@query(
+    "price_elasticity_by_brand",
+    oracle="""
+    WITH xy AS (
+      SELECT p_brand,
+        round(ln(l_extendedprice / l_quantity), 10) AS x,
+        round(ln(l_quantity), 10) AS y
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    s AS (
+      SELECT p_brand, COUNT(*)::BIGINT AS n,
+        CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(round(x * x, 10) AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(round(y * y, 10) AS DECIMAL(28,12))) AS DOUBLE) AS syy,
+        CAST(SUM(CAST(round(x * y, 10) AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+      FROM xy GROUP BY p_brand
+    )
+    SELECT p_brand, n AS n_items,
+      round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS elasticity,
+      round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 8)
+        AS intercept,
+      round(pow(n * sxy - sx * sy, 2)
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 8) AS r2
+    FROM s
+    """,
+)
+def price_elasticity_by_brand(spark, sf_dir):
+    """Per-brand log-log demand regression: slope of ln(quantity) on
+    ln(unit price) — the price-elasticity estimate a pricing team runs
+    per catalog brand (grouped OLS; the corpus-wide
+    lineitem_ols_regression is the single-model sibling). Also reports
+    intercept and R^2 so inelastic-but-noisy brands are visible.
+
+    Scale shape: the fact-to-part equi-join is the only real shuffle;
+    the five OLS sufficient statistics are per-row doubles rounded to
+    10 decimals then decimal-summed per brand (order-independent,
+    absorbs libm ulp skew), and the closed-form slope uses one
+    expression order in both engines."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    xy = l.join(p, F.col("l_partkey") == F.col("p_partkey")).select(
+        "p_brand",
+        F.round(
+            F.log(F.col("l_extendedprice") / F.col("l_quantity")), 10
+        ).alias("x"),
+        F.round(F.log("l_quantity"), 10).alias("y"),
+    )
+    D = "decimal(28,12)"
+    s = xy.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(D)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(D)).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 10).cast(D))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("y") * F.col("y"), 10).cast(D))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 10).cast(D))
+        .cast("double")
+        .alias("sxy"),
+    )
+    nd = F.col("n")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "p_brand",
+        F.col("n").alias("n_items"),
+        F.round(slope, 8).alias("elasticity"),
+        F.round((F.col("sy") - slope * F.col("sx")) / nd, 8).alias(
+            "intercept"
+        ),
+        F.round(
+            F.pow(nd * F.col("sxy") - F.col("sx") * F.col("sy"), 2)
+            / (
+                (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            8,
+        ).alias("r2"),
+    )
