@@ -4865,3 +4865,192 @@ def price_elasticity_by_brand(spark, sf_dir):
             8,
         ).alias("r2"),
     )
+
+
+# --------------------------------------- Nelson-Aalen cumulative hazard
+
+
+@query(
+    "customer_hazard_nelson_aalen",
+    oracle=f"""
+    WITH life AS (
+      SELECT o_custkey,
+        datediff('day', MIN(o_orderdate), MAX(o_orderdate)) AS dur,
+        MAX(o_orderdate) AS last_d
+      FROM orders GROUP BY o_custkey
+    ),
+    mx AS (SELECT MAX(o_orderdate) AS m FROM orders),
+    obs AS (
+      SELECT dur,
+        CASE WHEN datediff('day', last_d, m) <= {KM_CENSOR_DAYS}
+          THEN 0 ELSE 1 END AS event
+      FROM life CROSS JOIN mx
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM obs),
+    byt AS (
+      SELECT dur, CAST(SUM(event) AS BIGINT) AS d,
+        CAST(COUNT(*) AS BIGINT) AS leave
+      FROM obs GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, d,
+        n - COALESCE(SUM(leave) OVER (ORDER BY dur
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      FROM byt CROSS JOIN tot
+    )
+    SELECT dur AS t_days, d AS n_churned,
+      CAST(n_risk AS BIGINT) AS n_at_risk,
+      round(SUM(d / CAST(n_risk AS DOUBLE)) OVER w, 8) AS cum_hazard,
+      round(SUM(d / (CAST(n_risk AS DOUBLE) * n_risk)) OVER w, 10)
+        AS hazard_var,
+      round(exp(-SUM(d / CAST(n_risk AS DOUBLE)) OVER w), 8) AS survival_fh
+    FROM risk WHERE d > 0
+    WINDOW w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def customer_hazard_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard H(t) = sum d_i/n_i over event
+    times, with its Poisson variance and the Fleming-Harrington
+    survival exp(-H) — the estimator-of-choice companion to
+    customer_survival_km when hazard RATES (not just survival levels)
+    are the question, and better-behaved than KM in small risk sets.
+
+    Same censoring rule and risk-set machinery as the KM curve (one
+    per-customer min/max shuffle, then prefix sums over the bounded
+    distinct-duration table); each d/n increment is rounded before the
+    ordered running sum so both engines accumulate identical doubles
+    in an identical order."""
+    o = table(spark, sf_dir, "orders")
+    life = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("dur"),
+        F.max("o_orderdate").alias("last_d"),
+    )
+    mx = F.broadcast(o.agg(F.max("o_orderdate").alias("m")))
+    obs = life.crossJoin(mx).select(
+        "dur",
+        F.when(F.datediff("m", "last_d") <= KM_CENSOR_DAYS, 0)
+        .otherwise(1)
+        .alias("event"),
+    )
+    tot = F.broadcast(obs.agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    byt = obs.groupBy("dur").agg(
+        F.sum("event").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("leave"),
+    )
+    w_prev = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    w_run = W.orderBy("dur").rowsBetween(W.unboundedPreceding, 0)
+    risk = byt.crossJoin(tot).select(
+        "dur",
+        "d",
+        (
+            F.col("n") - F.coalesce(F.sum("leave").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    nrd = F.col("n_risk").cast("double")
+    haz = F.sum(F.col("d") / nrd).over(w_run)
+    var = F.sum(F.col("d") / (nrd * F.col("n_risk"))).over(w_run)
+    return (
+        risk.select(
+            F.col("dur").alias("t_days"),
+            F.col("d").alias("n_churned"),
+            F.col("n_risk").cast("bigint").alias("n_at_risk"),
+            F.round(haz, 8).alias("cum_hazard"),
+            F.round(var, 10).alias("hazard_var"),
+            F.round(F.exp(-haz), 8).alias("survival_fh"),
+            "d",
+        )
+        .filter(F.col("d") > 0)
+        .drop("d")
+    )
+
+
+# --------------------------------------- Neyman stratified allocation
+
+NEYMAN_BUDGET = 10_000
+
+
+@query(
+    "stratified_neyman_allocation",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, COUNT(*)::BIGINT AS n_h,
+        SUM(n_chars) AS sy, SUM(n_chars * n_chars) AS syy
+      FROM documents GROUP BY source
+    ),
+    sd AS (
+      SELECT source, n_h,
+        sqrt((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n_h) / n_h)
+          AS sigma
+      FROM s
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(round(n_h * sigma, 6) AS DECIMAL(38,8)))
+        AS DOUBLE) AS denom, SUM(n_h) AS big_n
+      FROM sd
+    )
+    SELECT source, n_h AS n_docs, round(sigma, 6) AS stddev_chars,
+      round(n_h * sigma / denom, 8) AS alloc_share,
+      CAST(round({NEYMAN_BUDGET} * n_h * sigma / denom, 0) AS BIGINT)
+        AS alloc_n,
+      CAST(round({NEYMAN_BUDGET} * n_h / CAST(big_n AS DOUBLE), 0) AS BIGINT)
+        AS proportional_n
+    FROM sd CROSS JOIN tot
+    """,
+)
+def stratified_neyman_allocation(spark, sf_dir):
+    """Neyman-optimal stratified sample allocation over document
+    sources: n_h proportional to N_h * sigma_h (stratum size times
+    length stddev), side-by-side with naive proportional allocation —
+    the design table behind every audit/eval sample drawn from a
+    heterogeneous corpus (high-variance sources earn more of the
+    {NEYMAN_BUDGET}-row budget; mixture_sample_by_source is the
+    executor this table parameterizes).
+
+    One per-source aggregate of exact integer sums (n_chars is BIGINT,
+    so sum and sum-of-squares are exact); sigma is a single sqrt of
+    those integers in double, the 20-row denominator is a
+    round-then-decimal sum, and everything broadcasts."""
+    d = table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum("n_chars").alias("sy"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("syy"),
+    )
+    sigma = F.sqrt(
+        (
+            F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy") / F.col("n_h")
+        )
+        / F.col("n_h")
+    )
+    sd = s.select("source", "n_h", sigma.alias("sigma"))
+    tot = F.broadcast(
+        sd.agg(
+            F.sum(
+                F.round(F.col("n_h") * F.col("sigma"), 6).cast(
+                    "decimal(38,8)"
+                )
+            )
+            .cast("double")
+            .alias("denom"),
+            F.sum("n_h").alias("big_n"),
+        )
+    )
+    return sd.crossJoin(tot).select(
+        "source",
+        F.col("n_h").alias("n_docs"),
+        F.round("sigma", 6).alias("stddev_chars"),
+        F.round(F.col("n_h") * F.col("sigma") / F.col("denom"), 8).alias(
+            "alloc_share"
+        ),
+        F.round(
+            NEYMAN_BUDGET * F.col("n_h") * F.col("sigma") / F.col("denom"), 0
+        )
+        .cast("bigint")
+        .alias("alloc_n"),
+        F.round(
+            NEYMAN_BUDGET * F.col("n_h") / F.col("big_n").cast("double"), 0
+        )
+        .cast("bigint")
+        .alias("proportional_n"),
+    )
