@@ -805,3 +805,109 @@ def part_degree_assortativity(spark, sf_dir):
             8,
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------- label-propagation communities
+
+_LPA_ROUNDS = 3
+
+_LPA_GRAPH_SQL = """
+    pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*)::BIGINT AS w
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT u, v, w FROM pairs
+      UNION ALL SELECT v AS u, u AS v, w FROM pairs
+    )
+"""
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    """One synchronous LPA round in SQL: weighted neighbor-label vote,
+    deterministic tie-break to the smallest label."""
+    return f"""
+    {out}_score AS (
+      SELECT e.u AS id, {prev}.lbl, SUM(e.w) AS s
+      FROM edges e JOIN {prev} ON {prev}.id = e.v
+      GROUP BY e.u, {prev}.lbl
+    ),
+    {out}_best AS (
+      SELECT id, MAX(s) AS ms FROM {out}_score GROUP BY id
+    ),
+    {out} AS (
+      SELECT sc.id, MIN(sc.lbl) AS lbl
+      FROM {out}_score sc JOIN {out}_best b
+        ON b.id = sc.id AND sc.s = b.ms
+      GROUP BY sc.id
+    )"""
+
+
+@query(
+    "part_label_propagation",
+    oracle=f"""
+    WITH {_LPA_GRAPH_SQL},
+    l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM edges),
+    {",".join(_lpa_round_sql(f"l{i}", f"l{i + 1}") for i in range(_LPA_ROUNDS))}
+    SELECT lbl AS community, COUNT(*)::BIGINT AS n_members
+    FROM l{_LPA_ROUNDS} GROUP BY lbl
+    """,
+)
+def part_label_propagation(spark, sf_dir):
+    """Community detection on the part co-purchase graph via
+    {_LPA_ROUNDS} synchronous label-propagation rounds — the
+    modularity-flavored counterpart to the connected-components suite
+    (CC merges everything reachable; LPA splits dense regions along
+    weighted-vote boundaries). Deterministic by construction: each node
+    adopts the neighbor label with the highest total edge weight,
+    breaking ties to the SMALLEST label, and every node updates
+    simultaneously — no traversal order, no randomness, identical in
+    any engine.
+
+    Scale shape per round: one edges-x-labels equi-join and two
+    aggregates (max score, then min label among argmax) — the same
+    per-iteration cost as a PageRank round, with the label table
+    persisted between rounds. Fixed round count keeps the lineage
+    static; the result is the community-size histogram."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    edges = pairs.select("u", "v", "w").unionAll(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    ).persist()
+    labels = edges.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    ).persist()
+    labels.count()
+    for _ in range(_LPA_ROUNDS):
+        score = (
+            edges.join(
+                labels.select(F.col("id").alias("nid"), "lbl"),
+                F.col("v") == F.col("nid"),
+            )
+            .groupBy(F.col("u").alias("id"), "lbl")
+            .agg(F.sum("w").alias("s"))
+        )
+        best = score.groupBy("id").agg(F.max("s").alias("ms"))
+        nxt = (
+            score.join(best, ["id"])
+            .filter(F.col("s") == F.col("ms"))
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .persist()
+        )
+        nxt.count()
+        labels.unpersist()
+        labels = nxt
+    out = labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return out

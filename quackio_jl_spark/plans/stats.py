@@ -5054,3 +5054,101 @@ def stratified_neyman_allocation(spark, sf_dir):
         .cast("bigint")
         .alias("proportional_n"),
     )
+
+
+# ------------------------------------- single-changepoint detection
+
+
+@query(
+    "orders_revenue_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS y
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT d, y,
+        ROW_NUMBER() OVER (ORDER BY d) AS k,
+        CAST(SUM(CAST(y AS DECIMAL(28,6))) OVER (ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cy
+      FROM daily
+    ),
+    tot AS (
+      SELECT COUNT(*)::BIGINT AS n,
+        CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy
+      FROM daily
+    ),
+    gain AS (
+      SELECT d, k, n, cy, sy,
+        cy * cy / k + (sy - cy) * (sy - cy) / (n - k) - sy * sy / n AS g
+      FROM idx CROSS JOIN tot WHERE k < n
+    ),
+    best AS (SELECT MAX(g) AS mg FROM gain),
+    pick AS (
+      SELECT MIN(d) AS split_day FROM gain JOIN best ON gain.g = best.mg
+    )
+    SELECT gain.d AS split_day, CAST(n AS BIGINT) AS n_days,
+      round(g, 4) AS sse_gain,
+      round(cy / k, 4) AS mean_before,
+      round((sy - cy) / (n - k), 4) AS mean_after
+    FROM gain JOIN pick ON gain.d = pick.split_day
+    """,
+)
+def orders_revenue_changepoint(spark, sf_dir):
+    """Single most-likely changepoint in the daily-revenue series by
+    binary segmentation: the split day maximizing the between-segment
+    SSE reduction (SL + SR vs pooled), i.e. the first step of the
+    classic recursive changepoint algorithm — the "when did the level
+    shift?" answer behind events_value_cusum_drift's "did it drift?".
+
+    The candidate scan is closed-form over running sums: gain(k) =
+    CL^2/k + CR^2/(n-k) - C^2/n needs only the day-ordered decimal
+    prefix sum, so all n-1 candidates are scored in one window pass
+    over the bounded daily table (days, not rows — at 100 TB the daily
+    collapse happens first). Argmax ties break to the earliest day via
+    an explicit max-then-min, never engine argmax."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("y")
+    )
+    w_run = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    idx = daily.select(
+        "d",
+        F.row_number().over(W.orderBy("d")).alias("k"),
+        F.sum(F.col("y").cast(DEC)).over(w_run).cast("double").alias("cy"),
+    )
+    tot = F.broadcast(
+        daily.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        )
+    )
+    g = F.when(
+        F.col("k") < F.col("n"),
+        F.col("cy") * F.col("cy") / F.col("k")
+        + (F.col("sy") - F.col("cy"))
+        * (F.col("sy") - F.col("cy"))
+        / (F.col("n") - F.col("k"))
+        - F.col("sy") * F.col("sy") / F.col("n"),
+    )
+    gain = (
+        idx.crossJoin(tot)
+        .filter(F.col("k") < F.col("n"))
+        .withColumn("g", g)
+    )
+    best = F.broadcast(gain.agg(F.max("g").alias("mg")))
+    pick = F.broadcast(
+        gain.join(best, F.col("g") == F.col("mg")).agg(
+            F.min("d").alias("split_day")
+        )
+    )
+    return gain.join(pick, F.col("d") == F.col("split_day")).select(
+        F.col("d").alias("split_day"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round("g", 4).alias("sse_gain"),
+        F.round(F.col("cy") / F.col("k"), 4).alias("mean_before"),
+        F.round(
+            (F.col("sy") - F.col("cy")) / (F.col("n") - F.col("k")), 4
+        ).alias("mean_after"),
+    )
