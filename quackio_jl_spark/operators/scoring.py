@@ -470,3 +470,85 @@ def quality_quantile_normalize(spark, sf_dir):
             F.round("gq", 8).alias("norm_score"),
         )
     )
+
+
+# ------------------------------------------ inter-filter agreement
+
+
+@query(
+    "quality_filter_agreement_kappa",
+    oracle="""
+    WITH r AS (
+      SELECT
+        CASE WHEN n_chars BETWEEN 200 AND 20000 THEN 1 ELSE 0 END AS a,
+        CASE WHEN len(string_split(text, ' ')) >= 30
+              AND n_chars / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                  BETWEEN 3.0 AND 12.0
+             THEN 1 ELSE 0 END AS b
+      FROM documents
+    ),
+    c AS (
+      SELECT COUNT(*)::BIGINT AS n,
+        SUM(a * b)::BIGINT AS n11,
+        SUM(a * (1 - b))::BIGINT AS n10,
+        SUM((1 - a) * b)::BIGINT AS n01,
+        SUM((1 - a) * (1 - b))::BIGINT AS n00
+      FROM r
+    )
+    SELECT n AS n_docs, n11, n10, n01, n00,
+      round(CAST(n11 + n00 AS DOUBLE) / n, 8) AS observed_agreement,
+      round(((CAST(n11 + n00 AS DOUBLE) / n)
+          - (CAST(n11 + n10 AS DOUBLE) / n * (n11 + n01) / n
+             + CAST(n01 + n00 AS DOUBLE) / n * (n10 + n00) / n))
+        / (1.0 - (CAST(n11 + n10 AS DOUBLE) / n * (n11 + n01) / n
+             + CAST(n01 + n00 AS DOUBLE) / n * (n10 + n00) / n)), 8)
+        AS cohens_kappa
+    FROM c
+    """,
+)
+def quality_filter_agreement_kappa(spark, sf_dir):
+    """Cohen's kappa between two independent document-quality raters —
+    a length-band rule (rater A) and a token-count + mean-token-length
+    rule (rater B). Raw percent agreement flatters any pair of filters
+    that both pass ~everything; kappa subtracts the agreement expected
+    from their marginal pass rates, which is the honest way to decide
+    whether a second filter adds signal or just re-labels the first.
+
+    Pure map to two 0/1 flags, one count aggregate, closed-form kappa
+    from five exact integers — a single corpus pass with no shuffle
+    beyond the 1-row rollup."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    a = (
+        (F.col("n_chars") >= 200) & (F.col("n_chars") <= 20000)
+    ).cast("int")
+    mean_len = F.col("n_chars") / n_tok.cast("double")
+    b = (
+        (n_tok >= 30) & (mean_len >= 3.0) & (mean_len <= 12.0)
+    ).cast("int")
+    r = d.select(a.alias("a"), b.alias("b"))
+    c = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b")))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    nd = F.col("n")
+    po = (F.col("n11") + F.col("n00")).cast("double") / nd
+    pe = (F.col("n11") + F.col("n10")).cast("double") / nd * (
+        F.col("n11") + F.col("n01")
+    ) / nd + (F.col("n01") + F.col("n00")).cast("double") / nd * (
+        F.col("n10") + F.col("n00")
+    ) / nd
+    return c.select(
+        F.col("n").alias("n_docs"),
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 8).alias("observed_agreement"),
+        F.round((po - pe) / (1.0 - pe), 8).alias("cohens_kappa"),
+    )

@@ -2870,3 +2870,119 @@ def source_js_divergence(spark, sf_dir):
         F.col("n_s").cast("bigint").alias("n_docs"),
         F.round(F.col("jsum").cast("double"), 8).alias("jsd_nats"),
     )
+
+
+# ------------------------------------ Dunning log-likelihood collocations
+
+LLR_MIN_COUNT = 5
+LLR_TOPK = 50
+
+
+@query(
+    "top_llr_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT t[i+1] AS x, t[i+2] AS y
+      FROM toks, UNNEST(range(len(t) - 1)) AS u(i)
+    ),
+    bc AS (SELECT x, y, COUNT(*)::BIGINT AS k11 FROM bg GROUP BY x, y),
+    lm AS (SELECT x, SUM(k11)::BIGINT AS cx FROM bc GROUP BY x),
+    rm AS (SELECT y, SUM(k11)::BIGINT AS cy FROM bc GROUP BY y),
+    nb AS (SELECT SUM(k11)::BIGINT AS n FROM bc),
+    cells AS (
+      SELECT bc.x, bc.y, k11, cx - k11 AS k12, cy - k11 AS k21,
+        n - cx - cy + k11 AS k22, cx, cy, n
+      FROM bc JOIN lm ON lm.x = bc.x JOIN rm ON rm.y = bc.y CROSS JOIN nb
+      WHERE k11 >= {LLR_MIN_COUNT}
+    )
+    SELECT x || ' ' || y AS bigram, k11 AS n_pair,
+      round(2.0 * (
+        (CASE WHEN k11 > 0 THEN k11 * ln(CAST(k11 AS DOUBLE) * n
+          / (CAST(cx AS DOUBLE) * cy)) ELSE 0.0 END)
+        + (CASE WHEN k12 > 0 THEN k12 * ln(CAST(k12 AS DOUBLE) * n
+          / (CAST(cx AS DOUBLE) * (n - cy))) ELSE 0.0 END)
+        + (CASE WHEN k21 > 0 THEN k21 * ln(CAST(k21 AS DOUBLE) * n
+          / (CAST(n - cx AS DOUBLE) * cy)) ELSE 0.0 END)
+        + (CASE WHEN k22 > 0 THEN k22 * ln(CAST(k22 AS DOUBLE) * n
+          / (CAST(n - cx AS DOUBLE) * (n - cy))) ELSE 0.0 END)), 6) AS llr
+    FROM cells
+    ORDER BY llr DESC, bigram
+    LIMIT {LLR_TOPK}
+    """,
+)
+def top_llr_collocations(spark, sf_dir):
+    """Top collocations by Dunning's log-likelihood ratio (the G-test
+    over the 2x2 bigram contingency table) — the statistic that, unlike
+    PMI (top_pmi_collocations), does not explode on rare pairs and is
+    the standard phrase miner for vocabulary induction ("Accurate
+    Methods for the Statistics of Surprise and Coincidence", Dunning
+    1993). Cells come from the bigram table's own left/right marginals;
+    all counts are exact integers, the four k*ln(kN/(rc)) terms are
+    computed with one expression order in both engines and rounded to 6
+    before the top-k (TakeOrderedAndProject with lexicographic
+    tiebreak). One bigram-count shuffle + two marginal aggregates."""
+    d = table(spark, sf_dir, "documents")
+    bc = (
+        d.select(F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS x, t[i+1] AS y))"
+                )
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k11"))
+    )
+    lm = bc.groupBy("x").agg(F.sum("k11").cast("bigint").alias("cx"))
+    rm = bc.groupBy("y").agg(F.sum("k11").cast("bigint").alias("cy"))
+    nb = bc.agg(F.sum("k11").cast("bigint").alias("n"))
+    cells = (
+        bc.join(lm, "x")
+        .join(rm, "y")
+        .crossJoin(F.broadcast(nb))
+        .filter(F.col("k11") >= LLR_MIN_COUNT)
+        .withColumn("k12", F.col("cx") - F.col("k11"))
+        .withColumn("k21", F.col("cy") - F.col("k11"))
+        .withColumn(
+            "k22", F.col("n") - F.col("cx") - F.col("cy") + F.col("k11")
+        )
+    )
+
+    def term(k, r, c):
+        return F.when(
+            k > 0,
+            k
+            * F.log(
+                k.cast("double") * F.col("n") / (r.cast("double") * c)
+            ),
+        ).otherwise(0.0)
+
+    n_m_cx = F.col("n") - F.col("cx")
+    n_m_cy = F.col("n") - F.col("cy")
+    llr = F.round(
+        2.0
+        * (
+            term(F.col("k11"), F.col("cx"), F.col("cy"))
+            + term(F.col("k12"), F.col("cx"), n_m_cy)
+            + term(F.col("k21"), n_m_cx, F.col("cy"))
+            + term(F.col("k22"), n_m_cx, n_m_cy)
+        ),
+        6,
+    )
+    return (
+        cells.select(
+            F.concat_ws(" ", "x", "y").alias("bigram"),
+            F.col("k11").alias("n_pair"),
+            llr.alias("llr"),
+        )
+        .orderBy(F.col("llr").desc(), "bigram")
+        .limit(LLR_TOPK)
+    )

@@ -5152,3 +5152,107 @@ def orders_revenue_changepoint(spark, sf_dir):
             (F.col("sy") - F.col("cy")) / (F.col("n") - F.col("k")), 4
         ).alias("mean_after"),
     )
+
+
+# --------------------------------------------- precision-recall AUC
+
+
+@query(
+    "quality_pr_auc",
+    oracle="""
+    WITH pv AS (
+      SELECT n_chars AS s,
+        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS p,
+        SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS q
+      FROM documents GROUP BY n_chars
+    ),
+    t AS (SELECT SUM(p)::BIGINT AS np, SUM(q)::BIGINT AS nq FROM pv),
+    c AS (
+      SELECT s, p, q,
+        SUM(p) OVER (ORDER BY s) AS cum_p,
+        SUM(q) OVER (ORDER BY s) AS cum_q
+      FROM pv
+    ),
+    pr AS (
+      SELECT s,
+        (np - cum_p + p) AS tp, (nq - cum_q + q) AS fp, np
+      FROM c CROSS JOIN t
+    ),
+    curve AS (
+      SELECT s,
+        CAST(tp AS DOUBLE) / (tp + fp) AS prec,
+        CAST(tp AS DOUBLE) / np AS rec
+      FROM pr
+    ),
+    seg AS (
+      SELECT prec, rec,
+        COALESCE(LAG(rec) OVER (ORDER BY s DESC), 0.0) AS rec0,
+        COALESCE(LAG(prec) OVER (ORDER BY s DESC), prec) AS prec0
+      FROM curve
+    )
+    SELECT
+      round(CAST(SUM(CAST(round(
+        (rec - rec0) * (prec + prec0) / 2.0, 12) AS DECIMAL(38,14)))
+        AS DOUBLE), 8) AS pr_auc,
+      CAST(MAX(np) AS BIGINT) AS n_pos
+    FROM seg CROSS JOIN t
+    """,
+)
+def quality_pr_auc(spark, sf_dir):
+    """Trapezoidal area under the precision-recall curve for the same
+    score/label pair as quality_score_auc (document length vs
+    is-English) — the metric that actually matters when positives are
+    rare: ROC AUC stays rosy under class imbalance, PR AUC does not.
+
+    The curve needs descending-threshold cumulative TP/FP; both come
+    from the ascending prefix sums (desc_cum = total - cum + at), so
+    the corpus-scale part reuses the same one-aggregate-per-distinct-
+    score shape as the ROC op, and only the bounded distinct-score
+    table feeds the lag window that pairs consecutive thresholds.
+    Trapezoid increments are rounded then decimal-summed."""
+    d = table(spark, sf_dir, "documents")
+    pv = d.groupBy(F.col("n_chars").alias("s")).agg(
+        F.sum((F.col("lang") == "en").cast("bigint")).alias("p"),
+        F.sum((F.col("lang") != "en").cast("bigint")).alias("q"),
+    )
+    t = F.broadcast(
+        pv.agg(
+            F.sum("p").cast("bigint").alias("np"),
+            F.sum("q").cast("bigint").alias("nq"),
+        )
+    )
+    c = bucketed_prefix_sums(pv, "s", ["p", "q"], N_AUC_BUCKETS)
+    pr = c.crossJoin(t).select(
+        "s",
+        (F.col("np") - F.col("cum_p") + F.col("p")).alias("tp"),
+        (F.col("nq") - F.col("cum_q") + F.col("q")).alias("fp"),
+        "np",
+    )
+    curve = pr.select(
+        "s",
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))).alias(
+            "prec"
+        ),
+        (F.col("tp").cast("double") / F.col("np")).alias("rec"),
+    )
+    w = W.orderBy(F.col("s").desc())
+    seg = curve.select(
+        "prec",
+        "rec",
+        F.coalesce(F.lag("rec").over(w), F.lit(0.0)).alias("rec0"),
+        F.coalesce(F.lag("prec").over(w), F.col("prec")).alias("prec0"),
+    )
+    return seg.crossJoin(t).agg(
+        F.round(
+            F.sum(
+                F.round(
+                    (F.col("rec") - F.col("rec0"))
+                    * (F.col("prec") + F.col("prec0"))
+                    / 2.0,
+                    12,
+                ).cast("decimal(38,14)")
+            ).cast("double"),
+            8,
+        ).alias("pr_auc"),
+        F.max("np").cast("bigint").alias("n_pos"),
+    )
