@@ -14,7 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..plans.registry import query, table
-from .similarity import _cosine_sql, cosine
+from .similarity import _cosine_sql, _dot_sql, cosine
 
 # ------------------------------------------------------------ dataset split
 
@@ -2403,4 +2403,106 @@ def doc_length_anova(spark, sf_dir):
         F.when(ssw == 0, F.lit(None).cast("double"))
         .otherwise(F.round(msb / msw, 8))
         .alias("f_stat"),
+    )
+
+
+# ------------------------------------------- simplified silhouette
+
+
+@query(
+    "embedding_simplified_silhouette",
+    oracle=f"""
+    WITH {_CENTVEC_SQL},
+    d2 AS (
+      SELECT e.vec_id, e.label, c.cell,
+        {{dxx}} - 2 * {{dxc}} + {{dcc}} AS d2
+      FROM embeddings e CROSS JOIN centvec c
+    ),
+    ab AS (
+      SELECT vec_id, label,
+        MIN(CASE WHEN cell = label THEN d2 END) AS a,
+        MIN(CASE WHEN cell <> label THEN d2 END) AS b
+      FROM d2 GROUP BY vec_id, label
+    ),
+    s AS (
+      SELECT label,
+        CASE WHEN GREATEST(sqrt(a), sqrt(b)) = 0 THEN 0.0
+          ELSE (sqrt(b) - sqrt(a)) / GREATEST(sqrt(a), sqrt(b)) END AS sil,
+        sqrt(a) AS da, sqrt(b) AS db
+      FROM ab
+    )
+    SELECT label, COUNT(*)::BIGINT AS n_vecs,
+      round(CAST(SUM(CAST(round(sil, 10) AS DECIMAL(38,12))) AS DOUBLE)
+        / COUNT(*), 8) AS mean_silhouette,
+      round(CAST(SUM(CAST(round(da, 8) AS DECIMAL(38,10))) AS DOUBLE)
+        / COUNT(*), 6) AS mean_intra_dist,
+      round(CAST(SUM(CAST(round(db, 8) AS DECIMAL(38,10))) AS DOUBLE)
+        / COUNT(*), 6) AS mean_nearest_other_dist
+    FROM s GROUP BY label
+    """.format(
+        dxx=_dot_sql("e.embedding", "e.embedding"),
+        dxc=_dot_sql("e.embedding", "c.cv"),
+        dcc=_dot_sql("c.cv", "c.cv"),
+    ),
+)
+def embedding_simplified_silhouette(spark, sf_dir):
+    """Simplified (centroid-based) silhouette per label: s = (b - a) /
+    max(a, b) with a = distance to the OWN label centroid and b =
+    distance to the nearest OTHER centroid — the clustering-quality
+    score that tells you whether the label structure the ANN/knn ops
+    exploit actually exists in embedding space. Full silhouette is
+    O(N^2); the centroid form is the standard scalable surrogate
+    (one corpus scan x k centroids).
+
+    Distances expand to ||x||^2 - 2<x,c> + ||c||^2 with every inner
+    product going through the fixed-point exact_dot kernel, so both
+    engines see identical doubles; per-point silhouettes are rounded
+    then decimal-summed into the per-label means. The centroid table
+    (10 rows) broadcasts — the corpus never shuffles."""
+    from .similarity import exact_dot
+
+    e = table(spark, sf_dir, "embeddings")
+    cents = F.broadcast(_centroid_vectors(spark, sf_dir))
+    d2 = e.crossJoin(cents).select(
+        "vec_id",
+        "label",
+        "cell",
+        (
+            exact_dot("embedding", "embedding")
+            - 2 * exact_dot("embedding", "cv")
+            + exact_dot("cv", "cv")
+        ).alias("d2"),
+    )
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("cell") == F.col("label"), F.col("d2"))).alias(
+            "a"
+        ),
+        F.min(F.when(F.col("cell") != F.col("label"), F.col("d2"))).alias(
+            "b"
+        ),
+    )
+    da, db = F.sqrt("a"), F.sqrt("b")
+    sil = F.when(F.greatest(da, db) == 0, F.lit(0.0)).otherwise(
+        (db - da) / F.greatest(da, db)
+    )
+    s = ab.select(
+        "label", sil.alias("sil"), da.alias("da"), db.alias("db")
+    )
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.round(
+            F.sum(F.round("sil", 10).cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)),
+            8,
+        ).alias("mean_silhouette"),
+        F.round(
+            F.sum(F.round("da", 8).cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_intra_dist"),
+        F.round(
+            F.sum(F.round("db", 8).cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_nearest_other_dist"),
     )

@@ -552,3 +552,92 @@ def quality_filter_agreement_kappa(spark, sf_dir):
         F.round(po, 8).alias("observed_agreement"),
         F.round((po - pe) / (1.0 - pe), 8).alias("cohens_kappa"),
     )
+
+
+# --------------------------------------------- WOE / Information Value
+
+WOE_BAND_CHARS = 50
+WOE_MAX_BAND = 10
+
+
+@query(
+    "quality_woe_iv_bands",
+    oracle=f"""
+    WITH b AS (
+      SELECT LEAST(CAST(floor(n_chars / {WOE_BAND_CHARS}.0) AS BIGINT),
+               {WOE_MAX_BAND}) AS band,
+        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS g,
+        SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS bd
+      FROM documents GROUP BY 1
+    ),
+    t AS (SELECT SUM(g)::BIGINT AS tg, SUM(bd)::BIGINT AS tb FROM b),
+    w AS (
+      SELECT band, g, bd,
+        ln(((g + 0.5) / CAST(tg AS DOUBLE))
+           / ((bd + 0.5) / CAST(tb AS DOUBLE))) AS woe,
+        ((g + 0.5) / CAST(tg AS DOUBLE) - (bd + 0.5) / CAST(tb AS DOUBLE))
+          * ln(((g + 0.5) / CAST(tg AS DOUBLE))
+               / ((bd + 0.5) / CAST(tb AS DOUBLE))) AS ivc
+      FROM b CROSS JOIN t
+    ),
+    iv AS (
+      SELECT CAST(SUM(CAST(round(ivc, 10) AS DECIMAL(38,12))) AS DOUBLE)
+        AS iv_total
+      FROM w
+    )
+    SELECT band, g AS n_good, bd AS n_bad,
+      round(woe, 8) AS woe,
+      round(ivc, 8) AS iv_contrib,
+      round(iv_total, 8) AS iv_total
+    FROM w CROSS JOIN iv
+    """,
+)
+def quality_woe_iv_bands(spark, sf_dir):
+    """Weight-of-Evidence / Information-Value table for document length
+    vs the is-English label — the credit-scoring-style banding report
+    that says WHICH length bands carry the signal the AUC ops only
+    summarize (|WOE| is the per-band log-odds lift; IV > 0.3 = strong
+    predictor). Bands are fixed {WOE_BAND_CHARS}-char widths capped at
+    band {WOE_MAX_BAND}; counts get the standard +0.5 Laplace smoothing
+    so empty cells stay finite.
+
+    One banded count aggregate, totals broadcast back, per-band WOE in
+    closed form from exact integers, and the IV rollup is a
+    round-then-decimal sum over the bounded band table."""
+    d = table(spark, sf_dir, "documents")
+    band = F.least(
+        F.floor(F.col("n_chars") / float(WOE_BAND_CHARS)).cast("bigint"),
+        F.lit(WOE_MAX_BAND).cast("bigint"),
+    )
+    b = d.groupBy(band.alias("band")).agg(
+        F.sum((F.col("lang") == "en").cast("int")).cast("bigint").alias("g"),
+        F.sum((F.col("lang") != "en").cast("int")).cast("bigint").alias("bd"),
+    )
+    t = F.broadcast(
+        b.agg(
+            F.sum("g").cast("bigint").alias("tg"),
+            F.sum("bd").cast("bigint").alias("tb"),
+        )
+    )
+    pg = (F.col("g") + 0.5) / F.col("tg").cast("double")
+    pb = (F.col("bd") + 0.5) / F.col("tb").cast("double")
+    woe = F.log(pg / pb)
+    ivc = (pg - pb) * woe
+    w = b.crossJoin(t).select(
+        "band", "g", "bd", woe.alias("woe"), ivc.alias("ivc")
+    )
+    iv = F.broadcast(
+        w.agg(
+            F.sum(F.round("ivc", 10).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("iv_total")
+        )
+    )
+    return w.crossJoin(iv).select(
+        "band",
+        F.col("g").alias("n_good"),
+        F.col("bd").alias("n_bad"),
+        F.round("woe", 8).alias("woe"),
+        F.round("ivc", 8).alias("iv_contrib"),
+        F.round("iv_total", 8).alias("iv_total"),
+    )

@@ -5256,3 +5256,131 @@ def quality_pr_auc(spark, sf_dir):
         ).alias("pr_auc"),
         F.max("np").cast("bigint").alias("n_pos"),
     )
+
+
+# --------------------------------------- Wilcoxon signed-rank test
+
+
+@query(
+    "wilcoxon_signed_rank_spend",
+    oracle="""
+    WITH rng AS (
+      SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+        CAST(MIN(o_orderdate) AS DATE)
+          + CAST(floor(datediff('day', MIN(o_orderdate),
+              MAX(o_orderdate)) / 2) AS INTEGER) AS mid
+      FROM orders
+    ),
+    pc AS (
+      SELECT o_custkey,
+        SUM(CASE WHEN CAST(o_orderdate AS DATE) <= mid
+          THEN CAST(o_totalprice AS DECIMAL(28,6)) ELSE 0 END) AS h1,
+        SUM(CASE WHEN CAST(o_orderdate AS DATE) > mid
+          THEN CAST(o_totalprice AS DECIMAL(28,6)) ELSE 0 END) AS h2
+      FROM orders CROSS JOIN rng GROUP BY o_custkey
+    ),
+    dd AS (
+      SELECT h2 - h1 AS d, abs(h2 - h1) AS ad FROM pc WHERE h2 <> h1
+    ),
+    v AS (
+      SELECT ad, COUNT(*)::BIGINT AS n,
+        SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS p
+      FROM dd GROUP BY ad
+    ),
+    r AS (
+      SELECT n, p,
+        SUM(n) OVER (ORDER BY ad
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM v
+    ),
+    s AS (
+      SELECT SUM(n) AS big_n,
+        SUM(p * (2 * (cum - n) + n + 1)) AS two_wp,
+        SUM(n * n * n - n) AS tsum
+      FROM r
+    )
+    SELECT CAST(big_n AS BIGINT) AS n_pairs,
+      round(CAST(two_wp AS DOUBLE) / 2.0, 2) AS w_plus,
+      round((CAST(two_wp AS DOUBLE) / 2.0
+          - CAST(big_n AS DOUBLE) * (big_n + 1) / 4.0)
+        / sqrt(CAST(big_n AS DOUBLE) * (big_n + 1) * (2 * big_n + 1) / 24.0
+          - CAST(tsum AS DOUBLE) / 48.0), 8) AS z_score
+    FROM s
+    """,
+)
+def wilcoxon_signed_rank_spend(spark, sf_dir):
+    """Wilcoxon signed-rank test: did per-customer spend shift between
+    the first and second half of the corpus date range? The PAIRED
+    nonparametric test (each customer is their own control) completing
+    the family with mannwhitney_u (independent two-sample) and
+    kruskal_wallis (k-sample). Zero-difference customers drop, ties in
+    |d| get average ranks, and the tie-corrected normal z is reported.
+
+    Determinism: half-year sums and their differences stay DECIMAL
+    (exact, order-independent), so |d| groups exactly in both engines;
+    ranks come from the bucketed prefix-sum kernel over the distinct
+    |d| table, and 2*W+ stays an exact integer until the final
+    division."""
+    o = table(spark, sf_dir, "orders")
+    rng = F.broadcast(
+        o.agg(
+            F.date_add(
+                F.to_date(F.min("o_orderdate")),
+                F.floor(
+                    F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))
+                    / 2
+                ).cast("int"),
+            ).alias("mid")
+        )
+    )
+    pc = (
+        o.crossJoin(rng)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.to_date("o_orderdate") <= F.col("mid"),
+                    F.col("o_totalprice").cast(DEC),
+                ).otherwise(F.lit(0).cast(DEC))
+            ).alias("h1"),
+            F.sum(
+                F.when(
+                    F.to_date("o_orderdate") > F.col("mid"),
+                    F.col("o_totalprice").cast(DEC),
+                ).otherwise(F.lit(0).cast(DEC))
+            ).alias("h2"),
+        )
+    )
+    dd = pc.filter(F.col("h2") != F.col("h1")).select(
+        (F.col("h2") - F.col("h1")).alias("d"),
+        F.abs(F.col("h2") - F.col("h1")).alias("ad"),
+    )
+    v = dd.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("d") > 0).cast("int")).cast("bigint").alias("p"),
+    )
+    r = bucketed_prefix_sums(v, "ad", ["n"])
+    s = r.agg(
+        F.sum("n").alias("big_n"),
+        F.sum(
+            F.col("p")
+            * (2 * (F.col("cum_n") - F.col("n")) + F.col("n") + 1)
+        ).alias("two_wp"),
+        F.sum(F.col("n") * F.col("n") * F.col("n") - F.col("n")).alias(
+            "tsum"
+        ),
+    )
+    bn = F.col("big_n").cast("double")
+    wp = F.col("two_wp").cast("double") / 2.0
+    return s.select(
+        F.col("big_n").cast("bigint").alias("n_pairs"),
+        F.round(wp, 2).alias("w_plus"),
+        F.round(
+            (wp - bn * (F.col("big_n") + 1) / 4.0)
+            / F.sqrt(
+                bn * (F.col("big_n") + 1) * (2 * F.col("big_n") + 1) / 24.0
+                - F.col("tsum").cast("double") / 48.0
+            ),
+            8,
+        ).alias("z_score"),
+    )
