@@ -2506,3 +2506,179 @@ def embedding_simplified_silhouette(spark, sf_dir):
             6,
         ).alias("mean_nearest_other_dist"),
     )
+
+
+# ------------------------------------------- cluster validity indices
+
+
+def _cluster_validity_oracle() -> str:
+    dxx = _dot_sql("e.embedding", "e.embedding")
+    dxc = _dot_sql("e.embedding", "c.cv")
+    dcc = _dot_sql("c.cv", "c.cv")
+    dcg = _dot_sql("c.cv", "gv")
+    dgg = _dot_sql("gv", "gv")
+    dab = _dot_sql("da.cv", "da.cv") + " - 2 * " + _dot_sql(
+        "da.cv", "db.cv"
+    ) + " + " + _dot_sql("db.cv", "db.cv")
+    return f"""
+    WITH {_CENTVEC_SQL},
+    g AS (
+      SELECT i - 1 AS j,
+        CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT))
+             AS DOUBLE) / COUNT(*) / 1e9 AS v
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+      GROUP BY j
+    ),
+    gvec AS (SELECT list(v ORDER BY j) AS gv FROM g),
+    own AS (
+      SELECT e.label, {dxx} - 2 * {dxc} + {dcc} AS a2
+      FROM embeddings e JOIN centvec c ON c.cell = e.label
+    ),
+    pl AS (
+      SELECT label, COUNT(*)::BIGINT AS n_i,
+        SUM(CAST(round(sqrt(a2), 8) AS DECIMAL(38,10))) AS ssum,
+        SUM(CAST(round(a2, 8) AS DECIMAL(38,10))) AS wsum
+      FROM own GROUP BY label
+    ),
+    tot AS (
+      SELECT SUM(n_i)::BIGINT AS n, COUNT(*)::BIGINT AS k,
+        CAST(SUM(wsum) AS DOUBLE) AS w
+      FROM pl
+    ),
+    bsum AS (
+      SELECT CAST(SUM(CAST(round(
+          n_i * ({dcc} - 2 * {dcg} + {dgg}), 6) AS DECIMAL(38,8)))
+        AS DOUBLE) AS b
+      FROM pl JOIN centvec c ON c.cell = pl.label CROSS JOIN gvec
+    ),
+    si AS (
+      SELECT pl.label, CAST(ssum AS DOUBLE) / n_i AS s, c.cv
+      FROM pl JOIN centvec c ON c.cell = pl.label
+    ),
+    ratios AS (
+      SELECT da.label, MAX((da.s + db.s) / sqrt({dab})) AS r
+      FROM si da JOIN si db ON da.label <> db.label GROUP BY da.label
+    ),
+    dbi AS (
+      SELECT CAST(SUM(CAST(round(r, 10) AS DECIMAL(38,12))) AS DOUBLE)
+        AS rsum, COUNT(*)::BIGINT AS kk
+      FROM ratios
+    )
+    SELECT n AS n_vecs, k AS n_labels,
+      round((b / (k - 1)) / (w / (n - k)), 6) AS calinski_harabasz,
+      round(rsum / kk, 8) AS davies_bouldin
+    FROM tot CROSS JOIN bsum CROSS JOIN dbi
+    """
+
+
+@query("embedding_cluster_validity", oracle=_cluster_validity_oracle())
+def embedding_cluster_validity(spark, sf_dir):
+    """Calinski-Harabasz (between/within dispersion ratio) and
+    Davies-Bouldin (worst-pair scatter/separation) indices for the
+    label partition of embedding space — the two standard internal
+    cluster-validity numbers that complement the per-label
+    embedding_simplified_silhouette with single-figure summaries
+    (CH higher = better, DB lower = better; both are what you sweep
+    when choosing k for the IVF coarse quantizer).
+
+    Everything reduces through the fixed-point exact_dot kernel: one
+    corpus pass joins each point to its OWN centroid only (the k x k
+    and centroid-vs-global terms are bounded), per-point contributions
+    round-then-decimal-sum, and the global centroid reuses the same
+    floor(x*1e9) integer-mean kernel as the per-label ones."""
+    from .similarity import exact_dot
+
+    e = table(spark, sf_dir, "embeddings")
+    cents = F.broadcast(_centroid_vectors(spark, sf_dir))
+    gv = F.broadcast(
+        e.select(F.posexplode("embedding").alias("j", "x"))
+        .select(
+            "j",
+            F.floor(F.col("x").cast("double") * F.lit(1e9)).alias("fx"),
+        )
+        .groupBy("j")
+        .agg(
+            (F.sum("fx").cast("double") / F.count(F.lit(1)) / F.lit(1e9)).alias(
+                "v"
+            )
+        )
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("j", "v"))),
+                lambda s: s["v"],
+            ).alias("gv")
+        )
+    )
+    own = e.join(cents, F.col("cell") == F.col("label")).select(
+        "label",
+        (
+            exact_dot("embedding", "embedding")
+            - 2 * exact_dot("embedding", "cv")
+            + exact_dot("cv", "cv")
+        ).alias("a2"),
+    )
+    pl = own.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum(F.round(F.sqrt("a2"), 8).cast("decimal(38,10)")).alias("ssum"),
+        F.sum(F.round("a2", 8).cast("decimal(38,10)")).alias("wsum"),
+    )
+    tot = pl.agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("wsum").cast("double").alias("w"),
+    )
+    b_i = F.col("n_i") * (
+        exact_dot("cv", "cv")
+        - 2 * exact_dot("cv", "gv")
+        + exact_dot("gv", "gv")
+    )
+    bsum = (
+        pl.join(cents, F.col("cell") == F.col("label"))
+        .crossJoin(gv)
+        .agg(
+            F.sum(F.round(b_i, 6).cast("decimal(38,8)"))
+            .cast("double")
+            .alias("b")
+        )
+    )
+    si = pl.join(cents, F.col("cell") == F.col("label")).select(
+        "label",
+        (F.col("ssum").cast("double") / F.col("n_i")).alias("s"),
+        "cv",
+    )
+    sa = si.select(
+        F.col("label").alias("la"), F.col("s").alias("s_a"), F.col("cv").alias("cva")
+    )
+    sb = si.select(
+        F.col("label").alias("lb"), F.col("s").alias("s_b"), F.col("cv").alias("cvb")
+    )
+    m2 = (
+        exact_dot("cva", "cva")
+        - 2 * exact_dot("cva", "cvb")
+        + exact_dot("cvb", "cvb")
+    )
+    ratios = (
+        sa.join(sb, F.col("la") != F.col("lb"))
+        .groupBy("la")
+        .agg(F.max((F.col("s_a") + F.col("s_b")) / F.sqrt(m2)).alias("r"))
+    )
+    dbi = ratios.agg(
+        F.sum(F.round("r", 10).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("rsum"),
+        F.count(F.lit(1)).cast("bigint").alias("kk"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(bsum))
+        .crossJoin(F.broadcast(dbi))
+        .select(
+            F.col("n").alias("n_vecs"),
+            F.col("k").alias("n_labels"),
+            F.round(
+                (F.col("b") / (F.col("k") - 1))
+                / (F.col("w") / (F.col("n") - F.col("k"))),
+                6,
+            ).alias("calinski_harabasz"),
+            F.round(F.col("rsum") / F.col("kk"), 8).alias("davies_bouldin"),
+        )
+    )

@@ -5384,3 +5384,100 @@ def wilcoxon_signed_rank_spend(spark, sf_dir):
             8,
         ).alias("z_score"),
     )
+
+
+# ------------------------------- distribution-free median CI
+
+MEDIAN_CI_Z = 1.959964
+
+
+@query(
+    "median_ci_order_stats",
+    oracle=f"""
+    WITH pv AS (
+      SELECT o_totalprice AS v, COUNT(*)::BIGINT AS c
+      FROM orders GROUP BY 1
+    ),
+    t AS (SELECT SUM(c)::BIGINT AS n FROM pv),
+    cum AS (
+      SELECT v, c,
+        SUM(c) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+      FROM pv
+    ),
+    ranks AS (
+      SELECT n,
+        GREATEST(CAST(floor(n / 2.0 - {MEDIAN_CI_Z} * sqrt(n) / 2.0)
+          AS BIGINT), 1) AS lo_rank,
+        LEAST(CAST(ceil(n / 2.0 + {MEDIAN_CI_Z} * sqrt(n) / 2.0)
+          AS BIGINT) + 1, n) AS hi_rank,
+        CAST(floor((n - 1) * 0.5) AS BIGINT) AS mk,
+        (n - 1) * 0.5 - floor((n - 1) * 0.5) AS mfrac
+      FROM t
+    )
+    SELECT MAX(n) AS n_rows,
+      MIN(CASE WHEN cum_c >= mk + 1 THEN v END) * (1 - MAX(mfrac))
+        + COALESCE(MIN(CASE WHEN cum_c >= mk + 2 THEN v END),
+                   MIN(CASE WHEN cum_c >= mk + 1 THEN v END))
+          * MAX(mfrac) AS median,
+      MIN(CASE WHEN cum_c >= lo_rank THEN v END) AS ci_lo,
+      MIN(CASE WHEN cum_c >= hi_rank THEN v END) AS ci_hi,
+      MAX(lo_rank) AS lo_rank, MAX(hi_rank) AS hi_rank
+    FROM cum CROSS JOIN ranks
+    """,
+)
+def median_ci_order_stats(spark, sf_dir):
+    """Distribution-free 95% confidence interval for the median order
+    value via the binomial order-statistic bounds (ranks n/2 -+
+    z*sqrt(n)/2) — the nonparametric CI that needs no normality and no
+    bootstrap resampling (bootstrap_mean_ci is the resampling sibling
+    for the mean). Reports the exact interpolated median plus the two
+    exact order statistics bracketing it.
+
+    Rank selection rides the bucketed prefix-sum kernel: value
+    frequencies collapse to a distinct-value table, cumulative counts
+    give every rank in parallel, and each bound is one conditional MIN
+    — no global sort, no per-row rank materialization. sqrt is
+    IEEE-correctly-rounded so both engines compute identical rank
+    cutoffs."""
+    o = table(spark, sf_dir, "orders")
+    pv = o.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = F.broadcast(pv.agg(F.sum("c").cast("bigint").alias("n")))
+    cum = bucketed_prefix_sums(pv, "v", ["c"]).crossJoin(tot)
+    nd = F.col("n").cast("double")
+    lo_rank = F.greatest(
+        F.floor(nd / 2.0 - MEDIAN_CI_Z * F.sqrt(nd) / 2.0).cast("bigint"),
+        F.lit(1).cast("bigint"),
+    )
+    hi_rank = F.least(
+        F.ceil(nd / 2.0 + MEDIAN_CI_Z * F.sqrt(nd) / 2.0).cast("bigint")
+        + 1,
+        F.col("n"),
+    )
+    pos = (F.col("n") - 1) * F.lit(0.5)
+    mk = F.floor(pos)
+    mfrac = pos - mk
+    withr = cum.select(
+        "v", "cum_c", "n",
+        lo_rank.alias("lo_rank"), hi_rank.alias("hi_rank"),
+        mk.alias("mk"), mfrac.alias("mfrac"),
+    )
+    med_lo = F.min(F.when(F.col("cum_c") >= F.col("mk") + 1, F.col("v")))
+    med_hi = F.min(F.when(F.col("cum_c") >= F.col("mk") + 2, F.col("v")))
+    return withr.agg(
+        F.max("n").alias("n_rows"),
+        (
+            med_lo * (1 - F.max("mfrac"))
+            + F.coalesce(med_hi, med_lo) * F.max("mfrac")
+        ).alias("median"),
+        F.min(
+            F.when(F.col("cum_c") >= F.col("lo_rank"), F.col("v"))
+        ).alias("ci_lo"),
+        F.min(
+            F.when(F.col("cum_c") >= F.col("hi_rank"), F.col("v"))
+        ).alias("ci_hi"),
+        F.max("lo_rank").alias("lo_rank"),
+        F.max("hi_rank").alias("hi_rank"),
+    )
