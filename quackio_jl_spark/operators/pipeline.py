@@ -2658,7 +2658,7 @@ def embedding_cluster_validity(spark, sf_dir):
         + exact_dot("cvb", "cvb")
     )
     ratios = (
-        sa.join(sb, F.col("la") != F.col("lb"))
+        sa.join(F.broadcast(sb), F.col("la") != F.col("lb"))
         .groupBy("la")
         .agg(F.max((F.col("s_a") + F.col("s_b")) / F.sqrt(m2)).alias("r"))
     )
