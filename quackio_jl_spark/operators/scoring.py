@@ -16,6 +16,7 @@ embarrassingly parallel over row-groups.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..plans.registry import query, table
@@ -640,4 +641,116 @@ def quality_woe_iv_bands(spark, sf_dir):
         F.round("woe", 8).alias("woe"),
         F.round("ivc", 8).alias("iv_contrib"),
         F.round("iv_total", 8).alias("iv_total"),
+    )
+
+
+# --------------------------------------------- gains / lift table
+
+
+@query(
+    "quality_gains_lift_table",
+    oracle="""
+    WITH pv AS (
+      SELECT n_chars AS s, COUNT(*)::BIGINT AS n,
+        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS p
+      FROM documents GROUP BY 1
+    ),
+    t AS (SELECT SUM(n)::BIGINT AS tn, SUM(p)::BIGINT AS tp FROM pv),
+    cum AS (
+      SELECT s, n, p,
+        SUM(n) OVER (ORDER BY s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca
+      FROM pv
+    ),
+    dec AS (
+      SELECT CAST(ceil(10.0 * (tn - ca + n) / tn) AS BIGINT) AS decile,
+        n, p
+      FROM cum CROSS JOIN t
+    ),
+    byd AS (
+      SELECT decile, SUM(n)::BIGINT AS n_rows, SUM(p)::BIGINT AS n_pos
+      FROM dec GROUP BY decile
+    ),
+    g AS (
+      SELECT decile, n_rows, n_pos,
+        SUM(n_pos) OVER (ORDER BY decile
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+        SUM(n_rows) OVER (ORDER BY decile
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rows
+      FROM byd
+    )
+    SELECT decile, n_rows, n_pos,
+      round(CAST(cum_pos AS DOUBLE) / tp, 8) AS cum_capture,
+      round((CAST(n_pos AS DOUBLE) / n_rows)
+        / (CAST(tp AS DOUBLE) / tn), 8) AS lift,
+      round((CAST(cum_pos AS DOUBLE) / cum_rows)
+        / (CAST(tp AS DOUBLE) / tn), 8) AS cum_lift
+    FROM g CROSS JOIN t
+    """,
+)
+def quality_gains_lift_table(spark, sf_dir):
+    """Cumulative gains / lift table by score decile (score = document
+    length, target = is-English, matching the AUC/PR/WOE family): per
+    decile of the score ranking, the positive capture rate and the
+    lift over random — the targeting report that turns a classifier
+    evaluation into "screen the top 3 deciles and you keep X% of the
+    positives".
+
+    Decile boundaries come from DESCENDING cumulative counts over the
+    distinct-score table (desc_cum = N - asc_cum + n, so the ascending
+    bucketed prefix-sum kernel serves unchanged); whole tied-score
+    groups land in one decile, keeping the assignment deterministic in
+    both engines. The decile rollup and its 10-row cumulative window
+    are bounded."""
+    from ..functions.prefix import bucketed_prefix_sums
+
+    d = table(spark, sf_dir, "documents")
+    pv = d.groupBy(F.col("n_chars").alias("s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("lang") == "en").cast("int")).cast("bigint").alias("p"),
+    )
+    t = F.broadcast(
+        pv.agg(
+            F.sum("n").cast("bigint").alias("tn"),
+            F.sum("p").cast("bigint").alias("tp"),
+        )
+    )
+    cum = bucketed_prefix_sums(pv, "s", ["n"]).crossJoin(t)
+    dec = cum.select(
+        F.ceil(
+            10.0
+            * (F.col("tn") - F.col("cum_n") + F.col("n"))
+            / F.col("tn")
+        )
+        .cast("bigint")
+        .alias("decile"),
+        "n",
+        "p",
+    )
+    byd = dec.groupBy("decile").agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.sum("p").cast("bigint").alias("n_pos"),
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    g = byd.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        F.sum("n_pos").over(w).alias("cum_pos"),
+        F.sum("n_rows").over(w).alias("cum_rows"),
+    )
+    base = F.col("tp").cast("double") / F.col("tn")
+    return g.crossJoin(t).select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        F.round(F.col("cum_pos").cast("double") / F.col("tp"), 8).alias(
+            "cum_capture"
+        ),
+        F.round(
+            (F.col("n_pos").cast("double") / F.col("n_rows")) / base, 8
+        ).alias("lift"),
+        F.round(
+            (F.col("cum_pos").cast("double") / F.col("cum_rows")) / base, 8
+        ).alias("cum_lift"),
     )

@@ -5481,3 +5481,110 @@ def median_ci_order_stats(spark, sf_dir):
         F.max("lo_rank").alias("lo_rank"),
         F.max("hi_rank").alias("hi_rank"),
     )
+
+
+# --------------------------------------------- periodogram peak
+
+PERIODOGRAM_MIN_P = 2
+PERIODOGRAM_MAX_P = 30
+
+
+@query(
+    "events_periodogram_peak",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*)::BIGINT AS y
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT y, ROW_NUMBER() OVER (ORDER BY d) - 1 AS t FROM daily
+    ),
+    m AS (
+      SELECT COUNT(*)::BIGINT AS n,
+        CAST(SUM(y) AS DOUBLE) / COUNT(*) AS mu
+      FROM idx
+    ),
+    grid AS (
+      SELECT p FROM UNNEST(range({PERIODOGRAM_MIN_P},
+        {PERIODOGRAM_MAX_P} + 1)) AS u(p)
+    ),
+    terms AS (
+      SELECT g.p, i.t, i.y - m.mu AS yc
+      FROM grid g CROSS JOIN idx i CROSS JOIN m
+    ),
+    pw AS (
+      SELECT p,
+        CAST(SUM(CAST(round(yc * cos(2 * pi() * t / p), 8)
+          AS DECIMAL(38,10))) AS DOUBLE) AS cs,
+        CAST(SUM(CAST(round(yc * sin(2 * pi() * t / p), 8)
+          AS DECIMAL(38,10))) AS DOUBLE) AS sn
+      FROM terms GROUP BY p
+    ),
+    pow AS (
+      SELECT p, round((cs * cs + sn * sn) / 1.0, 6) AS power FROM pw
+    ),
+    best AS (SELECT MAX(power) AS mp FROM pow)
+    SELECT p AS period_days, power,
+      (SELECT MIN(p) FROM pow JOIN best ON power = mp) AS dominant_period
+    FROM pow
+    """,
+)
+def events_periodogram_peak(spark, sf_dir):
+    """Schuster periodogram of the daily event-count series over
+    candidate periods {PERIODOGRAM_MIN_P}..{PERIODOGRAM_MAX_P} days:
+    spectral power |sum (y_t - mu) e^(-2pi i t/p)|^2 per period plus
+    the argmax — the detector that TELLS you the season length the
+    seasonal-decomposition/seasonal-naive ops assume (a weekly cycle
+    should peak at p=7).
+
+    The corpus collapses to the bounded daily table first; the
+    candidate grid (29 periods) fans out of a broadcast range, so the
+    cos/sin reductions are one grouped aggregate over days x periods
+    with round-then-decimal sums. pi() and libm cos/sin agree to the
+    rounding precision; the argmax tie-breaks to the shortest
+    period."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    idx = daily.select(
+        "y", (F.row_number().over(W.orderBy("d")) - 1).alias("t")
+    )
+    m = F.broadcast(
+        idx.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.sum("y").cast("double") / F.count(F.lit(1))).alias("mu"),
+        )
+    )
+    grid = F.broadcast(
+        idx.sparkSession.range(
+            PERIODOGRAM_MIN_P, PERIODOGRAM_MAX_P + 1
+        ).select(F.col("id").cast("bigint").alias("p"))
+    )
+    terms = grid.crossJoin(idx).crossJoin(m).select(
+        "p", "t", (F.col("y") - F.col("mu")).alias("yc")
+    )
+    ang = 2 * F.lit(3.141592653589793) * F.col("t") / F.col("p")
+    pw = terms.groupBy("p").agg(
+        F.sum(F.round(F.col("yc") * F.cos(ang), 8).cast("decimal(38,10)"))
+        .cast("double")
+        .alias("cs"),
+        F.sum(F.round(F.col("yc") * F.sin(ang), 8).cast("decimal(38,10)"))
+        .cast("double")
+        .alias("sn"),
+    )
+    pow_ = pw.select(
+        "p",
+        F.round(
+            (F.col("cs") * F.col("cs") + F.col("sn") * F.col("sn")) / 1.0, 6
+        ).alias("power"),
+    )
+    best = F.broadcast(pow_.agg(F.max("power").alias("mp")))
+    dom = F.broadcast(
+        pow_.join(best, F.col("power") == F.col("mp")).agg(
+            F.min("p").alias("dominant_period")
+        )
+    )
+    return pow_.crossJoin(dom).select(
+        F.col("p").alias("period_days"), "power", "dominant_period"
+    )
