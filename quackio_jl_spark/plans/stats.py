@@ -5588,3 +5588,193 @@ def events_periodogram_peak(spark, sf_dir):
     return pow_.crossJoin(dom).select(
         F.col("p").alias("period_days"), "power", "dominant_period"
     )
+
+
+# ------------------------------------- Simpson's paradox detector
+
+
+@query(
+    "discount_quantity_simpson_check",
+    oracle="""
+    WITH xy AS (
+      SELECT p_brand AS g, l_discount AS x, l_quantity AS y
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    pg AS (
+      SELECT g, COUNT(*)::BIGINT AS n,
+        CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(round(x * x, 10) AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(round(x * y, 10) AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+      FROM xy GROUP BY g
+    ),
+    tot AS (
+      SELECT SUM(n) AS n,
+        CAST(SUM(CAST(sx AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(sy AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(sxx AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(sxy AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+      FROM pg
+    ),
+    slopes AS (
+      SELECT g, n,
+        (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+      FROM pg
+    ),
+    overall AS (
+      SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS oslope,
+        n AS total_n
+      FROM tot
+    )
+    SELECT round(oslope, 8) AS overall_slope,
+      CAST(total_n AS BIGINT) AS n_rows,
+      COUNT(*)::BIGINT AS n_groups,
+      SUM(CASE WHEN sign(slope) <> sign(oslope) THEN 1 ELSE 0 END)::BIGINT
+        AS n_reversed_groups,
+      round(CAST(SUM(CASE WHEN sign(slope) <> sign(oslope) THEN n ELSE 0 END)
+        AS DOUBLE) / total_n, 8) AS reversed_row_frac
+    FROM slopes CROSS JOIN overall
+    GROUP BY oslope, total_n
+    """,
+)
+def discount_quantity_simpson_check(spark, sf_dir):
+    """Simpson's-paradox detector for the discount -> quantity
+    relationship: the pooled OLS slope next to the count of brands
+    whose WITHIN-group slope has the opposite sign (and the row share
+    they cover). A pooled trend that reverses inside most groups is a
+    confounded trend — the one-row report every "discounts drive
+    volume" dashboard should ship with
+    (price_elasticity_by_brand gives the per-group detail).
+
+    The group-level sufficient statistics aggregate once and ROLL UP
+    to the pooled statistics by exact decimal re-summation — pooled
+    and per-group slopes come from the same numbers, one fact-to-part
+    join, no second corpus pass."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_discount"
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    D6, D12 = "decimal(28,6)", "decimal(28,12)"
+    xy = l.join(p, F.col("l_partkey") == F.col("p_partkey")).select(
+        F.col("p_brand").alias("g"),
+        F.col("l_discount").alias("x"),
+        F.col("l_quantity").alias("y"),
+    )
+    pg = xy.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(D6)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(D6)).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 10).cast(D12))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("x") * F.col("y"), 10).cast(D12))
+        .cast("double")
+        .alias("sxy"),
+    )
+    tot = F.broadcast(
+        pg.agg(
+            F.sum("n").alias("tn"),
+            F.sum(F.col("sx").cast(D6)).cast("double").alias("tsx"),
+            F.sum(F.col("sy").cast(D6)).cast("double").alias("tsy"),
+            F.sum(F.col("sxx").cast(D12)).cast("double").alias("tsxx"),
+            F.sum(F.col("sxy").cast(D12)).cast("double").alias("tsxy"),
+        )
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    oslope = (F.col("tn") * F.col("tsxy") - F.col("tsx") * F.col("tsy")) / (
+        F.col("tn") * F.col("tsxx") - F.col("tsx") * F.col("tsx")
+    )
+    s = pg.select("g", "n", slope.alias("slope")).crossJoin(
+        tot.select(oslope.alias("oslope"), F.col("tn").alias("total_n"))
+    )
+    rev = F.signum("slope") != F.signum("oslope")
+    return s.groupBy("oslope", "total_n").agg(
+        F.round(F.first("oslope"), 8).alias("overall_slope"),
+        F.first("total_n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(rev.cast("int")).cast("bigint").alias("n_reversed_groups"),
+        F.round(
+            F.sum(F.when(rev, F.col("n")).otherwise(0)).cast("double")
+            / F.first("total_n"),
+            8,
+        ).alias("reversed_row_frac"),
+    ).drop("oslope", "total_n")
+
+
+# --------------------------------------- Laspeyres price index
+
+
+@query(
+    "monthly_price_index_laspeyres",
+    oracle="""
+    WITH pm AS (
+      SELECT l_partkey AS pk, strftime(l_shipdate, '%Y-%m') AS m,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+          / CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS p,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    base_m AS (SELECT MIN(m) AS bm FROM pm),
+    base AS (
+      SELECT pk, p AS p0, q AS q0 FROM pm JOIN base_m ON pm.m = base_m.bm
+    ),
+    j AS (
+      SELECT pm.m, pm.pk, pm.p, base.p0, base.q0
+      FROM pm JOIN base ON pm.pk = base.pk
+    ),
+    idx AS (
+      SELECT m, COUNT(*)::BIGINT AS n_parts,
+        CAST(SUM(CAST(round(p * q0, 6) AS DECIMAL(38,8))) AS DOUBLE) AS num,
+        CAST(SUM(CAST(round(p0 * q0, 6) AS DECIMAL(38,8))) AS DOUBLE) AS den
+      FROM j GROUP BY m
+    )
+    SELECT m AS month, n_parts, round(num / den, 8) AS laspeyres_index
+    FROM idx
+    """,
+)
+def monthly_price_index_laspeyres(spark, sf_dir):
+    """Laspeyres price index per ship-month: sum(p_m * q_base) /
+    sum(p_base * q_base) over the parts traded in both periods, with
+    base-month quantities as fixed weights — the standard "is pricing
+    inflating?" index that orders_mom_pct_change (revenue deltas)
+    cannot answer because revenue confounds price and volume.
+
+    Unit prices are ratios of decimal-exact sums, the base table joins
+    back on the natural l_partkey shuffle key, and each month's
+    numerator/denominator pair is a round-then-decimal sum over its
+    matched part set (so months with partial catalogs stay
+    internally consistent)."""
+    l = table(spark, sf_dir, "lineitem")
+    pm = l.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("m"),
+    ).agg(
+        (
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+            / F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+        ).alias("p"),
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("q"),
+    )
+    base_m = F.broadcast(pm.agg(F.min("m").alias("bm")))
+    base = (
+        pm.crossJoin(base_m)
+        .filter(F.col("m") == F.col("bm"))
+        .select("pk", F.col("p").alias("p0"), F.col("q").alias("q0"))
+    )
+    j = pm.join(base, "pk").select("m", "p", "p0", "q0")
+    idx = j.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum(F.round(F.col("p") * F.col("q0"), 6).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("num"),
+        F.sum(F.round(F.col("p0") * F.col("q0"), 6).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("den"),
+    )
+    return idx.select(
+        F.col("m").alias("month"),
+        "n_parts",
+        F.round(F.col("num") / F.col("den"), 8).alias("laspeyres_index"),
+    )
