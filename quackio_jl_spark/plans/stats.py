@@ -5778,3 +5778,176 @@ def monthly_price_index_laspeyres(spark, sf_dir):
         "n_parts",
         F.round(F.col("num") / F.col("den"), 8).alias("laspeyres_index"),
     )
+
+
+# --------------------------------------- Markov chain entropy rate
+
+
+@query(
+    "events_markov_entropy_rate",
+    oracle="""
+    WITH t AS (
+      SELECT
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS from_type,
+        event_type AS to_type
+      FROM events
+    ),
+    c AS (
+      SELECT from_type, to_type, COUNT(*)::BIGINT AS n
+      FROM t WHERE from_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    r AS (SELECT from_type, SUM(n)::BIGINT AS tot FROM c GROUP BY from_type),
+    big AS (
+      SELECT SUM(n)::BIGINT AS big_n,
+        COUNT(DISTINCT from_type)::BIGINT AS k
+      FROM c
+    ),
+    h AS (
+      SELECT
+        CAST(SUM(CAST(round(
+          -(n / CAST(big_n AS DOUBLE))
+            * ln(n / CAST(tot AS DOUBLE)), 12) AS DECIMAL(38,14)))
+          AS DOUBLE) AS rate
+      FROM c JOIN r USING (from_type) CROSS JOIN big
+    )
+    SELECT big_n AS n_transitions, k AS n_states,
+      round(rate, 8) AS entropy_rate_nats,
+      round(ln(CAST(k AS DOUBLE)), 8) AS max_entropy_nats,
+      round(rate / ln(CAST(k AS DOUBLE)), 8) AS normalized_rate
+    FROM h CROSS JOIN big
+    """,
+)
+def events_markov_entropy_rate(spark, sf_dir):
+    """Entropy rate of the first-order behavioral Markov chain,
+    H = -sum_i pi_i sum_j p_ij ln p_ij with the empirical from-state
+    distribution as pi — the single number summarizing how predictable
+    user behavior is (bots/scripted traffic -> near 0; the per-cell
+    matrix is events_markov_transitions, this is its information-
+    theoretic rollup; user_event_entropy is the per-user marginal
+    version that ignores sequence order).
+
+    Same lag-window + |types|^2 aggregate as the transition matrix;
+    per-cell -p ln p contributions are rounded then decimal-summed
+    over the bounded cell table, and the normalization by ln k makes
+    the rate comparable across taxonomies."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    c = t.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    r = c.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("tot"))
+    big = F.broadcast(
+        c.agg(
+            F.sum("n").cast("bigint").alias("big_n"),
+            F.count_distinct("from_type").cast("bigint").alias("k"),
+        )
+    )
+    cell = (
+        -(F.col("n") / F.col("big_n").cast("double"))
+        * F.log(F.col("n") / F.col("tot").cast("double"))
+    )
+    h = (
+        c.join(F.broadcast(r), "from_type")
+        .crossJoin(big)
+        .agg(
+            F.sum(F.round(cell, 12).cast("decimal(38,14)"))
+            .cast("double")
+            .alias("rate")
+        )
+    )
+    kd = F.col("k").cast("double")
+    return h.crossJoin(big).select(
+        F.col("big_n").alias("n_transitions"),
+        F.col("k").alias("n_states"),
+        F.round("rate", 8).alias("entropy_rate_nats"),
+        F.round(F.log(kd), 8).alias("max_entropy_nats"),
+        F.round(F.col("rate") / F.log(kd), 8).alias("normalized_rate"),
+    )
+
+
+# --------------------------------------- A/B power / MDE calculator
+
+POWER_Z_ALPHA = 1.959964  # two-sided alpha = 0.05
+POWER_Z_BETA = 0.841621  # power = 0.8
+
+
+@query(
+    "ab_test_power_mde",
+    oracle=f"""
+    WITH arms AS (
+      SELECT event_type AS arm, COUNT(*)::BIGINT AS n,
+        CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s,
+        CAST(SUM(CAST(round(value * value, 8) AS DECIMAL(38,10)))
+          AS DOUBLE) AS ss
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY event_type
+    ),
+    v AS (
+      SELECT arm, n, s / n AS mean,
+        (ss - s * s / n) / (n - 1) AS var
+      FROM arms
+    )
+    SELECT arm, n, round(mean, 6) AS mean,
+      round(sqrt(var), 6) AS stddev,
+      round(({POWER_Z_ALPHA} + {POWER_Z_BETA}) * sqrt(2.0 * var / n), 8)
+        AS mde_abs,
+      round(({POWER_Z_ALPHA} + {POWER_Z_BETA}) * sqrt(2.0 * var / n)
+        / mean, 8) AS mde_rel,
+      CAST(ceil(2.0 * pow(({POWER_Z_ALPHA} + {POWER_Z_BETA})
+          / (0.01 * mean), 2) * var) AS BIGINT) AS n_needed_for_1pct
+    FROM v
+    """,
+)
+def ab_test_power_mde(spark, sf_dir):
+    """Experiment power calculator from observed arm variance: the
+    minimum detectable effect (absolute and relative) at alpha=0.05 /
+    power=0.8 for the CURRENT sample size, and the per-arm n needed to
+    detect a 1% lift — the pre-test sibling of ab_test_welch (which
+    judges after) and ab_sample_ratio_mismatch (which gates before).
+    MDE = (z_a + z_b) * sqrt(2 sigma^2 / n).
+
+    One filtered pass accumulates decimal-exact sum and sum-of-squares
+    per arm; every derived figure is closed-form from those three
+    exact numbers with one expression order in both engines."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    arms = e.groupBy(F.col("event_type").alias("arm")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("s"),
+        F.sum(
+            F.round(F.col("value") * F.col("value"), 8).cast(
+                "decimal(38,10)"
+            )
+        )
+        .cast("double")
+        .alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    v = arms.select("arm", "n", mean.alias("mean"), var.alias("var"))
+    zsum = POWER_Z_ALPHA + POWER_Z_BETA
+    mde = zsum * F.sqrt(2.0 * F.col("var") / F.col("n"))
+    return v.select(
+        "arm",
+        "n",
+        F.round("mean", 6).alias("mean"),
+        F.round(F.sqrt("var"), 6).alias("stddev"),
+        F.round(mde, 8).alias("mde_abs"),
+        F.round(mde / F.col("mean"), 8).alias("mde_rel"),
+        F.ceil(
+            2.0
+            * F.pow(F.lit(zsum) / (0.01 * F.col("mean")), 2)
+            * F.col("var")
+        )
+        .cast("bigint")
+        .alias("n_needed_for_1pct"),
+    )
