@@ -46,14 +46,19 @@ def bucketed_prefix_sums(
         df.agg(F.min(key).alias("_lo"), F.max(key).alias("_hi"))
     )
     width = (F.col("_hi") - F.col("_lo")).cast("double") / n_buckets
+    # Degenerate range (all keys equal) would make width 0 and the bucket
+    # division an ANSI divide-by-zero: collapse to bucket 0 explicitly.
     parts = (
         df.crossJoin(rng)
         .withColumn(
             "_pid",
-            F.least(
-                F.lit(n_buckets - 1),
-                F.floor((F.col(key) - F.col("_lo")).cast("double") / width)
-                .cast("int"),
+            F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(n_buckets - 1),
+                    F.floor(
+                        (F.col(key) - F.col("_lo")).cast("double") / width
+                    ).cast("int"),
+                )
             ),
         )
         .drop("_lo", "_hi")

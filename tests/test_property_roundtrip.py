@@ -246,3 +246,145 @@ def test_km_curve_matches_python_estimator(spark, obs):
         gd, gn, gs = got[t]
         assert (gd, gn) == (d_t, nr), (t, got[t], want[t])
         assert abs(gs - sv) < 1e-6, (t, gs, sv)
+
+
+# ----------------- rank tests == pure-Python references
+
+
+def _write_parquet(tmpdir, name, pydict):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table(pydict), os.path.join(tmpdir, f"{name}.parquet"))
+
+
+def _avg_ranks(values):
+    """value -> average rank (1-based, ties averaged)."""
+    s = sorted(values)
+    ranks = {}
+    i = 0
+    while i < len(s):
+        j = i
+        while j < len(s) and s[j] == s[i]:
+            j += 1
+        ranks[s[i]] = (i + 1 + j) / 2.0
+        i = j
+    return ranks
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["click", "view"]),
+            st.integers(min_value=0, max_value=8),  # value * 0.5
+        ),
+        min_size=4,
+        max_size=24,
+    )
+)
+def test_mannwhitney_matches_python(spark, rows):
+    """The grouped-rank Mann-Whitney plan must reproduce the textbook
+    tie-averaged U and tie-corrected z for arbitrary small samples."""
+    import math
+
+    from hypothesis import assume
+
+    from quackio_jl_spark.registry import QUERIES
+
+    g1 = [v * 0.5 for t, v in rows if t == "click"]
+    g2 = [v * 0.5 for t, v in rows if t == "view"]
+    assume(g1 and g2 and len(set(g1 + g2)) >= 2)
+
+    tmpdir = tempfile.mkdtemp(prefix="quackio_mwu_")
+    _write_parquet(
+        tmpdir,
+        "events",
+        {
+            "event_type": [t for t, _ in rows],
+            "value": [v * 0.5 for _, v in rows],
+        },
+    )
+    row = QUERIES["mannwhitney_u_click_vs_view"](spark, tmpdir).collect()[0]
+
+    ranks = _avg_ranks(g1 + g2)
+    n1, n2 = len(g1), len(g2)
+    big_n = n1 + n2
+    r1 = sum(ranks[v] for v in g1)
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    from collections import Counter
+
+    tsum = sum(c**3 - c for c in Counter(g1 + g2).values())
+    sigma = math.sqrt(
+        n1 * n2 / 12.0 * ((big_n + 1) - tsum / (big_n * (big_n - 1)))
+    )
+    assert row["n_click"] == n1 and row["n_view"] == n2
+    assert abs(row["u_stat"] - u1) < 1e-6
+    assert abs(row["z_score"] - (u1 - n1 * n2 / 2.0) / sigma) < 1e-6
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),    # custkey
+            st.integers(min_value=0, max_value=99),   # day offset
+            st.integers(min_value=1, max_value=40),   # price * 0.5
+        ),
+        min_size=2,
+        max_size=24,
+    )
+)
+def test_wilcoxon_matches_python(spark, rows):
+    """The signed-rank plan must reproduce the textbook W+ and
+    tie-corrected z (zero diffs dropped, |d| ties rank-averaged)."""
+    import datetime
+    import math
+    from collections import Counter, defaultdict
+
+    from hypothesis import assume
+
+    from quackio_jl_spark.registry import QUERIES
+
+    base = datetime.datetime(2024, 1, 1)
+    dates = [base + datetime.timedelta(days=d) for _, d, _ in rows]
+    lo, hi = min(dates), max(dates)
+    mid = lo + datetime.timedelta(days=(hi - lo).days // 2)
+    spend = defaultdict(lambda: [0.0, 0.0])
+    for (c, d, p), dt in zip(rows, dates):
+        spend[c][0 if dt <= mid else 1] += p * 0.5
+    diffs = [
+        round(h2 - h1, 6)
+        for h1, h2 in spend.values()
+        if round(h2 - h1, 6) != 0
+    ]
+    assume(diffs)
+
+    tmpdir = tempfile.mkdtemp(prefix="quackio_wsr_")
+    _write_parquet(
+        tmpdir,
+        "orders",
+        {
+            "o_custkey": [c for c, _, _ in rows],
+            "o_orderdate": dates,
+            "o_totalprice": [p * 0.5 for _, _, p in rows],
+        },
+    )
+    row = QUERIES["wilcoxon_signed_rank_spend"](spark, tmpdir).collect()[0]
+
+    ranks = _avg_ranks([abs(d) for d in diffs])
+    n = len(diffs)
+    w_plus = sum(ranks[abs(d)] for d in diffs if d > 0)
+    tsum = sum(c**3 - c for c in Counter(abs(d) for d in diffs).values())
+    sigma = math.sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - tsum / 48.0)
+    assert row["n_pairs"] == n
+    assert abs(row["w_plus"] - w_plus) < 1e-6
+    assert abs(row["z_score"] - (w_plus - n * (n + 1) / 4.0) / sigma) < 1e-6
