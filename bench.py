@@ -83,6 +83,17 @@ EXTENDED = [
     "part_degree_assortativity",
     "orders_duplicate_invoices",
     "customer_order_streaks",
+    # Continuation wave: rank tests, inequality, communities, validity.
+    "mannwhitney_u_click_vs_view",
+    "kruskal_wallis_ship_latency",
+    "wilcoxon_signed_rank_spend",
+    "theil_index_nation_spend",
+    "part_label_propagation",
+    "embedding_simplified_silhouette",
+    "embedding_cluster_validity",
+    "top_llr_collocations",
+    "quality_gains_lift_table",
+    "monthly_price_index_laspeyres",
 ]
 
 
