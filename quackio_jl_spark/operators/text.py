@@ -11,6 +11,7 @@ hash-checks real values, not just row counts.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.exact import dsum
@@ -2985,4 +2986,130 @@ def top_llr_collocations(spark, sf_dir):
         )
         .orderBy(F.col("llr").desc(), "bigram")
         .limit(LLR_TOPK)
+    )
+
+
+# ------------------------------------- characteristic terms per source
+
+CHAR_TERMS_TOPK = 5
+CHAR_TERMS_MIN_COUNT = 5
+
+
+@query(
+    "source_characteristic_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, term, COUNT(*)::BIGINT AS k11
+      FROM tok GROUP BY source, term
+    ),
+    st AS (SELECT source, SUM(k11)::BIGINT AS ns FROM tf GROUP BY source),
+    tt AS (SELECT term, SUM(k11)::BIGINT AS ct FROM tf GROUP BY term),
+    nn AS (SELECT SUM(k11)::BIGINT AS n FROM tf),
+    cells AS (
+      SELECT tf.source, tf.term, k11, ns - k11 AS k12, ct - k11 AS k21,
+        n - ns - ct + k11 AS k22, ns, ct, n
+      FROM tf JOIN st ON st.source = tf.source
+              JOIN tt ON tt.term = tf.term CROSS JOIN nn
+      WHERE k11 >= {CHAR_TERMS_MIN_COUNT}
+        AND CAST(k11 AS DOUBLE) * n > CAST(ns AS DOUBLE) * ct
+    ),
+    scored AS (
+      SELECT source, term, k11,
+        round(2.0 * (
+          (CASE WHEN k11 > 0 THEN k11 * ln(CAST(k11 AS DOUBLE) * n
+            / (CAST(ns AS DOUBLE) * ct)) ELSE 0.0 END)
+          + (CASE WHEN k12 > 0 THEN k12 * ln(CAST(k12 AS DOUBLE) * n
+            / (CAST(ns AS DOUBLE) * (n - ct))) ELSE 0.0 END)
+          + (CASE WHEN k21 > 0 THEN k21 * ln(CAST(k21 AS DOUBLE) * n
+            / (CAST(n - ns AS DOUBLE) * ct)) ELSE 0.0 END)
+          + (CASE WHEN k22 > 0 THEN k22 * ln(CAST(k22 AS DOUBLE) * n
+            / (CAST(n - ns AS DOUBLE) * (n - ct))) ELSE 0.0 END)), 6)
+          AS llr
+      FROM cells
+    ),
+    ranked AS (
+      SELECT source, term, k11, llr,
+        ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY llr DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT source, CAST(rnk AS INTEGER) AS rnk, term,
+      k11 AS n_occurrences, llr
+    FROM ranked WHERE rnk <= {CHAR_TERMS_TOPK}
+    """,
+)
+def source_characteristic_terms(spark, sf_dir):
+    """Top-{CHAR_TERMS_TOPK} characteristic terms per source by
+    one-sided Dunning LLR of the term-in-source vs term-elsewhere 2x2
+    table — "what vocabulary makes this source itself?". tf-idf
+    (text_tfidf_top_terms) rewards rarity; LLR rewards statistically
+    surprising OVER-representation, which is what you want when
+    deciding whether a source is domain-skewed before mixing it in.
+    Only overrepresented cells (observed > expected) are kept.
+
+    One (source, term) count shuffle; marginals join back (the term
+    marginal is a plain equi-join — term vocab can exceed broadcast);
+    top-k per source is a bounded per-source window over the
+    min-count-filtered scored table."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k11"))
+    )
+    st = tf.groupBy("source").agg(F.sum("k11").cast("bigint").alias("ns"))
+    tt = tf.groupBy("term").agg(F.sum("k11").cast("bigint").alias("ct"))
+    nn = tf.agg(F.sum("k11").cast("bigint").alias("n"))
+    cells = (
+        tf.join(F.broadcast(st), "source")
+        .join(tt, "term")
+        .crossJoin(F.broadcast(nn))
+        .filter(
+            (F.col("k11") >= CHAR_TERMS_MIN_COUNT)
+            & (
+                F.col("k11").cast("double") * F.col("n")
+                > F.col("ns").cast("double") * F.col("ct")
+            )
+        )
+        .withColumn("k12", F.col("ns") - F.col("k11"))
+        .withColumn("k21", F.col("ct") - F.col("k11"))
+        .withColumn(
+            "k22", F.col("n") - F.col("ns") - F.col("ct") + F.col("k11")
+        )
+    )
+
+    def term_(k, r, c):
+        return F.when(
+            k > 0,
+            k * F.log(k.cast("double") * F.col("n") / (r.cast("double") * c)),
+        ).otherwise(0.0)
+
+    n_m_ns = F.col("n") - F.col("ns")
+    n_m_ct = F.col("n") - F.col("ct")
+    llr = F.round(
+        2.0
+        * (
+            term_(F.col("k11"), F.col("ns"), F.col("ct"))
+            + term_(F.col("k12"), F.col("ns"), n_m_ct)
+            + term_(F.col("k21"), n_m_ns, F.col("ct"))
+            + term_(F.col("k22"), n_m_ns, n_m_ct)
+        ),
+        6,
+    )
+    scored = cells.select("source", "term", "k11", llr.alias("llr"))
+    w = W.partitionBy("source").orderBy(F.col("llr").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= CHAR_TERMS_TOPK)
+        .select(
+            "source",
+            F.col("rnk").cast("int").alias("rnk"),
+            "term",
+            F.col("k11").alias("n_occurrences"),
+            "llr",
+        )
     )

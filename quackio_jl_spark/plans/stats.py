@@ -5951,3 +5951,289 @@ def ab_test_power_mde(spark, sf_dir):
         .cast("bigint")
         .alias("n_needed_for_1pct"),
     )
+
+
+# --------------------------------------------- ABC-XYZ classification
+
+ABC_A_SHARE = 0.8
+ABC_B_SHARE = 0.95
+XYZ_X_CV = 0.5
+XYZ_Y_CV = 1.0
+
+
+@query(
+    "part_abc_xyz_matrix",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey AS pk,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS r
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(r AS DECIMAL(28,6))) AS DOUBLE) AS tr FROM rev
+    ),
+    cum AS (
+      SELECT pk, r,
+        CAST(SUM(CAST(r AS DECIMAL(28,6))) OVER (ORDER BY r DESC, pk
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          AS cr
+      FROM rev
+    ),
+    abc AS (
+      SELECT pk, r,
+        CASE WHEN cr / tr <= {ABC_A_SHARE} THEN 'A'
+             WHEN cr / tr <= {ABC_B_SHARE} THEN 'B'
+             ELSE 'C' END AS abc
+      FROM cum CROSS JOIN tot
+    ),
+    mq AS (
+      SELECT l_partkey AS pk, strftime(l_shipdate, '%Y-%m') AS m,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cv AS (
+      SELECT pk, COUNT(*)::BIGINT AS n,
+        CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) AS s,
+        CAST(SUM(CAST(round(q * q, 6) AS DECIMAL(38,8))) AS DOUBLE) AS ss
+      FROM mq GROUP BY pk
+    ),
+    xyz AS (
+      SELECT pk,
+        CASE WHEN n <= 1 THEN 'Z'
+             WHEN sqrt((ss - s * s / n) / n) / (s / n) <= {XYZ_X_CV}
+               THEN 'X'
+             WHEN sqrt((ss - s * s / n) / n) / (s / n) <= {XYZ_Y_CV}
+               THEN 'Y'
+             ELSE 'Z' END AS xyz
+      FROM cv
+    )
+    SELECT abc, xyz, COUNT(*)::BIGINT AS n_parts,
+      round(CAST(SUM(CAST(r AS DECIMAL(28,6))) AS DOUBLE)
+        / MAX(tr), 8) AS revenue_share
+    FROM abc JOIN xyz USING (pk) CROSS JOIN tot
+    GROUP BY abc, xyz
+    """,
+)
+def part_abc_xyz_matrix(spark, sf_dir):
+    """ABC-XYZ inventory classification matrix: parts classed by
+    cumulative revenue contribution (A <= {ABC_A_SHARE:.0%} of revenue,
+    B <= {ABC_B_SHARE:.0%}, C = tail — the Pareto cut
+    customer_pareto_abc applies to customers) crossed with monthly
+    demand variability (X: CV <= {XYZ_X_CV}, Y: CV <= {XYZ_Y_CV},
+    Z: erratic or single-month). The 9-cell counts + revenue shares
+    are THE standard stocking-policy segmentation (AX = automate,
+    CZ = discontinue).
+
+    Two independent part-keyed aggregates (revenue, monthly CV) join
+    on the natural l_partkey key; the descending revenue cumulative
+    rides an ordered decimal window over the part table (sub-bucket by
+    revenue range via the prefix kernel at 100 TB part counts);
+    population CV comes from exact sum/sum-of-squares."""
+    l = table(spark, sf_dir, "lineitem")
+    rev = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("r")
+    )
+    tot = F.broadcast(
+        rev.agg(F.sum(F.col("r").cast(DEC)).cast("double").alias("tr"))
+    )
+    w = W.orderBy(F.col("r").desc(), "pk").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = rev.withColumn(
+        "cr", F.sum(F.col("r").cast(DEC)).over(w).cast("double")
+    )
+    abc = cum.crossJoin(tot).select(
+        "pk",
+        "r",
+        "tr",
+        F.when(F.col("cr") / F.col("tr") <= ABC_A_SHARE, "A")
+        .when(F.col("cr") / F.col("tr") <= ABC_B_SHARE, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    mq = l.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("m"),
+    ).agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("q"))
+    cv = mq.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("q").cast(DEC)).cast("double").alias("s"),
+        F.sum(F.round(F.col("q") * F.col("q"), 6).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    cv_expr = F.sqrt(
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")
+    ) / (F.col("s") / F.col("n"))
+    xyz = cv.select(
+        "pk",
+        F.when(F.col("n") <= 1, "Z")
+        .when(cv_expr <= XYZ_X_CV, "X")
+        .when(cv_expr <= XYZ_Y_CV, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    return (
+        abc.join(xyz, "pk")
+        .groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(
+                F.sum(F.col("r").cast(DEC)).cast("double") / F.max("tr"), 8
+            ).alias("revenue_share"),
+        )
+    )
+
+
+# --------------------------------------- difference-in-differences
+
+
+@query(
+    "discount_did_quantity",
+    oracle="""
+    WITH bd AS (
+      SELECT p_brand,
+        CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE)
+          / COUNT(*) AS avg_disc
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+    ),
+    gd AS (
+      SELECT CAST(SUM(CAST(avg_disc AS DECIMAL(28,8))) AS DOUBLE)
+        / COUNT(*) AS g
+      FROM bd
+    ),
+    mid AS (
+      SELECT CAST(MIN(l_shipdate) AS DATE)
+        + CAST(floor(datediff('day', MIN(l_shipdate),
+            MAX(l_shipdate)) / 2) AS INTEGER) AS md
+      FROM lineitem
+    ),
+    rows_ AS (
+      SELECT
+        CASE WHEN bd.avg_disc > gd.g THEN 1 ELSE 0 END AS treated,
+        CASE WHEN CAST(l_shipdate AS DATE) > mid.md THEN 1 ELSE 0 END
+          AS post,
+        l_quantity AS y
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      JOIN bd ON bd.p_brand = part.p_brand
+      CROSS JOIN gd CROSS JOIN mid
+    ),
+    cells AS (
+      SELECT treated, post, COUNT(*)::BIGINT AS n,
+        CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS s,
+        CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(38,8))) AS DOUBLE) AS ss
+      FROM rows_ GROUP BY treated, post
+    ),
+    m AS (
+      SELECT
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN s / n END) AS t0,
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN s / n END) AS t1,
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN s / n END) AS c0,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN s / n END) AS c1,
+        CAST(SUM(CAST(round(
+          ((ss - s * s / n) / (n - 1)) / n, 10) AS DECIMAL(38,12)))
+          AS DOUBLE) AS var_sum,
+        SUM(n) AS n_rows
+      FROM cells
+    )
+    SELECT round(t0, 6) AS treated_pre, round(t1, 6) AS treated_post,
+      round(c0, 6) AS control_pre, round(c1, 6) AS control_post,
+      round((t1 - t0) - (c1 - c0), 8) AS did_estimate,
+      round(sqrt(var_sum), 8) AS std_error,
+      round(((t1 - t0) - (c1 - c0)) / sqrt(var_sum), 8) AS t_stat,
+      CAST(n_rows AS BIGINT) AS n_rows
+    FROM m
+    """,
+)
+def discount_did_quantity(spark, sf_dir):
+    """Difference-in-differences: did quantities move differently for
+    high-discount brands after the corpus midpoint, net of the common
+    trend? DiD = (treated_post - treated_pre) - (control_post -
+    control_pre), with the standard four-cell SE sqrt(sum var_i/n_i)
+    and its t — the panel-data causal estimator the A/B pack
+    (randomized) cannot replace when assignment isn't random.
+    Treatment = brands whose mean discount exceeds the brand-level
+    average; period split = ship-date midpoint.
+
+    One brand classification aggregate broadcasts back onto a single
+    corpus pass that bins every row into the 2x2 design; cell means
+    and variances come from decimal-exact sums, so the whole estimator
+    is closed-form from 12 exact numbers."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lp = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    bd = lp.groupBy("p_brand").agg(
+        (
+            F.sum(F.col("l_discount").cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_disc")
+    )
+    gd = F.broadcast(
+        bd.agg(
+            (
+                F.sum(F.col("avg_disc").cast("decimal(28,8)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("g")
+        )
+    )
+    mid = F.broadcast(
+        l.agg(
+            F.date_add(
+                F.to_date(F.min("l_shipdate")),
+                F.floor(
+                    F.datediff(F.max("l_shipdate"), F.min("l_shipdate")) / 2
+                ).cast("int"),
+            ).alias("md")
+        )
+    )
+    rows_ = (
+        lp.join(F.broadcast(bd), "p_brand")
+        .crossJoin(gd)
+        .crossJoin(mid)
+        .select(
+            (F.col("avg_disc") > F.col("g")).cast("int").alias("treated"),
+            (F.to_date("l_shipdate") > F.col("md")).cast("int").alias("post"),
+            F.col("l_quantity").alias("y"),
+        )
+    )
+    cells = rows_.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("s"),
+        F.sum(F.round(F.col("y") * F.col("y"), 6).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("ss"),
+    )
+
+    def cell(t, q):
+        return F.max(
+            F.when(
+                (F.col("treated") == t) & (F.col("post") == q),
+                F.col("s") / F.col("n"),
+            )
+        )
+
+    var_i = ((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )) / F.col("n")
+    m = cells.agg(
+        cell(1, 0).alias("t0"),
+        cell(1, 1).alias("t1"),
+        cell(0, 0).alias("c0"),
+        cell(0, 1).alias("c1"),
+        F.sum(F.round(var_i, 10).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("var_sum"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+    )
+    did = (F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0"))
+    return m.select(
+        F.round("t0", 6).alias("treated_pre"),
+        F.round("t1", 6).alias("treated_post"),
+        F.round("c0", 6).alias("control_pre"),
+        F.round("c1", 6).alias("control_post"),
+        F.round(did, 8).alias("did_estimate"),
+        F.round(F.sqrt("var_sum"), 8).alias("std_error"),
+        F.round(did / F.sqrt("var_sum"), 8).alias("t_stat"),
+        F.col("n_rows"),
+    )
