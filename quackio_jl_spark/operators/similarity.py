@@ -736,3 +736,135 @@ def embedding_grid_duplicates(spark, sf_dir):
         )
         .filter(F.col("n_vecs") > 1)
     )
+
+
+# --------------------------------------- MMR diversified retrieval
+
+MMR_LAMBDA = 0.7
+MMR_K = 5
+MMR_CANDIDATES = 20
+
+
+def _mmr_oracle() -> str:
+    cq = _cosine_sql("e.embedding", "q.qv")
+    cab = _cosine_sql("ca.embedding", "cb.embedding")
+    steps = []
+    for k in range(2, MMR_K + 1):
+        prev = f"sel{k - 1}"
+        steps.append(f"""
+    sc{k} AS (
+      SELECT c.vec_id, c.qsim,
+        {MMR_LAMBDA} * c.qsim - {1 - MMR_LAMBDA} * (
+          SELECT MAX(p.s) FROM pairs p
+          JOIN {prev} s ON p.b = s.vec_id WHERE p.a = c.vec_id) AS score
+      FROM cand c
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+    ),
+    mx{k} AS (SELECT MAX(score) AS ms FROM sc{k}),
+    pk{k} AS (
+      SELECT MIN(vec_id) AS vid FROM sc{k}, mx{k} WHERE score = ms
+    ),
+    sel{k} AS MATERIALIZED (
+      SELECT vec_id, qsim, score, {k} AS rnk
+      FROM sc{k}, pk{k} WHERE vec_id = vid
+      UNION ALL SELECT vec_id, qsim, score, rnk FROM {prev}
+    )""")
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings
+               WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+    cand AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding, {cq} AS qsim
+      FROM embeddings e, q
+      ORDER BY qsim DESC, vec_id LIMIT {MMR_CANDIDATES}
+    ),
+    pairs AS MATERIALIZED (
+      SELECT ca.vec_id AS a, cb.vec_id AS b, {cab} AS s
+      FROM cand ca, cand cb
+    ),
+    sc1 AS (SELECT vec_id, qsim, {MMR_LAMBDA} * qsim AS score FROM cand),
+    mx1 AS (SELECT MAX(score) AS ms FROM sc1),
+    pk1 AS (SELECT MIN(vec_id) AS vid FROM sc1, mx1 WHERE score = ms),
+    sel1 AS MATERIALIZED (
+      SELECT vec_id, qsim, score, 1 AS rnk FROM sc1, pk1 WHERE vec_id = vid
+    ),{",".join(steps)}
+    SELECT CAST(rnk AS INTEGER) AS rnk, vec_id,
+      round(qsim, 8) AS relevance, round(score, 8) AS mmr_score
+    FROM sel{MMR_K}
+    """
+
+
+@query("retrieval_mmr_diversified", oracle=_mmr_oracle())
+def retrieval_mmr_diversified(spark, sf_dir):
+    """Maximal Marginal Relevance re-ranking: greedy top-{MMR_K}
+    selection from the cosine top-{MMR_CANDIDATES} maximizing
+    lambda*rel(d) - (1-lambda)*max_sim(d, already-picked) — the
+    standard diversity re-ranker (Carbonell-Goldstein 1998) that a RAG
+    stack runs after ANN so five near-identical passages don't fill
+    the context window. similarity_topk_cosine is the rel-only
+    baseline this diversifies.
+
+    Scale shape: the DISTRIBUTED work is the corpus scan producing the
+    candidate set (TakeOrderedAndProject, no shuffle) and the bounded
+    candidate-pair similarity grid — both through the fixed-point
+    exact_dot kernel. The greedy selection itself touches exactly
+    MMR_CANDIDATES + MMR_CANDIDATES^2 precomputed numbers, so it runs
+    as driver-side control flow (same contract as the iterative
+    operators' convergence checks: bounded by construction, never
+    corpus-sized). Ties break max-score-then-min-vec_id; final
+    rounding happens in a Spark projection so both engines round the
+    same doubles."""
+    e = table(spark, sf_dir, "embeddings")
+    qid = e.agg(F.min("vec_id").alias("m"))
+    q = e.join(F.broadcast(qid), F.col("vec_id") == F.col("m")).select(
+        F.col("embedding").alias("qv")
+    )
+    cand = (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            cosine("embedding", "qv").alias("qsim"),
+        )
+        .orderBy(F.col("qsim").desc(), "vec_id")
+        .limit(MMR_CANDIDATES)
+        .persist()
+    )
+    ca = cand.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
+    )
+    cb = cand.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("eb")
+    )
+    pairs = ca.crossJoin(F.broadcast(cb)).select(
+        "a", "b", cosine("ea", "eb").alias("s")
+    )
+    crows = cand.select("vec_id", "qsim").collect()
+    sim = {(r["a"], r["b"]): r["s"] for r in pairs.collect()}
+    cand.unpersist()
+    rel = {r["vec_id"]: r["qsim"] for r in crows}
+    remaining = sorted(rel)
+    out = []
+    for rnk in range(1, MMR_K + 1):
+        best = None
+        for v in remaining:
+            if rnk == 1:
+                score = MMR_LAMBDA * rel[v]
+            else:
+                score = MMR_LAMBDA * rel[v] - (1 - MMR_LAMBDA) * max(
+                    sim[(v, s)] for _, s, _, _ in out
+                )
+            # max score, then MIN vec_id: remaining is id-ascending, so
+            # strict > keeps the first (smallest) id on ties.
+            if best is None or score > best[1]:
+                best = (v, score)
+        out.append((rnk, best[0], rel[best[0]], best[1]))
+        remaining.remove(best[0])
+    df = spark.createDataFrame(
+        out, "rnk int, vec_id bigint, relevance double, mmr_score double"
+    )
+    return df.select(
+        "rnk",
+        "vec_id",
+        F.round("relevance", 8).alias("relevance"),
+        F.round("mmr_score", 8).alias("mmr_score"),
+    )
