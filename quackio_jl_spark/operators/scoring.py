@@ -754,3 +754,99 @@ def quality_gains_lift_table(spark, sf_dir):
             (F.col("cum_pos").cast("double") / F.col("cum_rows")) / base, 8
         ).alias("cum_lift"),
     )
+
+
+# --------------------------------------------- F1-optimal threshold
+
+
+@query(
+    "quality_optimal_f1_threshold",
+    oracle="""
+    WITH pv AS (
+      SELECT n_chars AS s,
+        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS p,
+        SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS q
+      FROM documents GROUP BY n_chars
+    ),
+    t AS (SELECT SUM(p)::BIGINT AS np, SUM(q)::BIGINT AS nq FROM pv),
+    c AS (
+      SELECT s, p, q,
+        SUM(p) OVER (ORDER BY s) AS cum_p,
+        SUM(q) OVER (ORDER BY s) AS cum_q
+      FROM pv
+    ),
+    f AS (
+      SELECT s AS thr,
+        (np - cum_p + p) AS tp, (nq - cum_q + q) AS fp, np,
+        2.0 * (np - cum_p + p)
+          / (2.0 * (np - cum_p + p) + (nq - cum_q + q)
+             + (cum_p - p)) AS f1
+      FROM c CROSS JOIN t
+    ),
+    mx AS (SELECT MAX(round(f1, 10)) AS mf FROM f),
+    pick AS (
+      SELECT MIN(thr) AS best_thr FROM f JOIN mx ON round(f1, 10) = mf
+    )
+    SELECT f.thr AS threshold, CAST(tp AS BIGINT) AS tp,
+      CAST(fp AS BIGINT) AS fp,
+      CAST(np - tp AS BIGINT) AS fn,
+      round(CAST(tp AS DOUBLE) / (tp + fp), 8) AS precision_,
+      round(CAST(tp AS DOUBLE) / np, 8) AS recall_,
+      round(f1, 8) AS f1
+    FROM f JOIN pick ON f.thr = pick.best_thr
+    """,
+)
+def quality_optimal_f1_threshold(spark, sf_dir):
+    """The F1-maximizing decision threshold for the length-vs-is-
+    English classifier (predict positive when score >= t) with its
+    confusion counts, precision and recall at the optimum — the
+    actionable cut point the AUC/PR-curve/gains family stops short of
+    picking. F1 = 2TP / (2TP + FP + FN) is evaluated at every distinct
+    score in one pass over the prefix-summed value table; the argmax
+    tie-breaks to the LOWEST threshold (keep more data at equal F1).
+
+    Same scale shape as the AUC ops: one distinct-score aggregate, the
+    bucketed prefix-sum kernel, and bounded everything after."""
+    from pyspark.sql import Window  # noqa: F401  (module-level W used)
+    from ..functions.prefix import bucketed_prefix_sums
+
+    d = table(spark, sf_dir, "documents")
+    pv = d.groupBy(F.col("n_chars").alias("s")).agg(
+        F.sum((F.col("lang") == "en").cast("bigint")).alias("p"),
+        F.sum((F.col("lang") != "en").cast("bigint")).alias("q"),
+    )
+    t = F.broadcast(
+        pv.agg(
+            F.sum("p").cast("bigint").alias("np"),
+            F.sum("q").cast("bigint").alias("nq"),
+        )
+    )
+    c = bucketed_prefix_sums(pv, "s", ["p", "q"]).crossJoin(t)
+    tp = F.col("np") - F.col("cum_p") + F.col("p")
+    fp = F.col("nq") - F.col("cum_q") + F.col("q")
+    fn = F.col("cum_p") - F.col("p")
+    f = c.select(
+        F.col("s").alias("thr"),
+        tp.alias("tp"),
+        fp.alias("fp"),
+        F.col("np"),
+        (2.0 * tp / (2.0 * tp + fp + fn)).alias("f1"),
+    )
+    mx = F.broadcast(f.agg(F.max(F.round("f1", 10)).alias("mf")))
+    pick = F.broadcast(
+        f.join(mx, F.round("f1", 10) == F.col("mf")).agg(
+            F.min("thr").alias("best_thr")
+        )
+    )
+    return f.join(pick, F.col("thr") == F.col("best_thr")).select(
+        F.col("thr").alias("threshold"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        (F.col("np") - F.col("tp")).cast("bigint").alias("fn"),
+        F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 8)
+        .alias("precision_"),
+        F.round(F.col("tp").cast("double") / F.col("np"), 8).alias(
+            "recall_"
+        ),
+        F.round("f1", 8).alias("f1"),
+    )

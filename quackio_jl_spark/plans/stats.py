@@ -6237,3 +6237,140 @@ def discount_did_quantity(spark, sf_dir):
         F.round(did / F.sqrt("var_sum"), 8).alias("t_stat"),
         F.col("n_rows"),
     )
+
+
+# --------------------------------------------- bot-likeness report
+
+BOT_MIN_EVENTS = 20
+BOT_GAP_CV_MAX = 0.3
+BOT_TOP_TRANSITION_MIN = 0.9
+
+
+@query(
+    "events_bot_likeness_report",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_type,
+        epoch_us(ts) - epoch_us(lag(ts) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id, COUNT(*)::BIGINT AS n_events,
+        SUM(CASE WHEN gap_us IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS ng,
+        SUM(COALESCE(gap_us, 0)) AS sg,
+        SUM(CAST(round(COALESCE(gap_us, 0) / 1000000.0
+              * (COALESCE(gap_us, 0) / 1000000.0), 6)
+            AS DECIMAL(38,8))) AS sgg
+      FROM seq GROUP BY user_id
+    ),
+    trans AS (
+      SELECT user_id, prev_type, event_type, COUNT(*)::BIGINT AS c
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY user_id, prev_type, event_type
+    ),
+    toptr AS (
+      SELECT user_id, MAX(c) AS mx, SUM(c) AS tot
+      FROM trans GROUP BY user_id
+    ),
+    joined AS (
+      SELECT p.user_id, p.n_events,
+        CASE WHEN p.ng > 1 THEN
+          sqrt((CAST(p.sgg AS DOUBLE)
+              - (p.sg / 1000000.0) * (p.sg / 1000000.0) / p.ng) / p.ng)
+            / (p.sg / 1000000.0 / p.ng)
+        END AS gap_cv,
+        CAST(t.mx AS DOUBLE) / t.tot AS top_transition_share
+      FROM per_user p JOIN toptr t ON t.user_id = p.user_id
+      WHERE p.n_events >= {BOT_MIN_EVENTS}
+    )
+    SELECT user_id, n_events,
+      round(gap_cv, 6) AS gap_cv,
+      round(top_transition_share, 6) AS top_transition_share,
+      (gap_cv <= {BOT_GAP_CV_MAX}
+        OR top_transition_share >= {BOT_TOP_TRANSITION_MIN}) AS bot_flag
+    FROM joined
+    """,
+)
+def events_bot_likeness_report(spark, sf_dir):
+    """Per-user bot-likeness diagnostics for heavy users
+    (n >= {BOT_MIN_EVENTS}): coefficient of variation of inter-event
+    gaps (metronome-regular timing -> CV near 0) and the share of the
+    single most common event-type transition (scripted flows repeat one
+    edge) — the entity-level drill-down under the corpus-level
+    events_markov_entropy_rate, flagged at CV <= {BOT_GAP_CV_MAX} or
+    top-edge share >= {BOT_TOP_TRANSITION_MIN}.
+
+    One per-user lag window (parallel, deterministic (ts, event_id)
+    order) feeds both signals; gap moments are exact integer micro
+    sums plus one rounded-decimal sum of squares; the transition max
+    and total reduce per user without materializing the matrix."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    )
+    gap0 = F.coalesce(F.col("gap_us"), F.lit(0))
+    per_user = seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("gap_us").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("ng"),
+        F.sum(gap0).alias("sg"),
+        F.sum(
+            F.round(
+                gap0 / 1000000.0 * (gap0 / 1000000.0), 6
+            ).cast("decimal(38,8)")
+        ).alias("sgg"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("user_id", "prev_type", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    toptr = trans.groupBy("user_id").agg(
+        F.max("c").alias("mx"), F.sum("c").alias("tot")
+    )
+    mean_s = F.col("sg") / 1000000.0 / F.col("ng")
+    gap_cv = F.when(
+        F.col("ng") > 1,
+        F.sqrt(
+            (
+                F.col("sgg").cast("double")
+                - (F.col("sg") / 1000000.0)
+                * (F.col("sg") / 1000000.0)
+                / F.col("ng")
+            )
+            / F.col("ng")
+        )
+        / mean_s,
+    )
+    joined = (
+        per_user.join(toptr, "user_id")
+        .filter(F.col("n_events") >= BOT_MIN_EVENTS)
+        .select(
+            "user_id",
+            "n_events",
+            gap_cv.alias("gap_cv"),
+            (F.col("mx").cast("double") / F.col("tot")).alias(
+                "top_transition_share"
+            ),
+        )
+    )
+    return joined.select(
+        "user_id",
+        "n_events",
+        F.round("gap_cv", 6).alias("gap_cv"),
+        F.round("top_transition_share", 6).alias("top_transition_share"),
+        (
+            (F.col("gap_cv") <= BOT_GAP_CV_MAX)
+            | (F.col("top_transition_share") >= BOT_TOP_TRANSITION_MIN)
+        ).alias("bot_flag"),
+    )
