@@ -2169,3 +2169,129 @@ def duplicate_vs_unique_quality(spark, sf_dir):
             F.round(F.avg("ttr"), 8).alias("mean_type_token_ratio"),
         )
     )
+
+
+# ------------------------------------- idf-weighted Jaccard verify
+
+
+@query(
+    "neardup_weighted_jaccard",
+    oracle="WITH"
+    + _SHINGLES_SQL
+    + ","
+    + _minhash_sig_sql()
+    + ","
+    + _cand_sql()
+    + """,
+    nn AS (SELECT COUNT(DISTINCT doc_id)::BIGINT AS n FROM sh),
+    idf AS (
+      SELECT shingle,
+        round(ln(CAST(n AS DOUBLE) / COUNT(DISTINCT doc_id)), 8) AS w
+      FROM sh CROSS JOIN nn GROUP BY shingle, n
+    ),
+    s1 AS (
+      SELECT doc1, doc2, shingle FROM sh JOIN cand ON sh.doc_id = doc1
+    ),
+    s2 AS (
+      SELECT doc1, doc2, shingle FROM sh JOIN cand ON sh.doc_id = doc2
+    ),
+    u AS (
+      SELECT COALESCE(s1.doc1, s2.doc1) AS doc1,
+        COALESCE(s1.doc2, s2.doc2) AS doc2,
+        COALESCE(s1.shingle, s2.shingle) AS shingle,
+        (s1.shingle IS NOT NULL AND s2.shingle IS NOT NULL) AS both_
+      FROM s1 FULL OUTER JOIN s2
+        ON s1.doc1 = s2.doc1 AND s1.doc2 = s2.doc2
+        AND s1.shingle = s2.shingle
+    ),
+    scored AS (
+      SELECT doc1, doc2,
+        CAST(SUM(CASE WHEN both_
+          THEN CAST(w AS DECIMAL(38,10)) ELSE 0 END) AS DOUBLE) AS iw,
+        CAST(SUM(CAST(w AS DECIMAL(38,10))) AS DOUBLE) AS uw,
+        SUM(CASE WHEN both_ THEN 1 ELSE 0 END)::BIGINT AS n_common,
+        COUNT(*)::BIGINT AS n_union
+      FROM u JOIN idf USING (shingle) GROUP BY doc1, doc2
+    )
+    SELECT doc1, doc2, n_common, n_union,
+      round(CAST(n_common AS DOUBLE) / n_union, 8) AS jaccard,
+      round(iw / uw, 8) AS weighted_jaccard
+    FROM scored
+    """,
+)
+def neardup_weighted_jaccard(spark, sf_dir):
+    """idf-weighted Jaccard over the LSH candidate pairs: shared RARE
+    shingles count for more than shared boilerplate, so two docs that
+    overlap only on stock phrases score low even when their plain
+    Jaccard clears the threshold — the refinement between
+    neardup_ngram_jaccard (unweighted) and boilerplate_ngrams (which
+    identifies the stock phrases this op discounts). Reports both
+    scores per pair for direct comparison.
+
+    Scale shape: the exact verify only ever touches LSH candidates.
+    Candidate pairs broadcast onto the shingle table twice (doc1/doc2
+    legs), the full-outer merge runs on the bounded pair-shingle rows,
+    and the idf join is the one shingle-keyed shuffle — the same
+    shuffle the document-frequency aggregate already pays. Weights are
+    rounded then decimal-summed per pair."""
+    d = table(spark, sf_dir, "documents")
+    cand = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc1", "doc2")
+    sh = shingles_all(d).distinct()
+    nn = F.broadcast(
+        sh.agg(F.count_distinct("doc_id").cast("bigint").alias("n"))
+    )
+    idf = (
+        sh.crossJoin(nn)
+        .groupBy("shingle", "n")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .select(
+            "shingle",
+            F.round(
+                F.log(F.col("n").cast("double") / F.col("df")), 8
+            ).alias("w"),
+        )
+    )
+    bc = F.broadcast(cand)
+    s1 = sh.join(bc, F.col("doc_id") == F.col("doc1")).select(
+        "doc1", "doc2", "shingle"
+    )
+    s2 = sh.join(bc, F.col("doc_id") == F.col("doc2")).select(
+        F.col("doc1").alias("d1"),
+        F.col("doc2").alias("d2"),
+        F.col("shingle").alias("sh2"),
+    )
+    u = s1.join(
+        s2,
+        (F.col("doc1") == F.col("d1"))
+        & (F.col("doc2") == F.col("d2"))
+        & (F.col("shingle") == F.col("sh2")),
+        "full_outer",
+    ).select(
+        F.coalesce("doc1", "d1").alias("doc1"),
+        F.coalesce("doc2", "d2").alias("doc2"),
+        F.coalesce("shingle", "sh2").alias("shingle"),
+        (F.col("shingle").isNotNull() & F.col("sh2").isNotNull()).alias(
+            "both_"
+        ),
+    )
+    scored = u.join(idf, "shingle").groupBy("doc1", "doc2").agg(
+        F.sum(
+            F.when(F.col("both_"), F.col("w").cast("decimal(38,10)"))
+            .otherwise(F.lit(0).cast("decimal(38,10)"))
+        )
+        .cast("double")
+        .alias("iw"),
+        F.sum(F.col("w").cast("decimal(38,10)")).cast("double").alias("uw"),
+        F.sum(F.col("both_").cast("int")).cast("bigint").alias("n_common"),
+        F.count(F.lit(1)).cast("bigint").alias("n_union"),
+    )
+    return scored.select(
+        "doc1",
+        "doc2",
+        "n_common",
+        "n_union",
+        F.round(
+            F.col("n_common").cast("double") / F.col("n_union"), 8
+        ).alias("jaccard"),
+        F.round(F.col("iw") / F.col("uw"), 8).alias("weighted_jaccard"),
+    )
