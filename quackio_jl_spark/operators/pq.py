@@ -668,3 +668,80 @@ def ann_pq_distortion(spark, sf_dir):
         F.sum("d2").cast("bigint").alias("total_d2_fixedpoint"),
         F.max("n").cast("bigint").alias("n_vectors"),
     )
+
+
+# --------------------------------------- codebook utilization entropy
+
+
+@query(
+    "ann_pq_code_entropy",
+    oracle=f"""
+    WITH {_CB_SQL},
+    codes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.code,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                             ORDER BY {_d2_int_sql('s.sv', 'c.cv')}, c.code) AS rn
+        FROM sub s JOIN cb1v c ON s.m = c.m) t
+      WHERE rn = 1
+    ),
+    hist AS (
+      SELECT m, code, COUNT(*)::BIGINT AS n FROM codes GROUP BY m, code
+    ),
+    tot AS (SELECT m, SUM(n)::BIGINT AS nt, COUNT(*)::BIGINT AS used
+            FROM hist GROUP BY m),
+    h AS (
+      SELECT hist.m, MAX(used) AS used, MAX(nt) AS nt,
+        CAST(SUM(CAST(round(
+          -(n / CAST(nt AS DOUBLE)) * ln(n / CAST(nt AS DOUBLE)), 12)
+          AS DECIMAL(38,14))) AS DOUBLE) AS ent
+      FROM hist JOIN tot ON tot.m = hist.m GROUP BY hist.m
+    )
+    SELECT m AS subspace, CAST(used AS BIGINT) AS codes_used,
+      CAST(nt AS BIGINT) AS n_vectors,
+      round(ent, 8) AS code_entropy_nats,
+      round(exp(ent), 6) AS code_perplexity
+    FROM h
+    """,
+)
+def ann_pq_code_entropy(spark, sf_dir):
+    """Codebook-utilization diagnostics per PQ subspace: how many of
+    the trained codes are actually used, and the entropy/perplexity of
+    the code histogram — the index-health check that catches codebook
+    collapse (perplexity far below KSUB means most vectors share a few
+    codes, ADC distances lose resolution, and the subspace needs
+    retraining). Rides the exact same trained codebooks and argmin
+    assignment as ann_pq_codes; the histogram is a bounded M x KSUB
+    aggregate with round-then-decimal-summed -p ln p terms."""
+    sub = _subvectors(spark, sf_dir)
+    codes = _assign_codes(sub, _codebooks(spark, sf_dir)).select(
+        "vec_id", "m", "code"
+    )
+    hist = codes.groupBy("m", "code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = hist.groupBy("m").agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.count(F.lit(1)).cast("bigint").alias("used"),
+    )
+    p = F.col("n") / F.col("nt").cast("double")
+    h = (
+        hist.join(F.broadcast(tot), "m")
+        .groupBy("m")
+        .agg(
+            F.max("used").alias("used"),
+            F.max("nt").alias("nt"),
+            F.sum(
+                F.round(-p * F.log(p), 12).cast("decimal(38,14)")
+            )
+            .cast("double")
+            .alias("ent"),
+        )
+    )
+    return h.select(
+        F.col("m").alias("subspace"),
+        F.col("used").cast("bigint").alias("codes_used"),
+        F.col("nt").cast("bigint").alias("n_vectors"),
+        F.round("ent", 8).alias("code_entropy_nats"),
+        F.round(F.exp("ent"), 6).alias("code_perplexity"),
+    )

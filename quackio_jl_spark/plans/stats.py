@@ -6374,3 +6374,82 @@ def events_bot_likeness_report(spark, sf_dir):
             | (F.col("top_transition_share") >= BOT_TOP_TRANSITION_MIN)
         ).alias("bot_flag"),
     )
+
+
+# --------------------------------------------- daily peak detection
+
+PEAK_NEIGHBORHOOD = 3
+
+
+@query(
+    "events_daily_peaks",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*)::BIGINT AS y
+      FROM events GROUP BY 1
+    ),
+    ctx AS (
+      SELECT d, y,
+        MAX(y) OVER (ORDER BY d
+          ROWS BETWEEN {PEAK_NEIGHBORHOOD} PRECEDING AND 1 PRECEDING)
+          AS lmax,
+        MAX(y) OVER (ORDER BY d
+          ROWS BETWEEN 1 FOLLOWING AND {PEAK_NEIGHBORHOOD} FOLLOWING)
+          AS rmax,
+        COUNT(*) OVER (ORDER BY d
+          ROWS BETWEEN {PEAK_NEIGHBORHOOD} PRECEDING AND 1 PRECEDING)
+          AS ln_,
+        COUNT(*) OVER (ORDER BY d
+          ROWS BETWEEN 1 FOLLOWING AND {PEAK_NEIGHBORHOOD} FOLLOWING)
+          AS rn_
+      FROM daily
+    )
+    SELECT d AS peak_day, y AS n_events,
+      CAST(GREATEST(lmax, rmax) AS BIGINT) AS neighborhood_max,
+      CAST(y - GREATEST(lmax, rmax) AS BIGINT) AS prominence
+    FROM ctx
+    WHERE ln_ = {PEAK_NEIGHBORHOOD} AND rn_ = {PEAK_NEIGHBORHOOD}
+      AND y > lmax AND y > rmax
+    """,
+)
+def events_daily_peaks(spark, sf_dir):
+    """Local-peak detection on the daily event-count series: days
+    strictly above every neighbor within +-{PEAK_NEIGHBORHOOD} days,
+    with a window-bounded prominence (height over the tallest
+    neighbor) — the discrete "what were the spike days?" report that
+    complements the continuous detectors (z-score, MAD, CUSUM), which
+    flag regions rather than summits. Boundary days without a full
+    neighborhood are excluded rather than half-compared.
+
+    The corpus collapses to the bounded daily table first; the four
+    frame windows share one ordered pass over days, and all outputs
+    are exact integers — no floats anywhere."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    wl = W.orderBy("d").rowsBetween(-PEAK_NEIGHBORHOOD, -1)
+    wr = W.orderBy("d").rowsBetween(1, PEAK_NEIGHBORHOOD)
+    ctx = daily.select(
+        "d",
+        "y",
+        F.max("y").over(wl).alias("lmax"),
+        F.max("y").over(wr).alias("rmax"),
+        F.count("y").over(wl).alias("ln_"),
+        F.count("y").over(wr).alias("rn_"),
+    )
+    nmax = F.greatest("lmax", "rmax")
+    return (
+        ctx.filter(
+            (F.col("ln_") == PEAK_NEIGHBORHOOD)
+            & (F.col("rn_") == PEAK_NEIGHBORHOOD)
+            & (F.col("y") > F.col("lmax"))
+            & (F.col("y") > F.col("rmax"))
+        )
+        .select(
+            F.col("d").alias("peak_day"),
+            F.col("y").alias("n_events"),
+            nmax.cast("bigint").alias("neighborhood_max"),
+            (F.col("y") - nmax).cast("bigint").alias("prominence"),
+        )
+    )
