@@ -388,3 +388,163 @@ def test_wilcoxon_matches_python(spark, rows):
     assert row["n_pairs"] == n
     assert abs(row["w_plus"] - w_plus) < 1e-6
     assert abs(row["z_score"] - (w_plus - n * (n + 1) / 4.0) / sigma) < 1e-6
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2", "g3"]),
+            st.integers(min_value=0, max_value=6),  # integer observation
+        ),
+        min_size=6,
+        max_size=30,
+    )
+)
+def test_kruskal_wallis_matches_python(spark, rows):
+    """The grouped-rank Kruskal-Wallis plan must reproduce the textbook
+    tie-corrected H for arbitrary small k-sample data. Drives the
+    registered query through synthetic lineitem/orders parquet whose
+    join produces exactly the generated (group, delay) rows."""
+    import datetime
+    import math
+    from collections import Counter
+
+    from hypothesis import assume
+
+    from quackio_jl_spark.registry import QUERIES
+
+    groups = {g for g, _ in rows}
+    values = [v for _, v in rows]
+    assume(len(groups) >= 2 and len(set(values)) >= 2)
+
+    # Build orders (one per row, priority = group) and lineitem rows whose
+    # ship date is orderdate + delay days.
+    base = datetime.datetime(2024, 1, 1)
+    tmpdir = tempfile.mkdtemp(prefix="quackio_kw_")
+    _write_parquet(
+        tmpdir,
+        "orders",
+        {
+            "o_orderkey": list(range(len(rows))),
+            "o_orderdate": [base] * len(rows),
+            "o_orderpriority": [g for g, _ in rows],
+        },
+    )
+    _write_parquet(
+        tmpdir,
+        "lineitem",
+        {
+            "l_orderkey": list(range(len(rows))),
+            "l_shipdate": [
+                base + datetime.timedelta(days=v) for _, v in rows
+            ],
+        },
+    )
+    out = {
+        r["o_orderpriority"]: r
+        for r in QUERIES["kruskal_wallis_ship_latency"](
+            spark, tmpdir
+        ).collect()
+    }
+
+    ranks = _avg_ranks(values)
+    big_n = len(values)
+    by_g = {g: [v for gg, v in rows if gg == g] for g in groups}
+    ssum = sum(
+        round(sum(ranks[v] for v in vs) ** 2 / len(vs), 4)
+        for vs in by_g.values()
+    )
+    h = 12.0 / (big_n * (big_n + 1)) * ssum - 3.0 * (big_n + 1)
+    tsum = sum(c**3 - c for c in Counter(values).values())
+    h_corr = h / (1.0 - tsum / (big_n**3 - big_n))
+    assert set(out) == groups
+    for g, vs in by_g.items():
+        assert out[g]["n_items"] == len(vs)
+        assert abs(out[g]["rank_sum"] - sum(ranks[v] for v in vs)) < 1e-6
+        assert abs(out[g]["h_stat"] - h) < 1e-6
+        assert abs(out[g]["h_tie_corrected"] - h_corr) < 1e-5
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),    # custkey
+            st.integers(min_value=0, max_value=4),    # nation
+            st.integers(min_value=1, max_value=200),  # price
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_theil_decomposition_identity(spark, rows):
+    """Theil-T must satisfy its defining identity on arbitrary data:
+    total = between + sum(share_g * within_g), and total must equal the
+    directly-computed population Theil index of per-customer spend."""
+    import math
+    from collections import defaultdict
+
+    from hypothesis import assume
+
+    from quackio_jl_spark.registry import QUERIES
+
+    # distinct customers must map to one nation each
+    cust_nation = {}
+    ok = True
+    for c, n, _ in rows:
+        if c in cust_nation and cust_nation[c] != n:
+            ok = False
+        cust_nation[c] = n
+    assume(ok)
+
+    tmpdir = tempfile.mkdtemp(prefix="quackio_theil_")
+    import datetime
+
+    _write_parquet(
+        tmpdir,
+        "orders",
+        {
+            "o_custkey": [c for c, _, _ in rows],
+            "o_orderdate": [datetime.datetime(2024, 1, 1)] * len(rows),
+            "o_totalprice": [float(p) for _, _, p in rows],
+        },
+    )
+    _write_parquet(
+        tmpdir,
+        "customer",
+        {
+            "c_custkey": list(cust_nation),
+            "c_nationkey": [cust_nation[c] for c in cust_nation],
+        },
+    )
+    nations = sorted({n for n in cust_nation.values()})
+    _write_parquet(
+        tmpdir,
+        "nation",
+        {"n_nationkey": nations, "n_name": [f"N{n}" for n in nations]},
+    )
+    out = QUERIES["theil_index_nation_spend"](spark, tmpdir).collect()
+
+    spend = defaultdict(float)
+    for c, _, p in rows:
+        spend[c] += float(p)
+    xs = list(spend.values())
+    mu = sum(xs) / len(xs)
+    t_direct = sum((x / mu) * math.log(x / mu) for x in xs) / len(xs)
+
+    total_from_parts = sum(
+        r["between_contrib"] + r["income_share"] * r["theil_within"]
+        for r in out
+    )
+    assert out, "no rows"
+    assert abs(out[0]["theil_total"] - t_direct) < 1e-5
+    assert abs(total_from_parts - t_direct) < 1e-5
