@@ -6453,3 +6453,131 @@ def events_daily_peaks(spark, sf_dir):
             (F.col("y") - nmax).cast("bigint").alias("prominence"),
         )
     )
+
+
+# --------------------------------------------- perfect-order rate
+
+PERFECT_MAX_DELAY_DAYS = 60
+
+
+@query(
+    "orders_perfect_order_rate",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey,
+        MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS any_return,
+        MAX(date_diff('day', o_orderdate, l_shipdate)) AS worst_delay
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_orderkey
+    ),
+    o AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        CASE WHEN any_return = 0
+              AND worst_delay <= {PERFECT_MAX_DELAY_DAYS}
+             THEN 1 ELSE 0 END AS perfect
+      FROM orders JOIN li ON l_orderkey = o_orderkey
+    )
+    SELECT month, COUNT(*)::BIGINT AS n_orders,
+      SUM(perfect)::BIGINT AS n_perfect,
+      round(CAST(SUM(perfect) AS DOUBLE) / COUNT(*), 8) AS perfect_rate
+    FROM o GROUP BY month
+    """,
+)
+def orders_perfect_order_rate(spark, sf_dir):
+    """Perfect-order rate per month: orders with NO returned line items
+    AND every line shipped within {PERFECT_MAX_DELAY_DAYS} days — the
+    composite fulfillment KPI (a line-level AND across the whole
+    order, which is why it needs the per-order rollup and cannot be
+    averaged from line-level rates). Companion to
+    orders_ship_aging_buckets (latency detail) and supplier_scorecard
+    (return detail).
+
+    One fact-to-orders equi-join on the natural orderkey, a per-order
+    MAX rollup of the two defect flags, and a monthly count — exact
+    integers until the final rate division."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    li = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.max((F.col("l_returnflag") == "R").cast("int")).alias(
+                "any_return"
+            ),
+            F.max(F.datediff("l_shipdate", "o_orderdate")).alias(
+                "worst_delay"
+            ),
+        )
+    )
+    perfect = (
+        (F.col("any_return") == 0)
+        & (F.col("worst_delay") <= PERFECT_MAX_DELAY_DAYS)
+    ).cast("int")
+    oo = o.join(li, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        perfect.alias("perfect"),
+    )
+    return oo.groupBy("month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("perfect").cast("bigint").alias("n_perfect"),
+        F.round(
+            F.sum("perfect").cast("double") / F.count(F.lit(1)), 8
+        ).alias("perfect_rate"),
+    )
+
+
+# --------------------------------------------- single-source risk
+
+
+@query(
+    "part_single_source_risk",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS pk,
+        COUNT(DISTINCT l_suppkey)::BIGINT AS n_suppliers,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(rev AS DECIMAL(28,6))) AS DOUBLE) AS tr FROM ps
+    )
+    SELECT n_suppliers AS supplier_count,
+      COUNT(*)::BIGINT AS n_parts,
+      round(CAST(SUM(CAST(rev AS DECIMAL(28,6))) AS DOUBLE) / MAX(tr), 8)
+        AS revenue_share
+    FROM ps CROSS JOIN tot
+    GROUP BY 1
+    """,
+)
+def part_single_source_risk(spark, sf_dir):
+    """Supply-concentration risk report: the distribution of parts by
+    how many distinct suppliers actually shipped them
+    with the revenue share riding on each level — the "how much of
+    our revenue dies with one supplier?" histogram that
+    parttype_supplier_hhi summarizes per type and this makes
+    actionable at the sourcing-policy level (the mass at count 1-2 is
+    the risk register).
+
+    One partkey aggregate with a COUNT(DISTINCT suppkey) (partial
+    distinct aggregation — supplier sets per part are tiny), the
+    grand total broadcasts, and the rollup is bounded by the supplier
+    count."""
+    l = table(spark, sf_dir, "lineitem")
+    ps = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count_distinct("l_suppkey").cast("bigint").alias("n_suppliers"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("rev"),
+    )
+    tot = F.broadcast(
+        ps.agg(F.sum(F.col("rev").cast(DEC)).cast("double").alias("tr"))
+    )
+    return (
+        ps.crossJoin(tot)
+        .groupBy(F.col("n_suppliers").alias("supplier_count"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(
+                F.sum(F.col("rev").cast(DEC)).cast("double") / F.max("tr"),
+                8,
+            ).alias("revenue_share"),
+        )
+    )
