@@ -3113,3 +3113,116 @@ def source_characteristic_terms(spark, sf_dir):
             "llr",
         )
     )
+
+
+# ------------------------------------- Kneser-Ney bigram LM scoring
+
+KN_DISCOUNT = 0.75
+
+
+@query(
+    "bigram_lm_kneser_ney_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2,
+        t[i+1] || ' ' || t[i+2] AS bigram
+      FROM toks, UNNEST(range(len(t) - 1)) AS u(i)
+    ),
+    bgc AS (SELECT bigram, COUNT(*)::BIGINT AS cb FROM bg GROUP BY bigram),
+    ugc AS (
+      SELECT w1, COUNT(*)::BIGINT AS cu,
+        COUNT(DISTINCT w2)::BIGINT AS n1f
+      FROM bg GROUP BY w1
+    ),
+    bwc AS (
+      SELECT w2, COUNT(DISTINCT w1)::BIGINT AS n1b FROM bg GROUP BY w2
+    ),
+    nt AS (SELECT COUNT(*)::BIGINT AS n_types FROM bgc),
+    scored AS (
+      SELECT doc_id,
+        GREATEST(cb - {KN_DISCOUNT}, 0) / cu
+          + {KN_DISCOUNT} * n1f / cu
+            * (CAST(n1b AS DOUBLE) / n_types) AS p
+      FROM bg JOIN bgc USING (bigram) JOIN ugc USING (w1)
+        JOIN bwc USING (w2) CROSS JOIN nt
+    )
+    SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+      round(CAST(SUM(CAST(round(ln(p), 10) AS DECIMAL(38,12))) AS DOUBLE)
+        / COUNT(*), 8) AS avg_logprob_kn
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bigram_lm_kneser_ney_score(spark, sf_dir):
+    """Kneser-Ney-smoothed bigram LM document scoring — the serious
+    upgrade over bigram_lm_doc_score's add-one smoothing: absolute
+    discounting (d={KN_DISCOUNT}) with the CONTINUATION-probability
+    backoff P_cont(w) = distinct-left-contexts(w)/bigram-types, the
+    insight that made KN the standard n-gram smoother ("Francisco" is
+    frequent but only ever follows "San", so its backoff mass should
+    be tiny). Tail documents under this score are gibberish or
+    boilerplate with higher precision than the add-one model.
+
+    Four count aggregates off one bigram explode (bigram, left
+    context + distinct-following, distinct-preceding, type count);
+    all counts exact integers, the per-bigram probability is one
+    closed-form expression evaluated identically in both engines, and
+    per-doc averages use the round-then-decimal-sum recipe so row
+    order never shifts a bit."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.element_at("t", i + 1).alias("w1"),
+                    F.element_at("t", i + 2).alias("w2"),
+                    F.concat_ws(" ", F.slice("t", i + 1, 2)).alias(
+                        "bigram"
+                    ),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2", "p.bigram")
+    bgc = bg.groupBy("bigram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cb")
+    )
+    ugc = bg.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cu"),
+        F.count_distinct("w2").cast("bigint").alias("n1f"),
+    )
+    bwc = bg.groupBy("w2").agg(
+        F.count_distinct("w1").cast("bigint").alias("n1b")
+    )
+    nt = bgc.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    p = (
+        F.greatest(F.col("cb") - KN_DISCOUNT, F.lit(0)) / F.col("cu")
+        + KN_DISCOUNT
+        * F.col("n1f")
+        / F.col("cu")
+        * (F.col("n1b").cast("double") / F.col("n_types"))
+    )
+    scored = (
+        bg.join(F.broadcast(bgc), "bigram")
+        .join(F.broadcast(ugc), "w1")
+        .join(F.broadcast(bwc), "w2")
+        .crossJoin(F.broadcast(nt))
+        .select("doc_id", p.alias("p"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum(F.round(F.log("p"), 10).cast("decimal(38,12)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            8,
+        ).alias("avg_logprob_kn"),
+    )
