@@ -271,3 +271,129 @@ def multimodal_vit_patch_budget(spark, sf_dir):
         F.max("p").cast("int").alias("max_patches"),
         F.round(F.sum("p").cast("double") / F.count(F.lit(1)), 8).alias("avg_patches"),
     )
+
+
+# --------------------------------- payload fingerprint dedup groups
+
+FP_PREFIX_BYTES = 64
+
+
+@query(
+    "multimodal_prefix_fingerprint_groups",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+        md5(substr(text, 1, {FP_PREFIX_BYTES})) AS prefix_hash,
+        md5(text) AS full_hash
+      FROM documents
+    )
+    SELECT prefix_hash, COUNT(*)::BIGINT AS n_payloads,
+      MIN(doc_id) AS canonical_doc_id,
+      (COUNT(DISTINCT full_hash) = 1) AS byte_identical
+    FROM m GROUP BY prefix_hash
+    HAVING COUNT(*) > 1
+    """,
+)
+def multimodal_prefix_fingerprint_groups(spark, sf_dir):
+    """Lead-chunk fingerprint grouping on BINARY payloads: md5 of the
+    first {FP_PREFIX_BYTES} bytes clusters payloads sharing a header/
+    lead segment (re-encoded copies, same-source crops, truncated
+    re-uploads), with a `byte_identical` flag from the full-payload
+    hash saying whether each group is an exact-dup set or only a
+    shared-prefix candidate needing byte-range verify. This is the
+    multimodal analogue of the text side's shingle prefix filters:
+    hash a cheap slice first, verify bytes only inside groups.
+
+    Both hashes are computed JVM-side on the binary column; the
+    shuffle carries 16-byte digests, never payloads. (The synthetic
+    payload is the utf-8 bytes of ascii text, so DuckDB's substr over
+    characters sees the same byte slice.)"""
+    m = documents_as_media(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.expr(f"substring(payload, 1, {FP_PREFIX_BYTES})")).alias(
+            "prefix_hash"
+        ),
+        F.md5("payload").alias("full_hash"),
+    )
+    return (
+        m.groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_payloads"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            (F.count_distinct("full_hash") == 1).alias("byte_identical"),
+        )
+        .filter(F.col("n_payloads") > 1)
+    )
+
+
+# --------------------------------------------- storage-planning report
+
+
+@query(
+    "multimodal_storage_report",
+    oracle="""
+    WITH m AS (
+      SELECT
+        CASE WHEN doc_id % 3 = 0 THEN 'image'
+             WHEN doc_id % 3 = 1 THEN 'audio'
+             ELSE 'video' END AS media_type,
+        strlen(text)::BIGINT AS n_bytes
+      FROM documents
+    ),
+    t AS (SELECT SUM(n_bytes)::BIGINT AS tb FROM m),
+    g AS (
+      SELECT media_type, COUNT(*)::BIGINT AS n_items,
+        SUM(n_bytes)::BIGINT AS total_bytes,
+        MAX(n_bytes)::BIGINT AS max_bytes,
+        list_sort(list(n_bytes)) AS bs
+      FROM m GROUP BY media_type
+    )
+    SELECT media_type, n_items, total_bytes,
+      round(CAST(total_bytes AS DOUBLE) / n_items, 4) AS mean_bytes,
+      bs[CAST(ceil(n_items * 0.5) AS BIGINT)] AS p50_bytes,
+      bs[CAST(ceil(n_items * 0.99) AS BIGINT)] AS p99_bytes,
+      max_bytes,
+      round(CAST(total_bytes AS DOUBLE) / tb, 8) AS byte_share
+    FROM g CROSS JOIN t
+    """,
+)
+def multimodal_storage_report(spark, sf_dir):
+    """Storage-planning report per modality: item counts, total/mean/
+    exact-p50/p99/max payload bytes and each modality's share of
+    corpus bytes — the numbers that size shard bytes
+    (webdataset_shard_manifest), pick `maxPartitionBytes`, and decide
+    which modality pays for a dedicated store. n_bytes is metadata
+    (octet_length), so the report never deserializes a payload; the
+    exact per-modality percentiles use the bounded-group sorted-array
+    recipe (3 modalities; at petabyte counts switch the percentile to
+    the distinct-value prefix-sum kernel)."""
+    m = documents_as_media(spark, sf_dir)
+    t = F.broadcast(
+        m.agg(F.sum("n_bytes").cast("bigint").alias("tb"))
+    )
+    g = m.groupBy("media_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.max("n_bytes").cast("bigint").alias("max_bytes"),
+        F.sort_array(F.collect_list(F.col("n_bytes").cast("bigint"))).alias(
+            "bs"
+        ),
+    )
+    return g.crossJoin(t).select(
+        "media_type",
+        "n_items",
+        "total_bytes",
+        F.round(
+            F.col("total_bytes").cast("double") / F.col("n_items"), 4
+        ).alias("mean_bytes"),
+        F.element_at(
+            "bs", F.ceil(F.col("n_items") * 0.5).cast("int")
+        ).alias("p50_bytes"),
+        F.element_at(
+            "bs", F.ceil(F.col("n_items") * 0.99).cast("int")
+        ).alias("p99_bytes"),
+        "max_bytes",
+        F.round(
+            F.col("total_bytes").cast("double") / F.col("tb"), 8
+        ).alias("byte_share"),
+    )
