@@ -6581,3 +6581,319 @@ def part_single_source_risk(spark, sf_dir):
             ).alias("revenue_share"),
         )
     )
+
+
+# --------------------------------------------- CUPED adjustment
+
+
+@query(
+    "ab_test_cuped_adjustment",
+    oracle="""
+    WITH rng AS (
+      SELECT CAST(MIN(ts) AS DATE)
+        + CAST(floor(datediff('day', MIN(ts), MAX(ts)) / 2) AS INTEGER)
+          AS mid
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+        CAST(SUM(CASE WHEN CAST(ts AS DATE) <= mid
+          THEN CAST(value AS DECIMAL(28,6)) ELSE 0 END) AS DOUBLE) AS x,
+        CAST(SUM(CASE WHEN CAST(ts AS DATE) > mid
+          THEN CAST(value AS DECIMAL(28,6)) ELSE 0 END) AS DOUBLE) AS y
+      FROM events CROSS JOIN rng GROUP BY user_id
+    ),
+    mom AS (
+      SELECT COUNT(*)::BIGINT AS n,
+        CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+        CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(38,8))) AS DOUBLE) AS syy
+      FROM per_user
+    ),
+    th AS (
+      SELECT n, sx / n AS mx,
+        (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+        (syy - sy * sy / n) / (n - 1) AS var_y,
+        ((syy - sy * sy / n)
+          - pow(sxy - sx * sy / n, 2) / (sxx - sx * sx / n)) / (n - 1)
+          AS var_adj
+      FROM mom
+    ),
+    arms AS (
+      SELECT arm, COUNT(*)::BIGINT AS n_users,
+        CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS asy,
+        CAST(SUM(CAST(round(y - (x - mx) * theta, 6)
+          AS DECIMAL(38,8))) AS DOUBLE) AS adj
+      FROM per_user CROSS JOIN th GROUP BY arm
+    )
+    SELECT arm, n_users,
+      round(asy / n_users, 6) AS mean_raw,
+      round(adj / n_users, 6) AS mean_cuped,
+      round(theta, 8) AS theta,
+      round(1.0 - var_adj / var_y, 8) AS variance_reduction
+    FROM arms CROSS JOIN th
+    """,
+)
+def ab_test_cuped_adjustment(spark, sf_dir):
+    """CUPED (Controlled-experiment Using Pre-Experiment Data): adjust
+    each user's post-period metric by theta*(pre-period covariate -
+    its mean), theta = cov(x,y)/var(x) — the industry-standard
+    variance-reduction trick that shrinks A/B confidence intervals
+    without touching the treatment effect (Deng et al., WSDM'13).
+    Reports raw vs adjusted arm means, theta, and the achieved
+    variance reduction (= the squared pre/post correlation); arms are
+    the same hash assignment ab_sample_ratio_mismatch audits.
+
+    One per-user aggregate splits each user's value stream at the
+    corpus midpoint into covariate x and metric y (decimal-exact);
+    theta and the variances come from one 6-number moment rollup that
+    broadcasts back onto the bounded per-user table."""
+    e = table(spark, sf_dir, "events")
+    rng = F.broadcast(
+        e.agg(
+            F.date_add(
+                F.to_date(F.min("ts")),
+                F.floor(F.datediff(F.max("ts"), F.min("ts")) / 2).cast(
+                    "int"
+                ),
+            ).alias("mid")
+        )
+    )
+    per_user = (
+        e.crossJoin(rng)
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.to_date("ts") <= F.col("mid"),
+                    F.col("value").cast(DEC),
+                ).otherwise(F.lit(0).cast(DEC))
+            )
+            .cast("double")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    F.to_date("ts") > F.col("mid"),
+                    F.col("value").cast(DEC),
+                ).otherwise(F.lit(0).cast(DEC))
+            )
+            .cast("double")
+            .alias("y"),
+        )
+        .withColumn("arm", F.col("user_id") % 2)
+    )
+    D8 = "decimal(38,8)"
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast(D8))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast(D8))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("y") * F.col("y"), 6).cast(D8))
+        .cast("double")
+        .alias("syy"),
+    )
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    th = F.broadcast(
+        mom.select(
+            "n",
+            (F.col("sx") / F.col("n")).alias("mx"),
+            (cxy / cxx).alias("theta"),
+            (cyy / (F.col("n") - 1)).alias("var_y"),
+            ((cyy - F.pow(cxy, 2) / cxx) / (F.col("n") - 1)).alias(
+                "var_adj"
+            ),
+        )
+    )
+    arms = (
+        per_user.crossJoin(th)
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(F.col("y").cast(DEC)).cast("double").alias("asy"),
+            F.sum(
+                F.round(
+                    F.col("y") - (F.col("x") - F.col("mx")) * F.col("theta"),
+                    6,
+                ).cast(D8)
+            )
+            .cast("double")
+            .alias("adj"),
+        )
+    )
+    return arms.crossJoin(th).select(
+        "arm",
+        "n_users",
+        F.round(F.col("asy") / F.col("n_users"), 6).alias("mean_raw"),
+        F.round(F.col("adj") / F.col("n_users"), 6).alias("mean_cuped"),
+        F.round("theta", 8).alias("theta"),
+        F.round(1.0 - F.col("var_adj") / F.col("var_y"), 8).alias(
+            "variance_reduction"
+        ),
+    )
+
+
+# --------------------------------------------- log-rank test
+
+
+@query(
+    "survival_logrank_by_segment",
+    oracle=f"""
+    WITH life AS (
+      SELECT o_custkey,
+        datediff('day', MIN(o_orderdate), MAX(o_orderdate)) AS dur,
+        MAX(o_orderdate) AS last_d
+      FROM orders GROUP BY o_custkey
+    ),
+    mx AS (SELECT MAX(o_orderdate) AS m FROM orders),
+    obs AS (
+      SELECT c_mktsegment AS seg, dur,
+        CASE WHEN datediff('day', last_d, m) <= {{C}}
+          THEN 0 ELSE 1 END AS event
+      FROM life CROSS JOIN mx
+      JOIN customer ON o_custkey = c_custkey
+    ),
+    gt AS (
+      SELECT seg, dur, SUM(event)::BIGINT AS d,
+        COUNT(*)::BIGINT AS leave
+      FROM obs GROUP BY seg, dur
+    ),
+    ng AS (SELECT seg, SUM(leave)::BIGINT AS n_g FROM gt GROUP BY seg),
+    riskg AS (
+      SELECT gt.seg, dur, d,
+        n_g - COALESCE(SUM(leave) OVER (PARTITION BY gt.seg ORDER BY dur
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nr_g
+      FROM gt JOIN ng ON ng.seg = gt.seg
+    ),
+    riskt AS (
+      SELECT dur, SUM(d) AS dt, SUM(nr_g) AS nt
+      FROM riskg GROUP BY dur HAVING SUM(d) > 0
+    ),
+    contrib AS (
+      SELECT riskg.seg,
+        SUM(riskg.d)::BIGINT AS observed,
+        CAST(SUM(CAST(round(riskt.dt * riskg.nr_g
+          / CAST(riskt.nt AS DOUBLE), 10) AS DECIMAL(38,12)))
+          AS DOUBLE) AS expected
+      FROM riskg JOIN riskt ON riskt.dur = riskg.dur
+      GROUP BY riskg.seg
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(round(
+          pow(observed - expected, 2) / expected, 10) AS DECIMAL(38,12)))
+        AS DOUBLE) AS chi2
+      FROM contrib
+    )
+    SELECT c.seg AS segment, n_g AS n_customers, observed,
+      round(expected, 6) AS expected,
+      round(pow(observed - expected, 2) / expected, 8) AS chi2_contrib,
+      round(chi2, 8) AS chi2_approx
+    FROM contrib c JOIN ng ON ng.seg = c.seg CROSS JOIN tot
+    """.replace("{C}", str(KM_CENSOR_DAYS)),
+)
+def survival_logrank_by_segment(spark, sf_dir):
+    """Log-rank comparison of customer-lifetime survival across market
+    segments: per-segment observed vs expected event counts under the
+    pooled-hazard null (E_g = sum_t d_t * n_gt / n_t) and the
+    conservative chi-square approximation sum (O-E)^2/E — the
+    "do these cohorts actually churn differently?" test that the
+    per-curve customer_survival_km cannot answer by eyeballing.
+
+    The per-(segment, duration) aggregate is bounded (segments x
+    distinct durations); per-segment risk sets come from partitioned
+    prefix windows over that table; event-time terms are rounded then
+    decimal-summed. Same censoring rule as the KM/Nelson-Aalen ops."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    life = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("dur"),
+        F.max("o_orderdate").alias("last_d"),
+    )
+    mx = F.broadcast(o.agg(F.max("o_orderdate").alias("m")))
+    obs = (
+        life.crossJoin(mx)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            "dur",
+            F.when(F.datediff("m", "last_d") <= KM_CENSOR_DAYS, 0)
+            .otherwise(1)
+            .alias("event"),
+        )
+    )
+    gt = obs.groupBy("seg", "dur").agg(
+        F.sum("event").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("leave"),
+    )
+    ng = gt.groupBy("seg").agg(F.sum("leave").cast("bigint").alias("n_g"))
+    w_prev = (
+        W.partitionBy("seg")
+        .orderBy("dur")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    riskg = gt.join(F.broadcast(ng), "seg").select(
+        "seg",
+        "dur",
+        "d",
+        (
+            F.col("n_g")
+            - F.coalesce(F.sum("leave").over(w_prev), F.lit(0))
+        ).alias("nr_g"),
+    )
+    riskt = (
+        riskg.groupBy("dur")
+        .agg(F.sum("d").alias("dt"), F.sum("nr_g").alias("nt"))
+        .filter(F.col("dt") > 0)
+    )
+    contrib = (
+        riskg.join(F.broadcast(riskt), "dur")
+        .groupBy("seg")
+        .agg(
+            F.sum("d").cast("bigint").alias("observed"),
+            F.sum(
+                F.round(
+                    F.col("dt") * F.col("nr_g") / F.col("nt").cast("double"),
+                    10,
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("expected"),
+        )
+    )
+    tot = F.broadcast(
+        contrib.agg(
+            F.sum(
+                F.round(
+                    F.pow(F.col("observed") - F.col("expected"), 2)
+                    / F.col("expected"),
+                    10,
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("chi2")
+        )
+    )
+    return (
+        contrib.join(F.broadcast(ng), "seg")
+        .crossJoin(tot)
+        .select(
+            F.col("seg").alias("segment"),
+            F.col("n_g").alias("n_customers"),
+            "observed",
+            F.round("expected", 6).alias("expected"),
+            F.round(
+                F.pow(F.col("observed") - F.col("expected"), 2)
+                / F.col("expected"),
+                8,
+            ).alias("chi2_contrib"),
+            F.round("chi2", 8).alias("chi2_approx"),
+        )
+    )
