@@ -6897,3 +6897,174 @@ def survival_logrank_by_segment(spark, sf_dir):
             F.round("chi2", 8).alias("chi2_approx"),
         )
     )
+
+
+# --------------------------------------------- two-proportion z-test
+
+PROP_MIN_PURCHASES = 14
+
+
+@query(
+    "ab_test_proportion_z",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS arm,
+        CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          >= {PROP_MIN_PURCHASES} THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT arm, COUNT(*)::BIGINT AS n, SUM(converted)::BIGINT AS x
+      FROM u GROUP BY arm
+    ),
+    w AS (
+      SELECT arm, n, x, CAST(x AS DOUBLE) / n AS p,
+        (CAST(x AS DOUBLE) / n + {MEDIAN_CI_Z} * {MEDIAN_CI_Z} / (2 * n))
+          / (1 + {MEDIAN_CI_Z} * {MEDIAN_CI_Z} / n) AS wc,
+        {MEDIAN_CI_Z} / (1 + {MEDIAN_CI_Z} * {MEDIAN_CI_Z} / n)
+          * sqrt(CAST(x AS DOUBLE) / n * (1 - CAST(x AS DOUBLE) / n) / n
+            + {MEDIAN_CI_Z} * {MEDIAN_CI_Z} / (4.0 * n * n)) AS wh
+      FROM arms
+    ),
+    z AS (
+      SELECT
+        (MAX(CASE WHEN arm = 1 THEN p END)
+         - MAX(CASE WHEN arm = 0 THEN p END))
+        / sqrt(CAST(SUM(x) AS DOUBLE) / SUM(n)
+          * (1 - CAST(SUM(x) AS DOUBLE) / SUM(n))
+          * (1.0 / MAX(CASE WHEN arm = 0 THEN n END)
+             + 1.0 / MAX(CASE WHEN arm = 1 THEN n END))) AS zstat
+      FROM w
+    )
+    SELECT arm, n AS n_users, x AS n_converted,
+      round(p, 8) AS conversion_rate,
+      round(wc - wh, 8) AS wilson_lo,
+      round(wc + wh, 8) AS wilson_hi,
+      round(zstat, 8) AS z_score
+    FROM w CROSS JOIN z
+    """,
+)
+def ab_test_proportion_z(spark, sf_dir):
+    """Two-proportion z-test on user-level conversion (>=
+    {PROP_MIN_PURCHASES} purchases — a frequent-buyer flag, since
+    everyone in this corpus buys at least once) between the
+    hash-assigned arms, with a Wilson
+    score interval per arm — the binary-outcome member of the A/B
+    family (Welch handles continuous metrics, this handles rates; the
+    Wilson CI stays inside [0,1] and behaves at small counts where
+    the naive Wald interval collapses).
+
+    One per-user MAX collapses events to a conversion flag (so heavy
+    users don't overweight the rate), a 2-row arm aggregate, and
+    closed-form z from pooled variance — exact integers until the
+    final divisions."""
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            >= PROP_MIN_PURCHASES
+        )
+        .cast("int")
+        .alias("converted")
+    ).withColumn("arm", F.col("user_id") % 2)
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("x"),
+    )
+    z = MEDIAN_CI_Z
+    p = F.col("x").cast("double") / F.col("n")
+    wc = (p + z * z / (2 * F.col("n"))) / (1 + z * z / F.col("n"))
+    wh = (
+        z
+        / (1 + z * z / F.col("n"))
+        * F.sqrt(
+            p * (1 - p) / F.col("n")
+            + z * z / (4.0 * F.col("n") * F.col("n"))
+        )
+    )
+    w = arms.select(
+        "arm", "n", "x", p.alias("p"), wc.alias("wc"), wh.alias("wh")
+    )
+    pp = F.sum("x").cast("double") / F.sum("n")
+    zstat = (
+        F.max(F.when(F.col("arm") == 1, F.col("p")))
+        - F.max(F.when(F.col("arm") == 0, F.col("p")))
+    ) / F.sqrt(
+        pp
+        * (1 - pp)
+        * (
+            1.0 / F.max(F.when(F.col("arm") == 0, F.col("n")))
+            + 1.0 / F.max(F.when(F.col("arm") == 1, F.col("n")))
+        )
+    )
+    zt = F.broadcast(w.agg(zstat.alias("zstat")))
+    return w.crossJoin(zt).select(
+        "arm",
+        F.col("n").alias("n_users"),
+        F.col("x").alias("n_converted"),
+        F.round("p", 8).alias("conversion_rate"),
+        F.round(F.col("wc") - F.col("wh"), 8).alias("wilson_lo"),
+        F.round(F.col("wc") + F.col("wh"), 8).alias("wilson_hi"),
+        F.round("zstat", 8).alias("z_score"),
+    )
+
+
+# --------------------------------------------- overdispersion test
+
+
+@query(
+    "events_overdispersion_test",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*)::BIGINT AS y
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT COUNT(*)::BIGINT AS n, SUM(y) AS sy, SUM(y * y) AS syy
+      FROM hourly
+    )
+    SELECT CAST(n AS BIGINT) AS n_hours,
+      round(CAST(sy AS DOUBLE) / n, 6) AS mean_per_hour,
+      round((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+        / (n - 1), 6) AS variance,
+      round(((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1))
+        / (CAST(sy AS DOUBLE) / n), 8) AS dispersion_index,
+      round((n - 1)
+        * (((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1))
+           / (CAST(sy AS DOUBLE) / n)), 6) AS chi2_stat
+    FROM s
+    """,
+)
+def events_overdispersion_test(spark, sf_dir):
+    """Poisson overdispersion test on hourly arrival counts: the
+    dispersion index var/mean (1 under Poisson) and the chi-square
+    dispersion statistic (n-1)*D ~ chi2(n-1) under the null — the
+    capacity-planning sanity check that decides whether Poisson
+    queueing math applies to this traffic or bursts
+    (events_burstiness_by_type drills into which types) invalidate
+    it.
+
+    One hourly aggregate, then a single exact-integer moment rollup
+    (counts are integers, so sum and sum-of-squares are exact) — the
+    entire test is closed-form from three numbers."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    s = hourly.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    mean = F.col("sy").cast("double") / F.col("n")
+    var = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+    ) / (F.col("n") - 1)
+    return s.select(
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.round(mean, 6).alias("mean_per_hour"),
+        F.round(var, 6).alias("variance"),
+        F.round(var / mean, 8).alias("dispersion_index"),
+        F.round((F.col("n") - 1) * (var / mean), 6).alias("chi2_stat"),
+    )
