@@ -397,3 +397,46 @@ def multimodal_storage_report(spark, sf_dir):
             F.col("total_bytes").cast("double") / F.col("tb"), 8
         ).alias("byte_share"),
     )
+
+
+# ------------------------------------- compressibility quality signal
+
+COMPRESS_SCHEMA = "doc_id bigint, n_bytes int, n_compressed int, ratio double"
+
+
+@query("text_compressibility_ratio")  # rows-only: zlib has no SQL oracle
+def text_compressibility_ratio(spark, sf_dir):
+    """Per-document zlib compressibility: compressed_size/raw_size as a
+    quality signal — highly repetitive or templated text compresses far
+    below ~0.6, while natural prose sits higher; it is the cheapest
+    "is this document mostly one pattern?" detector and a standard
+    pretraining filter alongside text_repetition_signals (which counts
+    specific repeat shapes; this one integrates them all). No SQL
+    oracle exists for zlib, so the driver records a rows-only check;
+    the VALUE contract is pinned by tests/test_operators.py
+    (monotonicity: repeated text < shuffled-vocab text, ratio bounds,
+    and exact zlib agreement on a fixture).
+
+    Spark shape: mapInPandas over Arrow batches (the same
+    vectorized-Python lane as the media decoders — zlib releases the
+    GIL, so executor threads overlap), map-side only, no shuffle; the
+    payload column never leaves the executor."""
+    m = documents_as_media(spark, sf_dir).select(
+        "doc_id", "payload", "n_bytes"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            comp = b["payload"].map(
+                lambda p: len(zlib.compress(bytes(p), 6))
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "n_bytes": b["n_bytes"],
+                    "n_compressed": comp,
+                    "ratio": (comp / b["n_bytes"]).round(8),
+                }
+            )
+
+    return m.mapInPandas(op, COMPRESS_SCHEMA)

@@ -1196,3 +1196,33 @@ def test_cumulative_users_stream_matches_batch(tmp_path, spark):
     s = {str(r["day"]): (r["new_users"], r["cum_users"]) for r in stream_res.collect()}
     b = {str(r["day"]): (r["new_users"], r["cum_users"]) for r in batch_res.collect()}
     assert s == b and len(b) > 0
+
+
+def test_compressibility_ratio_contract(spark):
+    """Value contract for the rows-only zlib op: exact zlib agreement,
+    bounds, and repetitive < diverse ordering."""
+    import zlib
+
+    from quackio_jl_spark.registry import QUERIES
+
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["text_compressibility_ratio"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert out, "no rows"
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pylist()
+    byid = {r["doc_id"]: r["text"] for r in t}
+    for doc_id, row in list(out.items())[:25]:
+        raw = byid[doc_id].encode("utf-8")
+        assert row["n_bytes"] == len(raw)
+        assert row["n_compressed"] == len(zlib.compress(raw, 6))
+        assert 0 < row["ratio"] < 2
+    rep = ("spam " * 200).encode()
+    div = bytes(range(256)) * 4
+    assert len(zlib.compress(rep, 6)) / len(rep) < len(
+        zlib.compress(div, 6)
+    ) / len(div)
