@@ -150,3 +150,68 @@ def key_skew_report(spark, sf_dir):
             "rnk",
         )
     )
+
+
+# --------------------------------------------- salting plan
+
+SALT_TARGET_ROWS_PER_TASK = 50  # demo-scale; set to rows-per-reducer (1e6+) on a cluster
+
+
+@query(
+    "skew_salt_plan",
+    oracle=f"""
+    WITH kc AS MATERIALIZED (
+      SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY user_id
+    ),
+    med AS (
+      SELECT median(cnt) AS med_cnt, COUNT(*)::BIGINT AS n_keys FROM kc
+    )
+    SELECT user_id, cnt,
+      CAST(ceil(cnt / {SALT_TARGET_ROWS_PER_TASK}.0) AS BIGINT)
+        AS salt_factor,
+      round(cnt / CAST(ceil(cnt / {SALT_TARGET_ROWS_PER_TASK}.0) AS DOUBLE),
+        4) AS rows_per_salted_key,
+      round(cnt / med_cnt, 8) AS skew_vs_median
+    FROM kc CROSS JOIN med
+    WHERE cnt > {SALT_TARGET_ROWS_PER_TASK}
+    """,
+)
+def skew_salt_plan(spark, sf_dir):
+    """Actionable salting plan from the key-frequency table: every key
+    whose row count exceeds the {SALT_TARGET_ROWS_PER_TASK}-row
+    per-task target gets an explicit salt factor ceil(cnt/target) —
+    the number you feed to salted_join's salt column (hot key k
+    becomes k#0..k#(s-1), the small side replicates s ways). Keys
+    under the target keep salt_factor queries out of the plan
+    entirely; key_skew_report says WHETHER to salt, this says BY HOW
+    MUCH.
+
+    Same single partial-aggregated count-by-key; the exact median key
+    frequency (one typed percentile over the key table, not the row
+    table) broadcasts as the skew denominator."""
+    e = table(spark, sf_dir, "events")
+    kc = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    med = F.broadcast(
+        kc.agg(
+            F.percentile("cnt", 0.5).alias("med_cnt"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        )
+    )
+    salt = F.ceil(F.col("cnt") / float(SALT_TARGET_ROWS_PER_TASK)).cast(
+        "bigint"
+    )
+    return (
+        kc.crossJoin(med)
+        .filter(F.col("cnt") > SALT_TARGET_ROWS_PER_TASK)
+        .select(
+            "user_id",
+            "cnt",
+            salt.alias("salt_factor"),
+            F.round(F.col("cnt") / salt.cast("double"), 4).alias(
+                "rows_per_salted_key"
+            ),
+            F.round(F.col("cnt") / F.col("med_cnt"), 8).alias(
+                "skew_vs_median"
+            ),
+        )
+    )
