@@ -850,3 +850,129 @@ def quality_optimal_f1_threshold(spark, sf_dir):
         ),
         F.round("f1", 8).alias("f1"),
     )
+
+
+# --------------------------------------------- Brier decomposition
+
+
+@query(
+    "quality_brier_decomposition",
+    oracle=f"""
+    WITH {_SCORED_SQL},
+    rows_ AS (
+      SELECT quality_score AS p,
+        CASE WHEN scored.lang = 'en' THEN 1 ELSE 0 END AS y,
+        LEAST(CAST(floor(quality_score * 10) AS BIGINT), 9) AS bin
+      FROM scored
+    ),
+    bins AS (
+      SELECT bin, COUNT(*)::BIGINT AS n_k,
+        CAST(SUM(CAST(p AS DECIMAL(28,10))) AS DOUBLE) AS sp,
+        SUM(y)::BIGINT AS sy,
+        CAST(SUM(CAST(round((p - y) * (p - y), 10) AS DECIMAL(38,12)))
+          AS DOUBLE) AS sq
+      FROM rows_ GROUP BY bin
+    ),
+    tot AS (
+      SELECT SUM(n_k)::BIGINT AS n, CAST(SUM(sy) AS DOUBLE) / SUM(n_k)
+        AS ybar,
+        CAST(SUM(CAST(sq AS DECIMAL(38,12))) AS DOUBLE) AS sqsum
+      FROM bins
+    ),
+    terms AS (
+      SELECT
+        CAST(SUM(CAST(round(
+          n_k * pow(sp / n_k - CAST(sy AS DOUBLE) / n_k, 2), 10)
+          AS DECIMAL(38,12))) AS DOUBLE) AS rel_n,
+        CAST(SUM(CAST(round(
+          n_k * pow(CAST(sy AS DOUBLE) / n_k - ybar, 2), 10)
+          AS DECIMAL(38,12))) AS DOUBLE) AS res_n
+      FROM bins CROSS JOIN tot
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+      round(sqsum / n, 8) AS brier,
+      round(rel_n / n, 8) AS reliability,
+      round(res_n / n, 8) AS resolution,
+      round(ybar * (1 - ybar), 8) AS uncertainty,
+      round(sqsum / n - (rel_n / n - res_n / n + ybar * (1 - ybar)), 8)
+        AS within_bin_term
+    FROM tot CROSS JOIN terms
+    """,
+)
+def quality_brier_decomposition(spark, sf_dir):
+    """Murphy decomposition of the logistic quality model's Brier
+    score against the is-English label: Brier = reliability -
+    resolution + uncertainty (+ a within-bin variance term from
+    binning) over 10 fixed-width probability bins — the scoring-rule
+    audit that says WHY a probabilistic scorer is good or bad
+    (quality_calibration_bins draws the curve; this prices it:
+    low reliability = calibrated, high resolution = discriminative,
+    uncertainty = the label's intrinsic difficulty floor).
+
+    Same map-side logistic as quality_model_filter (shared expression
+    tree); one 10-bin aggregate with exact label counts and rounded-
+    decimal sums of p and (p-y)^2; every decomposition term is closed
+    form from the bin table."""
+    d = table(spark, sf_dir, "documents")
+    p = quality_score_col()
+    rows_ = d.select(
+        p.alias("p"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.least(F.floor(p * 10).cast("bigint"), F.lit(9).cast("bigint")).alias(
+            "bin"
+        ),
+    )
+    bins = rows_.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_k"),
+        F.sum(F.col("p").cast("decimal(28,10)")).cast("double").alias("sp"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(
+            F.round(
+                (F.col("p") - F.col("y")) * (F.col("p") - F.col("y")), 10
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("sq"),
+    )
+    tot = F.broadcast(
+        bins.agg(
+            F.sum("n_k").cast("bigint").alias("n"),
+            (F.sum("sy").cast("double") / F.sum("n_k")).alias("ybar"),
+            F.sum(F.col("sq").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("sqsum"),
+        )
+    )
+    rel_t = F.col("n_k") * F.pow(
+        F.col("sp") / F.col("n_k") - F.col("sy").cast("double") / F.col("n_k"),
+        2,
+    )
+    res_t = F.col("n_k") * F.pow(
+        F.col("sy").cast("double") / F.col("n_k") - F.col("ybar"), 2
+    )
+    terms = bins.crossJoin(tot).agg(
+        F.sum(F.round(rel_t, 10).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("rel_n"),
+        F.sum(F.round(res_t, 10).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("res_n"),
+    )
+    return tot.crossJoin(F.broadcast(terms)).select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(F.col("sqsum") / F.col("n"), 8).alias("brier"),
+        F.round(F.col("rel_n") / F.col("n"), 8).alias("reliability"),
+        F.round(F.col("res_n") / F.col("n"), 8).alias("resolution"),
+        F.round(F.col("ybar") * (1 - F.col("ybar")), 8).alias(
+            "uncertainty"
+        ),
+        F.round(
+            F.col("sqsum") / F.col("n")
+            - (
+                F.col("rel_n") / F.col("n")
+                - F.col("res_n") / F.col("n")
+                + F.col("ybar") * (1 - F.col("ybar"))
+            ),
+            8,
+        ).alias("within_bin_term"),
+    )
