@@ -489,3 +489,83 @@ def retrieval_ndcg_at_k(spark, sf_dir):
             "ql_score",
         )
     )
+
+
+# --------------------------------------------- ranker agreement
+
+
+@query(
+    "retrieval_ranker_agreement",
+    oracle=f"""
+    WITH bm AS (
+      SELECT doc_id,
+        ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r1
+      FROM ({_bm25_oracle()})
+    ),
+    ql AS (
+      SELECT doc_id,
+        ROW_NUMBER() OVER (ORDER BY ql_score DESC, doc_id) AS r2
+      FROM ({_ql_oracle()})
+    ),
+    j AS (SELECT bm.doc_id, r1, r2 FROM bm JOIN ql USING (doc_id)),
+    s AS (
+      SELECT COUNT(*)::BIGINT AS m,
+        SUM((r1 - r2) * (r1 - r2)) AS sd2
+      FROM j
+    )
+    SELECT {BM25_TOPK} AS k, m AS n_overlap,
+      round(m / ({2 * BM25_TOPK}.0 - m), 8) AS jaccard_at_k,
+      CASE WHEN m >= 2
+        THEN round(1.0 - 6.0 * sd2 / (m * (CAST(m AS DOUBLE) * m - 1.0)), 8)
+      END AS spearman_on_overlap
+    FROM s
+    """,
+)
+def retrieval_ranker_agreement(spark, sf_dir):
+    """Agreement report between the BM25 and query-likelihood rankers
+    over their top-{BM25_TOPK} lists: overlap count, Jaccard@k, and
+    Spearman rho on the shared documents' ranks — the diagnostic that
+    says whether retrieval_rrf_fusion is blending two genuinely
+    different opinions (low agreement -> fusion adds recall) or
+    re-ranking one opinion twice (high agreement -> fusion is noise).
+
+    Both rankings are k-row tables (TakeOrderedAndProject each); the
+    join, rank differences and rho are arithmetic on <= k exact
+    integers. Ranks are re-derived with an explicit (score desc,
+    doc_id) window so tie order is pinned in both engines."""
+    from pyspark.sql import Window as W
+
+    bm = bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("r1"),
+    )
+    ql = retrieval_query_likelihood(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("ql_score"), "doc_id"))
+        .alias("r2"),
+    )
+    j = bm.join(ql, "doc_id")
+    s = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(
+            (F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2"))
+        ).alias("sd2"),
+    )
+    md = F.col("m").cast("double")
+    return s.select(
+        F.lit(BM25_TOPK).alias("k"),
+        F.col("m").alias("n_overlap"),
+        F.round(F.col("m") / (2.0 * BM25_TOPK - F.col("m")), 8).alias(
+            "jaccard_at_k"
+        ),
+        F.when(
+            F.col("m") >= 2,
+            F.round(
+                1.0 - 6.0 * F.col("sd2") / (F.col("m") * (md * md - 1.0)),
+                8,
+            ),
+        ).alias("spearman_on_overlap"),
+    )

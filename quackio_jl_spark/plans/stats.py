@@ -7198,3 +7198,124 @@ def ab_test_effect_size_pack(spark, sf_dir):
             8,
         ).alias("common_language_es"),
     )
+
+
+# --------------------------------------------- Durbin-Watson
+
+
+@query(
+    "orders_daily_trend_durbin_watson",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS y
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t
+      FROM daily
+    ),
+    mom AS (
+      SELECT COUNT(*)::BIGINT AS n, SUM(t) AS st, SUM(t * t) AS stt,
+        CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(round(t * y, 4) AS DECIMAL(38,6))) AS DOUBLE) AS sty
+      FROM idx
+    ),
+    fit AS (
+      SELECT n,
+        (n * sty - st * sy) / (n * stt - st * st) AS slope,
+        (sy - (n * sty - st * sy) / (n * stt - st * st) * st) / n
+          AS intercept
+      FROM mom
+    ),
+    resid AS (
+      SELECT t, y - (intercept + slope * t) AS e,
+        LAG(y - (intercept + slope * t)) OVER (ORDER BY t) AS e_prev
+      FROM idx CROSS JOIN fit
+    ),
+    s AS (
+      SELECT
+        CAST(SUM(CAST(round(e * e, 4) AS DECIMAL(38,6))) AS DOUBLE) AS see,
+        CAST(SUM(CASE WHEN e_prev IS NULL THEN CAST(0 AS DECIMAL(38,6))
+          ELSE CAST(round((e - e_prev) * (e - e_prev), 4)
+            AS DECIMAL(38,6)) END) AS DOUBLE) AS sdd,
+        COUNT(*)::BIGINT AS n
+      FROM resid
+    )
+    SELECT n AS n_days, round(sdd / see, 8) AS durbin_watson,
+      round(1.0 - (sdd / see) / 2.0, 8) AS lag1_autocorr_approx
+    FROM s
+    """,
+)
+def orders_daily_trend_durbin_watson(spark, sf_dir):
+    """Durbin-Watson serial-correlation diagnostic on the residuals of
+    the daily-revenue linear trend: DW = sum(e_t - e_{t-1})^2 /
+    sum(e_t^2), ~2 under independence, <2 positive autocorrelation —
+    the econometrics check that says whether trend-line confidence
+    intervals (and every i.i.d.-assuming test on this series) are
+    trustworthy, complementing events_daily_autocorrelation (raw ACF,
+    no trend removal) and events_theil_sen_trend (robust slope).
+
+    The OLS fit is closed-form from four moment sums over the bounded
+    daily table; residuals and their lag difference ride one ordered
+    window; all sums are rounded-decimal (order-independent)."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("y")
+    )
+    idx = daily.select(
+        "y", F.row_number().over(W.orderBy("d")).cast("bigint").alias("t")
+    )
+    mom = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum(F.round(F.col("t") * F.col("y"), 4).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sty"),
+    )
+    slope = (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")) / (
+        F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    )
+    fit = F.broadcast(
+        mom.select(
+            "n",
+            slope.alias("slope"),
+            ((F.col("sy") - slope * F.col("st")) / F.col("n")).alias(
+                "intercept"
+            ),
+        )
+    )
+    e = F.col("y") - (F.col("intercept") + F.col("slope") * F.col("t"))
+    resid = idx.crossJoin(fit).select(
+        "t",
+        e.alias("e"),
+        F.lag(e).over(W.orderBy("t")).alias("e_prev"),
+    )
+    s = resid.agg(
+        F.sum(F.round(F.col("e") * F.col("e"), 4).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("see"),
+        F.sum(
+            F.when(
+                F.col("e_prev").isNull(), F.lit(0).cast("decimal(38,6)")
+            ).otherwise(
+                F.round(
+                    (F.col("e") - F.col("e_prev"))
+                    * (F.col("e") - F.col("e_prev")),
+                    4,
+                ).cast("decimal(38,6)")
+            )
+        )
+        .cast("double")
+        .alias("sdd"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("sdd") / F.col("see"), 8).alias("durbin_watson"),
+        F.round(1.0 - (F.col("sdd") / F.col("see")) / 2.0, 8).alias(
+            "lag1_autocorr_approx"
+        ),
+    )
