@@ -2682,3 +2682,91 @@ def embedding_cluster_validity(spark, sf_dir):
             F.round(F.col("rsum") / F.col("kk"), 8).alias("davies_bouldin"),
         )
     )
+
+
+# --------------------------------------------- IVF balance report
+
+
+@query(
+    "ann_ivf_balance_report",
+    oracle=f"""
+    WITH {_CENTVEC_SQL},
+    scored AS (
+      SELECT vec_id, cell, {_cosine_sql('embedding', 'cv')} AS cs,
+        ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY {_cosine_sql('embedding', 'cv')} DESC,
+                           cell) AS rn
+      FROM embeddings CROSS JOIN centvec
+    ),
+    sizes AS (
+      SELECT cell, COUNT(*)::BIGINT AS n FROM scored WHERE rn = 1
+      GROUP BY cell
+    ),
+    s AS (
+      SELECT COUNT(*)::BIGINT AS k, SUM(n)::BIGINT AS total,
+        MAX(n)::BIGINT AS max_n, MIN(n)::BIGINT AS min_n,
+        SUM(n * n) AS snn
+      FROM sizes
+    )
+    SELECT k AS n_cells, total AS n_vectors, min_n, max_n,
+      round(CAST(max_n AS DOUBLE) / (CAST(total AS DOUBLE) / k), 8)
+        AS imbalance_factor,
+      round(sqrt((CAST(snn AS DOUBLE) - CAST(total AS DOUBLE) * total / k)
+          / k) / (CAST(total AS DOUBLE) / k), 8) AS size_cv,
+      round(CAST(snn AS DOUBLE) / (CAST(total AS DOUBLE) * total), 8)
+        AS expected_probe_frac
+    FROM s
+    """,
+)
+def ann_ivf_balance_report(spark, sf_dir):
+    """IVF index balance diagnostics: cell-size min/max, the imbalance
+    factor max/mean, the size coefficient of variation, and the
+    expected fraction of the corpus scanned per query at nprobe=1
+    under cell-proportional query traffic (sum n_c^2 / N^2 — for a
+    perfectly balanced index this is 1/k; skewed cells push it toward
+    scanning the big cell every time). The partner of
+    ann_pq_code_entropy on the coarse-quantizer side: both tell you
+    when the index needs retraining before latency SLOs slip.
+
+    Reuses the broadcast-centroid assignment scan; everything after
+    is a k-row aggregate of exact integers."""
+    sizes = (
+        _assigned(spark, sf_dir)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    s = sizes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("total"),
+        F.max("n").cast("bigint").alias("max_n"),
+        F.min("n").cast("bigint").alias("min_n"),
+        F.sum(F.col("n") * F.col("n")).alias("snn"),
+    )
+    mean = F.col("total").cast("double") / F.col("k")
+    return s.select(
+        F.col("k").alias("n_cells"),
+        F.col("total").alias("n_vectors"),
+        "min_n",
+        "max_n",
+        F.round(F.col("max_n").cast("double") / mean, 8).alias(
+            "imbalance_factor"
+        ),
+        F.round(
+            F.sqrt(
+                (
+                    F.col("snn").cast("double")
+                    - F.col("total").cast("double")
+                    * F.col("total")
+                    / F.col("k")
+                )
+                / F.col("k")
+            )
+            / mean,
+            8,
+        ).alias("size_cv"),
+        F.round(
+            F.col("snn").cast("double")
+            / (F.col("total").cast("double") * F.col("total")),
+            8,
+        ).alias("expected_probe_frac"),
+    )
