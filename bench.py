@@ -94,6 +94,13 @@ EXTENDED = [
     "top_llr_collocations",
     "quality_gains_lift_table",
     "monthly_price_index_laspeyres",
+    "neardup_weighted_jaccard",
+    "retrieval_mmr_diversified",
+    "bigram_lm_kneser_ney_score",
+    "ab_test_cuped_adjustment",
+    "survival_logrank_by_segment",
+    "text_compressibility_ratio",
+    "ann_ivf_balance_report",
 ]
 
 
