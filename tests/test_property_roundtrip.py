@@ -455,8 +455,10 @@ def test_kruskal_wallis_matches_python(spark, rows):
     ranks = _avg_ranks(values)
     big_n = len(values)
     by_g = {g: [v for gg, v in rows if gg == g] for g in groups}
+    # engines round half-away-from-zero; Python's round() is banker's
     ssum = sum(
-        round(sum(ranks[v] for v in vs) ** 2 / len(vs), 4)
+        math.floor(sum(ranks[v] for v in vs) ** 2 / len(vs) * 1e4 + 0.5)
+        / 1e4
         for vs in by_g.values()
     )
     h = 12.0 / (big_n * (big_n + 1)) * ssum - 3.0 * (big_n + 1)
