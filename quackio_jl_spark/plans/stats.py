@@ -7439,3 +7439,244 @@ def orders_conformal_interval_by_priority(spark, sf_dir):
             F.col("n_covered").cast("double") / F.col("n_test"), 8
         ).alias("empirical_coverage"),
     )
+
+
+# --------------------------------------- stratified standardization
+
+
+@query(
+    "discount_effect_stratified",
+    oracle="""
+    WITH bd AS (
+      SELECT p_brand,
+        CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE)
+          / COUNT(*) AS avg_disc
+      FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand
+    ),
+    gd AS (
+      SELECT CAST(SUM(CAST(avg_disc AS DECIMAL(28,8))) AS DOUBLE)
+        / COUNT(*) AS g FROM bd
+    ),
+    rows_ AS (
+      SELECT CASE WHEN bd.avg_disc > gd.g THEN 1 ELSE 0 END AS treated,
+        CASE WHEN p_size <= 10 THEN 0 WHEN p_size <= 20 THEN 1
+             WHEN p_size <= 30 THEN 2 WHEN p_size <= 40 THEN 3
+             ELSE 4 END AS stratum,
+        l_quantity AS y
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      JOIN bd ON bd.p_brand = part.p_brand CROSS JOIN gd
+    ),
+    cells AS (
+      SELECT stratum, treated, COUNT(*)::BIGINT AS n,
+        CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS s
+      FROM rows_ GROUP BY stratum, treated
+    ),
+    strata AS (
+      SELECT stratum, SUM(n)::BIGINT AS n_s,
+        MAX(CASE WHEN treated = 1 THEN s / n END) AS y1,
+        MAX(CASE WHEN treated = 0 THEN s / n END) AS y0,
+        MAX(CASE WHEN treated = 1 THEN n END) AS n1,
+        MAX(CASE WHEN treated = 0 THEN n END) AS n0
+      FROM cells GROUP BY stratum
+    ),
+    tot AS (SELECT SUM(n_s)::BIGINT AS n FROM strata),
+    ate AS (
+      SELECT CAST(SUM(CAST(round(
+          (y1 - y0) * n_s, 6) AS DECIMAL(38,8))) AS DOUBLE)
+        / MAX(tot.n) AS adj_effect
+      FROM strata CROSS JOIN tot
+    )
+    SELECT stratum, n_s AS n_rows, CAST(n1 AS BIGINT) AS n_treated,
+      CAST(n0 AS BIGINT) AS n_control,
+      round(y1, 6) AS mean_treated, round(y0, 6) AS mean_control,
+      round(y1 - y0, 8) AS stratum_effect,
+      round(adj_effect, 8) AS standardized_effect
+    FROM strata CROSS JOIN ate
+    """,
+)
+def discount_effect_stratified(spark, sf_dir):
+    """Stratified standardization (the direct-adjustment causal
+    estimator): the treated-vs-control quantity gap within each
+    part-size stratum, averaged with population stratum weights —
+    the confounder-adjusted effect when treatment (high-discount
+    brand, as in discount_did_quantity) correlates with part size.
+    Per-stratum effects exposing effect heterogeneity ride along;
+    DiD adjusts for time-stable confounding, this for the measured
+    covariate — run both.
+
+    One brand classification broadcast onto a single corpus pass
+    binned into (stratum x treated) cells; the standardized effect is
+    a 5-term weighted decimal sum over the cell table."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    lp = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    bd = lp.groupBy("p_brand").agg(
+        (
+            F.sum(F.col("l_discount").cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_disc")
+    )
+    gd = F.broadcast(
+        bd.agg(
+            (
+                F.sum(F.col("avg_disc").cast("decimal(28,8)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("g")
+        )
+    )
+    stratum = (
+        F.when(F.col("p_size") <= 10, 0)
+        .when(F.col("p_size") <= 20, 1)
+        .when(F.col("p_size") <= 30, 2)
+        .when(F.col("p_size") <= 40, 3)
+        .otherwise(4)
+    )
+    rows_ = (
+        lp.join(F.broadcast(bd), "p_brand")
+        .crossJoin(gd)
+        .select(
+            (F.col("avg_disc") > F.col("g")).cast("int").alias("treated"),
+            stratum.alias("stratum"),
+            F.col("l_quantity").alias("y"),
+        )
+    )
+    cells = rows_.groupBy("stratum", "treated").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("s"),
+    )
+    strata = cells.groupBy("stratum").agg(
+        F.sum("n").cast("bigint").alias("n_s"),
+        F.max(
+            F.when(F.col("treated") == 1, F.col("s") / F.col("n"))
+        ).alias("y1"),
+        F.max(
+            F.when(F.col("treated") == 0, F.col("s") / F.col("n"))
+        ).alias("y0"),
+        F.max(F.when(F.col("treated") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("treated") == 0, F.col("n"))).alias("n0"),
+    )
+    tot = F.broadcast(strata.agg(F.sum("n_s").cast("bigint").alias("n")))
+    ate = F.broadcast(
+        strata.crossJoin(tot).agg(
+            (
+                F.sum(
+                    F.round(
+                        (F.col("y1") - F.col("y0")) * F.col("n_s"), 6
+                    ).cast("decimal(38,8)")
+                ).cast("double")
+                / F.max("n")
+            ).alias("adj_effect")
+        )
+    )
+    return strata.crossJoin(ate).select(
+        "stratum",
+        F.col("n_s").alias("n_rows"),
+        F.col("n1").cast("bigint").alias("n_treated"),
+        F.col("n0").cast("bigint").alias("n_control"),
+        F.round("y1", 6).alias("mean_treated"),
+        F.round("y0", 6).alias("mean_control"),
+        F.round(F.col("y1") - F.col("y0"), 8).alias("stratum_effect"),
+        F.round("adj_effect", 8).alias("standardized_effect"),
+    )
+
+
+# --------------------------------------- empirical-Bayes shrinkage
+
+
+@query(
+    "user_purchase_rate_shrunk",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, COUNT(*)::BIGINT AS n,
+        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+          AS x
+      FROM events GROUP BY user_id
+    ),
+    r AS (SELECT user_id, n, x, CAST(x AS DOUBLE) / n AS p FROM u),
+    mom AS (
+      SELECT COUNT(*)::BIGINT AS k,
+        CAST(SUM(CAST(round(p, 10) AS DECIMAL(28,12))) AS DOUBLE) AS sp,
+        CAST(SUM(CAST(round(p * p, 10) AS DECIMAL(28,12))) AS DOUBLE)
+          AS spp,
+        CAST(SUM(CAST(round(1.0 / n, 10) AS DECIMAL(28,12))) AS DOUBLE)
+          AS sinv
+      FROM r
+    ),
+    prior AS (
+      SELECT sp / k AS mu,
+        GREATEST(
+          ((spp - sp * sp / k) / (k - 1)
+            - (sp / k) * (1 - sp / k) * (sinv / k))
+          / NULLIF((sp / k) * (1 - sp / k) - ((spp - sp * sp / k) / (k - 1)
+            - (sp / k) * (1 - sp / k) * (sinv / k)), 0),
+          1.0) AS m
+      FROM mom
+    )
+    SELECT user_id, n AS n_events, x AS n_purchases,
+      round(p, 8) AS raw_rate,
+      round((x + m * mu) / (n + m), 8) AS shrunk_rate,
+      round(m * mu, 6) AS prior_alpha,
+      round(m * (1 - mu), 6) AS prior_beta
+    FROM r CROSS JOIN prior
+    """,
+)
+def user_purchase_rate_shrunk(spark, sf_dir):
+    """Empirical-Bayes shrunk per-user purchase rates: beta-binomial
+    method-of-moments fits the prior Beta(m*mu, m*(1-mu)) from the
+    observed rate distribution, then every user's rate shrinks to
+    (x + m*mu)/(n + m) — the fix for small-sample leaderboards where
+    a 1-for-2 user outranks a 40-for-100 user (same machinery as
+    baseball batting-average shrinkage). The prior strength m is
+    floored at 1 so a degenerate moment estimate never yields
+    anti-shrinkage.
+
+    One per-user count aggregate; the three prior moments are
+    rounded-decimal sums over the user table; the shrunk rate is one
+    map-side expression under the broadcast prior."""
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("bigint")
+        .alias("x"),
+    )
+    r = u.select(
+        "user_id", "n", "x", (F.col("x").cast("double") / F.col("n")).alias("p")
+    )
+    D12 = "decimal(28,12)"
+    mom = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.round("p", 10).cast(D12)).cast("double").alias("sp"),
+        F.sum(F.round(F.col("p") * F.col("p"), 10).cast(D12))
+        .cast("double")
+        .alias("spp"),
+        F.sum(F.round(1.0 / F.col("n"), 10).cast(D12))
+        .cast("double")
+        .alias("sinv"),
+    )
+    mu = F.col("sp") / F.col("k")
+    var_p = (F.col("spp") - F.col("sp") * F.col("sp") / F.col("k")) / (
+        F.col("k") - 1
+    )
+    noise = mu * (1 - mu) * (F.col("sinv") / F.col("k"))
+    signal = var_p - noise
+    m = F.greatest(
+        signal / F.nullif(mu * (1 - mu) - signal, F.lit(0.0)), F.lit(1.0)
+    )
+    prior = F.broadcast(mom.select(mu.alias("mu"), m.alias("m")))
+    return r.crossJoin(prior).select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.col("x").alias("n_purchases"),
+        F.round("p", 8).alias("raw_rate"),
+        F.round(
+            (F.col("x") + F.col("m") * F.col("mu")) / (F.col("n") + F.col("m")),
+            8,
+        ).alias("shrunk_rate"),
+        F.round(F.col("m") * F.col("mu"), 6).alias("prior_alpha"),
+        F.round(F.col("m") * (1 - F.col("mu")), 6).alias("prior_beta"),
+    )
