@@ -7680,3 +7680,114 @@ def user_purchase_rate_shrunk(spark, sf_dir):
         F.round(F.col("m") * F.col("mu"), 6).alias("prior_alpha"),
         F.round(F.col("m") * (1 - F.col("mu")), 6).alias("prior_beta"),
     )
+
+
+# --------------------------------------------- Weibull gap fit
+
+
+@query(
+    "events_gap_weibull_fit",
+    oracle="""
+    WITH seq AS (
+      SELECT CAST(ceil((epoch_us(ts) - epoch_us(lag(ts) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id))) / 1000000.0)
+        AS BIGINT) AS gap_s
+      FROM events
+    ),
+    v AS (
+      SELECT gap_s, COUNT(*)::BIGINT AS c FROM seq
+      WHERE gap_s IS NOT NULL AND gap_s > 0 GROUP BY gap_s
+    ),
+    tot AS (SELECT SUM(c)::BIGINT AS n FROM v),
+    surv AS (
+      SELECT gap_s,
+        1.0 - (SUM(c) OVER (ORDER BY gap_s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          / CAST(n AS DOUBLE)) AS s
+      FROM v CROSS JOIN tot
+    ),
+    pts AS (
+      SELECT round(ln(CAST(gap_s AS DOUBLE)), 10) AS lx,
+        round(ln(-ln(s)), 10) AS ly
+      FROM surv WHERE s > 0.001 AND s < 0.999
+    ),
+    mom AS (
+      SELECT COUNT(*)::BIGINT AS m,
+        CAST(SUM(CAST(lx AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(ly AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(round(lx * lx, 10) AS DECIMAL(28,12))) AS DOUBLE)
+          AS sxx,
+        CAST(SUM(CAST(round(lx * ly, 10) AS DECIMAL(28,12))) AS DOUBLE)
+          AS sxy
+      FROM pts
+    )
+    SELECT CAST(m AS BIGINT) AS n_grid_points,
+      round((m * sxy - sx * sy) / (m * sxx - sx * sx), 8)
+        AS weibull_shape,
+      round(exp(-((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx)
+        / m) / ((m * sxy - sx * sy) / (m * sxx - sx * sx))), 6)
+        AS weibull_scale_s
+    FROM mom
+    """,
+)
+def events_gap_weibull_fit(spark, sf_dir):
+    """Weibull fit of inter-event gap times via the linearized
+    survival regression: for Weibull, ln(-ln S(t)) = k*ln t - k*ln
+    lambda, so the OLS slope over the empirical survival curve IS the
+    shape k (k < 1 = bursty/heavy-tailed arrivals, k = 1 =
+    memoryless/exponential, k > 1 = regular) and the intercept gives
+    the scale — the distributional sequel to
+    events_overdispersion_test's scalar verdict.
+
+    Gaps collapse to integer-second distinct values (bounded), the
+    survival curve is one ordered cumulative over that table, tail
+    points (S outside [0.001, 0.999]) are trimmed before the
+    regression, and the four OLS moments are rounded-decimal sums."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.ceil(
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+            / 1000000.0
+        )
+        .cast("bigint")
+        .alias("gap_s")
+    )
+    v = (
+        seq.filter(F.col("gap_s").isNotNull() & (F.col("gap_s") > 0))
+        .groupBy("gap_s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = F.broadcast(v.agg(F.sum("c").cast("bigint").alias("n")))
+    w_run = W.orderBy("gap_s").rowsBetween(W.unboundedPreceding, 0)
+    surv = v.crossJoin(tot).select(
+        "gap_s",
+        (
+            1.0 - F.sum("c").over(w_run) / F.col("n").cast("double")
+        ).alias("s"),
+    )
+    pts = surv.filter((F.col("s") > 0.001) & (F.col("s") < 0.999)).select(
+        F.round(F.log(F.col("gap_s").cast("double")), 10).alias("lx"),
+        F.round(F.log(-F.log("s")), 10).alias("ly"),
+    )
+    D12 = "decimal(28,12)"
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(F.col("lx").cast(D12)).cast("double").alias("sx"),
+        F.sum(F.col("ly").cast(D12)).cast("double").alias("sy"),
+        F.sum(F.round(F.col("lx") * F.col("lx"), 10).cast(D12))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("lx") * F.col("ly"), 10).cast(D12))
+        .cast("double")
+        .alias("sxy"),
+    )
+    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("m")
+    return mom.select(
+        F.col("m").cast("bigint").alias("n_grid_points"),
+        F.round(slope, 8).alias("weibull_shape"),
+        F.round(F.exp(-intercept / slope), 6).alias("weibull_scale_s"),
+    )
