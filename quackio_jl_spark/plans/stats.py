@@ -7791,3 +7791,75 @@ def events_gap_weibull_fit(spark, sf_dir):
         F.round(slope, 8).alias("weibull_shape"),
         F.round(F.exp(-intercept / slope), 6).alias("weibull_scale_s"),
     )
+
+
+# --------------------------------------------- quantile shift function
+
+
+def _qshift_oracle() -> str:
+    cells = ",\n      ".join(
+        f"quantile_cont(CASE WHEN event_type = '{arm}' THEN value END,"
+        f" {p / 10.0}) AS {arm}_p{p}"
+        for arm in ("click", "view")
+        for p in range(1, 10)
+    )
+    rows = ",\n      ".join(
+        f"({p / 10.0}, click_p{p}, view_p{p})" for p in range(1, 10)
+    )
+    return f"""
+    WITH q AS (
+      SELECT
+      {cells}
+      FROM events WHERE event_type IN ('click', 'view')
+    )
+    SELECT CAST(p AS DOUBLE) AS quantile, round(qc, 6) AS click_q,
+      round(qv, 6) AS view_q, round(qv - qc, 8) AS shift
+    FROM q, (VALUES
+      {rows}) AS t(p, qc, qv)
+    """
+
+
+@query("ab_quantile_shift_function", oracle=_qshift_oracle())
+def ab_quantile_shift_function(spark, sf_dir):
+    """Doksum shift function between the click and view value
+    distributions: the view-minus-click difference at each decile —
+    WHERE in the distribution the two samples differ (a constant shift
+    means a pure location effect; a fanning shift means the tails
+    moved, which the single-number Mann-Whitney/KS verdicts cannot
+    distinguish).
+
+    Both arms' nine deciles come from ONE conditional-percentile
+    aggregate (typed sort buffers, partial-merged — the
+    F.percentile <-> quantile_cont bit-pairing established by
+    quality_calibration_bins); the decile grid then unpivots from
+    that 1-row table, so the corpus is scanned exactly once."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    aggs = [
+        F.percentile(
+            F.when(F.col("event_type") == arm, F.col("value")), p / 10.0
+        ).alias(f"{arm}_p{p}")
+        for arm in ("click", "view")
+        for p in range(1, 10)
+    ]
+    q = e.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(p / 10.0).alias("p"),
+                F.col(f"click_p{p}").alias("qc"),
+                F.col(f"view_p{p}").alias("qv"),
+            )
+            for p in range(1, 10)
+        ]
+    )
+    return (
+        q.select(F.explode(pairs).alias("r"))
+        .select(
+            F.col("r.p").alias("quantile"),
+            F.round("r.qc", 6).alias("click_q"),
+            F.round("r.qv", 6).alias("view_q"),
+            F.round(F.col("r.qv") - F.col("r.qc"), 8).alias("shift"),
+        )
+    )
