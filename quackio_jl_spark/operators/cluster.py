@@ -846,32 +846,11 @@ def _lpa_round_sql(prev: str, out: str) -> str:
     )"""
 
 
-@query(
-    "part_label_propagation",
-    oracle=f"""
-    WITH {_LPA_GRAPH_SQL},
-    l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM edges),
-    {",".join(_lpa_round_sql(f"l{i}", f"l{i + 1}") for i in range(_LPA_ROUNDS))}
-    SELECT lbl AS community, COUNT(*)::BIGINT AS n_members
-    FROM l{_LPA_ROUNDS} GROUP BY lbl
-    """,
-)
-def part_label_propagation(spark, sf_dir):
-    """Community detection on the part co-purchase graph via
-    {_LPA_ROUNDS} synchronous label-propagation rounds — the
-    modularity-flavored counterpart to the connected-components suite
-    (CC merges everything reachable; LPA splits dense regions along
-    weighted-vote boundaries). Deterministic by construction: each node
-    adopts the neighbor label with the highest total edge weight,
-    breaking ties to the SMALLEST label, and every node updates
-    simultaneously — no traversal order, no randomness, identical in
-    any engine.
-
-    Scale shape per round: one edges-x-labels equi-join and two
-    aggregates (max score, then min label among argmax) — the same
-    per-iteration cost as a PageRank round, with the label table
-    persisted between rounds. Fixed round count keeps the lineage
-    static; the result is the community-size histogram."""
+def _lpa_edges_labels(spark, sf_dir):
+    """Shared LPA kernel: build the weighted co-purchase edge list and
+    run {_LPA_ROUNDS} synchronous weighted-vote rounds (smallest-label
+    tie-break). Returns (edges, labels) — both persisted — for the
+    community histogram and the modularity audit."""
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("v"))
@@ -907,7 +886,151 @@ def part_label_propagation(spark, sf_dir):
         nxt.count()
         labels.unpersist()
         labels = nxt
+    return edges, labels
+
+
+@query(
+    "part_label_propagation",
+    oracle=f"""
+    WITH {_LPA_GRAPH_SQL},
+    l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM edges),
+    {",".join(_lpa_round_sql(f"l{i}", f"l{i + 1}") for i in range(_LPA_ROUNDS))}
+    SELECT lbl AS community, COUNT(*)::BIGINT AS n_members
+    FROM l{_LPA_ROUNDS} GROUP BY lbl
+    """,
+)
+def part_label_propagation(spark, sf_dir):
+    """Community detection on the part co-purchase graph via
+    {_LPA_ROUNDS} synchronous label-propagation rounds — the
+    modularity-flavored counterpart to the connected-components suite
+    (CC merges everything reachable; LPA splits dense regions along
+    weighted-vote boundaries). Deterministic by construction: each node
+    adopts the neighbor label with the highest total edge weight,
+    breaking ties to the SMALLEST label, and every node updates
+    simultaneously — no traversal order, no randomness, identical in
+    any engine.
+
+    Scale shape per round: one edges-x-labels equi-join and two
+    aggregates (max score, then min label among argmax) — the same
+    per-iteration cost as a PageRank round, with the label table
+    persisted between rounds. Fixed round count keeps the lineage
+    static; the result is the community-size histogram."""
+    edges, labels = _lpa_edges_labels(spark, sf_dir)
     out = labels.groupBy(F.col("lbl").alias("community")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
     )
     return out
+
+
+# ------------------------------------------ LPA modularity audit
+
+
+@query(
+    "part_community_modularity",
+    oracle=f"""
+    WITH {_LPA_GRAPH_SQL},
+    l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM edges),
+    {",".join(_lpa_round_sql(f"l{i}", f"l{i + 1}") for i in range(_LPA_ROUNDS))},
+    lab AS (SELECT id, lbl FROM l{_LPA_ROUNDS}),
+    deg AS (SELECT u AS id, SUM(w) AS d FROM edges GROUP BY u),
+    wtot AS (SELECT CAST(SUM(w) AS DOUBLE) AS tw FROM edges),
+    intra AS (
+      SELECT la.lbl AS c, SUM(e.w) AS iw
+      FROM edges e
+      JOIN lab la ON la.id = e.u
+      JOIN lab lb ON lb.id = e.v AND lb.lbl = la.lbl
+      GROUP BY la.lbl
+    ),
+    dc AS (
+      SELECT lab.lbl AS c, COUNT(*)::BIGINT AS n_members,
+        CAST(SUM(deg.d) AS DOUBLE) AS d
+      FROM lab JOIN deg USING (id) GROUP BY lab.lbl
+    ),
+    per AS (
+      SELECT dc.c, n_members,
+        COALESCE(CAST(iw AS DOUBLE), 0) / tw AS intra_frac,
+        (d / tw) * (d / tw) AS expected_frac
+      FROM dc LEFT JOIN intra ON intra.c = dc.c CROSS JOIN wtot
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(round(intra_frac - expected_frac, 10)
+        AS DECIMAL(38,12))) AS DOUBLE) AS q
+      FROM per
+    )
+    SELECT c AS community, n_members,
+      round(intra_frac, 8) AS intra_frac,
+      round(expected_frac, 8) AS expected_frac,
+      round(q, 8) AS modularity
+    FROM per CROSS JOIN tot
+    """,
+)
+def part_community_modularity(spark, sf_dir):
+    """Newman modularity Q of the label-propagation partition:
+    Q = sum_c [intra_c/W - (d_c/W)^2] over communities (W = total
+    directed edge weight) — the audit that says whether
+    part_label_propagation found real structure (Q >> 0) or noise
+    (Q ~ 0), with per-community intra-edge vs expected fractions
+    pinpointing which communities carry it.
+
+    Reuses the shared LPA kernel (same {_LPA_ROUNDS} deterministic
+    rounds); modularity itself is two joins of the labels onto the
+    edge list (intra-weight) and the degree table, then a bounded
+    per-community rollup with a round-then-decimal total."""
+    edges, labels = _lpa_edges_labels(spark, sf_dir)
+    lab = labels.select("id", "lbl")
+    deg = edges.groupBy(F.col("u").alias("id")).agg(F.sum("w").alias("d"))
+    wtot = F.broadcast(
+        edges.agg(F.sum("w").cast("double").alias("tw"))
+    )
+    la = lab.select(F.col("id").alias("ua"), F.col("lbl").alias("ca"))
+    lb = lab.select(F.col("id").alias("vb"), F.col("lbl").alias("cb"))
+    intra = (
+        edges.join(la, F.col("u") == F.col("ua"))
+        .join(
+            lb,
+            (F.col("v") == F.col("vb")) & (F.col("cb") == F.col("ca")),
+        )
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.sum("w").alias("iw"))
+    )
+    dc = (
+        lab.join(deg, "id")
+        .groupBy(F.col("lbl").alias("c"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("d").cast("double").alias("d"),
+        )
+    )
+    per = (
+        dc.join(intra, "c", "left")
+        .crossJoin(wtot)
+        .select(
+            "c",
+            "n_members",
+            (
+                F.coalesce(F.col("iw").cast("double"), F.lit(0.0))
+                / F.col("tw")
+            ).alias("intra_frac"),
+            ((F.col("d") / F.col("tw")) * (F.col("d") / F.col("tw"))).alias(
+                "expected_frac"
+            ),
+        )
+    )
+    tot = F.broadcast(
+        per.agg(
+            F.sum(
+                F.round(
+                    F.col("intra_frac") - F.col("expected_frac"), 10
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("q")
+        )
+    )
+    return per.crossJoin(tot).select(
+        F.col("c").alias("community"),
+        "n_members",
+        F.round("intra_frac", 8).alias("intra_frac"),
+        F.round("expected_frac", 8).alias("expected_frac"),
+        F.round("q", 8).alias("modularity"),
+    )
