@@ -3226,3 +3226,150 @@ def bigram_lm_kneser_ney_score(spark, sf_dir):
             8,
         ).alias("avg_logprob_kn"),
     )
+
+
+# --------------------------------------------- LM filter agreement
+
+LM_TAIL_FRAC = 0.1
+
+
+@query(
+    "lm_filter_agreement",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2,
+        t[i+1] || ' ' || t[i+2] AS bigram
+      FROM toks, UNNEST(range(len(t) - 1)) AS u(i)
+    ),
+    bgc AS (SELECT bigram, COUNT(*)::BIGINT AS cb FROM bg GROUP BY bigram),
+    ugc AS (
+      SELECT w1, COUNT(*)::BIGINT AS cu, COUNT(DISTINCT w2)::BIGINT AS n1f
+      FROM bg GROUP BY w1
+    ),
+    bwc AS (
+      SELECT w2, COUNT(DISTINCT w1)::BIGINT AS n1b FROM bg GROUP BY w2
+    ),
+    nt AS (SELECT COUNT(*)::BIGINT AS n_types FROM bgc),
+    scored AS (
+      SELECT doc_id,
+        round(avg(ln((cb + 1.0) / (cu + 1.0))), 8) AS s1,
+        round(CAST(SUM(CAST(round(ln(
+          GREATEST(cb - {{KN}}, 0) / cu
+            + {{KN}} * n1f / cu * (CAST(n1b AS DOUBLE) / n_types)), 10)
+          AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 8) AS s2
+      FROM bg JOIN bgc USING (bigram) JOIN ugc USING (w1)
+        JOIN bwc USING (w2) CROSS JOIN nt
+      GROUP BY doc_id
+    ),
+    thr AS (
+      SELECT quantile_cont(s1, {LM_TAIL_FRAC}) AS t1,
+        quantile_cont(s2, {LM_TAIL_FRAC}) AS t2,
+        COUNT(*)::BIGINT AS n
+      FROM scored
+    ),
+    mom AS (
+      SELECT MAX(n) AS n,
+        CAST(SUM(CAST(round(s1, 8) AS DECIMAL(28,10))) AS DOUBLE) AS a1,
+        CAST(SUM(CAST(round(s2, 8) AS DECIMAL(28,10))) AS DOUBLE) AS a2,
+        CAST(SUM(CAST(round(s1 * s1, 8) AS DECIMAL(38,10))) AS DOUBLE)
+          AS a11,
+        CAST(SUM(CAST(round(s2 * s2, 8) AS DECIMAL(38,10))) AS DOUBLE)
+          AS a22,
+        CAST(SUM(CAST(round(s1 * s2, 8) AS DECIMAL(38,10))) AS DOUBLE)
+          AS a12,
+        SUM(CASE WHEN s1 <= t1 AND s2 <= t2 THEN 1 ELSE 0 END)::BIGINT
+          AS both_tail,
+        SUM(CASE WHEN s1 <= t1 OR s2 <= t2 THEN 1 ELSE 0 END)::BIGINT
+          AS either_tail
+      FROM scored CROSS JOIN thr
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+      round((n * a12 - a1 * a2)
+        / sqrt((n * a11 - a1 * a1) * (n * a22 - a2 * a2)), 8)
+        AS pearson_r,
+      both_tail, either_tail,
+      round(CAST(both_tail AS DOUBLE) / either_tail, 8)
+        AS tail_jaccard
+    FROM mom
+    """.replace("{KN}", str(KN_DISCOUNT)),
+)
+def lm_filter_agreement(spark, sf_dir):
+    """Do the add-one and Kneser-Ney LM scorers agree on which
+    documents to drop? Corpus-wide Pearson correlation of the two
+    per-doc scores plus the Jaccard overlap of their bottom-decile
+    tails — the decision that matters for a filter is the TAIL, and
+    two scorers can correlate 0.95 overall while disagreeing on half
+    the drop set. High tail Jaccard means the cheap add-one model is
+    a safe proxy; low means pay for KN.
+
+    Both scores are computed in one shared bigram-explode pipeline
+    (the count tables join once and feed both formulas), the decile
+    thresholds are one typed-percentile aggregate, and the agreement
+    moments are rounded-decimal sums."""
+    d = table(spark, sf_dir, "documents")
+    s1df = bigram_lm_doc_score(spark, sf_dir).select(
+        "doc_id", F.col("avg_logprob").alias("s1")
+    )
+    s2df = bigram_lm_kneser_ney_score(spark, sf_dir).select(
+        "doc_id", F.col("avg_logprob_kn").alias("s2")
+    )
+    scored = s1df.join(s2df, "doc_id")
+    thr = F.broadcast(
+        scored.agg(
+            F.percentile("s1", LM_TAIL_FRAC).alias("t1"),
+            F.percentile("s2", LM_TAIL_FRAC).alias("t2"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    D10 = "decimal(38,10)"
+    mom = scored.crossJoin(thr).agg(
+        F.max("n").alias("n"),
+        F.sum(F.round("s1", 8).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("a1"),
+        F.sum(F.round("s2", 8).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("a2"),
+        F.sum(F.round(F.col("s1") * F.col("s1"), 8).cast(D10))
+        .cast("double")
+        .alias("a11"),
+        F.sum(F.round(F.col("s2") * F.col("s2"), 8).cast(D10))
+        .cast("double")
+        .alias("a22"),
+        F.sum(F.round(F.col("s1") * F.col("s2"), 8).cast(D10))
+        .cast("double")
+        .alias("a12"),
+        F.sum(
+            ((F.col("s1") <= F.col("t1")) & (F.col("s2") <= F.col("t2")))
+            .cast("int")
+        )
+        .cast("bigint")
+        .alias("both_tail"),
+        F.sum(
+            ((F.col("s1") <= F.col("t1")) | (F.col("s2") <= F.col("t2")))
+            .cast("int")
+        )
+        .cast("bigint")
+        .alias("either_tail"),
+    )
+    nd = F.col("n")
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(
+            (nd * F.col("a12") - F.col("a1") * F.col("a2"))
+            / F.sqrt(
+                (nd * F.col("a11") - F.col("a1") * F.col("a1"))
+                * (nd * F.col("a22") - F.col("a2") * F.col("a2"))
+            ),
+            8,
+        ).alias("pearson_r"),
+        "both_tail",
+        "either_tail",
+        F.round(
+            F.col("both_tail").cast("double") / F.col("either_tail"), 8
+        ).alias("tail_jaccard"),
+    )
