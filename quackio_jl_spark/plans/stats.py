@@ -7863,3 +7863,344 @@ def ab_quantile_shift_function(spark, sf_dir):
             F.round(F.col("r.qv") - F.col("r.qc"), 8).alias("shift"),
         )
     )
+
+
+# ------------------------------------------- sequential pattern mining
+
+N_TRIGRAMS = 10
+
+
+@query(
+    "events_frequent_trigrams",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+        lead(event_type, 1) OVER w AS e2,
+        lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tri AS (
+      SELECT e1, e2, e3,
+        CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      GROUP BY e1, e2, e3
+    )
+    SELECT e1, e2, e3, n_occurrences, n_users
+    FROM tri
+    ORDER BY n_occurrences DESC, e1, e2, e3
+    LIMIT {N_TRIGRAMS}
+    """,
+)
+def events_frequent_trigrams(spark, sf_dir):
+    """Top contiguous event-type trigrams across user timelines
+    (PrefixSpan-lite sequential patterns, length pinned to 3): the
+    behavioral motifs one step beyond events_markov_transitions' bigrams.
+    Ordering within a user is (ts, event_id) — event_id breaks timestamp
+    ties so both engines walk identical sequences.
+
+    Scale shape: ONE shuffle partitions timelines by user; the two leads
+    are in-partition; the trigram rollup partial-aggregates (k^3 bounded
+    keys for k event types) and the top-10 is TakeOrderedAndProject —
+    no global sort materializes."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    tri = seq.groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    return tri.orderBy(
+        F.col("n_occurrences").desc(), "e1", "e2", "e3"
+    ).limit(N_TRIGRAMS)
+
+
+# ------------------------------------------- deterministic Poisson bootstrap
+
+BOOT_R = 200
+# Poisson(1) CDF at k = 0..6; u >= the last threshold caps the weight at 7.
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+)
+
+
+def _boot_w_sql(u: str) -> str:
+    branches = "".join(
+        f" WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"(CASE{branches} ELSE 7 END)"
+
+
+@query(
+    "bootstrap_revenue_ci",
+    oracle=f"""
+    WITH expanded AS (
+      SELECT r.r, o.o_totalprice,
+        ('0x' || substr(md5('boot:' || CAST(r.r AS VARCHAR) || ':'
+            || CAST(o.o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0 AS u
+      FROM orders o CROSS JOIN (SELECT unnest(range({BOOT_R})) AS r) r
+    ),
+    reps AS (
+      SELECT r,
+        CAST(SUM(CAST({_boot_w_sql('u')} * o_totalprice AS DECIMAL(28,6)))
+          AS DOUBLE) AS wsum,
+        CAST(SUM({_boot_w_sql('u')}) AS BIGINT) AS wcnt
+      FROM expanded GROUP BY r
+    ),
+    means AS (
+      SELECT r, wsum / wcnt AS m,
+        ROW_NUMBER() OVER (ORDER BY wsum / wcnt, r) AS rn
+      FROM reps
+    ),
+    point AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+          / COUNT(*) AS mean_revenue
+      FROM orders
+    )
+    SELECT
+      CAST({BOOT_R} AS BIGINT) AS n_replicates,
+      round(point.mean_revenue, 6) AS mean_revenue,
+      round(CAST(SUM(CAST(round(m, 9) AS DECIMAL(28,12))) AS DOUBLE)
+        / {BOOT_R}, 6) AS boot_mean,
+      round(MIN(CASE WHEN rn = {BOOT_R // 40} THEN m END), 6) AS ci_lo,
+      round(MIN(CASE WHEN rn = {BOOT_R - BOOT_R // 40 + 1} THEN m END), 6)
+        AS ci_hi
+    FROM means CROSS JOIN point
+    GROUP BY point.mean_revenue
+    """,
+)
+def bootstrap_revenue_ci(spark, sf_dir):
+    """Percentile-bootstrap 95% CI for mean order revenue with
+    DETERMINISTIC Poisson(1) resampling weights (Chamandy et al.'s
+    streaming bootstrap): replicate r draws each order with weight
+    w ~ Poisson(1) via an inverse-CDF lookup on the md5('boot:'||r||':'||
+    key) uniform, so both engines — and any two cluster runs — see the
+    same resamples. Replicate means are exact (integer weight x
+    decimal(12,2) price, decimal-summed before ONE division); the CI is
+    the 5th / 196th order statistic of the 200 replicate means
+    (rank ties broken by replicate id).
+
+    Scale shape: the orders x 200 expansion is map-side (explode of a
+    literal range — no shuffle, no materialization) and immediately
+    partial-aggregates to 200 groups, so the only shuffle moves
+    200 x n_partitions pre-combined rows; the rank window runs on 200
+    rows. This is the one-pass alternative to actually resampling a
+    100 TB fact table 200 times."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col("r").cast("string"),
+                        F.lit(":"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    w = F.lit(7)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(F.col("u") < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+    expanded = o.select(
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_R - 1))).alias("r"),
+        "o_orderkey",
+        "o_totalprice",
+    ).withColumn("u", u)
+    reps = (
+        expanded.withColumn("w", w)
+        .groupBy("r")
+        .agg(
+            F.sum((F.col("w") * F.col("o_totalprice")).cast(DEC))
+            .cast("double")
+            .alias("wsum"),
+            F.sum("w").cast("bigint").alias("wcnt"),
+        )
+    )
+    means = reps.select(
+        "r",
+        (F.col("wsum") / F.col("wcnt")).alias("m"),
+    ).withColumn(
+        "rn", F.row_number().over(W.orderBy("m", "r"))
+    )
+    point = o.agg(
+        (F.sum(F.col("o_totalprice").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "mean_revenue"
+        )
+    )
+    return (
+        means.crossJoin(F.broadcast(point))
+        .groupBy("mean_revenue")
+        .agg(
+            F.lit(BOOT_R).cast("bigint").alias("n_replicates"),
+            F.round(
+                F.sum(F.round(F.col("m"), 9).cast("decimal(28,12)")).cast("double")
+                / BOOT_R,
+                6,
+            ).alias("boot_mean"),
+            F.round(
+                F.min(F.when(F.col("rn") == BOOT_R // 40, F.col("m"))), 6
+            ).alias("ci_lo"),
+            F.round(
+                F.min(
+                    F.when(F.col("rn") == BOOT_R - BOOT_R // 40 + 1, F.col("m"))
+                ),
+                6,
+            ).alias("ci_hi"),
+        )
+        .select(
+            "n_replicates",
+            F.round("mean_revenue", 6).alias("mean_revenue"),
+            "boot_mean",
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
+# ------------------------------------------- always-valid sequential test
+
+MSPRT_TAU2 = 0.01
+
+
+@query(
+    "ab_test_msprt",
+    oracle=f"""
+    WITH assign AS (
+      SELECT user_id,
+        CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+          AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS BIGINT) AS x
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT
+        CAST(COUNT(*) FILTER (WHERE arm = 'A') AS BIGINT) AS n_a,
+        CAST(COUNT(*) FILTER (WHERE arm = 'B') AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN arm = 'A' THEN x ELSE 0 END) AS BIGINT) AS s_a,
+        CAST(SUM(CASE WHEN arm = 'B' THEN x ELSE 0 END) AS BIGINT) AS s_b,
+        CAST(SUM(CASE WHEN arm = 'A' THEN x * x ELSE 0 END) AS BIGINT) AS q_a,
+        CAST(SUM(CASE WHEN arm = 'B' THEN x * x ELSE 0 END) AS BIGINT) AS q_b
+      FROM assign
+    ),
+    stats AS (
+      SELECT n_a, n_b,
+        s_b / CAST(n_b AS DOUBLE) - s_a / CAST(n_a AS DOUBLE) AS delta,
+        (q_a - s_a * (s_a / CAST(n_a AS DOUBLE))) / (n_a - 1) / n_a
+          + (q_b - s_b * (s_b / CAST(n_b AS DOUBLE))) / (n_b - 1) / n_b AS v
+      FROM arms
+    )
+    SELECT n_a, n_b,
+      round(delta, 8) AS delta,
+      round(v, 10) AS var_delta,
+      round(sqrt(v / (v + {MSPRT_TAU2!r}))
+        * exp(delta * delta * {MSPRT_TAU2!r}
+              / (2 * v * (v + {MSPRT_TAU2!r}))), 8) AS lambda_stat,
+      round(LEAST(1.0, 1.0 / (sqrt(v / (v + {MSPRT_TAU2!r}))
+        * exp(delta * delta * {MSPRT_TAU2!r}
+              / (2 * v * (v + {MSPRT_TAU2!r}))))), 8) AS p_always_valid,
+      LEAST(1.0, 1.0 / (sqrt(v / (v + {MSPRT_TAU2!r}))
+        * exp(delta * delta * {MSPRT_TAU2!r}
+              / (2 * v * (v + {MSPRT_TAU2!r}))))) < 0.05 AS reject_at_5pct
+    FROM stats
+    """,
+)
+def ab_test_msprt(spark, sf_dir):
+    """Always-valid sequential test (mixture SPRT, Johari et al.'s
+    "peeking" fix) on hash-assigned per-user purchase counts: with
+    delta = mean_B - mean_A and V = s_a^2/n_a + s_b^2/n_b (sample
+    variances from EXACT integer sum / sum-of-squares aggregates), the
+    normal-mixture likelihood ratio Lambda = sqrt(V/(V+tau^2)) *
+    exp(delta^2 tau^2 / (2 V (V+tau^2))) with fixed mixing variance
+    tau^2 = 0.01 gives p_av = min(1, 1/Lambda), valid at EVERY interim
+    look — the missing member of the experimentation pack next to the
+    fixed-horizon Welch/z tests and the SRM guardrail.
+
+    Scale shape: one user-grain rollup (partial-aggregated), one 6-cell
+    integer reduce, then closed-form scalar math — the statistic costs
+    the same at any corpus size, and the integer sufficient statistics
+    make it bit-reproducible across engines and partitionings."""
+    e = table(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    assign = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            .cast("bigint")
+            .alias("x")
+        )
+        .select(arm.alias("arm"), "x")
+    )
+    arms = assign.agg(
+        F.sum((F.col("arm") == "A").cast("int")).cast("bigint").alias("n_a"),
+        F.sum((F.col("arm") == "B").cast("int")).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("s_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("s_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("x") * F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("q_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("x") * F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("q_b"),
+    )
+    mean_a = F.col("s_a") / F.col("n_a").cast("double")
+    mean_b = F.col("s_b") / F.col("n_b").cast("double")
+    s = arms.select(
+        "n_a",
+        "n_b",
+        (mean_b - mean_a).alias("delta"),
+        (
+            (F.col("q_a") - F.col("s_a") * mean_a) / (F.col("n_a") - 1) / F.col("n_a")
+            + (F.col("q_b") - F.col("s_b") * mean_b) / (F.col("n_b") - 1) / F.col("n_b")
+        ).alias("v"),
+    )
+    lam = F.sqrt(F.col("v") / (F.col("v") + MSPRT_TAU2)) * F.exp(
+        F.col("delta")
+        * F.col("delta")
+        * MSPRT_TAU2
+        / (2 * F.col("v") * (F.col("v") + MSPRT_TAU2))
+    )
+    p_av = F.least(F.lit(1.0), 1.0 / F.col("lambda_stat"))
+    return (
+        s.withColumn("lambda_stat", lam)
+        .select(
+            "n_a",
+            "n_b",
+            F.round("delta", 8).alias("delta"),
+            F.round("v", 10).alias("var_delta"),
+            F.round("lambda_stat", 8).alias("lambda_stat"),
+            F.round(p_av, 8).alias("p_always_valid"),
+            (p_av < 0.05).alias("reject_at_5pct"),
+        )
+    )
