@@ -1034,3 +1034,189 @@ def part_community_modularity(spark, sf_dir):
         F.round("expected_frac", 8).alias("expected_frac"),
         F.round("q", 8).alias("modularity"),
     )
+
+
+# ------------------------------------------- grid DBSCAN (density clustering)
+
+DBSCAN_EPS = 0.05
+DBSCAN_MINPTS = 5
+_DBSCAN_EPS2 = DBSCAN_EPS * DBSCAN_EPS  # IEEE product, injected verbatim
+
+
+@query(
+    "embedding_dbscan_grid",
+    oracle=f"""
+    WITH RECURSIVE
+    pts AS (
+      SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings
+    ),
+    st AS (
+      SELECT MIN(x) AS xlo, MAX(x) AS xhi, MIN(y) AS ylo, MAX(y) AS yhi
+      FROM pts
+    ),
+    nrm AS (
+      SELECT vec_id, (x - xlo) / (xhi - xlo) AS xn, (y - ylo) / (yhi - ylo) AS yn
+      FROM pts CROSS JOIN st
+    ),
+    cells AS (
+      SELECT vec_id, xn, yn,
+        CAST(floor(xn / CAST({DBSCAN_EPS!r} AS DOUBLE)) AS INTEGER) AS cx,
+        CAST(floor(yn / CAST({DBSCAN_EPS!r} AS DOUBLE)) AS INTEGER) AS cy
+      FROM nrm
+    ),
+    nbr AS (
+      SELECT p.vec_id AS pid, q.vec_id AS qid
+      FROM cells p JOIN cells q
+        ON q.cx BETWEEN p.cx - 1 AND p.cx + 1
+       AND q.cy BETWEEN p.cy - 1 AND p.cy + 1
+      WHERE (p.xn - q.xn) * (p.xn - q.xn) + (p.yn - q.yn) * (p.yn - q.yn)
+            <= CAST({_DBSCAN_EPS2!r} AS DOUBLE)
+    ),
+    core AS (
+      SELECT pid AS vec_id FROM nbr GROUP BY pid
+      HAVING COUNT(*) >= {DBSCAN_MINPTS}
+    ),
+    ce AS (
+      SELECT nbr.pid, nbr.qid FROM nbr
+      JOIN core c1 ON nbr.pid = c1.vec_id
+      JOIN core c2 ON nbr.qid = c2.vec_id
+      WHERE nbr.pid <> nbr.qid
+    ),
+    walk(id, label) AS (
+      SELECT vec_id, vec_id FROM core
+      UNION
+      SELECT ce.pid, w.label FROM walk w JOIN ce ON ce.qid = w.id
+    ),
+    cc AS (SELECT id AS vec_id, MIN(label) AS cluster FROM walk GROUP BY id),
+    border AS (
+      SELECT nbr.pid AS vec_id, MIN(cc.cluster) AS cluster
+      FROM nbr JOIN cc ON nbr.qid = cc.vec_id
+      WHERE nbr.pid NOT IN (SELECT vec_id FROM core)
+      GROUP BY nbr.pid
+    )
+    SELECT cc.vec_id, 'core' AS role, cc.cluster FROM cc
+    UNION ALL
+    SELECT border.vec_id, 'border', border.cluster FROM border
+    UNION ALL
+    SELECT p.vec_id, 'noise', CAST(-1 AS BIGINT)
+    FROM pts p
+    WHERE p.vec_id NOT IN (SELECT vec_id FROM cc)
+      AND p.vec_id NOT IN (SELECT vec_id FROM border)
+    """,
+)
+def embedding_dbscan_grid(spark, sf_dir):
+    """Grid-accelerated DBSCAN over the first two embedding dimensions
+    (min-max normalized to the unit square): eps = 0.05, minPts = 5,
+    neighbor counts include the point itself (standard DBSCAN). Core
+    points cluster via connected components over the core-core eps-graph
+    (label = min reachable core id — deterministic in any engine),
+    border points adopt the smallest cluster among their core neighbors,
+    everything else is noise (-1). The density-based complement to the
+    centroid k-means family (ann_ivf_*): finds arbitrarily-shaped dense
+    regions and an explicit noise set for curation.
+
+    Scale shape: candidate pairs come from an EQUI-join — each point is
+    exploded to its 9 adjacent eps-cells on one side and joined on exact
+    cell id — so candidate count is bounded by grid density, never
+    all-pairs; neighbor counts partial-aggregate; the component step is
+    the checkpointed large-star/small-star loop (O(log^2 n) rounds)
+    shared with dedup_clusters. The oracle walks the same graph with a
+    recursive CTE, so the hash check covers multi-hop cluster merges."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    st = F.broadcast(
+        emb.agg(
+            F.min("x").alias("xlo"),
+            F.max("x").alias("xhi"),
+            F.min("y").alias("ylo"),
+            F.max("y").alias("yhi"),
+        )
+    )
+    eps = F.lit(DBSCAN_EPS).cast("double")
+    cells = (
+        emb.crossJoin(st)
+        .select(
+            "vec_id",
+            ((F.col("x") - F.col("xlo")) / (F.col("xhi") - F.col("xlo"))).alias("xn"),
+            ((F.col("y") - F.col("ylo")) / (F.col("yhi") - F.col("ylo"))).alias("yn"),
+        )
+        .select(
+            "vec_id",
+            "xn",
+            "yn",
+            F.floor(F.col("xn") / eps).cast("int").alias("cx"),
+            F.floor(F.col("yn") / eps).cast("int").alias("cy"),
+        )
+        .persist()
+    )
+    grid = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    )
+    q9 = cells.select(
+        F.col("vec_id").alias("qid"),
+        F.col("xn").alias("qx"),
+        F.col("yn").alias("qy"),
+        "cx",
+        "cy",
+        grid.alias("g"),
+    ).select(
+        "qid",
+        "qx",
+        "qy",
+        (F.col("cx") + F.col("g.dx")).alias("cx"),
+        (F.col("cy") + F.col("g.dy")).alias("cy"),
+    )
+    dx = F.col("xn") - F.col("qx")
+    dy = F.col("yn") - F.col("qy")
+    nbr = (
+        cells.join(q9, ["cx", "cy"])
+        .filter(dx * dx + dy * dy <= F.lit(_DBSCAN_EPS2))
+        .select(F.col("vec_id").alias("pid"), "qid")
+        .persist()
+    )
+    core = (
+        nbr.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= DBSCAN_MINPTS)
+        .select(F.col("pid").alias("vec_id"))
+        .persist()
+    )
+    ce = (
+        nbr.join(core.withColumnRenamed("vec_id", "pid"), "pid")
+        .join(core.withColumnRenamed("vec_id", "qid"), "qid")
+        .filter(F.col("pid") != F.col("qid"))
+        .select("pid", "qid")
+    )
+    cc = connected_components(core, ce, id_col="vec_id", src="pid", dst="qid").select(
+        F.col("id").alias("vec_id"), "cluster"
+    )
+    border = (
+        nbr.join(core.withColumnRenamed("vec_id", "pid"), "pid", "left_anti")
+        .join(cc.withColumnRenamed("vec_id", "qid"), "qid")
+        .groupBy(F.col("pid").alias("vec_id"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    labeled = cc.select("vec_id", F.lit("core").alias("role"), "cluster").unionByName(
+        border.select("vec_id", F.lit("border").alias("role"), "cluster")
+    )
+    noise = (
+        cells.select("vec_id")
+        .join(labeled.select("vec_id"), "vec_id", "left_anti")
+        .select(
+            "vec_id",
+            F.lit("noise").alias("role"),
+            F.lit(-1).cast("bigint").alias("cluster"),
+        )
+    )
+    return labeled.unionByName(noise)

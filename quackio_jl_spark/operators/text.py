@@ -3373,3 +3373,168 @@ def lm_filter_agreement(spark, sf_dir):
             F.col("both_tail").cast("double") / F.col("either_tail"), 8
         ).alias("tail_jaccard"),
     )
+
+
+# --------------------------------------------- TextRank keyword extraction
+
+TR_DAMPING = 0.85
+TR_MIN_LEN = 4
+TR_TOPK = 20
+_TR_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(28,12))) AS DOUBLE)"
+
+_TR_GRAPH_SQL = f"""
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    rawpairs AS (
+      SELECT pr.a AS a, pr.b AS b FROM (
+        SELECT unnest(list_transform(range(1, len(toks)),
+          i -> {{'a': toks[i], 'b': toks[i + 1]}})) AS pr
+        FROM t
+      )
+      UNION ALL
+      SELECT pr.a, pr.b FROM (
+        SELECT unnest(list_transform(range(1, len(toks) - 1),
+          i -> {{'a': toks[i], 'b': toks[i + 2]}})) AS pr
+        FROM t
+      )
+    ),
+    pairs AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS w
+      FROM rawpairs
+      WHERE len(a) >= {TR_MIN_LEN} AND len(b) >= {TR_MIN_LEN} AND a <> b
+      GROUP BY a, b
+    ),
+    edges AS (
+      SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+        SELECT a AS src, b AS dst, w FROM pairs
+        UNION ALL SELECT b, a, w FROM pairs
+      ) GROUP BY src, dst
+    ),
+    deg AS (SELECT src AS id, CAST(SUM(w) AS BIGINT) AS s FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes)
+"""
+
+
+def _tr_round_sql(prev: str, out: str) -> str:
+    contrib = _TR_DSUM.format(x=f"e.w * {prev}.r / deg.s")
+    return f"""
+    {out}_c AS (
+      SELECT e.dst AS id, {contrib} AS c
+      FROM edges e JOIN {prev} ON {prev}.id = e.src JOIN deg ON deg.id = e.src
+      GROUP BY e.dst
+    ),
+    {out} AS (
+      SELECT nodes.id,
+        CAST({(1 - TR_DAMPING)!r} AS DOUBLE) / nn.n
+          + CAST({TR_DAMPING!r} AS DOUBLE) * COALESCE({out}_c.c, 0.0) AS r
+      FROM nodes CROSS JOIN nn LEFT JOIN {out}_c ON {out}_c.id = nodes.id
+    )"""
+
+
+@query(
+    "textrank_keywords",
+    oracle=f"""
+    WITH {_TR_GRAPH_SQL},
+    r0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+    {_tr_round_sql('r0', 'r1')},
+    {_tr_round_sql('r1', 'r2')}
+    SELECT id AS term, round(r, 10) AS score FROM r2
+    ORDER BY r DESC, id LIMIT {TR_TOPK}
+    """,
+)
+def textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    PageRank (2 power iterations, d=0.85) over the corpus word
+    co-occurrence graph — terms of length >= 4 linked when they appear
+    within a 2-token window, edge weight = corpus co-occurrence count.
+    Top-20 by rank, score-then-term tie-break, so the cutoff is
+    deterministic in both engines.
+
+    Scale shape: the pair generation is IN-ROW (transform over the token
+    array, exploded map-side — no positional self-join, no extra
+    shuffle), rolled up once on the pair key with partial aggregation;
+    graph tables are persisted once and each iteration is one
+    edges x ranks join plus a decimal-exact contribution aggregate
+    (order-independent => bit-reproducible), the same persist-per-round
+    recipe as operators/cluster.py::part_pagerank. Vocabulary, not
+    corpus, bounds the rank state."""
+    d = table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("toks")
+    )
+
+    def inrow_pairs(off: int):
+        # element_at is 1-indexed, mirroring the oracle's list lambda
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size("toks") - off),
+            lambda i: F.struct(
+                F.element_at(F.col("toks"), i).alias("a"),
+                F.element_at(F.col("toks"), i + off).alias("b"),
+            ),
+        )
+        guarded = F.when(F.size("toks") > off, pairs).otherwise(
+            F.array().cast("array<struct<a:string,b:string>>")
+        )
+        return d.select(F.explode(guarded).alias("pr")).select("pr.a", "pr.b")
+
+    raw = inrow_pairs(1).unionByName(inrow_pairs(2))
+    pairs = (
+        raw.filter(
+            (F.length("a") >= TR_MIN_LEN)
+            & (F.length("b") >= TR_MIN_LEN)
+            & (F.col("a") != F.col("b"))
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        .unionByName(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+        .persist()
+    )
+    deg = (
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.sum("w").cast("bigint").alias("s"))
+        .persist()
+    )
+    nodes = edges.select(F.col("src").alias("id")).distinct().persist()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+
+    def tr_round(prev):
+        contrib = (
+            edges.join(prev.withColumnRenamed("id", "pid"), F.col("src") == F.col("pid"))
+            .join(deg.withColumnRenamed("id", "did"), F.col("src") == F.col("did"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                F.sum((F.col("w") * F.col("r") / F.col("s")).cast("decimal(28,12)"))
+                .cast("double")
+                .alias("c")
+            )
+        )
+        return (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    (1 - TR_DAMPING) / F.col("n")
+                    + TR_DAMPING * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+
+    edges.count()
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "id", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(2):
+        r = tr_round(r).persist()
+        r.count()
+    return (
+        r.orderBy(F.col("r").desc(), "id")
+        .limit(TR_TOPK)
+        .select(F.col("id").alias("term"), F.round("r", 10).alias("score"))
+    )
