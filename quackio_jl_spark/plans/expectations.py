@@ -94,13 +94,17 @@ _ORACLE = """
 
 @query("data_quality_expectations", oracle=_ORACLE)
 def data_quality_expectations(spark, sf_dir):
-    """Nine-check expectations suite over the star schema: FK integrity
-    (orders->customer, lineitem->orders via LEFT ANTI counts), primary-key
-    uniqueness (count - count distinct), range contracts (quantity in
-    [1,50], discount in [0,0.10], retail price > 0), a value-domain check
-    (order status in O/F/P, null counted as violating), a cross-column
-    ordering contract (shipdate <= receiptdate) and a not-null contract
-    (acctbal). One row per check: (check_name, tbl, violations, total, ok).
+    """Ten-check expectations suite over the star schema: FK integrity
+    (orders->customer, lineitem->orders via LEFT ANTI counts), key
+    uniqueness (count - count distinct, single and composite), range
+    contracts (quantity in [1,50], discount in [0,0.10], retail price
+    > 0, order date in the TPC-H window), a value-domain check (order
+    status in O/F/P, null counted as violating) and a not-null contract
+    (acctbal). One row per check: (check_name, tbl, violations, total,
+    ok). On the synthetic fixtures two checks genuinely FIRE (line
+    numbers repeat within an order; order dates run past 1998) — the
+    audit reports them rather than assuming clean input, and the
+    invariant test pins exactly which checks pass and which catch.
 
     Each arm prunes its scan to the checked columns; FK arms are key-only
     anti-joins (no payload shuffled); everything partial-aggregates to a
