@@ -2295,3 +2295,130 @@ def neardup_weighted_jaccard(spark, sf_dir):
         ).alias("jaccard"),
         F.round(F.col("iw") / F.col("uw"), 8).alias("weighted_jaccard"),
     )
+
+
+# ----------------------------- exact duplicated-span accounting (Lee et al.)
+
+SPAN_W = 20
+
+
+@query(
+    "doc_duplicated_span_fraction",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, w.pos AS pos, w.h AS h FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(toks) - {SPAN_W} + 2),
+          i -> {{'pos': i,
+                 'h': md5(array_to_string(toks[i:i+{SPAN_W}-1], ' '))}})) AS w
+        FROM t
+      )
+    ),
+    duph AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1),
+    dw AS (
+      SELECT wins.doc_id, wins.pos AS s, wins.pos + {SPAN_W} - 1 AS e
+      FROM wins JOIN duph ON wins.h = duph.h
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+        CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS brk
+      FROM dw
+    ),
+    isl2 AS (
+      SELECT doc_id, s, e,
+        SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+          ROWS UNBOUNDED PRECEDING) AS gid
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, gid, MIN(s) AS ms, MAX(e) AS me
+      FROM isl2 GROUP BY doc_id, gid
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(me - ms + 1) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+      CAST(len(t.toks) AS BIGINT) AS n_tokens,
+      COALESCE(per_doc.dup_tokens, 0) AS dup_tokens,
+      round(CAST(COALESCE(per_doc.dup_tokens, 0) AS DOUBLE) / len(t.toks), 8)
+        AS dup_fraction
+    FROM t LEFT JOIN per_doc ON t.doc_id = per_doc.doc_id
+    """,
+)
+def doc_duplicated_span_fraction(spark, sf_dir):
+    """Exact duplicated-span accounting per document (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    20-token window is hashed; windows whose hash repeats ANYWHERE in the
+    corpus are duplicated; overlapping duplicated windows merge into
+    maximal spans (gaps-and-islands over running max end), and each doc
+    reports how many of its tokens sit inside a duplicated span. The
+    exact complement to MinHash/SimHash doc-level near-dup: finds the
+    boilerplate and quotation SPANS those doc-level methods dilute away,
+    and dup_fraction is the usual threshold for span-level filtering.
+
+    Scale shape: window hashing is IN-ROW (transform over the token
+    array, map-side explode — positions come along for free, no
+    positional self-join); the only corpus-size shuffles are the hash
+    rollup (partial-aggregated, hashes not text) and the hash-keyed flag
+    join-back; span merging is one per-doc window over the (small)
+    duplicated subset. On a real corpus the window hash would drop to a
+    64-bit rolling hash — md5 here matches the cross-engine oracle."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    wstructs = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - SPAN_W + 1),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.array_join(F.slice("toks", i, SPAN_W), " ")).alias("h"),
+        ),
+    )
+    guarded = F.when(F.size("toks") >= SPAN_W, wstructs).otherwise(
+        F.array().cast("array<struct<pos:int,h:string>>")
+    )
+    wins = d.select("doc_id", F.explode(guarded).alias("w")).select(
+        "doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h")
+    )
+    duph = wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") > 1
+    ).select("h")
+    dw = wins.join(duph, "h").select(
+        "doc_id", F.col("pos").alias("s"), (F.col("pos") + SPAN_W - 1).alias("e")
+    )
+    prev_max = F.max("e").over(
+        W_.partitionBy("doc_id").orderBy("s").rowsBetween(W_.unboundedPreceding, -1)
+    )
+    isl = dw.withColumn(
+        "brk",
+        F.when(F.col("s") > F.coalesce(prev_max, F.lit(-1)), 1).otherwise(0),
+    ).withColumn(
+        "gid",
+        F.sum("brk").over(
+            W_.partitionBy("doc_id").orderBy("s").rowsBetween(W_.unboundedPreceding, 0)
+        ),
+    )
+    per_doc = (
+        isl.groupBy("doc_id", "gid")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("me") - F.col("ms") + 1).cast("bigint").alias("dup_tokens"))
+    )
+    return (
+        d.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0).cast("bigint")).alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0).cast("bigint")).cast("double")
+                / F.col("n_tokens"),
+                8,
+            ).alias("dup_fraction"),
+        )
+    )

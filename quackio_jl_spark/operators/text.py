@@ -3538,3 +3538,65 @@ def textrank_keywords(spark, sf_dir):
         .limit(TR_TOPK)
         .select(F.col("id").alias("term"), F.round("r", 10).alias("score"))
     )
+
+
+# ------------------------------------------------ BPE merge-pair counting
+
+BPE_TOPK = 20
+
+
+@query(
+    "bpe_top_merge_pairs",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+      ) GROUP BY term
+    ),
+    prs AS (
+      SELECT pr, CAST(SUM(freq) AS BIGINT) AS n_occurrences FROM (
+        SELECT freq, unnest(list_transform(range(1, length(term)),
+          i -> substr(term, i, 2))) AS pr
+        FROM vocab WHERE length(term) >= 2
+      ) GROUP BY pr
+    )
+    SELECT pr AS pair, n_occurrences FROM prs
+    ORDER BY n_occurrences DESC, pair LIMIT {BPE_TOPK}
+    """,
+)
+def bpe_top_merge_pairs(spark, sf_dir):
+    """First BPE training iteration (Sennrich et al. 2016): count every
+    adjacent character pair across the corpus, weighted by word
+    frequency — the top pair is the first merge a byte-pair-encoding
+    tokenizer would learn, and the top-20 table is the merge queue.
+    Complements the existing token-COUNTING ops (text_token_stats,
+    bpe-ish regex counts) with the tokenizer-TRAINING side.
+
+    Scale shape: pair generation runs on the aggregated VOCABULARY
+    (term, freq) — bounded by distinct words, not corpus tokens — after
+    one partial-aggregated term rollup; pair extraction is in-row
+    (transform over character positions) and the final rollup is
+    vocabulary-sized with a TakeOrderedAndProject top-20. The iteration
+    structure (re-segment, re-count) would loop on the same
+    vocabulary-sized state at a real tokenizer build."""
+    d = table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    prs = (
+        vocab.filter(F.length("term") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("term") - 1),
+                    lambda i: F.col("term").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))
+    )
+    return prs.orderBy(F.col("n_occurrences").desc(), "pair").limit(BPE_TOPK)
