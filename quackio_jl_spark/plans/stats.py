@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.exact import DEC
+from ..functions.exact import DEC, dsum
 from ..functions.prefix import bucketed_prefix_sums
 from .registry import query, table
 
@@ -8203,4 +8203,253 @@ def ab_test_msprt(spark, sf_dir):
             F.round(p_av, 8).alias("p_always_valid"),
             (p_av < 0.05).alias("reject_at_5pct"),
         )
+    )
+
+
+# ------------------------------------- multiple testing: BH-FDR control
+
+FDR_Q = 0.05
+# Abramowitz-Stegun 7.1.26 erf constants (shared verbatim by both engines)
+_AS_P = 0.3275911
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+_INV_SQRT2 = 0.7071067811865476
+
+
+def _erfc_sql(x: str) -> str:
+    """Two-sided normal tail 2*(1-Phi(|z|)) = erfc(|z|/sqrt(2)) via the
+    A&S 7.1.26 polynomial — identical literal arithmetic in both engines."""
+    t = f"(1.0 / (1.0 + {_AS_P!r} * {x}))"
+    a1, a2, a3, a4, a5 = _AS_A
+    y = (
+        f"((((({_AS_A[4]!r} * {t} + {_AS_A[3]!r}) * {t} + {_AS_A[2]!r}) * {t} "
+        f"+ {_AS_A[1]!r}) * {t} + {_AS_A[0]!r}) * {t})"
+    )
+    return f"({y} * exp(-({x}) * ({x})))"
+
+
+def _erfc_col(x):
+    t = 1.0 / (1.0 + _AS_P * x)
+    y = (
+        (((_AS_A[4] * t + _AS_A[3]) * t + _AS_A[2]) * t + _AS_A[1]) * t + _AS_A[0]
+    ) * t
+    return y * F.exp(-x * x)
+
+
+@query(
+    "nation_acctbal_fdr_bh",
+    oracle=f"""
+    WITH percust AS (
+      SELECT c.c_nationkey, n.n_name, c.c_acctbal AS x
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    bynat AS (
+      SELECT n_name,
+        CAST(COUNT(*) AS BIGINT) AS n_k,
+        {_d('x')} AS s_k,
+        {_d('x * x')} AS q_k
+      FROM percust GROUP BY n_name
+    ),
+    gall AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+        {_d('x')} AS s_all, {_d('x * x')} AS q_all
+      FROM percust
+    ),
+    zs AS (
+      SELECT n_name, n_k,
+        s_k / n_k AS mean_k,
+        ((s_k / n_k) - ((s_all - s_k) / (n_all - n_k)))
+        / sqrt(
+            ((q_k - s_k * (s_k / n_k)) / (n_k - 1)) / n_k
+            + (((q_all - q_k) - (s_all - s_k) * ((s_all - s_k) / (n_all - n_k)))
+               / ((n_all - n_k) - 1)) / (n_all - n_k)
+          ) AS z
+      FROM bynat CROSS JOIN gall
+    ),
+    ps AS (
+      SELECT n_name, n_k, mean_k, z,
+        {_erfc_sql(f'({_INV_SQRT2!r} * abs(z))')} AS p
+      FROM zs
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY p, n_name) AS p_rank,
+        COUNT(*) OVER () AS m
+      FROM ps
+    ),
+    cut AS (
+      SELECT *, MAX(CASE WHEN p <= p_rank * {FDR_Q!r} / m THEN p_rank END)
+        OVER () AS max_pass
+      FROM ranked
+    )
+    SELECT n_name, n_k, round(mean_k, 6) AS mean_acctbal,
+      round(z, 8) AS z, round(p, 10) AS p_value,
+      CAST(p_rank AS BIGINT) AS p_rank,
+      round(p_rank * {FDR_Q!r} / m, 10) AS bh_threshold,
+      p_rank <= COALESCE(max_pass, 0) AS discovery
+    FROM cut
+    """,
+)
+def nation_acctbal_fdr_bh(spark, sf_dir):
+    """Benjamini-Hochberg FDR control over the 25-nation battery of
+    two-sample z-tests (each nation's customer account balance vs the
+    rest of the corpus): the multiple-testing governance the rest of the
+    per-segment test family (Welch, Mood, KW) deliberately leaves to the
+    caller. p-values come from the Abramowitz-Stegun 7.1.26 erfc
+    polynomial evaluated with IDENTICAL literal arithmetic in Spark and
+    DuckDB; the step-up cutoff is the largest rank whose p <= rank*q/m,
+    computed with two windows over the 25-row test table.
+
+    Scale shape: one partial-aggregated rollup per nation (exact decimal
+    sum/sum-of-squares sufficient statistics), a broadcast scalar for
+    the complement ("rest") moments via subtraction, then all BH logic
+    on m rows = number of tests, independent of corpus size."""
+    c = table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    percust = c.join(F.broadcast(n), "c_nationkey").select(
+        "n_name", F.col("c_acctbal").alias("x")
+    )
+    bynat = percust.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_k"),
+        dsum("x").alias("s_k"),
+        dsum(F.col("x") * F.col("x")).alias("q_k"),
+    )
+    glob = percust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        dsum("x").alias("s_all"),
+        dsum(F.col("x") * F.col("x")).alias("q_all"),
+    )
+    mean_k = F.col("s_k") / F.col("n_k")
+    n_r = F.col("n_all") - F.col("n_k")
+    s_r = F.col("s_all") - F.col("s_k")
+    q_r = F.col("q_all") - F.col("q_k")
+    mean_r = s_r / n_r
+    var_k = (F.col("q_k") - F.col("s_k") * mean_k) / (F.col("n_k") - 1)
+    var_r = (q_r - s_r * mean_r) / (n_r - 1)
+    zs = bynat.crossJoin(F.broadcast(glob)).select(
+        "n_name",
+        "n_k",
+        mean_k.alias("mean_k"),
+        ((mean_k - mean_r) / F.sqrt(var_k / F.col("n_k") + var_r / n_r)).alias("z"),
+    )
+    ps = zs.withColumn("p", _erfc_col(F.lit(_INV_SQRT2) * F.abs(F.col("z"))))
+    ranked = ps.withColumn(
+        "p_rank", F.row_number().over(W.orderBy("p", "n_name"))
+    ).withColumn("m", F.count(F.lit(1)).over(W.partitionBy()))
+    bh = F.col("p_rank") * FDR_Q / F.col("m")
+    cut = ranked.withColumn(
+        "max_pass",
+        F.max(F.when(F.col("p") <= bh, F.col("p_rank"))).over(W.partitionBy()),
+    )
+    return cut.select(
+        "n_name",
+        "n_k",
+        F.round("mean_k", 6).alias("mean_acctbal"),
+        F.round("z", 8).alias("z"),
+        F.round("p", 10).alias("p_value"),
+        F.col("p_rank").cast("bigint").alias("p_rank"),
+        F.round(bh, 10).alias("bh_threshold"),
+        (F.col("p_rank") <= F.coalesce(F.col("max_pass"), F.lit(0))).alias(
+            "discovery"
+        ),
+    )
+
+
+# ------------------------------------- survey calibration: raking (IPF)
+
+_RK_SUM = 'CAST(SUM(CAST(round(w, 9) AS DECIMAL(28,12))) AS DOUBLE)'
+
+
+def _rk_adjust(prev: str, out: str, key: str, tgt: str) -> str:
+    return f"""
+    {out}_m AS (
+      SELECT {key}, {_RK_SUM} AS s FROM {prev} GROUP BY {key}
+    ),
+    {out} AS (
+      SELECT p.n_name, p.segment, p.n_cell,
+        p.w * ((CAST(tot.n_all AS DOUBLE) / tot.{tgt}) / m.s) AS w
+      FROM {prev} p JOIN {out}_m m USING ({key}) CROSS JOIN tot
+    )"""
+
+
+@query(
+    "customer_raking_weights",
+    oracle=f"""
+    WITH cells AS (
+      SELECT n.n_name, c.c_mktsegment AS segment,
+        CAST(COUNT(*) AS BIGINT) AS n_cell
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, c.c_mktsegment
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_cell) AS BIGINT) AS n_all,
+        CAST(COUNT(DISTINCT n_name) AS BIGINT) AS n_nat,
+        CAST(COUNT(DISTINCT segment) AS BIGINT) AS n_seg
+      FROM cells
+    ),
+    w0 AS (SELECT n_name, segment, n_cell, CAST(n_cell AS DOUBLE) AS w FROM cells),
+    {_rk_adjust('w0', 'w1', 'n_name', 'n_nat')},
+    {_rk_adjust('w1', 'w2', 'segment', 'n_seg')},
+    {_rk_adjust('w2', 'w3', 'n_name', 'n_nat')},
+    {_rk_adjust('w3', 'w4', 'segment', 'n_seg')}
+    SELECT n_name, segment, n_cell, round(w, 8) AS weight,
+      round(w / n_cell, 8) AS unit_weight
+    FROM w4
+    """,
+)
+def customer_raking_weights(spark, sf_dir):
+    """Survey-calibration raking (iterative proportional fitting, 2 full
+    rounds) of the customer nation x market-segment table onto UNIFORM
+    nation and segment margins: alternately scale cell weights so each
+    nation's total hits N/n_nations, then each segment's hits
+    N/n_segments. unit_weight is the per-customer calibration weight a
+    downstream weighted estimator would apply — the standard fix when a
+    corpus over-represents some strata (the deterministic sibling of
+    stratified_neyman_allocation, which allocates a SAMPLE instead of
+    reweighting the population).
+
+    Scale shape: after ONE partial-aggregated rollup to the
+    nations x segments cell table, every IPF adjustment is a margin
+    aggregate over the cell table joined back broadcast — per-round cost
+    is bounded by the contingency table, not the corpus. Margin sums use
+    the round-then-decimal-sum recipe so each round is bit-reproducible
+    under any partitioning."""
+    c = table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    cells = (
+        c.join(F.broadcast(n), "c_nationkey")
+        .groupBy("n_name", F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cell"))
+    )
+    tot = F.broadcast(
+        cells.agg(
+            F.sum("n_cell").cast("bigint").alias("n_all"),
+            F.count_distinct("n_name").cast("bigint").alias("n_nat"),
+            F.count_distinct("segment").cast("bigint").alias("n_seg"),
+        )
+    )
+    w = cells.withColumn("w", F.col("n_cell").cast("double")).crossJoin(tot)
+
+    def rdsum9(col):
+        return F.sum(F.round(col, 9).cast("decimal(28,12)")).cast("double")
+
+    for key, tgt in (("n_name", "n_nat"), ("segment", "n_seg")) * 2:
+        m = w.groupBy(key).agg(rdsum9(F.col("w")).alias("s"))
+        w = (
+            w.join(F.broadcast(m), key)
+            .withColumn(
+                "w",
+                F.col("w")
+                * ((F.col("n_all").cast("double") / F.col(tgt)) / F.col("s")),
+            )
+            .drop("s")
+        )
+    return w.select(
+        "n_name",
+        "segment",
+        "n_cell",
+        F.round("w", 8).alias("weight"),
+        F.round(F.col("w") / F.col("n_cell"), 8).alias("unit_weight"),
     )
