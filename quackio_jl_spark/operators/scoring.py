@@ -976,3 +976,77 @@ def quality_brier_decomposition(spark, sf_dir):
             8,
         ).alias("within_bin_term"),
     )
+
+
+# --------------------------------- per-source quantile mapping table
+
+QMAP_DECILES = tuple(range(1, 10))
+
+
+@query(
+    "source_length_quantile_map",
+    oracle=f"""
+    WITH bysrc AS (
+      SELECT source,
+        {", ".join(f"quantile_cont(CAST(n_chars AS DOUBLE), {p / 10.0!r}) AS sq{p}" for p in QMAP_DECILES)}
+      FROM documents GROUP BY source
+    ),
+    pooled AS (
+      SELECT
+        {", ".join(f"quantile_cont(CAST(n_chars AS DOUBLE), {p / 10.0!r}) AS pq{p}" for p in QMAP_DECILES)}
+      FROM documents
+    ),
+    grid AS (
+      {" UNION ALL ".join(f"SELECT source, CAST({p / 10.0!r} AS DOUBLE) AS decile, sq{p} AS source_q, pq{p} AS pooled_q FROM bysrc CROSS JOIN pooled" for p in QMAP_DECILES)}
+    )
+    SELECT source, decile,
+      round(source_q, 6) AS source_q,
+      round(pooled_q, 6) AS pooled_q,
+      round(source_q - pooled_q, 8) AS shift
+    FROM grid
+    """,
+)
+def source_length_quantile_map(spark, sf_dir):
+    """Quantile-normalization mapping table per source: each source's nine
+    document-length deciles next to the POOLED corpus deciles, with the
+    shift between them. This is the lookup a quantile-normalizing curator
+    applies to put per-source scores on one scale before a global
+    threshold (the distribution-alignment sibling of the z-score
+    standardization ops — rank-based, so robust to heavy tails), and the
+    per-source shift column is a drift report on its own.
+
+    Scale shape: both decile sets come from conditional-percentile
+    aggregates (typed sort buffers, partial-merged — the F.percentile <->
+    quantile_cont bit-pairing established by quality_calibration_bins);
+    the grid unpivots from a sources x 1 table, so output is
+    9 x n_sources regardless of corpus size."""
+    d = table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("double").alias("x")
+    )
+    bysrc = d.groupBy("source").agg(
+        *[F.percentile("x", p / 10.0).alias(f"sq{p}") for p in QMAP_DECILES]
+    )
+    pooled = F.broadcast(
+        d.agg(*[F.percentile("x", p / 10.0).alias(f"pq{p}") for p in QMAP_DECILES])
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(p / 10.0).alias("decile"),
+                F.col(f"sq{p}").alias("source_q"),
+                F.col(f"pq{p}").alias("pooled_q"),
+            )
+            for p in QMAP_DECILES
+        ]
+    )
+    return (
+        bysrc.crossJoin(pooled)
+        .select("source", F.explode(pairs).alias("r"))
+        .select(
+            "source",
+            F.col("r.decile").alias("decile"),
+            F.round("r.source_q", 6).alias("source_q"),
+            F.round("r.pooled_q", 6).alias("pooled_q"),
+            F.round(F.col("r.source_q") - F.col("r.pooled_q"), 8).alias("shift"),
+        )
+    )

@@ -3600,3 +3600,144 @@ def bpe_top_merge_pairs(spark, sf_dir):
         .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))
     )
     return prs.orderBy(F.col("n_occurrences").desc(), "pair").limit(BPE_TOPK)
+
+
+# ---------------------------------------------- Heaps'-law vocabulary growth
+
+HEAPS_BUCKETS = 10
+
+
+@query(
+    "corpus_heaps_law_fit",
+    oracle=f"""
+    WITH rng AS (
+      SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+    ),
+    toks AS (
+      SELECT LEAST({HEAPS_BUCKETS} - 1,
+        CAST(floor({HEAPS_BUCKETS} * CAST(doc_id - lo AS DOUBLE) / (hi - lo + 1))
+          AS INTEGER)) AS b,
+        unnest(string_split(text, ' ')) AS term
+      FROM documents CROSS JOIN rng
+    ),
+    tokcnt AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks GROUP BY b
+    ),
+    firstb AS (
+      SELECT term, MIN(b) AS minb FROM toks GROUP BY term
+    ),
+    newv AS (
+      SELECT minb AS b, CAST(COUNT(*) AS BIGINT) AS n_new FROM firstb GROUP BY minb
+    ),
+    pts AS (
+      SELECT tokcnt.b,
+        SUM(tokcnt.n_tok) OVER (ORDER BY tokcnt.b
+          ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+        SUM(COALESCE(newv.n_new, 0)) OVER (ORDER BY tokcnt.b
+          ROWS UNBOUNDED PRECEDING) AS cum_vocab
+      FROM tokcnt LEFT JOIN newv ON tokcnt.b = newv.b
+    ),
+    ll AS (
+      SELECT ln(CAST(cum_tokens AS DOUBLE)) AS x,
+        ln(CAST(cum_vocab AS DOUBLE)) AS y
+      FROM pts
+    ),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(round(x, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(round(y, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+      FROM ll
+    )
+    SELECT n AS n_points,
+      round((sxy - sx * sy / n) / (sxx - sx * sx / n), 8) AS heaps_beta,
+      round(exp(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx / n), 6)
+        AS heaps_k,
+      (SELECT MAX(cum_tokens) FROM pts) AS tokens_total,
+      (SELECT MAX(cum_vocab) FROM pts) AS vocab_total
+    FROM fit
+    """,
+)
+def corpus_heaps_law_fit(spark, sf_dir):
+    """Heaps'-law fit V = k * N^beta of vocabulary growth: the corpus is
+    cut into {HEAPS_BUCKETS} doc-id range buckets (a pure function of the
+    row — same recipe as embedding_dbscan_grid's cells), each term is
+    charged to the FIRST bucket it appears in, and cumulative
+    (tokens, vocab) points feed a log-log OLS for beta (natural-language
+    corpora sit near 0.4-0.6). Planner's answer to "how fast does the
+    vocab table grow if we ingest 10x more data" — the capacity input
+    for vocab_build_topn and the OOV-rate ops.
+
+    Scale shape: one token rollup per (bucket, term) path — the
+    term->min-bucket reduce is the only vocabulary-sized shuffle; the
+    cumulative windows and the regression run on {HEAPS_BUCKETS} rows.
+    Round-then-decimal-sum on the regression sums keeps the fit
+    bit-reproducible."""
+    d = table(spark, sf_dir, "documents")
+    rng = F.broadcast(
+        d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    )
+    toks = (
+        d.crossJoin(rng)
+        .select(
+            F.least(
+                F.lit(HEAPS_BUCKETS - 1),
+                F.floor(
+                    HEAPS_BUCKETS
+                    * (F.col("doc_id") - F.col("lo")).cast("double")
+                    / (F.col("hi") - F.col("lo") + 1)
+                ).cast("int"),
+            ).alias("b"),
+            F.explode(F.split("text", " ")).alias("term"),
+        )
+    )
+    tokcnt = toks.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("n_tok"))
+    newv = (
+        toks.groupBy("term")
+        .agg(F.min("b").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    )
+    cum = W.orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    pts = (
+        tokcnt.join(newv, "b", "left")
+        .select("b", "n_tok", F.coalesce("n_new", F.lit(0).cast("bigint")).alias("n_new"))
+        .select(
+            F.sum("n_tok").over(cum).alias("cum_tokens"),
+            F.sum("n_new").over(cum).alias("cum_vocab"),
+        )
+    )
+    ll = pts.select(
+        F.log(F.col("cum_tokens").cast("double")).alias("x"),
+        F.log(F.col("cum_vocab").cast("double")).alias("y"),
+    )
+
+    def rsum(col):
+        return F.sum(F.round(col, 9).cast("decimal(28,12)")).cast("double")
+
+    fit = ll.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        rsum(F.col("x")).alias("sx"),
+        rsum(F.col("y")).alias("sy"),
+        rsum(F.col("x") * F.col("x")).alias("sxx"),
+        rsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    totals = F.broadcast(
+        pts.agg(
+            F.max("cum_tokens").alias("tokens_total"),
+            F.max("cum_vocab").alias("vocab_total"),
+        )
+    )
+    return fit.crossJoin(totals).select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 8).alias("heaps_beta"),
+        F.round(
+            F.exp(F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n")), 6
+        ).alias("heaps_k"),
+        "tokens_total",
+        "vocab_total",
+    )
