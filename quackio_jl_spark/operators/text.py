@@ -3741,3 +3741,132 @@ def corpus_heaps_law_fit(spark, sf_dir):
         "tokens_total",
         "vocab_total",
     )
+
+
+# ---------------------------------------- Burrows' Delta stylometry
+
+BD_TOP = 30
+_BD_RSUM = "CAST(SUM(CAST(round({x}, 9) AS DECIMAL(28,12))) AS DOUBLE)"
+
+
+@query(
+    "source_burrows_delta",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    topt AS (
+      SELECT term FROM (
+        SELECT term, COUNT(*) AS c FROM tok GROUP BY term
+        ORDER BY c DESC, term LIMIT {BD_TOP}
+      )
+    ),
+    srctot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY source
+    ),
+    cnt AS (
+      SELECT tok.source, tok.term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok JOIN topt ON tok.term = topt.term
+      GROUP BY tok.source, tok.term
+    ),
+    dense AS (
+      SELECT s.source, t.term,
+        COALESCE(c.c, 0) / CAST(s.n_tok AS DOUBLE) AS f
+      FROM srctot s CROSS JOIN topt t
+      LEFT JOIN cnt c ON c.source = s.source AND c.term = t.term
+    ),
+    tstat AS (
+      SELECT term,
+        {_BD_RSUM.format(x='f')} / COUNT(*) AS mu,
+        sqrt(({_BD_RSUM.format(x='f * f')}
+          - {_BD_RSUM.format(x='f')} * ({_BD_RSUM.format(x='f')} / COUNT(*)))
+          / (COUNT(*) - 1)) AS sd
+      FROM dense GROUP BY term
+    ),
+    z AS (
+      SELECT dense.source, dense.term, (dense.f - tstat.mu) / tstat.sd AS z
+      FROM dense JOIN tstat ON dense.term = tstat.term
+      WHERE tstat.sd > 0
+    ),
+    pairs AS (
+      SELECT a.source AS source1, b.source AS source2,
+        {_BD_RSUM.format(x='abs(a.z - b.z)')} / COUNT(*) AS delta
+      FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT source1, source2, round(delta, 8) AS delta FROM pairs
+    """,
+)
+def source_burrows_delta(spark, sf_dir):
+    """Burrows' Delta stylometric distance between sources: relative
+    frequencies of the corpus's top-{BD_TOP} terms (the "function word"
+    profile), z-scored per term across sources, with
+    Delta(s1, s2) = mean |z1 - z2|. The classic authorship/style-drift
+    measure — flags a source whose register differs from the rest even
+    when topic vocabularies (source_characteristic_terms) look similar.
+
+    Scale shape: one token rollup bounded by sources x top-terms after a
+    broadcast top-term semi-join; the dense grid, z-table and pair join
+    all live on that bounded grid (n_sources^2 x {BD_TOP} at worst).
+    Term means/sds and the pair averages use round-then-decimal-sum, so
+    every level is bit-reproducible. Zero-variance terms are excluded
+    from the profile in both engines."""
+    tok = table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    topt = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "term")
+        .limit(BD_TOP)
+        .select("term")
+    )
+    srctot = tok.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_tok"))
+    cnt = (
+        tok.join(F.broadcast(topt), "term")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    dense = (
+        srctot.crossJoin(F.broadcast(topt))
+        .join(cnt, ["source", "term"], "left")
+        .select(
+            "source",
+            "term",
+            (F.coalesce("c", F.lit(0)) / F.col("n_tok").cast("double")).alias("f"),
+        )
+    )
+
+    def rsum(col):
+        return F.sum(F.round(col, 9).cast("decimal(28,12)")).cast("double")
+
+    ncol = F.count(F.lit(1))
+    tstat = dense.groupBy("term").agg(
+        (rsum(F.col("f")) / ncol).alias("mu"),
+        F.sqrt(
+            (
+                rsum(F.col("f") * F.col("f"))
+                - rsum(F.col("f")) * (rsum(F.col("f")) / ncol)
+            )
+            / (ncol - 1)
+        ).alias("sd"),
+    )
+    z = (
+        dense.join(F.broadcast(tstat), "term")
+        .filter(F.col("sd") > 0)
+        .select("source", "term", ((F.col("f") - F.col("mu")) / F.col("sd")).alias("z"))
+    )
+    a = z.select(
+        F.col("term").alias("t"), F.col("source").alias("source1"), F.col("z").alias("z1")
+    )
+    b = z.select(
+        F.col("term").alias("t2"), F.col("source").alias("source2"), F.col("z").alias("z2")
+    )
+    return (
+        a.join(b, (F.col("t") == F.col("t2")) & (F.col("source1") < F.col("source2")))
+        .groupBy("source1", "source2")
+        .agg(
+            (rsum(F.abs(F.col("z1") - F.col("z2"))) / F.count(F.lit(1))).alias("delta")
+        )
+        .select("source1", "source2", F.round("delta", 8).alias("delta"))
+    )

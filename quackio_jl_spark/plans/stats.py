@@ -8453,3 +8453,218 @@ def customer_raking_weights(spark, sf_dir):
         F.round("w", 8).alias("weight"),
         F.round(F.col("w") / F.col("n_cell"), 8).alias("unit_weight"),
     )
+
+
+# ------------------------------------- robust trend: Theil-Sen estimator
+
+
+@query(
+    "orders_monthly_theil_sen_trend",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_part('year', o_orderdate) * 12
+           + date_part('month', o_orderdate) - 1 AS BIGINT) AS t,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS y
+      FROM orders GROUP BY t
+    ),
+    slopes AS (
+      SELECT (b.y - a.y) / (b.t - a.t) AS s
+      FROM monthly a JOIN monthly b ON a.t < b.t
+    ),
+    sl AS (SELECT quantile_cont(s, 0.5) AS slope FROM slopes),
+    ic AS (
+      SELECT quantile_cont(m.y - sl.slope * m.t, 0.5) AS intercept
+      FROM monthly m CROSS JOIN sl
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM monthly) AS n_points,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM slopes) AS n_pairs,
+      round(sl.slope, 8) AS ts_slope,
+      round(ic.intercept, 6) AS ts_intercept
+    FROM sl CROSS JOIN ic
+    """,
+)
+def orders_monthly_theil_sen_trend(spark, sf_dir):
+    """Theil-Sen robust trend of monthly revenue: the MEDIAN of all
+    pairwise slopes (and the median residual intercept) — a 29%-
+    breakdown-point alternative to the OLS trend line that one
+    anomalous month cannot drag (the robust sibling of the
+    linear-trend + Durbin-Watson family; compare the two slopes to see
+    whether outlier months are steering the narrative).
+
+    Scale shape: the corpus reduces to a SERIES-sized monthly rollup
+    (partial-aggregated decimal-exact sums) before the pairwise
+    self-join, so the O(n^2) pair table is months-squared — bounded by
+    calendar length, never by order volume; medians come from the
+    established F.percentile <-> quantile_cont bit-pairing."""
+    o = table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("bigint")
+            .alias("t")
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("y"))
+        .persist()
+    )
+    a = monthly.select(F.col("t").alias("ta"), F.col("y").alias("ya"))
+    b = monthly.select(F.col("t").alias("tb"), F.col("y").alias("yb"))
+    slopes = a.join(b, F.col("ta") < F.col("tb")).select(
+        ((F.col("yb") - F.col("ya")) / (F.col("tb") - F.col("ta"))).alias("s")
+    )
+    sl = F.broadcast(slopes.agg(F.percentile("s", 0.5).alias("slope")))
+    ic = F.broadcast(
+        monthly.crossJoin(sl).agg(
+            F.percentile(F.col("y") - F.col("slope") * F.col("t"), 0.5).alias(
+                "intercept"
+            )
+        )
+    )
+    counts = monthly.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points")
+    ).crossJoin(F.broadcast(slopes.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))))
+    return (
+        counts.crossJoin(sl)
+        .crossJoin(ic)
+        .select(
+            "n_points",
+            "n_pairs",
+            F.round("slope", 8).alias("ts_slope"),
+            F.round("intercept", 6).alias("ts_intercept"),
+        )
+    )
+
+
+# --------------------------------- negative-binomial count-model fit
+
+NB_KMAX = 19  # observed/expected table covers k = 0..19 plus a >=20 tail
+
+
+def _nb_pmf_expr(k: int) -> str:
+    """NB pmf written as one closed-form expression over named columns
+    (r, q, base = (1-q)^r): base * prod_{{j<k}}(r+j) / k! * q^k. The
+    SAME string is evaluated by Spark (F.expr) and DuckDB, so the IEEE
+    operation order is identical by construction."""
+    import math
+
+    poly = " * ".join(f"(r + {j})" if j else "(r)" for j in range(k)) or "1.0"
+    fact = float(math.factorial(k))
+    return f"(((base * {poly}) / {fact!r}) * pow(q, {k}))"
+
+
+_NB_OBS = ", ".join(
+    f"CAST(SUM(CASE WHEN x = {k} THEN 1 ELSE 0 END) AS BIGINT) AS obs{k}"
+    for k in range(NB_KMAX + 1)
+)
+_NB_PMF = ", ".join(f"{_nb_pmf_expr(k)} AS pmf{k}" for k in range(NB_KMAX + 1))
+_NB_PSUM = " + ".join(f"pmf{k}" for k in range(NB_KMAX + 1))
+_NB_ROWS = " UNION ALL ".join(
+    f"""SELECT {k} AS k, obs{k} AS observed, n * pmf{k} AS expected,
+        r AS r_hat, q AS q_hat FROM pmf"""
+    for k in range(NB_KMAX + 1)
+)
+
+
+@query(
+    "customer_order_count_negbin_fit",
+    oracle=f"""
+    WITH peruser AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS x FROM orders
+      GROUP BY o_custkey
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(x) AS BIGINT) AS s,
+        CAST(SUM(x * x) AS BIGINT) AS qq,
+        {_NB_OBS},
+        CAST(SUM(CASE WHEN x > {NB_KMAX} THEN 1 ELSE 0 END) AS BIGINT)
+          AS obs_tail
+      FROM peruser
+    ),
+    c1 AS (SELECT *, s / CAST(n AS DOUBLE) AS m FROM agg),
+    c2 AS (SELECT *, (qq - s * m) / (n - 1) AS v FROM c1),
+    c3 AS (SELECT *, (m * m) / (v - m) AS r FROM c2),
+    c4 AS (SELECT *, m / (m + r) AS q FROM c3),
+    c5 AS (SELECT *, exp(r * ln(1 - q)) AS base FROM c4),
+    pmf AS (SELECT *, {_NB_PMF} FROM c5),
+    rows_ AS (
+      {_NB_ROWS}
+      UNION ALL
+      SELECT {NB_KMAX + 1}, obs_tail, n * (1 - ({_NB_PSUM})), r, q FROM pmf
+    )
+    SELECT k, observed, round(expected, 6) AS expected,
+      round((observed - expected) * (observed - expected) / expected, 8)
+        AS chi2_contrib,
+      round(r_hat, 6) AS r_hat, round(q_hat, 8) AS q_hat
+    FROM rows_
+    """,
+)
+def customer_order_count_negbin_fit(spark, sf_dir):
+    """Negative-binomial fit of orders-per-customer by method of moments
+    (r = m^2/(v - m), q = m/(m + r)) with an observed-vs-expected
+    frequency table for k = 0..{NB_KMAX} plus a tail bucket and per-row
+    chi-square contributions — the parametric count MODEL on top of the
+    events_overdispersion_test verdict (NB nests Poisson as r -> inf, so
+    a huge r_hat says "Poisson is fine", while a small one quantifies
+    clumping). Every pmf value is one closed-form expression over the
+    fitted (r, q) evaluated from the SAME string in Spark and DuckDB, so
+    the recursion-free unrolling is bit-identical.
+
+    Scale shape: one per-customer rollup, then a single 20+3-column
+    integer reduce; the pmf table is computed on that one row and
+    exploded to {NB_KMAX + 2} output rows — constant work after the
+    first aggregate at any corpus size."""
+    per = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("qq"),
+        *[
+            F.sum((F.col("x") == k).cast("int")).cast("bigint").alias(f"obs{k}")
+            for k in range(NB_KMAX + 1)
+        ],
+        F.sum((F.col("x") > NB_KMAX).cast("int")).cast("bigint").alias("obs_tail"),
+    )
+    pmf = (
+        agg.withColumn("m", F.col("s") / F.col("n").cast("double"))
+        .withColumn("v", (F.col("qq") - F.col("s") * F.col("m")) / (F.col("n") - 1))
+        .withColumn("r", (F.col("m") * F.col("m")) / (F.col("v") - F.col("m")))
+        .withColumn("q", F.col("m") / (F.col("m") + F.col("r")))
+        .withColumn("base", F.exp(F.col("r") * F.log(1 - F.col("q"))))
+    )
+    for k in range(NB_KMAX + 1):
+        pmf = pmf.withColumn(f"pmf{k}", F.expr(_nb_pmf_expr(k)))
+    structs = [
+        F.struct(
+            F.lit(k).alias("k"),
+            F.col(f"obs{k}").alias("observed"),
+            (F.col("n") * F.col(f"pmf{k}")).alias("expected"),
+        )
+        for k in range(NB_KMAX + 1)
+    ] + [
+        F.struct(
+            F.lit(NB_KMAX + 1).alias("k"),
+            F.col("obs_tail").alias("observed"),
+            (F.col("n") * (1 - F.expr(_NB_PSUM))).alias("expected"),
+        )
+    ]
+    return (
+        pmf.select("r", "q", F.explode(F.array(*structs)).alias("w"))
+        .select(
+            F.col("w.k").alias("k"),
+            F.col("w.observed").alias("observed"),
+            F.round("w.expected", 6).alias("expected"),
+            F.round(
+                (F.col("w.observed") - F.col("w.expected"))
+                * (F.col("w.observed") - F.col("w.expected"))
+                / F.col("w.expected"),
+                8,
+            ).alias("chi2_contrib"),
+            F.round("r", 6).alias("r_hat"),
+            F.round("q", 8).alias("q_hat"),
+        )
+    )
