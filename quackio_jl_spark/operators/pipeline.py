@@ -2770,3 +2770,106 @@ def ann_ivf_balance_report(spark, sf_dir):
             8,
         ).alias("expected_probe_frac"),
     )
+
+
+# --------------------------------- capture-recapture corpus estimation
+
+CR_RATE = 0.3
+
+
+@query(
+    "corpus_capture_recapture",
+    oracle=f"""
+    WITH marked AS (
+      SELECT doc_id,
+        (('0x' || substr(md5('crA:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0) < {CR_RATE!r} AS in_a,
+        (('0x' || substr(md5('crB:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0) < {CR_RATE!r} AS in_b
+      FROM documents
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+        CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_overlap
+      FROM marked
+    )
+    SELECT n_true, n_a, n_b, n_overlap,
+      round((n_a + 1) * (n_b + 1) / CAST(n_overlap + 1 AS DOUBLE) - 1, 4)
+        AS n_hat,
+      round(sqrt(CAST(n_a + 1 AS DOUBLE) * (n_b + 1) * (n_a - n_overlap)
+        * (n_b - n_overlap)
+        / (CAST(n_overlap + 1 AS DOUBLE) * (n_overlap + 1) * (n_overlap + 2))), 4)
+        AS se_hat,
+      round(((n_a + 1) * (n_b + 1) / CAST(n_overlap + 1 AS DOUBLE) - 1 - n_true)
+        / n_true, 6) AS rel_err
+    FROM agg
+    """,
+)
+def corpus_capture_recapture(spark, sf_dir):
+    """Chapman capture-recapture estimate of corpus size from two
+    independent deterministic 'crawls' (md5-hash samples at rate
+    {CR_RATE}): N-hat = (nA+1)(nB+1)/(m+1) - 1 with its closed-form SE,
+    reported against the true count. The estimator every dedup/coverage
+    planner uses to answer "how big is the universe our two overlapping
+    crawls are drawing from" WITHOUT a full census — here validated
+    against the known N (rel_err column), which is exactly how you
+    calibrate it before trusting it on an uncensusable corpus.
+
+    Scale shape: one map-side flag computation and a 4-cell conditional
+    reduce — no shuffle beyond the final 1-row aggregate."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def u(salt):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            / F.lit(4294967296.0)
+        )
+
+    marked = d.select(
+        (u("crA:") < CR_RATE).alias("in_a"), (u("crB:") < CR_RATE).alias("in_b")
+    )
+    agg = marked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+        F.sum(F.col("in_a").cast("int")).cast("bigint").alias("n_a"),
+        F.sum(F.col("in_b").cast("int")).cast("bigint").alias("n_b"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("int"))
+        .cast("bigint")
+        .alias("n_overlap"),
+    )
+    n_hat = (
+        (F.col("n_a") + 1)
+        * (F.col("n_b") + 1)
+        / (F.col("n_overlap") + 1).cast("double")
+        - 1
+    )
+    se = F.sqrt(
+        (F.col("n_a") + 1).cast("double")
+        * (F.col("n_b") + 1)
+        * (F.col("n_a") - F.col("n_overlap"))
+        * (F.col("n_b") - F.col("n_overlap"))
+        / (
+            (F.col("n_overlap") + 1).cast("double")
+            * (F.col("n_overlap") + 1)
+            * (F.col("n_overlap") + 2)
+        )
+    )
+    return agg.select(
+        "n_true",
+        "n_a",
+        "n_b",
+        "n_overlap",
+        F.round(n_hat, 4).alias("n_hat"),
+        F.round(se, 4).alias("se_hat"),
+        F.round((n_hat - F.col("n_true")) / F.col("n_true"), 6).alias("rel_err"),
+    )

@@ -868,3 +868,77 @@ def retrieval_mmr_diversified(spark, sf_dir):
         F.round("relevance", 8).alias("relevance"),
         F.round("mmr_score", 8).alias("mmr_score"),
     )
+
+
+# --------------------------------- embedding geometry health report
+
+
+@query(
+    "embedding_geometry_report",
+    oracle=f"""
+    WITH h AS (
+      SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS hh
+      FROM embeddings
+    ),
+    paired AS (
+      SELECT embedding, lead(embedding) OVER w AS emb2
+      FROM h
+      WINDOW w AS (PARTITION BY substr(hh, 1, 1) ORDER BY hh)
+    ),
+    cosv AS (
+      SELECT {_cosine_sql('embedding', 'emb2')} AS cs
+      FROM paired WHERE emb2 IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      round(CAST(SUM(CAST(round(cs, 9) AS DECIMAL(28,12))) AS DOUBLE)
+        / COUNT(*), 8) AS mean_cos,
+      round(MIN(cs), 8) AS min_cos,
+      round(MAX(cs), 8) AS max_cos,
+      round(CAST(SUM(CASE WHEN cs > 0.9 THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 8) AS frac_near_dup,
+      round(CAST(SUM(CASE WHEN cs < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 8) AS frac_negative
+    FROM cosv
+    """,
+)
+def embedding_geometry_report(spark, sf_dir):
+    """Embedding-space health check on deterministic pseudo-random pairs:
+    vectors are ordered by md5(vec_id) within 16 hash buckets and each
+    is paired with its successor — an unbiased-in-practice pair sample
+    with ZERO randomness and no quadratic blowup. Reports the cosine
+    mean/min/max plus the collapsed fraction (cos > 0.9 between
+    unrelated vectors = representation collapse, the classic failure
+    before ANN indexing or SemDeDup) and the negative fraction
+    (anisotropy direction). Run this BEFORE trusting any
+    cosine-thresholded op (semantic_dedup_*, ann_*).
+
+    Scale shape: the hash ordering partitions into 16 independent
+    windows (no global sort), pairing is one lead() per partition, and
+    the report is a single partial-aggregated reduce; pair count is
+    N - 16, linear in the corpus."""
+    from pyspark.sql import Window as W_
+
+    h = table(spark, sf_dir, "embeddings").select(
+        "embedding", F.md5(F.col("vec_id").cast("string")).alias("hh")
+    )
+    w = W_.partitionBy(F.substring("hh", 1, 1)).orderBy("hh")
+    paired = h.select(
+        "embedding", F.lead("embedding").over(w).alias("emb2")
+    ).filter(F.col("emb2").isNotNull())
+    cosv = paired.select(cosine("embedding", "emb2").alias("cs"))
+    n = F.count(F.lit(1))
+    return cosv.agg(
+        n.cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum(F.round(F.col("cs"), 9).cast("decimal(28,12)")).cast("double") / n,
+            8,
+        ).alias("mean_cos"),
+        F.round(F.min("cs"), 8).alias("min_cos"),
+        F.round(F.max("cs"), 8).alias("max_cos"),
+        F.round(F.sum((F.col("cs") > 0.9).cast("int")).cast("double") / n, 8).alias(
+            "frac_near_dup"
+        ),
+        F.round(F.sum((F.col("cs") < 0).cast("int")).cast("double") / n, 8).alias(
+            "frac_negative"
+        ),
+    )

@@ -3870,3 +3870,116 @@ def source_burrows_delta(spark, sf_dir):
         )
         .select("source1", "source2", F.round("delta", 8).alias("delta"))
     )
+
+
+# ------------------------------------------- Good-Turing frequency estimates
+
+GT_RMAX = 10
+
+
+@query(
+    "bigram_good_turing_estimates",
+    oracle=f"""
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    cnt AS (
+      SELECT bg, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT unnest(list_transform(range(1, len(toks)),
+          i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        FROM t
+      ) GROUP BY bg
+    ),
+    spec AS (
+      SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r FROM cnt GROUP BY c
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM cnt),
+    grid AS (SELECT unnest(range(1, {GT_RMAX} + 1)) AS r)
+    SELECT grid.r AS r,
+      COALESCE(s1.n_r, 0) AS n_r,
+      COALESCE(s2.n_r, 0) AS n_r_plus_1,
+      CASE WHEN COALESCE(s1.n_r, 0) = 0 THEN NULL
+        ELSE round((grid.r + 1) * CAST(COALESCE(s2.n_r, 0) AS DOUBLE)
+          / s1.n_r, 8) END AS r_star,
+      round(CAST(COALESCE((SELECT n_r FROM spec WHERE r = 1), 0) AS DOUBLE)
+        / tot.n_tokens, 10) AS p_unseen
+    FROM grid
+    LEFT JOIN spec s1 ON s1.r = grid.r
+    LEFT JOIN spec s2 ON s2.r = grid.r + 1
+    CROSS JOIN tot
+    """,
+)
+def bigram_good_turing_estimates(spark, sf_dir):
+    """Good-Turing adjusted counts over the BIGRAM-frequency spectrum:
+    r* = (r+1) N_{{r+1}} / N_r for r = 1..{GT_RMAX}, and the Good-Turing
+    unseen-mass estimate P0 = N_1 / N — the third smoothing family next
+    to add-one and Kneser-Ney (bigram_lm_*), and the standard answer to
+    "how much probability should the LM reserve for words it has never
+    seen". The spectrum is taken over bigrams because that is where the
+    rare tail lives (the unigram vocabulary of this fixture is dense),
+    and because the unseen-mass estimate is exactly what the bigram-LM
+    scorers must reserve; a dip of r* far below r at small r is the
+    signature of a heavy hapax tail.
+
+    Scale shape: one vocabulary rollup, then the frequency-of-frequencies
+    spectrum (bounded by max term count) and a {GT_RMAX}-row grid join —
+    all post-vocabulary work is spectrum-sized."""
+    d = table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("toks")
+    )
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat(
+                F.element_at(F.col("toks"), i),
+                F.lit(" "),
+                F.element_at(F.col("toks"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    cnt = (
+        d.select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    spec = cnt.groupBy(F.col("c").alias("r")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_r")
+    ).persist()
+    tot = F.broadcast(cnt.agg(F.sum("c").cast("bigint").alias("n_tokens")))
+    n1 = F.broadcast(
+        spec.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("r") == 1, F.col("n_r"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_1")
+        )
+    )
+    grid = spark.range(1, GT_RMAX + 1).select(F.col("id").cast("bigint").alias("r"))
+    s1 = spec.select(F.col("r"), F.col("n_r").alias("nr"))
+    s2 = spec.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("nr1"))
+    return (
+        grid.join(F.broadcast(s1), "r", "left")
+        .join(F.broadcast(s2), "r", "left")
+        .crossJoin(tot)
+        .crossJoin(n1)
+        .select(
+            "r",
+            F.coalesce("nr", F.lit(0).cast("bigint")).alias("n_r"),
+            F.coalesce("nr1", F.lit(0).cast("bigint")).alias("n_r_plus_1"),
+            F.when(
+                F.coalesce("nr", F.lit(0).cast("bigint")) == 0, F.lit(None)
+            )
+            .otherwise(
+                F.round(
+                    (F.col("r") + 1)
+                    * F.coalesce("nr1", F.lit(0).cast("bigint")).cast("double")
+                    / F.col("nr"),
+                    8,
+                )
+            )
+            .alias("r_star"),
+            F.round(F.col("n_1").cast("double") / F.col("n_tokens"), 10).alias(
+                "p_unseen"
+            ),
+        )
+    )

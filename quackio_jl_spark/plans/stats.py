@@ -8668,3 +8668,103 @@ def customer_order_count_negbin_fit(spark, sf_dir):
             F.round("q", 8).alias("q_hat"),
         )
     )
+
+
+# --------------------------------- delete-one-group jackknife
+
+
+@query(
+    "jackknife_mean_acctbal",
+    oracle="""
+    WITH bynat AS (
+      SELECT c_nationkey,
+        CAST(COUNT(*) AS BIGINT) AS n_i,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS s_i
+      FROM customer GROUP BY c_nationkey
+    ),
+    gall AS (
+      SELECT CAST(SUM(n_i) AS BIGINT) AS n_all,
+        CAST(SUM(CAST(round(s_i, 9) AS DECIMAL(28,12))) AS DOUBLE) AS s_all,
+        CAST(COUNT(*) AS BIGINT) AS g
+      FROM bynat
+    ),
+    thetas AS (
+      SELECT (s_all - s_i) / (n_all - n_i) AS theta_i, g,
+        s_all / n_all AS theta
+      FROM bynat CROSS JOIN gall
+    ),
+    tbar AS (
+      SELECT CAST(SUM(CAST(round(theta_i, 9) AS DECIMAL(28,12))) AS DOUBLE)
+        / MAX(g) AS tb, MAX(g) AS g, MAX(theta) AS theta
+      FROM thetas
+    )
+    SELECT g, round(theta, 6) AS theta,
+      round(sqrt((g - 1.0) / g
+        * (SELECT CAST(SUM(CAST(round((theta_i - tbar.tb) * (theta_i - tbar.tb), 9)
+            AS DECIMAL(28,12))) AS DOUBLE) FROM thetas)), 8) AS jk_se,
+      round((g - 1.0) * (tb - theta), 8) AS jk_bias
+    FROM tbar
+    """,
+)
+def jackknife_mean_acctbal(spark, sf_dir):
+    """Delete-one-GROUP jackknife of the global mean account balance,
+    with nations as the deletion groups: theta_(i) recomputed from the
+    complement sums, SE = sqrt((G-1)/G * sum (theta_(i) - theta_bar)^2)
+    and the (G-1)-scaled bias estimate. The design-based uncertainty
+    companion to bootstrap_revenue_ci: where the bootstrap resamples
+    ROWS (right when rows are independent), the grouped jackknife
+    respects CLUSTERED sampling — nations here standing in for the
+    crawl-host/shard clustering a real corpus has.
+
+    Scale shape: one per-group rollup of exact decimal sums; every
+    theta_(i) is complement arithmetic on broadcast scalars, so the
+    jackknife costs one G-row pass after the group aggregate regardless
+    of corpus size."""
+    c = table(spark, sf_dir, "customer")
+    bynat = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("s_i"),
+    )
+
+    def rsum(col):
+        return F.sum(F.round(col, 9).cast("decimal(28,12)")).cast("double")
+
+    gall = F.broadcast(
+        bynat.agg(
+            F.sum("n_i").cast("bigint").alias("n_all"),
+            rsum(F.col("s_i")).alias("s_all"),
+            F.count(F.lit(1)).cast("bigint").alias("g"),
+        )
+    )
+    thetas = bynat.crossJoin(gall).select(
+        ((F.col("s_all") - F.col("s_i")) / (F.col("n_all") - F.col("n_i"))).alias(
+            "theta_i"
+        ),
+        "g",
+        (F.col("s_all") / F.col("n_all")).alias("theta"),
+    )
+    tbar = F.broadcast(
+        thetas.agg(
+            (rsum(F.col("theta_i")) / F.max("g")).alias("tb"),
+            F.max("g").alias("g"),
+            F.max("theta").alias("theta"),
+        )
+    )
+    dev = thetas.crossJoin(tbar.select(F.col("tb").alias("tb2"))).agg(
+        rsum(
+            (F.col("theta_i") - F.col("tb2")) * (F.col("theta_i") - F.col("tb2"))
+        ).alias("ss")
+    )
+    return (
+        tbar.crossJoin(F.broadcast(dev))
+        .select(
+            "g",
+            F.round("theta", 6).alias("theta"),
+            F.round(
+                F.sqrt((F.col("g") - 1.0) / F.col("g") * F.col("ss")), 8
+            ).alias("jk_se"),
+            F.round((F.col("g") - 1.0) * (F.col("tb") - F.col("theta")), 8).alias(
+                "jk_bias"
+            ),
+        )
+    )
