@@ -1050,3 +1050,170 @@ def source_length_quantile_map(spark, sf_dir):
             F.round(F.col("r.source_q") - F.col("r.pooled_q"), 8).alias("shift"),
         )
     )
+
+
+# --------------------------------------------- Qini uplift curve
+
+
+@query(
+    "ab_qini_uplift_curve",
+    oracle="""
+    WITH peruser AS (
+      SELECT user_id,
+        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 2 AS treated,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+          AS s,
+        CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS BIGINT) AS conv
+      FROM events GROUP BY user_id
+    ),
+    pv AS (
+      SELECT s,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(treated) AS BIGINT) AS nt,
+        CAST(SUM(1 - treated) AS BIGINT) AS nc,
+        CAST(SUM(CASE WHEN treated = 1 THEN conv ELSE 0 END) AS BIGINT) AS pt,
+        CAST(SUM(CASE WHEN treated = 0 THEN conv ELSE 0 END) AS BIGINT) AS pc
+      FROM peruser GROUP BY s
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn FROM pv),
+    cum AS (
+      SELECT s, n, nt, nc, pt, pc,
+        SUM(n) OVER (ORDER BY s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca
+      FROM pv
+    ),
+    dec AS (
+      SELECT CAST(ceil(10.0 * (tn - ca + n) / tn) AS BIGINT) AS decile,
+        nt, nc, pt, pc
+      FROM cum CROSS JOIN t
+    ),
+    byd AS (
+      SELECT decile,
+        CAST(SUM(nt) AS BIGINT) AS n_treated,
+        CAST(SUM(nc) AS BIGINT) AS n_control,
+        CAST(SUM(pt) AS BIGINT) AS conv_treated,
+        CAST(SUM(pc) AS BIGINT) AS conv_control
+      FROM dec GROUP BY decile
+    ),
+    g AS (
+      SELECT decile, n_treated, n_control, conv_treated, conv_control,
+        SUM(n_treated) OVER w AS cnt, SUM(n_control) OVER w AS cnc,
+        SUM(conv_treated) OVER w AS cpt, SUM(conv_control) OVER w AS cpc
+      FROM byd
+      WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+        AND CURRENT ROW)
+    )
+    SELECT decile, n_treated, n_control, conv_treated, conv_control,
+      CASE WHEN cnc = 0 THEN NULL
+        ELSE round(cpt - cpc * (CAST(cnt AS DOUBLE) / cnc), 6) END AS qini,
+      CASE WHEN cnc = 0 OR cnt = 0 THEN NULL
+        ELSE round(CAST(cpt AS DOUBLE) / cnt - CAST(cpc AS DOUBLE) / cnc, 8)
+        END AS cum_uplift
+    FROM g
+    """,
+)
+def ab_qini_uplift_curve(spark, sf_dir):
+    """Qini uplift curve by targeting-score decile: users ranked by click
+    count (the targeting score), hash-split into treated/control, and per
+    cumulative decile the incremental conversions
+    qini = cum_conv_t - cum_conv_c * (cum_n_t / cum_n_c) plus the
+    cumulative uplift rate difference. THE evaluation for "whom should
+    we treat first" — a model can have great AUC on conversion yet a
+    flat Qini curve (it finds sure things, not persuadables).
+
+    Scale shape: one user-grain rollup, then the distinct-score grouped
+    table through the same descending-decile prefix-sum kernel as
+    quality_gains_lift_table (whole tied-score groups share a decile —
+    deterministic in both engines); every curve aggregate is an exact
+    integer sum and the windows run on 10 rows."""
+    from ..functions.prefix import bucketed_prefix_sums
+
+    e = table(spark, sf_dir, "events")
+    peruser = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("int"))
+            .cast("bigint")
+            .alias("s"),
+            F.max((F.col("event_type") == "purchase").cast("int"))
+            .cast("bigint")
+            .alias("conv"),
+        )
+        .select(
+            "s",
+            "conv",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+                ).cast("bigint")
+                % 2
+            ).alias("treated"),
+        )
+    )
+    pv = peruser.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("treated").cast("bigint").alias("nt"),
+        F.sum(1 - F.col("treated")).cast("bigint").alias("nc"),
+        F.sum(F.when(F.col("treated") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("pt"),
+        F.sum(F.when(F.col("treated") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("pc"),
+    )
+    t = F.broadcast(pv.agg(F.sum("n").cast("bigint").alias("tn")))
+    cum = bucketed_prefix_sums(pv, "s", ["n"]).crossJoin(t)
+    dec = cum.select(
+        F.ceil(10.0 * (F.col("tn") - F.col("cum_n") + F.col("n")) / F.col("tn"))
+        .cast("bigint")
+        .alias("decile"),
+        "nt",
+        "nc",
+        "pt",
+        "pc",
+    )
+    byd = dec.groupBy("decile").agg(
+        F.sum("nt").cast("bigint").alias("n_treated"),
+        F.sum("nc").cast("bigint").alias("n_control"),
+        F.sum("pt").cast("bigint").alias("conv_treated"),
+        F.sum("pc").cast("bigint").alias("conv_control"),
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    g = byd.select(
+        "decile",
+        "n_treated",
+        "n_control",
+        "conv_treated",
+        "conv_control",
+        F.sum("n_treated").over(w).alias("cnt"),
+        F.sum("n_control").over(w).alias("cnc"),
+        F.sum("conv_treated").over(w).alias("cpt"),
+        F.sum("conv_control").over(w).alias("cpc"),
+    )
+    return g.select(
+        "decile",
+        "n_treated",
+        "n_control",
+        "conv_treated",
+        "conv_control",
+        F.when(F.col("cnc") == 0, F.lit(None))
+        .otherwise(
+            F.round(
+                F.col("cpt")
+                - F.col("cpc") * (F.col("cnt").cast("double") / F.col("cnc")),
+                6,
+            )
+        )
+        .alias("qini"),
+        F.when((F.col("cnc") == 0) | (F.col("cnt") == 0), F.lit(None))
+        .otherwise(
+            F.round(
+                F.col("cpt").cast("double") / F.col("cnt")
+                - F.col("cpc").cast("double") / F.col("cnc"),
+                8,
+            )
+        )
+        .alias("cum_uplift"),
+    )

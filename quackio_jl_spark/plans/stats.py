@@ -8768,3 +8768,253 @@ def jackknife_mean_acctbal(spark, sf_dir):
             ),
         )
     )
+
+
+# --------------------------------- deterministic permutation test
+
+PERM_B = 199
+
+
+@query(
+    "ab_permutation_test",
+    oracle=f"""
+    WITH peruser AS (
+      SELECT user_id,
+        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 2 AS arm,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS BIGINT) AS x
+      FROM events GROUP BY user_id
+    ),
+    expanded AS (
+      SELECT b.b,
+        CASE WHEN b.b = 0 THEN arm
+          ELSE CAST(('0x' || substr(md5('perm:' || CAST(b.b AS VARCHAR) || ':'
+            || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 END AS arm_b,
+        x
+      FROM peruser CROSS JOIN (SELECT unnest(range({PERM_B} + 1)) AS b) b
+    ),
+    diffs AS (
+      SELECT b,
+        CAST(SUM(CASE WHEN arm_b = 1 THEN x ELSE 0 END) AS DOUBLE)
+          / SUM(CASE WHEN arm_b = 1 THEN 1 ELSE 0 END)
+        - CAST(SUM(CASE WHEN arm_b = 0 THEN x ELSE 0 END) AS DOUBLE)
+          / SUM(CASE WHEN arm_b = 0 THEN 1 ELSE 0 END) AS d
+      FROM expanded GROUP BY b
+    ),
+    obs AS (SELECT d AS d_obs FROM diffs WHERE b = 0)
+    SELECT round(obs.d_obs, 8) AS d_obs,
+      CAST({PERM_B} AS BIGINT) AS n_perms,
+      CAST(SUM(CASE WHEN diffs.b > 0 AND abs(diffs.d) >= abs(obs.d_obs)
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+      round((1 + SUM(CASE WHEN diffs.b > 0 AND abs(diffs.d) >= abs(obs.d_obs)
+        THEN 1 ELSE 0 END)) / CAST({PERM_B} + 1 AS DOUBLE), 6) AS p_value
+    FROM diffs CROSS JOIN obs
+    GROUP BY obs.d_obs
+    """,
+)
+def ab_permutation_test(spark, sf_dir):
+    """Permutation test of the arm difference in per-user purchase counts
+    with {PERM_B} DETERMINISTIC label permutations (md5('perm:'||b||user)
+    reassignments — the same resamples on any engine, any partitioning,
+    any rerun): p = (1 + #{{|d_b| >= |d_obs|}}) / (B+1). The
+    assumption-free member of the experimentation pack — exact under the
+    null of exchangeable labels where Welch/mSPRT lean on normality.
+
+    Scale shape: the user-grain rollup happens ONCE; the B+1-fold
+    expansion is a map-side explode that immediately partial-aggregates
+    to B+1 integer-sum groups (the same one-pass trick as
+    bootstrap_revenue_ci), and the decision is a B+1-row reduce against
+    the broadcast observed difference."""
+    e = table(spark, sf_dir, "events")
+    peruser = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            .cast("bigint")
+            .alias("x")
+        )
+        .select(
+            "user_id",
+            "x",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+                ).cast("bigint")
+                % 2
+            ).alias("arm"),
+        )
+    )
+    arm_b = F.when(F.col("b") == 0, F.col("arm")).otherwise(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("perm:"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    expanded = peruser.select(
+        F.explode(F.sequence(F.lit(0), F.lit(PERM_B))).alias("b"),
+        "user_id",
+        "arm",
+        "x",
+    ).select("b", arm_b.alias("arm_b"), "x")
+    diffs = expanded.groupBy("b").agg(
+        (
+            F.sum(F.when(F.col("arm_b") == 1, F.col("x")).otherwise(0)).cast("double")
+            / F.sum((F.col("arm_b") == 1).cast("int"))
+            - F.sum(F.when(F.col("arm_b") == 0, F.col("x")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum((F.col("arm_b") == 0).cast("int"))
+        ).alias("d")
+    )
+    obs = F.broadcast(diffs.filter(F.col("b") == 0).select(F.col("d").alias("d_obs")))
+    extreme = F.sum(
+        (
+            (F.col("b") > 0) & (F.abs(F.col("d")) >= F.abs(F.col("d_obs")))
+        ).cast("int")
+    ).cast("bigint")
+    return (
+        diffs.crossJoin(obs)
+        .groupBy("d_obs")
+        .agg(
+            F.lit(PERM_B).cast("bigint").alias("n_perms"),
+            extreme.alias("n_extreme"),
+            F.round((1 + extreme) / F.lit(float(PERM_B + 1)), 6).alias("p_value"),
+        )
+        .select(
+            F.round("d_obs", 8).alias("d_obs"),
+            "n_perms",
+            "n_extreme",
+            "p_value",
+        )
+    )
+
+
+# --------------------------------- Kendall tau-b from the value grid
+
+
+@query(
+    "kendall_tau_qty_discount",
+    oracle="""
+    WITH grid AS (
+      SELECT l_quantity AS q, l_discount AS d, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_quantity, l_discount
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM grid),
+    cd AS (
+      SELECT
+        CAST(SUM(CASE WHEN (a.q < b.q AND a.d < b.d)
+                        OR (a.q > b.q AND a.d > b.d)
+                 THEN a.c * b.c ELSE 0 END) / 2 AS BIGINT) AS conc,
+        CAST(SUM(CASE WHEN (a.q < b.q AND a.d > b.d)
+                        OR (a.q > b.q AND a.d < b.d)
+                 THEN a.c * b.c ELSE 0 END) / 2 AS BIGINT) AS disc
+      FROM grid a CROSS JOIN grid b
+    ),
+    ties AS (
+      SELECT
+        (SELECT CAST(SUM(cq * (cq - 1) / 2) AS BIGINT) FROM
+          (SELECT SUM(c) AS cq FROM grid GROUP BY q)) AS t_q,
+        (SELECT CAST(SUM(cdd * (cdd - 1) / 2) AS BIGINT) FROM
+          (SELECT SUM(c) AS cdd FROM grid GROUP BY d)) AS t_d
+    )
+    SELECT tot.n, cd.conc, cd.disc, ties.t_q, ties.t_d,
+      round((cd.conc - cd.disc)
+        / sqrt((CAST(tot.n AS DOUBLE) * (tot.n - 1) / 2 - ties.t_q)
+             * (CAST(tot.n AS DOUBLE) * (tot.n - 1) / 2 - ties.t_d)), 8)
+        AS tau_b
+    FROM cd CROSS JOIN ties CROSS JOIN tot
+    """,
+)
+def kendall_tau_qty_discount(spark, sf_dir):
+    """Kendall tau-b rank correlation between line quantity and discount,
+    computed EXACTLY from the bounded (quantity x discount) contingency
+    grid: concordant/discordant pair counts are integer sums over grid
+    cell pairs, tie corrections come from the marginals, and only the
+    final ratio touches floating point. The concordance-probability
+    sibling of spearman_qty_discount (tau-b estimates P(concordant) -
+    P(discordant); Spearman is a moment correlation on ranks — report
+    both and disagreement flags curve-shaped association).
+
+    Scale shape: the corpus reduces to the value grid (|distinct qty| x
+    |distinct discount| cells — bounded by the DOMAIN, not the row
+    count); the grid self-join is cells-squared on a broadcast-sized
+    table and every count is exact integer arithmetic."""
+    l = table(spark, sf_dir, "lineitem")
+    grid = (
+        l.groupBy(F.col("l_quantity").alias("q"), F.col("l_discount").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    tot = grid.agg(F.sum("c").cast("bigint").alias("n"))
+    a = grid.select(
+        F.col("q").alias("qa"), F.col("d").alias("da"), F.col("c").alias("ca")
+    )
+    b = grid.select(
+        F.col("q").alias("qb"), F.col("d").alias("db"), F.col("c").alias("cb")
+    )
+    conc_case = (
+        ((F.col("qa") < F.col("qb")) & (F.col("da") < F.col("db")))
+        | ((F.col("qa") > F.col("qb")) & (F.col("da") > F.col("db")))
+    )
+    disc_case = (
+        ((F.col("qa") < F.col("qb")) & (F.col("da") > F.col("db")))
+        | ((F.col("qa") > F.col("qb")) & (F.col("da") < F.col("db")))
+    )
+    cd = a.crossJoin(F.broadcast(b)).agg(
+        (
+            F.sum(F.when(conc_case, F.col("ca") * F.col("cb")).otherwise(0)) / 2
+        )
+        .cast("bigint")
+        .alias("conc"),
+        (
+            F.sum(F.when(disc_case, F.col("ca") * F.col("cb")).otherwise(0)) / 2
+        )
+        .cast("bigint")
+        .alias("disc"),
+    )
+    t_q = (
+        grid.groupBy("q")
+        .agg(F.sum("c").alias("cq"))
+        .agg(
+            F.sum(F.col("cq") * (F.col("cq") - 1) / 2).cast("bigint").alias("t_q")
+        )
+    )
+    t_d = (
+        grid.groupBy("d")
+        .agg(F.sum("c").alias("cdd"))
+        .agg(
+            F.sum(F.col("cdd") * (F.col("cdd") - 1) / 2).cast("bigint").alias("t_d")
+        )
+    )
+    half = F.col("n").cast("double") * (F.col("n") - 1) / 2
+    return (
+        cd.crossJoin(F.broadcast(t_q))
+        .crossJoin(F.broadcast(t_d))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "conc",
+            "disc",
+            "t_q",
+            "t_d",
+            F.round(
+                (F.col("conc") - F.col("disc"))
+                / F.sqrt((half - F.col("t_q")) * (half - F.col("t_d"))),
+                8,
+            ).alias("tau_b"),
+        )
+    )
