@@ -9018,3 +9018,163 @@ def kendall_tau_qty_discount(spark, sf_dir):
             ).alias("tau_b"),
         )
     )
+
+
+# --------------------------------- Hurst exponent via rescaled range
+
+HURST_WINDOWS = (12, 24, 48, 96)  # hours
+
+
+def _hurst_w_sql(w: int) -> str:
+    return f"""
+    b{w} AS (
+      SELECT CAST(floor(CAST(t AS DOUBLE) / {w}) AS BIGINT) AS blk, t, y
+      FROM series
+    ),
+    bm{w} AS (
+      SELECT blk, CAST(COUNT(*) AS BIGINT) AS nb,
+        CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(y * y) AS BIGINT) AS qy
+      FROM b{w} GROUP BY blk
+    ),
+    cd{w} AS (
+      SELECT b.blk, b.t,
+        SUM(b.y - m.sy / CAST({w} AS DOUBLE)) OVER (PARTITION BY b.blk
+          ORDER BY b.t ROWS UNBOUNDED PRECEDING) AS cdev,
+        m.sy, m.qy
+      FROM b{w} b JOIN bm{w} m ON b.blk = m.blk AND m.nb = {w}
+    ),
+    rs{w} AS (
+      SELECT blk,
+        (MAX(cdev) - MIN(cdev))
+          / sqrt((MAX(qy) - {w} * (MAX(sy) / CAST({w} AS DOUBLE))
+            * (MAX(sy) / CAST({w} AS DOUBLE))) / {w}) AS rs
+      FROM cd{w} GROUP BY blk
+      HAVING (MAX(qy) - {w} * (MAX(sy) / CAST({w} AS DOUBLE))
+            * (MAX(sy) / CAST({w} AS DOUBLE))) > 0
+    ),
+    p{w} AS (
+      SELECT CAST({w} AS BIGINT) AS w, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        CAST(SUM(CAST(round(rs, 9) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+          AS mean_rs
+      FROM rs{w}
+    )"""
+
+
+@query(
+    "events_hurst_exponent",
+    oracle=f"""
+    WITH hours AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) / 3600 AS h,
+        CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY h
+    ),
+    lo AS (SELECT MIN(h) AS h0 FROM hours),
+    series AS (SELECT h - h0 AS t, y FROM hours CROSS JOIN lo),
+    {",".join(_hurst_w_sql(w) for w in HURST_WINDOWS)},
+    pts AS ({" UNION ALL ".join(f"SELECT * FROM p{w}" for w in HURST_WINDOWS)}),
+    ll AS (SELECT ln(CAST(w AS DOUBLE)) AS x, ln(mean_rs) AS yy,
+           w, n_blocks, mean_rs FROM pts),
+    fit AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(round(x, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(round(yy, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(round(x * yy, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+      FROM ll
+    )
+    SELECT ll.w, ll.n_blocks, round(ll.mean_rs, 8) AS mean_rs,
+      round((fit.sxy - fit.sx * fit.sy / fit.n)
+        / (fit.sxx - fit.sx * fit.sx / fit.n), 8) AS hurst_h
+    FROM ll CROSS JOIN fit
+    """,
+)
+def events_hurst_exponent(spark, sf_dir):
+    """Hurst exponent of the hourly event-arrival series by rescaled-range
+    (R/S) analysis: for block sizes {HURST_WINDOWS}, each complete block
+    contributes (max - min cumulative deviation) / population-sd, and H
+    is the log-log OLS slope of mean R/S vs block size. H near 0.5 means
+    memoryless traffic; H >> 0.5 means long-range dependence — bursts
+    cluster across scales, so capacity planning from the Poisson-ish
+    dispersion verdict (events_overdispersion_test) would understate
+    queue tails. Output: one row per block size plus the shared H.
+
+    Scale shape: the corpus reduces to the HOURS-sized series (one
+    partial-aggregated rollup); every blockwise window and the final
+    4-point regression run on that bounded series, with
+    round-then-decimal-sum at the two cross-block reductions."""
+    e = table(spark, sf_dir, "events")
+    hours = e.groupBy(
+        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).cast("bigint") / 3600)
+        .cast("bigint")
+        .alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    lo = F.broadcast(hours.agg(F.min("h").alias("h0")))
+    series = hours.crossJoin(lo).select(
+        (F.col("h") - F.col("h0")).alias("t"), "y"
+    ).persist()
+
+    def rsum(col):
+        return F.sum(F.round(col, 9).cast("decimal(28,12)")).cast("double")
+
+    pts = None
+    for w in HURST_WINDOWS:
+        b = series.select(
+            F.floor(F.col("t").cast("double") / w).cast("bigint").alias("blk"),
+            "t",
+            "y",
+        )
+        bm = b.groupBy("blk").agg(
+            F.count(F.lit(1)).cast("bigint").alias("nb"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("qy"),
+        )
+        win = W.partitionBy("blk").orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+        cd = (
+            b.join(bm.filter(F.col("nb") == w), "blk")
+            .withColumn(
+                "cdev",
+                F.sum(F.col("y") - F.col("sy") / float(w)).over(win),
+            )
+        )
+        m = F.max("sy") / float(w)
+        var = (F.max("qy") - w * m * m) / w
+        rs = (
+            cd.groupBy("blk")
+            .agg(
+                ((F.max("cdev") - F.min("cdev")) / F.sqrt(var)).alias("rs"),
+                var.alias("v"),
+            )
+            .filter(F.col("v") > 0)
+        )
+        p = rs.agg(
+            F.lit(w).cast("bigint").alias("w"),
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            (rsum(F.col("rs")) / F.count(F.lit(1))).alias("mean_rs"),
+        )
+        pts = p if pts is None else pts.unionByName(p)
+    ll = pts.select(
+        "w",
+        "n_blocks",
+        "mean_rs",
+        F.log(F.col("w").cast("double")).alias("x"),
+        F.log("mean_rs").alias("yy"),
+    ).persist()
+    fit = F.broadcast(
+        ll.agg(
+            F.count(F.lit(1)).alias("n"),
+            rsum(F.col("x")).alias("sx"),
+            rsum(F.col("yy")).alias("sy"),
+            rsum(F.col("x") * F.col("x")).alias("sxx"),
+            rsum(F.col("x") * F.col("yy")).alias("sxy"),
+        )
+    )
+    return ll.crossJoin(fit).select(
+        "w",
+        "n_blocks",
+        F.round("mean_rs", 8).alias("mean_rs"),
+        F.round(
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")),
+            8,
+        ).alias("hurst_h"),
+    )
