@@ -9073,7 +9073,7 @@ def _hurst_w_sql(w: int) -> str:
     {",".join(_hurst_w_sql(w) for w in HURST_WINDOWS)},
     pts AS ({" UNION ALL ".join(f"SELECT * FROM p{w}" for w in HURST_WINDOWS)}),
     ll AS (SELECT ln(CAST(w AS DOUBLE)) AS x, ln(mean_rs) AS yy,
-           w, n_blocks, mean_rs FROM pts),
+           w, n_blocks, mean_rs FROM pts WHERE mean_rs IS NOT NULL),
     fit AS (
       SELECT COUNT(*) AS n,
         CAST(SUM(CAST(round(x, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sx,
@@ -9083,8 +9083,9 @@ def _hurst_w_sql(w: int) -> str:
       FROM ll
     )
     SELECT ll.w, ll.n_blocks, round(ll.mean_rs, 8) AS mean_rs,
-      round((fit.sxy - fit.sx * fit.sy / fit.n)
-        / (fit.sxx - fit.sx * fit.sx / fit.n), 8) AS hurst_h
+      CASE WHEN fit.n < 2 OR fit.sxx - fit.sx * fit.sx / fit.n = 0 THEN NULL
+        ELSE round((fit.sxy - fit.sx * fit.sy / fit.n)
+          / (fit.sxx - fit.sx * fit.sx / fit.n), 8) END AS hurst_h
     FROM ll CROSS JOIN fit
     """,
 )
@@ -9152,13 +9153,17 @@ def events_hurst_exponent(spark, sf_dir):
             (rsum(F.col("rs")) / F.count(F.lit(1))).alias("mean_rs"),
         )
         pts = p if pts is None else pts.unionByName(p)
-    ll = pts.select(
-        "w",
-        "n_blocks",
-        "mean_rs",
-        F.log(F.col("w").cast("double")).alias("x"),
-        F.log("mean_rs").alias("yy"),
-    ).persist()
+    ll = (
+        pts.filter(F.col("mean_rs").isNotNull())
+        .select(
+            "w",
+            "n_blocks",
+            "mean_rs",
+            F.log(F.col("w").cast("double")).alias("x"),
+            F.log("mean_rs").alias("yy"),
+        )
+        .persist()
+    )
     fit = F.broadcast(
         ll.agg(
             F.count(F.lit(1)).alias("n"),
@@ -9168,13 +9173,16 @@ def events_hurst_exponent(spark, sf_dir):
             rsum(F.col("x") * F.col("yy")).alias("sxy"),
         )
     )
+    denom = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
     return ll.crossJoin(fit).select(
         "w",
         "n_blocks",
         F.round("mean_rs", 8).alias("mean_rs"),
-        F.round(
-            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
-            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")),
-            8,
-        ).alias("hurst_h"),
+        F.when((F.col("n") < 2) | (denom == 0), F.lit(None))
+        .otherwise(
+            F.round(
+                (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / denom, 8
+            )
+        )
+        .alias("hurst_h"),
     )

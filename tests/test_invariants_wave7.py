@@ -149,9 +149,10 @@ def test_hurst_shared_slope_and_positive_rs(q):
     assert len(rows) == len({r["w"] for r in rows})
     h = rows[0]["hurst_h"]
     assert all(r["hurst_h"] == h for r in rows)
-    # on the sparse sf0.001 hourly series the slope can leave (0,1);
-    # the estimator must still be finite with positive R/S at every size
-    assert math.isfinite(h)
+    # the sparse sf0.001 hourly series leaves a single usable block size,
+    # where the slope is deliberately NULL (under-determined fit); block
+    # sizes with no complete block are excluded from the output entirely
+    assert h is None or math.isfinite(h)
     assert all(r["mean_rs"] > 0 for r in rows)
     assert all(r["n_blocks"] > 0 for r in rows)
 
