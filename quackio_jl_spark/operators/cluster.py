@@ -1220,3 +1220,135 @@ def embedding_dbscan_grid(spark, sf_dir):
         )
     )
     return labeled.unionByName(noise)
+
+
+# --------------------------------- external validation: adjusted Rand index
+
+ARI_SEEDS = 4
+
+
+def _ari_cos_sql(a: str, b: str) -> str:
+    from .similarity import _cosine_sql
+
+    return _cosine_sql(a, b)
+
+
+@query(
+    "embedding_clustering_ari",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id AS sid, embedding AS sv FROM embeddings
+      ORDER BY vec_id LIMIT {ARI_SEEDS}
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, s.sid,
+        {_ari_cos_sql('e.embedding', 's.sv')} AS cs
+      FROM embeddings e CROSS JOIN seeds s
+    ),
+    best AS (
+      SELECT vec_id, label, sid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY cs DESC, sid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    cont AS (
+      SELECT label, sid, CAST(COUNT(*) AS BIGINT) AS n_ij
+      FROM best GROUP BY label, sid
+    ),
+    sums AS (
+      SELECT
+        CAST(SUM(n_ij * (n_ij - 1) / 2) AS BIGINT) AS sum_ij,
+        CAST(SUM(n_ij) AS BIGINT) AS n,
+        CAST(COUNT(DISTINCT label) AS BIGINT) AS k_true,
+        CAST(COUNT(DISTINCT sid) AS BIGINT) AS k_assigned
+      FROM cont
+    ),
+    ab AS (
+      SELECT
+        (SELECT CAST(SUM(ai * (ai - 1) / 2) AS BIGINT) FROM
+          (SELECT SUM(n_ij) AS ai FROM cont GROUP BY label)) AS a,
+        (SELECT CAST(SUM(bj * (bj - 1) / 2) AS BIGINT) FROM
+          (SELECT SUM(n_ij) AS bj FROM cont GROUP BY sid)) AS b
+    )
+    SELECT sums.n, sums.k_true, sums.k_assigned,
+      round((sums.sum_ij
+          - CAST(ab.a AS DOUBLE) * ab.b / (CAST(sums.n AS DOUBLE) * (sums.n - 1) / 2))
+        / ((ab.a + ab.b) / 2.0
+          - CAST(ab.a AS DOUBLE) * ab.b / (CAST(sums.n AS DOUBLE) * (sums.n - 1) / 2)),
+        8) AS ari
+    FROM sums CROSS JOIN ab
+    """,
+)
+def embedding_clustering_ari(spark, sf_dir):
+    """Adjusted Rand Index between the corpus's ground-truth labels and a
+    deterministic one-step nearest-seed clustering (seeds = the
+    {ARI_SEEDS} lowest vec_ids, assignment = argmax cosine, ties to the
+    smaller seed): the EXTERNAL cluster-validation metric — chance-
+    corrected pair agreement against known labels — completing the
+    internal metrics (silhouette, Calinski-Harabasz, Davies-Bouldin)
+    that can only say a clustering is compact, not that it is RIGHT.
+    ARI near 0 = no better than chance; near 1 = label-recovering.
+
+    Scale shape: {ARI_SEEDS} broadcast seed vectors against one corpus
+    scan, per-vector argmax via a vec_id-partitioned window, then the
+    contingency table (k_true x k_assigned cells) carries all remaining
+    arithmetic as exact integer binomial sums."""
+    from pyspark.sql import Window as PW
+
+    from .similarity import cosine
+
+    e = table(spark, sf_dir, "embeddings")
+    seeds = F.broadcast(
+        e.orderBy("vec_id")
+        .limit(ARI_SEEDS)
+        .select(F.col("vec_id").alias("sid"), F.col("embedding").alias("sv"))
+    )
+    scored = e.crossJoin(seeds).select(
+        "vec_id", "label", "sid", cosine("embedding", "sv").alias("cs")
+    )
+    best = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                PW.partitionBy("vec_id").orderBy(F.desc("cs"), "sid")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("label", "sid")
+    )
+    cont = best.groupBy("label", "sid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ij")
+    ).persist()
+    sums = cont.agg(
+        F.sum(F.col("n_ij") * (F.col("n_ij") - 1) / 2).cast("bigint").alias("sum_ij"),
+        F.sum("n_ij").cast("bigint").alias("n"),
+        F.count_distinct("label").cast("bigint").alias("k_true"),
+        F.count_distinct("sid").cast("bigint").alias("k_assigned"),
+    )
+    a = (
+        cont.groupBy("label")
+        .agg(F.sum("n_ij").alias("ai"))
+        .agg(F.sum(F.col("ai") * (F.col("ai") - 1) / 2).cast("bigint").alias("a"))
+    )
+    b = (
+        cont.groupBy("sid")
+        .agg(F.sum("n_ij").alias("bj"))
+        .agg(F.sum(F.col("bj") * (F.col("bj") - 1) / 2).cast("bigint").alias("b"))
+    )
+    half = F.col("n").cast("double") * (F.col("n") - 1) / 2
+    expected = F.col("a").cast("double") * F.col("b") / half
+    return (
+        sums.crossJoin(F.broadcast(a))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "n",
+            "k_true",
+            "k_assigned",
+            F.round(
+                (F.col("sum_ij") - expected)
+                / ((F.col("a") + F.col("b")) / 2.0 - expected),
+                8,
+            ).alias("ari"),
+        )
+    )

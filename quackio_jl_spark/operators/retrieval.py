@@ -569,3 +569,101 @@ def retrieval_ranker_agreement(spark, sf_dir):
             ),
         ).alias("spearman_on_overlap"),
     )
+
+
+# --------------------------------- rank-biased overlap (RBO) agreement
+
+RBO_P = 0.9
+
+
+@query(
+    "retrieval_rbo_agreement",
+    oracle=f"""
+    WITH bm AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r1
+      FROM ({_bm25_oracle()})
+    ),
+    ql AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY ql_score DESC, doc_id) AS r2
+      FROM ({_ql_oracle()})
+    ),
+    j AS (
+      SELECT bm.doc_id, GREATEST(r1, r2) AS m
+      FROM bm JOIN ql USING (doc_id)
+    ),
+    depths AS (SELECT unnest(range(1, {BM25_TOPK} + 1)) AS d),
+    xd AS (
+      SELECT d, CAST((SELECT COUNT(*) FROM j WHERE j.m <= depths.d) AS BIGINT)
+        AS x
+      FROM depths
+    ),
+    terms AS (
+      SELECT d, x,
+        (1 - {RBO_P!r}) * pow({RBO_P!r}, d - 1) * x / d AS term
+      FROM xd
+    )
+    SELECT CAST({BM25_TOPK} AS BIGINT) AS k,
+      CAST({RBO_P!r} AS DOUBLE) AS p,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM j) AS n_overlap,
+      round(CAST(SUM(CAST(round(term, 12) AS DECIMAL(28,15))) AS DOUBLE), 8)
+        AS rbo_trunc
+    FROM terms
+    """,
+)
+def retrieval_rbo_agreement(spark, sf_dir):
+    """Rank-biased overlap (Webber et al. 2010, truncated at depth k,
+    p = {RBO_P}) between the BM25 and query-likelihood top-k lists:
+    RBO = (1-p) * sum_d p^(d-1) * |A_d n B_d| / d — the TOP-WEIGHTED
+    agreement measure the flat Jaccard/Spearman report
+    (retrieval_ranker_agreement) cannot express: disagreement at rank 1
+    costs more than disagreement at rank 10, which is how users
+    experience rankings.
+
+    Both rankings are k-row tables; per-depth overlap counts come from
+    each shared doc's max rank against a k-row depth grid, and the
+    weighted sum is k decimal-rounded terms — everything after the
+    two rankers is arithmetic on <= k rows."""
+    from pyspark.sql import Window as W
+
+    bm = bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number().over(W.orderBy(F.desc("bm25"), "doc_id")).alias("r1"),
+    )
+    ql = retrieval_query_likelihood(spark, sf_dir).select(
+        "doc_id",
+        F.row_number().over(W.orderBy(F.desc("ql_score"), "doc_id")).alias("r2"),
+    )
+    j = bm.join(ql, "doc_id").select(
+        F.greatest("r1", "r2").alias("m")
+    ).persist()
+    depths = spark.range(1, BM25_TOPK + 1).select(F.col("id").alias("d"))
+    xd = (
+        depths.crossJoin(j)
+        .groupBy("d")
+        .agg(F.sum((F.col("m") <= F.col("d")).cast("int")).cast("bigint").alias("x"))
+    )
+    term = (
+        (1 - RBO_P)
+        * F.pow(F.lit(RBO_P), F.col("d") - 1)
+        * F.col("x")
+        / F.col("d")
+    )
+    n_overlap = F.broadcast(j.agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap")))
+    return (
+        xd.select(term.alias("term"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("term"), 12).cast("decimal(28,15)")).cast(
+                    "double"
+                ),
+                8,
+            ).alias("rbo_trunc")
+        )
+        .crossJoin(n_overlap)
+        .select(
+            F.lit(BM25_TOPK).cast("bigint").alias("k"),
+            F.lit(RBO_P).cast("double").alias("p"),
+            "n_overlap",
+            "rbo_trunc",
+        )
+    )
