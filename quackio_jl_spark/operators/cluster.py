@@ -1352,3 +1352,135 @@ def embedding_clustering_ari(spark, sf_dir):
             ).alias("ari"),
         )
     )
+
+
+# --------------------------------- clustering stability (label-free)
+
+
+@query(
+    "embedding_clustering_stability",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT vec_id AS sid, embedding AS sv FROM embeddings
+      ORDER BY vec_id LIMIT {ARI_SEEDS}
+    ),
+    s2 AS (
+      SELECT vec_id AS sid, embedding AS sv FROM embeddings
+      ORDER BY vec_id LIMIT {ARI_SEEDS} OFFSET {ARI_SEEDS}
+    ),
+    a1 AS (
+      SELECT vec_id, sid FROM (
+        SELECT e.vec_id, s.sid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+          ORDER BY {_ari_cos_sql('e.embedding', 's.sv')} DESC, s.sid) AS rn
+        FROM embeddings e CROSS JOIN s1 s
+      ) WHERE rn = 1
+    ),
+    a2 AS (
+      SELECT vec_id, sid FROM (
+        SELECT e.vec_id, s.sid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+          ORDER BY {_ari_cos_sql('e.embedding', 's.sv')} DESC, s.sid) AS rn
+        FROM embeddings e CROSS JOIN s2 s
+      ) WHERE rn = 1
+    ),
+    cont AS (
+      SELECT a1.sid AS c1, a2.sid AS c2, CAST(COUNT(*) AS BIGINT) AS n_ij
+      FROM a1 JOIN a2 ON a1.vec_id = a2.vec_id GROUP BY a1.sid, a2.sid
+    ),
+    sums AS (
+      SELECT CAST(SUM(n_ij * (n_ij - 1) / 2) AS BIGINT) AS sum_ij,
+        CAST(SUM(n_ij) AS BIGINT) AS n
+      FROM cont
+    ),
+    ab AS (
+      SELECT
+        (SELECT CAST(SUM(ai * (ai - 1) / 2) AS BIGINT) FROM
+          (SELECT SUM(n_ij) AS ai FROM cont GROUP BY c1)) AS a,
+        (SELECT CAST(SUM(bj * (bj - 1) / 2) AS BIGINT) FROM
+          (SELECT SUM(n_ij) AS bj FROM cont GROUP BY c2)) AS b
+    )
+    SELECT sums.n,
+      round((sums.sum_ij
+          - CAST(ab.a AS DOUBLE) * ab.b / (CAST(sums.n AS DOUBLE) * (sums.n - 1) / 2))
+        / ((ab.a + ab.b) / 2.0
+          - CAST(ab.a AS DOUBLE) * ab.b / (CAST(sums.n AS DOUBLE) * (sums.n - 1) / 2)),
+        8) AS stability_ari
+    FROM sums CROSS JOIN ab
+    """,
+)
+def embedding_clustering_stability(spark, sf_dir):
+    """Label-free clustering STABILITY: the adjusted Rand index between
+    two deterministic nearest-seed clusterings grown from DISJOINT seed
+    sets (lowest {ARI_SEEDS} vec_ids vs the next {ARI_SEEDS}). High ARI
+    means the partition is a property of the data, not of the seeding —
+    the standard sanity check (Ben-David et al.) before trusting any
+    single k-means/IVF run; low ARI says cluster count or geometry is
+    wrong no matter what the internal metrics claim. Pairs with
+    embedding_clustering_ari: that one needs ground truth, this one
+    does not.
+
+    Scale shape: both assignments are broadcast-seeds scans with a
+    vec_id-partitioned argmax window; everything after the join is
+    integer binomial arithmetic on the k x k contingency table."""
+    from pyspark.sql import Window as PW
+
+    from .similarity import cosine
+
+    e = table(spark, sf_dir, "embeddings")
+    first8 = e.orderBy("vec_id").limit(2 * ARI_SEEDS).select(
+        F.col("vec_id").alias("sid"), F.col("embedding").alias("sv")
+    )
+    w8 = PW.orderBy("sid")
+    ranked = first8.withColumn("rk", F.row_number().over(w8))
+    s1 = F.broadcast(ranked.filter(F.col("rk") <= ARI_SEEDS).drop("rk"))
+    s2 = F.broadcast(ranked.filter(F.col("rk") > ARI_SEEDS).drop("rk"))
+
+    def assign(seeds, out):
+        scored = e.crossJoin(seeds).select(
+            "vec_id", "sid", cosine("embedding", "sv").alias("cs")
+        )
+        return (
+            scored.withColumn(
+                "rn",
+                F.row_number().over(
+                    PW.partitionBy("vec_id").orderBy(F.desc("cs"), "sid")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("sid").alias(out))
+        )
+
+    cont = (
+        assign(s1, "c1")
+        .join(assign(s2, "c2"), "vec_id")
+        .groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ij"))
+        .persist()
+    )
+    sums = cont.agg(
+        F.sum(F.col("n_ij") * (F.col("n_ij") - 1) / 2).cast("bigint").alias("sum_ij"),
+        F.sum("n_ij").cast("bigint").alias("n"),
+    )
+    a = (
+        cont.groupBy("c1")
+        .agg(F.sum("n_ij").alias("ai"))
+        .agg(F.sum(F.col("ai") * (F.col("ai") - 1) / 2).cast("bigint").alias("a"))
+    )
+    b = (
+        cont.groupBy("c2")
+        .agg(F.sum("n_ij").alias("bj"))
+        .agg(F.sum(F.col("bj") * (F.col("bj") - 1) / 2).cast("bigint").alias("b"))
+    )
+    half = F.col("n").cast("double") * (F.col("n") - 1) / 2
+    expected = F.col("a").cast("double") * F.col("b") / half
+    return (
+        sums.crossJoin(F.broadcast(a))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "n",
+            F.round(
+                (F.col("sum_ij") - expected)
+                / ((F.col("a") + F.col("b")) / 2.0 - expected),
+                8,
+            ).alias("stability_ari"),
+        )
+    )

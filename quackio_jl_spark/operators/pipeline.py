@@ -2873,3 +2873,125 @@ def corpus_capture_recapture(spark, sf_dir):
         F.round(se, 4).alias("se_hat"),
         F.round((n_hat - F.col("n_true")) / F.col("n_true"), 6).alias("rel_err"),
     )
+
+
+# --------------------------------- subset-selection coverage objective
+
+COV_SAMPLE_PCT = 2  # doc hash % 100 < this => selected exemplar
+
+
+def _cov_cos(a: str, b: str) -> str:
+    from .similarity import _cosine_sql
+
+    return _cosine_sql(a, b)
+
+
+@query(
+    "sample_coverage_objective",
+    oracle=f"""
+    WITH sel AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE ('0x' || substr(md5('cov:' || CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT
+        % 100 < {COV_SAMPLE_PCT}
+    ),
+    best AS (
+      SELECT e.vec_id,
+        MAX({_cov_cos('e.embedding', 's.embedding')}) AS best_cos
+      FROM embeddings e CROSS JOIN sel s
+      GROUP BY e.vec_id
+    ),
+    cov AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus,
+        CAST(SUM(CAST(round(best_cos, 9) AS DECIMAL(28,12))) AS DOUBLE)
+          / COUNT(*) AS coverage
+      FROM best
+    ),
+    pairs AS (
+      SELECT {_cov_cos('a.embedding', 'b.embedding')} AS cs
+      FROM sel a JOIN sel b ON a.vec_id < b.vec_id
+    ),
+    div AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(CAST(round(cs, 9) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+          AS mean_intra_cos
+      FROM pairs
+    ),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_selected FROM sel)
+    SELECT ns.n_selected, cov.n_corpus,
+      round(cov.coverage, 8) AS coverage,
+      round(div.mean_intra_cos, 8) AS mean_intra_cos,
+      round(cov.coverage - div.mean_intra_cos, 8) AS selection_margin
+    FROM ns CROSS JOIN cov CROSS JOIN div
+    """,
+)
+def sample_coverage_objective(spark, sf_dir):
+    """Facility-location audit of a selected exemplar subset: coverage =
+    mean over the corpus of max cosine to ANY selected exemplar (the
+    submodular objective k-center / coreset selection maximizes) and
+    mean intra-selection cosine (low = diverse exemplars). A GOOD
+    subset has high coverage and low redundancy — selection_margin
+    summarizes both. This is how you grade a pruned training subset
+    (weighted_sample_by_quality, mixture_sample_by_source) on
+    REPRESENTATION rather than metadata.
+
+    Scale shape: the exemplar set (hash-selected here, {COV_SAMPLE_PCT}%
+    of vectors) broadcasts; coverage is one corpus scan with a per-row
+    max over the broadcast set (partial-aggregated); redundancy is the
+    bounded selected x selected grid. No corpus self-join anywhere."""
+    e = table(spark, sf_dir, "embeddings")
+    from .similarity import cosine
+
+    sel = (
+        e.filter(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("cov:"), F.col("vec_id").cast("string"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 100
+            < COV_SAMPLE_PCT
+        )
+        .select(F.col("vec_id").alias("sid"), F.col("embedding").alias("sv"))
+        .persist()
+    )
+
+    def rsum(col):
+        return F.sum(F.round(col, 9).cast("decimal(28,12)")).cast("double")
+
+    best = (
+        e.crossJoin(F.broadcast(sel))
+        .groupBy("vec_id")
+        .agg(F.max(cosine("embedding", "sv")).alias("best_cos"))
+    )
+    cov = best.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_corpus"),
+        (rsum(F.col("best_cos")) / F.count(F.lit(1))).alias("coverage"),
+    )
+    a = sel.select(F.col("sid").alias("i1"), F.col("sv").alias("e1"))
+    b = sel.select(F.col("sid").alias("i2"), F.col("sv").alias("e2"))
+    div = (
+        a.join(F.broadcast(b), F.col("i1") < F.col("i2"))
+        .select(cosine("e1", "e2").alias("cs"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            (rsum(F.col("cs")) / F.count(F.lit(1))).alias("mean_intra_cos"),
+        )
+    )
+    ns = sel.agg(F.count(F.lit(1)).cast("bigint").alias("n_selected"))
+    return (
+        ns.crossJoin(F.broadcast(cov))
+        .crossJoin(F.broadcast(div))
+        .select(
+            "n_selected",
+            "n_corpus",
+            F.round("coverage", 8).alias("coverage"),
+            F.round("mean_intra_cos", 8).alias("mean_intra_cos"),
+            F.round(F.col("coverage") - F.col("mean_intra_cos"), 8).alias(
+                "selection_margin"
+            ),
+        )
+    )

@@ -667,3 +667,81 @@ def retrieval_rbo_agreement(spark, sf_dir):
             "rbo_trunc",
         )
     )
+
+
+# --------------------------------- pseudo-relevance feedback expansion
+
+PRF_TOPK = 10
+PRF_MIN_LEN = 4
+
+
+@query(
+    "retrieval_prf_expansion_terms",
+    oracle=f"""
+    WITH fb AS (SELECT doc_id FROM ({_bm25_oracle()})),
+    fbterms AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT unnest(string_split(d.text, ' ')) AS term
+        FROM documents d JOIN fb ON d.doc_id = fb.doc_id
+      )
+      WHERE len(term) >= {PRF_MIN_LEN}
+        AND term NOT IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+      GROUP BY term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      ) GROUP BY term
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    SELECT fbterms.term, fbterms.tf, df.df,
+      round(fbterms.tf * ln(CAST(nn.n AS DOUBLE) / df.df), 8) AS prf_score
+    FROM fbterms JOIN df ON fbterms.term = df.term CROSS JOIN nn
+    ORDER BY prf_score DESC, fbterms.term
+    LIMIT {PRF_TOPK}
+    """,
+)
+def retrieval_prf_expansion_terms(spark, sf_dir):
+    """Pseudo-relevance-feedback query expansion (Rocchio-style term
+    selection): take the BM25 top-{PRF_TOPK} documents as assumed-
+    relevant feedback, score every non-query term by
+    feedback-tf x ln(N/df) (concentrated in the feedback set AND rare in
+    the corpus), and emit the top-{PRF_TOPK} expansion terms — the
+    second-round query a PRF retriever would run. Completes the IR
+    pipeline: rank (bm25), fuse (rrf), evaluate (ndcg, rbo), EXPAND.
+
+    Scale shape: the feedback side is a k-document broadcast semi-join;
+    document frequencies reuse the corpus-wide term rollup (vocabulary-
+    sized, partial-aggregated); final scoring joins two term tables and
+    TakeOrderedAndProject keeps the top-k without a global sort."""
+    fb = F.broadcast(bm25_topk(spark, sf_dir).select("doc_id"))
+    d = table(spark, sf_dir, "documents")
+    fbterms = (
+        d.join(fb, "doc_id")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(
+            (F.length("term") >= PRF_MIN_LEN) & (~F.col("term").isin(*BM25_TERMS))
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").cast("bigint").alias("df"))
+    )
+    nn = F.broadcast(d.agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    return (
+        fbterms.join(df, "term")
+        .crossJoin(nn)
+        .select(
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 8
+            ).alias("prf_score"),
+        )
+        .orderBy(F.col("prf_score").desc(), "term")
+        .limit(PRF_TOPK)
+    )

@@ -942,3 +942,100 @@ def embedding_geometry_report(spark, sf_dir):
             "frac_negative"
         ),
     )
+
+
+# --------------------------------- LSH candidate-generation quality
+
+
+@query(
+    "ann_lsh_pair_recall",
+    oracle=f"""
+    WITH sub AS (
+      SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket
+      FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    truth AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+      WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.2
+    ),
+    cand AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM sub a JOIN sub b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    hit AS (
+      SELECT truth.id1, truth.id2 FROM truth
+      JOIN cand ON truth.id1 = cand.id1 AND truth.id2 = cand.id2
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit,
+      round((SELECT COUNT(*) FROM hit)
+        / CAST((SELECT COUNT(*) FROM cand) AS DOUBLE), 8) AS pair_precision,
+      round((SELECT COUNT(*) FROM hit)
+        / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 8) AS pair_recall
+    """,
+)
+def ann_lsh_pair_recall(spark, sf_dir):
+    """Candidate-generation quality of the hyperplane LSH index for
+    NEAR-DUP PAIR mining (not top-k search — that harness is
+    ann_ivf_recall_at_k): on the vec_id%5 evaluation subset, ground
+    truth = all pairs with cosine >= 0.2, candidates = same-bucket
+    pairs, and the report is pair precision/recall. This is the number
+    that justifies (or vetoes) replacing the O(N^2) verify with
+    LSH-bucketed verify in semantic_dedup_clusters at scale: recall is
+    what you lose, precision is what you pay.
+
+    Scale shape: the ground-truth side is the harness's deliberately
+    bounded evaluation subset; the candidate side is the bucket
+    equi-join (never all-pairs), and the three counts reduce to one
+    row. At production scale the truth set would itself come from a
+    held-out sample — the PLUMBING is identical."""
+    sub = _bucketed(spark, sf_dir).filter(F.col("vec_id") % 5 == 0).drop("label")
+    a = sub.select(
+        F.col("vec_id").alias("id1"),
+        F.col("embedding").alias("ea"),
+        F.col("bucket").alias("ba"),
+    )
+    b = sub.select(
+        F.col("vec_id").alias("id2"),
+        F.col("embedding").alias("eb"),
+        F.col("bucket").alias("bb"),
+    )
+    truth = (
+        a.join(F.broadcast(b), F.col("id1") < F.col("id2"))
+        .filter(cosine("ea", "eb") >= 0.2)
+        .select("id1", "id2")
+        .persist()
+    )
+    cand = (
+        a.select("id1", "ba")
+        .join(
+            b.select("id2", F.col("bb").alias("ba")),
+            "ba",
+        )
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .persist()
+    )
+    hit = truth.join(cand, ["id1", "id2"])
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    nh = hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.col("n_hit") / F.col("n_candidates").cast("double"), 8
+            ).alias("pair_precision"),
+            F.round(F.col("n_hit") / F.col("n_truth").cast("double"), 8).alias(
+                "pair_recall"
+            ),
+        )
+    )
