@@ -9186,3 +9186,264 @@ def events_hurst_exponent(spark, sf_dir):
         )
         .alias("hurst_h"),
     )
+
+
+# --------------------------------- integral distribution distances
+
+WDIST_BINS = 256
+
+
+@query(
+    "events_wasserstein_click_view",
+    oracle=f"""
+    WITH vals AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('click', 'view')
+    ),
+    rng AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM vals),
+    binned AS (
+      SELECT LEAST({WDIST_BINS} - 1,
+          CAST(floor({WDIST_BINS} * (value - lo) / (hi - lo)) AS INTEGER)) AS b,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+          AS ca,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+          AS cb
+      FROM vals CROSS JOIN rng GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+        MAX(hi - lo) AS width
+      FROM binned CROSS JOIN rng
+    ),
+    cum AS (
+      SELECT b,
+        SUM(ca) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cca,
+        SUM(cb) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS ccb
+      FROM binned
+    ),
+    terms AS (
+      SELECT abs(cca / CAST(na AS DOUBLE) - ccb / CAST(nb AS DOUBLE))
+          * (width / {WDIST_BINS}) AS w1_term,
+        (cca / CAST(na AS DOUBLE) - ccb / CAST(nb AS DOUBLE))
+          * (cca / CAST(na AS DOUBLE) - ccb / CAST(nb AS DOUBLE))
+          * (width / {WDIST_BINS}) AS cvm_term
+      FROM cum CROSS JOIN tot
+    )
+    SELECT
+      (SELECT na FROM tot) AS n_click,
+      (SELECT nb FROM tot) AS n_view,
+      CAST({WDIST_BINS} AS BIGINT) AS n_bins,
+      round(CAST(SUM(CAST(round(w1_term, 12) AS DECIMAL(28,15))) AS DOUBLE), 8)
+        AS wasserstein_1,
+      round(CAST(SUM(CAST(round(cvm_term, 12) AS DECIMAL(28,15))) AS DOUBLE), 8)
+        AS cramer_von_mises
+    FROM terms
+    """,
+)
+def events_wasserstein_click_view(spark, sf_dir):
+    """Integral distribution distances between the click and view value
+    distributions on a {WDIST_BINS}-bin grid: 1-D Wasserstein-1 (area
+    between the CDFs — HOW MUCH mass must move, in value units) and a
+    Cramer-von-Mises-style integral of the squared CDF gap. The drift
+    pair to the existing sup-norm KS statistic: KS sees the single worst
+    point, W1 sees total displacement — a fat tail shift that KS
+    underweights shows up here first. (The binned form is the one a
+    production drift monitor ships: fixed memory, mergeable per bin.)
+
+    Scale shape: min/max broadcast, one conditional-count rollup to
+    {WDIST_BINS} bins (partial-aggregated), cumulative windows and the
+    two weighted sums on the bin table only."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    rng = F.broadcast(
+        e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    binned = (
+        e.crossJoin(rng)
+        .groupBy(
+            F.least(
+                F.lit(WDIST_BINS - 1),
+                F.floor(
+                    WDIST_BINS * (F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+                ).cast("int"),
+            ).alias("b")
+        )
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("int"))
+            .cast("bigint")
+            .alias("ca"),
+            F.sum((F.col("event_type") == "view").cast("int"))
+            .cast("bigint")
+            .alias("cb"),
+        )
+        .persist()
+    )
+    tot = F.broadcast(
+        binned.crossJoin(rng).agg(
+            F.sum("ca").cast("bigint").alias("na"),
+            F.sum("cb").cast("bigint").alias("nb"),
+            F.max(F.col("hi") - F.col("lo")).alias("width"),
+        )
+    )
+    w = W.orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    cum = binned.select(
+        "b",
+        F.sum("ca").over(w).alias("cca"),
+        F.sum("cb").over(w).alias("ccb"),
+    )
+    gap = F.col("cca") / F.col("na").cast("double") - F.col("ccb") / F.col(
+        "nb"
+    ).cast("double")
+    binw = F.col("width") / WDIST_BINS
+    terms = cum.crossJoin(tot).select(
+        (F.abs(gap) * binw).alias("w1_term"),
+        (gap * gap * binw).alias("cvm_term"),
+        "na",
+        "nb",
+    )
+
+    def rsum(col):
+        return F.sum(F.round(col, 12).cast("decimal(28,15)")).cast("double")
+
+    return terms.groupBy("na", "nb").agg(
+        F.round(rsum(F.col("w1_term")), 8).alias("wasserstein_1"),
+        F.round(rsum(F.col("cvm_term")), 8).alias("cramer_von_mises"),
+    ).select(
+        F.col("na").alias("n_click"),
+        F.col("nb").alias("n_view"),
+        F.lit(WDIST_BINS).cast("bigint").alias("n_bins"),
+        "wasserstein_1",
+        "cramer_von_mises",
+    )
+
+
+# --------------------------------- STL-lite decomposition strength
+
+STL_HALF = 12  # centered 25-hour trend window
+
+
+@query(
+    "events_hourly_decomposition_strength",
+    oracle=f"""
+    WITH hours AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) / 3600 AS h,
+        CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY h
+    ),
+    lo AS (SELECT MIN(h) AS h0 FROM hours),
+    series AS (SELECT h - h0 AS t, y FROM hours CROSS JOIN lo),
+    tr AS (
+      SELECT t, y,
+        CASE WHEN COUNT(*) OVER w = {2 * STL_HALF + 1}
+          THEN SUM(y) OVER w / CAST({2 * STL_HALF + 1} AS DOUBLE) END AS trend
+      FROM series
+      WINDOW w AS (ORDER BY t ROWS BETWEEN {STL_HALF} PRECEDING
+        AND {STL_HALF} FOLLOWING)
+    ),
+    det AS (
+      SELECT t, y, trend, y - trend AS detr,
+        CAST(t % 24 AS INTEGER) AS hod
+      FROM tr WHERE trend IS NOT NULL
+    ),
+    seas AS (
+      SELECT hod,
+        CAST(SUM(CAST(round(detr, 9) AS DECIMAL(28,12))) AS DOUBLE)
+          / COUNT(*) AS s
+      FROM det GROUP BY hod
+    ),
+    comp AS (
+      SELECT det.t, det.y, det.trend, det.detr, seas.s,
+        det.detr - seas.s AS rem
+      FROM det JOIN seas ON det.hod = seas.hod
+    ),
+    v AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(round(rem * rem, 9) AS DECIMAL(28,12))) AS DOUBLE)
+          AS ss_rem,
+        CAST(SUM(CAST(round(rem, 9) AS DECIMAL(28,12))) AS DOUBLE) AS s_rem,
+        CAST(SUM(CAST(round(detr * detr, 9) AS DECIMAL(28,12))) AS DOUBLE)
+          AS ss_detr,
+        CAST(SUM(CAST(round(detr, 9) AS DECIMAL(28,12))) AS DOUBLE) AS s_detr,
+        CAST(SUM(CAST(round((y - s) * (y - s), 9) AS DECIMAL(28,12))) AS DOUBLE)
+          AS ss_desea,
+        CAST(SUM(CAST(round(y - s, 9) AS DECIMAL(28,12))) AS DOUBLE) AS s_desea
+      FROM comp
+    )
+    SELECT n,
+      round(GREATEST(0.0, 1.0 - (ss_rem - s_rem * s_rem / n)
+        / (ss_detr - s_detr * s_detr / n)), 8) AS seasonal_strength,
+      round(GREATEST(0.0, 1.0 - (ss_rem - s_rem * s_rem / n)
+        / (ss_desea - s_desea * s_desea / n)), 8) AS trend_strength
+    FROM v
+    """,
+)
+def events_hourly_decomposition_strength(spark, sf_dir):
+    """STL-lite decomposition of the hourly arrival series — centered
+    25-hour moving-average trend (complete windows only), hour-of-day
+    seasonal means of the detrended series, remainder — summarized as
+    Hyndman's strength statistics: seasonal_strength =
+    max(0, 1 - Var(rem)/Var(detrended)) and trend_strength =
+    max(0, 1 - Var(rem)/Var(deseasonalized)). The one-row verdict that
+    says WHICH structure dominates the traffic before picking a
+    forecast baseline (seasonal-naive vs drift) — the decomposition
+    companion to the periodogram's period detector.
+
+    Scale shape: the corpus reduces to the hours-sized series once; the
+    rolling window, hour-of-day rollup and variance sums all run on
+    that bounded series with round-then-decimal-sum reductions."""
+    e = table(spark, sf_dir, "events")
+    hours = e.groupBy(
+        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).cast("bigint") / 3600)
+        .cast("bigint")
+        .alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    lo = F.broadcast(hours.agg(F.min("h").alias("h0")))
+    series = hours.crossJoin(lo).select((F.col("h") - F.col("h0")).alias("t"), "y")
+    win = W.orderBy("t").rowsBetween(-STL_HALF, STL_HALF)
+    tr = series.select(
+        "t",
+        "y",
+        F.when(
+            F.count(F.lit(1)).over(win) == 2 * STL_HALF + 1,
+            F.sum("y").over(win) / float(2 * STL_HALF + 1),
+        ).alias("trend"),
+    )
+    det = tr.filter(F.col("trend").isNotNull()).select(
+        "t",
+        "y",
+        "trend",
+        (F.col("y") - F.col("trend")).alias("detr"),
+        (F.col("t") % 24).cast("int").alias("hod"),
+    )
+
+    def rsum(col):
+        return F.sum(F.round(col, 9).cast("decimal(28,12)")).cast("double")
+
+    seas = det.groupBy("hod").agg(
+        (rsum(F.col("detr")) / F.count(F.lit(1))).alias("s")
+    )
+    comp = det.join(F.broadcast(seas), "hod").select(
+        "y", "detr", "s", (F.col("detr") - F.col("s")).alias("rem")
+    )
+    v = comp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        rsum(F.col("rem") * F.col("rem")).alias("ss_rem"),
+        rsum(F.col("rem")).alias("s_rem"),
+        rsum(F.col("detr") * F.col("detr")).alias("ss_detr"),
+        rsum(F.col("detr")).alias("s_detr"),
+        rsum((F.col("y") - F.col("s")) * (F.col("y") - F.col("s"))).alias("ss_desea"),
+        rsum(F.col("y") - F.col("s")).alias("s_desea"),
+    )
+    var_rem = F.col("ss_rem") - F.col("s_rem") * F.col("s_rem") / F.col("n")
+    var_detr = F.col("ss_detr") - F.col("s_detr") * F.col("s_detr") / F.col("n")
+    var_desea = F.col("ss_desea") - F.col("s_desea") * F.col("s_desea") / F.col("n")
+    return v.select(
+        "n",
+        F.round(F.greatest(F.lit(0.0), 1.0 - var_rem / var_detr), 8).alias(
+            "seasonal_strength"
+        ),
+        F.round(F.greatest(F.lit(0.0), 1.0 - var_rem / var_desea), 8).alias(
+            "trend_strength"
+        ),
+    )
