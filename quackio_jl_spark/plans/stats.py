@@ -9447,3 +9447,173 @@ def events_hourly_decomposition_strength(spark, sf_dir):
             "trend_strength"
         ),
     )
+
+
+# --------------------------------- restricted mean survival time
+
+RMST_TAU = 400  # days
+
+
+def _rmst_oracle() -> str:
+    from .registry import ORACLES
+
+    return f"""
+    WITH km AS ({ORACLES["customer_survival_km"]}),
+    seg AS (
+      SELECT t_days, survival,
+        ROW_NUMBER() OVER (ORDER BY t_days) AS rn,
+        LEAD(t_days) OVER (ORDER BY t_days) AS t_next
+      FROM km WHERE t_days < {RMST_TAU}
+    ),
+    parts AS (
+      SELECT CASE WHEN rn = 1 THEN CAST(t_days AS DOUBLE) ELSE 0.0 END
+        + survival * (LEAST(COALESCE(t_next, {RMST_TAU}), {RMST_TAU}) - t_days)
+        AS contrib
+      FROM seg
+    )
+    SELECT CAST({RMST_TAU} AS BIGINT) AS tau_days,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM seg) AS n_event_times,
+      round(CAST(SUM(CAST(round(contrib, 9) AS DECIMAL(28,12))) AS DOUBLE), 6)
+        AS rmst_days
+    FROM parts
+    """
+
+
+@query("customer_survival_rmst", oracle=_rmst_oracle())
+def customer_survival_rmst(spark, sf_dir):
+    """Restricted mean survival time at tau = {RMST_TAU} days: the area
+    under the Kaplan-Meier curve up to tau — "expected active days per
+    customer within the first {RMST_TAU}", the modern scalar summary
+    recommended over median survival when curves cross or censoring is
+    heavy. Built directly on customer_survival_km's step function:
+    S = 1 carries the first segment, each event time carries its S until
+    the next step, the last segment truncates at tau.
+
+    Scale shape: everything after the KM rollup runs on the handful of
+    distinct event times (lead + one decimal-rounded sum)."""
+    from pyspark.sql import Window as PW
+
+    km = customer_survival_km(spark, sf_dir).filter(F.col("t_days") < RMST_TAU)
+    w = PW.orderBy("t_days")
+    seg = km.select(
+        "t_days",
+        "survival",
+        F.row_number().over(w).alias("rn"),
+        F.lead("t_days").over(w).alias("t_next"),
+    )
+    contrib = F.when(F.col("rn") == 1, F.col("t_days").cast("double")).otherwise(
+        0.0
+    ) + F.col("survival") * (
+        F.least(F.coalesce("t_next", F.lit(RMST_TAU)), F.lit(RMST_TAU))
+        - F.col("t_days")
+    )
+    n_times = F.broadcast(
+        seg.agg(F.count(F.lit(1)).cast("bigint").alias("n_event_times"))
+    )
+    return (
+        seg.select(contrib.alias("contrib"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("contrib"), 9).cast("decimal(28,12)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("rmst_days")
+        )
+        .crossJoin(n_times)
+        .select(
+            F.lit(RMST_TAU).cast("bigint").alias("tau_days"),
+            "n_event_times",
+            "rmst_days",
+        )
+    )
+
+
+# --------------------------------- intraclass correlation + design effect
+
+
+@query(
+    "customer_acctbal_icc_deff",
+    oracle="""
+    WITH bynat AS (
+      SELECT c_nationkey,
+        CAST(COUNT(*) AS BIGINT) AS n_i,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS s_i,
+        CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS q_i
+      FROM customer GROUP BY c_nationkey
+    ),
+    gall AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS g,
+        CAST(SUM(n_i) AS BIGINT) AS n,
+        CAST(SUM(CAST(round(s_i, 9) AS DECIMAL(28,12))) AS DOUBLE) AS s,
+        CAST(SUM(CAST(round(q_i - s_i * (s_i / n_i), 9) AS DECIMAL(28,12)))
+          AS DOUBLE) AS ssw,
+        CAST(SUM(CAST(round(s_i * (s_i / n_i), 9) AS DECIMAL(28,12)))
+          AS DOUBLE) AS sb_raw,
+        CAST(SUM(n_i * n_i) AS BIGINT) AS sn2
+      FROM bynat
+    ),
+    ms AS (
+      SELECT g, n,
+        ssw / (n - g) AS msw,
+        (sb_raw - s * (s / n)) / (g - 1) AS msb,
+        (n - sn2 / CAST(n AS DOUBLE)) / (g - 1) AS n0
+      FROM gall
+    )
+    SELECT g, n, round(n0, 4) AS n0,
+      round((msb - msw) / (msb + (n0 - 1) * msw), 8) AS icc,
+      round(1 + (CAST(n AS DOUBLE) / g - 1)
+        * ((msb - msw) / (msb + (n0 - 1) * msw)), 6) AS deff
+    FROM ms
+    """,
+)
+def customer_acctbal_icc_deff(spark, sf_dir):
+    """Intraclass correlation of account balance within nations (one-way
+    random-effects ANOVA estimator) and the survey design effect
+    DEFF = 1 + (m-1)*ICC: how much clustering inflates the variance of a
+    mean estimated from nation-clustered data — the quantitative
+    justification for the grouped jackknife (jackknife_mean_acctbal) and
+    the raking weights over per-row bootstrap methods. DEFF near 1 =
+    clusters don't matter; DEFF >> 1 = effective sample size is
+    n / DEFF, plan accordingly.
+
+    Scale shape: one per-group rollup of exact decimal sufficient
+    statistics, then closed-form scalar ANOVA algebra on the G-row
+    table with round-then-decimal-sum cross-group reductions."""
+    c = table(spark, sf_dir, "customer")
+    bynat = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("s_i"),
+        F.sum((F.col("c_acctbal") * F.col("c_acctbal")).cast(DEC))
+        .cast("double")
+        .alias("q_i"),
+    )
+
+    def rsum(col):
+        return F.sum(F.round(col, 9).cast("decimal(28,12)")).cast("double")
+
+    gall = bynat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("g"),
+        F.sum("n_i").cast("bigint").alias("n"),
+        rsum(F.col("s_i")).alias("s"),
+        rsum(F.col("q_i") - F.col("s_i") * (F.col("s_i") / F.col("n_i"))).alias(
+            "ssw"
+        ),
+        rsum(F.col("s_i") * (F.col("s_i") / F.col("n_i"))).alias("sb_raw"),
+        F.sum(F.col("n_i") * F.col("n_i")).cast("bigint").alias("sn2"),
+    )
+    msw = F.col("ssw") / (F.col("n") - F.col("g"))
+    msb = (F.col("sb_raw") - F.col("s") * (F.col("s") / F.col("n"))) / (
+        F.col("g") - 1
+    )
+    n0 = (F.col("n") - F.col("sn2") / F.col("n").cast("double")) / (F.col("g") - 1)
+    icc = (msb - msw) / (msb + (n0 - 1) * msw)
+    return gall.select(
+        "g",
+        "n",
+        F.round(n0, 4).alias("n0"),
+        F.round(icc, 8).alias("icc"),
+        F.round(1 + (F.col("n").cast("double") / F.col("g") - 1) * icc, 6).alias(
+            "deff"
+        ),
+    )
