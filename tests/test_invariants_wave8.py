@@ -1,0 +1,50 @@
+"""Structural invariants for the round-5 continuation wave (bloom pruning,
+bandits, DP release, SAX motifs, causal IPW, clarity, posting compression).
+
+Value-level correctness is the oracle gate's job (tools/check_correctness.py);
+these tests pin the structural/mathematical properties the oracle can't see
+— e.g. that the bloom filter admits every true key (no false negatives by
+construction, not just on today's data)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quackio_jl_spark.registry import QUERIES, table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every fact row whose key IS in the dimension must pass the filter:
+    bloom_pass_rows >= true_match_rows and true_match_rows equals the plain
+    semi-join count (false positives never subtract, only add)."""
+    stats = QUERIES["bloom_prune_join_stats"](spark, SF_DIR).collect()[0]
+    li = table(spark, SF_DIR, "lineitem")
+    dim = table(spark, SF_DIR, "part").filter(F.col("p_brand") == "Brand#13")
+    true_rows = li.join(
+        dim.select(F.col("p_partkey").alias("l_partkey")), "l_partkey", "semi"
+    ).count()
+    assert stats.true_match_rows == true_rows
+    assert stats.bloom_pass_rows >= stats.true_match_rows
+    assert stats.false_positive_rows == stats.bloom_pass_rows - stats.true_match_rows
+
+
+def test_bloom_words_fit_32_bits(spark):
+    """The bit-set representation never touches the BIGINT sign: every word
+    is in [0, 2^32) and there are at most m/32 words."""
+    from quackio_jl_spark.operators.bloom import _M_BITS, _WORD, _bloom_words
+
+    rows = _bloom_words(spark, SF_DIR).collect()
+    assert len(rows) <= _M_BITS // _WORD
+    for r in rows:
+        assert 0 <= r.word < (1 << _WORD)
+        assert 0 <= r.word_idx < _M_BITS // _WORD
+
+
+def test_bloom_prefilter_is_selective(spark):
+    """The prefilter actually prunes: pass rows are a small fraction of the
+    fact (the whole point of shipping the bits to the scan)."""
+    stats = QUERIES["bloom_prune_join_stats"](spark, SF_DIR).collect()[0]
+    assert stats.bloom_pass_rows < stats.n_fact_rows * 0.25
