@@ -141,3 +141,71 @@ def pii_scan_summary(spark, sf_dir):
         .cast("bigint")
         .alias("rows_with_pii"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private count release (seeded Laplace mechanism)
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 1.0
+
+
+@query(
+    "dp_noisy_event_counts",
+    oracle=f"""
+    WITH counts AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS true_count
+      FROM events GROUP BY event_type
+    ),
+    noised AS (
+      SELECT event_type, true_count,
+        CAST(('0x' || substr(md5('dp:' || event_type), 1, 8)) AS BIGINT)
+          / 4294967296.0 AS u
+      FROM counts
+    )
+    SELECT event_type,
+      round(true_count
+        + (-1.0 / {_DP_EPS})
+          * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+          * round(ln(1 - 2 * least(abs(u - 0.5), 0.4999999999)), 8),
+        4) AS noisy_count,
+      {_DP_EPS} AS epsilon
+    FROM noised
+    """,
+)
+def dp_noisy_event_counts(spark, sf_dir):
+    """Laplace-mechanism count release: per-event-type counts plus
+    Laplace(1/epsilon) noise, epsilon = 1, sensitivity 1 (event-level DP —
+    bounding per-USER contribution first is the stricter user-level variant
+    and composes with this mechanism unchanged).
+
+    The noise is SEEDED: u = md5('dp:'||key) first-8-hex / 2^32 (a
+    deterministic uniform), Laplace via the inverse CDF
+    -(1/eps)*sign(u-1/2)*ln(1-2|u-1/2|). Production releases would use a
+    real RNG; the seeded form makes the mechanism testable and the release
+    reproducible across engines/runs — the oracle hash-verifies the exact
+    noise arithmetic (ln rounded to 8 dp before scaling, the repo's
+    standard cross-engine transcendental contract).
+
+    Scale shape: one partial-aggregated count shuffle on a tiny key; the
+    noise is a projection over the handful of group rows."""
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0)
+    )
+    a = F.least(F.abs(u - 0.5), F.lit(0.4999999999))
+    noise = (
+        (F.lit(-1.0) / _DP_EPS)
+        * F.when(u >= 0.5, 1.0).otherwise(-1.0)
+        * F.round(F.log(1 - 2 * a), 8)
+    )
+    return counts.select(
+        "event_type",
+        F.round(F.col("true_count") + noise, 4).alias("noisy_count"),
+        F.lit(_DP_EPS).alias("epsilon"),
+    )

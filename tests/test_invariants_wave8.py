@@ -48,3 +48,27 @@ def test_bloom_prefilter_is_selective(spark):
     fact (the whole point of shipping the bits to the scan)."""
     stats = QUERIES["bloom_prune_join_stats"](spark, SF_DIR).collect()[0]
     assert stats.bloom_pass_rows < stats.n_fact_rows * 0.25
+
+
+def test_dp_noise_is_bounded_and_nonzero(spark):
+    """Laplace noise from a 32-bit seeded uniform is bounded by
+    (1/eps)*ln(2^32) ~ 22.18 and (almost surely) nonzero — a release equal
+    to the true counts would mean the mechanism is wired to zero noise."""
+    rel = {
+        r.event_type: r.noisy_count
+        for r in QUERIES["dp_noisy_event_counts"](spark, SF_DIR).collect()
+    }
+    true = {
+        r.event_type: r.cnt
+        for r in table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert set(rel) == set(true)
+    import math
+
+    bound = math.log(2**32) + 1e-6
+    diffs = [abs(rel[k] - true[k]) for k in rel]
+    assert all(d <= bound for d in diffs)
+    assert any(d > 1e-9 for d in diffs)
