@@ -9617,3 +9617,80 @@ def customer_acctbal_icc_deff(spark, sf_dir):
             "deff"
         ),
     )
+
+
+@query(
+    "ab_ucb_bandit_scores",
+    oracle="""
+    WITH arms AS (
+      SELECT event_type AS arm,
+        CAST(count(*) AS BIGINT) AS pulls,
+        CAST(sum(CASE WHEN "value" > 100 THEN 1 ELSE 0 END) AS BIGINT)
+          AS successes
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT sum(pulls) AS n_total FROM arms),
+    scored AS (
+      SELECT arm, pulls, successes,
+        round(CAST(successes AS DOUBLE) / pulls, 8) AS mean_reward,
+        round(CAST(successes AS DOUBLE) / pulls
+          + sqrt(2 * round(ln(CAST(n_total AS DOUBLE)), 8) / pulls), 6)
+          AS ucb_score
+      FROM arms CROSS JOIN tot
+    )
+    SELECT arm, pulls, successes, mean_reward, ucb_score,
+      CASE WHEN ucb_score = (SELECT max(ucb_score) FROM scored)
+           THEN 1 ELSE 0 END AS is_next_arm
+    FROM scored
+    """,
+)
+def ab_ucb_bandit_scores(spark, sf_dir):
+    """UCB1 multi-armed-bandit arm ranking: arms = event types, reward =
+    value > 100, score = mean_reward + sqrt(2 ln N / n_arm) (Auer et al.
+    2002). `is_next_arm` marks the arm a UCB policy pulls next — the
+    exploration bonus shrinks as an arm accumulates pulls, so the flagged
+    arm is not necessarily the best-mean arm.
+
+    Offline-evaluation shape: one partial-aggregated count per arm, a
+    1-row total broadcast back, scoring as a projection, and the argmax
+    via a broadcast of the 5-row scored table's max — nothing scales with
+    the event count except the first aggregate. ln(N) is rounded to 8 dp
+    before the sqrt (cross-engine transcendental contract); sqrt and
+    division are IEEE-exact."""
+    e = table(spark, sf_dir, "events")
+    arms = e.groupBy(F.col("event_type").alias("arm")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("pulls"),
+        F.sum(F.when(F.col("value") > 100, 1).otherwise(0))
+        .cast("bigint")
+        .alias("successes"),
+    )
+    tot = F.broadcast(arms.agg(F.sum("pulls").alias("n_total")))
+    scored = (
+        arms.crossJoin(tot)
+        .withColumn(
+            "mean_reward",
+            F.round(F.col("successes").cast("double") / F.col("pulls"), 8),
+        )
+        .withColumn(
+            "ucb_score",
+            F.round(
+                F.col("successes").cast("double") / F.col("pulls")
+                + F.sqrt(
+                    2
+                    * F.round(F.log(F.col("n_total").cast("double")), 8)
+                    / F.col("pulls")
+                ),
+                6,
+            ),
+        )
+        .drop("n_total")
+    )
+    best = F.broadcast(scored.agg(F.max("ucb_score").alias("_best")))
+    return scored.crossJoin(best).select(
+        "arm",
+        "pulls",
+        "successes",
+        "mean_reward",
+        "ucb_score",
+        F.when(F.col("ucb_score") == F.col("_best"), 1).otherwise(0).alias("is_next_arm"),
+    )

