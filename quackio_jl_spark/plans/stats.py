@@ -9694,3 +9694,104 @@ def ab_ucb_bandit_scores(spark, sf_dir):
         "ucb_score",
         F.when(F.col("ucb_score") == F.col("_best"), 1).otherwise(0).alias("is_next_arm"),
     )
+
+
+@query(
+    "events_sax_daily_motifs",
+    oracle="""
+    WITH paa AS (
+      SELECT CAST(ts AS DATE) AS day,
+        CAST(sum(CASE WHEN extract(hour FROM ts) < 6 THEN 1 ELSE 0 END) AS DOUBLE) AS c0,
+        CAST(sum(CASE WHEN extract(hour FROM ts) BETWEEN 6 AND 11 THEN 1 ELSE 0 END) AS DOUBLE) AS c1,
+        CAST(sum(CASE WHEN extract(hour FROM ts) BETWEEN 12 AND 17 THEN 1 ELSE 0 END) AS DOUBLE) AS c2,
+        CAST(sum(CASE WHEN extract(hour FROM ts) >= 18 THEN 1 ELSE 0 END) AS DOUBLE) AS c3
+      FROM events GROUP BY 1
+    ),
+    norm AS (
+      SELECT day, c0, c1, c2, c3,
+        (c0 + c1 + c2 + c3) / 4.0 AS mu,
+        sqrt((
+          (c0 - (c0+c1+c2+c3)/4.0) * (c0 - (c0+c1+c2+c3)/4.0) +
+          (c1 - (c0+c1+c2+c3)/4.0) * (c1 - (c0+c1+c2+c3)/4.0) +
+          (c2 - (c0+c1+c2+c3)/4.0) * (c2 - (c0+c1+c2+c3)/4.0) +
+          (c3 - (c0+c1+c2+c3)/4.0) * (c3 - (c0+c1+c2+c3)/4.0)) / 4.0) AS sd
+      FROM paa
+    ),
+    words AS (
+      SELECT day,
+        concat(
+          CASE WHEN sd = 0 THEN 'b'
+               WHEN round((c0 - mu) / sd, 8) < -0.6745 THEN 'a'
+               WHEN round((c0 - mu) / sd, 8) < 0 THEN 'b'
+               WHEN round((c0 - mu) / sd, 8) < 0.6745 THEN 'c' ELSE 'd' END,
+          CASE WHEN sd = 0 THEN 'b'
+               WHEN round((c1 - mu) / sd, 8) < -0.6745 THEN 'a'
+               WHEN round((c1 - mu) / sd, 8) < 0 THEN 'b'
+               WHEN round((c1 - mu) / sd, 8) < 0.6745 THEN 'c' ELSE 'd' END,
+          CASE WHEN sd = 0 THEN 'b'
+               WHEN round((c2 - mu) / sd, 8) < -0.6745 THEN 'a'
+               WHEN round((c2 - mu) / sd, 8) < 0 THEN 'b'
+               WHEN round((c2 - mu) / sd, 8) < 0.6745 THEN 'c' ELSE 'd' END,
+          CASE WHEN sd = 0 THEN 'b'
+               WHEN round((c3 - mu) / sd, 8) < -0.6745 THEN 'a'
+               WHEN round((c3 - mu) / sd, 8) < 0 THEN 'b'
+               WHEN round((c3 - mu) / sd, 8) < 0.6745 THEN 'c' ELSE 'd' END
+        ) AS sax_word
+      FROM norm
+    )
+    SELECT sax_word,
+      CAST(count(*) AS BIGINT) AS n_days,
+      CAST(min(day) AS VARCHAR) AS first_day
+    FROM words GROUP BY 1
+    """,
+)
+def events_sax_daily_motifs(spark, sf_dir):
+    """SAX motif discovery over daily activity shapes (Lin et al. 2003):
+    each day's hourly arrivals are PAA-reduced to 4 six-hour segments,
+    z-normalized WITHIN the day, binned at the alphabet-4 Gaussian
+    breakpoints (-0.6745, 0, 0.6745) into a 4-letter word, and identical
+    words across days are counted — recurring words are motifs (e.g. the
+    standard workday shape), rare words are discord days.
+
+    Determinism: segment counts are integers, the day mean (/4) and the
+    deviations are exact in double, sqrt/divide are IEEE-identical, and z
+    is rounded to 8 dp before breakpoint comparison so a boundary day
+    symbolizes the same way in both engines. Flat days (sd = 0) map to
+    'bbbb' by definition.
+
+    Scale shape: one shuffle to (day) — 4 conditional partial aggregates —
+    then a shuffle on the tiny word key; nothing is per-event after the
+    first aggregate. 100 TB of events is ~10^4 day-rows after stage one."""
+    e = table(spark, sf_dir, "events")
+    hour = F.hour("ts")
+    segs = [
+        F.sum(F.when(cond, 1).otherwise(0)).cast("double").alias(f"c{i}")
+        for i, cond in enumerate(
+            [hour < 6, (hour >= 6) & (hour < 12), (hour >= 12) & (hour < 18), hour >= 18]
+        )
+    ]
+    paa = e.groupBy(F.to_date("ts").alias("day")).agg(*segs)
+    cs = [F.col(f"c{i}") for i in range(4)]
+    mu = (cs[0] + cs[1] + cs[2] + cs[3]) / 4.0
+    sd = F.sqrt(
+        sum((c - mu) * (c - mu) for c in cs) / 4.0
+    )
+    norm = paa.withColumn("mu", mu).withColumn("sd", sd)
+
+    def sym(c):
+        z = F.round((c - F.col("mu")) / F.col("sd"), 8)
+        return (
+            F.when(F.col("sd") == 0, "b")
+            .when(z < -0.6745, "a")
+            .when(z < 0, "b")
+            .when(z < 0.6745, "c")
+            .otherwise("d")
+        )
+
+    words = norm.select(
+        "day", F.concat(*[sym(c) for c in cs]).alias("sax_word")
+    )
+    return words.groupBy("sax_word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.min("day").cast("string").alias("first_day"),
+    )

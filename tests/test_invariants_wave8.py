@@ -90,3 +90,20 @@ def test_ucb_exploration_bonus_monotone(spark):
             2 * round(math.log(n_total), 8) / r.pulls
         )
         assert abs(r.ucb_score - expected) < 1e-4
+
+
+def test_sax_words_partition_days_exactly(spark):
+    """Every day symbolizes to exactly one 4-letter word over alphabet
+    {a,b,c,d}: n_days sums to the number of distinct event days."""
+    rows = QUERIES["events_sax_daily_motifs"](spark, SF_DIR).collect()
+    total_days = (
+        table(spark, SF_DIR, "events")
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_days for r in rows) == total_days
+    import re
+
+    for r in rows:
+        assert re.fullmatch(r"[abcd]{4}", r.sax_word)
