@@ -9795,3 +9795,124 @@ def events_sax_daily_motifs(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         F.min("day").cast("string").alias("first_day"),
     )
+
+
+@query(
+    "discount_ipw_ate",
+    oracle="""
+    WITH bd AS (
+      SELECT p_brand,
+        CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+          AS avg_disc
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(sum(CAST(avg_disc AS DECIMAL(28,8))) AS DOUBLE) / count(*)
+        AS gmean FROM bd
+    ),
+    rows_ AS (
+      SELECT
+        CASE WHEN bd.avg_disc > (SELECT gmean FROM g) THEN 1 ELSE 0 END AS t,
+        CAST(l.l_quantity AS DOUBLE) AS y,
+        least(0.95, greatest(0.05,
+          round(1.0 / (1.0 + exp(-(-0.4 + 1.6 * (p.p_size / 50.0)))), 6)
+        )) AS ps
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN bd ON bd.p_brand = p.p_brand
+    ),
+    acc AS (
+      SELECT
+        CAST(sum(CASE WHEN t = 1 THEN CAST(round(y / ps, 8) AS DECIMAL(38,10)) END) AS DOUBLE) AS ty,
+        CAST(sum(CASE WHEN t = 1 THEN CAST(round(1.0 / ps, 8) AS DECIMAL(38,10)) END) AS DOUBLE) AS tw,
+        CAST(sum(CASE WHEN t = 0 THEN CAST(round(y / (1 - ps), 8) AS DECIMAL(38,10)) END) AS DOUBLE) AS cy,
+        CAST(sum(CASE WHEN t = 0 THEN CAST(round(1.0 / (1 - ps), 8) AS DECIMAL(38,10)) END) AS DOUBLE) AS cw,
+        CAST(sum(t) AS BIGINT) AS n_treated,
+        CAST(sum(1 - t) AS BIGINT) AS n_control
+      FROM rows_
+    )
+    SELECT n_treated, n_control,
+      round(ty / tw, 6) AS treated_mean_ipw,
+      round(cy / cw, 6) AS control_mean_ipw,
+      round(ty / tw - cy / cw, 6) AS ate_ipw
+    FROM acc
+    """,
+)
+def discount_ipw_ate(spark, sf_dir):
+    """Inverse-propensity-weighted (Hajek) average treatment effect of the
+    high-discount-brand treatment on quantity, completing the causal
+    triptych: DiD (discount_did_quantity) adjusts time-stable confounding,
+    stratified standardization (discount_effect_stratified) adjusts a
+    binned covariate, IPW adjusts a CONTINUOUS propensity — here a
+    frozen-weight logistic of part size (the same frozen-model convention
+    as quality_model_filter; swapping in trained weights changes only the
+    scoring expression). Propensities are clipped to [0.05, 0.95]
+    (standard overlap trimming) and each row's y/ps contribution is
+    rounded to 8 dp then decimal-summed, so the estimate is
+    order/partition independent.
+
+    Plan shape: two broadcast joins (brand table, global mean) onto one
+    fact pass, then a single 1-row aggregate — no shuffle keyed on
+    anything bigger than p_brand."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    lp = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    bd = lp.groupBy("p_brand").agg(
+        (
+            F.sum(F.col("l_discount").cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_disc")
+    )
+    gd = F.broadcast(
+        bd.agg(
+            (
+                F.sum(F.col("avg_disc").cast("decimal(28,8)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("gmean")
+        )
+    )
+    ps = F.least(
+        F.lit(0.95),
+        F.greatest(
+            F.lit(0.05),
+            F.round(
+                1.0 / (1.0 + F.exp(-(-0.4 + 1.6 * (F.col("p_size") / 50.0)))), 6
+            ),
+        ),
+    )
+    rows_ = (
+        lp.join(F.broadcast(bd), "p_brand")
+        .crossJoin(gd)
+        .select(
+            (F.col("avg_disc") > F.col("gmean")).cast("int").alias("t"),
+            F.col("l_quantity").cast("double").alias("y"),
+            ps.alias("ps"),
+        )
+    )
+    d38 = "decimal(38,10)"
+    acc = rows_.agg(
+        F.sum(F.when(F.col("t") == 1, F.round(F.col("y") / F.col("ps"), 8).cast(d38)))
+        .cast("double")
+        .alias("ty"),
+        F.sum(F.when(F.col("t") == 1, F.round(1.0 / F.col("ps"), 8).cast(d38)))
+        .cast("double")
+        .alias("tw"),
+        F.sum(F.when(F.col("t") == 0, F.round(F.col("y") / (1 - F.col("ps")), 8).cast(d38)))
+        .cast("double")
+        .alias("cy"),
+        F.sum(F.when(F.col("t") == 0, F.round(1.0 / (1 - F.col("ps")), 8).cast(d38)))
+        .cast("double")
+        .alias("cw"),
+        F.sum("t").cast("bigint").alias("n_treated"),
+        F.sum(1 - F.col("t")).cast("bigint").alias("n_control"),
+    )
+    return acc.select(
+        "n_treated",
+        "n_control",
+        F.round(F.col("ty") / F.col("tw"), 6).alias("treated_mean_ipw"),
+        F.round(F.col("cy") / F.col("cw"), 6).alias("control_mean_ipw"),
+        F.round(F.col("ty") / F.col("tw") - F.col("cy") / F.col("cw"), 6).alias(
+            "ate_ipw"
+        ),
+    )

@@ -107,3 +107,20 @@ def test_sax_words_partition_days_exactly(spark):
 
     for r in rows:
         assert re.fullmatch(r"[abcd]{4}", r.sax_word)
+
+
+def test_ipw_ate_is_between_arm_extremes(spark):
+    """Hajek IPW means are convex combinations of observed outcomes, so
+    each reweighted arm mean must lie within that arm's raw outcome range,
+    and the counts must partition the joined fact."""
+    r = QUERIES["discount_ipw_ate"](spark, SF_DIR).collect()[0]
+    li = table(spark, SF_DIR, "lineitem")
+    pt = table(spark, SF_DIR, "part")
+    joined_n = li.join(pt, li.l_partkey == pt.p_partkey).count()
+    assert r.n_treated + r.n_control == joined_n
+    ymin, ymax = (
+        li.agg(F.min("l_quantity"), F.max("l_quantity")).collect()[0]
+    )
+    for m in (r.treated_mean_ipw, r.control_mean_ipw):
+        assert float(ymin) <= m <= float(ymax)
+    assert abs(r.ate_ipw - (r.treated_mean_ipw - r.control_mean_ipw)) < 1e-5
