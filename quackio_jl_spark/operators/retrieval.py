@@ -745,3 +745,95 @@ def retrieval_prf_expansion_terms(spark, sf_dir):
         .orderBy(F.col("prf_score").desc(), "term")
         .limit(PRF_TOPK)
     )
+
+
+# --------------------------------- query clarity (performance prediction)
+
+
+@query(
+    "retrieval_clarity_score",
+    oracle=f"""
+    WITH fb AS (SELECT doc_id FROM ({_bm25_oracle()})),
+    fbterms AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT unnest(string_split(d.text, ' ')) AS term
+        FROM documents d JOIN fb ON d.doc_id = fb.doc_id
+      ) GROUP BY term
+    ),
+    ctf AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS ctf FROM (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+      ) GROUP BY term
+    ),
+    tot AS (
+      SELECT (SELECT CAST(sum(tf) AS DOUBLE) FROM fbterms) AS t_fb,
+             (SELECT CAST(sum(ctf) AS DOUBLE) FROM ctf) AS t_c
+    ),
+    contrib AS (
+      SELECT fbterms.term,
+        round((fbterms.tf / tot.t_fb)
+              * round(ln((fbterms.tf / tot.t_fb) / (ctf.ctf / tot.t_c)), 8),
+              12) AS c
+      FROM fbterms JOIN ctf ON fbterms.term = ctf.term CROSS JOIN tot
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM fb) AS n_feedback_docs,
+      (SELECT CAST(sum(tf) AS BIGINT) FROM fbterms) AS n_fb_tokens,
+      CAST(count(*) AS BIGINT) AS n_terms,
+      round(CAST(sum(CAST(c AS DECIMAL(28,15))) AS DOUBLE), 6)
+        AS clarity_score
+    FROM contrib
+    """,
+)
+def retrieval_clarity_score(spark, sf_dir):
+    """Query clarity score (Cronen-Townsend et al. 2002) — the classic
+    query-performance predictor: KL divergence (nats) between the language
+    model of the BM25 feedback set and the corpus language model,
+    sum_t P(t|fb) * ln(P(t|fb) / P(t|corpus)). High clarity = the result
+    set speaks a focused sub-language (an easy query); clarity near 0 =
+    results look like random corpus text (expect poor retrieval). Closes
+    the IR loop: rank -> fuse -> evaluate -> expand -> PREDICT.
+
+    Scale shape: the feedback side is a k-document broadcast semi-join;
+    the corpus term rollup is vocabulary-sized and partial-aggregated;
+    totals ride as 1-row broadcasts. Per-term contributions round ln to
+    8 dp and the product to 12 dp before an order-free decimal sum —
+    the repo's cross-engine transcendental contract."""
+    fb = F.broadcast(bm25_topk(spark, sf_dir).select("doc_id"))
+    d = table(spark, sf_dir, "documents")
+    fbterms = (
+        d.join(fb, "doc_id")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    ctf = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ctf"))
+    )
+    t_fb = F.broadcast(fbterms.agg(F.sum("tf").cast("double").alias("t_fb")))
+    t_c = F.broadcast(ctf.agg(F.sum("ctf").cast("double").alias("t_c")))
+    n_fb_docs = F.broadcast(fb.groupBy().count().select(F.col("count").cast("bigint").alias("n_feedback_docs")))
+    n_fb_tokens = F.broadcast(
+        fbterms.agg(F.sum("tf").cast("bigint").alias("n_fb_tokens"))
+    )
+    p_fb = F.col("tf") / F.col("t_fb")
+    p_c = F.col("ctf") / F.col("t_c")
+    contrib = (
+        fbterms.join(ctf, "term")
+        .crossJoin(t_fb)
+        .crossJoin(t_c)
+        .select(F.round(p_fb * F.round(F.log(p_fb / p_c), 8), 12).alias("c"))
+    )
+    return (
+        contrib.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.round(
+                F.sum(F.col("c").cast("decimal(28,15)")).cast("double"), 6
+            ).alias("clarity_score"),
+        )
+        .crossJoin(n_fb_docs)
+        .crossJoin(n_fb_tokens)
+        .select("n_feedback_docs", "n_fb_tokens", "n_terms", "clarity_score")
+    )

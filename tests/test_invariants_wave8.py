@@ -124,3 +124,13 @@ def test_ipw_ate_is_between_arm_extremes(spark):
     for m in (r.treated_mean_ipw, r.control_mean_ipw):
         assert float(ymin) <= m <= float(ymax)
     assert abs(r.ate_ipw - (r.treated_mean_ipw - r.control_mean_ipw)) < 1e-5
+
+
+def test_clarity_score_is_nonnegative_kl(spark):
+    """Clarity is a KL divergence over the feedback support, hence >= 0
+    (up to the 12-dp contribution rounding), and the feedback set is the
+    BM25 top-k."""
+    r = QUERIES["retrieval_clarity_score"](spark, SF_DIR).collect()[0]
+    assert r.clarity_score >= -1e-6
+    assert r.n_feedback_docs <= 10
+    assert r.n_terms > 0 and r.n_fb_tokens >= r.n_terms
