@@ -3983,3 +3983,70 @@ def bigram_good_turing_estimates(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "postings_dgap_vbyte_size",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    gaps AS (
+      SELECT token,
+        CASE WHEN lag(doc_id) OVER w IS NULL THEN doc_id + 1
+             ELSE doc_id - lag(doc_id) OVER w END AS g
+      FROM tok
+      WINDOW w AS (PARTITION BY token ORDER BY doc_id)
+    )
+    SELECT token,
+      CAST(count(*) AS BIGINT) AS df,
+      CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
+      CAST(sum(CASE WHEN g < 128 THEN 1 WHEN g < 16384 THEN 2
+                    WHEN g < 2097152 THEN 3 WHEN g < 268435456 THEN 4
+                    ELSE 5 END) AS BIGINT) AS vb_bytes,
+      round(CAST(sum(CASE WHEN g < 128 THEN 1 WHEN g < 16384 THEN 2
+                    WHEN g < 2097152 THEN 3 WHEN g < 268435456 THEN 4
+                    ELSE 5 END) AS DOUBLE) / (count(*) * 8), 6)
+        AS compression_ratio
+    FROM gaps
+    GROUP BY token
+    HAVING count(*) >= {INDEX_MIN_DF}
+    """,
+)
+def postings_dgap_vbyte_size(spark, sf_dir):
+    """Index-size estimator: delta-encode each token's sorted posting list
+    (d-gaps; the first gap is doc_id+1 so it is never zero) and cost each
+    gap at variable-byte rates (1 byte per 7 payload bits) — the standard
+    inverted-index compression model. `compression_ratio` vs raw 8-byte
+    ids is what decides whether an index shard fits its storage budget;
+    frequent tokens compress hardest (dense postings -> tiny gaps).
+
+    Scale shape: rides the SAME single groupBy as the index build, then
+    the gap/cost math runs INSIDE the posting array with transform/
+    aggregate higher-order functions — JVM-side, per-token, no second
+    shuffle and no per-posting row explosion. The blocked-postings variant
+    (inverted_index_blocked) bounds the arrays under stopword skew."""
+    idx = inverted_index_postings(spark, sf_dir).select("token", "df", "postings")
+    gaps = F.expr(
+        "transform(postings, (x, i) -> CASE WHEN i = 0 THEN x + 1 "
+        "ELSE x - postings[i-1] END)"
+    )
+    vb = F.expr(
+        "aggregate(_gaps, CAST(0 AS BIGINT), (acc, g) -> acc + "
+        "CASE WHEN g < 128 THEN 1 WHEN g < 16384 THEN 2 "
+        "WHEN g < 2097152 THEN 3 WHEN g < 268435456 THEN 4 ELSE 5 END)"
+    )
+    return (
+        idx.withColumn("_gaps", gaps)
+        .withColumn("vb_bytes", vb)
+        .select(
+            "token",
+            F.col("df").cast("bigint").alias("df"),
+            (F.col("df") * 8).cast("bigint").alias("raw_bytes"),
+            F.col("vb_bytes").cast("bigint").alias("vb_bytes"),
+            F.round(
+                F.col("vb_bytes").cast("double") / (F.col("df") * 8), 6
+            ).alias("compression_ratio"),
+        )
+    )

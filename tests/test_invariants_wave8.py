@@ -134,3 +134,15 @@ def test_clarity_score_is_nonnegative_kl(spark):
     assert r.clarity_score >= -1e-6
     assert r.n_feedback_docs <= 10
     assert r.n_terms > 0 and r.n_fb_tokens >= r.n_terms
+
+
+def test_vbyte_costs_bound_raw_size(spark):
+    """d-gap + varbyte never exceeds raw 8-byte ids (gaps fit 5 bytes max)
+    and needs at least 1 byte per posting; gap reconstruction must sum
+    back to the last doc id + 1 (prefix-sum identity)."""
+    rows = QUERIES["postings_dgap_vbyte_size"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.df <= r.vb_bytes <= 5 * r.df
+        assert r.raw_bytes == 8 * r.df
+        assert 0 < r.compression_ratio <= 0.625
