@@ -9916,3 +9916,138 @@ def discount_ipw_ate(spark, sf_dir):
             "ate_ipw"
         ),
     )
+
+
+@query(
+    "discount_psm_caliper_att",
+    oracle="""
+    WITH bd AS (
+      SELECT p_brand,
+        CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+          AS avg_disc
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(sum(CAST(avg_disc AS DECIMAL(28,8))) AS DOUBLE) / count(*)
+        AS gmean FROM bd
+    ),
+    rows_ AS (
+      SELECT
+        CASE WHEN bd.avg_disc > (SELECT gmean FROM g) THEN 1 ELSE 0 END AS t,
+        CAST(l.l_quantity AS DOUBLE) AS y,
+        round(1.0 / (1.0 + exp(-(-0.4 + 1.6 * (p.p_size / 50.0)))), 6) AS ps
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN bd ON bd.p_brand = p.p_brand
+    ),
+    cells AS (
+      SELECT t, ps, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(round(y, 6) AS DECIMAL(28,8))) AS DOUBLE) AS sy
+      FROM rows_ GROUP BY 1, 2
+    ),
+    matched AS (
+      SELECT tr.ps, tr.n AS n_t, tr.sy AS sy_t,
+        sum(co.n) AS n_c, CAST(sum(CAST(co.sy AS DECIMAL(28,8))) AS DOUBLE) AS sy_c
+      FROM (SELECT * FROM cells WHERE t = 1) tr
+      JOIN (SELECT * FROM cells WHERE t = 0) co
+        ON abs(tr.ps - co.ps) <= 0.05
+      GROUP BY 1, 2, 3
+    ),
+    att AS (
+      SELECT
+        CAST(sum(n_t) AS BIGINT) AS n_treated_matched,
+        round(CAST(sum(CAST(round(sy_t - n_t * (sy_c / n_c), 6)
+                      AS DECIMAL(28,8))) AS DOUBLE)
+              / sum(n_t), 6) AS att_caliper
+      FROM matched
+    )
+    SELECT
+      (SELECT CAST(sum(n) AS BIGINT) FROM cells WHERE t = 1)
+        AS n_treated_total,
+      n_treated_matched, att_caliper
+    FROM att
+    """,
+)
+def discount_psm_caliper_att(spark, sf_dir):
+    """Propensity-score radius (caliper) matching, ATT estimand: every
+    treated row is compared with the weighted mean outcome of ALL control
+    rows whose propensity lies within +/-0.05 — radius matching
+    (Dehejia & Wahba 2002), which unlike greedy 1:1 nearest-neighbor
+    matching is order-independent and therefore reproducible across
+    engines and partitionings. Treated rows with no control inside the
+    caliper drop out (n_treated_matched vs n_treated_total reports the
+    common-support loss). Completes the causal family: DiD, direct
+    standardization, IPW, and now matching.
+
+    Scale insight: the propensity is a function of p_size, so it takes
+    <= 50 distinct values — aggregate outcomes per (arm, ps) FIRST
+    (one small shuffle), then the caliper join runs on the tiny ps-level
+    tables, never row x row. Per-cell sums are decimal-exact; the
+    caliper comparison uses 6-dp-rounded propensities so the boundary
+    is engine-stable."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    lp = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    bd = lp.groupBy("p_brand").agg(
+        (
+            F.sum(F.col("l_discount").cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_disc")
+    )
+    gd = F.broadcast(
+        bd.agg(
+            (
+                F.sum(F.col("avg_disc").cast("decimal(28,8)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("gmean")
+        )
+    )
+    ps = F.round(1.0 / (1.0 + F.exp(-(-0.4 + 1.6 * (F.col("p_size") / 50.0)))), 6)
+    rows_ = (
+        lp.join(F.broadcast(bd), "p_brand")
+        .crossJoin(gd)
+        .select(
+            (F.col("avg_disc") > F.col("gmean")).cast("int").alias("t"),
+            F.col("l_quantity").cast("double").alias("y"),
+            ps.alias("ps"),
+        )
+    )
+    cells = rows_.groupBy("t", "ps").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("y"), 6).cast("decimal(28,8)")).cast("double").alias("sy"),
+    )
+    tr = cells.filter(F.col("t") == 1).select(
+        F.col("ps").alias("ps_t"), F.col("n").alias("n_t"), F.col("sy").alias("sy_t")
+    )
+    co = cells.filter(F.col("t") == 0).select(
+        F.col("ps").alias("ps_c"), F.col("n").alias("n_c0"), F.col("sy").alias("sy_c0")
+    )
+    matched = (
+        tr.join(F.broadcast(co), F.abs(F.col("ps_t") - F.col("ps_c")) <= 0.05)
+        .groupBy("ps_t", "n_t", "sy_t")
+        .agg(
+            F.sum("n_c0").alias("n_c"),
+            F.sum(F.col("sy_c0").cast("decimal(28,8)")).cast("double").alias("sy_c"),
+        )
+    )
+    att = matched.agg(
+        F.sum("n_t").cast("bigint").alias("n_treated_matched"),
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("sy_t") - F.col("n_t") * (F.col("sy_c") / F.col("n_c")), 6
+                ).cast("decimal(28,8)")
+            ).cast("double")
+            / F.sum("n_t"),
+            6,
+        ).alias("att_caliper"),
+    )
+    n_tot = F.broadcast(
+        cells.filter(F.col("t") == 1).agg(
+            F.sum("n").cast("bigint").alias("n_treated_total")
+        )
+    )
+    return att.crossJoin(n_tot).select(
+        "n_treated_total", "n_treated_matched", "att_caliper"
+    )

@@ -146,3 +146,15 @@ def test_vbyte_costs_bound_raw_size(spark):
         assert r.df <= r.vb_bytes <= 5 * r.df
         assert r.raw_bytes == 8 * r.df
         assert 0 < r.compression_ratio <= 0.625
+
+
+def test_psm_matched_subset_and_bounded_att(spark):
+    """Matched treated rows are a subset of all treated rows, and the ATT
+    is bounded by the outcome range (each term is a difference of convex
+    combinations of observed outcomes)."""
+    r = QUERIES["discount_psm_caliper_att"](spark, SF_DIR).collect()[0]
+    assert 0 < r.n_treated_matched <= r.n_treated_total
+    li = table(spark, SF_DIR, "lineitem")
+    ymin, ymax = li.agg(F.min("l_quantity"), F.max("l_quantity")).collect()[0]
+    spread = float(ymax) - float(ymin)
+    assert abs(r.att_caliper) <= spread
