@@ -10051,3 +10051,122 @@ def discount_psm_caliper_att(spark, sf_dir):
     return att.crossJoin(n_tot).select(
         "n_treated_total", "n_treated_matched", "att_caliper"
     )
+
+
+_CMS_D = 4
+_CMS_W = 256
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH probes AS (
+      SELECT user_id, r,
+        CAST(('0x' || substr(md5('cms' || r || ':' || CAST(user_id AS VARCHAR)),
+                             1, 8)) AS BIGINT) % {_CMS_W} AS col
+      FROM events CROSS JOIN (SELECT unnest(range(1, {_CMS_D} + 1)) AS r)
+    ),
+    cells AS (
+      SELECT r, col, CAST(count(*) AS BIGINT) AS c
+      FROM probes GROUP BY 1, 2
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    uprobe AS (
+      SELECT user_id, r,
+        CAST(('0x' || substr(md5('cms' || r || ':' || CAST(user_id AS VARCHAR)),
+                             1, 8)) AS BIGINT) % {_CMS_W} AS col
+      FROM users CROSS JOIN (SELECT unnest(range(1, {_CMS_D} + 1)) AS r)
+    ),
+    est AS (
+      SELECT u.user_id, min(c.c) AS est_count
+      FROM uprobe u JOIN cells c ON c.r = u.r AND c.col = u.col
+      GROUP BY 1
+    ),
+    truec AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS true_count
+      FROM events GROUP BY 1
+    )
+    SELECT est.user_id, est.est_count, truec.true_count,
+      est.est_count - truec.true_count AS overestimate
+    FROM est JOIN truec ON est.user_id = truec.user_id
+    ORDER BY est.est_count DESC, est.user_id
+    LIMIT 20
+    """,
+)
+def cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch heavy hitters: a 4x256 counter grid
+    (seeded md5 hashing, so both engines build the IDENTICAL sketch), each
+    key's estimate = min over its 4 cells — one-sided error
+    (never underestimates; `overestimate` >= 0 always, bounded by e*N/w in
+    expectation). The top-20 by estimate are the sketch's heavy-hitter
+    report; true counts ride along as the evaluation column.
+
+    This is the mergeable-sketch path for 100 TB frequency queries: the
+    grid is 1024 counters regardless of key cardinality,
+    partial-aggregates map-side, and merges by cell-wise addition across
+    shards/streams — where an exact per-key count would shuffle the full
+    keyspace (the exact column here is the EVAL harness, dropped in
+    production exactly like ann_ivf_recall_at_k's brute-force side).
+
+    Plan: one shuffle on 1024 cells, one on distinct users
+    (eval only), a broadcast join of the 1k-cell grid onto user probes."""
+    e = table(spark, sf_dir, "events").select("user_id")
+
+    def probe(df):
+        return df.select(
+            "user_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            (
+                                F.conv(
+                                    F.substring(
+                                        F.md5(
+                                            F.concat(
+                                                F.lit(f"cms{r}:"),
+                                                F.col("user_id").cast("string"),
+                                            )
+                                        ),
+                                        1,
+                                        8,
+                                    ),
+                                    16,
+                                    10,
+                                ).cast("long")
+                                % _CMS_W
+                            ).alias("col"),
+                        )
+                        for r in range(1, _CMS_D + 1)
+                    ]
+                )
+            ).alias("p"),
+        ).select("user_id", "p.r", "p.col")
+
+    cells = (
+        probe(e)
+        .groupBy("r", "col")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    users = e.distinct()
+    est = (
+        probe(users)
+        .join(F.broadcast(cells), ["r", "col"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est_count"))
+    )
+    truec = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    return (
+        est.join(truec, "user_id")
+        .select(
+            "user_id",
+            "est_count",
+            "true_count",
+            (F.col("est_count") - F.col("true_count")).alias("overestimate"),
+        )
+        .orderBy(F.col("est_count").desc(), "user_id")
+        .limit(20)
+    )

@@ -158,3 +158,18 @@ def test_psm_matched_subset_and_bounded_att(spark):
     ymin, ymax = li.agg(F.min("l_quantity"), F.max("l_quantity")).collect()[0]
     spread = float(ymax) - float(ymin)
     assert abs(r.att_caliper) <= spread
+
+
+def test_cms_never_underestimates(spark):
+    """Count-min's one-sided error: every estimate >= the true count, and
+    the expected-error bound e*N/w holds with slack at this scale."""
+    import math
+
+    rows = QUERIES["cms_heavy_hitters"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    n_events = table(spark, SF_DIR, "events").count()
+    bound = math.e * n_events / 256 * 8  # 8x slack on the expectation bound
+    for r in rows:
+        assert r.overestimate >= 0
+        assert r.est_count == r.true_count + r.overestimate
+        assert r.overestimate <= bound
