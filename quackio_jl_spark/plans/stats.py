@@ -10170,3 +10170,107 @@ def cms_heavy_hitters(spark, sf_dir):
         .orderBy(F.col("est_count").desc(), "user_id")
         .limit(20)
     )
+
+
+_TE_FOLDS = 5
+_TE_SMOOTH = 20.0
+
+
+@query(
+    "target_encode_brand_oof",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT p.p_brand,
+        CAST(('0x' || substr(md5('te:' || CAST(l.l_orderkey AS VARCHAR) || ':'
+              || CAST(l.l_linenumber AS VARCHAR) || ':'
+              || CAST(l.l_partkey AS VARCHAR)), 1, 8)) AS BIGINT)
+          % {_TE_FOLDS} AS fold,
+        CAST(l.l_quantity AS DECIMAL(28,6)) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    cells AS (
+      SELECT p_brand, fold, CAST(count(*) AS BIGINT) AS n,
+        sum(y) AS sy
+      FROM rows_ GROUP BY 1, 2
+    ),
+    brands AS (
+      SELECT p_brand, sum(n) AS n_b, sum(sy) AS sy_b FROM cells GROUP BY 1
+    ),
+    prior AS (
+      SELECT CAST(sum(sy) AS DOUBLE) / sum(n) AS mu FROM cells
+    )
+    SELECT c.p_brand, c.fold, c.n AS n_rows,
+      round((CAST(b.sy_b - c.sy AS DOUBLE) + {_TE_SMOOTH} * p.mu)
+            / (b.n_b - c.n + {_TE_SMOOTH}), 6) AS oof_encoding
+    FROM cells c
+    JOIN brands b ON b.p_brand = c.p_brand
+    CROSS JOIN prior p
+    """,
+)
+def target_encode_brand_oof(spark, sf_dir):
+    """Out-of-fold target encoding of p_brand against quantity: each
+    (brand, fold) cell is encoded with the mean computed from the OTHER
+    folds only — the standard leakage guard (a row never contributes to
+    its own encoding) — shrunk toward the global prior with strength 20
+    (CatBoost/vw-style smoothing; also keeps the denominator positive when
+    a brand lives entirely in one fold). Folds are a salted md5 of the
+    line identity, so the assignment is reproducible across engines, runs
+    and partitionings.
+
+    Scale shape: ONE fact shuffle on the (brand, fold) key; brand totals
+    and the prior re-aggregate the tiny cell table; the encode step is a
+    broadcast join over ~|brands| x folds rows. Applying the encoding to
+    training rows is then a map-side broadcast-hash lookup."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit("te"),
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                        F.col("l_partkey").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _TE_FOLDS
+    )
+    rows_ = l.join(p, F.col("l_partkey") == F.col("p_partkey")).select(
+        "p_brand",
+        fold.alias("fold"),
+        F.col("l_quantity").cast("decimal(28,6)").alias("y"),
+    )
+    cells = rows_.groupBy("p_brand", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").alias("sy"),
+    )
+    brands = cells.groupBy("p_brand").agg(
+        F.sum("n").alias("n_b"), F.sum("sy").alias("sy_b")
+    )
+    prior = F.broadcast(
+        cells.agg(
+            (F.sum("sy").cast("double") / F.sum("n")).alias("mu")
+        )
+    )
+    return (
+        cells.join(F.broadcast(brands), "p_brand")
+        .crossJoin(prior)
+        .select(
+            "p_brand",
+            "fold",
+            F.col("n").alias("n_rows"),
+            F.round(
+                ((F.col("sy_b") - F.col("sy")).cast("double") + _TE_SMOOTH * F.col("mu"))
+                / (F.col("n_b") - F.col("n") + _TE_SMOOTH),
+                6,
+            ).alias("oof_encoding"),
+        )
+    )

