@@ -101,6 +101,14 @@ EXTENDED = [
     "survival_logrank_by_segment",
     "text_compressibility_ratio",
     "ann_ivf_balance_report",
+    # Wave 8: scale-pattern + sketch + causal + IR additions.
+    "bloom_prune_join_stats",
+    "cms_heavy_hitters",
+    "postings_dgap_vbyte_size",
+    "retrieval_clarity_score",
+    "discount_ipw_ate",
+    "target_encode_brand_oof",
+    "events_sax_daily_motifs",
 ]
 
 
