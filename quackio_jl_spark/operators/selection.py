@@ -318,3 +318,285 @@ def decontamination_containment(spark, sf_dir):
         F.round(contain, 8).alias("containment"),
         (contain >= F.lit(CONTAIN_THRESHOLD)).alias("flagged"),
     )
+
+
+# ------------------------------------------------------- DoReMi reweighting
+
+# One deterministic DoReMi multiplicative-weights step (Xie et al. 2023,
+# "DoReMi: Optimizing Data Mixtures Speeds Up Language Model Pretraining").
+# The paper's "excess loss" of a domain (how much worse the generalist
+# reference model does there) is proxied by the KL divergence of the
+# domain's unigram token distribution from the corpus-wide distribution —
+# closed-form, so the DuckDB oracle reproduces it exactly. Domain weights:
+# w_s  proportional to  u_s * exp(eta * KL_s)  with a uniform baseline u and
+# eta = 1 (the uniform u cancels in the normalization).
+DOREMI_ETA = 1.0
+
+
+@query(
+    "doremi_domain_weights",
+    oracle="""
+    WITH st AS (
+      SELECT source, t AS tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+      GROUP BY source, t
+    ),
+    stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM st GROUP BY source),
+    tk AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS c_t FROM st GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM st),
+    terms AS (
+      SELECT st.source,
+        CAST(round((CAST(c AS DOUBLE) / n_s)
+          * ln((CAST(c AS DOUBLE) / n_s) / (CAST(c_t AS DOUBLE) / n)), 12)
+          AS DECIMAL(38,14)) AS term
+      FROM st JOIN stot USING (source) JOIN tk USING (tok) CROSS JOIN tot
+    ),
+    kl AS (
+      SELECT source, round(CAST(SUM(term) AS DOUBLE), 8) AS kl_nats
+      FROM terms GROUP BY source
+    ),
+    ew AS (
+      SELECT source, kl_nats,
+        CAST(round(exp(kl_nats), 10) AS DECIMAL(38,12)) AS e10
+      FROM kl
+    ),
+    z AS (SELECT SUM(e10) AS z FROM ew)
+    SELECT source, CAST(n_s AS BIGINT) AS n_toks, kl_nats,
+      round(CAST(e10 AS DOUBLE) / CAST(z AS DOUBLE), 8) AS weight
+    FROM ew JOIN stot USING (source) CROSS JOIN z
+    """,
+)
+def doremi_domain_weights(spark, sf_dir):
+    """Per-source DoReMi-step mixture weights from unigram-KL excess loss.
+
+    Scale shape: the only corpus-sized work is the (source, token) count
+    aggregate; everything downstream is bounded by |sources| x |vocab| and
+    collapses to |sources| rows before the scalar normalizer attaches by
+    broadcast. Per-term KL contributions are rounded then decimal-summed
+    (order-independent), the same recipe as source_js_divergence."""
+    d = table(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    stot = st.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_s"))
+    tk = st.groupBy("tok").agg(F.sum("c").cast("bigint").alias("c_t"))
+    tot = st.agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c").cast("double") / F.col("n_s")
+    q = F.col("c_t").cast("double") / F.col("n")
+    terms = (
+        st.join(F.broadcast(stot), "source")
+        .join(tk, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.round(p * F.log(p / q), 12).cast("decimal(38,14)").alias("term"),
+        )
+    )
+    kl = terms.groupBy("source").agg(
+        F.round(F.sum("term").cast("double"), 8).alias("kl_nats")
+    )
+    ew = kl.select(
+        "source",
+        "kl_nats",
+        F.round(F.exp(F.col("kl_nats") * DOREMI_ETA), 10)
+        .cast("decimal(38,12)")
+        .alias("e10"),
+    )
+    z = ew.agg(F.sum("e10").alias("z"))
+    return (
+        ew.join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            F.col("n_s").alias("n_toks"),
+            "kl_nats",
+            F.round(
+                F.col("e10").cast("double") / F.col("z").cast("double"), 8
+            ).alias("weight"),
+        )
+    )
+
+
+# ------------------------------------------- data-constrained epoch planning
+
+# Muennighoff et al. 2023 ("Scaling Data-Constrained Language Models"):
+# repeating data decays in value; the effective unique-token count of a
+# budget spent as R repetitions over U unique tokens is
+#   D_eff = U + U * R* * (1 - exp(-R / R*)),   R* ~ 15 epochs (fitted).
+# The planner splits a total token budget across sources by T=2 temperature
+# weights (small sources repeat more) and reports, per source, the epoch
+# count, the effective tokens, and whether it has hit diminishing returns.
+BUDGET_MULT = 4  # total budget = 4x the corpus's unique tokens
+R_STAR = 15.0
+EFFICIENCY_FLOOR = 0.75
+
+
+@query(
+    "token_budget_epoch_plan",
+    oracle=f"""
+    WITH src AS (
+      SELECT source,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS u_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(u_tokens) AS BIGINT) AS u FROM src),
+    w AS (
+      SELECT source, u_tokens, u,
+        sqrt(CAST(u_tokens AS DOUBLE) / u) AS w_raw
+      FROM src CROSS JOIN tot
+    ),
+    z AS (SELECT SUM(w_raw) AS z FROM w),
+    alloc AS (
+      SELECT source, u_tokens,
+        CAST(floor({BUDGET_MULT} * u * round(w_raw / z, 8) ) AS BIGINT)
+          AS budget_tokens
+      FROM w CROSS JOIN z
+    ),
+    plan AS (
+      SELECT source, u_tokens, budget_tokens,
+        round(CAST(budget_tokens AS DOUBLE) / u_tokens, 6) AS epochs,
+        greatest(round(CAST(budget_tokens AS DOUBLE) / u_tokens - 1, 8), 0)
+          AS r8
+      FROM alloc
+    )
+    SELECT source, u_tokens, budget_tokens, epochs,
+      round(u_tokens + u_tokens * {R_STAR} * (1 - exp(-r8 / {R_STAR})), 4)
+        AS eff_tokens,
+      round((u_tokens + u_tokens * {R_STAR} * (1 - exp(-r8 / {R_STAR})))
+            / budget_tokens, 8) AS efficiency,
+      CASE WHEN (u_tokens + u_tokens * {R_STAR} * (1 - exp(-r8 / {R_STAR})))
+                / budget_tokens < {EFFICIENCY_FLOOR}
+           THEN TRUE ELSE FALSE END AS diminishing
+    FROM plan
+    """,
+)
+def token_budget_epoch_plan(spark, sf_dir):
+    """Epoch allocation under the data-constrained scaling law.
+
+    Scale shape: one per-source token-count aggregate; every later step is
+    |sources| rows with scalar totals attached by broadcast. The decayed-
+    value formula uses the repetition count rounded once (r8) so both
+    engines exponentiate the identical double."""
+    d = table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("u_tokens")
+    )
+    tot = src.agg(F.sum("u_tokens").cast("bigint").alias("u"))
+    w = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "u_tokens",
+        "u",
+        F.sqrt(F.col("u_tokens").cast("double") / F.col("u")).alias("w_raw"),
+    )
+    z = w.agg(F.sum("w_raw").alias("z"))
+    alloc = w.crossJoin(F.broadcast(z)).select(
+        "source",
+        "u_tokens",
+        F.floor(
+            BUDGET_MULT * F.col("u") * F.round(F.col("w_raw") / F.col("z"), 8)
+        )
+        .cast("bigint")
+        .alias("budget_tokens"),
+    )
+    epochs = F.round(
+        F.col("budget_tokens").cast("double") / F.col("u_tokens"), 6
+    )
+    r8 = F.greatest(
+        F.round(F.col("budget_tokens").cast("double") / F.col("u_tokens") - 1, 8),
+        F.lit(0.0),
+    )
+    eff = F.col("u_tokens") + F.col("u_tokens") * R_STAR * (
+        1 - F.exp(-r8 / R_STAR)
+    )
+    return alloc.select(
+        "source",
+        "u_tokens",
+        "budget_tokens",
+        epochs.alias("epochs"),
+        F.round(eff, 4).alias("eff_tokens"),
+        F.round(eff / F.col("budget_tokens"), 8).alias("efficiency"),
+        (eff / F.col("budget_tokens") < EFFICIENCY_FLOOR).alias("diminishing"),
+    )
+
+
+# ------------------------------------------------- packing efficiency audit
+
+@query(
+    "packing_efficiency_report",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, lang, CAST(i AS INTEGER) AS chunk_id,
+        len(t[i * 24 + 1 : i * 24 + 32]) AS n_tokens
+      FROM toks, UNNEST(range((len(t) + 23) // 24)) AS u(i)
+    ),
+    packed AS (
+      SELECT lang, n_tokens,
+        CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id, chunk_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+              - n_tokens) // 256 AS BIGINT) AS context_id
+      FROM chunks
+    ),
+    per_ctx AS (
+      SELECT lang, context_id, CAST(SUM(n_tokens) AS BIGINT) AS ctx_tokens
+      FROM packed GROUP BY lang, context_id
+    )
+    SELECT lang,
+      CAST(COUNT(*) AS BIGINT) AS n_contexts,
+      round(SUM(ctx_tokens) * 1.0 / (COUNT(*) * 256), 8) AS avg_fill,
+      round(MIN(ctx_tokens) / 256.0, 8) AS min_fill,
+      round(MAX(ctx_tokens) / 256.0, 8) AS max_fill,
+      CAST(COUNT(CASE WHEN ctx_tokens > 256 THEN 1 END) AS BIGINT)
+        AS n_overfull
+    FROM per_ctx
+    GROUP BY lang
+    """,
+)
+def packing_efficiency_report(spark, sf_dir):
+    """Fill-factor audit of cumsum context packing (the downstream check
+    on pack_chunks_into_contexts): per language stream, how full the
+    packed training contexts are and how many spill past the budget
+    (cumsum packing assigns a chunk by its START offset, so a chunk
+    straddling a boundary overfills its context — the audit quantifies
+    that trade against sequential first-fit).
+
+    Scale shape: the per-language window is the packing op's own shape;
+    the audit adds one bounded aggregate over contexts then collapses to
+    |languages| rows. All fills are exact integer ratios rounded once."""
+    from pyspark.sql import Window as W
+
+    from .pipeline import CONTEXT_BUDGET, chunk_documents
+
+    chunks = chunk_documents(spark, sf_dir).drop("chunk_hash")
+    langs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    packed = chunks.join(F.broadcast(langs), "doc_id").select(
+        "lang",
+        "n_tokens",
+        (before / CONTEXT_BUDGET).cast("bigint").alias("context_id"),
+    )
+    per_ctx = packed.groupBy("lang", "context_id").agg(
+        F.sum("n_tokens").cast("bigint").alias("ctx_tokens")
+    )
+    return per_ctx.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_contexts"),
+        F.round(
+            F.sum("ctx_tokens") * 1.0 / (F.count(F.lit(1)) * CONTEXT_BUDGET), 8
+        ).alias("avg_fill"),
+        F.round(F.min("ctx_tokens") / F.lit(256.0), 8).alias("min_fill"),
+        F.round(F.max("ctx_tokens") / F.lit(256.0), 8).alias("max_fill"),
+        F.count(F.when(F.col("ctx_tokens") > CONTEXT_BUDGET, 1)).alias(
+            "n_overfull"
+        ),
+    )
