@@ -77,3 +77,47 @@ def test_containment_bounds_and_flag(q):
         assert r["flagged"] == (r["containment"] >= CONTAIN_THRESHOLD)
         # a train doc never pairs with itself (bench/train are disjoint)
         assert r["train_doc"] != r["bench_doc"]
+
+
+def test_doremi_weights_normalize_and_order_by_kl(q):
+    rows = q("doremi_domain_weights")
+    assert sum(r["weight"] for r in rows) == pytest.approx(1.0, abs=1e-6)
+    for r in rows:
+        assert r["kl_nats"] >= -1e-9  # KL is non-negative
+    # weights are a monotone function of KL (uniform baseline, eta > 0)
+    by_kl = sorted(rows, key=lambda r: r["kl_nats"])
+    ws = [r["weight"] for r in by_kl]
+    assert ws == sorted(ws)
+
+
+def test_epoch_plan_conserves_budget_and_decay_bounds(q, spark):
+    rows = q("token_budget_epoch_plan")
+    total_u = sum(r["u_tokens"] for r in rows)
+    total_b = sum(r["budget_tokens"] for r in rows)
+    # floor-rounding loses at most |sources| * (u_total * 1e-8 + 1) tokens
+    assert total_b <= 4 * total_u
+    assert total_b >= 4 * total_u * 0.999
+    for r in rows:
+        # effective tokens: at least the unique set (if repeated at all),
+        # never more than the budget actually spent
+        assert r["eff_tokens"] <= r["budget_tokens"] + 1e-6
+        if r["epochs"] >= 1:
+            assert r["eff_tokens"] >= r["u_tokens"] - 1e-6
+        assert 0 < r["efficiency"] <= 1.0 + 1e-9
+        assert r["diminishing"] == (r["efficiency"] < 0.75)
+    # T=2 temperature: smaller sources get MORE epochs
+    by_u = sorted(rows, key=lambda r: r["u_tokens"])
+    eps = [r["epochs"] for r in by_u]
+    assert eps == sorted(eps, reverse=True)
+
+
+def test_packing_report_fill_bounds(q):
+    rows = q("packing_efficiency_report")
+    assert rows  # at least one language stream
+    for r in rows:
+        assert r["n_contexts"] >= 1
+        assert 0 < r["min_fill"] <= r["avg_fill"] <= r["max_fill"]
+        assert 0 <= r["n_overfull"] <= r["n_contexts"]
+        # cumsum packing can overfill only by one straddling chunk
+        # (chunk <= 32 tokens on a 256 budget)
+        assert r["max_fill"] <= 1.0 + 32.0 / 256.0 + 1e-9
