@@ -350,3 +350,32 @@ def test_bucketed_prefix_sums_matches_global_window(spark):
         ).collect()
     )
     assert got2 == want2
+
+
+def test_dynamic_partition_pruning_from_dim_filter(tmp_path, spark):
+    """Dynamic partition pruning: when the fact table is partitioned on the
+    join key and the dimension side carries a selective filter, Spark must
+    inject a runtime `dynamicpruning` subquery into the fact scan's
+    PartitionFilters — at 100 TB this prunes fact partitions using a filter
+    the optimizer only learns at runtime (the classic star-schema date-dim
+    pattern). Verified both in the plan and by result equality."""
+    fact = table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    dest = str(tmp_path / "orders_by_priority")
+    write_table(fact, dest, format="parquet", single_file=False,
+                partition_by=["o_orderpriority"])
+    dim = spark.createDataFrame(
+        [("1-URGENT", "keep"), ("2-HIGH", "drop"), ("3-MEDIUM", "drop"),
+         ("4-NOT SPECIFIED", "drop"), ("5-LOW", "drop")],
+        "prio string, tag string",
+    )
+    back = read_parquet(spark, dest)
+    joined = back.join(
+        dim.filter(F.col("tag") == "keep"),
+        back.o_orderpriority == dim.prio,
+    )
+    p = plan_of(joined)
+    assert "dynamicpruning" in p.lower(), p
+    expected = fact.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert joined.count() == expected
