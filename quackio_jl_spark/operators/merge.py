@@ -552,3 +552,59 @@ def part_substitution_candidates(spark, sf_dir):
             F.round(gap / lo, 8).alias("price_gap_rel"),
         )
     )
+
+
+# ------------------------------------------ incremental aggregate maintenance
+
+@query(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT o_custkey,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_spend,
+      MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def incremental_agg_maintenance(spark, sf_dir):
+    """Materialized-aggregate maintenance: merge a STORED per-customer
+    aggregate (count / exact-decimal sum / max over ~90% of orders,
+    written to parquet and read back — the materialized view) with a
+    late-arriving delta batch by combining partial states, WITHOUT
+    re-scanning the base fact table. Must equal the oracle's full
+    recompute over all orders.
+
+    Scale shape: this is the algebraic-aggregate contract that makes
+    incremental view maintenance work at 100 TB — count/sum/max are
+    mergeable, so refreshing the view costs O(|delta| + |affected keys|),
+    not a corpus re-scan. The decimal sum keeps the merge bit-exact in any
+    merge order (same recipe as the roundtrip queries)."""
+    import os
+    import tempfile
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") % 10 != 0)
+    delta = o.filter(F.col("o_orderkey") % 10 == 0)
+
+    def partial(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("total_dec"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+
+    store = os.path.join(tempfile.mkdtemp(prefix="quackio_mv_"), "agg_base")
+    partial(base).write.mode("overwrite").parquet(store)
+    stored = spark.read.parquet(store)
+    return (
+        stored.unionByName(partial(delta))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_dec").cast("double").alias("total_spend"),
+            F.max("max_price").alias("max_price"),
+        )
+    )

@@ -2995,3 +2995,65 @@ def sample_coverage_objective(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "ann_ivf_index_persisted_search",
+    oracle=f"""
+    WITH {_CENTVEC_SQL},
+    scored AS (
+      SELECT vec_id, embedding, cell,
+        ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY {_cosine_sql('embedding', 'cv')} DESC, cell) AS rn
+      FROM embeddings CROSS JOIN centvec
+    ),
+    cells AS (SELECT vec_id, embedding, cell FROM scored WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, embedding AS qv, cell FROM cells WHERE vec_id % 100 = 0),
+    cand AS (
+      SELECT q.qid, c.vec_id, {_cosine_sql('c.embedding', 'q.qv')} AS cos_sim
+      FROM q JOIN cells c ON c.cell = q.cell AND c.vec_id <> q.qid
+    )
+    SELECT qid, vec_id, cos_sim, rnk FROM (
+      SELECT qid, vec_id, cos_sim,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id)
+             AS INTEGER) AS rnk
+      FROM cand) t
+    WHERE rnk <= 3
+    """,
+)
+def ann_ivf_index_persisted_search(spark, sf_dir):
+    """IVF search over a PERSISTED index artifact: the inverted lists
+    (vec_id, embedding, cell) are written to parquet partitioned by cell —
+    the on-lake layout of a production vector index — then reloaded, and
+    the nprobe=1 search runs against the reloaded copy. Must match
+    ann_ivf_search's oracle exactly, proving the index round-trips.
+
+    Scale shape: build-once/query-many — the assignment pass (the
+    expensive broadcast-argmax) is paid at index-build time; every later
+    search reads only the probed cell DIRECTORIES (partition pruning on
+    `cell`), never the whole corpus. float32 embeddings round-trip
+    bit-exactly through parquet, so scores are unchanged."""
+    import os
+    import tempfile
+
+    idx_path = os.path.join(
+        tempfile.mkdtemp(prefix="quackio_ivf_"), "ivf_index"
+    )
+    _assigned(spark, sf_dir).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(idx_path)
+    cells = spark.read.parquet(idx_path).select(
+        "vec_id", "embedding", F.col("cell").cast("bigint").alias("cell")
+    )
+    q = cells.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
+        F.col("cell").alias("qcell"),
+    )
+    cand = cells.join(
+        q, (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("qid"))
+    ).select("qid", "vec_id", cosine("embedding", "qv").alias("cos_sim"))
+    wr = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        cand.select("qid", "vec_id", "cos_sim", F.row_number().over(wr).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )
