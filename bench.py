@@ -109,6 +109,12 @@ EXTENDED = [
     "discount_ipw_ate",
     "target_encode_brand_oof",
     "events_sax_daily_motifs",
+    # Wave 9/10: data-selection + mixture-planning + storage-coupled ops.
+    "dsir_importance_weights",
+    "boilerplate_scrub_report",
+    "doremi_domain_weights",
+    "incremental_agg_maintenance",
+    "ann_ivf_index_persisted_search",
 ]
 
 
