@@ -600,3 +600,181 @@ def packing_efficiency_report(spark, sf_dir):
             "n_overfull"
         ),
     )
+
+
+# ---------------------------------------------------- preference pairing
+
+# Deterministic preference-pair construction (the DPO/RLHF reward-data
+# shape): within each language, rank documents by the frozen quality score
+# and pair the i-th best with the i-th worst — (chosen, rejected, margin)
+# triples with the largest score gaps first. A real pipeline swaps the
+# heuristic score for a reward model; the pairing plan is identical.
+N_PREF_PAIRS = 10
+
+
+@query(
+    "preference_pairs_by_quality",
+    oracle=None,  # set below to reuse scoring's shared CTE
+)
+def preference_pairs_by_quality(spark, sf_dir):
+    """Top-vs-bottom quality pairing per language stream.
+
+    Scale shape: two opposite-direction ranks over the same per-language
+    window (one shuffle on lang), then a join of the two N_PREF_PAIRS-row
+    slices per language — bounded output, broadcast join. Margins subtract
+    already-rounded scores, so no fresh float hazard."""
+    from pyspark.sql import Window as W
+
+    from .scoring import quality_score_col
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", quality_score_col().alias("q")
+    )
+    w_best = W.partitionBy("lang").orderBy(F.col("q").desc(), "doc_id")
+    w_worst = W.partitionBy("lang").orderBy(F.col("q").asc(), F.col("doc_id").desc())
+    best = d.select(
+        "lang",
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("q").alias("q_chosen"),
+        F.row_number().over(w_best).alias("pair_rank"),
+    ).filter(F.col("pair_rank") <= N_PREF_PAIRS)
+    worst = d.select(
+        "lang",
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("q").alias("q_rejected"),
+        F.row_number().over(w_worst).alias("pair_rank"),
+    ).filter(F.col("pair_rank") <= N_PREF_PAIRS)
+    return (
+        best.join(F.broadcast(worst), ["lang", "pair_rank"])
+        .filter(F.col("chosen_doc") != F.col("rejected_doc"))
+        .select(
+            "lang",
+            "pair_rank",
+            "chosen_doc",
+            "rejected_doc",
+            F.round(F.col("q_chosen") - F.col("q_rejected"), 8).alias("margin"),
+        )
+    )
+
+
+def _register_pref_oracle():
+    from ..plans.registry import ORACLES
+    from .scoring import _SCORED_SQL
+
+    ORACLES["preference_pairs_by_quality"] = f"""
+    WITH {_SCORED_SQL},
+    best AS (
+      SELECT lang, doc_id AS chosen_doc, quality_score AS q_chosen,
+        ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY quality_score DESC, doc_id) AS pair_rank
+      FROM scored
+    ),
+    worst AS (
+      SELECT lang, doc_id AS rejected_doc, quality_score AS q_rejected,
+        ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY quality_score ASC, doc_id DESC) AS pair_rank
+      FROM scored
+    )
+    SELECT lang, CAST(pair_rank AS BIGINT) AS pair_rank,
+      chosen_doc, rejected_doc,
+      round(q_chosen - q_rejected, 8) AS margin
+    FROM best JOIN worst USING (lang, pair_rank)
+    WHERE pair_rank <= {N_PREF_PAIRS} AND chosen_doc <> rejected_doc
+    """
+
+
+_register_pref_oracle()
+
+
+# ----------------------------------------------- stage fingerprint audit
+
+# Reproducibility audit: an order-insensitive content fingerprint + row
+# count after each curation stage (raw -> exact-dedup survivors -> quality
+# keep -> blocklist keep). Two runs of the pipeline — any cluster size, any
+# partitioning — must produce identical rows here, or something
+# non-deterministic crept in. The fingerprint sums a 28-bit md5 slice per
+# surviving document, so it is insensitive to row order and exact in int64
+# far past any real corpus size.
+
+
+@query(
+    "corpus_stage_fingerprints",
+    oracle=None,  # set below to reuse scoring's shared CTE
+)
+def corpus_stage_fingerprints(spark, sf_dir):
+    """(stage, n_docs, fingerprint) after each curation stage.
+
+    Scale shape: each stage is one aggregate over doc-level survivors
+    (exact-dedup needs its hash shuffle; quality is map-side; blocklist is
+    a broadcast join + doc aggregate); the output is 4 rows. The
+    fingerprint is SUM of a per-doc 7-hex-digit md5 slice — commutative,
+    so partitioning and merge order cannot change it."""
+    d = table(spark, sf_dir, "documents")
+
+    def fp(docs):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.md5("text"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return docs.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum(h).alias("fingerprint")
+        )
+
+    from .scoring import KEEP_THRESHOLD, quality_score_col
+
+    raw = fp(d).select(F.lit("1_raw").alias("stage"), "n_docs", "fingerprint")
+    canon = d.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("keep_id"))
+    deduped = fp(
+        d.join(canon, d.doc_id == canon.keep_id, "left_semi")
+    ).select(F.lit("2_exact_dedup").alias("stage"), "n_docs", "fingerprint")
+    quality = fp(d.filter(quality_score_col() >= KEEP_THRESHOLD)).select(
+        F.lit("3_quality").alias("stage"), "n_docs", "fingerprint"
+    )
+    kept_ids = blocklist_filter_report(spark, sf_dir).filter("keep").select("doc_id")
+    blocked = fp(d.join(kept_ids, "doc_id", "left_semi")).select(
+        F.lit("4_blocklist").alias("stage"), "n_docs", "fingerprint"
+    )
+    return raw.unionByName(deduped).unionByName(quality).unionByName(blocked)
+
+
+def _register_fp_oracle():
+    from ..plans.registry import ORACLES
+    from .scoring import _SCORED_SQL
+
+    fp = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)), 1, 7)) "
+          "AS BIGINT)")
+    ORACLES["corpus_stage_fingerprints"] = f"""
+    WITH {_SCORED_SQL},
+    lex(tok, w6) AS (VALUES {", ".join(f"('{t}', {w})" for t, w in BLOCKLIST)}),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    bl_keep AS (
+      SELECT doc_id
+      FROM toks LEFT JOIN lex USING (tok)
+      GROUP BY doc_id
+      HAVING round(COALESCE(SUM(w6), 0) / 1e6 / COUNT(*), 8) < {BLOCK_THRESHOLD}
+    ),
+    canon AS (SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY md5(text))
+    SELECT '1_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM({fp}) AS BIGINT) AS fingerprint FROM documents
+    UNION ALL
+    SELECT '2_exact_dedup', CAST(COUNT(*) AS BIGINT),
+      CAST(SUM({fp}) AS BIGINT)
+    FROM documents WHERE doc_id IN (SELECT keep_id FROM canon)
+    UNION ALL
+    SELECT '3_quality', CAST(COUNT(*) AS BIGINT), CAST(SUM({fp}) AS BIGINT)
+    FROM documents WHERE doc_id IN
+      (SELECT doc_id FROM scored WHERE quality_score >= 0.5)
+    UNION ALL
+    SELECT '4_blocklist', CAST(COUNT(*) AS BIGINT), CAST(SUM({fp}) AS BIGINT)
+    FROM documents WHERE doc_id IN (SELECT doc_id FROM bl_keep)
+    """
+
+
+_register_fp_oracle()
