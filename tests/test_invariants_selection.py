@@ -121,3 +121,33 @@ def test_packing_report_fill_bounds(q):
         # cumsum packing can overfill only by one straddling chunk
         # (chunk <= 32 tokens on a 256 budget)
         assert r["max_fill"] <= 1.0 + 32.0 / 256.0 + 1e-9
+
+
+def test_preference_pairs_margins_positive_and_ranked(q):
+    rows = q("preference_pairs_by_quality")
+    by_lang = {}
+    for r in rows:
+        assert r["margin"] > 0  # chosen strictly better (equal pairs filtered)
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["pair_rank"])
+        margins = [r["margin"] for r in rs]
+        # pair 1 = best-vs-worst: margins shrink as ranks meet in the middle
+        assert margins == sorted(margins, reverse=True)
+        chosen = {r["chosen_doc"] for r in rs}
+        rejected = {r["rejected_doc"] for r in rs}
+        assert len(chosen) == len(rs) and len(rejected) == len(rs)
+
+
+def test_stage_fingerprints_monotone_and_stable(q, spark):
+    rows = {r["stage"]: r for r in q("corpus_stage_fingerprints")}
+    assert set(rows) == {"1_raw", "2_exact_dedup", "3_quality", "4_blocklist"}
+    n_raw = rows["1_raw"]["n_docs"]
+    for stage, r in rows.items():
+        assert 0 < r["n_docs"] <= n_raw  # every stage is a subset of raw
+        assert r["fingerprint"] > 0
+    # rerun must reproduce identical fingerprints (determinism contract)
+    again = {r["stage"]: r for r in q("corpus_stage_fingerprints")}
+    assert {s: (r["n_docs"], r["fingerprint"]) for s, r in rows.items()} == {
+        s: (r["n_docs"], r["fingerprint"]) for s, r in again.items()
+    }
