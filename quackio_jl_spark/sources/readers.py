@@ -140,6 +140,58 @@ def _restrict_auto_types(df: DataFrame, candidates: Sequence[str]) -> DataFrame:
     return df.select(*out)
 
 
+_SNIFF_DELIMS = (",", ";", "\t", "|")
+
+
+def _sniff_delim(path: str) -> str | None:
+    """CSV delimiter sniffing — the reference inherits DuckDB's dialect
+    sniffer (read_csv with no ``delim=`` auto-detects the separator,
+    src/QuackIO.jl pass-through to DuckDB read_csv_auto); Spark's reader
+    silently assumes ','. Mirror the sniffer's core rule: the candidate
+    delimiter that splits the sample's lines into the SAME field count
+    (> 1) on every line, preferring the one yielding the most fields.
+    Quote-aware (ignores delimiters inside double quotes), driver-side
+    over the first 64 KiB of the first file only, and conservative: any
+    ambiguity returns None and the ',' default stands."""
+    import gzip
+    import os
+
+    if not os.path.isfile(path):
+        return None
+    try:
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rb") as f:
+            head = f.read(65536)
+    except OSError:
+        return None
+    text = head.decode("utf-8", errors="replace")
+    lines = text.split("\n")
+    # drop a trailing partial line (sample cut mid-row)
+    if len(lines) > 1 and not text.endswith("\n"):
+        lines = lines[:-1]
+    lines = [ln.rstrip("\r") for ln in lines if ln.strip()][:20]
+    if len(lines) < 2:
+        return None
+
+    def fields(line: str, d: str) -> int:
+        n, in_q = 1, False
+        for ch in line:
+            if ch == '"':
+                in_q = not in_q
+            elif ch == d and not in_q:
+                n += 1
+        return n
+
+    best, best_n = None, 1
+    for d in _SNIFF_DELIMS:
+        counts = {fields(ln, d) for ln in lines}
+        if len(counts) == 1:
+            (n,) = counts
+            if n > best_n:
+                best, best_n = d, n
+    return best
+
+
 def _estimate_rows(paths: Sequence[str]) -> int | None:
     """Cheap row-count estimate for honoring DuckDB's ``sample_size=N``
     (a row COUNT) through Spark's ``samplingRatio`` (a FRACTION): total
@@ -237,6 +289,12 @@ def _read(
             "filename=/file_row_number= are parquet options (DuckDB read_parquet)"
         )
     reader = spark.read
+    if fmt == "csv" and "sep" not in opts:
+        # Reference parity: DuckDB's sniffer auto-detects the delimiter
+        # when none is given; Spark silently assumes ','.
+        sniffed = _sniff_delim(paths[0])
+        if sniffed is not None:
+            opts["sep"] = sniffed
     if columns:
         reader = reader.schema(duckdb_schema_to_ddl(columns))
         if fmt == "csv":

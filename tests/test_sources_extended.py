@@ -378,3 +378,71 @@ def test_write_text_rejects_multi_column(tmp_path, spark, basic_df):
 
     with pytest.raises(ValueError, match="ONE string data column"):
         write_table(basic_df, str(tmp_path / "o.txt"))
+
+
+# ------------------------------------------------------- dialect sniffing
+
+def _write(path, text, gz=False):
+    import gzip
+
+    if gz:
+        with gzip.open(path, "wt") as f:
+            f.write(text)
+    else:
+        with open(path, "w") as f:
+            f.write(text)
+
+
+def test_sniff_semicolon_delimiter(tmp_path, spark):
+    """Reference parity: DuckDB's sniffer detects the separator when no
+    delim= is given; read_csv must not silently mis-parse ';' files."""
+    p = str(tmp_path / "semi.csv")
+    _write(p, "a;b;c\n1;x;1.0\n2;yz;2.5\n")
+    df = read_csv(spark, p)
+    assert df.columns == ["a", "b", "c"]
+    assert df.count() == 2
+    assert df.agg(F.sum("a")).first()[0] == 3
+
+
+def test_sniff_tab_and_pipe(tmp_path, spark):
+    pt = str(tmp_path / "tab.csv")
+    _write(pt, "a\tb\n1\tx\n2\ty\n")
+    assert read_csv(spark, pt).columns == ["a", "b"]
+    pp = str(tmp_path / "pipe.csv")
+    _write(pp, "a|b\n1|x\n2|y\n")
+    assert read_csv(spark, pp).columns == ["a", "b"]
+
+
+def test_sniff_quoted_delimiters_ignored(tmp_path, spark):
+    """Delimiters inside double quotes must not fool the sniffer."""
+    p = str(tmp_path / "quoted.csv")
+    _write(p, 'a,b\n1,"x;y;z"\n2,"p;q"\n')
+    df = read_csv(spark, p)
+    assert df.columns == ["a", "b"]
+    assert sorted(r["b"] for r in df.collect()) == ["p;q", "x;y;z"]
+
+
+def test_sniff_explicit_delim_wins(tmp_path, spark):
+    """An explicit delim= must bypass sniffing entirely."""
+    p = str(tmp_path / "semi2.csv")
+    _write(p, "a;b\n1;x\n2;y\n")
+    df = read_csv(spark, p, delim=";")
+    assert df.columns == ["a", "b"]
+    # and a deliberately wrong explicit delim is honored verbatim
+    one_col = read_csv(spark, p, delim="|")
+    assert len(one_col.columns) == 1
+
+
+def test_sniff_gzip_csv(tmp_path, spark):
+    p = str(tmp_path / "semi.csv.gz")
+    _write(p, "a;b;c\n1;x;1.0\n2;yz;2.5\n", gz=True)
+    df = read_csv(spark, p)
+    assert df.columns == ["a", "b", "c"]
+
+
+def test_sniff_inconsistent_falls_back_to_comma(tmp_path, spark):
+    """Ragged field counts for every candidate -> no sniff, ',' default."""
+    p = str(tmp_path / "plain.csv")
+    _write(p, "a,b\n1,x\n2,y\n")
+    df = read_csv(spark, p)
+    assert df.columns == ["a", "b"]
