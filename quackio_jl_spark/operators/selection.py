@@ -778,3 +778,110 @@ def _register_fp_oracle():
 
 
 _register_fp_oracle()
+
+
+# ----------------------------------------------------- ensemble quality vote
+
+# Consensus across four INDEPENDENT quality gates (logistic classifier,
+# Gopher rules, CCNet LM tercile, lexicon blocklist). Production pipelines
+# run several cheap filters and keep documents most gates agree on; the
+# per-filter vote columns are what an ablation reads to see which gate is
+# doing the work.
+ENSEMBLE_MIN_VOTES = 3
+
+
+@query(
+    "quality_ensemble_vote",
+    oracle=None,  # set below: embeds the member filters' own oracles
+)
+def quality_ensemble_vote(spark, sf_dir):
+    """Per-document keep votes from all four quality gates + consensus.
+
+    Scale shape: each member gate keeps its own (verified) plan; the
+    ensemble is three doc_id-keyed joins and a map-side vote count. No new
+    corpus-sized state — the expensive token aggregates are the members'
+    own, and at scale the four vote columns would be computed in one pass
+    over a shared token explode."""
+    from .scoring import KEEP_THRESHOLD, quality_score_col
+    from .text import _ccnet_doc_terciles, gopher_quality_flags
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", (quality_score_col() >= KEEP_THRESHOLD).alias("v_logistic")
+    )
+    g = gopher_quality_flags(spark, sf_dir).select(
+        "doc_id", F.col("gopher_keep").alias("v_gopher")
+    )
+    c = _ccnet_doc_terciles(spark, sf_dir).select(
+        "doc_id", (F.col("tercile") != 3).alias("v_ccnet")
+    )
+    b = blocklist_filter_report(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("v_blocklist")
+    )
+    votes = sum(
+        F.col(v).cast("int")
+        for v in ("v_logistic", "v_gopher", "v_ccnet", "v_blocklist")
+    )
+    return (
+        d.join(g, "doc_id")
+        .join(c, "doc_id")
+        .join(b, "doc_id")
+        .select(
+            "doc_id",
+            "v_logistic",
+            "v_gopher",
+            "v_ccnet",
+            "v_blocklist",
+            votes.alias("n_keep_votes"),
+            (votes >= ENSEMBLE_MIN_VOTES).alias("consensus_keep"),
+        )
+    )
+
+
+def _register_ensemble_oracle():
+    from ..plans.registry import ORACLES
+    from . import text  # noqa: F401 -- registers the member oracles first
+    from .scoring import _SCORED_SQL
+
+    gopher = ORACLES["gopher_quality_flags"]
+    blocklist = ORACLES["blocklist_filter_report"]
+    votes = ("(CASE WHEN s.quality_score >= 0.5 THEN 1 ELSE 0 END"
+             " + CASE WHEN g.gopher_keep THEN 1 ELSE 0 END"
+             " + CASE WHEN t.tercile <> 3 THEN 1 ELSE 0 END"
+             " + CASE WHEN bl.keep THEN 1 ELSE 0 END)")
+    ORACLES["quality_ensemble_vote"] = f"""
+    WITH {_SCORED_SQL},
+    g AS ({gopher}),
+    bl AS ({blocklist}),
+    ctoks AS (
+      SELECT doc_id, lang, t
+      FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+            FROM documents), UNNEST(w) AS u(t)
+    ),
+    cfreq AS (SELECT t, COUNT(*) AS c FROM ctoks GROUP BY t),
+    ctot AS (SELECT COUNT(*) AS n FROM ctoks),
+    cdoc AS (
+      SELECT doc_id, lang,
+        round(AVG(-ln(c / CAST(n AS DOUBLE))), 8) AS s
+      FROM ctoks JOIN cfreq USING (t) CROSS JOIN ctot
+      GROUP BY doc_id, lang
+    ),
+    terc AS (
+      SELECT doc_id,
+        NTILE(3) OVER (PARTITION BY lang ORDER BY s, doc_id) AS tercile
+      FROM cdoc
+    )
+    SELECT s.doc_id,
+      (s.quality_score >= 0.5) AS v_logistic,
+      g.gopher_keep AS v_gopher,
+      (t.tercile <> 3) AS v_ccnet,
+      bl.keep AS v_blocklist,
+      CAST({votes} AS INTEGER) AS n_keep_votes,
+      ({votes} >= {ENSEMBLE_MIN_VOTES}) AS consensus_keep
+    FROM scored s
+    JOIN g ON g.doc_id = s.doc_id
+    JOIN terc t ON t.doc_id = s.doc_id
+    JOIN bl ON bl.doc_id = s.doc_id
+    """
+
+
+_register_ensemble_oracle()

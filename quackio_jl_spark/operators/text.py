@@ -2134,6 +2134,34 @@ def gopher_quality_flags(spark, sf_dir):
 # --------------------- CCNet-style per-language LM-score terciles
 
 
+def _ccnet_doc_terciles(spark, sf_dir):
+    """Per-document CCNet LM-score terciles (doc_id, lang, s, tercile) —
+    the shared kernel behind ccnet_lm_buckets and the ensemble vote in
+    operators/selection.py. Scores are rounded to 8 decimals BEFORE the
+    per-language NTILE and ties break on doc_id, so tercile membership is
+    engine- and partitioning-stable."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = F.broadcast(toks.agg(F.count(F.lit(1)).alias("n")))
+    doc = (
+        toks.join(freq, "t")
+        .crossJoin(tot)
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.avg(-F.ln(F.col("c") / F.col("n").cast("double"))), 8
+            ).alias("s")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("s", "doc_id")
+    return doc.select("doc_id", "lang", "s", F.ntile(3).over(w).alias("tercile"))
+
+
 @query(
     "ccnet_lm_buckets",
     oracle="""
@@ -2180,26 +2208,7 @@ def ccnet_lm_buckets(spark, sf_dir):
     sort parallelizes across languages; within one language the rank is
     a range-partitioned sort at scale, never a single reducer over the
     whole corpus."""
-    d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("t")
-    )
-    freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    tot = F.broadcast(toks.agg(F.count(F.lit(1)).alias("n")))
-    doc = (
-        toks.join(freq, "t")
-        .crossJoin(tot)
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.round(
-                F.avg(-F.ln(F.col("c") / F.col("n").cast("double"))), 8
-            ).alias("s")
-        )
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("lang").orderBy("s", "doc_id")
-    b = doc.select("lang", "s", F.ntile(3).over(w).alias("tercile"))
+    b = _ccnet_doc_terciles(spark, sf_dir)
     return b.groupBy("lang", "tercile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.round(F.avg("s"), 8).alias("mean_lm_score"),
