@@ -151,3 +151,17 @@ def test_stage_fingerprints_monotone_and_stable(q, spark):
     assert {s: (r["n_docs"], r["fingerprint"]) for s, r in rows.items()} == {
         s: (r["n_docs"], r["fingerprint"]) for s, r in again.items()
     }
+
+
+def test_ensemble_votes_consistent(q, spark):
+    rows = q("quality_ensemble_vote")
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == n_docs  # inner joins must not drop documents
+    for r in rows:
+        votes = sum(
+            r[v] for v in ("v_logistic", "v_gopher", "v_ccnet", "v_blocklist")
+        )
+        assert r["n_keep_votes"] == votes
+        assert r["consensus_keep"] == (votes >= 3)
+    kept = sum(r["consensus_keep"] for r in rows)
+    assert 0 < kept < len(rows)  # the consensus splits non-trivially
