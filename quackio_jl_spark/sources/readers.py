@@ -192,6 +192,48 @@ def _sniff_delim(path: str) -> str | None:
     return best
 
 
+_NUMERIC_RE = None
+
+
+def _sniff_headerless(path: str, delim: str) -> bool:
+    """Header sniffing, DuckDB-style: a purely NUMERIC field in the first
+    row means that row is data, not a header (column names are never bare
+    numbers) — DuckDB's sniffer then reads the file headerless and
+    synthesizes column names. Spark's header=true would swallow the row as
+    names. Conservative: a first row with no numeric field keeps the
+    header=true default (all-string files are ambiguous for DuckDB too)."""
+    import gzip
+    import os
+    import re
+
+    global _NUMERIC_RE
+    if _NUMERIC_RE is None:
+        _NUMERIC_RE = re.compile(r"^-?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+    if not os.path.isfile(path):
+        return False
+    try:
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rb") as f:
+            head = f.read(8192)
+    except OSError:
+        return False
+    first = head.decode("utf-8", errors="replace").split("\n", 1)[0].rstrip("\r")
+    if not first.strip():
+        return False
+    # quote-aware split on the (already sniffed) delimiter
+    parts, cur, in_q = [], [], False
+    for ch in first:
+        if ch == '"':
+            in_q = not in_q
+        elif ch == delim and not in_q:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return any(_NUMERIC_RE.match(p.strip()) for p in parts if p.strip())
+
+
 def _estimate_rows(paths: Sequence[str]) -> int | None:
     """Cheap row-count estimate for honoring DuckDB's ``sample_size=N``
     (a row COUNT) through Spark's ``samplingRatio`` (a FRACTION): total
@@ -284,17 +326,27 @@ def _read(
             est = _estimate_rows(paths)
             ratio = min(1.0, n / est) if est else 1.0
             opts["samplingRatio"] = f"{max(ratio, 1e-4):.6f}"
-    if (filename or file_row_number) and fmt != "parquet":
+    if file_row_number and fmt != "parquet":
+        # DuckDB: file_row_number is read_parquet-only; filename= exists on
+        # read_csv/read_json too, and input_file_name() serves any format.
         raise ValueError(
-            "filename=/file_row_number= are parquet options (DuckDB read_parquet)"
+            "file_row_number= is a parquet option (DuckDB read_parquet)"
         )
     reader = spark.read
+    headerless = False
     if fmt == "csv" and "sep" not in opts:
         # Reference parity: DuckDB's sniffer auto-detects the delimiter
         # when none is given; Spark silently assumes ','.
         sniffed = _sniff_delim(paths[0])
         if sniffed is not None:
             opts["sep"] = sniffed
+    if fmt == "csv" and "header" not in opts and not columns and not names:
+        # Reference parity: DuckDB's sniffer detects headerLESS files (an
+        # all-numeric first row is data); Spark's header=true default
+        # would swallow that row as column names.
+        headerless = _sniff_headerless(paths[0], opts.get("sep", ","))
+        if headerless:
+            opts["header"] = "false"
     if columns:
         reader = reader.schema(duckdb_schema_to_ddl(columns))
         if fmt == "csv":
@@ -341,8 +393,13 @@ def _read(
     else:
         # DataFrameReader.parquet is varargs; csv/json take a path list
         df = reader.parquet(*paths) if fmt == "parquet" else getattr(reader, fmt)(paths)
+    if headerless:
+        # DuckDB names sniffed-headerless columns column0..columnN
+        # (Spark: _c0..); match the reference's naming.
+        df = df.toDF(*[f"column{i}" for i in range(len(df.columns))])
     if filename:
-        # DuckDB read_parquet(filename=true): which file each row came from
+        # DuckDB read_csv/read_json/read_parquet(filename=true): which
+        # file each row came from
         df = df.withColumn("filename", F.input_file_name())
     if file_row_number:
         # DuckDB read_parquet(file_row_number=true) -> Spark's hidden

@@ -446,3 +446,35 @@ def test_sniff_inconsistent_falls_back_to_comma(tmp_path, spark):
     _write(p, "a,b\n1,x\n2,y\n")
     df = read_csv(spark, p)
     assert df.columns == ["a", "b"]
+
+
+def test_sniff_headerless_numeric_first_row(tmp_path, spark):
+    """DuckDB sniffs headerless files (all-numeric first row = data) and
+    names columns column0..N; header=true must not swallow the row."""
+    p = str(tmp_path / "nohead.csv")
+    _write(p, "1;10.5;x\n2;20.5;y\n3;30.5;z\n")
+    df = read_csv(spark, p)
+    assert df.columns == ["column0", "column1", "column2"]
+    assert df.count() == 3
+    assert df.agg(F.sum("column0")).first()[0] == 6
+
+
+def test_sniff_header_kept_for_named_first_row(tmp_path, spark):
+    p = str(tmp_path / "head.csv")
+    _write(p, "a,b\n1,2\n3,4\n")
+    df = read_csv(spark, p)
+    assert df.columns == ["a", "b"]
+    assert df.count() == 2
+    # explicit header= always wins over sniffing
+    raw = read_csv(spark, p, header=False)
+    assert raw.count() == 3
+
+
+def test_csv_filename_column(tmp_path, spark):
+    """DuckDB read_csv(filename=true) parity: provenance column on CSV."""
+    p = str(tmp_path / "prov.csv")
+    _write(p, "a,b\n1,x\n2,y\n")
+    df = read_csv(spark, p, filename=True)
+    assert {r["filename"].rsplit("/", 1)[-1] for r in df.collect()} == {
+        "prov.csv"
+    }
