@@ -440,3 +440,85 @@ def text_compressibility_ratio(spark, sf_dir):
             )
 
     return m.mapInPandas(op, COMPRESS_SCHEMA)
+
+
+# ------------------------------------------------ image-caption pairing
+
+# CLIP/LAION-style pair construction: every image joins its caption
+# document (here: the next doc_id — standing in for the crawl's alt-text
+# key), kept only when the caption passes the quality gate and fits the
+# token budget. The join/filter/budget shape is the real pipeline; only
+# the pairing key is synthetic.
+CAPTION_MAX_TOKENS = 64
+CAPTION_MIN_QUALITY = 0.5
+
+
+@query(
+    "multimodal_caption_pairs",
+    oracle=None,  # set below to reuse scoring's shared CTE
+)
+def multimodal_caption_pairs(spark, sf_dir):
+    """(image_doc, caption_doc) training pairs with caption stats.
+
+    Scale shape: media and caption sides are both doc_id-keyed
+    projections of the corpus; the pairing is one equi-join on the
+    derived caption key (co-partitionable), the quality gate is map-side,
+    and the image payload itself never moves — only its id and byte size.
+    At 100 TB the caption side would pre-filter before the join, exactly
+    as written here."""
+    from .scoring import quality_score_col
+
+    media = documents_as_media(spark, sf_dir).filter(
+        F.col("media_type") == "image"
+    )
+    d = table(spark, sf_dir, "documents")
+    captions = d.select(
+        F.col("doc_id").alias("caption_doc"),
+        F.size(F.split("text", " ")).alias("caption_tokens"),
+        quality_score_col().alias("caption_quality"),
+    ).filter(
+        (F.col("caption_quality") >= CAPTION_MIN_QUALITY)
+        & (F.col("caption_tokens") <= CAPTION_MAX_TOKENS)
+    )
+    return (
+        media.select(
+            F.col("doc_id").alias("image_doc"),
+            (F.col("doc_id") + 1).alias("caption_key"),
+            "n_bytes",
+        )
+        .join(captions, F.col("caption_key") == F.col("caption_doc"))
+        .select(
+            "image_doc",
+            "caption_doc",
+            "n_bytes",
+            "caption_tokens",
+            "caption_quality",
+        )
+    )
+
+
+def _register_caption_oracle():
+    from ..plans.registry import ORACLES
+    from .scoring import _SCORED_SQL
+
+    ORACLES["multimodal_caption_pairs"] = f"""
+    WITH {_SCORED_SQL},
+    media AS (
+      SELECT doc_id AS image_doc, doc_id + 1 AS caption_key,
+        CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    captions AS (
+      SELECT d.doc_id AS caption_doc,
+        CAST(len(string_split(d.text, ' ')) AS INTEGER) AS caption_tokens,
+        s.quality_score AS caption_quality
+      FROM documents d JOIN scored s ON s.doc_id = d.doc_id
+      WHERE s.quality_score >= {CAPTION_MIN_QUALITY}
+        AND len(string_split(d.text, ' ')) <= {CAPTION_MAX_TOKENS}
+    )
+    SELECT image_doc, caption_doc, n_bytes, caption_tokens, caption_quality
+    FROM media JOIN captions ON caption_key = caption_doc
+    """
+
+
+_register_caption_oracle()
