@@ -192,6 +192,26 @@ def _sniff_delim(path: str) -> str | None:
     return best
 
 
+def _sniff_json_array(path: str) -> bool:
+    """DuckDB read_json reads BOTH newline-delimited records and a
+    top-level JSON array of records; Spark's reader needs multiLine=true
+    for the array form (and would otherwise error or mis-parse). A leading
+    '[' (first non-whitespace byte) is the array form."""
+    import gzip
+    import os
+
+    if not os.path.isfile(path):
+        return False
+    try:
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rb") as f:
+            head = f.read(4096)
+    except OSError:
+        return False
+    stripped = head.lstrip()
+    return stripped.startswith(b"[")
+
+
 _NUMERIC_RE = None
 
 
@@ -340,6 +360,11 @@ def _read(
         sniffed = _sniff_delim(paths[0])
         if sniffed is not None:
             opts["sep"] = sniffed
+    if fmt == "json" and "multiLine" not in opts:
+        # Reference parity: DuckDB read_json auto-detects a top-level
+        # ARRAY of records vs NDJSON; Spark needs multiLine for arrays.
+        if _sniff_json_array(paths[0]):
+            opts["multiLine"] = "true"
     if fmt == "csv" and "header" not in opts and not columns and not names:
         # Reference parity: DuckDB's sniffer detects headerLESS files (an
         # all-numeric first row is data); Spark's header=true default

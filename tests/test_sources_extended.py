@@ -478,3 +478,19 @@ def test_csv_filename_column(tmp_path, spark):
     assert {r["filename"].rsplit("/", 1)[-1] for r in df.collect()} == {
         "prov.csv"
     }
+
+
+def test_sniff_json_top_level_array(tmp_path, spark):
+    """DuckDB read_json parity: a top-level ARRAY of records must parse
+    (Spark needs multiLine, auto-detected from the leading '[')."""
+    from quackio_jl_spark import read_json
+
+    p = str(tmp_path / "arr.json")
+    _write(p, '[{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]')
+    df = read_json(spark, p)
+    assert sorted(df.columns) == ["a", "b"]
+    assert df.count() == 2
+    # NDJSON continues to work unchanged
+    p2 = str(tmp_path / "nd.json")
+    _write(p2, '{"a": 1}\n{"a": 2}\n{"a": 3}\n')
+    assert read_json(spark, p2).count() == 3
