@@ -885,3 +885,72 @@ def _register_ensemble_oracle():
 
 
 _register_ensemble_oracle()
+
+
+# ------------------------------------------- long-context resample weights
+
+@query(
+    "length_bucket_resample_weights",
+    oracle="""
+    WITH lens AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tokens,
+        CAST(length(bin(n_tokens)) - 1 AS INTEGER) AS octave
+      FROM lens WHERE n_tokens > 0
+    ),
+    agg AS (
+      SELECT octave, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+        CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+      FROM b GROUP BY octave
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS k FROM agg)
+    SELECT octave, n_docs, min_tokens, max_tokens,
+      round(CAST(n_docs AS DOUBLE) / n, 8) AS actual_share,
+      round(CAST(n AS DOUBLE) / (k * n_docs), 8) AS weight
+    FROM agg CROSS JOIN tot
+    """,
+)
+def length_bucket_resample_weights(spark, sf_dir):
+    """Per-length-octave resampling weights targeting a UNIFORM length
+    distribution — the long-context finetuning recipe (long documents are
+    rare in crawls; upweight them so every context scale is represented).
+    weight = target_share / actual_share; feed it to the weighted
+    samplers (weighted_sample_by_quality / mixture_sample_by_source).
+
+    Scale shape: the octave is the bit length of the token count — an
+    EXACT integer in both engines (floor(log2(n)) via ln ratios can flip
+    at powers of two on a last-ulp difference). One tiny aggregate, scalar
+    totals attached by broadcast."""
+    d = table(spark, sf_dir, "documents")
+    lens = d.select(F.size(F.split("text", " ")).alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
+    b = lens.select(
+        "n_tokens",
+        (F.length(F.bin("n_tokens")) - 1).cast("int").alias("octave"),
+    )
+    agg = b.groupBy("octave").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+    )
+    tot = agg.agg(
+        F.sum("n_docs").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "octave",
+        "n_docs",
+        "min_tokens",
+        "max_tokens",
+        F.round(F.col("n_docs").cast("double") / F.col("n"), 8).alias(
+            "actual_share"
+        ),
+        F.round(
+            F.col("n").cast("double") / (F.col("k") * F.col("n_docs")), 8
+        ).alias("weight"),
+    )
