@@ -165,3 +165,29 @@ def test_ensemble_votes_consistent(q, spark):
         assert r["consensus_keep"] == (votes >= 3)
     kept = sum(r["consensus_keep"] for r in rows)
     assert 0 < kept < len(rows)  # the consensus splits non-trivially
+
+
+def test_caption_pairs_budget_and_quality_gates(q):
+    rows = q("multimodal_caption_pairs")
+    assert rows
+    for r in rows:
+        assert r["image_doc"] % 3 == 0  # image-typed side only
+        assert r["caption_doc"] == r["image_doc"] + 1  # pairing key
+        assert r["caption_tokens"] <= 64
+        assert r["caption_quality"] >= 0.5
+        assert r["n_bytes"] > 0
+
+
+def test_length_octave_weights_inverse_to_share(q):
+    rows = q("length_bucket_resample_weights")
+    assert sum(r["actual_share"] for r in rows) == pytest.approx(1.0, abs=1e-6)
+    k = len(rows)
+    for r in rows:
+        # weight * actual_share == 1/k (uniform target), up to rounding
+        assert r["weight"] * r["actual_share"] == pytest.approx(
+            1.0 / k, rel=1e-4
+        )
+        assert r["min_tokens"] <= r["max_tokens"]
+        # octave really is the bit length - 1
+        assert (1 << r["octave"]) <= r["max_tokens"] < (1 << (r["octave"] + 1))
+        assert (1 << r["octave"]) <= r["min_tokens"]
