@@ -7946,12 +7946,17 @@ def _boot_w_sql(u: str) -> str:
 @query(
     "bootstrap_revenue_ci",
     oracle=f"""
-    WITH expanded AS (
-      SELECT r.r, o.o_totalprice,
-        ('0x' || substr(md5('boot:' || CAST(r.r AS VARCHAR) || ':'
-            || CAST(o.o_orderkey AS VARCHAR)), 1, 8))::BIGINT
-          / 4294967296.0 AS u
-      FROM orders o CROSS JOIN (SELECT unnest(range({BOOT_R})) AS r) r
+    WITH blocks AS (
+      SELECT b.b, o.o_totalprice,
+        md5('boot:' || CAST(b.b AS VARCHAR) || ':'
+            || CAST(o.o_orderkey AS VARCHAR)) AS h
+      FROM orders o
+      CROSS JOIN (SELECT unnest(range({BOOT_R // 4})) AS b) b
+    ),
+    expanded AS (
+      SELECT b * 4 + w.w AS r, o_totalprice,
+        ('0x' || substr(h, 1 + 8 * w.w, 8))::BIGINT / 4294967296.0 AS u
+      FROM blocks CROSS JOIN (SELECT unnest(range(4)) AS w) w
     ),
     reps AS (
       SELECT r,
@@ -8000,33 +8005,49 @@ def bootstrap_revenue_ci(spark, sf_dir):
     rows. This is the one-pass alternative to actually resampling a
     100 TB fact table 200 times."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("boot:"),
-                        F.col("r").cast("string"),
-                        F.lit(":"),
-                        F.col("o_orderkey").cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        / F.lit(4294967296.0)
-    )
     w = F.lit(7)
     for k in range(len(_POIS_CDF) - 1, -1, -1):
         w = F.when(F.col("u") < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
-    expanded = o.select(
-        F.explode(F.sequence(F.lit(0), F.lit(BOOT_R - 1))).alias("r"),
+    # One md5 per (order, replicate-BLOCK): a digest is 32 hex chars = four
+    # independent 32-bit uniforms, so hash cost drops 4x vs per-replicate
+    # hashing with identical portability and weight quality.
+    # Repartition BEFORE the 200x expansion: the fact scan may arrive in
+    # few (even one) input partitions at small scale, and the explode
+    # multiplies density 200x — spread it across the cluster first (a tiny
+    # shuffle of the base rows buys full parallelism for the heavy map).
+    o = o.repartition(spark.sparkContext.defaultParallelism)
+    blocks = o.select(
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_R // 4 - 1))).alias("b"),
         "o_orderkey",
         "o_totalprice",
-    ).withColumn("u", u)
+    ).withColumn(
+        "h",
+        F.md5(
+            F.concat(
+                F.lit("boot:"),
+                F.col("b").cast("string"),
+                F.lit(":"),
+                F.col("o_orderkey").cast("string"),
+            )
+        ),
+    )
+    expanded = blocks.select(
+        "b",
+        "o_totalprice",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("wd"),
+    ).select(
+        (F.col("b") * 4 + F.col("wd")).alias("r"),
+        "o_totalprice",
+        (
+            F.conv(
+                F.substring(F.col("h"), F.lit(1) + F.lit(8) * F.col("wd"), F.lit(8)),
+                16,
+                10,
+            ).cast("bigint")
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    )
     reps = (
         expanded.withColumn("w", w)
         .groupBy("r")
