@@ -2422,3 +2422,181 @@ def doc_duplicated_span_fraction(spark, sf_dir):
             ).alias("dup_fraction"),
         )
     )
+
+
+# ------------------------------------------- content-defined chunking (CDC)
+
+CDC_WINDOW = 8  # rolling-hash window (chars)
+CDC_MASK = 64  # boundary when window-hash % CDC_MASK == 0 -> ~64-char chunks
+
+
+def _cdc_chunk_table(d):
+    """Shared CDC kernel: split each ``text`` into content-defined chunks.
+
+    A position ``i`` (1-based end of an 8-char window) is a cut point when
+    the window hash satisfies ``h % CDC_MASK == 0`` — the mask-only gear-CDC
+    rule (no min/max clamp: true min-size suppression is sequential state,
+    and the expected-size divisor already bounds chunk length
+    probabilistically). Cut points are a PURE FUNCTION of local bytes, so
+    inserting a prefix shifts chunk *positions* but re-synchronizes chunk
+    *contents* after the first boundary — the shift-resilience fixed-size
+    chunking lacks (verified by the invariant test).
+
+    Shape: one in-row transform generates window hashes (no token explode
+    shuffle), cut points explode to O(len/CDC_MASK) rows per doc, and the
+    chunk spans come from a per-doc lag window — corpus-linear, no global
+    state. Returns (doc_id, chunk_idx, chunk_len, chunk_hash).
+    """
+    from pyspark.sql import Window as W
+
+    n = F.length("text")
+    # candidate cut positions: window end i in [CDC_WINDOW, len], plus the
+    # sentinel len(text) so the tail always closes a chunk
+    cuts = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.filter(
+                        F.sequence(F.lit(CDC_WINDOW), n),
+                        lambda i: (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.substring(
+                                            "text", (i - CDC_WINDOW + 1).cast("int"), CDC_WINDOW
+                                        )
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("bigint")
+                            % CDC_MASK
+                            == 0
+                        ),
+                    ),
+                    F.array(n),
+                )
+            )
+        ).alias("cut"),
+    )
+    w = W.partitionBy("doc_id").orderBy("cut")
+    spans = cuts.select(
+        "doc_id",
+        "text",
+        (F.coalesce(F.lag("cut").over(w), F.lit(0)) + 1).alias("s"),
+        F.col("cut").alias("e"),
+        (F.row_number().over(w)).alias("chunk_idx"),
+    )
+    return spans.select(
+        "doc_id",
+        "chunk_idx",
+        (F.col("e") - F.col("s") + 1).cast("bigint").alias("chunk_len"),
+        F.md5(F.expr("substring(text, s, e - s + 1)")).alias("chunk_hash"),
+    )
+
+
+_CDC_SQL = f"""
+    cuts AS (
+      SELECT doc_id, text, cut FROM (
+        SELECT doc_id, text,
+          UNNEST(list_distinct(list_append(
+            list_filter(
+              range(CAST({CDC_WINDOW} AS BIGINT), CAST(length(text) AS BIGINT) + 1),
+              i -> ('0x' || substr(md5(substr(text, CAST(i - {CDC_WINDOW} + 1 AS INTEGER), {CDC_WINDOW})), 1, 8))::BIGINT % {CDC_MASK} = 0
+            ),
+            CAST(length(text) AS BIGINT)))) AS cut
+        FROM documents
+      )
+    ),
+    spans AS (
+      SELECT doc_id, text,
+        COALESCE(LAG(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) + 1 AS s,
+        cut AS e,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cut) AS chunk_idx
+      FROM cuts
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_idx,
+        CAST(e - s + 1 AS BIGINT) AS chunk_len,
+        md5(substr(text, CAST(s AS INTEGER), CAST(e - s + 1 AS INTEGER))) AS chunk_hash
+      FROM spans
+    )
+"""
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle="WITH "
+    + _CDC_SQL
+    + """
+    , per_chunk AS (
+      SELECT c.chunk_hash, ANY_VALUE(c.chunk_len) AS chunk_len,
+        COUNT(*) AS n_occ, COUNT(DISTINCT c.doc_id) AS n_docs
+      FROM chunks c GROUP BY 1
+    ),
+    per_source AS (
+      SELECT d.source, COUNT(*) AS n_chunks,
+        COUNT(DISTINCT c.chunk_hash) AS n_distinct,
+        SUM(c.chunk_len) AS total_chars
+      FROM chunks c JOIN documents d USING (doc_id)
+      GROUP BY 1
+    ),
+    dupchars AS (
+      SELECT d.source,
+        SUM(CASE WHEN pc.n_occ > 1 THEN c.chunk_len ELSE 0 END) AS dup_chars
+      FROM chunks c
+      JOIN documents d USING (doc_id)
+      JOIN per_chunk pc USING (chunk_hash)
+      GROUP BY 1
+    )
+    SELECT s.source, s.n_chunks, s.n_distinct, s.total_chars,
+      CAST(s.n_chunks - s.n_distinct AS BIGINT) AS dup_chunks,
+      round(CAST(dc.dup_chars AS DOUBLE) / s.total_chars, 8) AS dup_char_fraction
+    FROM per_source s JOIN dupchars dc USING (source)
+    """,
+)
+def dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup report (gear/Rabin-style CDC, the
+    rsync/LBFS/backup-dedup primitive): chunk boundaries are set by the
+    CONTENT (rolling window hash % 64 == 0), not by fixed offsets, so an
+    insertion near the start of a document only perturbs chunks up to the
+    next boundary — the rest re-align and still dedup. Per source: chunk
+    counts, distinct chunks, and the fraction of characters sitting in
+    chunks that occur more than once corpus-wide.
+
+    Scale shape: chunking is in-row (higher-order filter over a char-window
+    sequence — no token explode before the hash); the only shuffles are the
+    chunk_hash group (dedup-sized keys, never payload text) and the tiny
+    per-source rollup. The corpus text is scanned once."""
+    d = table(spark, sf_dir, "documents")
+    chunks = _cdc_chunk_table(d)
+    per_chunk = chunks.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    src = d.select("doc_id", "source")
+    with_src = chunks.join(src, "doc_id").join(per_chunk, "chunk_hash")
+    return (
+        with_src.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("chunk_hash").alias("n_distinct"),
+            F.sum("chunk_len").alias("total_chars"),
+            F.sum(
+                F.when(F.col("n_occ") > 1, F.col("chunk_len")).otherwise(F.lit(0))
+            ).alias("_dup_chars"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_distinct",
+            "total_chars",
+            (F.col("n_chunks") - F.col("n_distinct")).cast("bigint").alias("dup_chunks"),
+            F.round(
+                F.col("_dup_chars").cast("double") / F.col("total_chars"), 8
+            ).alias("dup_char_fraction"),
+        )
+    )

@@ -1,0 +1,862 @@
+"""Learned-model operators trained *inside* the engine (driver mandate;
+beyond the reference's I/O-only surface — /root/reference/src/QuackIO.jl):
+the distributed-ML counterparts of scoring.py's frozen-weight classifier.
+Every estimator here is fit from the corpus itself with nothing but
+DataFrame aggregations — the canonical "sufficient statistics via
+map-side partial aggregation" shape that scales to 100 TB because model
+state is a handful of numbers while the data never leaves the executors:
+
+- Multinomial naive-Bayes language ID: token-count sufficient statistics,
+  Laplace smoothing, argmax posterior per document.
+- Full-batch gradient-descent logistic regression: K unrolled iterations,
+  each one scan + one 5-number gradient aggregate (the classic
+  parameter-server-free distributed GD loop).
+- Isotonic calibration (pool-adjacent-violators) via the minimax closed
+  form over an aggregated bin table — the PAV sweep is sequential, but
+  after binning the problem is B=10 rows, so the O(B^3) minimax join is
+  free and fully declarative.
+- Data-parallel shard->worker scheduling audit: round-robin assignment
+  (torch DistributedSampler's default), per-worker token skew, and the
+  drop-last data loss every trainer silently pays.
+
+Determinism engineering (the repo-wide recipe, functions/exact.py): all
+per-row transcendentals are rounded to a fixed number of decimals, all
+cross-row sums run in DECIMAL (exact, associative), so results are
+bit-identical for any partition count and match the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..plans.registry import query, table
+
+# ------------------------------------------------------- naive Bayes langid
+
+# Per-(token, lang) log-likelihoods are scaled to exact micro-units
+# (round(ln(p) * 1e6) -> BIGINT, the DSIR recipe from selection.py) so
+# per-document posteriors are exact integer sums — immune both to
+# accumulation order AND to the engines' differing round(x, n) boundary
+# behavior on doubles.
+
+
+# Shared oracle CTE chain ending in post(doc_id, lang_true, m, post6) —
+# the per-(doc, lang) integer micro-unit log-posterior (SQL twin of
+# _nb_doc_posteriors).
+_NB_POST_SQL = """
+    toks AS (
+      SELECT doc_id, lang AS lang_true, unnest(string_split(text, ' ')) AS t
+      FROM documents
+    ),
+    langs AS (SELECT DISTINCT lang AS m FROM documents),
+    vocab AS (SELECT DISTINCT t FROM toks),
+    vsize AS (SELECT COUNT(*) AS v FROM vocab),
+    cnt AS (SELECT t, lang_true AS m, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    nl AS (SELECT lang_true AS m, COUNT(*) AS ntok FROM toks GROUP BY 1),
+    grid AS (
+      SELECT vocab.t, langs.m,
+        CAST(round(ln((COALESCE(cnt.c, 0) + 1.0)
+                      / (nl.ntok + vsize.v)) * 1e6) AS BIGINT) AS lp6
+      FROM vocab CROSS JOIN langs
+      CROSS JOIN vsize
+      LEFT JOIN cnt ON cnt.t = vocab.t AND cnt.m = langs.m
+      JOIN nl ON nl.m = langs.m
+    ),
+    priors AS (
+      SELECT lang AS m,
+        CAST(round(ln(CAST(COUNT(*) AS DOUBLE)
+                      / (SELECT COUNT(*) FROM documents)) * 1e6)
+             AS BIGINT) AS lprior6
+      FROM documents GROUP BY 1
+    ),
+    doc_lang AS (
+      SELECT toks.doc_id, toks.lang_true, grid.m,
+        SUM(grid.lp6) AS ll6
+      FROM toks JOIN grid ON grid.t = toks.t
+      GROUP BY 1, 2, 3
+    ),
+    post AS (
+      SELECT doc_id, lang_true, doc_lang.m AS m,
+        ll6 + priors.lprior6 AS post6
+      FROM doc_lang JOIN priors ON priors.m = doc_lang.m
+    )
+"""
+
+
+@query(
+    "langid_naive_bayes",
+    oracle="WITH "
+    + _NB_POST_SQL
+    + """
+    , scored AS (
+      SELECT doc_id, lang_true AS lang, m,
+        round(post6 / 1e6, 6) AS score,
+        ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY post6 DESC, m DESC
+        ) AS rk
+      FROM post
+    )
+    SELECT doc_id, lang, m AS pred_lang, score,
+      CASE WHEN m = lang THEN TRUE ELSE FALSE END AS correct
+    FROM scored WHERE rk = 1
+    """,
+)
+def langid_naive_bayes(spark, sf_dir):
+    """Multinomial naive-Bayes language ID trained on the corpus itself
+    (resubstitution eval): P(lang) priors + Laplace-smoothed P(token|lang),
+    argmax posterior per document.
+
+    A learned counterpart to text.py's trigram *heuristic* langid: the
+    model IS two aggregates (token x lang counts, lang priors). Scale
+    shape: the (vocab x languages) likelihood grid is linear in vocabulary
+    size — model-sized, not corpus-sized — and the per-document scoring is
+    one equi-join of the token stream against that grid plus one exact
+    decimal-sum aggregate per (doc, lang). The argmax is a 5-rows-per-doc
+    window partitioned BY DOCUMENT — never a global sort. Log-likelihoods
+    are scaled to integer micro-units before summing so the posterior is
+    identical for any partition count (the selection.py DSIR recipe)."""
+    scored = _nb_doc_posteriors(spark, sf_dir).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(
+                F.col("post6").desc(), F.col("m").desc()
+            )
+        ),
+    )
+    return scored.filter(F.col("rk") == 1).select(
+        "doc_id",
+        F.col("lang_true").alias("lang"),
+        F.col("m").alias("pred_lang"),
+        F.round(F.col("post6") / 1e6, 6).alias("score"),
+        (F.col("m") == F.col("lang_true")).alias("correct"),
+    )
+
+
+def _nb_doc_posteriors(spark, sf_dir):
+    """Shared NB kernel: per-(doc, lang) integer micro-unit log-posteriors
+    ``post6`` (token log-likelihood grid + lang prior), used by the argmax
+    classifier and by the uncertainty-sampling margin selector."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        F.explode(F.split("text", " ")).alias("t"),
+    )
+    langs = d.select(F.col("lang").alias("m")).distinct()
+    vocab = toks.select("t").distinct()
+    vsize = F.broadcast(vocab.agg(F.count(F.lit(1)).alias("v")))
+    cnt = toks.groupBy("t", F.col("lang_true").alias("m")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    nl = F.broadcast(
+        toks.groupBy(F.col("lang_true").alias("m")).agg(
+            F.count(F.lit(1)).alias("ntok")
+        )
+    )
+    grid = (
+        vocab.crossJoin(F.broadcast(langs))
+        .crossJoin(vsize)
+        .join(cnt, ["t", "m"], "left")
+        .join(nl, "m")
+        .select(
+            "t",
+            "m",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("ntok") + F.col("v"))
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("lp6"),
+        )
+    )
+    tot = F.broadcast(d.agg(F.count(F.lit(1)).alias("ndocs")))
+    priors = F.broadcast(
+        d.groupBy(F.col("lang").alias("m"))
+        .agg(F.count(F.lit(1)).alias("nm"))
+        .crossJoin(tot)
+        .select(
+            "m",
+            F.round(
+                F.log(F.col("nm").cast("double") / F.col("ndocs")) * 1e6
+            )
+            .cast("bigint")
+            .alias("lprior6"),
+        )
+    )
+    doc_lang = (
+        toks.join(grid, "t")
+        .groupBy("doc_id", "lang_true", "m")
+        .agg(F.sum("lp6").alias("ll6"))
+        .join(priors, "m")
+    )
+    return doc_lang.select(
+        "doc_id",
+        "lang_true",
+        "m",
+        (F.col("ll6") + F.col("lprior6")).alias("post6"),
+    )
+
+
+# ------------------------------------- gradient-descent logistic regression
+
+_GD_LR = 0.05
+_GD_ITERS = 3
+
+# Rounded document features shared by the Spark plan and the oracle: the
+# same four quality signals as scoring.quality_score_col, rounded to 8
+# decimals so both engines iterate from bit-identical inputs.
+_GD_FEATS_SQL = """
+    feats AS (
+      SELECT doc_id,
+        CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        round(ln(1.0 + len(string_split(text, ' '))), 8) AS x1,
+        round(CAST(length(text) AS DOUBLE)
+              / len(string_split(text, ' ')), 8) AS x2,
+        round(CAST(length(text)
+              - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
+              / length(text), 8) AS x3,
+        round(CAST(length(text)
+              - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+              / length(text), 8) AS x4
+      FROM documents
+    )
+"""
+
+
+def _gd_oracle() -> str:
+    """Build the unrolled K-iteration GD oracle: each iteration is a
+    sigmoid-scoring CTE + an exact decimal gradient CTE + a weight-update
+    CTE; the output unions one (iter, loss, weights) row per iteration."""
+    parts = ["WITH " + _GD_FEATS_SQL.strip().rstrip()]
+    prev_w = "(SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)"
+    selects = []
+    for it in range(1, _GD_ITERS + 1):
+        parts.append(
+            f"""p{it} AS (
+      SELECT f.*, w.*,
+        round(1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2
+                                 + w.w3 * f.x3 + w.w4 * f.x4))), 8) AS p
+      FROM feats f CROSS JOIN {prev_w} w
+    )"""
+        )
+        parts.append(
+            f"""g{it} AS (
+      SELECT COUNT(*) AS n,
+        ANY_VALUE(w0) AS w0, ANY_VALUE(w1) AS w1, ANY_VALUE(w2) AS w2,
+        ANY_VALUE(w3) AS w3, ANY_VALUE(w4) AS w4,
+        SUM(CAST(round(p - y, 10) AS DECIMAL(38,12))) AS s0,
+        SUM(CAST(round((p - y) * x1, 10) AS DECIMAL(38,12))) AS s1,
+        SUM(CAST(round((p - y) * x2, 10) AS DECIMAL(38,12))) AS s2,
+        SUM(CAST(round((p - y) * x3, 10) AS DECIMAL(38,12))) AS s3,
+        SUM(CAST(round((p - y) * x4, 10) AS DECIMAL(38,12))) AS s4,
+        SUM(CAST(round(-(y * ln(greatest(p, 1e-8))
+              + (1.0 - y) * ln(greatest(1.0 - p, 1e-8))), 10)
+            AS DECIMAL(38,12))) AS sll
+      FROM p{it}
+    )"""
+        )
+        parts.append(
+            f"""w{it} AS (
+      SELECT
+        round(w0 - {_GD_LR} * (CAST(s0 AS DOUBLE) / n), 8) AS w0,
+        round(w1 - {_GD_LR} * (CAST(s1 AS DOUBLE) / n), 8) AS w1,
+        round(w2 - {_GD_LR} * (CAST(s2 AS DOUBLE) / n), 8) AS w2,
+        round(w3 - {_GD_LR} * (CAST(s3 AS DOUBLE) / n), 8) AS w3,
+        round(w4 - {_GD_LR} * (CAST(s4 AS DOUBLE) / n), 8) AS w4
+      FROM g{it}
+    )"""
+        )
+        selects.append(
+            f"""SELECT {it} AS iter,
+      round(CAST((SELECT sll FROM g{it}) AS DOUBLE)
+            / (SELECT n FROM g{it}), 8) AS loss,
+      (SELECT w0 FROM w{it}) AS w_intercept,
+      (SELECT w1 FROM w{it}) AS w_log_tokens,
+      (SELECT w2 FROM w{it}) AS w_mean_tok_len,
+      (SELECT w3 FROM w{it}) AS w_vowel,
+      (SELECT w4 FROM w{it}) AS w_digit"""
+        )
+        prev_w = f"w{it}"
+    return ",\n    ".join(parts) + "\n    " + "\nUNION ALL\n".join(selects)
+
+
+@query("logreg_gd_training_curve", oracle=_gd_oracle())
+def logreg_gd_training_curve(spark, sf_dir):
+    """Full-batch gradient-descent logistic regression (predict lang='en'
+    from the four quality features), K=3 unrolled iterations; one row per
+    iteration with the in-iteration mean log-loss and the updated weights.
+
+    The parameter-server-free distributed GD loop: model state is FIVE
+    NUMBERS, so each iteration is one corpus scan producing one 1-row
+    gradient aggregate that is broadcast back into the next iteration's
+    scoring expression — no driver-side .collect() of anything but the
+    final 3-row curve, no shuffle of document rows at all (the only
+    exchange per iteration is the partial-agg combine). The feature frame
+    is persisted once and reused across iterations (the PageRank
+    persist-per-iteration rule, operators/cluster.py). Determinism: rounded
+    per-row sigmoid/gradient terms, DECIMAL(38,12) sums, weights rounded to
+    8 decimals each step — bit-identical for any partition count."""
+    d = table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_tokens = F.size(F.split("text", " "))
+    feats = d.select(
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+        F.round(F.log(F.lit(1.0) + n_tokens), 8).alias("x1"),
+        F.round(n_chars.cast("double") / n_tokens, 8).alias("x2"),
+        F.round(
+            (n_chars - F.length(F.regexp_replace("text", "[aeiou]", ""))).cast(
+                "double"
+            )
+            / n_chars,
+            8,
+        ).alias("x3"),
+        F.round(
+            (n_chars - F.length(F.regexp_replace("text", "[0-9]", ""))).cast(
+                "double"
+            )
+            / n_chars,
+            8,
+        ).alias("x4"),
+    ).persist()
+
+    def dec_sum(col):
+        return F.sum(F.round(col, 10).cast("decimal(38,12)"))
+
+    w = F.broadcast(
+        spark.range(1).select(
+            F.lit(0.0).alias("w0"),
+            F.lit(0.0).alias("w1"),
+            F.lit(0.0).alias("w2"),
+            F.lit(0.0).alias("w3"),
+            F.lit(0.0).alias("w4"),
+        )
+    )
+    rows = None
+    for it in range(1, _GD_ITERS + 1):
+        z = (
+            F.col("w0")
+            + F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2")
+            + F.col("w3") * F.col("x3")
+            + F.col("w4") * F.col("x4")
+        )
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 8)
+        scored = feats.crossJoin(w).withColumn("p", p)
+        g = scored.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.any_value("w0").alias("w0"),
+            F.any_value("w1").alias("w1"),
+            F.any_value("w2").alias("w2"),
+            F.any_value("w3").alias("w3"),
+            F.any_value("w4").alias("w4"),
+            dec_sum(F.col("p") - F.col("y")).alias("s0"),
+            dec_sum((F.col("p") - F.col("y")) * F.col("x1")).alias("s1"),
+            dec_sum((F.col("p") - F.col("y")) * F.col("x2")).alias("s2"),
+            dec_sum((F.col("p") - F.col("y")) * F.col("x3")).alias("s3"),
+            dec_sum((F.col("p") - F.col("y")) * F.col("x4")).alias("s4"),
+            dec_sum(
+                -(
+                    F.col("y") * F.log(F.greatest(F.col("p"), F.lit(1e-8)))
+                    + (F.lit(1.0) - F.col("y"))
+                    * F.log(F.greatest(F.lit(1.0) - F.col("p"), F.lit(1e-8)))
+                )
+            ).alias("sll"),
+        )
+
+        def upd(wc, sc):
+            return F.round(
+                F.col(wc)
+                - F.lit(_GD_LR) * (F.col(sc).cast("double") / F.col("n")),
+                8,
+            ).alias(wc)
+
+        w = F.broadcast(
+            g.select(
+                upd("w0", "s0"),
+                upd("w1", "s1"),
+                upd("w2", "s2"),
+                upd("w3", "s3"),
+                upd("w4", "s4"),
+            )
+        )
+        row = g.crossJoin(w.withColumnsRenamed(
+            {"w0": "u0", "w1": "u1", "w2": "u2", "w3": "u3", "w4": "u4"}
+        )).select(
+            F.lit(it).alias("iter"),
+            F.round(F.col("sll").cast("double") / F.col("n"), 8).alias("loss"),
+            F.col("u0").alias("w_intercept"),
+            F.col("u1").alias("w_log_tokens"),
+            F.col("u2").alias("w_mean_tok_len"),
+            F.col("u3").alias("w_vowel"),
+            F.col("u4").alias("w_digit"),
+        )
+        rows = row if rows is None else rows.unionAll(row)
+    return rows
+
+
+# ------------------------------------------------ isotonic calibration (PAV)
+
+_ISO_BINS = 10
+
+
+@query(
+    "quality_isotonic_calibration",
+    oracle=f"""
+    WITH scored AS (
+      SELECT
+        round(1.0 / (1.0 + exp(-((-3.0)
+          + (0.9 * ln(1.0 + len(string_split(text, ' '))))
+          + (-0.15 * (CAST(length(text) AS DOUBLE)
+                      / len(string_split(text, ' '))))
+          + (4.0 * (CAST(length(text)
+              - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
+              / length(text)))
+          + (-6.0 * (CAST(length(text)
+              - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+              / length(text)))))), 8) AS p,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    bins AS (
+      SELECT least(CAST(floor(p * {_ISO_BINS}) AS BIGINT),
+                   {_ISO_BINS - 1}) AS bin,
+        COUNT(*) AS n_k, SUM(y) AS sy
+      FROM scored GROUP BY 1
+    ),
+    intervals AS (
+      SELECT i.bin AS lo, j.bin AS hi,
+        round(CAST(SUM(m.sy) AS DOUBLE) / SUM(m.n_k), 8) AS wavg
+      FROM bins i JOIN bins j ON i.bin <= j.bin
+      JOIN bins m ON m.bin BETWEEN i.bin AND j.bin
+      GROUP BY 1, 2
+    ),
+    inner_min AS (
+      SELECT b.bin, iv.lo, MIN(iv.wavg) AS mn
+      FROM bins b JOIN intervals iv ON iv.lo <= b.bin AND iv.hi >= b.bin
+      GROUP BY 1, 2
+    ),
+    fit AS (SELECT bin, MAX(mn) AS iso_rate FROM inner_min GROUP BY 1)
+    SELECT bins.bin, bins.n_k,
+      round(CAST(bins.sy AS DOUBLE) / bins.n_k, 8) AS raw_rate,
+      fit.iso_rate
+    FROM bins JOIN fit ON fit.bin = bins.bin
+    """,
+)
+def quality_isotonic_calibration(spark, sf_dir):
+    """Isotonic (monotone nondecreasing) calibration of the quality score
+    against the lang='en' outcome, via the minimax closed form of
+    pool-adjacent-violators: fit_k = max_(i<=k) min_(j>=k) wavg(y, i..j).
+
+    The PAV sweep is inherently sequential, but calibration operates on
+    BINNED data: one corpus-wide aggregate reduces 10^11 rows to
+    {_ISO_BINS} (bin, n, sum_y) rows, after which the O(B^3) minimax
+    triple-join is driver-trivial and fully declarative — no UDF, no
+    collect. Weighted averages divide exact BIGINT sums, rounded to 8
+    decimals in both engines; min/max over rounded values are exact, so
+    the fitted curve is bit-reproducible. Same bin layout as
+    quality_calibration_bins (least(floor(p*10), 9))."""
+    from .scoring import quality_score_col
+
+    d = table(spark, sf_dir, "documents")
+    p = quality_score_col()
+    rows_ = d.select(
+        p.alias("p"), (F.col("lang") == "en").cast("int").alias("y")
+    )
+    bins = rows_.groupBy(
+        F.least(
+            F.floor(F.col("p") * _ISO_BINS).cast("bigint"),
+            F.lit(_ISO_BINS - 1).cast("bigint"),
+        ).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n_k"), F.sum("y").alias("sy"))
+    i = bins.select(F.col("bin").alias("lo"))
+    j = bins.select(F.col("bin").alias("hi"))
+    m = bins.select(
+        F.col("bin").alias("mb"), F.col("n_k").alias("mn_k"), F.col("sy").alias("msy")
+    )
+    intervals = (
+        i.join(j, F.col("lo") <= F.col("hi"))
+        .join(m, (F.col("mb") >= F.col("lo")) & (F.col("mb") <= F.col("hi")))
+        .groupBy("lo", "hi")
+        .agg(
+            F.round(
+                F.sum("msy").cast("double") / F.sum("mn_k"), 8
+            ).alias("wavg")
+        )
+    )
+    inner_min = (
+        bins.select("bin")
+        .join(
+            intervals,
+            (F.col("lo") <= F.col("bin")) & (F.col("hi") >= F.col("bin")),
+        )
+        .groupBy("bin", "lo")
+        .agg(F.min("wavg").alias("mn"))
+    )
+    fit = inner_min.groupBy("bin").agg(F.max("mn").alias("iso_rate"))
+    return bins.join(fit, "bin").select(
+        "bin",
+        "n_k",
+        F.round(F.col("sy").cast("double") / F.col("n_k"), 8).alias("raw_rate"),
+        "iso_rate",
+    )
+
+
+# ------------------------------------- data-parallel shard scheduling audit
+
+_SW_SHARD_DOCS = 50
+_SW_WORKERS = 8
+_SW_BATCH = 16
+
+
+@query(
+    "shard_worker_assignment_balance",
+    oracle=f"""
+    WITH sharded AS (
+      SELECT doc_id // {_SW_SHARD_DOCS} AS shard,
+        CAST((doc_id // {_SW_SHARD_DOCS}) % {_SW_WORKERS} AS BIGINT) AS worker,
+        len(string_split(text, ' ')) AS n_toks
+      FROM documents
+    ),
+    per_worker AS (
+      SELECT worker, COUNT(DISTINCT shard) AS n_shards,
+        COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens,
+        CAST(COUNT(*) // {_SW_BATCH} AS BIGINT) AS n_batches
+      FROM sharded GROUP BY 1
+    ),
+    sync AS (SELECT MIN(n_batches) AS lockstep_steps FROM per_worker)
+    SELECT worker, n_shards, n_docs, n_tokens, n_batches,
+      sync.lockstep_steps,
+      CAST(n_docs - sync.lockstep_steps * {_SW_BATCH} AS BIGINT)
+        AS dropped_docs,
+      round(CAST(n_tokens AS DOUBLE)
+        / ((SELECT SUM(n_tokens) FROM per_worker)
+           / CAST({_SW_WORKERS} AS DOUBLE)), 8) AS token_skew
+    FROM per_worker CROSS JOIN sync
+    """,
+)
+def shard_worker_assignment_balance(spark, sf_dir):
+    """Data-parallel epoch schedule audit: shards round-robin onto
+    {_SW_WORKERS} workers (torch DistributedSampler's default), per-worker
+    doc/token load, and the lockstep-step count — the MINIMUM per-worker
+    batch count, which is what a synchronous trainer actually runs, with
+    `dropped_docs` quantifying the drop-last data loss per worker and
+    `token_skew` the compute imbalance (1.0 = perfectly even).
+
+    One groupBy over a pure-function key (shard = doc_id // {_SW_SHARD_DOCS},
+    worker = shard % {_SW_WORKERS}); the per-worker table is WORKER-sized
+    (8 rows), so the lockstep minimum is a broadcast 1-row aggregate, not
+    a window over data rows. At 100 TB this is one scan + one partial-agg
+    combine."""
+    d = table(spark, sf_dir, "documents")
+    sharded = d.select(
+        (F.col("doc_id") / _SW_SHARD_DOCS).cast("bigint").alias("shard"),
+        F.size(F.split("text", " ")).alias("n_toks"),
+    ).withColumn(
+        "worker", (F.col("shard") % _SW_WORKERS).cast("bigint")
+    )
+    per_worker = sharded.groupBy("worker").agg(
+        F.countDistinct("shard").alias("n_shards"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        (F.count(F.lit(1)) / _SW_BATCH).cast("bigint").alias("n_batches"),
+    )
+    sync = F.broadcast(
+        per_worker.agg(
+            F.min("n_batches").alias("lockstep_steps"),
+            F.sum("n_tokens").alias("tot_tokens"),
+        )
+    )
+    return per_worker.crossJoin(sync).select(
+        "worker",
+        "n_shards",
+        "n_docs",
+        "n_tokens",
+        "n_batches",
+        "lockstep_steps",
+        (F.col("n_docs") - F.col("lockstep_steps") * _SW_BATCH)
+        .cast("bigint")
+        .alias("dropped_docs"),
+        F.round(
+            F.col("n_tokens").cast("double")
+            / (F.col("tot_tokens") / F.lit(float(_SW_WORKERS))),
+            8,
+        ).alias("token_skew"),
+    )
+
+
+# ---------------------------------------- uncertainty sampling (active learning)
+
+_MARGIN_TOPN = 20
+
+
+@query(
+    "annotation_margin_targets",
+    oracle="WITH "
+    + _NB_POST_SQL
+    + f"""
+    , ranked AS (
+      SELECT doc_id, lang_true, m, post6,
+        ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY post6 DESC, m DESC
+        ) AS rk
+      FROM post
+    ),
+    perdoc AS (
+      SELECT doc_id, ANY_VALUE(lang_true) AS lang,
+        MAX(CASE WHEN rk = 1 THEN m END) AS pred_lang,
+        MAX(CASE WHEN rk = 2 THEN m END) AS second_lang,
+        round((MAX(CASE WHEN rk = 1 THEN post6 END)
+               - MAX(CASE WHEN rk = 2 THEN post6 END)) / 1e6, 6) AS margin
+      FROM ranked WHERE rk <= 2 GROUP BY 1
+    )
+    SELECT doc_id, lang, pred_lang, second_lang, margin
+    FROM perdoc
+    ORDER BY margin ASC, doc_id ASC
+    LIMIT {_MARGIN_TOPN}
+    """,
+)
+def annotation_margin_targets(spark, sf_dir):
+    """Uncertainty sampling for annotation (active learning's margin
+    criterion, Lewis & Gale '94 / Scheffer '01): the {_MARGIN_TOPN}
+    documents where the NB classifier's top-1 vs top-2 posterior margin is
+    smallest — exactly the rows a labeling budget should buy first, and the
+    canonical human-in-the-loop step of a data-curation pipeline.
+
+    Scale shape: reuses the NB posterior kernel (token-stream equi-join
+    against the model-sized likelihood grid), then a per-document window
+    (languages-per-doc rows, never corpus-wide), a doc-keyed conditional
+    aggregate, and a TakeOrderedAndProject top-{_MARGIN_TOPN} — per-partition
+    heaps, no global sort. Margins are differences of exact integer
+    micro-unit posteriors, so the selected set is deterministic for any
+    partition count."""
+    ranked = _nb_doc_posteriors(spark, sf_dir).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(
+                F.col("post6").desc(), F.col("m").desc()
+            )
+        ),
+    ).filter(F.col("rk") <= 2)
+    perdoc = ranked.groupBy("doc_id").agg(
+        F.any_value("lang_true").alias("lang"),
+        F.max(F.when(F.col("rk") == 1, F.col("m"))).alias("pred_lang"),
+        F.max(F.when(F.col("rk") == 2, F.col("m"))).alias("second_lang"),
+        F.round(
+            (
+                F.max(F.when(F.col("rk") == 1, F.col("post6")))
+                - F.max(F.when(F.col("rk") == 2, F.col("post6")))
+            )
+            / 1e6,
+            6,
+        ).alias("margin"),
+    )
+    return perdoc.orderBy(F.col("margin").asc(), F.col("doc_id").asc()).limit(
+        _MARGIN_TOPN
+    )
+
+
+# ------------------------------- K-fold cross-validated NB (count subtraction)
+
+_CV_FOLDS = 3
+
+
+@query(
+    "langid_nb_crossval",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang AS lang_true,
+        CAST(doc_id % {_CV_FOLDS} AS BIGINT) AS fold,
+        unnest(string_split(text, ' ')) AS t
+      FROM documents
+    ),
+    langs AS (SELECT DISTINCT lang AS m FROM documents),
+    vocab AS (SELECT DISTINCT t FROM toks),
+    vsize AS (SELECT COUNT(*) AS v FROM vocab),
+    cnt AS (SELECT t, lang_true AS m, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    cntf AS (
+      SELECT t, lang_true AS m, fold, COUNT(*) AS cf
+      FROM toks GROUP BY 1, 2, 3
+    ),
+    nl AS (SELECT lang_true AS m, COUNT(*) AS ntok FROM toks GROUP BY 1),
+    nlf AS (
+      SELECT lang_true AS m, fold, COUNT(*) AS ntokf
+      FROM toks GROUP BY 1, 2
+    ),
+    nd AS (SELECT lang AS m, COUNT(*) AS ndocs FROM documents GROUP BY 1),
+    ndf AS (
+      SELECT lang AS m, CAST(doc_id % {_CV_FOLDS} AS BIGINT) AS fold,
+        COUNT(*) AS ndocsf
+      FROM documents GROUP BY 1, 2
+    ),
+    ntot AS (SELECT COUNT(*) AS n FROM documents),
+    ntotf AS (
+      SELECT CAST(doc_id % {_CV_FOLDS} AS BIGINT) AS fold, COUNT(*) AS nf
+      FROM documents GROUP BY 1
+    ),
+    priorsf AS (
+      SELECT nd.m, ntotf.fold,
+        CAST(round(ln(
+          CAST(nd.ndocs - COALESCE(ndf.ndocsf, 0) AS DOUBLE)
+          / (ntot.n - ntotf.nf)) * 1e6) AS BIGINT) AS lprior6
+      FROM nd CROSS JOIN ntotf CROSS JOIN ntot
+      LEFT JOIN ndf ON ndf.m = nd.m AND ndf.fold = ntotf.fold
+    ),
+    doc_lang AS (
+      SELECT toks.doc_id, toks.lang_true, toks.fold, langs.m,
+        SUM(CAST(round(ln(
+          (COALESCE(cnt.c, 0) - COALESCE(cntf.cf, 0) + 1.0)
+          / (nl.ntok - COALESCE(nlf.ntokf, 0) + vsize.v)) * 1e6) AS BIGINT))
+          AS ll6
+      FROM toks
+      CROSS JOIN langs
+      CROSS JOIN vsize
+      LEFT JOIN cnt ON cnt.t = toks.t AND cnt.m = langs.m
+      LEFT JOIN cntf ON cntf.t = toks.t AND cntf.m = langs.m
+        AND cntf.fold = toks.fold
+      JOIN nl ON nl.m = langs.m
+      LEFT JOIN nlf ON nlf.m = langs.m AND nlf.fold = toks.fold
+      GROUP BY 1, 2, 3, 4
+    ),
+    ranked AS (
+      SELECT doc_id, lang_true, doc_lang.fold, doc_lang.m,
+        ROW_NUMBER() OVER (
+          PARTITION BY doc_id
+          ORDER BY (ll6 + priorsf.lprior6) DESC, doc_lang.m DESC
+        ) AS rk
+      FROM doc_lang
+      JOIN priorsf ON priorsf.m = doc_lang.m AND priorsf.fold = doc_lang.fold
+    )
+    SELECT fold, COUNT(*) AS n_docs,
+      SUM(CASE WHEN m = lang_true THEN 1 ELSE 0 END) AS n_correct,
+      round(CAST(SUM(CASE WHEN m = lang_true THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*), 6) AS accuracy
+    FROM ranked WHERE rk = 1
+    GROUP BY 1
+    """,
+)
+def langid_nb_crossval(spark, sf_dir):
+    """K-fold cross-validated naive Bayes via SUFFICIENT-STATISTIC
+    SUBTRACTION: instead of training {_CV_FOLDS} separate models, compute
+    global token counts ONCE plus tiny per-fold counts, and score each
+    document against (global - own fold) — the leave-fold-out model falls
+    out of count arithmetic because NB's sufficient statistics are additive.
+    Output: per-fold held-out accuracy (the honest generalization number
+    the resubstitution `langid_naive_bayes` can't give).
+
+    Scale shape: two count aggregates over the token stream (global and
+    per-fold — the per-fold table is only K x the model size), then ONE
+    scoring pass: token stream x languages with model-sized left joins; the
+    smoothed leave-fold-out log-likelihood is computed at score time from
+    the joined counts. No per-fold retraining scans, no corpus-sized
+    intermediate keyed by fold. Deterministic: integer micro-unit rounding
+    before the exact per-(doc,lang) sum, language-desc tie-break."""
+    d = table(spark, sf_dir, "documents")
+    fold = (F.col("doc_id") % _CV_FOLDS).cast("bigint")
+    toks = d.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        fold.alias("fold"),
+        F.explode(F.split("text", " ")).alias("t"),
+    )
+    langs = d.select(F.col("lang").alias("m")).distinct()
+    vsize = F.broadcast(
+        toks.select("t").distinct().agg(F.count(F.lit(1)).alias("v"))
+    )
+    cnt = toks.groupBy("t", F.col("lang_true").alias("m")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cntf = toks.groupBy("t", F.col("lang_true").alias("m"), "fold").agg(
+        F.count(F.lit(1)).alias("cf")
+    )
+    nl = F.broadcast(
+        toks.groupBy(F.col("lang_true").alias("m")).agg(
+            F.count(F.lit(1)).alias("ntok")
+        )
+    )
+    nlf = F.broadcast(
+        toks.groupBy(F.col("lang_true").alias("m"), "fold").agg(
+            F.count(F.lit(1)).alias("ntokf")
+        )
+    )
+    nd = d.groupBy(F.col("lang").alias("m")).agg(
+        F.count(F.lit(1)).alias("ndocs")
+    )
+    ndf = d.groupBy(F.col("lang").alias("m"), fold.alias("fold")).agg(
+        F.count(F.lit(1)).alias("ndocsf")
+    )
+    ntot = d.agg(F.count(F.lit(1)).alias("n"))
+    ntotf = d.groupBy(fold.alias("fold")).agg(F.count(F.lit(1)).alias("nf"))
+    priorsf = F.broadcast(
+        nd.crossJoin(ntotf)
+        .crossJoin(ntot)
+        .join(ndf, ["m", "fold"], "left")
+        .select(
+            "m",
+            "fold",
+            F.round(
+                F.log(
+                    (
+                        F.col("ndocs") - F.coalesce(F.col("ndocsf"), F.lit(0))
+                    ).cast("double")
+                    / (F.col("n") - F.col("nf"))
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("lprior6"),
+        )
+    )
+    lp6 = (
+        F.round(
+            F.log(
+                (
+                    F.coalesce(F.col("c"), F.lit(0))
+                    - F.coalesce(F.col("cf"), F.lit(0))
+                    + F.lit(1.0)
+                )
+                / (
+                    F.col("ntok")
+                    - F.coalesce(F.col("ntokf"), F.lit(0))
+                    + F.col("v")
+                )
+            )
+            * 1e6
+        )
+        .cast("bigint")
+    )
+    doc_lang = (
+        toks.crossJoin(F.broadcast(langs))
+        .crossJoin(vsize)
+        .join(cnt, ["t", "m"], "left")
+        .join(cntf, ["t", "m", "fold"], "left")
+        .join(nl, "m")
+        .join(nlf, ["m", "fold"], "left")
+        .groupBy("doc_id", "lang_true", "fold", "m")
+        .agg(F.sum(lp6).alias("ll6"))
+        .join(priorsf, ["m", "fold"])
+    )
+    ranked = doc_lang.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(
+                (F.col("ll6") + F.col("lprior6")).desc(), F.col("m").desc()
+            )
+        ),
+    ).filter(F.col("rk") == 1)
+    return ranked.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("m") == F.col("lang_true"), 1).otherwise(0)).alias(
+            "n_correct"
+        ),
+        F.round(
+            F.sum(
+                F.when(F.col("m") == F.col("lang_true"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
+    )
