@@ -1484,3 +1484,61 @@ def embedding_clustering_stability(spark, sf_dir):
             ).alias("stability_ari"),
         )
     )
+
+
+# ---------------------------------------------- leakage-safe split by cluster
+
+SPLIT_CLUSTER_TRAIN_PCT = 90
+
+
+@query(
+    "split_by_dedup_cluster",
+    oracle="WITH RECURSIVE"
+    + _SHINGLES_SQL
+    + ","
+    + _minhash_sig_sql()
+    + ","
+    + _cand_sql()
+    + f""",
+    sym AS (
+      SELECT doc1 AS a, doc2 AS b FROM cand
+      UNION ALL SELECT doc2, doc1 FROM cand
+    ),
+    walk(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT sym.a, w.label FROM walk w JOIN sym ON sym.b = w.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(label) AS cluster FROM walk GROUP BY id)
+    SELECT doc_id, cluster,
+      CASE WHEN ('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 4))::BIGINT
+                % 100 < {SPLIT_CLUSTER_TRAIN_PCT}
+           THEN 'train' ELSE 'test' END AS split
+    FROM comp
+    """,
+)
+def split_by_dedup_cluster(spark, sf_dir):
+    """Leakage-safe train/test assignment: the split is keyed on the
+    near-dup CLUSTER id, not the document id, so every member of a
+    near-dup group lands on the same side — the fix for the contamination
+    `split_leakage_check` detects (a doc-keyed split puts near-identical
+    texts in both train and test, inflating eval). The standard discipline
+    for any benchmark built from a deduplicated corpus.
+
+    Scale shape: composes the persisted connected-components labels with a
+    map-side md5 bucket of the cluster id — beyond the dedup pass it
+    piggybacks on, the assignment itself is shuffle-free, deterministic
+    across engines/partitionings, and stable under corpus resharding. The
+    invariant test proves straddling near-dup pairs drop to ZERO under
+    this split while the doc-keyed split leaks."""
+    cl = dedup_clusters(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("cluster").cast("string")), 1, 4), 16, 10
+    ).cast("bigint") % 100
+    return cl.select(
+        "doc_id",
+        "cluster",
+        F.when(bucket < SPLIT_CLUSTER_TRAIN_PCT, "train")
+        .otherwise("test")
+        .alias("split"),
+    )

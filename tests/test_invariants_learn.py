@@ -191,3 +191,31 @@ def test_cdc_chunks_tile_each_document(q, spark):
     for r in rows:
         assert 0 <= r["dup_chunks"] <= r["n_chunks"]
         assert 0.0 <= r["dup_char_fraction"] <= 1.0
+
+
+def test_cluster_split_eliminates_leakage(q, spark):
+    """The whole point of split_by_dedup_cluster: near-dup pairs never
+    straddle the split (same cluster => same side), while the doc-keyed
+    split is allowed to leak."""
+    from quackio_jl_spark.operators.dedup import dedup_minhash_lsh_pairs
+    from quackio_jl_spark.registry import QUERIES
+
+    assign = {r["doc_id"]: r for r in q("split_by_dedup_cluster")}
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(assign) == n_docs
+    # same cluster -> same split, by construction and in the output
+    by_cluster = {}
+    for r in assign.values():
+        by_cluster.setdefault(r["cluster"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # zero straddling near-dup pairs under the cluster split
+    pairs = dedup_minhash_lsh_pairs(spark, SF).collect()
+    straddle = [
+        (p["doc1"], p["doc2"])
+        for p in pairs
+        if assign[p["doc1"]]["split"] != assign[p["doc2"]]["split"]
+    ]
+    assert straddle == []
+    # both sides are non-empty (the split still splits)
+    sides = {r["split"] for r in assign.values()}
+    assert sides == {"train", "test"}
