@@ -522,3 +522,115 @@ def _register_caption_oracle():
 
 
 _register_caption_oracle()
+
+
+# ------------------------------------------------ resize / aspect bucketing
+
+RESIZE_LONG_SIDE = 224  # target long side (ViT-style), never upscale
+RESIZE_SNAP = 8  # output dims snap down to a multiple of this
+AR_Q = 4  # aspect-ratio bucket granularity: quarter units of w/h
+
+
+@query(
+    "multimodal_resize_plan",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'video' END AS media_type,
+        CAST(16 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 64 AS BIGINT) AS width,
+        CAST(16 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 64 AS BIGINT) AS height
+      FROM documents WHERE doc_id % 3 <> 1
+    ),
+    planned AS (
+      SELECT doc_id, media_type, width, height,
+        greatest(width, height) AS long_side,
+        CASE WHEN greatest(width, height) <= {RESIZE_LONG_SIDE}
+             THEN width
+             ELSE greatest({RESIZE_SNAP},
+               (width * {RESIZE_LONG_SIDE}) // greatest(width, height)
+                 // {RESIZE_SNAP} * {RESIZE_SNAP}) END AS out_width,
+        CASE WHEN greatest(width, height) <= {RESIZE_LONG_SIDE}
+             THEN height
+             ELSE greatest({RESIZE_SNAP},
+               (height * {RESIZE_LONG_SIDE}) // greatest(width, height)
+                 // {RESIZE_SNAP} * {RESIZE_SNAP}) END AS out_height
+      FROM dims
+    )
+    SELECT doc_id, media_type,
+      CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+      CAST(out_width AS INTEGER) AS out_width,
+      CAST(out_height AS INTEGER) AS out_height,
+      CASE WHEN long_side > {RESIZE_LONG_SIDE} THEN TRUE ELSE FALSE END
+        AS resized,
+      CAST(least(16, greatest(1,
+        ({AR_Q} * 2 * width + height) // (2 * height))) AS INTEGER)
+        AS ar_bucket_q
+    FROM planned
+    """,
+)
+def multimodal_resize_plan(spark, sf_dir):
+    """Resize planning + aspect-ratio bucketing for visual payloads: clamp
+    the long side to {RESIZE_LONG_SIDE}px (never upscale), snap output dims
+    down to multiples of {RESIZE_SNAP} (conv/patch-stride alignment), and
+    assign each item an aspect-ratio bucket in quarter units (floor(4*w/h
+    + 1/2), clamped to [1,16]) — the SDXL-style bucketing that lets a
+    trainer batch same-shape items instead of padding to the corpus max.
+
+    The PLAN is computed engine-side from the decoded metadata in pure
+    integer arithmetic (bit-identical across engines — no float rounding
+    at bucket boundaries); the pixel-level resample itself belongs in the
+    same Arrow mapInPandas pass as the decode (extract_media_features),
+    which this plan parameterizes. Map-side only: no shuffle, no UDF, one
+    scan over the feature table."""
+    feats = extract_media_features(documents_as_media(spark, sf_dir))
+    return _resize_plan(feats.filter(F.col("media_type") != "audio"))
+
+
+def _resize_plan(feats):
+    """Shared resize-plan kernel over (doc_id, media_type, width, height)
+    rows — split out so tests can drive it with synthetic dims (the sf
+    fixture's fake decode never exceeds the no-upscale threshold)."""
+    w = F.col("width").cast("bigint")
+    h = F.col("height").cast("bigint")
+    long_side = F.greatest(w, h)
+
+    def snapped(side):
+        return F.greatest(
+            F.lit(RESIZE_SNAP).cast("bigint"),
+            F.expr(
+                f"((CAST({side} AS BIGINT) * {RESIZE_LONG_SIDE}) "
+                f"div greatest(CAST(width AS BIGINT), CAST(height AS BIGINT))) "
+                f"div {RESIZE_SNAP} * {RESIZE_SNAP}"
+            ),
+        )
+
+    return (
+        feats
+        .select(
+            "doc_id",
+            "media_type",
+            "width",
+            "height",
+            F.when(long_side <= RESIZE_LONG_SIDE, w)
+            .otherwise(snapped("width"))
+            .cast("int")
+            .alias("out_width"),
+            F.when(long_side <= RESIZE_LONG_SIDE, h)
+            .otherwise(snapped("height"))
+            .cast("int")
+            .alias("out_height"),
+            (long_side > RESIZE_LONG_SIDE).alias("resized"),
+            F.least(
+                F.lit(16).cast("bigint"),
+                F.greatest(
+                    F.lit(1).cast("bigint"),
+                    F.expr(
+                        f"({AR_Q} * 2 * CAST(width AS BIGINT) + CAST(height AS BIGINT)) "
+                        "div (2 * CAST(height AS BIGINT))"
+                    ),
+                ),
+            )
+            .cast("int")
+            .alias("ar_bucket_q"),
+        )
+    )

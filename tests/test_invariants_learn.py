@@ -219,3 +219,52 @@ def test_cluster_split_eliminates_leakage(q, spark):
     # both sides are non-empty (the split still splits)
     sides = {r["split"] for r in assign.values()}
     assert sides == {"train", "test"}
+
+
+def test_resize_plan_snaps_clamps_and_never_upscales(spark):
+    """Drive the resize kernel with synthetic dims (the sf fixture's fake
+    decode never exceeds the 224 threshold, so the resize branch needs
+    explicit coverage): long side clamps to 224, outputs snap DOWN to
+    multiples of 8 with a floor of 8, small images pass through untouched,
+    and the quarter-unit aspect bucket clamps to [1, 16]."""
+    from quackio_jl_spark.operators.multimodal import (
+        AR_Q,
+        RESIZE_LONG_SIDE,
+        RESIZE_SNAP,
+        _resize_plan,
+    )
+
+    dims = [
+        (1, "image", 100, 50),     # small: pass-through
+        (2, "image", 448, 224),    # 2x over: exact halving
+        (3, "image", 1000, 10),    # extreme AR: min-dim floor + bucket clamp
+        (4, "video", 10, 1000),    # inverse extreme
+        (5, "image", 225, 225),    # just over threshold
+        (6, "image", 224, 224),    # exactly at threshold: untouched
+        (7, "image", 300, 200),    # non-integral scale: snap down
+    ]
+    df = spark.createDataFrame(dims, ["doc_id", "media_type", "width", "height"])
+    rows = {r["doc_id"]: r for r in _resize_plan(df).collect()}
+
+    for r in rows.values():
+        long_out = max(r["out_width"], r["out_height"])
+        if r["resized"]:
+            assert long_out <= RESIZE_LONG_SIDE
+            assert r["out_width"] % RESIZE_SNAP == 0
+            assert r["out_height"] % RESIZE_SNAP == 0
+        else:
+            assert (r["out_width"], r["out_height"]) == (r["width"], r["height"])
+            assert max(r["width"], r["height"]) <= RESIZE_LONG_SIDE
+        assert r["out_width"] >= RESIZE_SNAP and r["out_height"] >= RESIZE_SNAP
+        assert 1 <= r["ar_bucket_q"] <= 16
+        # floor(AR_Q * w/h + 0.5), clamped — integer-exact reference
+        expect = min(16, max(1, (AR_Q * 2 * r["width"] + r["height"]) // (2 * r["height"])))
+        assert r["ar_bucket_q"] == expect
+
+    assert not rows[1]["resized"] and not rows[6]["resized"]
+    assert (rows[2]["out_width"], rows[2]["out_height"]) == (224, 112)
+    assert rows[3]["out_height"] == RESIZE_SNAP  # floored, never 0
+    assert rows[3]["ar_bucket_q"] == 16 and rows[4]["ar_bucket_q"] == 1
+    assert rows[5]["resized"]
+    # non-integral scale: floor(200*224/300)=149 -> snap 144
+    assert (rows[7]["out_width"], rows[7]["out_height"]) == (224, 144)
