@@ -115,6 +115,16 @@ EXTENDED = [
     "doremi_domain_weights",
     "incremental_agg_maintenance",
     "ann_ivf_index_persisted_search",
+    # Wave 11: learned models, active learning, CDC dedup, resize planning.
+    "langid_naive_bayes",
+    "langid_nb_crossval",
+    "logreg_gd_training_curve",
+    "quality_isotonic_calibration",
+    "annotation_margin_targets",
+    "shard_worker_assignment_balance",
+    "dedup_cdc_chunks",
+    "split_by_dedup_cluster",
+    "multimodal_resize_plan",
 ]
 
 
