@@ -550,3 +550,71 @@ def test_theil_decomposition_identity(spark, rows):
     assert out, "no rows"
     assert abs(out[0]["theil_total"] - t_direct) < 1e-5
     assert abs(total_from_parts - t_direct) < 1e-5
+
+
+# --------------------------- PAV minimax closed form == sequential PAV
+
+
+def _pav_sequential(bins):
+    """Textbook pool-adjacent-violators on (n_k, sy) bins in bin order:
+    merge adjacent pools while a violator (decreasing weighted mean)
+    exists; every bin inherits its pool's weighted mean."""
+    pools = [[n, sy] for n, sy in bins]  # [weight, weighted_sum]
+    spans = [[i, i] for i in range(len(bins))]
+    i = 0
+    while i + 1 < len(pools):
+        if pools[i][1] * pools[i + 1][0] > pools[i + 1][1] * pools[i][0]:
+            # mean_i > mean_{i+1}: merge and restart scan from the left
+            pools[i][0] += pools[i + 1][0]
+            pools[i][1] += pools[i + 1][1]
+            spans[i][1] = spans[i + 1][1]
+            del pools[i + 1], spans[i + 1]
+            i = max(0, i - 1)
+        else:
+            i += 1
+    fit = [0.0] * len(bins)
+    for (w, s), (lo, hi) in zip(pools, spans):
+        for k in range(lo, hi + 1):
+            fit[k] = s / w
+    return fit
+
+
+def _pav_minimax(bins):
+    """The closed form the engine computes declaratively
+    (operators/learn.py::quality_isotonic_calibration):
+    fit_k = max_{i<=k} min_{j>=k} wavg(i..j)."""
+    B = len(bins)
+
+    def wavg(i, j):
+        w = sum(bins[k][0] for k in range(i, j + 1))
+        s = sum(bins[k][1] for k in range(i, j + 1))
+        return s / w
+
+    return [
+        max(min(wavg(i, j) for j in range(k, B)) for i in range(k + 1))
+        for k in range(B)
+    ]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 50), st.integers(0, 50)).map(
+            lambda t: (t[0], min(t[0], t[1]))  # sy <= n_k (binary outcome)
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_pav_minimax_equals_sequential(bins):
+    mm = _pav_minimax(bins)
+    seq = _pav_sequential(bins)
+    assert all(math.isclose(a, b, rel_tol=0, abs_tol=1e-12) for a, b in zip(mm, seq))
+    # and the result is nondecreasing + mean-preserving
+    assert all(a <= b + 1e-12 for a, b in zip(mm, mm[1:]))
+    n = sum(b[0] for b in bins)
+    assert math.isclose(
+        sum(w * f for (w, _), f in zip(bins, mm)) / n,
+        sum(b[1] for b in bins) / n,
+        abs_tol=1e-9,
+    )
