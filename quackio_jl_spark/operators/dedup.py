@@ -2600,3 +2600,72 @@ def dedup_cdc_chunks(spark, sf_dir):
             ).alias("dup_char_fraction"),
         )
     )
+
+
+# ------------------------------------- dedup-evasion-robust normalization
+
+# Invisible characters used to perturb hashes without changing rendering:
+# zero-width space/non-joiner/joiner, word joiner, BOM/ZWNBSP, soft hyphen.
+ZERO_WIDTH = "​‌‍⁠﻿­"
+# Common Cyrillic/Greek homoglyphs of Latin letters (dedup/blocklist
+# evasion staple); 1:1 so translate() applies it in both engines.
+CONFUSABLES_FROM = (
+    "аеорсхуі"  # а е о р с х у і
+    "АВЕКМНОРСТХ"
+    "οΑΒΕΗΚΜΝΟΡΤ"
+)
+CONFUSABLES_TO = "aeopcxyiABEKMHOPCTXoABEHKMNOPT"
+
+
+def _evasion_normalize(col):
+    """Normalization an adversary can't cheaply route around: strip
+    zero-width characters, fold homoglyphs to their Latin targets, then
+    casefold and collapse whitespace. A strict superset of the plain
+    normalizer in dedup_exact_normalized's spirit but unicode-aware —
+    raw-hash dedup misses every one of these perturbations."""
+    x = F.translate(col, ZERO_WIDTH, "")
+    x = F.translate(x, CONFUSABLES_FROM, CONFUSABLES_TO)
+    return F.trim(F.regexp_replace(F.lower(x), "\\s+", " "))
+
+
+@query(
+    "dedup_evasion_robust_groups",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, md5(text) AS raw_key,
+        md5(trim(regexp_replace(
+          lower(translate(translate(text, '{ZERO_WIDTH}', ''),
+                          '{CONFUSABLES_FROM}', '{CONFUSABLES_TO}')),
+          '\\s+', ' ', 'g'))) AS norm_key
+      FROM documents
+    )
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies,
+      COUNT(DISTINCT raw_key) AS n_raw_variants
+    FROM keyed GROUP BY norm_key
+    """,
+)
+def dedup_evasion_robust_groups(spark, sf_dir):
+    """Exact dedup hardened against HASH-EVASION edits: zero-width
+    character injection, Cyrillic/Greek homoglyph substitution, case and
+    whitespace jitter — the standard tricks spam/SEO text uses to slip
+    past md5-exact dedup. One row per evasion-normalized group with its
+    copy count and the number of RAW hash variants inside it
+    (n_raw_variants > 1 = duplicates the raw pass would have missed).
+
+    Scale shape: identical to exact dedup — the normalization is a
+    map-side character transform (translate/lower/regexp, all
+    whole-stage-codegen built-ins), and the only shuffle carries 16-byte
+    keys, never document bytes. The invariant test drives the kernel with
+    actually-perturbed texts; on a clean corpus the report degenerates to
+    the exact-dedup histogram, by design."""
+    d = table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.md5("text").alias("raw_key"),
+        F.md5(_evasion_normalize(F.col("text"))).alias("norm_key"),
+    )
+    return keyed.groupBy("norm_key").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("raw_key").alias("n_raw_variants"),
+    ).select("doc_id", "n_copies", "n_raw_variants")

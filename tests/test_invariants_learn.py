@@ -268,3 +268,33 @@ def test_resize_plan_snaps_clamps_and_never_upscales(spark):
     assert rows[5]["resized"]
     # non-integral scale: floor(200*224/300)=149 -> snap 144
     assert (rows[7]["out_width"], rows[7]["out_height"]) == (224, 144)
+
+
+def test_evasion_normalization_catches_perturbed_duplicates(spark):
+    """Zero-width injection, homoglyph swaps, case/whitespace jitter all
+    collapse to one group under the evasion normalizer while raw md5 sees
+    distinct texts; genuinely different texts stay separate."""
+    from quackio_jl_spark.operators.dedup import _evasion_normalize
+
+    base = "the quick brown fox"
+    variants = [
+        base,
+        "the qu​ick brown fox",        # zero-width space inside a word
+        "the quick br­own fox",         # soft hyphen
+        "The  Quick   Brown Fox",            # case + whitespace jitter
+        "the quick brown fоx",          # Cyrillic о for o
+        "thе quick brown fox",          # Cyrillic е for e
+    ]
+    rows = [(i, t) for i, t in enumerate(variants)] + [(99, "something else")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    import pyspark.sql.functions as F
+
+    out = df.select(
+        "doc_id", _evasion_normalize(F.col("text")).alias("norm")
+    ).collect()
+    norms = {r["doc_id"]: r["norm"] for r in out}
+    assert len({norms[i] for i in range(len(variants))}) == 1
+    assert norms[99] != norms[0]
+    # raw hashes of the variants are all distinct (the evasion premise)
+    raw = df.select("doc_id", F.md5("text").alias("h")).collect()
+    assert len({r["h"] for r in raw if r["doc_id"] != 99}) == len(variants)
