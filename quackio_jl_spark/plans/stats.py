@@ -10295,3 +10295,115 @@ def target_encode_brand_oof(spark, sf_dir):
             ).alias("oof_encoding"),
         )
     )
+
+
+# ------------------------------------------ Holt linear-trend (exact fold)
+
+HOLT_ALPHA = 0.5  # level smoothing (binary-exact constant)
+HOLT_BETA = 0.25  # trend smoothing (binary-exact constant)
+
+
+@query(
+    "orders_monthly_holt_trend",
+    oracle=f"""
+    WITH RECURSIVE bins AS (
+      SELECT date_trunc('month', o_orderdate) AS mon,
+        round(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 6) AS y
+      FROM orders GROUP BY 1
+    ),
+    months AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY mon) AS t, y FROM bins
+    ),
+    nn AS (SELECT MAX(t) AS n FROM months),
+    rec(t, l, b, sae) AS (
+      SELECT CAST(1 AS BIGINT),
+        CAST((SELECT y FROM months WHERE t = 1) AS DOUBLE),
+        CAST(round((SELECT y FROM months WHERE t = 2)
+              - (SELECT y FROM months WHERE t = 1), 8) AS DOUBLE),
+        CAST(0.0 AS DOUBLE)
+      UNION ALL
+      SELECT m.t,
+        round({HOLT_ALPHA} * m.y + {1 - HOLT_ALPHA} * (rec.l + rec.b), 8),
+        round({HOLT_BETA} * (round({HOLT_ALPHA} * m.y
+              + {1 - HOLT_ALPHA} * (rec.l + rec.b), 8) - rec.l)
+              + {1 - HOLT_BETA} * rec.b, 8),
+        rec.sae + round(abs(m.y - (rec.l + rec.b)), 8)
+      FROM rec JOIN months m ON m.t = rec.t + 1
+    )
+    SELECT CAST(nn.n AS BIGINT) AS n_months,
+      rec.l AS level, rec.b AS trend,
+      round(rec.sae / (nn.n - 1), 8) AS mae_one_step,
+      round(rec.l + 1 * rec.b, 6) AS forecast_1,
+      round(rec.l + 2 * rec.b, 6) AS forecast_2,
+      round(rec.l + 3 * rec.b, 6) AS forecast_3
+    FROM rec CROSS JOIN nn WHERE rec.t = nn.n
+    """,
+)
+def orders_monthly_holt_trend(spark, sf_dir):
+    """Holt linear-trend smoothing (double exponential smoothing) of the
+    monthly revenue series, with 1-3 month forecasts and the in-sample
+    one-step MAE. Unlike the truncated-lag EWMA, Holt's recurrence has
+    UNBOUNDED memory — so it's computed as an EXACT SEQUENTIAL FOLD, made
+    declarative with `F.aggregate` over the months array: the corpus
+    collapses to a ~bounded rollup (one row per month) first, then the
+    recursion runs in-row over that model-sized series. The DuckDB twin is
+    a recursive CTE walking the same rollup.
+
+    Determinism: y values are decimal-summed then rounded to 6 decimals;
+    level/trend are re-rounded to 8 decimals at every step; alpha=1/2 and
+    beta=1/4 are binary-exact — both engines iterate identical doubles, so
+    the fitted state and forecasts hash-match exactly. Scale shape: one
+    partial-agg month rollup (the only shuffle), one 1-row collect_list of
+    ~bounded months; the fold is O(months), driver-free, and the 100 TB of
+    order rows never leave the scan-aggregate stage."""
+    o = table(spark, sf_dir, "orders")
+    bins = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
+        F.round(dsum("o_totalprice").cast("double"), 6).alias("y")
+    )
+    series = bins.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("mon", "y"))),
+            lambda r: r["y"],
+        ).alias("ys")
+    )
+    n = F.size("ys")
+    y1 = F.element_at("ys", 1)
+    y2 = F.element_at("ys", 2)
+    init = F.struct(
+        y1.alias("l"),
+        F.round(y2 - y1, 8).alias("b"),
+        F.lit(0.0).alias("sae"),
+    )
+
+    def step(acc, y):
+        pred = acc["l"] + acc["b"]
+        l_new = F.round(
+            F.lit(HOLT_ALPHA) * y + F.lit(1 - HOLT_ALPHA) * pred, 8
+        )
+        b_new = F.round(
+            F.lit(HOLT_BETA) * (l_new - acc["l"])
+            + F.lit(1 - HOLT_BETA) * acc["b"],
+            8,
+        )
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            (acc["sae"] + F.round(F.abs(y - pred), 8)).alias("sae"),
+        )
+
+    fitted = series.select(
+        n.cast("bigint").alias("n_months"),
+        F.aggregate(F.slice("ys", 2, n - 1), init, step).alias("st"),
+    )
+    return fitted.select(
+        "n_months",
+        F.col("st.l").alias("level"),
+        F.col("st.b").alias("trend"),
+        F.round(F.col("st.sae") / (F.col("n_months") - 1), 8).alias(
+            "mae_one_step"
+        ),
+        *[
+            F.round(F.col("st.l") + h * F.col("st.b"), 6).alias(f"forecast_{h}")
+            for h in (1, 2, 3)
+        ],
+    )

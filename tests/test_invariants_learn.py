@@ -298,3 +298,31 @@ def test_evasion_normalization_catches_perturbed_duplicates(spark):
     # raw hashes of the variants are all distinct (the evasion premise)
     raw = df.select("doc_id", F.md5("text").alias("h")).collect()
     assert len({r["h"] for r in raw if r["doc_id"] != 99}) == len(variants)
+
+
+def test_holt_trend_tracks_a_linear_series(spark):
+    """Feed the Holt fold an exactly linear monthly series: level must
+    converge onto the line and the h-step forecasts must extrapolate it."""
+    from quackio_jl_spark.registry import QUERIES
+    import datetime, tempfile, os
+
+    # Build a tiny orders parquet with revenue exactly 100 + 10*t per month.
+    rows = []
+    t = 0
+    for year in (1995, 1996):
+        for m in range(1, 13):
+            rows.append((t, datetime.date(year, m, 1), float(100 + 10 * t)))
+            t += 1
+    df = spark.createDataFrame(rows, ["o_orderkey", "o_orderdate", "o_totalprice"])
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    out = QUERIES["orders_monthly_holt_trend"](spark, d).collect()[0]
+    assert out["n_months"] == 24
+    # The last observation is 100 + 10*23 = 330; a converged Holt fit on a
+    # noiseless line has level == last y and trend == slope.
+    assert out["level"] == pytest.approx(330.0, abs=1e-4)
+    assert out["trend"] == pytest.approx(10.0, abs=1e-4)
+    assert out["forecast_1"] == pytest.approx(340.0, abs=1e-3)
+    assert out["forecast_3"] == pytest.approx(360.0, abs=1e-3)
+    # One-step errors vanish once the fit locks on; MAE stays tiny.
+    assert out["mae_one_step"] < 1e-6
