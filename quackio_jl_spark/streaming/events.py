@@ -770,3 +770,44 @@ def cumulative_users_stream(
         F.col("new_users").cast("bigint").alias("new_users"),
         F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
     )
+
+
+def evasion_dedup_stream(
+    spark: SparkSession, sf_dir: str, queryName: str = "evasion_dedup"
+) -> DataFrame:
+    """Ingest-time corpus dedup on the evasion-robust key
+    (operators/dedup.py::_evasion_normalize): documents arrive on a file
+    stream, each is reduced map-side to a 16-byte normalized digest, and
+    ``dropDuplicates`` keeps the first arrival per digest — zero-width /
+    homoglyph / case perturbed re-submissions are rejected at the door
+    instead of surviving until the next batch dedup pass.
+
+    State design: the store holds ONE digest per distinct document —
+    key-sized state, linear in the distinct corpus (the same table a batch
+    exact-dedup shuffles), backed by the state store (RocksDB in
+    production) rather than executor memory. No watermark: corpus identity
+    dedup is intentionally unbounded in TIME (a duplicate a month later is
+    still a duplicate) while bounded in SIZE by distinct documents. The
+    batch twin is dedup_evasion_robust_groups; the equivalence test checks
+    the kept set covers exactly one representative per normalized group."""
+    from ..operators.dedup import _evasion_normalize
+
+    docs = _documents_stream(spark, sf_dir)
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(_evasion_normalize(F.col("text"))).alias("norm_key"),
+    )
+    deduped = keyed.dropDuplicates(["norm_key"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {queryName}")

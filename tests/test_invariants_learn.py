@@ -326,3 +326,28 @@ def test_holt_trend_tracks_a_linear_series(spark):
     assert out["forecast_3"] == pytest.approx(360.0, abs=1e-3)
     # One-step errors vanish once the fit locks on; MAE stays tiny.
     assert out["mae_one_step"] < 1e-6
+
+
+def test_evasion_dedup_stream_matches_batch_groups(spark):
+    """Streaming first-arrival dedup on the evasion-robust digest keeps
+    exactly one representative per normalized group the batch operator
+    reports, and every kept doc really belongs to its group."""
+    import pyspark.sql.functions as F
+    from quackio_jl_spark.operators.dedup import _evasion_normalize
+    from quackio_jl_spark.streaming.events import evasion_dedup_stream
+
+    kept = evasion_dedup_stream(spark, SF, queryName="t_evasion").collect()
+    batch = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            "doc_id", F.md5(_evasion_normalize(F.col("text"))).alias("norm_key")
+        )
+        .collect()
+    )
+    groups = {}
+    for r in batch:
+        groups.setdefault(r["norm_key"], set()).add(r["doc_id"])
+    assert len(kept) == len(groups)  # one survivor per normalized group
+    assert {r["norm_key"] for r in kept} == set(groups)
+    for r in kept:
+        assert r["doc_id"] in groups[r["norm_key"]]
