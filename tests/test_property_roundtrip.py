@@ -13,6 +13,7 @@ import math
 import os
 import tempfile
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -618,3 +619,63 @@ def test_pav_minimax_equals_sequential(bins):
         sum(b[1] for b in bins) / n,
         abs_tol=1e-9,
     )
+
+
+# --------------------- Holt oracle == textbook recursion (duckdb-only)
+
+
+@given(
+    st.lists(
+        # eighth-units: exact in IEEE binary AND in DECIMAL(28,6), so the
+        # oracle's decimal revenue cast is lossless for every draw (the
+        # engines' half-even vs half-up decimal-cast tie behavior is out of
+        # scope here — real prices are 2dp and never tie at 6dp)
+        st.integers(min_value=4, max_value=8_000_000).map(lambda k: k / 8),
+        min_size=2,
+        max_size=24,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_holt_oracle_matches_textbook_recursion(ys):
+    """Run the registered DuckDB oracle for orders_monthly_holt_trend on a
+    synthetic monthly series and compare to a plain-Python Holt recursion
+    with the same per-step rounding — validates the declarative
+    formulation itself (the Spark twin is pinned to this oracle by the
+    hash gate)."""
+    import duckdb
+
+    from quackio_jl_spark.plans.stats import HOLT_ALPHA, HOLT_BETA
+    from quackio_jl_spark.registry import ORACLES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE orders AS SELECT "
+        "make_date(1995 + (i // 12), 1 + (i % 12), 1 + (i % 27)) AS o_orderdate, "
+        "CAST(y AS DOUBLE) AS o_totalprice "
+        "FROM (SELECT UNNEST(range(len($ys))) AS i, UNNEST($ys) AS y)",
+        {"ys": ys},
+    )
+    row = con.execute(ORACLES["orders_monthly_holt_trend"]).fetchone()
+    n_months, level, trend, mae, f1, f2, f3 = row
+
+    # plain-Python twin with the ENGINES' rounding (half away from zero —
+    # python's round() is banker's and diverges on exact ties)
+    def r(x, n):
+        s = 10.0 ** n
+        return math.floor(x * s + 0.5) / s if x >= 0 else math.ceil(x * s - 0.5) / s
+
+    series = [r(y, 6) for y in ys]
+    l, b, sae = series[0], r(series[1] - series[0], 8), 0.0
+    for y in series[1:]:
+        pred = l + b
+        l_new = r(HOLT_ALPHA * y + (1 - HOLT_ALPHA) * pred, 8)
+        b = r(HOLT_BETA * (l_new - l) + (1 - HOLT_BETA) * b, 8)
+        l = l_new
+        sae += r(abs(y - pred), 8)
+
+    assert n_months == len(ys)
+    assert level == pytest.approx(l, abs=1e-9)
+    assert trend == pytest.approx(b, abs=1e-9)
+    assert mae == pytest.approx(r(sae / (len(ys) - 1), 8), abs=1e-9)
+    for h, f in ((1, f1), (2, f2), (3, f3)):
+        assert f == pytest.approx(r(l + h * b, 6), abs=1e-9)
