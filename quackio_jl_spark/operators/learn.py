@@ -860,3 +860,139 @@ def langid_nb_crossval(spark, sf_dir):
             6,
         ).alias("accuracy"),
     )
+
+
+# --------------------------------- calibration improvement (ECE raw vs iso)
+
+
+@query(
+    "quality_calibration_improvement",
+    oracle=f"""
+    WITH scored AS (
+      SELECT
+        round(1.0 / (1.0 + exp(-((-3.0)
+          + (0.9 * ln(1.0 + len(string_split(text, ' '))))
+          + (-0.15 * (CAST(length(text) AS DOUBLE)
+                      / len(string_split(text, ' '))))
+          + (4.0 * (CAST(length(text)
+              - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
+              / length(text)))
+          + (-6.0 * (CAST(length(text)
+              - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+              / length(text)))))), 8) AS p,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    bins AS (
+      SELECT least(CAST(floor(p * {_ISO_BINS}) AS BIGINT),
+                   {_ISO_BINS - 1}) AS bin,
+        COUNT(*) AS n_k, SUM(y) AS sy,
+        SUM(CAST(p AS DECIMAL(28,12))) AS sp
+      FROM scored GROUP BY 1
+    ),
+    intervals AS (
+      SELECT i.bin AS lo, j.bin AS hi,
+        round(CAST(SUM(m.sy) AS DOUBLE) / SUM(m.n_k), 8) AS wavg
+      FROM bins i JOIN bins j ON i.bin <= j.bin
+      JOIN bins m ON m.bin BETWEEN i.bin AND j.bin
+      GROUP BY 1, 2
+    ),
+    inner_min AS (
+      SELECT b.bin, iv.lo, MIN(iv.wavg) AS mn
+      FROM bins b JOIN intervals iv ON iv.lo <= b.bin AND iv.hi >= b.bin
+      GROUP BY 1, 2
+    ),
+    fit AS (SELECT bin, MAX(mn) AS iso_rate FROM inner_min GROUP BY 1),
+    terms AS (
+      SELECT bins.n_k,
+        CAST(round(bins.n_k * abs(
+          round(CAST(bins.sp AS DOUBLE) / bins.n_k, 8)
+          - round(CAST(bins.sy AS DOUBLE) / bins.n_k, 8)), 6)
+          AS DECIMAL(28,6)) AS raw_term,
+        CAST(round(bins.n_k * abs(
+          fit.iso_rate
+          - round(CAST(bins.sy AS DOUBLE) / bins.n_k, 8)), 6)
+          AS DECIMAL(28,6)) AS iso_term
+      FROM bins JOIN fit ON fit.bin = bins.bin
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+      round(CAST(SUM(raw_term) AS DOUBLE) / SUM(n_k), 8) AS ece_raw,
+      round(CAST(SUM(iso_term) AS DOUBLE) / SUM(n_k), 8) AS ece_iso,
+      round(CAST(SUM(raw_term) AS DOUBLE) / SUM(n_k)
+            - CAST(SUM(iso_term) AS DOUBLE) / SUM(n_k), 8) AS ece_reduction
+    FROM terms
+    """,
+)
+def quality_calibration_improvement(spark, sf_dir):
+    """The "so what" of calibration: expected calibration error (ECE) of
+    the raw logistic quality score vs the isotonic-calibrated score, over
+    the same 10 bins as quality_isotonic_calibration. ECE_raw weights each
+    bin's |mean predicted p - realized rate|; after the isotonic map the
+    bin's prediction IS the fitted rate, so ECE_iso measures what the PAV
+    fit cannot explain (it is 0 when the fit is free to match every bin —
+    nonzero exactly where monotonicity binds, i.e. where pooling merged
+    violator bins).
+
+    Scale shape: one corpus aggregate to 10 bins (with an extra exact
+    decimal sum of p per bin), the same O(B^3) declarative minimax on the
+    bin table, and a 10-row rollup. Per-bin terms are rounded then
+    decimal-summed, so both engines report identical ECEs."""
+    from .scoring import quality_score_col
+
+    d = table(spark, sf_dir, "documents")
+    rows_ = d.select(
+        quality_score_col().alias("p"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    bins = rows_.groupBy(
+        F.least(
+            F.floor(F.col("p") * _ISO_BINS).cast("bigint"),
+            F.lit(_ISO_BINS - 1).cast("bigint"),
+        ).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_k"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("p").cast("decimal(28,12)")).alias("sp"),
+    )
+    i = bins.select(F.col("bin").alias("lo"))
+    j = bins.select(F.col("bin").alias("hi"))
+    m = bins.select(
+        F.col("bin").alias("mb"), F.col("n_k").alias("mn_k"), F.col("sy").alias("msy")
+    )
+    intervals = (
+        i.join(j, F.col("lo") <= F.col("hi"))
+        .join(m, (F.col("mb") >= F.col("lo")) & (F.col("mb") <= F.col("hi")))
+        .groupBy("lo", "hi")
+        .agg(F.round(F.sum("msy").cast("double") / F.sum("mn_k"), 8).alias("wavg"))
+    )
+    inner_min = (
+        bins.select("bin")
+        .join(
+            intervals,
+            (F.col("lo") <= F.col("bin")) & (F.col("hi") >= F.col("bin")),
+        )
+        .groupBy("bin", "lo")
+        .agg(F.min("wavg").alias("mn"))
+    )
+    fit = inner_min.groupBy("bin").agg(F.max("mn").alias("iso_rate"))
+    raw_rate = F.round(F.col("sy").cast("double") / F.col("n_k"), 8)
+    mean_p = F.round(F.col("sp").cast("double") / F.col("n_k"), 8)
+    terms = bins.join(fit, "bin").select(
+        "n_k",
+        F.round(F.col("n_k") * F.abs(mean_p - raw_rate), 6)
+        .cast("decimal(28,6)")
+        .alias("raw_term"),
+        F.round(F.col("n_k") * F.abs(F.col("iso_rate") - raw_rate), 6)
+        .cast("decimal(28,6)")
+        .alias("iso_term"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.round(F.sum("raw_term").cast("double") / F.sum("n_k"), 8).alias("ece_raw"),
+        F.round(F.sum("iso_term").cast("double") / F.sum("n_k"), 8).alias("ece_iso"),
+        F.round(
+            F.sum("raw_term").cast("double") / F.sum("n_k")
+            - F.sum("iso_term").cast("double") / F.sum("n_k"),
+            8,
+        ).alias("ece_reduction"),
+    )

@@ -634,3 +634,95 @@ def _resize_plan(feats):
             .alias("ar_bucket_q"),
         )
     )
+
+
+@query(
+    "multimodal_ar_bucket_padding",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+        CAST(16 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 64 AS BIGINT) AS width,
+        CAST(16 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 64 AS BIGINT) AS height
+      FROM documents WHERE doc_id % 3 <> 1
+    ),
+    planned AS (
+      SELECT doc_id, width, height,
+        CASE WHEN greatest(width, height) <= {RESIZE_LONG_SIDE}
+             THEN width
+             ELSE greatest({RESIZE_SNAP},
+               (width * {RESIZE_LONG_SIDE}) // greatest(width, height)
+                 // {RESIZE_SNAP} * {RESIZE_SNAP}) END AS ow,
+        CASE WHEN greatest(width, height) <= {RESIZE_LONG_SIDE}
+             THEN height
+             ELSE greatest({RESIZE_SNAP},
+               (height * {RESIZE_LONG_SIDE}) // greatest(width, height)
+                 // {RESIZE_SNAP} * {RESIZE_SNAP}) END AS oh,
+        least(16, greatest(1,
+          ({AR_Q} * 2 * width + height) // (2 * height))) AS ar_bucket_q
+      FROM dims
+    ),
+    g AS (SELECT MAX(ow) AS gw, MAX(oh) AS gh, SUM(ow * oh) AS guse,
+                 COUNT(*) AS gn FROM planned),
+    per_bucket AS (
+      SELECT ar_bucket_q, COUNT(*) AS n_items,
+        MAX(ow) AS max_w, MAX(oh) AS max_h,
+        SUM(ow * oh) AS useful
+      FROM planned GROUP BY 1
+    )
+    SELECT CAST(b.ar_bucket_q AS INTEGER) AS ar_bucket_q,
+      b.n_items,
+      CAST(b.max_w AS INTEGER) AS max_w, CAST(b.max_h AS INTEGER) AS max_h,
+      round(1.0 - CAST(b.useful AS DOUBLE)
+            / (b.n_items * b.max_w * b.max_h), 8) AS pad_frac_bucketed,
+      round(1.0 - CAST(g.guse AS DOUBLE) / (g.gn * g.gw * g.gh), 8)
+        AS pad_frac_global
+    FROM per_bucket b CROSS JOIN g
+    """,
+)
+def multimodal_ar_bucket_padding(spark, sf_dir):
+    """Quantifies what aspect-ratio bucketing BUYS: per bucket, the padding
+    fraction when each batch pads only to its bucket's max dims, next to
+    the padding fraction the trainer pays if every item pads to the global
+    max (the naive collate). The gap is wasted pixels = wasted FLOPs; this
+    report is the evidence for (or against) enabling bucketing on a corpus.
+
+    All areas are exact integers off the resize plan; the global roll-up is
+    a broadcast 1-row aggregate cross-joined onto the bucket-sized table
+    (the repo's attach-a-global-scalar pattern) — one scan, one tiny
+    shuffle, no row explosion."""
+    plan = multimodal_resize_plan(spark, sf_dir).select(
+        "ar_bucket_q",
+        F.col("out_width").cast("bigint").alias("ow"),
+        F.col("out_height").cast("bigint").alias("oh"),
+    )
+    g = F.broadcast(
+        plan.agg(
+            F.max("ow").alias("gw"),
+            F.max("oh").alias("gh"),
+            F.sum(F.col("ow") * F.col("oh")).alias("guse"),
+            F.count(F.lit(1)).alias("gn"),
+        )
+    )
+    per_bucket = plan.groupBy("ar_bucket_q").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.max("ow").alias("max_w"),
+        F.max("oh").alias("max_h"),
+        F.sum(F.col("ow") * F.col("oh")).alias("useful"),
+    )
+    return per_bucket.crossJoin(g).select(
+        F.col("ar_bucket_q").cast("int").alias("ar_bucket_q"),
+        "n_items",
+        F.col("max_w").cast("int").alias("max_w"),
+        F.col("max_h").cast("int").alias("max_h"),
+        F.round(
+            F.lit(1.0)
+            - F.col("useful").cast("double")
+            / (F.col("n_items") * F.col("max_w") * F.col("max_h")),
+            8,
+        ).alias("pad_frac_bucketed"),
+        F.round(
+            F.lit(1.0)
+            - F.col("guse").cast("double") / (F.col("gn") * F.col("gw") * F.col("gh")),
+            8,
+        ).alias("pad_frac_global"),
+    )

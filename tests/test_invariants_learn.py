@@ -351,3 +351,33 @@ def test_evasion_dedup_stream_matches_batch_groups(spark):
     assert {r["norm_key"] for r in kept} == set(groups)
     for r in kept:
         assert r["doc_id"] in groups[r["norm_key"]]
+
+
+def test_calibration_improvement_is_nonnegative_and_bounded(q):
+    """Isotonic regression is the L2-optimal monotone fit on the bins, so
+    mapping each bin's prediction to its fitted rate can only reduce the
+    binned ECE; both ECEs live in [0, 1]."""
+    row = q("quality_calibration_improvement")[0]
+    assert 0.0 <= row["ece_iso"] <= row["ece_raw"] <= 1.0
+    assert row["ece_reduction"] == pytest.approx(
+        row["ece_raw"] - row["ece_iso"], abs=1e-8
+    )
+    assert row["n_bins"] >= 1
+
+
+def test_ar_bucket_padding_beats_global_padding(q):
+    """Bucketed padding can never waste more pixels than padding every
+    item to the global max dims — per bucket, max dims are dominated by
+    the global max while useful pixels are identical."""
+    rows = q("multimodal_ar_bucket_padding")
+    assert rows
+    g = {r["pad_frac_global"] for r in rows}
+    assert len(g) == 1  # the global number is global
+    (pad_global,) = g
+    for r in rows:
+        assert 0.0 <= r["pad_frac_bucketed"] <= pad_global <= 1.0
+        assert r["max_w"] <= 224 and r["max_h"] <= 224
+    # aggregate waste under bucketing is strictly below the naive collate
+    tot = sum(r["n_items"] for r in rows)
+    agg = sum(r["n_items"] * r["pad_frac_bucketed"] for r in rows) / tot
+    assert agg < pad_global
