@@ -125,6 +125,10 @@ EXTENDED = [
     "dedup_cdc_chunks",
     "split_by_dedup_cluster",
     "multimodal_resize_plan",
+    "multimodal_ar_bucket_padding",
+    "quality_calibration_improvement",
+    "orders_monthly_holt_trend",
+    "dedup_evasion_robust_groups",
 ]
 
 
