@@ -3057,3 +3057,76 @@ def ann_ivf_index_persisted_search(spark, sf_dir):
         cand.select("qid", "vec_id", "cos_sim", F.row_number().over(wr).alias("rnk"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# ------------------------------------ continuation-eval pair construction
+
+CONT_MIN_TOKENS = 32
+CONT_PROMPT_FRAC_NUM = 3  # prompt = first 3/4 of tokens
+CONT_PROMPT_FRAC_DEN = 4
+
+
+@query(
+    "continuation_eval_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= {CONT_MIN_TOKENS}
+    ),
+    split AS (
+      SELECT doc_id, lang, t,
+        CAST(len(t) * {CONT_PROMPT_FRAC_NUM} // {CONT_PROMPT_FRAC_DEN}
+             AS BIGINT) AS cut
+      FROM toks
+    )
+    SELECT doc_id, lang,
+      cut AS prompt_tokens,
+      CAST(len(t) - cut AS BIGINT) AS completion_tokens,
+      md5(array_to_string(t[1:cut], ' ')) AS prompt_md5,
+      md5(array_to_string(t[cut+1:len(t)], ' ')) AS completion_md5
+    FROM split
+    """,
+)
+def continuation_eval_pairs(spark, sf_dir):
+    """Prompt/continuation pair construction — the held-out perplexity /
+    continuation-accuracy eval shape: each sufficiently long document is
+    split at the deterministic 3/4 token position into a prompt and a
+    completion; the pair is emitted as token counts plus content digests
+    (the digests pin the exact split content across engines without
+    shipping text twice).
+
+    Scale shape: pure map — an in-row token split, an integer cut index,
+    two slices, two hashes. No shuffle at all; composes with
+    split_by_dedup_cluster (build eval pairs only from the leakage-safe
+    test side) and token-budget planning. Integer floor arithmetic keeps
+    the cut identical in both engines."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= CONT_MIN_TOKENS)
+    cut = (
+        F.size("t").cast("bigint")
+        * CONT_PROMPT_FRAC_NUM
+        / CONT_PROMPT_FRAC_DEN
+    ).cast("bigint")
+    split = toks.withColumn("cut", cut)
+    return split.select(
+        "doc_id",
+        "lang",
+        F.col("cut").alias("prompt_tokens"),
+        (F.size("t") - F.col("cut")).cast("bigint").alias("completion_tokens"),
+        F.md5(F.concat_ws(" ", F.slice("t", 1, F.col("cut").cast("int")))).alias(
+            "prompt_md5"
+        ),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "t",
+                    (F.col("cut") + 1).cast("int"),
+                    (F.size("t") - F.col("cut")).cast("int"),
+                ),
+            )
+        ).alias("completion_md5"),
+    )

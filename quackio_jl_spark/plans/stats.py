@@ -10407,3 +10407,83 @@ def orders_monthly_holt_trend(spark, sf_dir):
             for h in (1, 2, 3)
         ],
     )
+
+
+# --------------------------------------- watermark lateness audit (events)
+
+WM_BUCKETS_MIN = (0, 1, 5, 15, 60, 240)  # lateness buckets, minutes
+
+
+@query(
+    "events_watermark_lateness_audit",
+    oracle=f"""
+    WITH arr AS (
+      SELECT event_id, ts,
+        MAX(ts) OVER (ORDER BY event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm
+      FROM events
+    ),
+    late AS (
+      SELECT CAST(date_diff('second', ts, hwm) AS BIGINT) AS late_s
+      FROM arr
+    ),
+    bucketed AS (
+      SELECT CASE
+        {" ".join(
+          f"WHEN late_s <= {m * 60} THEN {m}"
+          for m in WM_BUCKETS_MIN
+        )}
+        ELSE -1 END AS wm_minutes,
+        COUNT(*) AS n
+      FROM late GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS total FROM bucketed)
+    SELECT wm_minutes, n,
+      round(CAST(SUM(n) OVER (ORDER BY CASE WHEN wm_minutes = -1
+                 THEN 999999 ELSE wm_minutes END) AS DOUBLE)
+            / tot.total, 8) AS kept_fraction
+    FROM bucketed CROSS JOIN tot
+    """,
+)
+def events_watermark_lateness_audit(spark, sf_dir):
+    """Watermark tuning evidence: per event, lateness = high-water-mark of
+    event time over everything that ARRIVED earlier (arrival order =
+    event_id) minus its own event time; bucketed into candidate watermark
+    delays with the cumulative fraction of events each delay would keep.
+    This is THE number a streaming deployment needs before setting
+    ``withWatermark`` — too small silently drops the late tail, too large
+    bloats every stateful operator's store.
+
+    Scale shape: the running max is a global arrival-order scan — on a
+    cluster, the same audit runs per ingest partition (arrival order is
+    only defined within a partition anyway); here the global order makes
+    the oracle exact. Output is bucket-sized; the -1 bucket is "later than
+    every candidate" (would need a bigger watermark)."""
+    e = table(spark, sf_dir, "events")
+    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    arr = e.select(
+        "ts", F.max("ts").over(w).alias("hwm")
+    )
+    late = arr.select(
+        (F.unix_timestamp("hwm") - F.unix_timestamp("ts")).alias("late_s")
+    )
+    bucket = None
+    for m in WM_BUCKETS_MIN:
+        cond = F.col("late_s") <= m * 60
+        bucket = F.when(cond, F.lit(m)) if bucket is None else bucket.when(cond, F.lit(m))
+    bucket = bucket.otherwise(F.lit(-1))
+    bucketed = late.groupBy(bucket.alias("wm_minutes")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = F.broadcast(bucketed.agg(F.sum("n").alias("total")))
+    order_key = F.when(F.col("wm_minutes") == -1, F.lit(999999)).otherwise(
+        F.col("wm_minutes")
+    )
+    cum = F.sum("n").over(
+        W.orderBy(order_key).rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return bucketed.crossJoin(tot).select(
+        "wm_minutes",
+        "n",
+        F.round(cum.cast("double") / F.col("total"), 8).alias("kept_fraction"),
+    )

@@ -381,3 +381,38 @@ def test_ar_bucket_padding_beats_global_padding(q):
     tot = sum(r["n_items"] for r in rows)
     agg = sum(r["n_items"] * r["pad_frac_bucketed"] for r in rows) / tot
     assert agg < pad_global
+
+
+def test_watermark_audit_on_out_of_order_feed(spark):
+    """Synthetic feed with known lateness: events arrive (by event_id) with
+    some event times 2 and 20 minutes behind the high-water mark; the audit
+    must bucket them and produce a nondecreasing kept_fraction reaching 1."""
+    import datetime, os, tempfile
+
+    from quackio_jl_spark.registry import QUERIES
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        (1, ts(0)), (2, ts(10)), (3, ts(8)),    # 2 min late
+        (4, ts(20)), (5, ts(0)),                # 20 min late
+        (6, ts(30)), (7, ts(30)), (8, ts(29)),  # 1 min late
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp")
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = sorted(
+        QUERIES["events_watermark_lateness_audit"](spark, d).collect(),
+        key=lambda r: (r["wm_minutes"] == -1, r["wm_minutes"]),
+    )
+    by_bucket = {r["wm_minutes"]: r for r in out}
+    assert by_bucket[0]["n"] == 5      # on-time events
+    assert by_bucket[1]["n"] == 1      # the 1-minute straggler
+    assert by_bucket[5]["n"] == 1      # the 2-minute one (<=5 bucket)
+    assert by_bucket[60]["n"] == 1     # the 20-minute one (<=60 bucket)
+    kept = [r["kept_fraction"] for r in out]
+    assert kept == sorted(kept)
+    assert kept[-1] == 1.0
