@@ -129,6 +129,8 @@ EXTENDED = [
     "quality_calibration_improvement",
     "orders_monthly_holt_trend",
     "dedup_evasion_robust_groups",
+    "continuation_eval_pairs",
+    "events_watermark_lateness_audit",
 ]
 
 
