@@ -131,6 +131,7 @@ EXTENDED = [
     "dedup_evasion_robust_groups",
     "continuation_eval_pairs",
     "events_watermark_lateness_audit",
+    "mink_prob_contamination",
 ]
 
 

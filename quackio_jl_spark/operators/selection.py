@@ -954,3 +954,141 @@ def length_bucket_resample_weights(spark, sf_dir):
             F.col("n").cast("double") / (F.col("k") * F.col("n_docs")), 8
         ).alias("weight"),
     )
+
+
+# ------------------------------- Min-K% Prob contamination (Shi et al. '23)
+
+MINK_BENCH_MOD = 20  # doc_id % 20 == 0 -> the held-out "benchmark" slice
+MINK_FRAC_DEN = 5  # K = lowest 1/5 of bigram log-probs
+
+
+@query(
+    "mink_prob_contamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+        CASE WHEN doc_id % {MINK_BENCH_MOD} = 0 THEN 1 ELSE 0 END AS is_bench
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, is_bench, t[i+1] AS w1,
+        t[i+1] || ' ' || t[i+2] AS bigram
+      FROM toks, UNNEST(range(len(t) - 1)) AS u(i)
+    ),
+    bgc AS (
+      SELECT bigram, count(*) AS cb FROM bg WHERE is_bench = 0 GROUP BY 1
+    ),
+    ugc AS (
+      SELECT w1, count(*) AS cu FROM bg WHERE is_bench = 0 GROUP BY 1
+    ),
+    vs AS (SELECT COUNT(DISTINCT w1) AS v FROM bg WHERE is_bench = 0),
+    scored AS (
+      SELECT bg.doc_id,
+        round(ln((COALESCE(bgc.cb, 0) + 1.0)
+                 / (COALESCE(ugc.cu, 0) + vs.v)), 8) AS lp
+      FROM bg
+      LEFT JOIN bgc USING (bigram)
+      LEFT JOIN ugc USING (w1)
+      CROSS JOIN vs
+      WHERE bg.is_bench = 1
+    ),
+    ranked AS (
+      SELECT doc_id, lp,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lp ASC) AS rn,
+        COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM scored
+    )
+    SELECT doc_id, CAST(ANY_VALUE(n) AS BIGINT) AS n_bigrams,
+      CAST(greatest(1, ANY_VALUE(n) // {MINK_FRAC_DEN}) AS BIGINT) AS k,
+      round(CAST(SUM(CAST(lp AS DECIMAL(20,8))) AS DOUBLE)
+            / greatest(1, ANY_VALUE(n) // {MINK_FRAC_DEN}), 8)
+        AS min_k_avg_logprob
+    FROM ranked
+    WHERE rn <= greatest(1, n // {MINK_FRAC_DEN})
+    GROUP BY doc_id
+    """,
+)
+def mink_prob_contamination(spark, sf_dir):
+    """Min-K% Prob membership/contamination signal (Shi et al. 2023,
+    "Detecting Pretraining Data from Large Language Models"): score each
+    held-out "benchmark" document under a language model fit on the REST
+    of the corpus, then average only its K% least likely spans. A document
+    the model has actually seen scores anomalously high even on its worst
+    spans — the statistic n-gram-overlap decontamination misses when the
+    copy is lightly paraphrased. Here the LM is the corpus bigram model
+    (train slice only; vocab-size Laplace smoothing so an UNSEEN context
+    scores ln(1/V), never 0) and spans are bigrams.
+
+    Scale shape: train/bench is a pure-function row tag; the count tables
+    are model-sized broadcasts; scoring is one left-join pass over BENCH
+    bigrams only (5% of the corpus); the lowest-K selection is a
+    per-document window (never corpus-wide). The K-subset average is an
+    exact decimal sum over 8dp-rounded terms — ties at the K boundary have
+    equal values, so the average is deterministic for any tie order."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+        (F.col("doc_id") % MINK_BENCH_MOD == 0).alias("is_bench"),
+    ).filter(F.size("t") >= 2)
+    bg = toks.select(
+        "doc_id",
+        "is_bench",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.element_at("t", i + 1).alias("w1"),
+                    F.concat_ws(" ", F.slice("t", i + 1, 2)).alias("bigram"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "is_bench", "p.w1", "p.bigram")
+    train = bg.filter(~F.col("is_bench"))
+    bgc = train.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
+    ugc = train.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    vs = F.broadcast(train.agg(F.countDistinct("w1").alias("v")))
+    lp = F.round(
+        F.log(
+            (F.coalesce(F.col("cb"), F.lit(0)) + 1.0)
+            / (F.coalesce(F.col("cu"), F.lit(0)) + F.col("v"))
+        ),
+        8,
+    )
+    scored = (
+        bg.filter(F.col("is_bench"))
+        .join(F.broadcast(bgc), "bigram", "left")
+        .join(F.broadcast(ugc), "w1", "left")
+        .crossJoin(vs)
+        .select("doc_id", lp.alias("lp"))
+    )
+    wd = W.partitionBy("doc_id")
+    ranked = scored.select(
+        "doc_id",
+        "lp",
+        F.row_number().over(wd.orderBy(F.col("lp").asc())).alias("rn"),
+        F.count(F.lit(1)).over(wd).alias("n"),
+    )
+    k = F.greatest(F.lit(1).cast("bigint"), (F.col("n") / MINK_FRAC_DEN).cast("bigint"))
+    return (
+        ranked.filter(F.col("rn") <= k)
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("n").cast("bigint").alias("n_bigrams"),
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                (F.any_value("n") / MINK_FRAC_DEN).cast("bigint"),
+            ).alias("k"),
+            F.round(
+                F.sum(F.col("lp").cast("decimal(20,8)")).cast("double")
+                / F.greatest(
+                    F.lit(1).cast("bigint"),
+                    (F.any_value("n") / MINK_FRAC_DEN).cast("bigint"),
+                ),
+                8,
+            ).alias("min_k_avg_logprob"),
+        )
+    )

@@ -416,3 +416,27 @@ def test_watermark_audit_on_out_of_order_feed(spark):
     kept = [r["kept_fraction"] for r in out]
     assert kept == sorted(kept)
     assert kept[-1] == 1.0
+
+
+def test_mink_prob_flags_a_planted_copy(spark):
+    """Plant a benchmark doc that verbatim-copies a training doc: its
+    Min-K% score must dominate every genuinely held-out doc (their worst
+    bigrams are unseen by the train LM; the copy's worst bigrams are not)."""
+    import os, tempfile
+
+    from quackio_jl_spark.registry import QUERIES
+
+    train_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    # training docs: ids 1..19 and 21 (none % 20 == 0); 21 carries train_text
+    rows = [(i, f"tok{i}a tok{i}b tok{i}c tok{i}d tok{i}e " * 6) for i in range(1, 20)]
+    rows.append((21, train_text))
+    rows.append((20, train_text))  # bench doc: VERBATIM copy of doc 21
+    rows.append((40, "omega psi chi phi upsilon tau sigma rho " * 5))  # clean bench
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    out = {r["doc_id"]: r for r in QUERIES["mink_prob_contamination"](spark, d).collect()}
+    assert set(out) == {20, 40}  # exactly the bench slice is scored
+    assert out[20]["min_k_avg_logprob"] > out[40]["min_k_avg_logprob"] + 1.0
