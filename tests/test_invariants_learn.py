@@ -1,9 +1,15 @@
-"""Structural invariants of the learned-model operators
-(quackio_jl_spark/operators/learn.py), checked on the sf0.001 fixture.
+"""Structural invariants of the late-round-5 waves: learned-model
+operators (operators/learn.py), CDC chunking + evasion-robust dedup
+(operators/dedup.py), cluster-keyed splits (operators/cluster.py), resize
+planning + aspect-bucket padding (operators/multimodal.py), Holt trend
+(plans/stats.py), watermark lateness, continuation pairs, and Min-K%
+contamination (operators/selection.py) — checked on the sf0.001 fixture
+or on synthetic frames that reach branches the fixture can't (resize >224,
+out-of-order arrivals, planted benchmark copies, perturbed duplicates).
 These complement the DuckDB oracle gate: the oracle proves Spark and
 DuckDB agree; these prove the shared formulation is self-consistent
-(GD descends, isotonic is monotone, the NB posterior beats chance,
-the scheduler conserves documents)."""
+(GD descends, isotonic is monotone, CDC re-synchronizes after an insert,
+the cluster split never leaks, Min-K% fires on a verbatim copy)."""
 
 from __future__ import annotations
 
