@@ -172,6 +172,25 @@ def main() -> None:
     times = {name: med[name] for name in HEADLINE}
     extended = {name: med[name] for name in EXTENDED}
     total = round(sum(times.values()), 3)
+    # Extended per-query medians go to a SIDE FILE: round 5's single stdout
+    # line grew to ~3.4 KB with them inlined and overflowed the driver's
+    # ~2 KB tail capture (BENCH_r05.json parsed=null). The driver-facing
+    # stdout line below stays <1 KB (21 headline queries + scalars).
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_EXTENDED.json"),
+        "w",
+    ) as fh:
+        json.dump(
+            {
+                "extended_queries": extended,
+                "extended_total_sec": round(sum(extended.values()), 3),
+                "sf": sf,
+                "repeats": repeats,
+                "aggregation": "median_per_query_over_interleaved_passes",
+            },
+            fh,
+            indent=1,
+        )
     print(
         json.dumps(
             {
@@ -179,12 +198,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "extended_queries": extended,
-                "extended_total_sec": round(sum(extended.values()), 3),
                 "sf": sf,
                 "repeats": repeats,
+                "extended_total_sec": round(sum(extended.values()), 3),
+                "extended_detail": "BENCH_EXTENDED.json",
                 "n_queries_registered": len(QUERIES),
-                "aggregation": "median_per_query_over_interleaved_passes",
             }
         )
     )

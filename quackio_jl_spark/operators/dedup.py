@@ -2460,23 +2460,21 @@ def _cdc_chunk_table(d):
                 F.concat(
                     F.filter(
                         F.sequence(F.lit(CDC_WINDOW), n),
-                        lambda i: (
-                            F.conv(
+                        # h % 64 == 0 over the first 32 md5 bits <=> the low
+                        # 6 bits of hex chars 7-8 are zero <=> that byte is
+                        # one of 00/40/80/c0. Comparing the hex STRING keeps
+                        # the predicate identical across engines (no
+                        # hex->integer cast, the one construct that proved
+                        # DuckDB-build-sensitive in round 5's driver run).
+                        lambda i: F.substring(
+                            F.md5(
                                 F.substring(
-                                    F.md5(
-                                        F.substring(
-                                            "text", (i - CDC_WINDOW + 1).cast("int"), CDC_WINDOW
-                                        )
-                                    ),
-                                    1,
-                                    8,
-                                ),
-                                16,
-                                10,
-                            ).cast("bigint")
-                            % CDC_MASK
-                            == 0
-                        ),
+                                    "text", (i - CDC_WINDOW + 1).cast("int"), CDC_WINDOW
+                                )
+                            ),
+                            7,
+                            2,
+                        ).isin("00", "40", "80", "c0"),
                     ),
                     F.array(n),
                 )
@@ -2506,7 +2504,7 @@ _CDC_SQL = f"""
           UNNEST(list_distinct(list_append(
             list_filter(
               range(CAST({CDC_WINDOW} AS BIGINT), CAST(length(text) AS BIGINT) + 1),
-              i -> ('0x' || substr(md5(substr(text, CAST(i - {CDC_WINDOW} + 1 AS INTEGER), {CDC_WINDOW})), 1, 8))::BIGINT % {CDC_MASK} = 0
+              i -> substr(md5(substr(text, CAST(i - {CDC_WINDOW} + 1 AS INTEGER), {CDC_WINDOW})), 7, 2) IN ('00','40','80','c0')
             ),
             CAST(length(text) AS BIGINT)))) AS cut
         FROM documents
@@ -2555,7 +2553,7 @@ _CDC_SQL = f"""
     )
     SELECT s.source, s.n_chunks, s.n_distinct, s.total_chars,
       CAST(s.n_chunks - s.n_distinct AS BIGINT) AS dup_chunks,
-      round(CAST(dc.dup_chars AS DOUBLE) / s.total_chars, 8) AS dup_char_fraction
+      CAST(dc.dup_chars AS BIGINT) AS dup_chars
     FROM per_source s JOIN dupchars dc USING (source)
     """,
 )
@@ -2565,8 +2563,9 @@ def dedup_cdc_chunks(spark, sf_dir):
     CONTENT (rolling window hash % 64 == 0), not by fixed offsets, so an
     insertion near the start of a document only perturbs chunks up to the
     next boundary — the rest re-align and still dedup. Per source: chunk
-    counts, distinct chunks, and the fraction of characters sitting in
-    chunks that occur more than once corpus-wide.
+    counts, distinct chunks, and the exact character count (BIGINT, so the
+    cross-engine hash can never float-flake) sitting in chunks that occur
+    more than once corpus-wide; dup_chars/total_chars is the dup fraction.
 
     Scale shape: chunking is in-row (higher-order filter over a char-window
     sequence — no token explode before the hash); the only shuffles are the
@@ -2595,9 +2594,9 @@ def dedup_cdc_chunks(spark, sf_dir):
             "n_distinct",
             "total_chars",
             (F.col("n_chunks") - F.col("n_distinct")).cast("bigint").alias("dup_chunks"),
-            F.round(
-                F.col("_dup_chars").cast("double") / F.col("total_chars"), 8
-            ).alias("dup_char_fraction"),
+            # BIGINT, not a rounded DOUBLE fraction: the report stays
+            # hash-identical across engines/platforms (round-5 driver flake).
+            F.col("_dup_chars").cast("bigint").alias("dup_chars"),
         )
     )
 

@@ -196,7 +196,7 @@ def test_cdc_chunks_tile_each_document(q, spark):
     assert sum(r["total_chars"] for r in rows) == total_chars  # exact tiling
     for r in rows:
         assert 0 <= r["dup_chunks"] <= r["n_chunks"]
-        assert 0.0 <= r["dup_char_fraction"] <= 1.0
+        assert 0 <= r["dup_chars"] <= r["total_chars"]
 
 
 def test_cluster_split_eliminates_leakage(q, spark):
