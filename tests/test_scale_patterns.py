@@ -352,6 +352,44 @@ def test_bucketed_prefix_sums_matches_global_window(spark):
     assert got2 == want2
 
 
+def test_bucketed_prefix_max_matches_global_window(spark):
+    """The distributed prefix-MAX kernel (the high-water-mark scan behind
+    events_watermark_lateness_audit) must equal a single global running-max
+    window on the same data, for any bucket count, on numeric AND
+    timestamp payloads."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from quackio_jl_spark.functions.prefix import bucketed_prefix_max
+
+    df = spark.range(500).select(
+        (F.hash(F.col("id").cast("string")) % 100000).alias("k"),
+        ((F.col("id") * 37) % 211).cast("bigint").alias("v"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + (F.col("id") * 9973) % 86400
+        ).alias("ts"),
+    )
+    # RANGE frame: duplicate keys (hash % 100000 collides) must get one
+    # deterministic peer-inclusive value in the reference, as in the kernel.
+    w = W.orderBy("k").rangeBetween(W.unboundedPreceding, W.currentRow)
+    want = {
+        (r["k"], r["v"]): (r["cv"], r["ct"])
+        for r in df.select(
+            "k", "v",
+            F.max("v").over(w).alias("cv"),
+            F.max("ts").over(w).alias("ct"),
+        ).collect()
+    }
+    for nb in (1, 4, 16):
+        via_v = bucketed_prefix_max(df, "k", "v", nb)
+        via_t = bucketed_prefix_max(df, "k", "ts", nb)
+        got_v = {(r["k"], r["v"]): r["cum_v"] for r in via_v.collect()}
+        got_t = {(r["k"], r["v"]): r["cum_ts"] for r in via_t.collect()}
+        for key, (cv, ct) in want.items():
+            assert got_v[key] == cv, f"n_buckets={nb} key={key}"
+            assert got_t[key] == ct, f"n_buckets={nb} key={key}"
+
+
 def test_dynamic_partition_pruning_from_dim_filter(tmp_path, spark):
     """Dynamic partition pruning: when the fact table is partitioned on the
     join key and the dimension side carries a selective filter, Spark must
