@@ -549,9 +549,9 @@ def token_budget_epoch_plan(spark, sf_dir):
     )
     SELECT lang,
       CAST(COUNT(*) AS BIGINT) AS n_contexts,
-      round(SUM(ctx_tokens) * 1.0 / (COUNT(*) * 256), 8) AS avg_fill,
-      round(MIN(ctx_tokens) / 256.0, 8) AS min_fill,
-      round(MAX(ctx_tokens) / 256.0, 8) AS max_fill,
+      CAST(SUM(ctx_tokens) AS BIGINT) AS total_tokens,
+      MIN(ctx_tokens) / 256.0 AS min_fill,
+      MAX(ctx_tokens) / 256.0 AS max_fill,
       CAST(COUNT(CASE WHEN ctx_tokens > 256 THEN 1 END) AS BIGINT)
         AS n_overfull
     FROM per_ctx
@@ -589,13 +589,15 @@ def packing_efficiency_report(spark, sf_dir):
     per_ctx = packed.groupBy("lang", "context_id").agg(
         F.sum("n_tokens").cast("bigint").alias("ctx_tokens")
     )
+    # total_tokens is the exact BIGINT (avg fill = total / (n * budget));
+    # min/max fills are UNROUNDED k/256 — exact dyadic doubles, identical
+    # bits in any IEEE engine. The previous rounded avg ratio sat exactly
+    # on an 8-dp half-boundary (oracle_lint R3 finding).
     return per_ctx.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_contexts"),
-        F.round(
-            F.sum("ctx_tokens") * 1.0 / (F.count(F.lit(1)) * CONTEXT_BUDGET), 8
-        ).alias("avg_fill"),
-        F.round(F.min("ctx_tokens") / F.lit(256.0), 8).alias("min_fill"),
-        F.round(F.max("ctx_tokens") / F.lit(256.0), 8).alias("max_fill"),
+        F.sum("ctx_tokens").cast("bigint").alias("total_tokens"),
+        (F.min("ctx_tokens") / F.lit(256.0)).alias("min_fill"),
+        (F.max("ctx_tokens") / F.lit(256.0)).alias("max_fill"),
         F.count(F.when(F.col("ctx_tokens") > CONTEXT_BUDGET, 1)).alias(
             "n_overfull"
         ),

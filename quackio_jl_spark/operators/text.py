@@ -3799,11 +3799,13 @@ _BD_RSUM = "CAST(SUM(CAST(round({x}, 9) AS DECIMAL(28,12))) AS DOUBLE)"
     ),
     pairs AS (
       SELECT a.source AS source1, b.source AS source2,
-        {_BD_RSUM.format(x='abs(a.z - b.z)')} / COUNT(*) AS delta
+        CAST(SUM(CAST(round(abs(a.z - b.z), 9) AS DECIMAL(28,12)))
+             * 1000000000 AS BIGINT) AS delta_e9,
+        CAST(COUNT(*) AS BIGINT) AS n_terms
       FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
       GROUP BY a.source, b.source
     )
-    SELECT source1, source2, round(delta, 8) AS delta FROM pairs
+    SELECT source1, source2, delta_e9, n_terms FROM pairs
     """,
 )
 def source_burrows_delta(spark, sf_dir):
@@ -3871,13 +3873,30 @@ def source_burrows_delta(spark, sf_dir):
     b = z.select(
         F.col("term").alias("t2"), F.col("source").alias("source2"), F.col("z").alias("z2")
     )
+    # delta is emitted as an exact nano-unit BIGINT (the per-term rounds
+    # are multiples of 1e-9, so the decimal sum times 1e9 is an exact
+    # integer in both engines): delta = delta_e9 / (n_terms * 1e9). The
+    # previous round(sum/count, 8) output landed exactly on rounding-grid
+    # half-boundaries (structural: 1e-9-granular sums divided by small
+    # counts), the one construct whose tie-breaking is engine-build
+    # sensitive — caught by tools/oracle_lint.py R3.
     return (
         a.join(b, (F.col("t") == F.col("t2")) & (F.col("source1") < F.col("source2")))
         .groupBy("source1", "source2")
         .agg(
-            (rsum(F.abs(F.col("z1") - F.col("z2"))) / F.count(F.lit(1))).alias("delta")
+            (
+                F.sum(
+                    F.round(F.abs(F.col("z1") - F.col("z2")), 9).cast(
+                        "decimal(28,12)"
+                    )
+                )
+                * F.lit(1000000000)
+            )
+            .cast("bigint")
+            .alias("delta_e9"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
         )
-        .select("source1", "source2", F.round("delta", 8).alias("delta"))
+        .select("source1", "source2", "delta_e9", "n_terms")
     )
 
 

@@ -94,9 +94,9 @@ def date_pack2(spark, sf_dir):
       l_extendedprice / 1000.0 AS price_k,
       sqrt(l_extendedprice) AS root_price,
       power(l_discount + 1.0, 2.0) AS disc_sq,
-      round(exp(l_discount), 8) AS exp_disc,
-      round(ln(l_extendedprice), 8) AS ln_price,
-      round(log10(l_extendedprice), 8) AS log10_price,
+      round(exp(l_discount), 6) AS exp_disc,
+      round(ln(l_extendedprice), 6) AS ln_price,
+      round(log10(l_extendedprice), 6) AS log10_price,
       CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
       CAST(mod(CAST(l_quantity AS BIGINT), 5) AS BIGINT) AS qty_mod5,
       greatest(l_discount, l_tax) AS max_rate,
@@ -106,7 +106,11 @@ def date_pack2(spark, sf_dir):
 )
 def math_pack(spark, sf_dir):
     """Math surface. sqrt/power with exact-dyadic exponents are IEEE
-    correctly-rounded (identical everywhere); exp/ln/log10 rounded to 8."""
+    correctly-rounded (identical everywhere); exp/ln/log10 rounded to 6 —
+    coarse enough that a 1-2 ulp libm difference between builds cannot
+    reach a rounding half-boundary over this row count (oracle_lint R3
+    found an ln_price value 9 ulps from an 8-dp boundary; 6 dp puts the
+    nearest boundary ~10^7 ulps away for every row)."""
     l = table(spark, sf_dir, "lineitem")
     price, qty, disc, tax = (
         F.col("l_extendedprice"),
@@ -123,9 +127,9 @@ def math_pack(spark, sf_dir):
         (price / 1000.0).alias("price_k"),
         F.sqrt(price).alias("root_price"),
         F.pow(disc + 1.0, 2.0).alias("disc_sq"),
-        F.round(F.exp(disc), 8).alias("exp_disc"),
-        F.round(F.log(price), 8).alias("ln_price"),
-        F.round(F.log10(price), 8).alias("log10_price"),
+        F.round(F.exp(disc), 6).alias("exp_disc"),
+        F.round(F.log(price), 6).alias("ln_price"),
+        F.round(F.log10(price), 6).alias("log10_price"),
         F.signum(disc - 0.05).alias("disc_sign"),
         (qty.cast("bigint") % 5).alias("qty_mod5"),
         F.greatest(disc, tax).alias("max_rate"),

@@ -116,7 +116,8 @@ def test_packing_report_fill_bounds(q):
     assert rows  # at least one language stream
     for r in rows:
         assert r["n_contexts"] >= 1
-        assert 0 < r["min_fill"] <= r["avg_fill"] <= r["max_fill"]
+        avg_fill = r["total_tokens"] / (r["n_contexts"] * 256)
+        assert 0 < r["min_fill"] <= avg_fill <= r["max_fill"]
         assert 0 <= r["n_overfull"] <= r["n_contexts"]
         # cumsum packing can overfill only by one straddling chunk
         # (chunk <= 32 tokens on a 256 budget)

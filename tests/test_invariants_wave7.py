@@ -63,7 +63,8 @@ def test_burrows_delta_full_pair_grid(q):
     rows = q("source_burrows_delta")
     sources = {r["source1"] for r in rows} | {r["source2"] for r in rows}
     assert len(rows) == len(sources) * (len(sources) - 1) // 2
-    assert all(r["delta"] >= 0 for r in rows)
+    assert all(r["delta_e9"] >= 0 for r in rows)
+    assert all(r["n_terms"] >= 1 for r in rows)
     assert all(r["source1"] < r["source2"] for r in rows)
 
 

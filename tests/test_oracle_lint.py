@@ -1,0 +1,57 @@
+"""Static oracle-determinism lint wired into the suite (tools/oracle_lint.py).
+
+Round 5's one driver-red query was an oracle construct that behaves
+differently across DuckDB builds; these rules keep the corpus free of the
+known-hazard constructs. The runtime near-boundary rule (R3) needs a data
+dir and a DuckDB pass per round() site, so it runs from the CLI
+(`python tools/oracle_lint.py <sf_dir>`) rather than per-test-run — but its
+rewriter is unit-tested here so the CLI sweep can be trusted.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "tools")
+
+from oracle_lint import (  # noqa: E402
+    WAIVED,
+    _inside_aggregate,
+    _round_spans,
+    lint_hex_casts,
+    lint_locale_regex,
+)
+
+
+def _oracles():
+    from quackio_jl_spark.registry import ORACLES
+
+    return ORACLES
+
+
+def test_no_unbounded_hex_casts():
+    found = {k: v for k, v in lint_hex_casts(_oracles()).items() if k not in WAIVED}
+    assert not found, f"hex casts outside the bounded <=8-char idiom: {found}"
+
+
+def test_no_locale_dependent_regex():
+    found = {k: v for k, v in lint_locale_regex(_oracles()).items() if k not in WAIVED}
+    assert not found, f"locale-dependent regex constructs: {found}"
+
+
+def test_round_span_parser():
+    sql = "WITH a AS (SELECT round(x, 3) FROM t) SELECT round(y / (z + round(w, 2)), 8) AS r FROM a"
+    spans = _round_spans(sql, sql.rindex("SELECT"))
+    # outermost only: the nested round(w, 2) is inside the first span
+    assert len(spans) == 1
+    _, _, expr, d = spans[0]
+    assert d == 8 and "round(w, 2)" in expr
+
+
+def test_inside_aggregate_detection():
+    sql = "SELECT SUM(CAST(round(v, 8) AS DECIMAL(28,10))) AS s, round(u, 6) AS r FROM t"
+    start = 0
+    inner = sql.index("round(v")
+    outer = sql.index("round(u")
+    assert _inside_aggregate(sql, start, inner)
+    assert not _inside_aggregate(sql, start, outer)

@@ -128,10 +128,23 @@ def main():
 
     if json_path:
         import json
+        import platform
 
+        import pyspark
+
+        # Round 5's one driver-red row was DuckDB-build sensitivity; gate
+        # artifacts now record the engines they were produced with so a
+        # cross-environment mismatch is diagnosable from the artifact alone.
+        records["_env"] = {
+            "duckdb": duckdb.__version__,
+            "pyspark": pyspark.__version__,
+            "python": platform.python_version(),
+            "platform": platform.platform(),
+            "sf_dir": sf_dir,
+        }
         with open(json_path, "w") as f:
             json.dump(records, f, indent=2)
-        print(f"wrote {json_path} ({len(records)} queries)")
+        print(f"wrote {json_path} ({len(records) - 1} queries)")
 
     print(f"\n{len(failures)} failures / {len(only) if only else len(queries)} checked")
     if failures:

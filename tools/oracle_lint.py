@@ -1,0 +1,244 @@
+"""Lint the DuckDB oracle corpus for cross-build determinism hazards.
+
+Round 5's one driver-side failure (dedup_cdc_chunks) was an oracle whose
+value depended on constructs that are legal everywhere but ENGINE-BUILD
+sensitive: a hex-string->BIGINT cast inside a list lambda and a rounded
+DOUBLE ratio in the hashed output. With 510 oracles the construct surface
+is big; this tool sweeps all of them mechanically so the next such flake is
+caught before a grading round, not by it.
+
+Rules
+-----
+R1  hex-casts: every ``('0x' || ...)::T`` must be the canonical bounded
+    idiom — a substr of a hex string of length <= 8 cast to BIGINT (max
+    2^32-1, can never overflow; the idiom is proven green in the grading
+    environment by the round-5 driver sample). Anything else is a finding.
+R2  locale-dependent regex: POSIX classes (``[[:alpha:]]``), Unicode
+    property classes (``\\p{L}``), or case-insensitive regexp flags are
+    findings — their behavior follows the build's regex library and locale.
+    ASCII character classes and explicit ranges are fine.
+R3  near-boundary rounding (RUNTIME): for each ``round(X, d)`` in the final
+    SELECT of an oracle, re-run the oracle with that instance rewritten to
+    ``round(X, d+7)`` and measure every output value's distance to the
+    nearest half-boundary of the 10^-d grid. A value within 1e-6 of a
+    boundary means a 1-ulp libm difference between builds could flip the
+    rounded digit and fail the exact-hash gate. Distances are measured on
+    the actual sf data, so this is a *near-boundary check*, not a style rule.
+
+Waivers: WAIVED maps query name -> reason; waived findings are reported but
+don't fail. tests/test_oracle_lint.py wires R1+R2 (static, fast) into
+pytest; R3 runs from the CLI (needs a populated sf_dir):
+
+    python tools/oracle_lint.py /root/testdata/sf0.01        # all rules
+    python tools/oracle_lint.py --static                     # R1+R2 only
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+# Residual findings that are understood and accepted, with the reason.
+WAIVED: dict[str, str] = {
+    "decimal_interval_pack": (
+        "round input is DECIMAL(18,2): exact integer tie-breaking in both "
+        "engines, no float in the dataflow — the pack deliberately pins "
+        "decimal half-away rounding cross-engine"
+    ),
+    "events_value_cusum_drift": (
+        "pre-round value is exact-decimal prefix sums plus ONE IEEE "
+        "multiply/subtract/divide — basic ops are correctly rounded and "
+        "bit-identical across builds (no libm), so both engines round the "
+        "same bits"
+    ),
+}
+
+# -------------------------------------------------------------------- R1
+
+# ('0x' || substr(<anything>, <pos>, <len>))::BIGINT with len <= 8
+_CANON_HEX = re.compile(
+    r"\('0x'\s*\|\|\s*substr\((?:[^()]|\([^()]*(?:\([^()]*\)[^()]*)*\))*,\s*(\d+)\)\s*\)::BIGINT"
+)
+_ANY_HEX = re.compile(r"\('0x'[^\n]*?::\w+")
+
+
+def lint_hex_casts(oracles: dict[str, str]) -> dict[str, list[str]]:
+    bad: dict[str, list[str]] = {}
+    for name, sql in oracles.items():
+        for m in _ANY_HEX.finditer(sql):
+            frag = m.group(0)
+            cm = _CANON_HEX.search(frag)
+            if cm is None or int(cm.group(1)) > 8:
+                bad.setdefault(name, []).append(frag[:100])
+    return bad
+
+
+# -------------------------------------------------------------------- R2
+
+_LOCALE_REGEX = re.compile(r"\[\[:\w+:\]\]|\\\\p\{|\\p\{|regexp_\w+\([^;]*?'i'\s*\)")
+
+
+def lint_locale_regex(oracles: dict[str, str]) -> dict[str, list[str]]:
+    bad: dict[str, list[str]] = {}
+    for name, sql in oracles.items():
+        for m in _LOCALE_REGEX.finditer(sql):
+            bad.setdefault(name, []).append(m.group(0)[:60])
+    return bad
+
+
+# -------------------------------------------------------------------- R3
+
+
+def _final_select_pos(sql: str) -> int:
+    """Offset of the last top-level SELECT (the output projection)."""
+    best = 0
+    for m in re.finditer(r"\bSELECT\b", sql, flags=re.IGNORECASE):
+        best = m.start()
+    return best
+
+
+def _round_spans(sql: str, start: int) -> list[tuple[int, int, str, int]]:
+    """(span_start, span_end, inner_expr, digits) for each OUTERMOST
+    round( call at or after ``start``, by paren matching."""
+    spans = []
+    i = start
+    while True:
+        m = re.compile(r"\bround\s*\(", re.IGNORECASE).search(sql, i)
+        if not m:
+            break
+        depth, j = 1, m.end()
+        while depth and j < len(sql):
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        inner = sql[m.end() : j - 1]
+        # split the LAST top-level comma -> (expr, digits)
+        depth2, cut = 0, -1
+        for k, ch in enumerate(inner):
+            if ch == "(":
+                depth2 += 1
+            elif ch == ")":
+                depth2 -= 1
+            elif ch == "," and depth2 == 0:
+                cut = k
+        if cut >= 0:
+            dtxt = inner[cut + 1 :].strip()
+            if re.fullmatch(r"\d+", dtxt):
+                spans.append((m.start(), j, inner[:cut], int(dtxt)))
+        i = j
+    return spans
+
+
+_AGG_NAMES = {"sum", "avg", "min", "max", "count", "any_value", "list"}
+
+
+def _inside_aggregate(sql: str, start: int, pos: int) -> bool:
+    """True when ``pos`` sits inside an aggregate call opened after
+    ``start`` — per-term round-then-aggregate is the repo's sanctioned
+    determinism recipe (the aggregate of 10^-d multiples is exact); only
+    rounds applied to the OUTPUT value are R3's concern."""
+    stack: list[str] = []
+    ident = re.compile(r"[A-Za-z_][A-Za-z_0-9]*\s*$")
+    i = start
+    while i < pos:
+        ch = sql[i]
+        if ch == "(":
+            m = ident.search(sql[start:i])
+            stack.append(m.group(0).strip().lower() if m else "")
+        elif ch == ")" and stack:
+            stack.pop()
+        i += 1
+    return any(s in _AGG_NAMES for s in stack)
+
+
+def lint_near_boundary(oracles: dict[str, str], sf_dir: str) -> dict[str, list[str]]:
+    """R3: rewrite each final-select round(X, d) to round(X, d+7), re-run,
+    and flag values within 1e-6 of a d-digit rounding boundary."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    findings: dict[str, list[str]] = {}
+    for name, sql in sorted(oracles.items()):
+        fsel = _final_select_pos(sql)
+        spans = [
+            s
+            for s in _round_spans(sql, fsel)
+            if not _inside_aggregate(sql, fsel, s[0])
+        ]
+        if not spans:
+            continue
+        try:
+            base = con.execute(sql).fetchall()
+        except Exception as e:  # oracle itself broken -> other gates catch it
+            findings.setdefault(name, []).append(f"oracle error: {e}")
+            continue
+        for s, e_, expr, d in spans:
+            probe_sql = f"{sql[:s]}round({expr}, {d + 7}){sql[e_:]}"
+            try:
+                probe = con.execute(probe_sql).fetchall()
+            except Exception as e:
+                findings.setdefault(name, []).append(
+                    f"probe rewrite failed for round(..., {d}): {e}"
+                )
+                continue
+            if len(probe) != len(base) or not base:
+                continue
+            # columns whose values differ from the original are the probed
+            # ones; measure their distance to the d-digit half-boundary
+            ncols = len(base[0])
+            for c in range(ncols):
+                bvals = [r[c] for r in base]
+                pvals = [r[c] for r in probe]
+                if bvals == pvals:
+                    continue
+                for v in pvals:
+                    if not isinstance(v, float):
+                        continue
+                    scaled = abs(v) * (10**d)
+                    dist = abs((scaled % 1.0) - 0.5)
+                    if dist < 1e-6:
+                        findings.setdefault(name, []).append(
+                            f"round(..., {d}) input {v!r} is {dist:.2e} from a "
+                            f"half-boundary of the 1e-{d} grid"
+                        )
+                        break
+    return findings
+
+
+def run(sf_dir: str | None) -> int:
+    from quackio_jl_spark.registry import ORACLES
+
+    import duckdb
+
+    print(f"oracle_lint: {len(ORACLES)} oracles, duckdb {duckdb.__version__}")
+    hard = 0
+    for rule, found in (
+        ("R1 hex-cast", lint_hex_casts(ORACLES)),
+        ("R2 locale-regex", lint_locale_regex(ORACLES)),
+        ("R3 near-boundary", lint_near_boundary(ORACLES, sf_dir) if sf_dir else {}),
+    ):
+        for name, frags in sorted(found.items()):
+            tag = "WAIVED" if name in WAIVED else "FINDING"
+            if tag == "FINDING":
+                hard += 1
+            print(f"{tag} [{rule}] {name}: {frags[0]}"
+                  + (f" (+{len(frags)-1} more)" if len(frags) > 1 else "")
+                  + (f" -- {WAIVED[name]}" if name in WAIVED else ""))
+    print(f"{hard} unwaived findings")
+    return 1 if hard else 0
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if a != "--static"]
+    static = "--static" in sys.argv[1:]
+    sys.exit(run(None if static else (args[0] if args else "/root/testdata/sf0.01")))
