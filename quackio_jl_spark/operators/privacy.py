@@ -151,7 +151,7 @@ _DP_EPS = 1.0
 
 
 @query(
-    "dp_noisy_event_counts",
+    "dp_mechanism_demo_event_counts",
     oracle=f"""
     WITH counts AS (
       SELECT event_type, CAST(count(*) AS BIGINT) AS true_count
@@ -169,12 +169,17 @@ _DP_EPS = 1.0
           * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
           * round(ln(1 - 2 * least(abs(u - 0.5), 0.4999999999)), 8),
         4) AS noisy_count,
-      {_DP_EPS} AS epsilon
+      {_DP_EPS} AS demo_epsilon
     FROM noised
     """,
 )
-def dp_noisy_event_counts(spark, sf_dir):
-    """Laplace-mechanism count release: per-event-type counts plus
+def dp_mechanism_demo_event_counts(spark, sf_dir):
+    """Laplace-mechanism DEMO (named so it cannot be mistaken for a
+    private release: the noise below is a deterministic function of the
+    group key, so anyone can recompute and subtract it, and repeated
+    releases reuse identical noise — the column is demo_epsilon, not a
+    privacy budget). What it demonstrates/verifies cross-engine is the
+    MECHANISM ARITHMETIC of a Laplace count release: per-event-type counts plus
     Laplace(1/epsilon) noise, epsilon = 1, sensitivity 1 (event-level DP —
     bounding per-USER contribution first is the stricter user-level variant
     and composes with this mechanism unchanged).
@@ -207,5 +212,5 @@ def dp_noisy_event_counts(spark, sf_dir):
     return counts.select(
         "event_type",
         F.round(F.col("true_count") + noise, 4).alias("noisy_count"),
-        F.lit(_DP_EPS).alias("epsilon"),
+        F.lit(_DP_EPS).alias("demo_epsilon"),
     )

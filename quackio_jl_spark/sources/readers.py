@@ -430,8 +430,13 @@ def _read(
         # DuckDB read_parquet(file_row_number=true) -> Spark's hidden
         # _metadata.row_index (computed by the scan, no extra pass)
         df = df.select("*", F.col("_metadata.row_index").alias("file_row_number"))
-    if names:
-        # positional rename, reference `names=` (test/runtests.jl:72-76)
+    if names and not columns:
+        # positional rename, reference `names=` (test/runtests.jl:72-76).
+        # When BOTH names= and columns= are passed, DuckDB's read_csv (the
+        # reference's kwarg pass-through target, src/QuackIO.jl:100-121)
+        # lets columns= define the full schema and silently ignores names=
+        # (verified against duckdb 1.0: columns={'p':...}, names=['u',...]
+        # -> columns p/q/r) — mirrored here, independent of kwarg order.
         df = df.toDF(*[str(n) for n in names], *df.columns[len(list(names)):])
     if force_not_null:
         # DuckDB read_csv `force_not_null=[cols]`: empty CSV fields in the

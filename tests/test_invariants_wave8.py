@@ -56,7 +56,7 @@ def test_dp_noise_is_bounded_and_nonzero(spark):
     to the true counts would mean the mechanism is wired to zero noise."""
     rel = {
         r.event_type: r.noisy_count
-        for r in QUERIES["dp_noisy_event_counts"](spark, SF_DIR).collect()
+        for r in QUERIES["dp_mechanism_demo_event_counts"](spark, SF_DIR).collect()
     }
     true = {
         r.event_type: r.cnt

@@ -153,6 +153,33 @@ def test_columns_explicit_schema(tmp_path, spark, basic_df):
     assert dict(df.dtypes) == {"a": "double", "b": "string", "c": "bigint"}
 
 
+def test_names_with_columns_columns_wins(tmp_path, spark, basic_df):
+    """names= combined with columns= in ONE read: DuckDB (the reference's
+    kwarg pass-through engine) lets columns= define the full schema and
+    ignores names= — verified against duckdb 1.0 directly. Kwarg order
+    cannot matter (Python kwargs), but both spellings are exercised."""
+    p = str(tmp_path / "t.csv")
+    write_table(basic_df, p)
+    schema = {"p": "bigint", "q": "varchar", "r": "double"}
+    df1 = read_csv(spark, p, columns=schema, names=["u", "v", "w"])
+    df2 = read_csv(spark, p, names=["u", "v", "w"], columns=schema)
+    for df in (df1, df2):
+        assert df.columns == ["p", "q", "r"]
+        assert dict(df.dtypes) == {"p": "bigint", "q": "string", "r": "double"}
+    # and the DuckDB oracle agrees on the same file
+    import duckdb
+
+    r = duckdb.connect().execute(
+        f"SELECT * FROM read_csv('{p}', "
+        "columns={'p': 'BIGINT', 'q': 'VARCHAR', 'r': 'DOUBLE'}, "
+        "names=['u','v','w'])"
+    )
+    assert [c[0] for c in r.description] == ["p", "q", "r"]
+    assert sorted(r.fetchall()) == sorted(
+        tuple(row) for row in df1.collect()
+    )
+
+
 def test_auto_type_candidates(tmp_path, spark, basic_df):
     """runtests.jl:66 — restrict inference to int/varchar: c becomes string."""
     p = str(tmp_path / "t.csv")
