@@ -1526,6 +1526,112 @@ def hard_negative_samples(spark, sf_dir):
     )
 
 
+HNEG_K = K_NEG  # draws per anchor, matching the uniform sampler
+
+
+@query(
+    "contrastive_hard_negatives",
+    oracle=f"""
+    WITH {_CENTVEC_SQL},
+    scored AS (
+      SELECT vec_id, cell,
+        ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY {_cosine_sql('embedding', 'cv')} DESC, cell) AS rn
+      FROM embeddings CROSS JOIN centvec
+    ),
+    cells AS (SELECT vec_id, cell FROM scored WHERE rn = 1),
+    pos AS (
+      SELECT vec_id, cell,
+        CAST(ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) - 1
+             AS BIGINT) AS p
+      FROM cells
+    ),
+    sizes AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS m FROM pos GROUP BY cell),
+    cand AS (
+      SELECT pos.vec_id, pos.cell, pos.p, s.m, t.k,
+        ('0x' || substr(md5('hneg:' || CAST(t.k AS VARCHAR) || ':'
+                            || CAST(pos.vec_id AS VARCHAR)), 1, 8))::BIGINT
+          % (s.m - 1) AS raw
+      FROM pos JOIN sizes s ON pos.cell = s.cell AND s.m >= 2,
+        UNNEST([{", ".join(str(k) for k in range(1, HNEG_K + 1))}]) AS t(k)
+    ),
+    fixed AS (
+      SELECT vec_id, cell, k,
+        CASE WHEN raw >= p THEN raw + 1 ELSE raw END AS q
+      FROM cand
+    )
+    SELECT f.vec_id, CAST(f.k AS INTEGER) AS k, p2.vec_id AS neg_vec_id,
+      CAST(f.cell AS INTEGER) AS cell
+    FROM fixed f JOIN pos p2 ON p2.cell = f.cell AND p2.p = f.q
+    """,
+)
+def contrastive_hard_negatives(spark, sf_dir):
+    """Hard-negative SAMPLING for contrastive training: each anchor draws
+    HNEG_K salted-hash negatives from ITS OWN IVF CELL (same-cell
+    non-identical neighbors) instead of the whole corpus — the draw
+    contrastive_negative_samples' docstring promises when the uniform hash
+    is swapped for an ANN-bucket draw. Sampling (not top-k mining, which
+    hard_negative_samples does) is the production form: always taking the
+    single most-similar neighbor maximizes false-negative risk, while a
+    random same-cell draw keeps negatives hard but diverse, and changing
+    the salt redraws the epoch deterministically.
+
+    Scale shape: reuses the broadcast-centroid IVF assignment (_assigned);
+    per-cell member positions come from cell-partitioned windows (bounded
+    by cell size, never a global sort); the draw is a map-side salted hash
+    over [0, m-2] with the >= p shift excluding self exactly; negatives
+    resolve through ONE equi-join on (cell, position). Singleton cells
+    (m = 1) have no same-cell negative and drop out, by construction in
+    both engines."""
+    cells = _assigned(spark, sf_dir).select("vec_id", "cell")
+    w_cell = W.partitionBy("cell").orderBy("vec_id")
+    pos = cells.select(
+        "vec_id", "cell", (F.row_number().over(w_cell) - 1).cast("bigint").alias("p")
+    )
+    sizes = pos.groupBy("cell").agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    cand = (
+        pos.join(F.broadcast(sizes.filter(F.col("m") >= 2)), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            "p",
+            "m",
+            F.explode(F.array(*[F.lit(k) for k in range(1, HNEG_K + 1)])).alias("k"),
+        )
+    )
+    raw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("hneg:"),
+                        F.col("k").cast("string"),
+                        F.lit(":"),
+                        F.col("vec_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % (F.col("m") - 1)
+    )
+    fixed = cand.select(
+        "vec_id",
+        "cell",
+        F.col("k").cast("int").alias("k"),
+        F.when(raw >= F.col("p"), raw + 1).otherwise(raw).alias("q"),
+    )
+    p2 = pos.select(
+        "cell", F.col("p").alias("q"), F.col("vec_id").alias("neg_vec_id")
+    )
+    return fixed.join(p2, ["cell", "q"]).select(
+        "vec_id", "k", "neg_vec_id", F.col("cell").cast("int").alias("cell")
+    )
+
+
 def _pca_iter_cte(prefix: str, mat: str, v0: str) -> str:
     """The u/n/v power-iteration CTE chain under a name prefix, over matrix
     CTE ``mat`` and start-vector CTE ``v0`` (same arithmetic as

@@ -189,3 +189,26 @@ def test_oof_encoding_partitions_rows_and_stays_in_range(spark):
     for r in rows:
         assert float(ymin) <= r.oof_encoding <= float(ymax)
         assert 0 <= r.fold < 5
+
+
+def test_contrastive_hard_negatives_same_cell_never_self(spark):
+    """The hard-negative draw must come from the anchor's own IVF cell,
+    never equal the anchor, and produce exactly HNEG_K draws for every
+    anchor whose cell has another member (singletons drop out)."""
+    from quackio_jl_spark.operators.pipeline import HNEG_K
+
+    rows = QUERIES["contrastive_hard_negatives"](spark, SF_DIR).collect()
+    cells = {
+        r.vec_id: r.cell
+        for r in QUERIES["ann_ivf_cells"](spark, SF_DIR).collect()
+    }
+    from collections import Counter
+
+    sizes = Counter(cells.values())
+    per_anchor = Counter(r.vec_id for r in rows)
+    for r in rows:
+        assert r.neg_vec_id != r.vec_id
+        assert cells[r.neg_vec_id] == cells[r.vec_id] == r.cell
+    for vid, cell in cells.items():
+        expected = HNEG_K if sizes[cell] >= 2 else 0
+        assert per_anchor.get(vid, 0) == expected, (vid, cell)
