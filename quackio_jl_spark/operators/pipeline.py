@@ -1700,21 +1700,7 @@ def embedding_pca_top2_deflation(spark, sf_dir):
     embedding_pca_power_iteration."""
     covf, v0 = _pca_setup(spark, sf_dir)
     v1, n1 = _power_iterate(covf, v0, PCA_ITERS)
-    vi = v1.select(F.col("j").alias("i"), F.col("v").alias("vi"))
-    vj = v1.select("j", F.col("v").alias("vj"))
-    cov2 = (
-        covf.join(F.broadcast(vi), "i")
-        .join(F.broadcast(vj), "j")
-        .crossJoin(F.broadcast(n1))
-        .select(
-            "i",
-            "j",
-            (
-                F.col("cov") - F.round(F.col("nrm") * F.col("vi") * F.col("vj"), 12)
-            ).alias("cov"),
-        )
-        .localCheckpoint()  # d x d rows; read by every round of chain 2
-    )
+    cov2 = _deflate(covf, v1, n1)
     v2, n2 = _power_iterate(cov2, v0, PCA_ITERS)
     c1 = v1.crossJoin(F.broadcast(n1)).select(
         F.lit(1).alias("component"), "j",
@@ -1725,6 +1711,96 @@ def embedding_pca_top2_deflation(spark, sf_dir):
         F.col("v").alias("loading"), F.col("nrm").alias("eigenvalue"),
     )
     return c1.unionByName(c2)
+
+
+def _deflate(covf, v1, n1):
+    """Hotelling deflation: covf - round(lambda * v v^T, 12), localCheckpointed
+    (d x d rows; every round of the next iteration chain reads it)."""
+    vi = v1.select(F.col("j").alias("i"), F.col("v").alias("vi"))
+    vj = v1.select("j", F.col("v").alias("vj"))
+    return (
+        covf.join(F.broadcast(vi), "i")
+        .join(F.broadcast(vj), "j")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("cov") - F.round(F.col("nrm") * F.col("vi") * F.col("vj"), 12)
+            ).alias("cov"),
+        )
+        .localCheckpoint()
+    )
+
+
+def _pca3_oracle() -> str:
+    base = _pca_oracle()
+    prelude_end = base.index(",\n    u1 AS")
+    prelude = base[len("WITH "):prelude_end]
+    prelude = prelude.replace("covf AS (", "covf AS MATERIALIZED (")
+    last = PCA_ITERS
+    deflate = (
+        "SELECT c.i, c.j, c.cov - round(n.nrm * vi.v * vj.v, 12) AS cov\n"
+        "      FROM {m} c\n"
+        "      JOIN {p}v{last} vi ON c.i = vi.j\n"
+        "      JOIN {p}v{last} vj ON c.j = vj.j\n"
+        "      CROSS JOIN {p}n{last} n"
+    )
+    return f"""
+    WITH {prelude},{_pca_iter_cte("", "covf", "v0")},
+    cov2 AS MATERIALIZED (
+      {deflate.format(m="covf", p="", last=last)}
+    ),{_pca_iter_cte("d", "cov2", "v0")},
+    cov3 AS MATERIALIZED (
+      {deflate.format(m="cov2", p="d", last=last)}
+    ),{_pca_iter_cte("e", "cov3", "v0")}
+    SELECT 1 AS component, v.j, v.v AS loading, n.nrm AS eigenvalue
+    FROM v{last} v, n{last} n
+    UNION ALL
+    SELECT 2 AS component, v.j, v.v AS loading, n.nrm AS eigenvalue
+    FROM dv{last} v, dn{last} n
+    UNION ALL
+    SELECT 3 AS component, v.j, v.v AS loading, n.nrm AS eigenvalue
+    FROM ev{last} v, en{last} n
+    """
+
+
+@query("embedding_pca_top3", oracle=_pca3_oracle())
+def embedding_pca_top3(spark, sf_dir):
+    """Top THREE principal components by repeated Hotelling deflation —
+    the full small-k spectral pack for embedding health (anisotropy
+    direction, dominant-axes variance share, whitening basis): iterate for
+    PC-1, deflate, iterate for PC-2, deflate again, iterate for PC-3.
+    Each deflation subtracts round(lambda * v v^T, 12) so both engines
+    deflate the identical matrix, and each chain reuses the SAME pinned
+    arithmetic as embedding_pca_power_iteration.
+
+    Scale shape: the corpus is still touched exactly once (the shared
+    persisted exact-integer covariance); all three chains plus both
+    deflations are d x d arithmetic with broadcast vectors — component
+    count k multiplies only the d x d work, never the corpus scan, which
+    is what makes deflation the right recipe when d is small and the
+    corpus is 100 TB."""
+    covf, v0 = _pca_setup(spark, sf_dir)
+    v1, n1 = _power_iterate(covf, v0, PCA_ITERS)
+    cov2 = _deflate(covf, v1, n1)
+    v2, n2 = _power_iterate(cov2, v0, PCA_ITERS)
+    cov3 = _deflate(cov2, v2, n2)
+    v3, n3 = _power_iterate(cov3, v0, PCA_ITERS)
+    parts = []
+    for comp, (v, n) in enumerate(((v1, n1), (v2, n2), (v3, n3)), start=1):
+        parts.append(
+            v.crossJoin(F.broadcast(n)).select(
+                F.lit(comp).alias("component"),
+                "j",
+                F.col("v").alias("loading"),
+                F.col("nrm").alias("eigenvalue"),
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
 
 
 # --------------------------------------------- length-grouped batching

@@ -446,3 +446,24 @@ def test_mink_prob_flags_a_planted_copy(spark):
     out = {r["doc_id"]: r for r in QUERIES["mink_prob_contamination"](spark, d).collect()}
     assert set(out) == {20, 40}  # exactly the bench slice is scored
     assert out[20]["min_k_avg_logprob"] > out[40]["min_k_avg_logprob"] + 1.0
+
+
+def test_pca_top3_consistency(q):
+    """PC-1 of the deflation chain must equal the single-component query
+    bit-for-bit (same pinned arithmetic); every component is unit-norm
+    (iterates are normalized then rounded to 10 dp); deflation removes
+    energy, so Rayleigh norms are non-increasing and positive."""
+    rows3 = q("embedding_pca_top3")
+    rows1 = {r["j"]: r for r in q("embedding_pca_power_iteration")}
+    by_comp = {}
+    for r in rows3:
+        by_comp.setdefault(r["component"], {})[r["j"]] = r
+    assert set(by_comp) == {1, 2, 3}
+    for j, r in by_comp[1].items():
+        assert r["loading"] == rows1[j]["loading"]
+        assert r["eigenvalue"] == rows1[j]["eigenvalue"]
+    eig = {c: next(iter(m.values()))["eigenvalue"] for c, m in by_comp.items()}
+    assert eig[1] >= eig[2] >= eig[3] > 0
+    for c, m in by_comp.items():
+        nrm = sum(r["loading"] ** 2 for r in m.values()) ** 0.5
+        assert abs(nrm - 1.0) < 1e-6, (c, nrm)
