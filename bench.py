@@ -132,6 +132,15 @@ EXTENDED = [
     "continuation_eval_pairs",
     "events_watermark_lateness_audit",
     "mink_prob_contamination",
+    # Round-6 wave: selection/ranking/linkage/audit families.
+    "embedding_kcenter_coreset",
+    "customer_part_hits",
+    "source_bradley_terry_strengths",
+    "shard_source_mixing_report",
+    "label_confident_joint",
+    "linkage_fellegi_sunter_weights",
+    "contrastive_hard_negatives",
+    "embedding_pca_top3",
 ]
 
 

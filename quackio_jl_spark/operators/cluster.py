@@ -1542,3 +1542,122 @@ def split_by_dedup_cluster(spark, sf_dir):
         .otherwise("test")
         .alias("split"),
     )
+
+
+# ------------------------------------------------------ HITS (bipartite)
+
+HITS_ROUNDS = 2
+_HITS_DSUM = "CAST(SUM(CAST(round({x}, 12) AS DECIMAL(38,12))) AS DOUBLE)"
+
+
+def _hits_norm_sql(name: str, raw: str) -> str:
+    """Normalize CTE ``raw`` (id, s) to unit L2 under name ``name`` —
+    the PCA recipe: decimal-exact sum of rounded squares, iterate rounded
+    to 10 dp so no drift compounds."""
+    return f"""
+    {name}_n AS (
+      SELECT CAST(sqrt({_HITS_DSUM.format(x='s * s')}) AS DOUBLE) AS nrm
+      FROM {raw}
+    ),
+    {name} AS (SELECT id, round(s / nrm, 10) AS s FROM {raw}, {name}_n)"""
+
+
+def _hits_oracle() -> str:
+    parts = [
+        """
+    bedges AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    custs AS (SELECT DISTINCT c AS id FROM bedges),
+    parts AS (SELECT DISTINCT p AS id FROM bedges),
+    h0 AS (
+      SELECT id, 1.0 / sqrt((SELECT COUNT(*) FROM custs)) AS s FROM custs
+    )"""
+    ]
+    prev_h = "h0"
+    for r in range(1, HITS_ROUNDS + 1):
+        parts.append(f"""
+    a{r}_raw AS (
+      SELECT e.p AS id, {_HITS_DSUM.format(x='h.s')} AS s
+      FROM bedges e JOIN {prev_h} h ON h.id = e.c GROUP BY e.p
+    ),{_hits_norm_sql(f'a{r}', f'a{r}_raw')},
+    h{r}_raw AS (
+      SELECT e.c AS id, {_HITS_DSUM.format(x='a.s')} AS s
+      FROM bedges e JOIN a{r} a ON a.id = e.p GROUP BY e.c
+    ),{_hits_norm_sql(f'h{r}', f'h{r}_raw')}""")
+        prev_h = f"h{r}"
+    last = HITS_ROUNDS
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT 'authority' AS side, id, s AS score FROM a{last}
+    UNION ALL
+    SELECT 'hub' AS side, id, s AS score FROM h{last}
+    """
+    )
+
+
+@query("customer_part_hits", oracle=_hits_oracle())
+def customer_part_hits(spark, sf_dir):
+    """HITS hubs/authorities on the bipartite customer->part purchase
+    graph (HITS_ROUNDS mutual-reinforcement rounds): authority parts are
+    the ones bought by broad, high-hub customers; hub customers are the
+    ones whose baskets concentrate on authority parts — the
+    Kleinberg recipe on the natural directed structure a co-purchase
+    projection throws away.
+
+    Scale shape: the distinct (customer, part) edge list is built once and
+    persisted; each half-round is one edges x scores equi-join plus one
+    decimal-exact aggregate on the opposite side (order-independent, so
+    scores are bit-reproducible), with L2 normalization via a broadcast
+    scalar and 10-dp iterate rounding (the PCA determinism recipe).
+    Per-round results persist so plan depth stays O(1) in rounds."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+    import math
+
+    n_c = edges.select("c").distinct().count()
+    h = (
+        edges.select(F.col("c").alias("id"))
+        .distinct()
+        .select("id", F.lit(1.0 / math.sqrt(float(n_c))).alias("s"))
+        .persist()
+    )
+    DEC = "decimal(38,12)"
+
+    def half_round(side_from, side_to, scores):
+        raw = (
+            edges.join(scores.withColumnRenamed("id", side_from), side_from)
+            .groupBy(F.col(side_to).alias("id"))
+            .agg(F.sum(F.round("s", 12).cast(DEC)).cast("double").alias("s"))
+        )
+        nrm = F.broadcast(
+            raw.agg(
+                F.sqrt(
+                    F.sum(F.round(F.col("s") * F.col("s"), 12).cast(DEC)).cast(
+                        "double"
+                    )
+                ).alias("nrm")
+            )
+        )
+        return (
+            raw.crossJoin(nrm)
+            .select("id", F.round(F.col("s") / F.col("nrm"), 10).alias("s"))
+            .persist()
+        )
+
+    a = None
+    for _ in range(HITS_ROUNDS):
+        a = half_round("c", "p", h)
+        h = half_round("p", "c", a)
+    return a.select(F.lit("authority").alias("side"), "id", F.col("s").alias("score")).unionByName(
+        h.select(F.lit("hub").alias("side"), "id", F.col("s").alias("score"))
+    )

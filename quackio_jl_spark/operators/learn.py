@@ -996,3 +996,105 @@ def quality_calibration_improvement(spark, sf_dir):
             8,
         ).alias("ece_reduction"),
     )
+
+
+# ----------------------------------------- confident-learning label noise
+
+
+@query(
+    "label_confident_joint",
+    oracle="WITH "
+    + _NB_POST_SQL
+    + """
+    , mx AS (
+      SELECT doc_id, lang_true, MAX(post6) AS mx6 FROM post
+      GROUP BY doc_id, lang_true
+    ),
+    r AS (
+      SELECT p.doc_id, p.lang_true, p.m,
+        CAST(round(exp((p.post6 - mx.mx6) / 1e6) * 1e6) AS BIGINT) AS r6
+      FROM post p JOIN mx USING (doc_id, lang_true)
+    ),
+    s AS (SELECT doc_id, CAST(SUM(r6) AS BIGINT) AS s6 FROM r GROUP BY doc_id),
+    conf AS (
+      SELECT r.doc_id, r.lang_true, r.m,
+        CAST(r.r6 * 1000000 // s.s6 AS BIGINT) AS c6
+      FROM r JOIN s USING (doc_id)
+    ),
+    thr AS (
+      SELECT m, CAST(SUM(c6) AS BIGINT) AS sum_c6,
+        CAST(COUNT(*) AS BIGINT) AS n_m
+      FROM conf WHERE lang_true = m GROUP BY m
+    ),
+    hits AS (
+      SELECT c.doc_id, c.lang_true, c.m, c.c6
+      FROM conf c JOIN thr t USING (m)
+      WHERE c.c6 * t.n_m >= t.sum_c6
+    ),
+    pick AS (
+      SELECT doc_id, lang_true, m AS pred_lang,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c6 DESC, m) AS rn
+      FROM hits
+    )
+    SELECT lang_true AS noisy_lang, pred_lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pick WHERE rn = 1
+    GROUP BY noisy_lang, pred_lang
+    """,
+)
+def label_confident_joint(spark, sf_dir):
+    """Confident-learning joint count matrix (Northcutt et al.'s cleanlab
+    estimator): per-class confidence thresholds t_j = mean self-confidence
+    of docs LABELED j, then each document is assigned to the class it
+    exceeds the threshold for most confidently; the (noisy_label,
+    confident_label) count matrix's off-diagonal mass estimates the label
+    error rate per class pair — the audit run before trusting any labeled
+    split.
+
+    Determinism engineering: NB posteriors convert to micro-unit integer
+    confidences c6 = floor(softmax * 1e6) (per-term exp rounded once), and
+    the threshold test is the INTEGER cross-multiplication
+    c6 * n_j >= sum_c6_j — no mean is ever materialized as a float, so the
+    gate cannot tie-flake. Scale shape: one posterior grid (the shared NB
+    kernel), two bounded aggregates (per-class thresholds, the k x k
+    joint), one doc-partitioned argmax over <= |langs| rows per doc."""
+    post = _nb_doc_posteriors(spark, sf_dir)
+    mx = post.groupBy("doc_id", "lang_true").agg(F.max("post6").alias("mx6"))
+    r = post.join(mx, ["doc_id", "lang_true"]).select(
+        "doc_id",
+        "lang_true",
+        "m",
+        F.round(F.exp((F.col("post6") - F.col("mx6")) / F.lit(1e6)) * 1e6)
+        .cast("bigint")
+        .alias("r6"),
+    )
+    s = r.groupBy("doc_id").agg(F.sum("r6").cast("bigint").alias("s6"))
+    conf = r.join(s, "doc_id").select(
+        "doc_id",
+        "lang_true",
+        "m",
+        F.floor(F.col("r6") * F.lit(1000000) / F.col("s6"))
+        .cast("bigint")
+        .alias("c6"),
+    )
+    thr = F.broadcast(
+        conf.filter(F.col("lang_true") == F.col("m"))
+        .groupBy("m")
+        .agg(
+            F.sum("c6").cast("bigint").alias("sum_c6"),
+            F.count(F.lit(1)).cast("bigint").alias("n_m"),
+        )
+    )
+    hits = conf.join(thr, "m").filter(
+        F.col("c6") * F.col("n_m") >= F.col("sum_c6")
+    )
+    pick = (
+        hits.groupBy("doc_id", "lang_true")
+        .agg(
+            F.min(F.struct((-F.col("c6")).alias("nc"), F.col("m"))).alias("p")
+        )
+        .select("lang_true", F.col("p.m").alias("pred_lang"))
+    )
+    return pick.groupBy(
+        F.col("lang_true").alias("noisy_lang"), "pred_lang"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))

@@ -608,3 +608,142 @@ def incremental_agg_maintenance(spark, sf_dir):
             F.max("max_price").alias("max_price"),
         )
     )
+
+
+# ------------------------------------ Fellegi-Sunter linkage weights
+
+_FS_FIELDS = ("o_orderpriority", "o_orderstatus", "order_month")
+
+
+def _fs_field_sql(f: str) -> str:
+    return f"""
+    SELECT '{f}' AS field, st.n_pairs,
+      st.agree_{f} AS n_agree,
+      fu_{f}.u_num, fu_{f}.u_den,
+      CAST(round(log2(
+          ((st.agree_{f} + 0.5) / (st.n_pairs + 1.0))
+          / (CAST(fu_{f}.u_num AS DOUBLE) / fu_{f}.u_den)) * 1e6) AS BIGINT)
+        AS w_agree_e6,
+      CAST(round(log2(
+          ((st.n_pairs - st.agree_{f} + 0.5) / (st.n_pairs + 1.0))
+          / (1.0 - CAST(fu_{f}.u_num AS DOUBLE) / fu_{f}.u_den)) * 1e6)
+        AS BIGINT) AS w_disagree_e6
+    FROM st CROSS JOIN fu_{f}"""
+
+
+@query(
+    "linkage_fellegi_sunter_weights",
+    oracle=f"""
+    WITH ofld AS (
+      SELECT o_orderkey, o_orderpriority, o_orderstatus,
+        CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month
+      FROM orders
+    ),
+    cand AS (
+      SELECT a.o_orderkey AS ka, b.o_orderkey AS kb
+      FROM orders a JOIN orders b
+        ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+       AND abs(a.o_totalprice - b.o_totalprice) <= {DUP_INV_PRICE_TOL}
+       AND abs(datediff('day', a.o_orderdate, b.o_orderdate))
+           <= {DUP_INV_DAY_TOL}
+    ),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        {", ".join(
+          f"CAST(COALESCE(SUM(CASE WHEN oa.{f} = ob.{f} THEN 1 ELSE 0 END), 0)"
+          f" AS BIGINT) AS agree_{f}" for f in _FS_FIELDS)}
+      FROM cand
+      JOIN ofld oa ON oa.o_orderkey = cand.ka
+      JOIN ofld ob ON ob.o_orderkey = cand.kb
+    ),
+    {",".join(
+      f'''fu_{f} AS (
+      SELECT CAST(SUM(nv * nv) AS BIGINT) AS u_num,
+        CAST(SUM(nv) * SUM(nv) AS BIGINT) AS u_den
+      FROM (SELECT COUNT(*) AS nv FROM ofld GROUP BY {f})
+    )''' for f in _FS_FIELDS)}
+    {" UNION ALL ".join(_fs_field_sql(f) for f in _FS_FIELDS)}
+    """,
+)
+def linkage_fellegi_sunter_weights(spark, sf_dir):
+    """Fellegi-Sunter record-linkage field weights (the Splink/probabilistic
+    record-linkage core): for each comparison field, the agreement
+    log-odds a pair scores when the field matches (w_agree = log2(m/u))
+    and when it doesn't (w_disagree) — m estimated from the banded
+    duplicate-invoice candidate pairs (add-half smoothed so no weight is
+    ever infinite), u from the field's random-agreement probability
+    sum(n_v^2)/N^2 (the classical frequency-based u). Pair scoring is then
+    one broadcast of this 3-row table.
+
+    Scale shape: candidates come from the blocked band join (never an
+    unblocked self-join); field agreement is one aggregate over the
+    candidate pairs; the u probabilities are per-field value histograms
+    emitted as EXACT integer fractions (u_num/u_den), with only the final
+    log2 weights rounded once to micro-units."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.to_date("o_orderdate").alias("d"),
+    )
+    pairs = banded_duplicate_pairs(
+        o, DUP_INV_PRICE_TOL, DUP_INV_DAY_TOL, _DUP_INV_BAND
+    ).select("orderkey_a", "orderkey_b")
+    full = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+    )
+    oa = full.select(
+        F.col("o_orderkey").alias("orderkey_a"),
+        *[F.col(f).alias(f"a_{f}") for f in _FS_FIELDS],
+    )
+    ob = full.select(
+        F.col("o_orderkey").alias("orderkey_b"),
+        *[F.col(f).alias(f"b_{f}") for f in _FS_FIELDS],
+    )
+    st = (
+        pairs.join(oa, "orderkey_a")
+        .join(ob, "orderkey_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            *[
+                F.coalesce(
+                    F.sum((F.col(f"a_{f}") == F.col(f"b_{f}")).cast("int")), F.lit(0)
+                )
+                .cast("bigint")
+                .alias(f"agree_{f}")
+                for f in _FS_FIELDS
+            ],
+        )
+    )
+    out = None
+    for f in _FS_FIELDS:
+        fu = (
+            full.groupBy(f)
+            .agg(F.count(F.lit(1)).alias("nv"))
+            .agg(
+                F.sum(F.col("nv") * F.col("nv")).cast("bigint").alias("u_num"),
+                (F.sum("nv") * F.sum("nv")).cast("bigint").alias("u_den"),
+            )
+        )
+        u = F.col("u_num").cast("double") / F.col("u_den")
+        m = (F.col(f"agree_{f}") + 0.5) / (F.col("n_pairs") + 1.0)
+        md = (F.col("n_pairs") - F.col(f"agree_{f}") + 0.5) / (
+            F.col("n_pairs") + 1.0
+        )
+        row = (
+            st.crossJoin(F.broadcast(fu))
+            .select(
+                F.lit(f).alias("field"),
+                "n_pairs",
+                F.col(f"agree_{f}").alias("n_agree"),
+                "u_num",
+                "u_den",
+                F.round(F.log2(m / u) * 1e6).cast("bigint").alias("w_agree_e6"),
+                F.round(F.log2(md / (F.lit(1.0) - u)) * 1e6)
+                .cast("bigint")
+                .alias("w_disagree_e6"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -3312,3 +3312,92 @@ def continuation_eval_pairs(spark, sf_dir):
             )
         ).alias("completion_md5"),
     )
+
+
+# --------------------------------------------- shard mixing-quality audit
+
+
+@query(
+    "shard_source_mixing_report",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id,
+        CAST((ROW_NUMBER() OVER (
+          ORDER BY md5('{SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)), doc_id
+        ) - 1) // {SHARD_SIZE} AS BIGINT) AS shard
+      FROM documents
+    ),
+    j AS (SELECT p.shard, d.source FROM pos p JOIN documents d USING (doc_id)),
+    corp AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS cs FROM j GROUP BY source),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM j),
+    cell AS (
+      SELECT shard, source, CAST(COUNT(*) AS BIGINT) AS c FROM j GROUP BY shard, source
+    ),
+    sh AS (SELECT shard, CAST(SUM(c) AS BIGINT) AS n_sh FROM cell GROUP BY shard),
+    terms AS (
+      SELECT cell.shard, sh.n_sh, cell.c,
+        CAST(round(ln((CAST(cell.c AS DOUBLE) * nn.n)
+                      / (CAST(sh.n_sh AS DOUBLE) * corp.cs)) * 1e6) AS BIGINT)
+          AS li6
+      FROM cell JOIN sh USING (shard) JOIN corp USING (source) CROSS JOIN nn
+    )
+    SELECT shard, n_sh AS n_docs,
+      CAST(COUNT(*) AS BIGINT) AS n_sources,
+      MAX(c) AS max_source_docs,
+      CAST(SUM(c * li6) AS BIGINT) AS kl_num_e6
+    FROM terms
+    GROUP BY shard, n_sh
+    """,
+)
+def shard_source_mixing_report(spark, sf_dir):
+    """Shuffle-quality audit: per training shard (the epoch-0 deterministic
+    shuffle's SHARD_SIZE-document slices), how well mixed the sources are —
+    source count, the largest single-source clump, and the KL divergence of
+    the shard's source distribution from the corpus's (emitted as the exact
+    integer numerator kl_num_e6 = sum c * round(ln(ratio)*1e6); KL =
+    kl_num_e6 / (n_docs * 1e6)). A good shuffle puts every shard's KL near
+    0; a clumped shard is the data-loader hotspot that makes one worker see
+    one domain for a whole step.
+
+    Scale shape: positions come from the bucketed numbering kernel (no
+    global sort on the Spark side); everything else is two corpus-keyed
+    aggregates (shard x source cells, corpus source totals) and a broadcast
+    of the bounded source table — integer micro-unit log terms keep the
+    hashed output exact."""
+    pos = shuffle_corpus_deterministic(spark, sf_dir).select("doc_id", "shard")
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = pos.join(src, "doc_id")
+    corp = F.broadcast(
+        j.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("cs"))
+    )
+    nn = F.broadcast(j.agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    cell = j.groupBy("shard", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    sh = cell.groupBy("shard").agg(F.sum("c").cast("bigint").alias("n_sh"))
+    return (
+        cell.join(corp, "source")
+        .join(sh, "shard")
+        .crossJoin(nn)
+        .select(
+            "shard",
+            "n_sh",
+            "c",
+            F.round(
+                F.log(
+                    (F.col("c").cast("double") * F.col("n"))
+                    / (F.col("n_sh").cast("double") * F.col("cs"))
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("li6"),
+        )
+        .groupBy("shard", F.col("n_sh").alias("n_docs"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+            F.max("c").alias("max_source_docs"),
+            F.sum(F.col("c") * F.col("li6")).cast("bigint").alias("kl_num_e6"),
+        )
+        .select("shard", "n_docs", "n_sources", "max_source_docs", "kl_num_e6")
+    )

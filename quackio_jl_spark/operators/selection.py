@@ -1094,3 +1094,188 @@ def mink_prob_contamination(spark, sf_dir):
             ).alias("min_k_avg_logprob"),
         )
     )
+
+
+# ------------------------------------------- Bradley-Terry source ratings
+
+BT_ROUNDS = 3
+_BT_DSUM = "CAST(SUM(CAST(round({x}, 12) AS DECIMAL(38,12))) AS DOUBLE)"
+
+
+def _bt_oracle() -> str:
+    from .pipeline import SHUFFLE_SALT
+    from .scoring import _SCORED_SQL
+
+    prelude = f"""{_SCORED_SQL},
+    posd AS (
+      SELECT s.doc_id, d.source, s.quality_score AS q,
+        CAST(ROW_NUMBER() OVER (
+          ORDER BY md5('{SHUFFLE_SALT}' || CAST(s.doc_id AS VARCHAR)), s.doc_id
+        ) - 1 AS BIGINT) AS pos
+      FROM scored s JOIN documents d USING (doc_id)
+    ),
+    duels AS (
+      SELECT CASE WHEN (a.q, a.doc_id) > (b.q, b.doc_id)
+                  THEN a.source ELSE b.source END AS ws,
+             CASE WHEN (a.q, a.doc_id) > (b.q, b.doc_id)
+                  THEN b.source ELSE a.source END AS ls
+      FROM posd a JOIN posd b
+        ON a.pos % 2 = 0 AND b.pos = a.pos + 1 AND a.source <> b.source
+    ),
+    gd AS (
+      SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT ws AS i, ls AS j FROM duels
+        UNION ALL SELECT ls, ws FROM duels
+      ) GROUP BY i, j
+    ),
+    players AS (SELECT DISTINCT i AS source FROM gd),
+    wins AS (
+      SELECT p.source, CAST(COALESCE(w.n, 0) AS BIGINT) AS w
+      FROM players p LEFT JOIN (
+        SELECT ws AS source, COUNT(*) AS n FROM duels GROUP BY ws
+      ) w USING (source)
+    ),
+    kk AS (SELECT COUNT(*) AS k FROM players),
+    p0 AS (SELECT source, 1.0 / kk.k AS p FROM players CROSS JOIN kk)"""
+    rounds = []
+    prev = "p0"
+    for r in range(1, BT_ROUNDS + 1):
+        rounds.append(f"""
+    den{r} AS (
+      SELECT g.i AS source,
+        {_BT_DSUM.format(x='g.n / greatest(pi.p + pj.p, 1e-12)')} AS den
+      FROM gd g
+      JOIN {prev} pi ON pi.source = g.i
+      JOIN {prev} pj ON pj.source = g.j
+      GROUP BY g.i
+    ),
+    raw{r} AS (
+      SELECT w.source, w.w / greatest(d.den, 1e-12) AS s
+      FROM wins w JOIN den{r} d USING (source)
+    ),
+    tot{r} AS (SELECT {_BT_DSUM.format(x='s')} AS t FROM raw{r}),
+    p{r} AS (
+      SELECT source, round(s / t, 10) AS p FROM raw{r}, tot{r}
+    )""")
+        prev = f"p{r}"
+    return (
+        "WITH "
+        + prelude
+        + ","
+        + ",".join(rounds)
+        + f"""
+    SELECT w.source, g.games, w.w AS wins, p.p AS strength
+    FROM wins w
+    JOIN (SELECT i AS source, CAST(SUM(n) AS BIGINT) AS games
+          FROM gd GROUP BY i) g USING (source)
+    JOIN p{BT_ROUNDS} p USING (source)
+    """
+    )
+
+
+@query("source_bradley_terry_strengths", oracle=_bt_oracle())
+def source_bradley_terry_strengths(spark, sf_dir):
+    """Bradley-Terry strength ratings for SOURCES from document quality
+    duels — the pairwise-preference aggregation behind reward-model data
+    audits and arena-style rankings: adjacent documents in the epoch-0
+    deterministic shuffle duel (higher frozen quality score wins, doc_id
+    breaks exact ties; same-source duels drop), and BT_ROUNDS
+    minorization-maximization rounds fit p_i with
+    p_i <- W_i / sum_j n_ij / (p_i + p_j), renormalized to sum 1.
+
+    Scale shape: duels come from ONE equi-join on the shuffle position
+    (pos pairing 2i vs 2i+1 — corpus-linear, no quadratic pair space);
+    everything after the duel rollup lives on the <= |sources|^2 win
+    matrix with decimal-exact sums and 10-dp iterate rounding, so the
+    fit is bit-reproducible at any partition count. greatest(x, 1e-12)
+    guards the all-losses boundary identically in both engines."""
+    from .pipeline import shuffle_corpus_deterministic
+    from .scoring import quality_score_col
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", quality_score_col().alias("q")
+    )
+    pos = shuffle_corpus_deterministic(spark, sf_dir).select("doc_id", "pos")
+    posd = d.join(pos, "doc_id")
+    a = posd.select(
+        (F.col("pos") / 2).cast("bigint").alias("g"),
+        F.col("source").alias("sa"),
+        F.struct(F.col("q"), F.col("doc_id")).alias("ka"),
+    ).filter(F.col("pos") % 2 == 0)
+    b = posd.select(
+        ((F.col("pos") - 1) / 2).cast("bigint").alias("g"),
+        F.col("source").alias("sb"),
+        F.struct(F.col("q"), F.col("doc_id")).alias("kb"),
+    ).filter(F.col("pos") % 2 == 1)
+    duels = (
+        a.join(b, "g")
+        .filter(F.col("sa") != F.col("sb"))
+        .select(
+            F.when(F.col("ka") > F.col("kb"), F.col("sa"))
+            .otherwise(F.col("sb"))
+            .alias("ws"),
+            F.when(F.col("ka") > F.col("kb"), F.col("sb"))
+            .otherwise(F.col("sa"))
+            .alias("ls"),
+        )
+        .persist()
+    )
+    gd = (
+        duels.select(F.col("ws").alias("i"), F.col("ls").alias("j"))
+        .unionAll(duels.select(F.col("ls").alias("i"), F.col("ws").alias("j")))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()
+    )
+    players = gd.select(F.col("i").alias("source")).distinct()
+    wins = players.join(
+        duels.groupBy(F.col("ws").alias("source")).agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+        "source",
+        "left",
+    ).select("source", F.coalesce("n", F.lit(0)).cast("bigint").alias("w"))
+    kk = players.agg(F.count(F.lit(1)).alias("k"))
+    p = players.crossJoin(F.broadcast(kk)).select(
+        "source", (F.lit(1.0) / F.col("k")).alias("p")
+    )
+    DEC = "decimal(38,12)"
+    for _ in range(BT_ROUNDS):
+        pi = p.select(F.col("source").alias("i"), F.col("p").alias("p_i"))
+        pj = p.select(F.col("source").alias("j"), F.col("p").alias("p_j"))
+        den = (
+            gd.join(F.broadcast(pi), "i")
+            .join(F.broadcast(pj), "j")
+            .groupBy(F.col("i").alias("source"))
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("n")
+                        / F.greatest(F.col("p_i") + F.col("p_j"), F.lit(1e-12)),
+                        12,
+                    ).cast(DEC)
+                )
+                .cast("double")
+                .alias("den")
+            )
+        )
+        raw = wins.join(den, "source").select(
+            "source",
+            (F.col("w") / F.greatest(F.col("den"), F.lit(1e-12))).alias("s"),
+        )
+        tot = F.broadcast(
+            raw.agg(F.sum(F.round("s", 12).cast(DEC)).cast("double").alias("t"))
+        )
+        p = (
+            raw.crossJoin(tot)
+            .select("source", F.round(F.col("s") / F.col("t"), 10).alias("p"))
+            .localCheckpoint()
+        )
+    games = gd.groupBy(F.col("i").alias("source")).agg(
+        F.sum("n").cast("bigint").alias("games")
+    )
+    return (
+        wins.join(games, "source")
+        .join(p, "source")
+        .select("source", "games", F.col("w").alias("wins"), F.col("p").alias("strength"))
+    )

@@ -1039,3 +1039,131 @@ def ann_lsh_pair_recall(spark, sf_dir):
             ),
         )
     )
+
+
+# --------------------------------------------- k-center coreset (FPS)
+
+KC_CENTERS = 6
+
+
+def _d2_sql(a: str, b: str) -> str:
+    """Exact squared L2 via three fixed-point dot products (each term is an
+    int64 sum / 1e9; the combination is small-magnitude IEEE adds —
+    deterministic in any engine)."""
+    return (
+        f"({_dot_sql(a, a)} - 2 * {_dot_sql(a, b)} + {_dot_sql(b, b)})"
+    )
+
+
+def _kcenter_oracle() -> str:
+    parts = [
+        """
+    c1 AS (
+      SELECT vec_id, embedding, CAST(NULL AS DOUBLE) AS radius
+      FROM embeddings WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    ),
+    m1 AS (
+      SELECT e.vec_id, e.embedding,
+        MIN({d2}) AS mind
+      FROM embeddings e CROSS JOIN c1 c
+      GROUP BY e.vec_id, e.embedding
+    )""".format(d2=_d2_sql("e.embedding", "c.embedding"))
+    ]
+    for r in range(2, KC_CENTERS + 1):
+        parts.append(f"""
+    p{r} AS (
+      SELECT vec_id, embedding, mind,
+        ROW_NUMBER() OVER (ORDER BY mind DESC, vec_id) AS rn
+      FROM m{r - 1}
+    ),
+    c{r} AS (SELECT vec_id, embedding, mind AS radius FROM p{r} WHERE rn = 1),
+    m{r} AS (
+      SELECT m.vec_id, m.embedding,
+        least(m.mind, {_d2_sql("m.embedding", "c.embedding")}) AS mind
+      FROM m{r - 1} m CROSS JOIN c{r} c
+    )""")
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT {r} AS rank, vec_id, radius FROM c{r}"
+        for r in range(1, KC_CENTERS + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""",
+    cov AS (SELECT MAX(mind) AS covering_radius FROM m{KC_CENTERS})
+    SELECT CAST(s.rank AS INTEGER) AS rank, s.vec_id, s.radius,
+      cov.covering_radius
+    FROM ({sel}) s CROSS JOIN cov
+    """
+    )
+
+
+@query("embedding_kcenter_coreset", oracle=_kcenter_oracle())
+def embedding_kcenter_coreset(spark, sf_dir):
+    """k-center coreset by farthest-point sampling (Gonzalez's 2-approx —
+    the diversity-first data-selection recipe): seed with the min vec_id,
+    then repeatedly add the vector FARTHEST from the current center set
+    (max of min squared L2, ties to the smaller vec_id). Emits each
+    center's selection radius (its distance to the previous centers — a
+    non-increasing sequence, the classic coverage curve) plus the final
+    covering radius every corpus vector sits within.
+
+    Scale shape: the min-distance column is maintained INCREMENTALLY —
+    each round is one crossJoin with the broadcast 1-row new center and a
+    least(), never a re-scan against the whole center set, and the argmax
+    is a single max(struct) aggregate (map-side combined), never a global
+    sort. localCheckpoint per round keeps lineage O(1) in k, exactly the
+    LPA/PageRank posture. Distances are fixed-point-exact, so center
+    choices cannot drift cross-engine."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    first = e.orderBy("vec_id").limit(1)
+    c = first.select("vec_id", F.col("embedding").alias("cv"))
+
+    def d2(a, b):
+        return (
+            exact_dot(a, a) - 2 * exact_dot(a, b) + exact_dot(b, b)
+        )
+
+    m = (
+        e.crossJoin(F.broadcast(c.select("cv")))
+        .select("vec_id", "embedding", d2("embedding", "cv").alias("mind"))
+        .localCheckpoint()
+    )
+    centers = [first.select("vec_id", F.lit(None).cast("double").alias("radius"))]
+    for _ in range(2, KC_CENTERS + 1):
+        pick = (
+            m.agg(
+                F.max(
+                    F.struct(
+                        F.col("mind"),
+                        (-F.col("vec_id")).alias("nv"),
+                        F.col("vec_id"),
+                        F.col("embedding"),
+                    )
+                ).alias("p")
+            )
+            .select(
+                F.col("p.vec_id").alias("vec_id"),
+                F.col("p.mind").alias("radius"),
+                F.col("p.embedding").alias("cv"),
+            )
+            .localCheckpoint()
+        )
+        centers.append(pick.select("vec_id", "radius"))
+        m = (
+            m.crossJoin(F.broadcast(pick.select("cv")))
+            .select(
+                "vec_id",
+                "embedding",
+                F.least(F.col("mind"), d2("embedding", "cv")).alias("mind"),
+            )
+            .localCheckpoint()
+        )
+    cov = F.broadcast(m.agg(F.max("mind").alias("covering_radius")))
+    out = None
+    for rank, cdf in enumerate(centers, start=1):
+        row = cdf.select(
+            F.lit(rank).cast("int").alias("rank"), "vec_id", "radius"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.crossJoin(cov)

@@ -212,3 +212,85 @@ def test_contrastive_hard_negatives_same_cell_never_self(spark):
     for vid, cell in cells.items():
         expected = HNEG_K if sizes[cell] >= 2 else 0
         assert per_anchor.get(vid, 0) == expected, (vid, cell)
+
+
+def test_kcenter_radii_non_increasing_and_cover(spark):
+    """FPS invariants: selection radii are non-increasing (each new center
+    is the farthest point, so the max-min distance can only shrink), the
+    covering radius is <= the last selection radius, and centers are
+    distinct."""
+    rows = sorted(
+        QUERIES["embedding_kcenter_coreset"](spark, SF_DIR).collect(),
+        key=lambda r: r.rank,
+    )
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == len(ids)
+    radii = [r.radius for r in rows[1:]]  # rank 1 is the seed (null radius)
+    assert rows[0].radius is None
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    assert all(r > 0 for r in radii)
+    assert rows[0].covering_radius <= radii[-1] + 1e-12
+
+
+def test_hits_scores_unit_norm_positive(spark):
+    rows = QUERIES["customer_part_hits"](spark, SF_DIR).collect()
+    for side in ("hub", "authority"):
+        scores = [r.score for r in rows if r.side == side]
+        assert scores and all(s >= 0 for s in scores)
+        nrm = sum(s * s for s in scores) ** 0.5
+        assert abs(nrm - 1.0) < 1e-6, (side, nrm)
+
+
+def test_bradley_terry_strengths_rank_by_merit(spark):
+    rows = QUERIES["source_bradley_terry_strengths"](spark, SF_DIR).collect()
+    assert abs(sum(r.strength for r in rows) - 1.0) < 1e-6
+    for r in rows:
+        assert 0 <= r.wins <= r.games
+        assert 0.0 <= r.strength <= 1.0
+    # a source that never wins must not out-rate one that always wins
+    if any(r.wins == r.games for r in rows) and any(r.wins == 0 for r in rows):
+        best = max(r.strength for r in rows if r.wins == r.games)
+        worst = min(r.strength for r in rows if r.wins == 0)
+        assert best >= worst
+
+
+def test_shard_mixing_conserves_docs(spark):
+    rows = QUERIES["shard_source_mixing_report"](spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert 1 <= r.n_sources <= r.n_docs
+        assert r.max_source_docs <= r.n_docs
+        # KL numerator can round slightly negative per term but the
+        # true KL is >= 0; the integer numerator stays above the
+        # worst-case rounding slack (half a micro-unit per doc).
+        assert r.kl_num_e6 >= -r.n_docs
+
+
+def test_confident_joint_counts_bounded(spark):
+    rows = QUERIES["label_confident_joint"](spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    total = sum(r.n_docs for r in rows)
+    assert 0 < total <= n_docs  # below-threshold docs drop out
+    langs = {
+        r.lang
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("lang").distinct().collect()
+    }
+    for r in rows:
+        assert r.noisy_lang in langs and r.pred_lang in langs
+    # some confident agreement must exist even on the tiny fixture
+    diag = sum(r.n_docs for r in rows if r.noisy_lang == r.pred_lang)
+    assert diag > 0
+
+
+def test_fs_weights_signs(spark):
+    rows = QUERIES["linkage_fellegi_sunter_weights"](spark, SF_DIR).collect()
+    assert {r.field for r in rows} == {
+        "o_orderpriority", "o_orderstatus", "order_month"
+    }
+    for r in rows:
+        assert 0 <= r.n_agree <= r.n_pairs
+        assert 0 < r.u_num <= r.u_den
+        # agreement evidence must outweigh disagreement evidence
+        assert r.w_agree_e6 > r.w_disagree_e6
