@@ -141,6 +141,9 @@ EXTENDED = [
     "linkage_fellegi_sunter_weights",
     "contrastive_hard_negatives",
     "embedding_pca_top3",
+    "linkage_entity_clusters",
+    "multimodal_interleaved_packing",
+    "parquet_footer_column_stats",
 ]
 
 

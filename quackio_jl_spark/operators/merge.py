@@ -631,10 +631,7 @@ def _fs_field_sql(f: str) -> str:
     FROM st CROSS JOIN fu_{f}"""
 
 
-@query(
-    "linkage_fellegi_sunter_weights",
-    oracle=f"""
-    WITH ofld AS (
+_FS_PRELUDE_SQL = f"""ofld AS (
       SELECT o_orderkey, o_orderpriority, o_orderstatus,
         CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month
       FROM orders
@@ -661,8 +658,18 @@ def _fs_field_sql(f: str) -> str:
       SELECT CAST(SUM(nv * nv) AS BIGINT) AS u_num,
         CAST(SUM(nv) * SUM(nv) AS BIGINT) AS u_den
       FROM (SELECT COUNT(*) AS nv FROM ofld GROUP BY {f})
-    )''' for f in _FS_FIELDS)}
-    {" UNION ALL ".join(_fs_field_sql(f) for f in _FS_FIELDS)}
+    )''' for f in _FS_FIELDS)},
+    fsw AS (
+      {" UNION ALL ".join(_fs_field_sql(f) for f in _FS_FIELDS)}
+    )"""
+
+
+@query(
+    "linkage_fellegi_sunter_weights",
+    oracle=f"""
+    WITH {_FS_PRELUDE_SQL}
+    SELECT field, n_pairs, n_agree, u_num, u_den, w_agree_e6, w_disagree_e6
+    FROM fsw
     """,
 )
 def linkage_fellegi_sunter_weights(spark, sf_dir):
@@ -747,3 +754,112 @@ def linkage_fellegi_sunter_weights(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --------------------------------------- entity resolution via FS scores
+
+
+@query(
+    "linkage_entity_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_FS_PRELUDE_SQL},
+    scored AS (
+      SELECT cand.ka, cand.kb,
+        {" + ".join(
+          f"(SELECT CASE WHEN oa.{f} = ob.{f} THEN w_agree_e6"
+          f" ELSE w_disagree_e6 END FROM fsw WHERE field = '{f}')"
+          for f in _FS_FIELDS)} AS score_e6
+      FROM cand
+      JOIN ofld oa ON oa.o_orderkey = cand.ka
+      JOIN ofld ob ON ob.o_orderkey = cand.kb
+    ),
+    match_edges AS (SELECT ka, kb FROM scored WHERE score_e6 > 0),
+    nodes AS (
+      SELECT DISTINCT id FROM (
+        SELECT ka AS id FROM match_edges
+        UNION ALL SELECT kb FROM match_edges
+      )
+    ),
+    sym AS (
+      SELECT ka AS a, kb AS b FROM match_edges
+      UNION ALL SELECT kb, ka FROM match_edges
+    ),
+    walk(id, label) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT sym.a, w.label FROM walk w JOIN sym ON sym.b = w.id
+    ),
+    comp AS (SELECT id, MIN(label) AS entity FROM walk GROUP BY id)
+    SELECT entity, CAST(COUNT(*) AS BIGINT) AS n_records
+    FROM comp GROUP BY entity
+    """,
+)
+def linkage_entity_clusters(spark, sf_dir):
+    """Entity resolution end-to-end: the Fellegi-Sunter field weights score
+    every blocked candidate pair (sum of per-field agree/disagree
+    log-odds, exact micro-units); pairs with net-positive evidence become
+    match edges; connected components over those edges collapse records
+    into ENTITIES (the transitive-closure step every dedupe-the-CRM
+    pipeline ends with — A~B and B~C must land in one entity even when
+    A and C never met in a block). One row per entity with its record
+    count.
+
+    Scale shape: candidates from the banded block join, a broadcast 3-row
+    weight table for scoring, then the checkpointed large-star/small-star
+    component loop (O(log^2 n) rounds) — the same machinery as
+    dedup_clusters, on record keys instead of doc ids. The oracle runs
+    the identical closure as a recursive CTE, so multi-hop merges are
+    value-checked, not assumed."""
+    from .cluster import connected_components
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.to_date("o_orderdate").alias("d"),
+    )
+    pairs = banded_duplicate_pairs(
+        o, DUP_INV_PRICE_TOL, DUP_INV_DAY_TOL, _DUP_INV_BAND
+    ).select(
+        F.col("orderkey_a").alias("ka"), F.col("orderkey_b").alias("kb")
+    )
+    w = F.broadcast(linkage_fellegi_sunter_weights(spark, sf_dir))
+    full = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+    )
+    oa = full.select(
+        F.col("o_orderkey").alias("ka"),
+        *[F.col(f).alias(f"a_{f}") for f in _FS_FIELDS],
+    )
+    ob = full.select(
+        F.col("o_orderkey").alias("kb"),
+        *[F.col(f).alias(f"b_{f}") for f in _FS_FIELDS],
+    )
+    j = pairs.join(oa, "ka").join(ob, "kb")
+    score = None
+    for f in _FS_FIELDS:
+        wf = w.filter(F.col("field") == f).select(
+            F.col("w_agree_e6").alias(f"wa_{f}"),
+            F.col("w_disagree_e6").alias(f"wd_{f}"),
+        )
+        j = j.crossJoin(F.broadcast(wf))
+        term = F.when(
+            F.col(f"a_{f}") == F.col(f"b_{f}"), F.col(f"wa_{f}")
+        ).otherwise(F.col(f"wd_{f}"))
+        score = term if score is None else score + term
+    edges = (
+        j.select("ka", "kb", score.alias("score_e6"))
+        .filter(F.col("score_e6") > 0)
+        .select("ka", "kb")
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("ka").alias("id"))
+        .unionAll(edges.select(F.col("kb").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(nodes, edges, id_col="id", src="ka", dst="kb")
+    return comp.groupBy(F.col("cluster").alias("entity")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_records")
+    )

@@ -726,3 +726,96 @@ def multimodal_ar_bucket_padding(spark, sf_dir):
             8,
         ).alias("pad_frac_global"),
     )
+
+
+# ------------------------------ interleaved image-text context packing
+
+MM_BUDGET = 512  # context length in unified tokens (text tokens + patches)
+
+
+@query(
+    "multimodal_interleaved_packing",
+    oracle=f"""
+    WITH costs AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS t_tokens,
+        CAST(CASE WHEN doc_id % 3 = 0 THEN
+          ((16 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 64) // {VIT_PATCH})
+          * ((16 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 64) // {VIT_PATCH})
+        ELSE 0 END AS BIGINT) AS patches
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, t_tokens, patches, t_tokens + patches AS cost,
+        CAST((SUM(t_tokens + patches) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - (t_tokens + patches)) // {MM_BUDGET} AS BIGINT) AS context_id
+      FROM costs
+    )
+    SELECT context_id,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN patches > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_images,
+      CAST(SUM(t_tokens) AS BIGINT) AS text_tokens,
+      CAST(SUM(patches) AS BIGINT) AS image_patches,
+      CAST(SUM(cost) AS BIGINT) AS total_cost,
+      CAST(SUM(cost) > {MM_BUDGET} AS BOOLEAN) AS overfull
+    FROM packed GROUP BY context_id
+    """,
+)
+def multimodal_interleaved_packing(spark, sf_dir):
+    """Interleaved image-text context packing — the VLM training-batch
+    shape: every document costs text tokens PLUS ViT patches for its image
+    payload (patches ~= tokens in the unified sequence), and documents
+    pack into MM_BUDGET-token contexts by cumulative cost in doc_id order
+    (the same start-offset cumsum rule as pack_chunks_into_contexts, so a
+    straddling document overfills its context rather than splitting — the
+    audit flags those). Per context: doc/image counts, the text/patch
+    token split, and the overflow flag.
+
+    Scale shape: image dims come from the decode-once Arrow UDF
+    (extract_media_features — the md5-derived fake lets the oracle
+    value-check the whole binary path); the global running cost uses the
+    bucketed prefix-sum kernel (functions/prefix.py), NOT an unpartitioned
+    window, so no row-level single-partition sort exists in the plan; the
+    context rollup is one shuffle on context_id."""
+    from ..functions.prefix import bucketed_prefix_sums
+
+    feats = extract_media_features(documents_as_media(spark, sf_dir)).select(
+        "doc_id",
+        F.when(
+            F.col("media_type") == "image",
+            (
+                F.floor(F.col("width") / VIT_PATCH)
+                * F.floor(F.col("height") / VIT_PATCH)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("patches"),
+    )
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("t_tokens")
+    )
+    costs = toks.join(feats, "doc_id").select(
+        "doc_id",
+        "t_tokens",
+        "patches",
+        (F.col("t_tokens") + F.col("patches")).alias("cost"),
+    )
+    packed = bucketed_prefix_sums(costs, "doc_id", ["cost"]).select(
+        "doc_id",
+        "t_tokens",
+        "patches",
+        "cost",
+        F.floor((F.col("cum_cost") - F.col("cost")) / MM_BUDGET)
+        .cast("bigint")
+        .alias("context_id"),
+    )
+    return packed.groupBy("context_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("patches") > 0).cast("int")).cast("bigint").alias("n_images"),
+        F.sum("t_tokens").cast("bigint").alias("text_tokens"),
+        F.sum("patches").cast("bigint").alias("image_patches"),
+        F.sum("cost").cast("bigint").alias("total_cost"),
+        (F.sum("cost") > MM_BUDGET).alias("overfull"),
+    )

@@ -294,3 +294,30 @@ def test_fs_weights_signs(spark):
         assert 0 < r.u_num <= r.u_den
         # agreement evidence must outweigh disagreement evidence
         assert r.w_agree_e6 > r.w_disagree_e6
+
+
+def test_entity_clusters_sizes_sane(spark):
+    rows = QUERIES["linkage_entity_clusters"](spark, SF_DIR).collect()
+    # every entity merges at least 2 records (singletons never enter the
+    # edge set), and entity ids are member minima so they're distinct
+    for r in rows:
+        assert r.n_records >= 2
+    assert len({r.entity for r in rows}) == len(rows)
+
+
+def test_interleaved_packing_conserves_tokens(spark):
+    from quackio_jl_spark.operators.multimodal import MM_BUDGET
+
+    rows = QUERIES["multimodal_interleaved_packing"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    total_toks = docs.selectExpr(
+        "sum(size(split(text, ' ')))"
+    ).collect()[0][0]
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.text_tokens for r in rows) == total_toks
+    n_images = docs.filter("doc_id % 3 = 0").count()
+    assert sum(r.n_images for r in rows) == n_images
+    for r in rows:
+        assert r.total_cost == r.text_tokens + r.image_patches
+        assert r.overfull == (r.total_cost > MM_BUDGET)

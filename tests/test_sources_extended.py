@@ -494,3 +494,30 @@ def test_sniff_json_top_level_array(tmp_path, spark):
     p2 = str(tmp_path / "nd.json")
     _write(p2, '{"a": 1}\n{"a": 2}\n{"a": 3}\n')
     assert read_json(spark, p2).count() == 3
+
+
+def test_parquet_footer_rowgroup_detail_matches_duckdb():
+    """The pyarrow footer reader behind parquet_footer_column_stats must
+    agree with DuckDB's parquet_metadata() PER ROW GROUP, byte sizes
+    included — both read the same footer, so every field matches exactly."""
+    import duckdb
+
+    from quackio_jl_spark.plans.roundtrip import _footer_int64_stats
+
+    sf = "/root/testdata/sf0.001"
+    ours = sorted(_footer_int64_stats(sf))
+    want = sorted(
+        tuple(r)
+        for r in duckdb.connect()
+        .execute(
+            f"""
+        SELECT row_group_id, path_in_schema, num_values, stats_null_count,
+          CAST(stats_min_value AS BIGINT), CAST(stats_max_value AS BIGINT),
+          total_compressed_size, total_uncompressed_size
+        FROM parquet_metadata('{sf}/orders.parquet')
+        WHERE type = 'INT64' AND path_in_schema IN ('o_orderkey', 'o_custkey')
+        """
+        )
+        .fetchall()
+    )
+    assert ours == want and ours
