@@ -144,6 +144,8 @@ EXTENDED = [
     "linkage_entity_clusters",
     "multimodal_interleaved_packing",
     "parquet_footer_column_stats",
+    "part_link_prediction_adamic_adar",
+    "linkage_fs_em_refinement",
 ]
 
 

@@ -1661,3 +1661,104 @@ def customer_part_hits(spark, sf_dir):
     return a.select(F.lit("authority").alias("side"), "id", F.col("s").alias("score")).unionByName(
         h.select(F.lit("hub").alias("side"), "id", F.col("s").alias("score"))
     )
+
+
+# --------------------------------------- link prediction (Adamic-Adar)
+
+AA_CENTER_CAP = 200  # skip hub centers: deg > cap contributes ~1/ln(deg) ~ 0
+AA_MIN_COMMON = 2    # report pairs sharing >= 2 neighbors
+
+
+@query(
+    "part_link_prediction_adamic_adar",
+    oracle=f"""
+    WITH {_PR_GRAPH_SQL},
+    okc AS (
+      SELECT deg.id, deg.d,
+        CAST(round(1e6 / ln(deg.d)) AS BIGINT) AS inv_ln_e6
+      FROM deg WHERE deg.d <= {AA_CENTER_CAP} AND deg.d >= 2
+    ),
+    wedges AS (
+      SELECT e1.dst AS u, e2.dst AS w, okc.inv_ln_e6
+      FROM edges e1
+      JOIN okc ON okc.id = e1.src
+      JOIN edges e2 ON e2.src = e1.src AND e1.dst < e2.dst
+    ),
+    scored AS (
+      SELECT u, w, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+        CAST(SUM(inv_ln_e6) AS BIGINT) AS aa_score_e6
+      FROM wedges GROUP BY u, w
+      HAVING COUNT(*) >= {AA_MIN_COMMON}
+    )
+    SELECT s.u AS part1, s.w AS part2, s.common_neighbors, s.aa_score_e6
+    FROM scored s
+    LEFT JOIN pairs p ON p.part1 = s.u AND p.part2 = s.w
+    WHERE p.part1 IS NULL
+    """,
+)
+def part_link_prediction_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction on the part co-purchase graph: for
+    part pairs NOT yet co-purchased, sum 1/ln(deg) over their common
+    neighbors (rare shared neighbors weigh more than promiscuous hubs) —
+    the assortment recommender's "these two will co-occur next" signal,
+    and the classic common-neighbor family member that actually needs
+    per-neighbor weights.
+
+    Scale shape: wedges fan out through each CENTER as deg^2, so hub
+    centers (deg > AA_CENTER_CAP) are skipped — mirrored in the oracle,
+    and principled for AA specifically: a hub's 1/ln(deg) weight is the
+    smallest contribution in the sum (the same stopword posture as
+    LSH_MAX_BUCKET). Per-center weights are integer micro-units
+    (round(1e6/ln d) — one libm call per DISTINCT degree, summed
+    exactly), the wedge join reuses the persisted edge/degree frames, and
+    existing edges drop out via one anti-join."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part1"))
+    b = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part2"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part1") < F.col("part2")))
+        .groupBy("part1", "part2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("part1", "part2")
+        .persist()
+    )
+    edges = (
+        pairs.select(F.col("part1").alias("src"), F.col("part2").alias("dst"))
+        .union(pairs.select(F.col("part2").alias("src"), F.col("part1").alias("dst")))
+        .persist()
+    )
+    deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    okc = deg.filter(
+        (F.col("d") <= AA_CENTER_CAP) & (F.col("d") >= 2)
+    ).select(
+        "id", F.round(F.lit(1e6) / F.log("d")).cast("bigint").alias("inv_ln_e6")
+    )
+    e1 = edges.join(okc, edges.src == okc.id).select(
+        F.col("src").alias("c"), F.col("dst").alias("u"), "inv_ln_e6"
+    )
+    e2 = edges.select(F.col("src").alias("c2"), F.col("dst").alias("w"))
+    wedges = e1.join(
+        e2, (F.col("c") == F.col("c2")) & (F.col("u") < F.col("w"))
+    )
+    scored = (
+        wedges.groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+            F.sum("inv_ln_e6").cast("bigint").alias("aa_score_e6"),
+        )
+        .filter(F.col("common_neighbors") >= AA_MIN_COMMON)
+    )
+    return (
+        scored.join(
+            pairs,
+            (scored.u == pairs.part1) & (scored.w == pairs.part2),
+            "left_anti",
+        )
+        .select(
+            F.col("u").alias("part1"),
+            F.col("w").alias("part2"),
+            "common_neighbors",
+            "aa_score_e6",
+        )
+    )

@@ -863,3 +863,202 @@ def linkage_entity_clusters(spark, sf_dir):
     return comp.groupBy(F.col("cluster").alias("entity")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_records")
     )
+
+
+# --------------------------------------- FS EM refinement (one round)
+
+_EM_DSUM = "CAST(SUM(CAST(round({x}, 12) AS DECIMAL(38,12))) AS DOUBLE)"
+
+
+@query(
+    "linkage_fs_em_refinement",
+    oracle=f"""
+    WITH {_FS_PRELUDE_SQL},
+    pat AS (
+      SELECT {", ".join(
+        f"CASE WHEN oa.{f} = ob.{f} THEN 1 ELSE 0 END AS g_{f}"
+        for f in _FS_FIELDS)},
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM cand
+      JOIN ofld oa ON oa.o_orderkey = cand.ka
+      JOIN ofld ob ON ob.o_orderkey = cand.kb
+      GROUP BY {", ".join(f"g_{f}" for f in _FS_FIELDS)}
+    ),
+    init AS (
+      SELECT {", ".join(
+        f"(st.agree_{f} + 0.5) / (st.n_pairs + 1.0) AS m_{f}, "
+        f"CAST(fu_{f}.u_num AS DOUBLE) / fu_{f}.u_den AS u_{f}"
+        for f in _FS_FIELDS)}
+      FROM st {" ".join(f"CROSS JOIN fu_{f}" for f in _FS_FIELDS)}
+    ),
+    ew AS (
+      SELECT pat.*, round(
+        0.5 * {" * ".join(
+          f"(CASE WHEN g_{f} = 1 THEN m_{f} ELSE 1 - m_{f} END)"
+          for f in _FS_FIELDS)}
+        / (0.5 * {" * ".join(
+          f"(CASE WHEN g_{f} = 1 THEN m_{f} ELSE 1 - m_{f} END)"
+          for f in _FS_FIELDS)}
+         + 0.5 * {" * ".join(
+          f"(CASE WHEN g_{f} = 1 THEN u_{f} ELSE 1 - u_{f} END)"
+          for f in _FS_FIELDS)}), 12) AS w
+      FROM pat CROSS JOIN init
+    ),
+    msums AS (
+      SELECT {_EM_DSUM.format(x='n * w')} AS sw,
+        {_EM_DSUM.format(x='n * (1 - w)')} AS su,
+        CAST(SUM(n) AS BIGINT) AS ntot,
+        {", ".join(
+          f"{_EM_DSUM.format(x=f'n * w * g_{f}')} AS swg_{f}, "
+          f"{_EM_DSUM.format(x=f'n * (1 - w) * g_{f}')} AS sug_{f}"
+          for f in _FS_FIELDS)}
+      FROM ew
+    )
+    {" UNION ALL ".join(
+      f'''SELECT '{f}' AS field,
+      CAST(round(init.m_{f} * 1e8) AS BIGINT) AS m0_e8,
+      CAST(round(msums.swg_{f} / msums.sw * 1e8) AS BIGINT) AS m1_e8,
+      CAST(round(init.u_{f} * 1e8) AS BIGINT) AS u0_e8,
+      CAST(round(msums.sug_{f} / msums.su * 1e8) AS BIGINT) AS u1_e8,
+      CAST(round(msums.sw / msums.ntot * 1e8) AS BIGINT) AS lambda1_e8
+    FROM msums CROSS JOIN init''' for f in _FS_FIELDS)}
+    """,
+)
+def linkage_fs_em_refinement(spark, sf_dir):
+    """One EM round of the Fellegi-Sunter m/u/lambda parameters over the
+    candidate pairs' comparison-vector histogram (<= 2^3 patterns): the
+    E-step scores each agreement pattern's match posterior under the
+    frequency-initialized parameters, the M-step re-estimates m_f, u_f and
+    the match prevalence lambda from the posterior-weighted pattern
+    counts — the unsupervised refinement Splink/classical record linkage
+    runs until convergence (one round here keeps the oracle a finite
+    expression; further rounds repeat the same bounded arithmetic).
+    Estimated over the BLOCKED candidate space, so u-parameters are
+    conditional on blocking — the documented caveat of every blocked EM.
+
+    Scale shape: the only corpus-sized work is the one candidate-pair
+    aggregate building the <= 8-row pattern histogram; the entire EM is
+    arithmetic on that bounded table (decimal-exact weighted sums, 12-dp
+    posterior rounding, micro-unit integer outputs — libm-free, so every
+    value is bit-identical across engines)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.to_date("o_orderdate").alias("d"),
+    )
+    pairs = banded_duplicate_pairs(
+        o, DUP_INV_PRICE_TOL, DUP_INV_DAY_TOL, _DUP_INV_BAND
+    ).select(
+        F.col("orderkey_a").alias("ka"), F.col("orderkey_b").alias("kb")
+    )
+    full = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+    )
+    oa = full.select(
+        F.col("o_orderkey").alias("ka"),
+        *[F.col(f).alias(f"a_{f}") for f in _FS_FIELDS],
+    )
+    ob = full.select(
+        F.col("o_orderkey").alias("kb"),
+        *[F.col(f).alias(f"b_{f}") for f in _FS_FIELDS],
+    )
+    pat = (
+        pairs.join(oa, "ka")
+        .join(ob, "kb")
+        .groupBy(
+            *[
+                (F.col(f"a_{f}") == F.col(f"b_{f}"))
+                .cast("int")
+                .alias(f"g_{f}")
+                for f in _FS_FIELDS
+            ]
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    j = pairs.join(oa, "ka").join(ob, "kb")
+    st = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        *[
+            F.coalesce(
+                F.sum((F.col(f"a_{f}") == F.col(f"b_{f}")).cast("int")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"agree_{f}")
+            for f in _FS_FIELDS
+        ],
+    )
+    init = st
+    for f in _FS_FIELDS:
+        fu = (
+            full.groupBy(f)
+            .agg(F.count(F.lit(1)).alias("nv"))
+            .agg(
+                F.sum(F.col("nv") * F.col("nv")).cast("bigint").alias(f"un_{f}"),
+                (F.sum("nv") * F.sum("nv")).cast("bigint").alias(f"ud_{f}"),
+            )
+        )
+        init = init.crossJoin(F.broadcast(fu))
+    init = init.select(
+        *[
+            ((F.col(f"agree_{f}") + 0.5) / (F.col("n_pairs") + 1.0)).alias(f"m_{f}")
+            for f in _FS_FIELDS
+        ],
+        *[
+            (F.col(f"un_{f}").cast("double") / F.col(f"ud_{f}")).alias(f"u_{f}")
+            for f in _FS_FIELDS
+        ],
+    )
+
+    def prod(pfx):
+        out = F.lit(0.5)
+        for f in _FS_FIELDS:
+            term = F.when(
+                F.col(f"g_{f}") == 1, F.col(f"{pfx}_{f}")
+            ).otherwise(F.lit(1.0) - F.col(f"{pfx}_{f}"))
+            out = out * term
+        return out
+
+    ew = pat.crossJoin(F.broadcast(init)).withColumn(
+        "w", F.round(prod("m") / (prod("m") + prod("u")), 12)
+    )
+    DEC = "decimal(38,12)"
+
+    def dsum(x):
+        return F.sum(F.round(x, 12).cast(DEC)).cast("double")
+
+    msums = ew.agg(
+        dsum(F.col("n") * F.col("w")).alias("sw"),
+        dsum(F.col("n") * (1 - F.col("w"))).alias("su"),
+        F.sum("n").cast("bigint").alias("ntot"),
+        *[
+            x
+            for f in _FS_FIELDS
+            for x in (
+                dsum(F.col("n") * F.col("w") * F.col(f"g_{f}")).alias(f"swg_{f}"),
+                dsum(
+                    F.col("n") * (1 - F.col("w")) * F.col(f"g_{f}")
+                ).alias(f"sug_{f}"),
+            )
+        ],
+    )
+    base = msums.crossJoin(F.broadcast(init))
+    out = None
+    for f in _FS_FIELDS:
+        row = base.select(
+            F.lit(f).alias("field"),
+            F.round(F.col(f"m_{f}") * 1e8).cast("bigint").alias("m0_e8"),
+            F.round(F.col(f"swg_{f}") / F.col("sw") * 1e8)
+            .cast("bigint")
+            .alias("m1_e8"),
+            F.round(F.col(f"u_{f}") * 1e8).cast("bigint").alias("u0_e8"),
+            F.round(F.col(f"sug_{f}") / F.col("su") * 1e8)
+            .cast("bigint")
+            .alias("u1_e8"),
+            F.round(F.col("sw") / F.col("ntot") * 1e8)
+            .cast("bigint")
+            .alias("lambda1_e8"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -321,3 +321,94 @@ def test_interleaved_packing_conserves_tokens(spark):
     for r in rows:
         assert r.total_cost == r.text_tokens + r.image_patches
         assert r.overfull == (r.total_cost > MM_BUDGET)
+
+
+def test_adamic_adar_excludes_existing_edges(spark):
+    rows = QUERIES["part_link_prediction_adamic_adar"](spark, SF_DIR).collect()
+    existing = {
+        (r.part1, r.part2)
+        for r in QUERIES["market_basket_pairs"](spark, SF_DIR).collect()
+    }
+    for r in rows:
+        assert r.part1 < r.part2
+        assert (r.part1, r.part2) not in existing  # predictions only
+        assert r.common_neighbors >= 2
+        # each common neighbor contributes at most 1e6/ln(2)
+        assert 0 < r.aa_score_e6 <= r.common_neighbors * 1_442_696
+
+
+def test_fs_em_refinement_probabilities_valid(spark):
+    rows = QUERIES["linkage_fs_em_refinement"](spark, SF_DIR).collect()
+    assert {r.field for r in rows} == {
+        "o_orderpriority", "o_orderstatus", "order_month"
+    }
+    lambdas = {r.lambda1_e8 for r in rows}
+    assert len(lambdas) == 1  # prevalence is global
+    empty = all(r.m1_e8 is None for r in rows)
+    for r in rows:
+        for v in (r.m0_e8, r.u0_e8):
+            assert 0 <= v <= 100_000_000
+        if empty:
+            # no candidate pairs at this SF: the EM step is undefined and
+            # must be NULL consistently, never a fabricated number
+            assert r.m1_e8 is None and r.u1_e8 is None
+            continue
+        for v in (r.m1_e8, r.u1_e8, r.lambda1_e8):
+            assert 0 <= v <= 100_000_000
+        # blocked candidates agree far more than random pairs: m > u holds
+        # before AND after the EM step
+        assert r.m0_e8 > r.u0_e8
+        assert r.m1_e8 > r.u1_e8
+
+
+def test_kcenter_matches_bruteforce_fps(spark):
+    """Gonzalez FPS on a small synthetic frame: the distributed operator's
+    center sequence and radii must equal a literal python reimplementation
+    (same seed = min vec_id, same fixed-point distances, same tie rule)."""
+    import math
+
+    from quackio_jl_spark.operators.similarity import KC_CENTERS
+
+    import tempfile, os
+
+    rows = [
+        (i, [math.sin(i * 1.7) * 3, math.cos(i * 0.9) * 2, (i % 7) * 0.5])
+        for i in range(40)
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+
+    def fdot(a, b):
+        return sum(math.floor(float(x) * float(y) * 1e9) for x, y in zip(a, b)) / 1e9
+
+    # float32 storage: python reference must read back the same values
+    stored = {
+        r.vec_id: r.embedding
+        for r in spark.read.parquet(os.path.join(d, "embeddings.parquet")).collect()
+    }
+
+    def d2(a, b):
+        return fdot(a, a) - 2 * fdot(a, b) + fdot(b, b)
+
+    centers = [min(stored)]
+    mind = {i: d2(v, stored[centers[0]]) for i, v in stored.items()}
+    radii = [None]
+    for _ in range(KC_CENTERS - 1):
+        nxt = max(stored, key=lambda i: (mind[i], -i))
+        radii.append(mind[nxt])
+        centers.append(nxt)
+        for i, v in stored.items():
+            mind[i] = min(mind[i], d2(v, stored[nxt]))
+    got = sorted(
+        (r.rank, r.vec_id, r.radius)
+        for r in QUERIES["embedding_kcenter_coreset"](spark, d).collect()
+    )
+    want = sorted(
+        (k + 1, centers[k], radii[k]) for k in range(KC_CENTERS)
+    )
+    assert got == want
+    cov = {r.covering_radius for r in QUERIES["embedding_kcenter_coreset"](spark, d).collect()}
+    assert cov == {max(mind.values())}
