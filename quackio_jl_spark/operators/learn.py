@@ -1058,7 +1058,11 @@ def label_confident_joint(spark, sf_dir):
     gate cannot tie-flake. Scale shape: one posterior grid (the shared NB
     kernel), two bounded aggregates (per-class thresholds, the k x k
     joint), one doc-partitioned argmax over <= |langs| rows per doc."""
-    post = _nb_doc_posteriors(spark, sf_dir)
+    # persist: the posterior grid feeds four branches (mx, r, thr via
+    # conf, hits) — without it the NB kernel's token/grid subtree re-runs
+    # per branch (86-exchange plan; with reuse it collapses to the kernel
+    # once + bounded rollups)
+    post = _nb_doc_posteriors(spark, sf_dir).persist()
     mx = post.groupBy("doc_id", "lang_true").agg(F.max("post6").alias("mx6"))
     r = post.join(mx, ["doc_id", "lang_true"]).select(
         "doc_id",
@@ -1068,6 +1072,7 @@ def label_confident_joint(spark, sf_dir):
         .cast("bigint")
         .alias("r6"),
     )
+    r = r.persist()
     s = r.groupBy("doc_id").agg(F.sum("r6").cast("bigint").alias("s6"))
     conf = r.join(s, "doc_id").select(
         "doc_id",
@@ -1085,6 +1090,7 @@ def label_confident_joint(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n_m"),
         )
     )
+    conf = conf.persist()
     hits = conf.join(thr, "m").filter(
         F.col("c6") * F.col("n_m") >= F.col("sum_c6")
     )

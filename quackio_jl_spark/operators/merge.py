@@ -964,9 +964,11 @@ def linkage_fs_em_refinement(spark, sf_dir):
         F.col("o_orderkey").alias("kb"),
         *[F.col(f).alias(f"b_{f}") for f in _FS_FIELDS],
     )
+    # one joined candidate frame feeds both the pattern histogram and the
+    # agreement stats (it previously re-joined per consumer)
+    j = pairs.join(oa, "ka").join(ob, "kb").persist()
     pat = (
-        pairs.join(oa, "ka")
-        .join(ob, "kb")
+        j
         .groupBy(
             *[
                 (F.col(f"a_{f}") == F.col(f"b_{f}"))
@@ -977,7 +979,6 @@ def linkage_fs_em_refinement(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    j = pairs.join(oa, "ka").join(ob, "kb")
     st = j.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         *[
@@ -1009,7 +1010,7 @@ def linkage_fs_em_refinement(spark, sf_dir):
             (F.col(f"un_{f}").cast("double") / F.col(f"ud_{f}")).alias(f"u_{f}")
             for f in _FS_FIELDS
         ],
-    )
+    ).persist()  # 1 row, read by ew and all three output branches
 
     def prod(pfx):
         out = F.lit(0.5)
@@ -1043,7 +1044,9 @@ def linkage_fs_em_refinement(spark, sf_dir):
             )
         ],
     )
-    base = msums.crossJoin(F.broadcast(init))
+    # 1 row; the three per-field output selects would otherwise re-run
+    # the whole candidate pipeline each
+    base = msums.crossJoin(F.broadcast(init)).persist()
     out = None
     for f in _FS_FIELDS:
         row = base.select(
