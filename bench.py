@@ -146,6 +146,7 @@ EXTENDED = [
     "parquet_footer_column_stats",
     "part_link_prediction_adamic_adar",
     "linkage_fs_em_refinement",
+    "unigram_lm_viterbi_segmentation",
 ]
 
 

@@ -4078,3 +4078,198 @@ def postings_dgap_vbyte_size(spark, sf_dir):
             ).alias("compression_ratio"),
         )
     )
+
+
+# --------------------------- unigram-LM (SentencePiece-style) Viterbi
+
+UNI_TOPN = 200    # multi-char pieces kept (all single chars always kept)
+UNI_MAXPIECE = 4  # max piece length
+UNI_MAXWORD = 64  # words longer than this are excluded (URL/garbage class)
+_UNI_PACK = 1024  # packed DP state: cost6 * PACK + n_pieces (len < PACK)
+
+_UNI_PRELUDE_SQL = f"""
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    types AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok
+      WHERE length(w) BETWEEN 1 AND {UNI_MAXWORD} GROUP BY w
+    ),
+    grams AS (
+      SELECT substr(w, CAST(i AS INTEGER), CAST(L AS INTEGER)) AS p,
+        CAST(SUM(cnt) AS BIGINT) AS mass, CAST(L AS INTEGER) AS len
+      FROM types,
+        UNNEST(range(1, CAST({UNI_MAXPIECE} AS BIGINT) + 1)) AS ls(L),
+        UNNEST(range(1, CAST(length(w) AS BIGINT) + 1)) AS pos(i)
+      WHERE i + L - 1 <= length(w)
+      GROUP BY p, L
+    ),
+    inv AS (
+      SELECT p, mass FROM grams WHERE len = 1
+      UNION ALL
+      SELECT p, mass FROM (
+        SELECT p, mass FROM grams WHERE len > 1
+        ORDER BY mass DESC, p LIMIT {UNI_TOPN}
+      )
+    ),
+    tot AS (SELECT CAST(SUM(mass) AS BIGINT) AS t FROM inv),
+    costs AS (
+      SELECT p,
+        CAST(round(ln(CAST(t AS DOUBLE) / mass) * 1e6) AS BIGINT) AS c6
+      FROM inv CROSS JOIN tot
+    ),
+    walk(w, cnt, i, acc) AS (
+      SELECT w, cnt, 0, [CAST(0 AS BIGINT)] FROM types
+      UNION ALL
+      SELECT walk.w, walk.cnt, walk.i + 1,
+        list_append(walk.acc, (
+          SELECT MIN(walk.acc[walk.i + 1 - L + 1] + {_UNI_PACK} * cs.c6 + 1)
+          FROM (SELECT UNNEST(range(1, CAST({UNI_MAXPIECE} AS BIGINT) + 1)) AS L) ls
+          JOIN costs cs ON walk.i + 1 - L >= 0
+            AND cs.p = substr(walk.w, CAST(walk.i + 1 - L + 1 AS INTEGER),
+                              CAST(L AS INTEGER))
+        ))
+      FROM walk WHERE walk.i < length(walk.w)
+    ),
+    seg AS (
+      SELECT w, cnt,
+        acc[length(w) + 1] // {_UNI_PACK} AS cost6,
+        acc[length(w) + 1] % {_UNI_PACK} AS n_pieces
+      FROM walk WHERE i = length(w)
+    )"""
+
+
+@query(
+    "unigram_lm_viterbi_segmentation",
+    oracle="WITH RECURSIVE "
+    + _UNI_PRELUDE_SQL
+    + f"""
+    SELECT tok.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_words,
+      CAST(SUM(seg.n_pieces) AS BIGINT) AS n_pieces,
+      CAST(SUM(seg.cost6) AS BIGINT) AS nll_e6
+    FROM tok JOIN seg ON tok.w = seg.w
+    GROUP BY tok.doc_id
+    """,
+)
+def unigram_lm_viterbi_segmentation(spark, sf_dir):
+    """Unigram-LM subword segmentation (the SentencePiece/Kudo inference
+    step): a piece inventory of ALL single characters plus the UNI_TOPN
+    highest-mass 2-{UNI_MAXPIECE}-char substrings, unigram costs
+    -ln p(piece) in integer micro-units, and per-WORD Viterbi DP choosing
+    the minimum-cost segmentation (ties broken toward fewer pieces by the
+    packed (cost, n_pieces) state). Per document: word count, total
+    subword pieces, and the exact integer corpus negative log-likelihood —
+    the tokenizer-quality numbers (fertility = n_pieces/n_words, NLL) a
+    vocab-size decision reads.
+
+    Scale shape: the DP runs per DISTINCT word type (compute-per-type,
+    never per token — the standard tokenizer trick), as ONE F.aggregate
+    fold over character positions with a broadcast piece->cost map; no
+    shuffle inside the DP, and the only corpus-sized exchanges are the
+    type/gram rollups and the final doc join. Costs are micro-int BIGINTs,
+    so every DP cell is exact integer arithmetic — bit-identical across
+    engines (the oracle replays the identical DP as a recursive CTE).
+    Words over UNI_MAXWORD chars are excluded in both engines."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    types = (
+        tok.filter(
+            (F.length("w") >= 1) & (F.length("w") <= UNI_MAXWORD)
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .persist()
+    )
+    grams = (
+        types.select(
+            "cnt",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(UNI_MAXPIECE)),
+                        lambda L: F.filter(
+                            F.transform(
+                                F.sequence(F.lit(1), F.length("w")),
+                                lambda i: F.when(
+                                    i + L - 1 <= F.length("w"),
+                                    F.substring("w", i.cast("int"), L.cast("int")),
+                                ),
+                            ),
+                            lambda x: x.isNotNull(),
+                        ),
+                    )
+                )
+            ).alias("p"),
+        )
+        .groupBy("p")
+        .agg(F.sum("cnt").cast("bigint").alias("mass"))
+    )
+    ones = grams.filter(F.length("p") == 1)
+    multi = (
+        grams.filter(F.length("p") > 1)
+        .orderBy(F.col("mass").desc(), "p")
+        .limit(UNI_TOPN)
+    )
+    inv = ones.unionByName(multi)
+    tot = F.broadcast(inv.agg(F.sum("mass").cast("bigint").alias("t")))
+    costs = inv.crossJoin(tot).select(
+        "p",
+        F.round(F.log(F.col("t").cast("double") / F.col("mass")) * 1e6)
+        .cast("bigint")
+        .alias("c6"),
+    )
+    cmap = F.broadcast(
+        costs.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("p", "c6"))
+            ).alias("cmap")
+        )
+    )
+    pack = F.lit(_UNI_PACK).cast("bigint")
+
+    def step(acc, i):
+        cands = []
+        for L in range(1, UNI_MAXPIECE + 1):
+            piece = F.substring("w", (i - L + 1).cast("int"), L)
+            c6 = F.element_at(F.col("cmap"), piece)
+            cands.append(
+                F.when(
+                    i - L >= 0,
+                    F.element_at(acc, (i - L + 1).cast("int"))
+                    + pack * c6
+                    + F.lit(1).cast("bigint"),
+                )
+            )
+        return F.concat(acc, F.array(F.least(*cands)))
+
+    seg = (
+        types.crossJoin(cmap)
+        .select(
+            "w",
+            "cnt",
+            F.element_at(
+                F.aggregate(
+                    F.sequence(F.lit(1), F.length("w")),
+                    F.array(F.lit(0).cast("bigint")),
+                    step,
+                ),
+                F.length("w") + 1,
+            ).alias("packed"),
+        )
+        .select(
+            "w",
+            "cnt",
+            F.floor(F.col("packed") / pack).cast("bigint").alias("cost6"),
+            (F.col("packed") % pack).cast("bigint").alias("n_pieces"),
+        )
+    )
+    return (
+        tok.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+            F.sum("cost6").cast("bigint").alias("nll_e6"),
+        )
+    )

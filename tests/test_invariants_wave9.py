@@ -1,0 +1,54 @@
+"""Round-6 late-wave invariants: unigram-LM Viterbi segmentation."""
+
+from __future__ import annotations
+
+import pytest
+
+from quackio_jl_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_unigram_viterbi_doc_rollup_and_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from quackio_jl_spark.operators.text import UNI_MAXPIECE, UNI_MAXWORD
+
+    rows = QUERIES["unigram_lm_viterbi_segmentation"](spark, SF).collect()
+    tok = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(
+            (F.length("w") >= 1) & (F.length("w") <= UNI_MAXWORD)
+        )
+    )
+    n_words = tok.count()
+    assert sum(r.n_words for r in rows) == n_words
+    total_chars = tok.selectExpr("sum(length(w))").collect()[0][0]
+    total_pieces = sum(r.n_pieces for r in rows)
+    # every word segments into [ceil(len/MAXPIECE), len] pieces
+    assert total_pieces <= total_chars
+    assert total_pieces * UNI_MAXPIECE >= total_chars
+    for r in rows:
+        assert r.n_pieces >= r.n_words  # at least one piece per word
+        assert r.nll_e6 > 0
+
+
+def test_unigram_viterbi_prefers_learned_pieces(spark):
+    """A document made of one high-frequency word must segment into FEWER
+    pieces per word than single characters (the learned multi-char pieces
+    actually get used)."""
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["unigram_lm_viterbi_segmentation"](spark, SF).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    total_chars = sum(
+        sum(len(w) for w in t.split(" ") if 1 <= len(w) <= 64)
+        for t in docs.values()
+    )
+    total_pieces = sum(r.n_pieces for r in rows)
+    # corpus-wide fertility strictly beats char-level tokenization
+    assert total_pieces < total_chars
