@@ -1104,3 +1104,105 @@ def label_confident_joint(spark, sf_dir):
     return pick.groupBy(
         F.col("lang_true").alias("noisy_lang"), "pred_lang"
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+
+
+# --------------------------------------------- temperature scaling
+
+
+TEMP_GRID_PCT = tuple(range(50, 301, 25))  # temperatures as integer percent
+
+
+@query(
+    "quality_temperature_scaling",
+    oracle=None,  # set below: reuses scoring's shared CTE
+)
+def quality_temperature_scaling(spark, sf_dir):
+    """Temperature scaling of the quality classifier (Guo et al.'s
+    one-parameter calibration): sweep T over a fixed grid, rescale the
+    logit z/T, and report each temperature's exact-integer NLL against
+    the is-English label with the argmin flagged (ties to the smaller T).
+    The parametric sibling of quality_isotonic_calibration — one number
+    to deploy instead of a bin table, and the standard first fix when a
+    model is systematically over/under-confident.
+
+    Determinism engineering: logits are rounded once (8 dp) from the
+    clamped frozen score, each per-(doc, T) NLL term is rounded to
+    micro-units and summed as exact BIGINTs, so the sweep is
+    bit-identical at any partition count. Scale shape: one corpus scan
+    exploded by the |grid| broadcast (map-side), one bounded aggregate
+    per T, argmin over |grid| rows."""
+    from .scoring import quality_score_col
+
+    d = table(spark, sf_dir, "documents")
+    p = quality_score_col()
+    pc = F.greatest(F.least(p, F.lit(0.999999)), F.lit(0.000001))
+    base = d.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.round(F.log(pc / (1 - pc)), 8).alias("z"),
+    )
+    grid = spark.createDataFrame([(t,) for t in TEMP_GRID_PCT], "t_pct int")
+    pT = 1.0 / (1.0 + F.exp(-F.col("z") * 100.0 / F.col("t_pct")))
+    nll6 = F.round(
+        -(
+            F.col("y") * F.log(F.greatest(pT, F.lit(1e-12)))
+            + (1 - F.col("y")) * F.log(F.greatest(1.0 - pT, F.lit(1e-12)))
+        )
+        * 1e6
+    ).cast("bigint")
+    agg = (
+        base.crossJoin(F.broadcast(grid))
+        .select("t_pct", nll6.alias("nll6"))
+        .groupBy("t_pct")
+        .agg(F.sum("nll6").cast("bigint").alias("nll_e6"))
+        .persist()
+    )
+    best = F.broadcast(agg.agg(F.min("nll_e6").alias("m")))
+    bestt = F.broadcast(
+        agg.crossJoin(best)
+        .filter(F.col("nll_e6") == F.col("m"))
+        .agg(F.min("t_pct").alias("bt"))
+    )
+    return agg.crossJoin(bestt).select(
+        "t_pct", "nll_e6", (F.col("t_pct") == F.col("bt")).alias("is_best")
+    )
+
+
+def _register_temp_oracle():
+    from ..plans.registry import ORACLES
+    from .scoring import _SCORED_SQL
+
+    grid = ", ".join(map(str, TEMP_GRID_PCT))
+    ORACLES["quality_temperature_scaling"] = f"""
+    WITH {_SCORED_SQL},
+    base AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        round(ln(greatest(least(quality_score, 0.999999), 0.000001)
+          / (1 - greatest(least(quality_score, 0.999999), 0.000001))), 8)
+          AS z
+      FROM scored
+    ),
+    grid AS (SELECT UNNEST([{grid}]) AS t_pct),
+    terms AS (
+      SELECT grid.t_pct,
+        CAST(round(
+          -(y * ln(greatest(1.0 / (1.0 + exp(-z * 100.0 / grid.t_pct)), 1e-12))
+            + (1 - y) * ln(greatest(
+                1.0 - 1.0 / (1.0 + exp(-z * 100.0 / grid.t_pct)), 1e-12)))
+          * 1e6) AS BIGINT) AS nll6
+      FROM base CROSS JOIN grid
+    ),
+    agg AS (
+      SELECT CAST(t_pct AS INTEGER) AS t_pct,
+        CAST(SUM(nll6) AS BIGINT) AS nll_e6
+      FROM terms GROUP BY t_pct
+    ),
+    best AS (SELECT MIN(nll_e6) AS m FROM agg)
+    SELECT agg.t_pct, agg.nll_e6,
+      agg.nll_e6 = best.m AND agg.t_pct = (
+        SELECT MIN(a2.t_pct) FROM agg a2, best b2 WHERE a2.nll_e6 = b2.m
+      ) AS is_best
+    FROM agg CROSS JOIN best
+    """
+
+
+_register_temp_oracle()

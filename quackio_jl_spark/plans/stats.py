@@ -10490,3 +10490,124 @@ def events_watermark_lateness_audit(spark, sf_dir):
         "n",
         F.round(cum.cast("double") / F.col("total"), 8).alias("kept_fraction"),
     )
+
+
+# --------------------------------------------- Huber robust regression
+
+HUBER_DELTA = 10000.0  # residual scale where downweighting starts ($ units)
+_HUB_DS = "CAST(SUM(CAST(round({x}, 8) AS DECIMAL(38,12))) AS DOUBLE)"
+
+
+@query(
+    "lineitem_huber_irls_regression",
+    oracle=f"""
+    WITH s0 AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        {_HUB_DS.format(x='l_quantity')} AS sx,
+        {_HUB_DS.format(x='l_extendedprice')} AS sy,
+        {_HUB_DS.format(x='l_quantity * l_quantity')} AS sxx,
+        {_HUB_DS.format(x='l_quantity * l_extendedprice')} AS sxy
+      FROM lineitem
+    ),
+    fit0 AS (
+      SELECT n,
+        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS b0,
+        round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 8)
+          AS a0
+      FROM s0
+    ),
+    wrows AS (
+      SELECT l_quantity AS x, l_extendedprice AS y,
+        round(least(1.0, {HUBER_DELTA}
+          / greatest(abs(l_extendedprice - (fit0.a0 + fit0.b0 * l_quantity)),
+                     1e-9)), 8) AS w
+      FROM lineitem CROSS JOIN fit0
+    ),
+    s1 AS (
+      SELECT
+        {_HUB_DS.format(x='w')} AS sw,
+        {_HUB_DS.format(x='w * x')} AS swx,
+        {_HUB_DS.format(x='w * y')} AS swy,
+        {_HUB_DS.format(x='w * x * x')} AS swxx,
+        {_HUB_DS.format(x='w * x * y')} AS swxy,
+        CAST(SUM(CASE WHEN w < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down
+      FROM wrows
+    )
+    SELECT CAST(fit0.n AS BIGINT) AS n_rows,
+      fit0.b0 AS slope_ols, fit0.a0 AS intercept_ols,
+      round((sw * swxy - swx * swy) / (sw * swxx - swx * swx), 8)
+        AS slope_huber,
+      round((swy - (sw * swxy - swx * swy) / (sw * swxx - swx * swx) * swx)
+        / sw, 8) AS intercept_huber,
+      n_down AS n_downweighted
+    FROM s1 CROSS JOIN fit0
+    """,
+)
+def lineitem_huber_irls_regression(spark, sf_dir):
+    """Huber robust regression by one IRLS round: fit OLS closed-form from
+    exact decimal power sums, compute per-row Huber weights
+    w = min(1, delta/|residual|) against the ROUNDED first fit (both
+    engines downweight from bit-identical coefficients), and re-solve the
+    weighted normal equations — the outlier-resistant trend every metric
+    with a heavy tail needs (OLS chases the tail; Huber caps each row's
+    influence at delta). Output: both fits plus how many rows were
+    downweighted; further IRLS rounds repeat the same two-pass shape.
+
+    Scale shape: two full scans, each collapsing to a handful of decimal
+    power sums via map-side partial aggregation (the TPC-H Q1 footprint);
+    the 1-row first fit broadcasts. No window, no libm in the hashed
+    dataflow — weights are min/abs/divide on basic-ops residuals."""
+    l = table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+
+    def ds(c):
+        return F.sum(F.round(c, 8).cast("decimal(38,12)")).cast("double")
+
+    s0 = l.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        ds(x).alias("sx"),
+        ds(y).alias("sy"),
+        ds(x * x).alias("sxx"),
+        ds(x * y).alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = [F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy")]
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    fit0 = F.broadcast(
+        s0.select(
+            "n",
+            F.round(slope, 8).alias("b0"),
+            F.round((sy - slope * sx) / n, 8).alias("a0"),
+        )
+    )
+    w = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(HUBER_DELTA)
+            / F.greatest(
+                F.abs(y - (F.col("a0") + F.col("b0") * x)), F.lit(1e-9)
+            ),
+        ),
+        8,
+    )
+    wr = l.crossJoin(fit0).select(x.alias("x"), y.alias("y"), w.alias("w"))
+    xx, yy, ww = F.col("x"), F.col("y"), F.col("w")
+    s1 = wr.agg(
+        ds(ww).alias("sw"),
+        ds(ww * xx).alias("swx"),
+        ds(ww * yy).alias("swy"),
+        ds(ww * xx * xx).alias("swxx"),
+        ds(ww * xx * yy).alias("swxy"),
+        F.sum(F.when(ww < 1.0, 1).otherwise(0)).cast("bigint").alias("n_down"),
+    )
+    sw, swx, swy, swxx, swxy = [
+        F.col(c) for c in ("sw", "swx", "swy", "swxx", "swxy")
+    ]
+    sl1 = (sw * swxy - swx * swy) / (sw * swxx - swx * swx)
+    return s1.crossJoin(fit0).select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("b0").alias("slope_ols"),
+        F.col("a0").alias("intercept_ols"),
+        F.round(sl1, 8).alias("slope_huber"),
+        F.round((swy - sl1 * swx) / sw, 8).alias("intercept_huber"),
+        F.col("n_down").alias("n_downweighted"),
+    )

@@ -52,3 +52,26 @@ def test_unigram_viterbi_prefers_learned_pieces(spark):
     total_pieces = sum(r.n_pieces for r in rows)
     # corpus-wide fertility strictly beats char-level tokenization
     assert total_pieces < total_chars
+
+
+def test_huber_downweights_and_shrinks_slope_influence(spark):
+    (r,) = QUERIES["lineitem_huber_irls_regression"](spark, SF).collect()
+    assert r.n_rows > 0
+    assert 0 < r.n_downweighted < r.n_rows  # heavy tail exists, not everything
+    # the robust fit differs from OLS (outliers had influence to remove)
+    assert (r.slope_huber, r.intercept_huber) != (r.slope_ols, r.intercept_ols)
+
+
+def test_temperature_scaling_argmin_unique_and_interior(spark):
+    rows = sorted(
+        QUERIES["quality_temperature_scaling"](spark, SF).collect(),
+        key=lambda r: r.t_pct,
+    )
+    from quackio_jl_spark.operators.learn import TEMP_GRID_PCT
+
+    assert [r.t_pct for r in rows] == list(TEMP_GRID_PCT)
+    best = [r for r in rows if r.is_best]
+    assert len(best) == 1
+    assert best[0].nll_e6 == min(r.nll_e6 for r in rows)
+    for r in rows:
+        assert r.nll_e6 > 0
