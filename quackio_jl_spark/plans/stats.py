@@ -10611,3 +10611,159 @@ def lineitem_huber_irls_regression(spark, sf_dir):
         F.round((swy - sl1 * swx) / sw, 8).alias("intercept_huber"),
         F.col("n_down").alias("n_downweighted"),
     )
+
+
+# ------------------------------------ Holt-Winters additive seasonal
+
+HW_M = 12  # season length (months)
+
+# The entire recursion runs in INTEGER 1e-4 units (y4 = round(y * 1e4)):
+# alpha = 1/2, beta = gamma = 1/4 become explicit floor divisions, so no
+# floating-point number ever enters the state. A rounded-double recursion
+# at this magnitude (~1e7) is NOT cross-engine stable: round(x, d) ties
+# land beyond double precision and the engines' rounding paths diverge
+# mid-recursion (observed at both 8 and 4 dp before this formulation).
+#   l' = floor((y4 - s1 + l + b) / 2)
+#   b' = floor((l' - l + 3 b) / 4)
+#   s' = floor((y4 - l' + 3 s1) / 4)
+#   sae' = sae + |y4 - (l + b + s1)|
+# floor() of an exact-integer-valued double division (< 2^53) is exact
+# and identical in both engines.
+
+
+@query(
+    "orders_monthly_holt_winters",
+    oracle=f"""
+    WITH RECURSIVE bins AS (
+      SELECT date_trunc('month', o_orderdate) AS mon,
+        CAST(round(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   * 1e4) AS BIGINT) AS y4
+      FROM orders GROUP BY 1
+    ),
+    months AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY mon) AS t, y4 FROM bins
+    ),
+    nn AS (SELECT MAX(t) AS n FROM months),
+    i1 AS (SELECT CAST(SUM(y4) AS BIGINT) AS s1 FROM months WHERE t <= {HW_M}),
+    i2 AS (SELECT CAST(SUM(y4) AS BIGINT) AS s2 FROM months
+           WHERE t > {HW_M} AND t <= 2 * {HW_M}),
+    init AS (
+      SELECT CAST(floor(CAST(i1.s1 AS DOUBLE) / {HW_M}) AS BIGINT) AS l0,
+        CAST(floor(CAST(i2.s2 - i1.s1 AS DOUBLE)
+                   / ({HW_M} * {HW_M})) AS BIGINT) AS b0
+      FROM i1 CROSS JOIN i2
+    ),
+    s0 AS (
+      SELECT list(y4 - init.l0 ORDER BY t) AS s0
+      FROM months CROSS JOIN init WHERE t <= {HW_M}
+    ),
+    rec(t, l, b, s, sae) AS (
+      SELECT CAST({HW_M} AS BIGINT), init.l0, init.b0, s0.s0,
+        CAST(0 AS BIGINT)
+      FROM init CROSS JOIN s0
+      UNION ALL
+      SELECT m.t,
+        CAST(floor(CAST(m.y4 - rec.s[1] + rec.l + rec.b AS DOUBLE) / 2)
+             AS BIGINT),
+        CAST(floor(CAST(
+            CAST(floor(CAST(m.y4 - rec.s[1] + rec.l + rec.b AS DOUBLE) / 2)
+                 AS BIGINT) - rec.l + 3 * rec.b AS DOUBLE) / 4) AS BIGINT),
+        list_append(rec.s[2:{HW_M}],
+          CAST(floor(CAST(m.y4
+            - CAST(floor(CAST(m.y4 - rec.s[1] + rec.l + rec.b AS DOUBLE) / 2)
+                   AS BIGINT)
+            + 3 * rec.s[1] AS DOUBLE) / 4) AS BIGINT)),
+        rec.sae + abs(m.y4 - (rec.l + rec.b + rec.s[1]))
+      FROM rec JOIN months m ON m.t = rec.t + 1
+    )
+    SELECT CAST(nn.n AS BIGINT) AS n_months,
+      rec.l AS level_e4, rec.b AS trend_e4,
+      rec.sae AS sae_e4,
+      rec.l + 1 * rec.b + rec.s[1] AS forecast_1_e4,
+      rec.l + 2 * rec.b + rec.s[2] AS forecast_2_e4,
+      rec.l + 3 * rec.b + rec.s[3] AS forecast_3_e4
+    FROM rec CROSS JOIN nn WHERE rec.t = nn.n
+    """,
+)
+def orders_monthly_holt_winters(spark, sf_dir):
+    """Holt-Winters ADDITIVE seasonal smoothing (triple exponential) of
+    monthly revenue with a HW_M-month season: level/trend as in Holt plus
+    a rotating seasonal-index array — the standard seasonal forecaster,
+    with 1-3 month forecasts including the seasonal component and the
+    in-sample sum of absolute one-step errors. Initialization is the
+    textbook one (level = season-1 mean, trend = seasonal mean
+    difference / m, indices = season-1 deviations).
+
+    Determinism: the WHOLE recursion is integer arithmetic in 1e-4 units
+    (alpha = 1/2, beta = gamma = 1/4 as exact floor divisions; see the
+    module comment above — rounded-double state at ~1e7 magnitude is
+    provably cross-engine unstable), so every state component and output
+    is an exact BIGINT. Scale shape: same as orders_monthly_holt_trend —
+    one month rollup (the only shuffle), then an in-row F.aggregate fold
+    carrying the seasonal array in the accumulator struct; the oracle
+    replays the identical recursion as a recursive CTE."""
+    o = table(spark, sf_dir, "orders")
+    bins = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
+        F.round(dsum("o_totalprice").cast("double") * 1e4)
+        .cast("bigint")
+        .alias("y4")
+    )
+    series = bins.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("mon", "y4"))),
+            lambda r: r["y4"],
+        ).alias("ys")
+    )
+    n = F.size("ys")
+
+    def isum(start):
+        return F.aggregate(
+            F.slice("ys", start, HW_M),
+            F.lit(0).cast("bigint"),
+            lambda a, y: a + y,
+        )
+
+    def fdiv(num, den):
+        return F.floor(num.cast("double") / den).cast("bigint")
+
+    l0 = fdiv(isum(1), HW_M)
+    b0 = fdiv(isum(HW_M + 1) - isum(1), HW_M * HW_M)
+    init = F.struct(
+        l0.alias("l"),
+        b0.alias("b"),
+        F.transform(F.slice("ys", 1, HW_M), lambda y: y - l0).alias("s"),
+        F.lit(0).cast("bigint").alias("sae"),
+    )
+
+    def step(acc, y):
+        s1 = F.element_at(acc["s"], 1)
+        l_new = fdiv(y - s1 + acc["l"] + acc["b"], 2)
+        b_new = fdiv(l_new - acc["l"] + 3 * acc["b"], 4)
+        s_new = fdiv(y - l_new + 3 * s1, 4)
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            F.concat(
+                F.slice(acc["s"], 2, HW_M - 1), F.array(s_new)
+            ).alias("s"),
+            (acc["sae"] + F.abs(y - (acc["l"] + acc["b"] + s1))).alias("sae"),
+        )
+
+    fitted = series.select(
+        n.cast("bigint").alias("n_months"),
+        F.aggregate(F.slice("ys", HW_M + 1, n - HW_M), init, step).alias("st"),
+    )
+    return fitted.select(
+        "n_months",
+        F.col("st.l").alias("level_e4"),
+        F.col("st.b").alias("trend_e4"),
+        F.col("st.sae").alias("sae_e4"),
+        *[
+            (
+                F.col("st.l")
+                + h * F.col("st.b")
+                + F.element_at(F.col("st.s"), h)
+            ).alias(f"forecast_{h}_e4")
+            for h in (1, 2, 3)
+        ],
+    )

@@ -75,3 +75,47 @@ def test_temperature_scaling_argmin_unique_and_interior(spark):
     assert best[0].nll_e6 == min(r.nll_e6 for r in rows)
     for r in rows:
         assert r.nll_e6 > 0
+
+
+def test_holt_winters_matches_python_reference(spark):
+    """The integer HW recursion pinned against a literal python
+    reimplementation over the same month rollup."""
+    from pyspark.sql import functions as F
+
+    from quackio_jl_spark.functions.exact import DEC
+    from quackio_jl_spark.operators.text import __name__ as _  # noqa: F401
+    from quackio_jl_spark.plans.registry import table
+    from quackio_jl_spark.plans.stats import HW_M
+
+    o = table(spark, SF, "orders")
+    rows = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("mon"))
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast(DEC)).cast("double") * 1e4
+            )
+            .cast("bigint")
+            .alias("y4")
+        )
+        .orderBy("mon")
+        .collect()
+    )
+    ys = [r.y4 for r in rows]
+    import math
+
+    l = math.floor(sum(ys[:HW_M]) / HW_M)
+    b = math.floor((sum(ys[HW_M : 2 * HW_M]) - sum(ys[:HW_M])) / (HW_M * HW_M))
+    s = [y - l for y in ys[:HW_M]]
+    sae = 0
+    for y in ys[HW_M:]:
+        s1 = s[0]
+        sae += abs(y - (l + b + s1))
+        l_new = math.floor((y - s1 + l + b) / 2)
+        b_new = math.floor((l_new - l + 3 * b) / 4)
+        s_new = math.floor((y - l_new + 3 * s1) / 4)
+        l, b, s = l_new, b_new, s[1:] + [s_new]
+    (r,) = QUERIES["orders_monthly_holt_winters"](spark, SF).collect()
+    assert r.n_months == len(ys)
+    assert (r.level_e4, r.trend_e4, r.sae_e4) == (l, b, sae)
+    for h in (1, 2, 3):
+        assert getattr(r, f"forecast_{h}_e4") == l + h * b + s[h - 1]
