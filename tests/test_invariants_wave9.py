@@ -119,3 +119,32 @@ def test_holt_winters_matches_python_reference(spark):
     assert (r.level_e4, r.trend_e4, r.sae_e4) == (l, b, sae)
     for h in (1, 2, 3):
         assert getattr(r, f"forecast_{h}_e4") == l + h * b + s[h - 1]
+
+
+def test_prefix_max_degenerate_equal_keys(spark):
+    """All ordering keys equal: the bucket width-0 branch must collapse to
+    one bucket and every row must get the global max (RANGE frame: all
+    peers included)."""
+    from pyspark.sql import functions as F
+
+    from quackio_jl_spark.functions.prefix import bucketed_prefix_max
+
+    df = spark.range(50).select(
+        F.lit(7).alias("k"), (F.col("id") % 13).cast("bigint").alias("v")
+    )
+    out = bucketed_prefix_max(df, "k", "v", n_buckets=8).collect()
+    assert len(out) == 50
+    assert {r["cum_v"] for r in out} == {12}
+
+
+def test_cdc_string_boundary_equals_mod64():
+    """The round-6 CDC fix: the hex-string predicate substr(md5,7,2) in
+    {'00','40','80','c0'} must equal the original first-32-bits %64 == 0
+    test for every possible byte value (the equivalence the oracle now
+    relies on instead of an engine-sensitive hex cast)."""
+    import hashlib
+
+    for i in range(5000):
+        h = hashlib.md5(f"probe-{i}".encode()).hexdigest()
+        as_int = int(h[:8], 16)
+        assert (as_int % 64 == 0) == (h[6:8] in ("00", "40", "80", "c0")), h
