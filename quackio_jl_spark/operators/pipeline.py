@@ -1150,15 +1150,47 @@ def shuffle_corpus_deterministic(spark, sf_dir):
 # --------------------------------------------------- PCA via power iteration
 
 PCA_ITERS = 3
-_DECP = "DECIMAL(38,12)"
+
+
+def _pca_iter_cte(prefix: str, mat: str, v0: str) -> str:
+    """The u/n/v power-iteration CTE chain under a name prefix, over matrix
+    CTE ``mat`` and start-vector CTE ``v0`` (same arithmetic as
+    _pca_oracle)."""
+    out = []
+    prev = v0
+    for r in range(1, PCA_ITERS + 1):
+        out.append(f"""
+    {prefix}u{r} AS (
+      SELECT c.i AS j,
+        CAST(CAST(SUM(CAST(floor(c.cov * v.v * 1e12) AS BIGINT)) AS BIGINT)
+             AS DOUBLE) / 1e12 AS u
+      FROM {mat} c JOIN {prev} v ON c.j = v.j
+      GROUP BY c.i
+    ),
+    {prefix}n{r} AS (
+      SELECT sqrt(CAST(CAST(SUM(CAST(floor(u * u * 1e12) AS BIGINT)) AS BIGINT)
+                       AS DOUBLE) / 1e12) AS nrm
+      FROM {prefix}u{r}
+    ),
+    {prefix}v{r} AS (
+      SELECT j, CAST(CAST(floor(u / nrm * 1e10) AS BIGINT) AS DOUBLE) / 1e10 AS v
+      FROM {prefix}u{r}, {prefix}n{r}
+    )""")
+        prev = f"{prefix}v{r}"
+    return ",".join(out)
+
 
 
 def _pca_oracle() -> str:
-    """Unrolled power-iteration CTE chain over the exact-integer covariance
-    (same determinism engineering as the Lloyd/bigram oracles): every
-    cross-engine SUM of doubles goes through round(x, 12) -> DECIMAL(38,12)
-    so accumulation order can't produce last-ulp drift, and each iterate is
-    rounded to 10 decimals so no drift can compound across rounds."""
+    """Unrolled power-iteration CTE chain over the exact-integer covariance.
+    Determinism recipe (round-7 rebuild after ADVICE found round(x, N)
+    iterate rounding flipping a 1e-10 loading digit at sf0.001): every
+    double that enters a SUM is first floor-quantized to integer micro-units
+    (floor of IDENTICAL doubles is identical everywhere, while round(double,
+    N) tie-handling is engine-build-sensitive), the sums are exact BIGINTs,
+    and every double-valued step (divide, sqrt) is a single correctly-rounded
+    IEEE op on identical inputs — so the iterate state is bit-identical
+    across engines at ANY scale factor, not just the gate SF."""
     cov_q = f"""
     q AS (
       SELECT CAST(i - 1 AS INTEGER) AS i, CAST(j - 1 AS INTEGER) AS j,
@@ -1184,26 +1216,9 @@ def _pca_oracle() -> str:
       SELECT CAST(t.j - 1 AS INTEGER) AS j, 1.0 / sqrt({EMB_DIM}.0) AS v
       FROM UNNEST(range(1, {EMB_DIM + 1})) AS t(j)
     )"""
-    iters = []
-    for r in range(1, PCA_ITERS + 1):
-        iters.append(f"""
-    u{r} AS (
-      SELECT c.i AS j,
-        CAST(SUM(CAST(round(c.cov * v.v, 12) AS {_DECP})) AS DOUBLE) AS u
-      FROM covf c JOIN v{r - 1} v ON c.j = v.j
-      GROUP BY c.i
-    ),
-    n{r} AS (
-      SELECT CAST(sqrt(CAST(SUM(CAST(round(u * u, 12) AS {_DECP}))
-                       AS DOUBLE)) AS DOUBLE) AS nrm
-      FROM u{r}
-    ),
-    v{r} AS (
-      SELECT j, round(u / nrm, 10) AS v FROM u{r}, n{r}
-    )""")
     last = PCA_ITERS
     return (
-        "WITH " + cov_q + "," + ",".join(iters) + f"""
+        "WITH " + cov_q + "," + _pca_iter_cte("", "covf", "v0") + f"""
     SELECT v.j, v.v AS loading, n.nrm AS eigenvalue
     FROM v{last} v, n{last} n
     """
@@ -1223,8 +1238,9 @@ def embedding_pca_power_iteration(spark, sf_dir):
     (64 x 64 here) — tiny joins, exact decimal sums for order-independent
     double accumulation, one broadcast norm per round. Matches the oracle
     bit-for-bit at any partition count because every floating-point SUM is
-    rounded-then-DECIMAL and each iterate is re-rounded to 10 decimals
-    (no compounding drift)."""
+    floor-quantized to exact BIGINT micro-units before summing and each
+    iterate is floor-quantized to 1e-10 units (floor of identical doubles
+    is identical cross-engine; round(double, N) is not — ADVICE r6)."""
     covf, v0 = _pca_setup(spark, sf_dir)
     v, nrm = _power_iterate(covf, v0, PCA_ITERS)
     return v.crossJoin(F.broadcast(nrm)).select(
@@ -1252,23 +1268,35 @@ def _pca_setup(spark, sf_dir):
 def _power_iterate(covf, v, iters):
     """``iters`` power-iteration rounds of matrix ``covf`` (cols i, j, cov)
     from start vector ``v`` (cols j, v); returns (unit iterate, norm).
-    Decimal-exact sums + per-round rounding as in _pca_oracle."""
-    dec = "decimal(38,12)"
+    Floor-quantized integer micro-unit sums + per-round 1e-10
+    floor-quantization of the iterate, exactly as in _pca_oracle."""
     nrm = None
     for _ in range(iters):
         u = (
             covf.join(v, "j")
             .groupBy("i")
             .agg(
-                F.sum(F.round(F.col("cov") * F.col("v"), 12).cast(dec))
-                .cast("double")
-                .alias("u")
+                (
+                    F.sum(
+                        F.floor(F.col("cov") * F.col("v") * F.lit(1e12)).cast(
+                            "bigint"
+                        )
+                    )
+                    .cast("bigint")
+                    .cast("double")
+                    / F.lit(1e12)
+                ).alias("u")
             )
             .select(F.col("i").alias("j"), "u")
         )
         nrm = u.agg(
             F.sqrt(
-                F.sum(F.round(F.col("u") * F.col("u"), 12).cast(dec)).cast("double")
+                F.sum(
+                    F.floor(F.col("u") * F.col("u") * F.lit(1e12)).cast("bigint")
+                )
+                .cast("bigint")
+                .cast("double")
+                / F.lit(1e12)
             ).alias("nrm")
         )
         # Truncate lineage each round (localCheckpoint, eager): v is d rows
@@ -1280,7 +1308,15 @@ def _power_iterate(covf, v, iters):
         nrm = nrm.localCheckpoint()
         v = (
             u.crossJoin(F.broadcast(nrm))
-            .select("j", F.round(F.col("u") / F.col("nrm"), 10).alias("v"))
+            .select(
+                "j",
+                (
+                    F.floor(F.col("u") / F.col("nrm") * F.lit(1e10))
+                    .cast("bigint")
+                    .cast("double")
+                    / F.lit(1e10)
+                ).alias("v"),
+            )
             .localCheckpoint()
         )
     return v, nrm
@@ -1632,32 +1668,6 @@ def contrastive_hard_negatives(spark, sf_dir):
     )
 
 
-def _pca_iter_cte(prefix: str, mat: str, v0: str) -> str:
-    """The u/n/v power-iteration CTE chain under a name prefix, over matrix
-    CTE ``mat`` and start-vector CTE ``v0`` (same arithmetic as
-    _pca_oracle)."""
-    out = []
-    prev = v0
-    for r in range(1, PCA_ITERS + 1):
-        out.append(f"""
-    {prefix}u{r} AS (
-      SELECT c.i AS j,
-        CAST(SUM(CAST(round(c.cov * v.v, 12) AS {_DECP})) AS DOUBLE) AS u
-      FROM {mat} c JOIN {prev} v ON c.j = v.j
-      GROUP BY c.i
-    ),
-    {prefix}n{r} AS (
-      SELECT CAST(sqrt(CAST(SUM(CAST(round(u * u, 12) AS {_DECP}))
-                       AS DOUBLE)) AS DOUBLE) AS nrm
-      FROM {prefix}u{r}
-    ),
-    {prefix}v{r} AS (
-      SELECT j, round(u / nrm, 10) AS v FROM {prefix}u{r}, {prefix}n{r}
-    )""")
-        prev = f"{prefix}v{r}"
-    return ",".join(out)
-
-
 def _pca2_oracle() -> str:
     base = _pca_oracle()
     # reuse the cov/covf/v0 prelude from _pca_oracle by rebuilding it here.
@@ -1671,7 +1681,7 @@ def _pca2_oracle() -> str:
     return f"""
     WITH {prelude},{_pca_iter_cte("", "covf", "v0")},
     cov2 AS MATERIALIZED (
-      SELECT c.i, c.j, c.cov - round(n.nrm * vi.v * vj.v, 12) AS cov
+      SELECT c.i, c.j, c.cov - CAST(CAST(floor(n.nrm * vi.v * vj.v * 1e12) AS BIGINT) AS DOUBLE) / 1e12 AS cov
       FROM covf c
       JOIN v{last} vi ON c.i = vi.j
       JOIN v{last} vj ON c.j = vj.j
@@ -1688,8 +1698,9 @@ def _pca2_oracle() -> str:
 @query("embedding_pca_top2_deflation", oracle=_pca2_oracle())
 def embedding_pca_top2_deflation(spark, sf_dir):
     """Top TWO principal components by Hotelling deflation: power-iterate
-    for PC-1, subtract its rank-1 contribution (lambda * v v^T, rounded to
-    12 decimals so both engines deflate identically) from the covariance,
+    for PC-1, subtract its rank-1 contribution (lambda * v v^T,
+    floor-quantized to 1e-12 units so both engines deflate identically)
+    from the covariance,
     and power-iterate the residual for PC-2 — the standard few-components
     recipe when d is small and the corpus is huge.
 
@@ -1714,8 +1725,9 @@ def embedding_pca_top2_deflation(spark, sf_dir):
 
 
 def _deflate(covf, v1, n1):
-    """Hotelling deflation: covf - round(lambda * v v^T, 12), localCheckpointed
-    (d x d rows; every round of the next iteration chain reads it)."""
+    """Hotelling deflation: covf - floor(lambda * v v^T * 1e12)/1e12 (the
+    micro-unit quantization both engines compute identically),
+    localCheckpointed (d x d rows; every round of the next chain reads it)."""
     vi = v1.select(F.col("j").alias("i"), F.col("v").alias("vi"))
     vj = v1.select("j", F.col("v").alias("vj"))
     return (
@@ -1726,7 +1738,13 @@ def _deflate(covf, v1, n1):
             "i",
             "j",
             (
-                F.col("cov") - F.round(F.col("nrm") * F.col("vi") * F.col("vj"), 12)
+                F.col("cov")
+                - F.floor(
+                    F.col("nrm") * F.col("vi") * F.col("vj") * F.lit(1e12)
+                )
+                .cast("bigint")
+                .cast("double")
+                / F.lit(1e12)
             ).alias("cov"),
         )
         .localCheckpoint()
@@ -1740,7 +1758,7 @@ def _pca3_oracle() -> str:
     prelude = prelude.replace("covf AS (", "covf AS MATERIALIZED (")
     last = PCA_ITERS
     deflate = (
-        "SELECT c.i, c.j, c.cov - round(n.nrm * vi.v * vj.v, 12) AS cov\n"
+        "SELECT c.i, c.j, c.cov - CAST(CAST(floor(n.nrm * vi.v * vj.v * 1e12) AS BIGINT) AS DOUBLE) / 1e12 AS cov\n"
         "      FROM {m} c\n"
         "      JOIN {p}v{last} vi ON c.i = vi.j\n"
         "      JOIN {p}v{last} vj ON c.j = vj.j\n"
@@ -1771,8 +1789,8 @@ def embedding_pca_top3(spark, sf_dir):
     the full small-k spectral pack for embedding health (anisotropy
     direction, dominant-axes variance share, whitening basis): iterate for
     PC-1, deflate, iterate for PC-2, deflate again, iterate for PC-3.
-    Each deflation subtracts round(lambda * v v^T, 12) so both engines
-    deflate the identical matrix, and each chain reuses the SAME pinned
+    Each deflation subtracts floor(lambda * v v^T * 1e12)/1e12 so both
+    engines deflate the identical matrix, and each chain reuses the SAME pinned
     arithmetic as embedding_pca_power_iteration.
 
     Scale shape: the corpus is still touched exactly once (the shared

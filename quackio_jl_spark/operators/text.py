@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from quackio_jl_spark.functions.seq import seq_asc
+
 from ..functions.exact import dsum
 from ..plans.registry import query, table
 
@@ -2272,7 +2274,7 @@ def source_distinct_ngram_diversity(spark, sf_dir):
         return (
             base.select(
                 "source",
-                F.explode(F.sequence(F.lit(1), F.size("w") - (n - 1))).alias("i"),
+                F.explode(seq_asc(F.lit(1), F.size("w") - (n - 1))).alias("i"),
                 "w",
             )
             .select("source", F.md5(F.concat_ws(" ", *parts)).alias("g"))
@@ -3474,7 +3476,7 @@ def textrank_keywords(spark, sf_dir):
     def inrow_pairs(off: int):
         # element_at is 1-indexed, mirroring the oracle's list lambda
         pairs = F.transform(
-            F.sequence(F.lit(1), F.size("toks") - off),
+            seq_asc(F.lit(1), F.size("toks") - off),
             lambda i: F.struct(
                 F.element_at(F.col("toks"), i).alias("a"),
                 F.element_at(F.col("toks"), i + off).alias("b"),

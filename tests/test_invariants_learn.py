@@ -189,6 +189,61 @@ def test_cdc_chunking_is_shift_resilient(spark):
     assert len(f1 & f2) / len(f1) < overlap
 
 
+def test_cdc_short_docs_no_phantom_cuts(spark):
+    """Regression for the descending-sequence hazard: Spark's two-arg
+    sequence(8, n) DESCENDS when n < 8 ([8,7,6,5] for n=5), which would
+    emit phantom cut points past the end of a sub-window-length document
+    (DuckDB's range(8, n+1) is empty there). The guarded kernel must give
+    every 0-to-7-char doc exactly ONE chunk spanning the whole text, drop
+    NULL-text docs, and never cut past length(text)."""
+    import duckdb
+
+    from quackio_jl_spark.operators.dedup import _cdc_chunk_table
+
+    fixtures = [
+        (1, ""),
+        (2, "a"),
+        (3, "abcdefg"),  # 7 chars: one below the window
+        (4, "abcdefgh"),  # exactly the window
+        (5, None),
+        (6, "the quick brown fox jumps over the lazy dog " * 4),
+    ]
+    df = spark.createDataFrame(fixtures, "doc_id int, text string")
+    chunks = _cdc_chunk_table(df).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 5 not in by_doc  # NULL text yields no chunks
+    lens = {d: (t if t is not None else "") for d, t in fixtures}
+    for doc_id in (1, 2, 3, 4):
+        rows = by_doc[doc_id]
+        assert len(rows) == 1, f"doc {doc_id}: expected 1 chunk, got {rows}"
+        assert rows[0]["chunk_len"] == len(lens[doc_id])
+    # exact tiling everywhere => no phantom cut ever extended a doc
+    for doc_id, rows in by_doc.items():
+        assert sum(r["chunk_len"] for r in rows) == len(lens[doc_id])
+    # cross-engine: the lambda-free oracle CTE agrees on this hostile frame
+    from quackio_jl_spark.operators.dedup import _CDC_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({d}, {'NULL' if t is None else repr(t)})" for d, t in fixtures
+        )
+        + ") AS v(doc_id, text)"
+    )
+    oracle = con.execute(
+        "WITH " + _CDC_SQL + " SELECT doc_id, chunk_idx, chunk_len, chunk_hash "
+        "FROM chunks ORDER BY doc_id, chunk_idx"
+    ).fetchall()
+    spark_rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_len"], r["chunk_hash"])
+        for r in chunks
+    )
+    assert spark_rows == [tuple(r) for r in oracle]
+
+
 def test_cdc_chunks_tile_each_document(q, spark):
     rows = q("dedup_cdc_chunks")
     docs = spark.read.parquet(f"{SF}/documents.parquet")
