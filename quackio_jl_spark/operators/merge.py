@@ -1065,3 +1065,291 @@ def linkage_fs_em_refinement(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --------------------------------------- FS EM multi-round convergence
+
+_EM_ROUNDS = 3
+_EM_W_SCALE = 1_000_000_000  # posterior w quantizer (1e-9 resolution)
+
+
+def _fs_em_oracle() -> str:
+    """Unrolled 3-round EM CTE chain. Determinism posture (same as the
+    round-7 PCA rebuild): every parameter and posterior is floor-quantized
+    to integer micro-units between steps (m/u/lambda at 1e-8, posterior w
+    at 1e-9), every sum is over exact integers, and each double-valued op
+    is a single correctly-rounded IEEE expression on identical inputs — no
+    round(double, N) anywhere, so the recursion cannot drift cross-engine
+    at any scale factor."""
+    fields = _FS_FIELDS
+    pat = f"""
+    pat AS MATERIALIZED (
+      SELECT {", ".join(
+        f"CASE WHEN oa.{f} = ob.{f} THEN 1 ELSE 0 END AS g_{f}"
+        for f in fields)},
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM cand
+      JOIN ofld oa ON oa.o_orderkey = cand.ka
+      JOIN ofld ob ON ob.o_orderkey = cand.kb
+      GROUP BY {", ".join(f"g_{f}" for f in fields)}
+    ),
+    p0 AS MATERIALIZED (
+      SELECT {", ".join(
+        f"CAST(floor((st.agree_{f} + 0.5) / (st.n_pairs + 1.0) * 1e8) AS BIGINT) AS m_{f}, "
+        f"CAST(floor(CAST(fu_{f}.u_num AS DOUBLE) / fu_{f}.u_den * 1e8) AS BIGINT) AS u_{f}"
+        for f in fields)},
+        CAST(50000000 AS BIGINT) AS lam
+      FROM st {" ".join(f"CROSS JOIN fu_{f}" for f in fields)}
+    )"""
+    rounds = []
+    for r in range(1, _EM_ROUNDS + 1):
+        p = f"p{r - 1}"
+        prod_m = " * ".join(
+            f"(CASE WHEN g_{f} = 1 THEN {p}.m_{f} / 1e8"
+            f" ELSE 1 - {p}.m_{f} / 1e8 END)"
+            for f in fields
+        )
+        prod_u = " * ".join(
+            f"(CASE WHEN g_{f} = 1 THEN {p}.u_{f} / 1e8"
+            f" ELSE 1 - {p}.u_{f} / 1e8 END)"
+            for f in fields
+        )
+        rounds.append(f"""
+    ew{r} AS (
+      SELECT pat.*, CAST(floor(
+        ({p}.lam / 1e8 * {prod_m})
+        / ({p}.lam / 1e8 * {prod_m} + (1 - {p}.lam / 1e8) * {prod_u})
+        * {_EM_W_SCALE}) AS BIGINT) AS w
+      FROM pat CROSS JOIN {p}
+    ),
+    s{r} AS (
+      SELECT CAST(SUM(n * w) AS BIGINT) AS sw,
+        CAST(SUM(n * ({_EM_W_SCALE} - w)) AS BIGINT) AS su,
+        CAST(SUM(n) AS BIGINT) AS ntot,
+        {", ".join(
+          f"CAST(SUM(n * w * g_{f}) AS BIGINT) AS swg_{f}, "
+          f"CAST(SUM(n * ({_EM_W_SCALE} - w) * g_{f}) AS BIGINT) AS sug_{f}"
+          for f in fields)}
+      FROM ew{r}
+    ),
+    p{r} AS MATERIALIZED (
+      SELECT {", ".join(
+        f"CAST(floor(CAST(swg_{f} AS DOUBLE) / CAST(sw AS DOUBLE) * 1e8) AS BIGINT) AS m_{f}, "
+        f"CAST(floor(CAST(sug_{f} AS DOUBLE) / CAST(su AS DOUBLE) * 1e8) AS BIGINT) AS u_{f}"
+        for f in fields)},
+        CAST(floor(CAST(sw AS DOUBLE) / {_EM_W_SCALE} / CAST(ntot AS DOUBLE) * 1e8) AS BIGINT) AS lam
+      FROM s{r}
+    )""")
+    last = _EM_ROUNDS
+    finals = " UNION ALL ".join(
+        f"""SELECT '{f}' AS field,
+      p{last}.m_{f} AS m_final_e8, p{last}.u_{f} AS u_final_e8,
+      p1.lam AS lambda1_e8, p2.lam AS lambda2_e8, p{last}.lam AS lambda3_e8
+    FROM p{last} CROSS JOIN p1 CROSS JOIN p2"""
+        for f in fields
+    )
+    return (
+        "WITH "
+        + _FS_PRELUDE_SQL
+        + ","
+        + pat
+        + ","
+        + ",".join(rounds)
+        + "\n    "
+        + finals
+    )
+
+
+@query("linkage_fs_em_converged", oracle=_fs_em_oracle())
+def linkage_fs_em_converged(spark, sf_dir):
+    """Three EM rounds of the Fellegi-Sunter m/u/lambda parameters over the
+    blocked candidate pairs' comparison-vector histogram — the multi-round
+    convergence run the one-round linkage_fs_em_refinement previews
+    (SURVEY round-7 item): each E-step scores every agreement pattern's
+    match posterior under the CURRENT parameters (including the evolving
+    prevalence lambda, unlike the fixed-0.5 single-round demo), each
+    M-step re-estimates m_f / u_f / lambda from posterior-weighted pattern
+    counts. Output: final per-field m/u plus lambda after every round —
+    the per-round prevalence trajectory IS the convergence evidence
+    (successive deltas shrink).
+
+    Determinism: parameters are floor-quantized BIGINT micro-units (1e-8)
+    between rounds and posteriors BIGINT 1e-9 units, so all sums are exact
+    integers and the recursion is bit-identical across engines at any SF
+    (the round-7 PCA posture — no round(double, N) inside the iteration).
+    Posterior sums stay under int64 up to ~9e9 candidate pairs.
+
+    Scale shape: ONE corpus-sized aggregate (the <= 2^3-row pattern
+    histogram, persisted); all three EM rounds are arithmetic on that
+    bounded table with 1-row parameter frames localCheckpointed per round
+    (the fs-em lineage-collapse lesson — left lazy, each round re-embeds
+    every prior round's plan)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.to_date("o_orderdate").alias("d"),
+    )
+    pairs = banded_duplicate_pairs(
+        o, DUP_INV_PRICE_TOL, DUP_INV_DAY_TOL, _DUP_INV_BAND
+    ).select(
+        F.col("orderkey_a").alias("ka"), F.col("orderkey_b").alias("kb")
+    )
+    full = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+    )
+    oa = full.select(
+        F.col("o_orderkey").alias("ka"),
+        *[F.col(f).alias(f"a_{f}") for f in _FS_FIELDS],
+    )
+    ob = full.select(
+        F.col("o_orderkey").alias("kb"),
+        *[F.col(f).alias(f"b_{f}") for f in _FS_FIELDS],
+    )
+    j = pairs.join(oa, "ka").join(ob, "kb")
+    pat = (
+        j.groupBy(
+            *[
+                (F.col(f"a_{f}") == F.col(f"b_{f}")).cast("int").alias(f"g_{f}")
+                for f in _FS_FIELDS
+            ]
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()
+    )
+    st = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        *[
+            F.coalesce(
+                F.sum((F.col(f"a_{f}") == F.col(f"b_{f}")).cast("int")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"agree_{f}")
+            for f in _FS_FIELDS
+        ],
+    )
+    init = st
+    for f in _FS_FIELDS:
+        fu = (
+            full.groupBy(f)
+            .agg(F.count(F.lit(1)).alias("nv"))
+            .agg(
+                F.sum(F.col("nv") * F.col("nv")).cast("bigint").alias(f"un_{f}"),
+                (F.sum("nv") * F.sum("nv")).cast("bigint").alias(f"ud_{f}"),
+            )
+        )
+        init = init.crossJoin(F.broadcast(fu))
+    params = init.select(
+        *[
+            x
+            for f in _FS_FIELDS
+            for x in (
+                F.floor(
+                    (F.col(f"agree_{f}") + 0.5)
+                    / (F.col("n_pairs") + 1.0)
+                    * F.lit(1e8)
+                )
+                .cast("bigint")
+                .alias(f"m_{f}"),
+                F.floor(
+                    F.col(f"un_{f}").cast("double")
+                    / F.col(f"ud_{f}")
+                    * F.lit(1e8)
+                )
+                .cast("bigint")
+                .alias(f"u_{f}"),
+            )
+        ],
+        F.lit(50000000).cast("bigint").alias("lam"),
+    ).localCheckpoint()
+
+    def _prod(pfx):
+        out = None
+        for f in _FS_FIELDS:
+            term = F.when(
+                F.col(f"g_{f}") == 1, F.col(f"{pfx}_{f}") / F.lit(1e8)
+            ).otherwise(F.lit(1.0) - F.col(f"{pfx}_{f}") / F.lit(1e8))
+            out = term if out is None else out * term
+        return out
+
+    lam_by_round = {}
+    for r in range(1, _EM_ROUNDS + 1):
+        ew = pat.crossJoin(F.broadcast(params))
+        num = (F.col("lam") / F.lit(1e8)) * _prod("m")
+        den = (F.lit(1.0) - F.col("lam") / F.lit(1e8)) * _prod("u")
+        ew = ew.withColumn(
+            "w",
+            F.floor(num / (num + den) * F.lit(float(_EM_W_SCALE))).cast(
+                "bigint"
+            ),
+        )
+        s = ew.agg(
+            F.sum(F.col("n") * F.col("w")).cast("bigint").alias("sw"),
+            F.sum(F.col("n") * (F.lit(_EM_W_SCALE) - F.col("w")))
+            .cast("bigint")
+            .alias("su"),
+            F.sum("n").cast("bigint").alias("ntot"),
+            *[
+                x
+                for f in _FS_FIELDS
+                for x in (
+                    F.sum(F.col("n") * F.col("w") * F.col(f"g_{f}"))
+                    .cast("bigint")
+                    .alias(f"swg_{f}"),
+                    F.sum(
+                        F.col("n")
+                        * (F.lit(_EM_W_SCALE) - F.col("w"))
+                        * F.col(f"g_{f}")
+                    )
+                    .cast("bigint")
+                    .alias(f"sug_{f}"),
+                )
+            ],
+        )
+        params = s.select(
+            *[
+                x
+                for f in _FS_FIELDS
+                for x in (
+                    F.floor(
+                        F.col(f"swg_{f}").cast("double")
+                        / F.col("sw").cast("double")
+                        * F.lit(1e8)
+                    )
+                    .cast("bigint")
+                    .alias(f"m_{f}"),
+                    F.floor(
+                        F.col(f"sug_{f}").cast("double")
+                        / F.col("su").cast("double")
+                        * F.lit(1e8)
+                    )
+                    .cast("bigint")
+                    .alias(f"u_{f}"),
+                )
+            ],
+            F.floor(
+                F.col("sw").cast("double")
+                / F.lit(float(_EM_W_SCALE))
+                / F.col("ntot").cast("double")
+                * F.lit(1e8)
+            )
+            .cast("bigint")
+            .alias("lam"),
+        ).localCheckpoint()
+        lam_by_round[r] = params.select(F.col("lam").alias(f"lambda{r}_e8"))
+
+    out = None
+    for f in _FS_FIELDS:
+        row = (
+            params.select(
+                F.lit(f).alias("field"),
+                F.col(f"m_{f}").alias("m_final_e8"),
+                F.col(f"u_{f}").alias("u_final_e8"),
+            )
+            .crossJoin(F.broadcast(lam_by_round[1]))
+            .crossJoin(F.broadcast(lam_by_round[2]))
+            .crossJoin(F.broadcast(lam_by_round[3]))
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

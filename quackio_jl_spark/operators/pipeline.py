@@ -3384,7 +3384,14 @@ def shard_source_mixing_report(spark, sf_dir):
     hashed output exact."""
     pos = shuffle_corpus_deterministic(spark, sf_dir).select("doc_id", "shard")
     src = table(spark, sf_dir, "documents").select("doc_id", "source")
-    j = pos.join(src, "doc_id")
+    return shard_mixing_from_assignments(pos.join(src, "doc_id"))
+
+
+def shard_mixing_from_assignments(j):
+    """The mixing report body over a (shard, source) assignment frame —
+    shared by the batch query above and the streaming twin
+    (streaming/events.py::shard_mixing_stream), so both compute the exact
+    same aggregation on whatever produced the assignments."""
     corp = F.broadcast(
         j.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("cs"))
     )

@@ -141,14 +141,17 @@ def bm25_topk(spark, sf_dir):
     oracle=f"""
     WITH t AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    hits AS (
+      -- lambda-free adjacency scan (UNNEST(range)+WHERE): correlated
+      -- list_filter lambdas are the construct class behind the r5/r6
+      -- driver-env CDC divergence (oracle_lint R4 bans them).
+      SELECT doc_id
+      FROM t, UNNEST(range(1, len(toks))) AS u(i)
+      WHERE toks[i] = '{PHRASE_W1}' AND toks[i+1] = '{PHRASE_W2}'
     )
-    SELECT doc_id,
-      CAST(len(list_filter(range(1, len(toks)),
-        i -> toks[i] = '{PHRASE_W1}' AND toks[i+1] = '{PHRASE_W2}'))
-        AS BIGINT) AS n_matches
-    FROM t
-    WHERE len(list_filter(range(1, len(toks)),
-        i -> toks[i] = '{PHRASE_W1}' AND toks[i+1] = '{PHRASE_W2}')) > 0
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM hits GROUP BY doc_id
     """,
 )
 def phrase_search_positional(spark, sf_dir):
@@ -161,8 +164,8 @@ def phrase_search_positional(spark, sf_dir):
     a positional inverted-index phrase intersection (Manning IR ch.2), with
     no per-doc array materialization on the reduce side.
 
-    The oracle evaluates the same adjacency predicate per document with a
-    lambda over token positions — same semantics, engine-local."""
+    The oracle evaluates the same adjacency predicate per document as an
+    UNNEST position scan — same semantics, engine-local, lambda-free."""
     d = table(spark, sf_dir, "documents")
     posting = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")

@@ -6026,9 +6026,12 @@ def part_abc_xyz_matrix(spark, sf_dir):
 
     Two independent part-keyed aggregates (revenue, monthly CV) join
     on the natural l_partkey key; the descending revenue cumulative
-    rides an ordered decimal window over the part table (sub-bucket by
-    revenue range via the prefix kernel at 100 TB part counts);
+    rides bucketed_prefix_sums over revenue-range buckets (the part
+    table is scale-factor-proportional, so the previous global ordered
+    window would single-partition-sort billions of parts at 100x SF);
     population CV comes from exact sum/sum-of-squares."""
+    from quackio_jl_spark.functions.prefix import bucketed_prefix_sums
+
     l = table(spark, sf_dir, "lineitem")
     rev = l.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("r")
@@ -6036,11 +6039,17 @@ def part_abc_xyz_matrix(spark, sf_dir):
     tot = F.broadcast(
         rev.agg(F.sum(F.col("r").cast(DEC)).cast("double").alias("tr"))
     )
-    w = W.orderBy(F.col("r").desc(), "pk").rowsBetween(
-        W.unboundedPreceding, 0
+    base = rev.select(
+        "pk",
+        "r",
+        (-F.col("r")).alias("_negr"),
+        (-F.col("pk")).alias("_negpk"),
+        F.col("r").cast(DEC).alias("_r_dec"),
     )
-    cum = rev.withColumn(
-        "cr", F.sum(F.col("r").cast(DEC)).over(w).cast("double")
+    cum = (
+        bucketed_prefix_sums(base, "_negr", ["_r_dec"], tiebreak_desc="_negpk")
+        .withColumn("cr", F.col("cum__r_dec").cast("double"))
+        .drop("_negr", "_negpk", "_r_dec", "cum__r_dec")
     )
     abc = cum.crossJoin(tot).select(
         "pk",
@@ -10419,8 +10428,12 @@ WM_BUCKETS_MIN = (0, 1, 5, 15, 60, 240)  # lateness buckets, minutes
     oracle=f"""
     WITH arr AS (
       SELECT event_id, ts,
+        -- RANGE (peer-inclusive), matching bucketed_prefix_max's in-bucket
+        -- frame: with duplicate event_ids a ROWS frame is tie-order
+        -- nondeterministic on BOTH engines; peer-inclusive MAX is the one
+        -- well-defined semantics (ADVICE r6).
         MAX(ts) OVER (ORDER BY event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm
+          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm
       FROM events
     ),
     late AS (

@@ -811,3 +811,67 @@ def evasion_dedup_stream(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {queryName}")
+
+
+def shard_mixing_stream(
+    spark: SparkSession, sf_dir: str, dest: str
+) -> DataFrame:
+    """foreachBatch sink: the streaming twin of shard_source_mixing_report
+    (SURVEY round-7 item). Documents arrive on a file stream; each batch
+    MIN-merges its (doc_id -> source) rows into a compact parquet state
+    table (idempotent under replays — exactly-once per checkpoint
+    suffices, the cumulative_users_stream recipe).
+
+    The global-rank caveat, stated honestly: a document's SHARD is a
+    function of its rank in the md5 epoch order over the WHOLE corpus, so
+    shard ids are NOT per-row computable at ingest (any doc arriving later
+    can shift every rank). The stream therefore keeps only the per-doc
+    state (|docs| rows of 16-byte key material — the same table the batch
+    op scans) and defers the rank + shard + histogram to the report step,
+    which runs the identical bucketed numbering kernel and report body the
+    batch query uses. Ingest stays incremental; the deferred step is one
+    bounded batch job over the compact state, re-runnable at any
+    watermark."""
+    import os
+
+    from ..operators.pipeline import (
+        SHUFFLE_SALT,
+        _number_in_bucket_order,
+        shard_mixing_from_assignments,
+    )
+
+    stream = _documents_stream(spark, sf_dir).select("doc_id", "source")
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        upd = batch_df.groupBy("doc_id").agg(F.min("source").alias("source"))
+        if os.path.exists(dest):
+            base = batch_df.sparkSession.read.parquet(dest)
+            merged = (
+                base.unionByName(upd)
+                .groupBy("doc_id")
+                .agg(F.min("source").alias("source"))
+            )
+        else:
+            merged = upd
+        merged = merged.localCheckpoint()  # cut lineage before overwrite
+        merged.write.mode("overwrite").parquet(dest)
+
+    q = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(apply_batch)
+        .option("checkpointLocation", dest + "_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = spark.read.parquet(dest)
+    key = F.md5(F.concat(F.lit(SHUFFLE_SALT), F.col("doc_id").cast("string")))
+    parts = state.withColumn("_key", key).withColumn(
+        "_pid", F.conv(F.substring("_key", 1, 2), 16, 10).cast("int")
+    )
+    ranked = _number_in_bucket_order(
+        parts, ["_key", "doc_id"], ["doc_id", "source"], "pos"
+    )  # the kernel emits `shard` = pos // SHARD_SIZE alongside the position
+    return shard_mixing_from_assignments(ranked.select("shard", "source"))

@@ -1,0 +1,110 @@
+"""Round-7 invariants: entity-resolution multi-hop closure on a planted
+fixture (ADVICE r6: the sf gates exercise linkage_entity_clusters on at
+most one, possibly single-pair, component — the transitive-merge claim
+needs non-trivial coverage), and FS EM convergence behavior.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from quackio_jl_spark.registry import ORACLES, QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def linkage_fixture_dir(tmp_path_factory):
+    """A synthetic orders table where the banded candidate generator finds
+    A~B and B~C but NOT A~C (price gap 12 > tolerance 10), all three
+    agreeing on every FS comparison field, plus 27 background singleton
+    orders spreading the field histograms so u << m and both candidate
+    pairs score net-positive. The correct entity resolution merges A, B, C
+    into ONE 3-record entity through the B hop."""
+    import pandas as pd
+
+    rows = [
+        # (orderkey, custkey, totalprice, orderdate, priority, status)
+        (1, 1, 100.0, "1995-01-03", "1-URGENT", "O"),
+        (2, 1, 105.0, "1995-01-10", "1-URGENT", "O"),
+        (3, 1, 112.0, "1995-01-17", "1-URGENT", "O"),
+    ]
+    prios = ["2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    stats = ["F", "P"]
+    for i in range(27):
+        rows.append(
+            (
+                10 + i,
+                100 + i,  # distinct custkeys: never candidates
+                500.0 + 40.0 * i,  # spread prices
+                f"199{5 + i % 3}-{1 + i % 12:02d}-15",
+                prios[i % len(prios)],
+                stats[i % len(stats)],
+            )
+        )
+    df = pd.DataFrame(
+        rows,
+        columns=[
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+            "o_orderstatus",
+        ],
+    )
+    # date32, matching the real testdata (nanosecond timestamps read back
+    # as BIGINT without the session's nanos conf)
+    df["o_orderdate"] = pd.to_datetime(df["o_orderdate"]).dt.date
+    d = tmp_path_factory.mktemp("linkage_fixture")
+    df.to_parquet(d / "orders.parquet", index=False)
+    return str(d)
+
+
+def test_entity_clusters_merge_multi_hop(spark, linkage_fixture_dir):
+    """A~B and B~C candidates with net-positive FS scores must collapse to
+    ONE entity of 3 records even though A~C was never a candidate pair —
+    the transitive-closure property the query's docstring claims."""
+    rows = QUERIES["linkage_entity_clusters"](
+        spark, linkage_fixture_dir
+    ).collect()
+    assert len(rows) == 1, f"expected one merged entity, got {rows}"
+    assert rows[0]["entity"] == 1 and rows[0]["n_records"] == 3
+
+
+def test_entity_clusters_fixture_matches_oracle(linkage_fixture_dir):
+    """The recursive-CTE oracle agrees on the planted multi-hop component —
+    so the cross-engine closure comparison is exercised on a component
+    that actually has a hop (the sf gates give it at most one pair)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{linkage_fixture_dir}/orders.parquet')"
+    )
+    got = con.execute(ORACLES["linkage_entity_clusters"]).fetchall()
+    assert got == [(1, 3)]
+
+
+def test_fs_em_converged_lambda_trajectory(spark):
+    """EM sanity on the real gate data: lambda stays a probability in
+    (0, 1) every round, parameters are valid micro-unit probabilities, and
+    the round-over-round lambda step shrinks or stays equal (monotone
+    damping is not guaranteed by EM in general, but on this unimodal
+    2-class mixture the trajectory must at least stay finite and bounded —
+    the divergence failure mode is what this pins)."""
+    # sf0.01: the smallest SF with a non-empty candidate-pair set (at
+    # sf0.001 every EM sum is NULL-over-empty, which the oracle gate pins
+    # separately)
+    rows = QUERIES["linkage_fs_em_converged"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 3  # one per comparison field
+    for r in rows:
+        for c in ("m_final_e8", "u_final_e8"):
+            assert 0 <= r[c] <= 10**8, (r["field"], c, r[c])
+        lams = [r["lambda1_e8"], r["lambda2_e8"], r["lambda3_e8"]]
+        assert all(0 < v < 10**8 for v in lams), lams
+    # lambda identical across field rows (it's a global parameter)
+    assert len({(r["lambda1_e8"], r["lambda2_e8"], r["lambda3_e8"]) for r in rows}) == 1

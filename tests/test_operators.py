@@ -1226,3 +1226,20 @@ def test_compressibility_ratio_contract(spark):
     assert len(zlib.compress(rep, 6)) / len(rep) < len(
         zlib.compress(div, 6)
     ) / len(div)
+
+
+def test_shard_mixing_stream_matches_batch(tmp_path, spark):
+    """foreachBatch doc->source state merge + deferred rank/report ==
+    batch shard_source_mixing_report, shard for shard (the 12th
+    batch-equals-stream equivalence; the shard ids need the global epoch
+    rank, so the twin defers exactly that step to the bounded report
+    job over its compact state)."""
+    from quackio_jl_spark.streaming.events import shard_mixing_stream
+
+    dest = str(tmp_path / "mix_state")
+    stream_res = shard_mixing_stream(spark, SF_DIR, dest)
+    batch_res = entry.queries()["shard_source_mixing_report"](spark, SF_DIR)
+    cols = ("n_docs", "n_sources", "max_source_docs", "kl_num_e6")
+    s = {r["shard"]: tuple(r[c] for c in cols) for r in stream_res.collect()}
+    b = {r["shard"]: tuple(r[c] for c in cols) for r in batch_res.collect()}
+    assert s == b and len(b) > 0

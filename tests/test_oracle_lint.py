@@ -16,8 +16,10 @@ sys.path.insert(0, "tools")
 
 from oracle_lint import (  # noqa: E402
     WAIVED,
+    _final_select_pos,
     _inside_aggregate,
     _round_spans,
+    lint_correlated_lambdas,
     lint_hex_casts,
     lint_locale_regex,
 )
@@ -37,6 +39,44 @@ def test_no_unbounded_hex_casts():
 def test_no_locale_dependent_regex():
     found = {k: v for k, v in lint_locale_regex(_oracles()).items() if k not in WAIVED}
     assert not found, f"locale-dependent regex constructs: {found}"
+
+
+def test_no_correlated_list_lambdas():
+    """R4: the construct class behind the two-round driver-env divergence —
+    list lambdas capturing an outer column. Both prior hits
+    (dedup_cdc_chunks, phrase_search_positional) were rewritten to
+    UNNEST(range)+WHERE in round 7; nothing may reintroduce the pattern."""
+    found = {
+        k: v
+        for k, v in lint_correlated_lambdas(_oracles()).items()
+        if k not in WAIVED
+    }
+    assert not found, f"correlated list lambdas (rewrite as UNNEST+WHERE): {found}"
+
+
+def test_correlated_lambda_detector():
+    hit = "SELECT list_filter(range(1, 9), i -> substr(text, i, 2) = 'ab') FROM t"
+    ok_uncorrelated = "SELECT list_filter(range(1, 9), i -> i % 2 = 0) FROM t"
+    # transform arithmetic lambdas are exempt (driver-proven green)
+    ok_transform = "SELECT list_transform(range(1, 9), i -> emb[i] * 2) FROM t"
+    assert lint_correlated_lambdas({"q": hit})
+    assert not lint_correlated_lambdas({"q": ok_uncorrelated})
+    assert not lint_correlated_lambdas({"q": ok_transform})
+
+
+def test_final_select_pos_is_paren_depth_aware():
+    """ADVICE r6: the anchor must not land inside a scalar subquery of the
+    output projection (previously: LAST 'SELECT' substring)."""
+    sql = (
+        "WITH a AS (SELECT 1 AS x FROM t) "
+        "SELECT round(y, 8) AS r, (SELECT max(x) FROM a) AS mx FROM a"
+    )
+    pos = _final_select_pos(sql)
+    # lands on the top-level SELECT, before BOTH rounds/subqueries
+    assert sql[pos : pos + 6] == "SELECT" and pos > sql.index(")")
+    assert pos < sql.index("round(y")
+    spans = _round_spans(sql, pos)
+    assert len(spans) == 1 and spans[0][3] == 8
 
 
 def test_round_span_parser():

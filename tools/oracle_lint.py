@@ -17,6 +17,10 @@ R2  locale-dependent regex: POSIX classes (``[[:alpha:]]``), Unicode
     property classes (``\\p{L}``), or case-insensitive regexp flags are
     findings — their behavior follows the build's regex library and locale.
     ASCII character classes and explicit ranges are fine.
+R4  correlated list_filter lambdas: a list_filter whose lambda captures a
+    column of the enclosing row (``i -> f(text, i) ...``) is the construct
+    class behind the round-5/6 driver-environment divergence; rewrite as
+    UNNEST(range)+WHERE.
 R3  near-boundary rounding (RUNTIME): for each ``round(X, d)`` in the final
     SELECT of an oracle, re-run the oracle with that instance rewritten to
     ``round(X, d+7)`` and measure every output value's distance to the
@@ -88,15 +92,113 @@ def lint_locale_regex(oracles: dict[str, str]) -> dict[str, list[str]]:
     return bad
 
 
+# -------------------------------------------------------------------- R4
+
+# list_filter ONLY: correlated PREDICATE lambdas are the class the two red
+# driver rounds isolated (dedup_cdc_chunks, and phrase_search_positional as
+# the near-miss); correlated list_transform ARITHMETIC lambdas (the
+# embedding dot-product idiom) are driver-proven green across rounds 5-6
+# (ann_*/similarity_*/knn_* all hash-match in every driver sample).
+_LIST_LAMBDA = re.compile(r"\blist_filter\s*\(", re.IGNORECASE)
+# words in a lambda body that are never outer-column references
+_R4_ALLOW = {
+    "in", "and", "or", "not", "case", "when", "then", "else", "end", "is",
+    "null", "true", "false", "between", "like", "as", "cast", "integer",
+    "bigint", "double", "varchar", "hugeint", "smallint", "boolean", "date",
+    "interval", "distinct",
+}
+
+
+def _paren_span(sql: str, open_pos: int) -> int:
+    """Index just past the ')' matching the '(' at ``open_pos``."""
+    depth, i = 1, open_pos + 1
+    while depth and i < len(sql):
+        if sql[i] == "'":
+            i += 1
+            while i < len(sql) and sql[i] != "'":
+                i += 1
+        elif sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+        i += 1
+    return i
+
+
+def lint_correlated_lambdas(oracles: dict[str, str]) -> dict[str, list[str]]:
+    """R4: list_filter PREDICATE lambdas whose body references a column of
+    the enclosing row (any bare identifier that is not a lambda parameter,
+    a function call, or a keyword). This is the construct class unique to
+    the query that stayed red in the driver environment across rounds 5-6
+    while green locally — a known cross-version DuckDB behavior-change
+    area. Rewrite as UNNEST(range)+WHERE (the winnowing idiom,
+    driver-proven green). Correlated list_transform arithmetic lambdas are
+    deliberately exempt: dozens hash-match in every driver sample."""
+    bad: dict[str, list[str]] = {}
+    for name, sql in oracles.items():
+        for m in _LIST_LAMBDA.finditer(sql):
+            end = _paren_span(sql, m.end() - 1)
+            args = sql[m.end() : end - 1]
+            arrow = args.find("->")
+            if arrow < 0:
+                continue
+            # lambda params: identifiers between the last top-level comma
+            # before '->' and the arrow (either `x ->` or `(x, y) ->`)
+            head = args[:arrow]
+            cut = -1
+            depth = 0
+            for k, ch in enumerate(head):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    cut = k
+            params = set(re.findall(r"[A-Za-z_]\w*", head[cut + 1 :]))
+            body = args[arrow + 2 :]
+            body_nostr = re.sub(r"'[^']*'", "''", body)
+            correlated = sorted(
+                w
+                for w in set(re.findall(r"[A-Za-z_]\w*", body_nostr))
+                if w.lower() not in _R4_ALLOW
+                and w not in params
+                and not re.search(rf"\b{re.escape(w)}\s*\(", body_nostr)
+            )
+            if correlated:
+                bad.setdefault(name, []).append(
+                    f"lambda captures outer column(s) {correlated}: "
+                    + body.strip()[:80]
+                )
+    return bad
+
+
 # -------------------------------------------------------------------- R3
 
 
 def _final_select_pos(sql: str) -> int:
-    """Offset of the last top-level SELECT (the output projection)."""
-    best = 0
-    for m in re.finditer(r"\bSELECT\b", sql, flags=re.IGNORECASE):
-        best = m.start()
-    return best
+    """Offset of the first PAREN-DEPTH-0 SELECT — the output projection.
+
+    For a WITH query every CTE body sits inside parens, so depth 0 is
+    reached exactly at the final statement; UNION ALL branches (also depth
+    0) are part of the output too. The previous anchor (last 'SELECT'
+    substring) landed inside scalar subqueries in the projection and
+    silently skipped earlier round() sites (ADVICE r6). Single-quoted
+    strings are skipped so literal parens can't skew the depth."""
+    depth, i, n = 0, 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            i += 1
+            while i < n and sql[i] != "'":
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and sql[i : i + 6].upper() == "SELECT":
+            return i
+        i += 1
+    return 0
 
 
 def _round_spans(sql: str, start: int) -> list[tuple[int, int, str, int]]:
@@ -225,6 +327,7 @@ def run(sf_dir: str | None) -> int:
     for rule, found in (
         ("R1 hex-cast", lint_hex_casts(ORACLES)),
         ("R2 locale-regex", lint_locale_regex(ORACLES)),
+        ("R4 correlated-lambda", lint_correlated_lambdas(ORACLES)),
         ("R3 near-boundary", lint_near_boundary(ORACLES, sf_dir) if sf_dir else {}),
     ):
         for name, frags in sorted(found.items()):
