@@ -1762,3 +1762,222 @@ def part_link_prediction_adamic_adar(spark, sf_dir):
             "aa_score_e6",
         )
     )
+
+
+# ----------------------------- link-prediction evaluation (precision@k)
+
+LP_SPLIT = "1996-01-01"  # train co-purchases strictly before, test at/after
+LP_KS = (10, 50, 100)
+LP_TOPK = max(LP_KS)
+
+
+@query(
+    "part_link_prediction_eval",
+    oracle=f"""
+    WITH lp AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    cp AS MATERIALIZED (
+      SELECT a.l_partkey AS part1, b.l_partkey AS part2, o.o_orderdate AS d
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      JOIN orders o ON o.o_orderkey = a.l_orderkey
+    ),
+    train_pairs AS MATERIALIZED (
+      SELECT DISTINCT part1, part2 FROM cp WHERE d < DATE '{LP_SPLIT}'
+    ),
+    test_pairs AS MATERIALIZED (
+      SELECT n.part1, n.part2 FROM (
+        SELECT DISTINCT part1, part2 FROM cp WHERE d >= DATE '{LP_SPLIT}'
+      ) n
+      LEFT JOIN train_pairs t
+        ON t.part1 = n.part1 AND t.part2 = n.part2
+      WHERE t.part1 IS NULL
+    ),
+    edges AS MATERIALIZED (
+      SELECT part1 AS src, part2 AS dst FROM train_pairs
+      UNION ALL SELECT part2, part1 FROM train_pairs
+    ),
+    deg AS (SELECT src AS id, COUNT(*) AS dg FROM edges GROUP BY src),
+    okc AS (
+      SELECT id, CAST(round(1e6 / ln(dg)) AS BIGINT) AS inv_ln_e6
+      FROM deg WHERE dg <= {AA_CENTER_CAP} AND dg >= 2
+    ),
+    wedges AS (
+      SELECT e1.dst AS u, e2.dst AS w, okc.inv_ln_e6
+      FROM edges e1
+      JOIN okc ON okc.id = e1.src
+      JOIN edges e2 ON e2.src = e1.src AND e1.dst < e2.dst
+    ),
+    scored AS (
+      SELECT u, w, CAST(COUNT(*) AS BIGINT) AS cn,
+        CAST(SUM(inv_ln_e6) AS BIGINT) AS aa
+      FROM wedges GROUP BY u, w
+      HAVING COUNT(*) >= {AA_MIN_COMMON}
+    ),
+    pred AS (
+      SELECT s.u, s.w, s.aa FROM scored s
+      LEFT JOIN train_pairs t ON t.part1 = s.u AND t.part2 = s.w
+      WHERE t.part1 IS NULL
+    ),
+    topk AS (
+      SELECT u, w, rnk FROM (
+        SELECT u, w, ROW_NUMBER() OVER (ORDER BY aa DESC, u, w) AS rnk
+        FROM pred
+      ) WHERE rnk <= {LP_TOPK}
+    ),
+    ntest AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test_edges FROM test_pairs),
+    byk AS (
+      SELECT g.k,
+        CAST(SUM(CASE WHEN t.rnk <= g.k THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+        CAST(SUM(CASE WHEN t.rnk <= g.k AND tp.part1 IS NOT NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM topk t
+      LEFT JOIN test_pairs tp ON tp.part1 = t.u AND tp.part2 = t.w
+      CROSS JOIN UNNEST(ARRAY{list(LP_KS)}) AS g(k)
+      GROUP BY g.k
+    )
+    SELECT CAST(k AS INTEGER) AS k, n_pred, n_hits, ntest.n_test_edges,
+      CASE WHEN n_pred = 0 THEN CAST(0 AS BIGINT)
+        ELSE CAST(floor(CAST(n_hits AS DOUBLE) / n_pred * 1e6) AS BIGINT)
+      END AS precision_e6
+    FROM byk CROSS JOIN ntest
+    """,
+)
+def part_link_prediction_eval(spark, sf_dir):
+    """Measured-quality harness for Adamic-Adar link prediction (SURVEY
+    round-7 item — the recall@k pattern the ANN suite already has, applied
+    to the graph op): co-purchase edges are TIME-SLICED at {LP_SPLIT}
+    (train = pairs co-purchased strictly before, test = pairs newly
+    co-purchased at/after and absent from train), AA
+    scores are computed on the TRAIN graph only, and precision@k reports
+    how many of the top-k predicted non-edges actually formed in the test
+    window. This turns the score table into an evaluated predictor with an
+    honest temporal protocol (no peeking past the split).
+
+    Determinism: scores are exact integer micro-units with a total
+    (score desc, u, w) tie order, so top-k is engine-identical;
+    precision is floor-quantized from exact integer counts.
+
+    Scale shape: everything reuses the blocked AA machinery (hub-capped
+    wedges on the train graph, anti-join against train edges); the only
+    additions are two date-filtered pair aggregates sharing one co-purchase
+    scan and a TakeOrderedAndProject top-{LP_TOPK} — the rank window runs
+    on <= {LP_TOPK} rows, and the k-grid explode is 3 rows per prediction."""
+    from pyspark.sql import Window as W
+
+    lp = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    od = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("d")
+    )
+    a = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part1"))
+    b = lp.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part2"))
+    cp = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part1") < F.col("part2")))
+        .join(od, F.col("ok") == F.col("o_orderkey"))
+        .select("part1", "part2", "d")
+        .persist()
+    )
+    split = F.lit(LP_SPLIT).cast("date")
+    # edge = >= 1 co-purchase in the window: the base AA query's >= 2
+    # densification would leave a 76-edge train graph at sf0.01 (a vacuous
+    # eval); single-window co-purchase is the standard temporal-link
+    # protocol anyway
+    train = (
+        cp.filter(F.col("d") < split)
+        .select("part1", "part2")
+        .distinct()
+        .persist()
+    )
+    test = (
+        cp.filter(F.col("d") >= split)
+        .select("part1", "part2")
+        .distinct()
+        .join(train, ["part1", "part2"], "left_anti")
+        .persist()
+    )
+    edges = (
+        train.select(F.col("part1").alias("src"), F.col("part2").alias("dst"))
+        .union(train.select(F.col("part2").alias("src"), F.col("part1").alias("dst")))
+        .persist()
+    )
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("dg")
+    )
+    okc = deg.filter(
+        (F.col("dg") <= AA_CENTER_CAP) & (F.col("dg") >= 2)
+    ).select(
+        "id", F.round(F.lit(1e6) / F.log("dg")).cast("bigint").alias("inv_ln_e6")
+    )
+    e1 = edges.join(okc, edges.src == okc.id).select(
+        F.col("src").alias("c"), F.col("dst").alias("u"), "inv_ln_e6"
+    )
+    e2 = edges.select(F.col("src").alias("c2"), F.col("dst").alias("w"))
+    scored = (
+        e1.join(e2, (F.col("c") == F.col("c2")) & (F.col("u") < F.col("w")))
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.sum("inv_ln_e6").cast("bigint").alias("aa"),
+        )
+        .filter(F.col("cn") >= AA_MIN_COMMON)
+    )
+    pred = scored.join(
+        train,
+        (scored.u == train.part1) & (scored.w == train.part2),
+        "left_anti",
+    ).select("u", "w", "aa")
+    topk = (
+        pred.orderBy(F.col("aa").desc(), "u", "w")
+        .limit(LP_TOPK)
+        .select(
+            "u",
+            "w",
+            F.row_number()
+            .over(W.orderBy(F.col("aa").desc(), "u", "w"))
+            .alias("rnk"),
+        )
+    )
+    ntest = F.broadcast(
+        test.agg(F.count(F.lit(1)).cast("bigint").alias("n_test_edges"))
+    )
+    hitflag = (
+        topk.join(
+            test.withColumn("_hit", F.lit(1)),
+            (topk.u == test.part1) & (topk.w == test.part2),
+            "left",
+        )
+        .select("rnk", F.coalesce(F.col("_hit"), F.lit(0)).alias("hit"))
+    )
+    grid = F.explode(F.array(*[F.lit(k) for k in LP_KS])).alias("k")
+    byk = (
+        hitflag.select("rnk", "hit", grid)
+        .groupBy("k")
+        .agg(
+            F.sum((F.col("rnk") <= F.col("k")).cast("int"))
+            .cast("bigint")
+            .alias("n_pred"),
+            F.sum(
+                ((F.col("rnk") <= F.col("k")) & (F.col("hit") == 1)).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+    )
+    return byk.crossJoin(ntest).select(
+        F.col("k").cast("int").alias("k"),
+        "n_pred",
+        "n_hits",
+        "n_test_edges",
+        F.when(F.col("n_pred") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.floor(
+                F.col("n_hits").cast("double") / F.col("n_pred") * F.lit(1e6)
+            ).cast("bigint")
+        )
+        .alias("precision_e6"),
+    )
