@@ -1981,3 +1981,288 @@ def part_link_prediction_eval(spark, sf_dir):
         )
         .alias("precision_e6"),
     )
+
+
+# --------------------- spectral bisection (Fiedler vector, normalized L)
+
+FIEDLER_ROUNDS = 10
+
+
+def _fiedler_chain_sql() -> str:
+    """Unrolled power-iteration CTE chain for the Fiedler vector of the
+    part co-purchase graph's NORMALIZED Laplacian. We iterate M = I +
+    D^-1/2 A D^-1/2 = 2I - L_sym, whose top eigenpair is KNOWN in closed
+    form (eigenvalue 2, eigenvector u = D^1/2 1 / sqrt(2m)) — so instead
+    of estimating-and-deflating like PCA, every round projects u out
+    EXACTLY and the iterate converges to the second eigenvector of M =
+    the Fiedler vector of L_sym. Determinism: the round-7 floor-quantized
+    micro-int recipe (state BIGINT at 1e-10; every sum exact integer; no
+    round(double, N) anywhere)."""
+    v0 = (
+        "v0 AS MATERIALIZED (SELECT id, CAST((('0x' || "
+        "substr(md5('fv:' || CAST(id AS VARCHAR)), 1, 2))::BIGINT - 128) "
+        "* 100000000 AS BIGINT) AS v FROM nodes)"
+    )
+    pre = f"""
+    su AS MATERIALIZED (
+      SELECT id, sqrt(CAST(d AS DOUBLE)) AS s FROM deg
+    ),
+    tm AS (SELECT sqrt(CAST(SUM(d) AS DOUBLE)) AS r2m FROM deg),
+    {v0}"""
+    rounds = []
+    for r in range(1, FIEDLER_ROUNDS + 1):
+        p = f"v{r - 1}"
+        rounds.append(f"""
+    m{r} AS (
+      SELECT e.src AS id,
+        CAST(SUM(CAST(floor((pv.v / 1e10) / (si.s * sj.s) * 1e10)
+                 AS BIGINT)) AS BIGINT) AS msum
+      FROM edges e
+      JOIN {p} pv ON pv.id = e.dst
+      JOIN su si ON si.id = e.src
+      JOIN su sj ON sj.id = e.dst
+      GROUP BY e.src
+    ),
+    t{r} AS (
+      SELECT pv.id, pv.v + m.msum AS t FROM {p} pv JOIN m{r} m USING (id)
+    ),
+    c{r} AS (
+      SELECT CAST(SUM(CAST(floor(su.s / tm.r2m * (t.t / 1e10) * 1e10)
+                 AS BIGINT)) AS BIGINT) AS c
+      FROM t{r} t JOIN su ON su.id = t.id CROSS JOIN tm
+    ),
+    q{r} AS (
+      SELECT t.id,
+        t.t - CAST(floor(c.c / 1e10 * (su.s / tm.r2m) * 1e10) AS BIGINT) AS t
+      FROM t{r} t JOIN su ON su.id = t.id CROSS JOIN c{r} c CROSS JOIN tm
+    ),
+    n{r} AS (
+      SELECT sqrt(CAST(CAST(SUM(CAST(floor(t / 1e10 * (t / 1e10) * 1e12)
+                 AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12) AS nrm
+      FROM q{r}
+    ),
+    v{r} AS MATERIALIZED (
+      SELECT id, CAST(floor(t / 1e10 / n.nrm * 1e10) AS BIGINT) AS v
+      FROM q{r}, n{r} n
+    )""")
+    return "WITH " + _PR_GRAPH_SQL + "," + pre + "," + ",".join(rounds)
+
+
+@query(
+    "part_fiedler_bisection",
+    oracle=_fiedler_chain_sql()
+    + f"""
+    SELECT id AS part_id, v AS fiedler_e10,
+      CASE WHEN v >= 0 THEN 1 ELSE 0 END AS side
+    FROM v{FIEDLER_ROUNDS}
+    """,
+)
+def part_fiedler_bisection(spark, sf_dir):
+    """Spectral graph bisection: the Fiedler vector (second eigenvector of
+    the normalized Laplacian) of the part co-purchase graph, by power
+    iteration on M = 2I - L_sym with the KNOWN top eigenvector u = D^(1/2)1
+    projected out exactly every round — no eigenvalue estimation, no
+    Hotelling deflation error. sign(fiedler) is the classic two-way
+    min-conductance-style partition (assortment planning: split the
+    catalog so co-purchased parts stay together); on a disconnected graph
+    the iterate converges to a component indicator, which is the correct
+    zero-cut bisection.
+
+    Determinism: iterate state is BIGINT 1e-10 micro-units with
+    floor-quantized per-edge/per-node terms (the round-7 PCA posture), so
+    the chain is bit-identical across engines at any SF; sign is pinned by
+    the fixed md5-hash start vector.
+
+    Scale shape: graph frames built once and persisted (the pagerank
+    lesson); each round is ONE edges-x-iterate equi-join plus three
+    node-table maps and two scalar aggregates, with the iterate
+    localCheckpointed per round so plan depth stays O(1) in rounds. The
+    projection coefficient is a broadcast scalar."""
+    v, _ = _fiedler_vector(spark, sf_dir)
+    return v.select(
+        F.col("id").alias("part_id"),
+        F.col("v").alias("fiedler_e10"),
+        F.when(F.col("v") >= 0, 1).otherwise(0).alias("side"),
+    )
+
+
+def _fiedler_vector(spark, sf_dir):
+    """(iterate frame (id, v BIGINT e10 units), persisted symmetric edge
+    frame) after FIEDLER_ROUNDS deflated power-iteration rounds — shared
+    by the bisection and cut-quality queries."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part1"))
+    b = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part2"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part1") < F.col("part2")))
+        .groupBy("part1", "part2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("part1", "part2")
+    )
+    edges = (
+        pairs.select(F.col("part1").alias("src"), F.col("part2").alias("dst"))
+        .union(pairs.select(F.col("part2").alias("src"), F.col("part1").alias("dst")))
+        .persist()
+    )
+    deg = (
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    su = deg.select(
+        "id", F.sqrt(F.col("d").cast("double")).alias("s")
+    ).persist()
+    r2m = F.broadcast(
+        deg.agg(F.sqrt(F.sum("d").cast("double")).alias("r2m"))
+    )
+    v = su.select(
+        "id",
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("fv:"), F.col("id").cast("string"))),
+                        1,
+                        2,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                - 128
+            )
+            * F.lit(100000000)
+        )
+        .cast("bigint")
+        .alias("v"),
+    ).localCheckpoint()
+    si = su.select(F.col("id").alias("_i"), F.col("s").alias("si"))
+    sj = su.select(F.col("id").alias("_j"), F.col("s").alias("sj"))
+    for _ in range(FIEDLER_ROUNDS):
+        m = (
+            edges.join(v.select(F.col("id").alias("_j"), "v"), edges.dst == F.col("_j"))
+            .join(si, edges.src == si._i)
+            .join(sj, edges.dst == sj._j)
+            .groupBy(F.col("src").alias("id"))
+            .agg(
+                F.sum(
+                    F.floor(
+                        (F.col("v") / F.lit(1e10))
+                        / (F.col("si") * F.col("sj"))
+                        * F.lit(1e10)
+                    ).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("msum")
+            )
+        )
+        t = v.join(m, "id").select("id", (F.col("v") + F.col("msum")).alias("t"))
+        tu = t.join(su, "id").crossJoin(r2m)
+        c = F.broadcast(
+            tu.agg(
+                F.sum(
+                    F.floor(
+                        F.col("s")
+                        / F.col("r2m")
+                        * (F.col("t") / F.lit(1e10))
+                        * F.lit(1e10)
+                    ).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("c")
+            ).localCheckpoint()
+        )
+        q = tu.crossJoin(c).select(
+            "id",
+            (
+                F.col("t")
+                - F.floor(
+                    F.col("c")
+                    / F.lit(1e10)
+                    * (F.col("s") / F.col("r2m"))
+                    * F.lit(1e10)
+                ).cast("bigint")
+            ).alias("t"),
+        )
+        n = F.broadcast(
+            q.agg(
+                F.sqrt(
+                    F.sum(
+                        F.floor(
+                            F.col("t")
+                            / F.lit(1e10)
+                            * (F.col("t") / F.lit(1e10))
+                            * F.lit(1e12)
+                        ).cast("bigint")
+                    )
+                    .cast("bigint")
+                    .cast("double")
+                    / F.lit(1e12)
+                ).alias("nrm")
+            ).localCheckpoint()
+        )
+        v = (
+            q.crossJoin(n)
+            .select(
+                "id",
+                F.floor(F.col("t") / F.lit(1e10) / F.col("nrm") * F.lit(1e10))
+                .cast("bigint")
+                .alias("v"),
+            )
+            .localCheckpoint()
+        )
+    return v, edges
+
+
+@query(
+    "part_spectral_cut_quality",
+    oracle=_fiedler_chain_sql()
+    + f"""
+    , sides AS (
+      SELECT id, CASE WHEN v >= 0 THEN 1 ELSE 0 END AS side
+      FROM v{FIEDLER_ROUNDS}
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM sides) AS n_nodes,
+      (SELECT CAST(SUM(side) AS BIGINT) FROM sides) AS n_side_pos,
+      CAST((SELECT COUNT(*) FROM edges) / 2 AS BIGINT) AS n_edges,
+      CAST((SELECT SUM(CASE WHEN sa.side <> sb.side THEN 1 ELSE 0 END)
+            FROM edges e
+            JOIN sides sa ON sa.id = e.src
+            JOIN sides sb ON sb.id = e.dst) / 2 AS BIGINT) AS cut_edges
+    """,
+)
+def part_spectral_cut_quality(spark, sf_dir):
+    """Quality report for the spectral bisection: node counts per side,
+    undirected edge count, and the CUT SIZE (edges straddling the sign
+    split) — cut_edges / n_edges is the fraction of co-purchase affinity a
+    two-way catalog split would sever, the number that says whether the
+    Fiedler partition is actually usable. Reuses the persisted iterate +
+    edge frames; the cut count is one edges-x-sides equi-join (each
+    undirected edge counted twice, divided back out)."""
+    v, edges = _fiedler_vector(spark, sf_dir)
+    sides = v.select(
+        "id", F.when(F.col("v") >= 0, 1).otherwise(0).alias("side")
+    ).persist()
+    nodes_stats = sides.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum("side").cast("bigint").alias("n_side_pos"),
+    )
+    ecount = edges.agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges")
+    )
+    sa = sides.select(F.col("id").alias("_a"), F.col("side").alias("side_a"))
+    sb = sides.select(F.col("id").alias("_b"), F.col("side").alias("side_b"))
+    cut = (
+        edges.join(sa, edges.src == sa._a)
+        .join(sb, edges.dst == sb._b)
+        .agg(
+            (F.sum((F.col("side_a") != F.col("side_b")).cast("int")) / 2)
+            .cast("bigint")
+            .alias("cut_edges")
+        )
+    )
+    return (
+        nodes_stats.crossJoin(F.broadcast(ecount))
+        .crossJoin(F.broadcast(cut))
+        .select("n_nodes", "n_side_pos", "n_edges", "cut_edges")
+    )

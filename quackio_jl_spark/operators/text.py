@@ -4281,3 +4281,162 @@ def unigram_lm_viterbi_segmentation(spark, sf_dir):
             F.sum("cost6").cast("bigint").alias("nll_e6"),
         )
     )
+
+
+# --------------------------- held-out bigram-LM perplexity (train/eval split)
+
+# held-out selector: md5 hash slice, NOT doc_id % k — source is assigned
+# as doc_id % n_sources in the testdata, so any modulo split would put
+# whole sources entirely in or out of training (a confounded eval)
+LM_HELDOUT_HEX = ("0", "1")  # first md5 hex char -> 2/16 = 12.5% held out
+
+
+@query(
+    "bigram_lm_heldout_perplexity",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS MATERIALIZED (
+      SELECT doc_id, source,
+        substr(md5('lmho:' || CAST(doc_id AS VARCHAR)), 1, 1)
+          IN {LM_HELDOUT_HEX} AS held,
+        t[i+1] AS w1, t[i+1] || ' ' || t[i+2] AS bigram
+      FROM toks, UNNEST(range(len(t) - 1)) AS u(i)
+    ),
+    bgc AS (
+      SELECT bigram, CAST(count(*) AS BIGINT) AS cb
+      FROM bg WHERE NOT held GROUP BY bigram
+    ),
+    ugc AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS cu
+      FROM bg WHERE NOT held GROUP BY w1
+    ),
+    vv AS (SELECT CAST(count(*) + 1 AS BIGINT) AS v FROM ugc),
+    ho AS (
+      SELECT source, bigram, w1, CAST(count(*) AS BIGINT) AS n
+      FROM bg WHERE held GROUP BY source, bigram, w1
+    ),
+    docs AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM toks
+      WHERE substr(md5('lmho:' || CAST(doc_id AS VARCHAR)), 1, 1)
+        IN {LM_HELDOUT_HEX}
+      GROUP BY source
+    ),
+    terms AS (
+      SELECT ho.source, ho.n,
+        CASE WHEN COALESCE(bgc.cb, 0) = 0 THEN 1 ELSE 0 END AS is_unseen,
+        CAST(round(ln((COALESCE(bgc.cb, 0) + 1.0)
+                      / (COALESCE(ugc.cu, 0) + vv.v)) * 1e6) AS BIGINT) AS li6
+      FROM ho
+      LEFT JOIN bgc USING (bigram)
+      LEFT JOIN ugc USING (w1)
+      CROSS JOIN vv
+    )
+    SELECT t.source, d.n_docs,
+      CAST(SUM(t.n) AS BIGINT) AS n_bigrams,
+      CAST(SUM(t.n * t.is_unseen) AS BIGINT) AS unseen_bigrams,
+      CAST(-SUM(t.n * t.li6) AS BIGINT) AS nll_num_e6
+    FROM terms t JOIN docs d USING (source)
+    GROUP BY t.source, d.n_docs
+    """,
+)
+def bigram_lm_heldout_perplexity(spark, sf_dir):
+    """Held-out language-model evaluation with an honest train/eval split —
+    the number a data-curation change is actually judged by (did cleaning
+    the corpus make a model trained on it predict UNSEEN text better?):
+    an add-one-smoothed bigram LM is fit on the TRAIN slice (87.5% by a
+    salted-md5 doc split — hash-based, because the testdata assigns source
+    as doc_id % n_sources and a modulo split would hold out whole sources)
+    and evaluated on the held-out 12.5%, reporting
+    per source the exact integer negative log-likelihood numerator
+    (nll_num_e6; perplexity = exp(nll_num_e6 / (n_bigrams * 1e6)) — kept
+    as the exact fraction so the hashed output never touches exp), the
+    bigram count, and how many held-out bigrams were never seen in
+    training (the OOV pressure that dominates smoothing choice). Unseen
+    contexts fall back to 1/V via COALESCE-to-0 counts with V = |train
+    contexts| + 1.
+
+    Scale shape: one bigram explode feeds train counts, held-out pattern
+    counts, and the per-source doc rollup; log terms are computed once per
+    DISTINCT held-out (bigram, w1) pattern (round(ln)*1e6 micro-ints, the
+    per-type recipe) and weighted by exact counts, so every engine-side
+    sum is integer arithmetic. The count tables join back hash-keyed on
+    the bigram (vocabulary-sized; a production run puts a count cutoff in
+    front, same joins after)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 2)
+    held = F.substring(
+        F.md5(F.concat(F.lit("lmho:"), F.col("doc_id").cast("string"))), 1, 1
+    ).isin(*LM_HELDOUT_HEX)
+    bg = toks.select(
+        "doc_id",
+        "source",
+        held.alias("held"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.element_at("t", i + 1).alias("w1"),
+                    F.concat_ws(" ", F.slice("t", i + 1, 2)).alias("bigram"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "source", "held", "p.w1", "p.bigram")
+    train = bg.filter(~F.col("held"))
+    bgc = train.groupBy("bigram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cb")
+    )
+    ugc = train.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cu")
+    )
+    vv = F.broadcast(
+        ugc.agg((F.count(F.lit(1)) + 1).cast("bigint").alias("v"))
+    )
+    ho = (
+        bg.filter(F.col("held"))
+        .groupBy("source", "bigram", "w1")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    docs = (
+        toks.filter(held)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    terms = (
+        ho.join(bgc, "bigram", "left")
+        .join(ugc, "w1", "left")
+        .crossJoin(vv)
+        .select(
+            "source",
+            "n",
+            F.when(F.coalesce(F.col("cb"), F.lit(0)) == 0, 1)
+            .otherwise(0)
+            .alias("is_unseen"),
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
+                    / (F.coalesce(F.col("cu"), F.lit(0)) + F.col("v"))
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("li6"),
+        )
+    )
+    return (
+        terms.join(docs, "source")
+        .groupBy("source", "n_docs")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("n") * F.col("is_unseen"))
+            .cast("bigint")
+            .alias("unseen_bigrams"),
+            (-F.sum(F.col("n") * F.col("li6"))).cast("bigint").alias("nll_num_e6"),
+        )
+        .select("source", "n_docs", "n_bigrams", "unseen_bigrams", "nll_num_e6")
+    )
