@@ -214,7 +214,14 @@ def dedup_cluster_sizes(spark, sf_dir):
 # ------------------------------------------------------------- PageRank-lite
 
 PR_DAMPING = 0.85
-_PR_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(28,12))) AS DOUBLE)"
+# Floor-quantized exact sums (round-7 posture): a DOUBLE->DECIMAL cast
+# rounds half-to-EVEN in DuckDB but half-UP in Spark, so the old
+# CAST(x AS DECIMAL(28,12)) contribution sums were engine-divergent at
+# 1e-12 grid ties; floor has no tie-handling.
+_PR_DSUM = (
+    "CAST(CAST(SUM(CAST(floor({x} * 1e12) AS BIGINT)) AS BIGINT)"
+    " AS DOUBLE) / 1e12"
+)
 
 _PR_GRAPH_SQL = """
     pairs AS (
@@ -296,17 +303,22 @@ def part_pagerank(spark, sf_dir):
     )
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
 
-    DEC12 = "decimal(28,12)"
-
     def pr_round(prev):
         contrib = (
             edges.join(prev.withColumnRenamed("id", "pid"), F.col("src") == F.col("pid"))
             .join(deg.withColumnRenamed("id", "did"), F.col("src") == F.col("did"))
             .groupBy(F.col("dst").alias("id"))
             .agg(
-                F.sum((F.col("r") / F.col("d")).cast(DEC12))
-                .cast("double")
-                .alias("c")
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("r") / F.col("d") * F.lit(1e12)
+                        ).cast("bigint")
+                    )
+                    .cast("bigint")
+                    .cast("double")
+                    / F.lit(1e12)
+                ).alias("c")
             )
         )
         return (
@@ -1547,19 +1559,36 @@ def split_by_dedup_cluster(spark, sf_dir):
 # ------------------------------------------------------ HITS (bipartite)
 
 HITS_ROUNDS = 2
-_HITS_DSUM = "CAST(SUM(CAST(round({x}, 12) AS DECIMAL(38,12))) AS DOUBLE)"
+# Floor-quantized micro-int sums (the round-7 posture, see _pca_iter_cte):
+# floor of IDENTICAL doubles is identical across engines, while
+# round(double, N) tie-handling is engine-build-sensitive — the construct
+# ADVICE r6 caught flipping PCA iterates at sf0.001. Linear sums quantize
+# at 1e-12 (terms <= 1), squared sums at 1e-9 (raw scores can reach
+# sqrt(deg), so the coarser grid keeps BIGINT sums in range up to ~sf1).
+_HITS_FSUM = (
+    "CAST(CAST(SUM(CAST(floor({x} * 1e12) AS BIGINT)) AS BIGINT)"
+    " AS DOUBLE) / 1e12"
+)
+_HITS_FSUM9 = (
+    "CAST(CAST(SUM(CAST(floor({x} * 1e9) AS BIGINT)) AS BIGINT)"
+    " AS DOUBLE) / 1e9"
+)
 
 
 def _hits_norm_sql(name: str, raw: str) -> str:
-    """Normalize CTE ``raw`` (id, s) to unit L2 under name ``name`` —
-    the PCA recipe: decimal-exact sum of rounded squares, iterate rounded
-    to 10 dp so no drift compounds."""
+    """Normalize CTE ``raw`` (id, s) to unit L2 under name ``name``:
+    floor-quantized exact-integer sum of squares, iterate floor-quantized
+    to 1e-10 units so no drift compounds (and no engine-sensitive
+    round(double, N) ever runs on the state)."""
     return f"""
     {name}_n AS (
-      SELECT CAST(sqrt({_HITS_DSUM.format(x='s * s')}) AS DOUBLE) AS nrm
+      SELECT sqrt({_HITS_FSUM9.format(x='s * s')}) AS nrm
       FROM {raw}
     ),
-    {name} AS (SELECT id, round(s / nrm, 10) AS s FROM {raw}, {name}_n)"""
+    {name} AS (
+      SELECT id, CAST(floor(s / nrm * 1e10) AS BIGINT) / 1e10 AS s
+      FROM {raw}, {name}_n
+    )"""
 
 
 def _hits_oracle() -> str:
@@ -1579,11 +1608,11 @@ def _hits_oracle() -> str:
     for r in range(1, HITS_ROUNDS + 1):
         parts.append(f"""
     a{r}_raw AS (
-      SELECT e.p AS id, {_HITS_DSUM.format(x='h.s')} AS s
+      SELECT e.p AS id, {_HITS_FSUM.format(x='h.s')} AS s
       FROM bedges e JOIN {prev_h} h ON h.id = e.c GROUP BY e.p
     ),{_hits_norm_sql(f'a{r}', f'a{r}_raw')},
     h{r}_raw AS (
-      SELECT e.c AS id, {_HITS_DSUM.format(x='a.s')} AS s
+      SELECT e.c AS id, {_HITS_FSUM.format(x='a.s')} AS s
       FROM bedges e JOIN a{r} a ON a.id = e.p GROUP BY e.c
     ),{_hits_norm_sql(f'h{r}', f'h{r}_raw')}""")
         prev_h = f"h{r}"
@@ -1610,9 +1639,11 @@ def customer_part_hits(spark, sf_dir):
 
     Scale shape: the distinct (customer, part) edge list is built once and
     persisted; each half-round is one edges x scores equi-join plus one
-    decimal-exact aggregate on the opposite side (order-independent, so
+    floor-quantized exact-integer aggregate on the opposite side
+    (order-independent, so
     scores are bit-reproducible), with L2 normalization via a broadcast
-    scalar and 10-dp iterate rounding (the PCA determinism recipe).
+    scalar and 1e-10 floor-quantized iterates (the round-7 PCA posture —
+    round(double, N) iterate rounding is engine-build-sensitive at ties).
     Per-round results persist so plan depth stays O(1) in rounds."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -1637,20 +1668,40 @@ def customer_part_hits(spark, sf_dir):
         raw = (
             edges.join(scores.withColumnRenamed("id", side_from), side_from)
             .groupBy(F.col(side_to).alias("id"))
-            .agg(F.sum(F.round("s", 12).cast(DEC)).cast("double").alias("s"))
+            .agg(
+                (
+                    F.sum(F.floor(F.col("s") * F.lit(1e12)).cast("bigint"))
+                    .cast("bigint")
+                    .cast("double")
+                    / F.lit(1e12)
+                ).alias("s")
+            )
         )
         nrm = F.broadcast(
             raw.agg(
                 F.sqrt(
-                    F.sum(F.round(F.col("s") * F.col("s"), 12).cast(DEC)).cast(
-                        "double"
+                    F.sum(
+                        F.floor(F.col("s") * F.col("s") * F.lit(1e9)).cast(
+                            "bigint"
+                        )
                     )
+                    .cast("bigint")
+                    .cast("double")
+                    / F.lit(1e9)
                 ).alias("nrm")
             )
         )
         return (
             raw.crossJoin(nrm)
-            .select("id", F.round(F.col("s") / F.col("nrm"), 10).alias("s"))
+            .select(
+                "id",
+                (
+                    F.floor(F.col("s") / F.col("nrm") * F.lit(1e10)).cast(
+                        "bigint"
+                    )
+                    / F.lit(1e10)
+                ).alias("s"),
+            )
             .persist()
         )
 

@@ -1099,7 +1099,17 @@ def mink_prob_contamination(spark, sf_dir):
 # ------------------------------------------- Bradley-Terry source ratings
 
 BT_ROUNDS = 3
-_BT_DSUM = "CAST(SUM(CAST(round({x}, 12) AS DECIMAL(38,12))) AS DOUBLE)"
+# Floor-quantized exact sums (round-7 posture; see _pca_iter_cte): terms
+# are floor-quantized doubles (identical across engines — floor has no
+# tie-handling, unlike round(double, N)) summed in DECIMAL(38,0), which
+# stays exact even when the greatest(..., 1e-12) guard makes a term huge
+# (a BIGINT sum could overflow there; floor(x) of a > 2^53 double is the
+# same integer-valued double on both engines, and its DECIMAL cast is
+# exact).
+_BT_FSUM = (
+    "CAST(CAST(SUM(CAST(floor({x} * 1e6) AS DECIMAL(38,0))) AS DOUBLE)"
+    " / 1e6 AS DOUBLE)"
+)
 
 
 def _bt_oracle() -> str:
@@ -1143,7 +1153,7 @@ def _bt_oracle() -> str:
         rounds.append(f"""
     den{r} AS (
       SELECT g.i AS source,
-        {_BT_DSUM.format(x='g.n / greatest(pi.p + pj.p, 1e-12)')} AS den
+        {_BT_FSUM.format(x='g.n / greatest(pi.p + pj.p, 1e-12)')} AS den
       FROM gd g
       JOIN {prev} pi ON pi.source = g.i
       JOIN {prev} pj ON pj.source = g.j
@@ -1153,9 +1163,10 @@ def _bt_oracle() -> str:
       SELECT w.source, w.w / greatest(d.den, 1e-12) AS s
       FROM wins w JOIN den{r} d USING (source)
     ),
-    tot{r} AS (SELECT {_BT_DSUM.format(x='s')} AS t FROM raw{r}),
+    tot{r} AS (SELECT {_BT_FSUM.format(x='s')} AS t FROM raw{r}),
     p{r} AS (
-      SELECT source, round(s / t, 10) AS p FROM raw{r}, tot{r}
+      SELECT source, CAST(floor(s / t * 1e10) AS BIGINT) / 1e10 AS p
+      FROM raw{r}, tot{r}
     )""")
         prev = f"p{r}"
     return (
@@ -1239,7 +1250,16 @@ def source_bradley_terry_strengths(spark, sf_dir):
     p = players.crossJoin(F.broadcast(kk)).select(
         "source", (F.lit(1.0) / F.col("k")).alias("p")
     )
-    DEC = "decimal(38,12)"
+    DEC0 = "decimal(38,0)"
+
+    def fsum6(x):
+        # floor-quantized exact sum (see _BT_FSUM): floor, DECIMAL(38,0)
+        # sum, one correctly-rounded divide back — no round(double, N)
+        return (
+            F.sum(F.floor(x * F.lit(1e6)).cast(DEC0)).cast("double")
+            / F.lit(1e6)
+        ).cast("double")
+
     for _ in range(BT_ROUNDS):
         pi = p.select(F.col("source").alias("i"), F.col("p").alias("p_i"))
         pj = p.select(F.col("source").alias("j"), F.col("p").alias("p_j"))
@@ -1248,27 +1268,26 @@ def source_bradley_terry_strengths(spark, sf_dir):
             .join(F.broadcast(pj), "j")
             .groupBy(F.col("i").alias("source"))
             .agg(
-                F.sum(
-                    F.round(
-                        F.col("n")
-                        / F.greatest(F.col("p_i") + F.col("p_j"), F.lit(1e-12)),
-                        12,
-                    ).cast(DEC)
-                )
-                .cast("double")
-                .alias("den")
+                fsum6(
+                    F.col("n")
+                    / F.greatest(F.col("p_i") + F.col("p_j"), F.lit(1e-12))
+                ).alias("den")
             )
         )
         raw = wins.join(den, "source").select(
             "source",
             (F.col("w") / F.greatest(F.col("den"), F.lit(1e-12))).alias("s"),
         )
-        tot = F.broadcast(
-            raw.agg(F.sum(F.round("s", 12).cast(DEC)).cast("double").alias("t"))
-        )
+        tot = F.broadcast(raw.agg(fsum6(F.col("s")).alias("t")))
         p = (
             raw.crossJoin(tot)
-            .select("source", F.round(F.col("s") / F.col("t"), 10).alias("p"))
+            .select(
+                "source",
+                (
+                    F.floor(F.col("s") / F.col("t") * F.lit(1e10)).cast("bigint")
+                    / F.lit(1e10)
+                ).alias("p"),
+            )
             .localCheckpoint()
         )
     games = gd.groupBy(F.col("i").alias("source")).agg(

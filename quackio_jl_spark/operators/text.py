@@ -3397,7 +3397,13 @@ def lm_filter_agreement(spark, sf_dir):
 TR_DAMPING = 0.85
 TR_MIN_LEN = 4
 TR_TOPK = 20
-_TR_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(28,12))) AS DOUBLE)"
+# Floor-quantized exact sums (round-7 posture; see operators/cluster.py
+# _PR_DSUM): DOUBLE->DECIMAL casts round half-even in DuckDB, half-up in
+# Spark — engine-divergent at 1e-12 grid ties; floor has no tie-handling.
+_TR_DSUM = (
+    "CAST(CAST(SUM(CAST(floor({x} * 1e12) AS BIGINT)) AS BIGINT)"
+    " AS DOUBLE) / 1e12"
+)
 
 _TR_GRAPH_SQL = f"""
     t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -3526,9 +3532,16 @@ def textrank_keywords(spark, sf_dir):
             .join(deg.withColumnRenamed("id", "did"), F.col("src") == F.col("did"))
             .groupBy(F.col("dst").alias("id"))
             .agg(
-                F.sum((F.col("w") * F.col("r") / F.col("s")).cast("decimal(28,12)"))
-                .cast("double")
-                .alias("c")
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("w") * F.col("r") / F.col("s") * F.lit(1e12)
+                        ).cast("bigint")
+                    )
+                    .cast("bigint")
+                    .cast("double")
+                    / F.lit(1e12)
+                ).alias("c")
             )
         )
         return (
