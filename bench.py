@@ -147,6 +147,12 @@ EXTENDED = [
     "part_link_prediction_adamic_adar",
     "linkage_fs_em_refinement",
     "unigram_lm_viterbi_segmentation",
+    # Round-7 wave: convergence/eval/spectral flagships.
+    "linkage_fs_em_converged",
+    "part_link_prediction_eval",
+    "bigram_lm_heldout_perplexity",
+    "part_fiedler_bisection",
+    "part_spectral_cut_quality",
 ]
 
 

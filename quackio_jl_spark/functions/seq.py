@@ -20,10 +20,13 @@ __all__ = ["seq_asc"]
 
 
 def seq_asc(lo: Column, hi: Column, elem_type: str = "int") -> Column:
-    """``sequence(lo, hi)`` with DuckDB ``range``-style emptiness: returns
-    ``[lo .. hi]`` when ``hi >= lo`` and ``[]`` otherwise (never descends,
-    never throws). ``elem_type`` must name the common integer type of the
-    bounds so the empty branch matches the sequence branch's array type."""
-    return F.when(hi >= lo, F.sequence(lo, hi)).otherwise(
-        F.array().cast(f"array<{elem_type}>")
+    """``sequence(lo, hi)`` with DuckDB ``range``-style semantics: returns
+    ``[lo .. hi]`` when ``hi >= lo``, ``[]`` when ``hi < lo`` (never
+    descends, never throws), and NULL when either bound is NULL (the guard
+    is written ``hi < lo ? [] : sequence``, so a NULL comparison falls
+    through to ``sequence``'s own NULL propagation). ``elem_type`` must
+    name the common integer type of the bounds so the empty branch matches
+    the sequence branch's array type."""
+    return F.when(hi < lo, F.array().cast(f"array<{elem_type}>")).otherwise(
+        F.sequence(lo, hi)
     )

@@ -1110,6 +1110,13 @@ _BT_FSUM = (
     "CAST(CAST(SUM(CAST(floor({x} * 1e6) AS DECIMAL(38,0))) AS DOUBLE)"
     " / 1e6 AS DOUBLE)"
 )
+# finer grid for the normalizer: its terms are O(1) strengths, and a 1e-6
+# grid would inflate sum(p) by ~k x quantization (the rank test's 1e-6
+# simplex tolerance); 1e-12 keeps BIGINT sums in range for O(1) terms
+_BT_FSUM12 = (
+    "CAST(CAST(SUM(CAST(floor({x} * 1e12) AS BIGINT)) AS BIGINT)"
+    " AS DOUBLE) / 1e12"
+)
 
 
 def _bt_oracle() -> str:
@@ -1163,7 +1170,7 @@ def _bt_oracle() -> str:
       SELECT w.source, w.w / greatest(d.den, 1e-12) AS s
       FROM wins w JOIN den{r} d USING (source)
     ),
-    tot{r} AS (SELECT {_BT_FSUM.format(x='s')} AS t FROM raw{r}),
+    tot{r} AS (SELECT {_BT_FSUM12.format(x='s')} AS t FROM raw{r}),
     p{r} AS (
       SELECT source, CAST(floor(s / t * 1e10) AS BIGINT) / 1e10 AS p
       FROM raw{r}, tot{r}
@@ -1278,7 +1285,16 @@ def source_bradley_terry_strengths(spark, sf_dir):
             "source",
             (F.col("w") / F.greatest(F.col("den"), F.lit(1e-12))).alias("s"),
         )
-        tot = F.broadcast(raw.agg(fsum6(F.col("s")).alias("t")))
+        tot = F.broadcast(
+            raw.agg(
+                (
+                    F.sum(F.floor(F.col("s") * F.lit(1e12)).cast("bigint"))
+                    .cast("bigint")
+                    .cast("double")
+                    / F.lit(1e12)
+                ).alias("t")
+            )
+        )
         p = (
             raw.crossJoin(tot)
             .select(

@@ -224,3 +224,24 @@ def test_sql_front_door_matches_dataframe_plan(spark):
     assert {(r["o_orderstatus"], r["n"]) for r in got} == {
         (r["o_orderstatus"], r["count"]) for r in want
     }
+
+
+def test_seq_asc_empty_when_descending(spark):
+    """functions/seq.py::seq_asc — DuckDB range() emptiness semantics:
+    empty when hi < lo (Spark's 2-arg sequence would descend), ascending
+    run otherwise, NULL-propagating on NULL bounds."""
+    from pyspark.sql import functions as F
+
+    from quackio_jl_spark.functions.seq import seq_asc
+
+    df = spark.createDataFrame([(1, 3), (3, 3), (5, 2), (None, 4)], "lo int, hi int")
+    rows = {
+        (r["lo"], r["hi"]): r["s"]
+        for r in df.select(
+            "lo", "hi", seq_asc(F.col("lo"), F.col("hi")).alias("s")
+        ).collect()
+    }
+    assert rows[(1, 3)] == [1, 2, 3]
+    assert rows[(3, 3)] == [3]
+    assert rows[(5, 2)] == []
+    assert rows[(None, 4)] is None
