@@ -2208,6 +2208,9 @@ def _fiedler_vector(spark, sf_dir):
         )
         t = v.join(m, "id").select("id", (F.col("v") + F.col("msum")).alias("t"))
         tu = t.join(su, "id").crossJoin(r2m)
+        # c and n are 1-row aggregates referenced ONCE each downstream:
+        # left lazy (only the round-end iterate v is checkpointed), so each
+        # round costs one job instead of three eager materializations
         c = F.broadcast(
             tu.agg(
                 F.sum(
@@ -2220,7 +2223,7 @@ def _fiedler_vector(spark, sf_dir):
                 )
                 .cast("bigint")
                 .alias("c")
-            ).localCheckpoint()
+            )
         )
         q = tu.crossJoin(c).select(
             "id",
@@ -2249,7 +2252,7 @@ def _fiedler_vector(spark, sf_dir):
                     .cast("double")
                     / F.lit(1e12)
                 ).alias("nrm")
-            ).localCheckpoint()
+            )
         )
         v = (
             q.crossJoin(n)
