@@ -2,6 +2,7 @@
 served from a local http.server), metadata-on-read, callable materializer."""
 
 import http.server
+import os
 import io
 import socketserver
 import threading
@@ -521,3 +522,180 @@ def test_parquet_footer_rowgroup_detail_matches_duckdb():
         .fetchall()
     )
     assert ours == want and ours
+
+
+# ----------------------- ranged HTTP DataSource (round-7: S6 scale path)
+
+
+class _RangeHandler(http.server.SimpleHTTPRequestHandler):
+    """SimpleHTTPRequestHandler ignores Range; this subclass honors
+    single-span byte ranges and advertises Accept-Ranges, standing in for
+    the object store / httpd a production deployment reads from. It also
+    counts range requests so the test can prove no whole-file GET ran."""
+
+    range_count = 0
+    full_count = 0
+
+    def log_message(self, *a, **k):  # noqa: D102
+        pass
+
+    def do_GET(self):  # noqa: N802
+        path = self.translate_path(self.path)
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError:
+            self.send_error(404)
+            return
+        rng = self.headers.get("Range")
+        if rng and rng.startswith("bytes="):
+            spec = rng[len("bytes=") :]
+            lo_s, hi_s = spec.split("-", 1)
+            lo = int(lo_s)
+            hi = min(int(hi_s), len(data) - 1) if hi_s else len(data) - 1
+            if lo >= len(data):
+                self.send_error(416)
+                return
+            type(self).range_count += 1
+            body = data[lo : hi + 1]
+            self.send_response(206)
+            self.send_header("Content-Range", f"bytes {lo}-{hi}/{len(data)}")
+        else:
+            type(self).full_count += 1
+            body = data
+            self.send_response(200)
+        self.send_header("Accept-Ranges", "bytes")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_HEAD(self):  # noqa: N802
+        path = self.translate_path(self.path)
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            self.send_error(404)
+            return
+        self.send_response(200)
+        self.send_header("Accept-Ranges", "bytes")
+        self.send_header("Content-Length", str(size))
+        self.end_headers()
+
+
+def _serve_ranged(directory):
+    def make(*args, **kw):
+        return _RangeHandler(*args, directory=directory, **kw)
+
+    httpd = socketserver.TCPServer(("127.0.0.1", 0), make)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd, httpd.server_address[1]
+
+
+def test_http_ranged_lines_exactly_once(tmp_path, spark):
+    """S6 scale path — the ranged DataSource must emit every line exactly
+    once for partition boundaries that land mid-line, ON a newline, and
+    exactly at a line start (the LineRecordReader off-by-one), using only
+    Range requests (no whole-file download)."""
+    from quackio_jl_spark.sources.httpranged import read_url_lines
+
+    lines = [f"row-{i:04d},{'x' * (i % 37)}" for i in range(500)]
+    blob = "\n".join(lines) + "\n"
+    (tmp_path / "data.txt").write_text(blob)
+    httpd, port = _serve_ranged(str(tmp_path))
+    _RangeHandler.range_count = _RangeHandler.full_count = 0
+    try:
+        url = f"http://127.0.0.1:{port}/data.txt"
+        # partition sizes chosen to land on every boundary class
+        for pb in (64, 100, len(blob) // 3):
+            got = [
+                r["value"]
+                for r in read_url_lines(spark, url, partition_bytes=pb).collect()
+            ]
+            assert sorted(got) == sorted(lines), f"partitionBytes={pb}"
+        # degenerate 1-byte partitions (every boundary placement possible):
+        # a small fixture keeps the task count sane
+        tiny = ["alpha", "", "b", "gamma-longer-line", "d"]
+        (tmp_path / "tiny.txt").write_text("\n".join(tiny) + "\n")
+        got = [
+            r["value"]
+            for r in read_url_lines(
+                spark, f"http://127.0.0.1:{port}/tiny.txt", partition_bytes=1
+            ).collect()
+        ]
+        assert sorted(got) == sorted(tiny)
+        assert _RangeHandler.range_count > 0 and _RangeHandler.full_count == 0
+    finally:
+        httpd.shutdown()
+
+
+def test_http_ranged_parallelism_and_plan(tmp_path, spark):
+    """The driver splits by Content-Length: partition count must equal
+    ceil(length / partitionBytes) — the property that makes the remote
+    read scale out instead of bottlenecking on one connection."""
+    from quackio_jl_spark.sources.httpranged import read_url_lines
+
+    blob = ("a" * 99 + "\n") * 100
+    (tmp_path / "big.txt").write_text(blob)
+    httpd, port = _serve_ranged(str(tmp_path))
+    try:
+        url = f"http://127.0.0.1:{port}/big.txt"
+        df = read_url_lines(spark, url, partition_bytes=1000)
+        assert df.rdd.getNumPartitions() == 10
+        assert df.count() == 100
+    finally:
+        httpd.shutdown()
+
+
+def test_http_ranged_csv_typed(tmp_path, spark):
+    """CSV over ranged HTTP: header consumed by the source (type-agnostic),
+    executors parse their own spans with from_csv under an explicit DDL
+    schema; values and types round-trip."""
+    from quackio_jl_spark.sources.httpranged import read_csv_url_ranged
+
+    rows = [(i, f"name{i}", i * 1.5) for i in range(200)]
+    csv = "a,b,c\n" + "\n".join(f"{a},{b},{c}" for a, b, c in rows) + "\n"
+    (tmp_path / "t.csv").write_text(csv)
+    httpd, port = _serve_ranged(str(tmp_path))
+    try:
+        url = f"http://127.0.0.1:{port}/t.csv"
+        df = read_csv_url_ranged(
+            spark, url, schema="a int, b string, c double", partition_bytes=256
+        )
+        got = sorted((r["a"], r["b"], r["c"]) for r in df.collect())
+        assert got == rows
+        assert [f.dataType.simpleString() for f in df.schema.fields] == [
+            "int", "string", "double",
+        ]
+        # header inference path: all-string columns named from the header
+        df2 = read_csv_url_ranged(spark, url, partition_bytes=256)
+        assert df2.columns == ["a", "b", "c"] and df2.count() == 200
+    finally:
+        httpd.shutdown()
+
+
+def test_http_ranged_falls_back_without_range_support(tmp_path, spark, basic_df):
+    """A server without Accept-Ranges degrades to one full-GET partition —
+    correct rows, no parallelism."""
+    from quackio_jl_spark.sources.httpranged import read_url_lines
+
+    (tmp_path / "f.txt").write_text("l1\nl2\nl3")
+    handler = type(
+        "H",
+        (http.server.SimpleHTTPRequestHandler,),
+        {"log_message": lambda *a, **k: None},
+    )
+
+    def make(*args, **kw):
+        return handler(*args, directory=str(tmp_path), **kw)
+
+    with socketserver.TCPServer(("127.0.0.1", 0), make) as httpd:
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            df = read_url_lines(spark, f"http://127.0.0.1:{port}/f.txt")
+            assert df.rdd.getNumPartitions() == 1
+            assert [r["value"] for r in df.collect()] == ["l1", "l2", "l3"]
+        finally:
+            httpd.shutdown()
