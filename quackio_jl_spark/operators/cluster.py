@@ -2320,3 +2320,73 @@ def part_spectral_cut_quality(spark, sf_dir):
         .crossJoin(F.broadcast(cut))
         .select("n_nodes", "n_side_pos", "n_edges", "cut_edges")
     )
+
+
+@query(
+    "part_spectral_cut_vs_random",
+    oracle=_fiedler_chain_sql()
+    + f"""
+    , sides AS (
+      SELECT id,
+        CASE WHEN v >= 0 THEN 1 ELSE 0 END AS s_spec,
+        CASE WHEN substr(md5('rs:' || CAST(id AS VARCHAR)), 1, 1)
+             IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END AS s_rand
+      FROM v{FIEDLER_ROUNDS}
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM edges) / 2 AS BIGINT) AS n_edges,
+      CAST((SELECT SUM(CASE WHEN sa.s_spec <> sb.s_spec THEN 1 ELSE 0 END)
+            FROM edges e JOIN sides sa ON sa.id = e.src
+            JOIN sides sb ON sb.id = e.dst) / 2 AS BIGINT) AS cut_spectral,
+      CAST((SELECT SUM(CASE WHEN sa.s_rand <> sb.s_rand THEN 1 ELSE 0 END)
+            FROM edges e JOIN sides sa ON sa.id = e.src
+            JOIN sides sb ON sb.id = e.dst) / 2 AS BIGINT) AS cut_random
+    """,
+)
+def part_spectral_cut_vs_random(spark, sf_dir):
+    """Is the Fiedler bisection actually better than chance? Same nodes,
+    two balanced-ish splits — the spectral sign split vs a deterministic
+    md5-hash coin flip — and both cut sizes on the same edge set. A random
+    balanced split severs ~half the edges in expectation; the spectral cut
+    severing far fewer is the direct evidence the eigenvector found real
+    community structure (at sf0.01: 730 vs ~1.7k of 3445). The eval-harness
+    companion to part_spectral_cut_quality, same shape as the ANN
+    recall@k / link-prediction precision@k pattern."""
+    v, edges = _fiedler_vector(spark, sf_dir)
+    sides = v.select(
+        "id",
+        F.when(F.col("v") >= 0, 1).otherwise(0).alias("s_spec"),
+        F.substring(
+            F.md5(F.concat(F.lit("rs:"), F.col("id").cast("string"))), 1, 1
+        )
+        .isin(*"01234567")
+        .cast("int")
+        .alias("s_rand"),
+    ).persist()
+    sa = sides.select(
+        F.col("id").alias("_a"),
+        F.col("s_spec").alias("qa"),
+        F.col("s_rand").alias("ra"),
+    )
+    sb = sides.select(
+        F.col("id").alias("_b"),
+        F.col("s_spec").alias("qb"),
+        F.col("s_rand").alias("rb"),
+    )
+    cuts = (
+        edges.join(sa, edges.src == sa._a)
+        .join(sb, edges.dst == sb._b)
+        .agg(
+            (F.sum((F.col("qa") != F.col("qb")).cast("int")) / 2)
+            .cast("bigint")
+            .alias("cut_spectral"),
+            (F.sum((F.col("ra") != F.col("rb")).cast("int")) / 2)
+            .cast("bigint")
+            .alias("cut_random"),
+        )
+    )
+    ecount = edges.agg((F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"))
+    return (
+        ecount.crossJoin(F.broadcast(cuts))
+        .select("n_edges", "cut_spectral", "cut_random")
+    )

@@ -2782,3 +2782,36 @@ def dedup_evasion_robust_groups(spark, sf_dir):
         F.count(F.lit(1)).alias("n_copies"),
         F.countDistinct("raw_key").alias("n_raw_variants"),
     ).select("doc_id", "n_copies", "n_raw_variants")
+
+
+@query(
+    "cdc_chunk_size_distribution",
+    oracle="WITH "
+    + _CDC_SQL
+    + """
+    SELECT CAST(floor(chunk_len / 32) AS BIGINT) AS len_bucket_32,
+      CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      CAST(MIN(chunk_len) AS BIGINT) AS min_len,
+      CAST(MAX(chunk_len) AS BIGINT) AS max_len
+    FROM chunks GROUP BY 1
+    """,
+)
+def cdc_chunk_size_distribution(spark, sf_dir):
+    """Chunk-length histogram (32-char buckets) for the CDC kernel —
+    validating gear-CDC's geometric size claim empirically: with a %64
+    boundary rule the lengths should concentrate around ~64 chars with a
+    geometric tail, and a mass spike at the max bucket would mean the
+    mask stopped firing (e.g. a charset change). The observability twin
+    of the cdc_diag_* bisecting queries; reuses the shared chunk kernel,
+    adds only a bucket rollup."""
+    chunks = _cdc_chunk_table(table(spark, sf_dir, "documents"))
+    return (
+        chunks.groupBy(
+            F.floor(F.col("chunk_len") / 32).cast("bigint").alias("len_bucket_32")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.min("chunk_len").cast("bigint").alias("min_len"),
+            F.max("chunk_len").cast("bigint").alias("max_len"),
+        )
+    )

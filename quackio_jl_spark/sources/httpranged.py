@@ -227,3 +227,20 @@ def read_csv_url_ranged(
             "value", schema, {"sep": delim, "mode": "PERMISSIVE"}
         ).alias("r")
     ).select("r.*")
+
+
+def read_json_url_ranged(
+    spark,
+    url: str,
+    schema: str,
+    partition_bytes: int | None = None,
+):
+    """NDJSON over ranged HTTP: executors range-read line spans (exactly
+    the newline-aligned protocol above — NDJSON is line-delimited by
+    construction) and parse with ``from_json`` under an explicit DDL
+    schema. Schema is required: inference would need a second full remote
+    pass."""
+    from pyspark.sql import functions as F
+
+    lines = read_url_lines(spark, url, partition_bytes)
+    return lines.select(F.from_json("value", schema).alias("r")).select("r.*")

@@ -699,3 +699,28 @@ def test_http_ranged_falls_back_without_range_support(tmp_path, spark, basic_df)
             assert [r["value"] for r in df.collect()] == ["l1", "l2", "l3"]
         finally:
             httpd.shutdown()
+
+
+def test_http_ranged_ndjson_typed(tmp_path, spark):
+    """NDJSON over ranged HTTP parses typed rows from parallel spans."""
+    import json as _json
+
+    from quackio_jl_spark.sources.httpranged import read_json_url_ranged
+
+    rows = [{"a": i, "b": f"s{i}"} for i in range(100)]
+    (tmp_path / "d.ndjson").write_text(
+        "\n".join(_json.dumps(r) for r in rows) + "\n"
+    )
+    httpd, port = _serve_ranged(str(tmp_path))
+    try:
+        df = read_json_url_ranged(
+            spark,
+            f"http://127.0.0.1:{port}/d.ndjson",
+            "a int, b string",
+            partition_bytes=128,
+        )
+        assert sorted((r["a"], r["b"]) for r in df.collect()) == [
+            (r["a"], r["b"]) for r in rows
+        ]
+    finally:
+        httpd.shutdown()
