@@ -2815,3 +2815,57 @@ def cdc_chunk_size_distribution(spark, sf_dir):
             F.max("chunk_len").cast("bigint").alias("max_len"),
         )
     )
+
+
+def _cdc_chunks_inrow(d):
+    """Window-free CDC chunker: identical output to _cdc_chunk_table but
+    computed entirely IN-ROW (sorted cut array -> indexed transform ->
+    explode), so it runs under Structured Streaming, where the per-doc
+    lag window is unsupported. The batch kernel keeps the window form
+    (slightly cheaper on wide docs); the equivalence test pins the two
+    together and the streaming twin rides this one."""
+    n = F.length("text")
+    window_ends = seq_asc(F.lit(CDC_WINDOW), n)
+    cuts = F.array_sort(
+        F.array_distinct(
+            F.concat(
+                F.filter(
+                    window_ends,
+                    lambda i: F.substring(
+                        F.md5(
+                            F.substring(
+                                "text", (i - CDC_WINDOW + 1).cast("int"), CDC_WINDOW
+                            )
+                        ),
+                        7,
+                        2,
+                    ).isin("00", "40", "80", "c0"),
+                ),
+                F.array(n),
+            )
+        )
+    )
+    spans = F.transform(
+        cuts,
+        lambda c, i: F.struct(
+            (i + 1).alias("chunk_idx"),
+            # element_at is 1-based: element_at(cuts, i) for 0-based i is
+            # the PREVIOUS cut; the first span starts at 1
+            F.when(i == 0, F.lit(1))
+            .otherwise(F.element_at(cuts, i) + 1)
+            .alias("s"),
+            c.alias("e"),
+        ),
+    )
+    return (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", "text", F.explode(spans).alias("sp"))
+        .select(
+            "doc_id",
+            F.col("sp.chunk_idx").cast("int").alias("chunk_idx"),
+            (F.col("sp.e") - F.col("sp.s") + 1).cast("bigint").alias("chunk_len"),
+            F.md5(
+                F.expr("substring(text, sp.s, sp.e - sp.s + 1)")
+            ).alias("chunk_hash"),
+        )
+    )

@@ -875,3 +875,38 @@ def shard_mixing_stream(
         parts, ["_key", "doc_id"], ["doc_id", "source"], "pos"
     )  # the kernel emits `shard` = pos // SHARD_SIZE alongside the position
     return shard_mixing_from_assignments(ranked.select("shard", "source"))
+
+
+def cdc_chunk_dedup_stream(
+    spark: SparkSession, sf_dir: str, queryName: str = "cdc_stream"
+) -> DataFrame:
+    """Ingest-time content-defined-chunk dedup: documents arrive on a file
+    stream, each is CDC-chunked IN-ROW (operators/dedup.py::
+    _cdc_chunks_inrow — the window-free form of the batch kernel, since
+    per-doc lag windows are unsupported on streams), and dropDuplicates
+    on chunk_hash keeps the FIRST arrival of every distinct chunk — the
+    rsync/backup-ingest shape where a re-uploaded document costs only its
+    genuinely-new chunks. State = one 16-byte digest per distinct chunk
+    (the same table the batch dedup report groups on); no watermark by
+    design — chunk identity dedup is unbounded in time, bounded in size
+    by distinct content. Batch twin: dedup_cdc_chunks' distinct-hash set;
+    the equivalence test pins the kept set to exactly one representative
+    per distinct chunk hash."""
+    from ..operators.dedup import _cdc_chunks_inrow
+
+    docs = _documents_stream(spark, sf_dir)
+    chunks = _cdc_chunks_inrow(docs.select("doc_id", "text"))
+    kept = chunks.dropDuplicates(["chunk_hash"])
+    q = (
+        kept.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"SELECT doc_id, chunk_idx, chunk_len, chunk_hash FROM {queryName}"
+    )

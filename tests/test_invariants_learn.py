@@ -522,3 +522,27 @@ def test_pca_top3_consistency(q):
     for c, m in by_comp.items():
         nrm = sum(r["loading"] ** 2 for r in m.values()) ** 0.5
         assert abs(nrm - 1.0) < 1e-6, (c, nrm)
+
+
+def test_cdc_inrow_chunker_equals_window_kernel(spark):
+    """_cdc_chunks_inrow (the stream-safe window-free form) must produce
+    the EXACT row set of _cdc_chunk_table on real data and on the hostile
+    short/empty/NULL frame — the invariant that lets the streaming ingest
+    twin share the batch operator's semantics."""
+    from quackio_jl_spark.operators.dedup import (
+        _cdc_chunk_table,
+        _cdc_chunks_inrow,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    a = {tuple(r) for r in _cdc_chunk_table(d).collect()}
+    b = {tuple(r) for r in _cdc_chunks_inrow(d).collect()}
+    assert a == b and a
+    hostile = spark.createDataFrame(
+        [(1, ""), (2, "a"), (3, "abcdefgh"), (4, None),
+         (5, "the quick brown fox " * 10)],
+        "doc_id int, text string",
+    )
+    a = {tuple(r) for r in _cdc_chunk_table(hostile).collect()}
+    b = {tuple(r) for r in _cdc_chunks_inrow(hostile).collect()}
+    assert a == b

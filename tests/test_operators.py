@@ -1243,3 +1243,23 @@ def test_shard_mixing_stream_matches_batch(tmp_path, spark):
     s = {r["shard"]: tuple(r[c] for c in cols) for r in stream_res.collect()}
     b = {r["shard"]: tuple(r[c] for c in cols) for r in batch_res.collect()}
     assert s == b and len(b) > 0
+
+
+def test_cdc_chunk_dedup_stream_matches_batch(spark):
+    """Streaming CDC ingest dedup (#13 batch==stream equivalence): the
+    kept set must hold EXACTLY one chunk per distinct batch-side chunk
+    hash, with chunk_len consistent with the batch kernel's."""
+    from quackio_jl_spark.operators.dedup import _cdc_chunk_table
+    from quackio_jl_spark.streaming.events import cdc_chunk_dedup_stream
+
+    kept = cdc_chunk_dedup_stream(spark, SF_DIR).collect()
+    batch = _cdc_chunk_table(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ).collect()
+    batch_by_hash = {}
+    for r in batch:
+        batch_by_hash.setdefault(r["chunk_hash"], set()).add(r["chunk_len"])
+    assert len(kept) == len(batch_by_hash)  # one per distinct chunk
+    assert {r["chunk_hash"] for r in kept} == set(batch_by_hash)
+    for r in kept:
+        assert r["chunk_len"] in batch_by_hash[r["chunk_hash"]]
