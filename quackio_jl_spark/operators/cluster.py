@@ -2390,3 +2390,143 @@ def part_spectral_cut_vs_random(spark, sf_dir):
         ecount.crossJoin(F.broadcast(cuts))
         .select("n_edges", "cut_spectral", "cut_random")
     )
+
+
+# --------------------------------------- personalized PageRank (seed set)
+
+PPR_DAMPING = 0.85
+PPR_SEED_MOD = 97  # part ids divisible by this form the seed set
+PPR_ROUNDS = 2
+_PPR_FSUM = (
+    "CAST(CAST(SUM(CAST(floor({x} * 1e12) AS BIGINT)) AS BIGINT)"
+    " AS DOUBLE) / 1e12"
+)
+
+
+def _ppr_round_sql(prev: str, out: str) -> str:
+    contrib = _PPR_FSUM.format(x=f"{prev}.r / deg.d")
+    return f"""
+    {out}_c AS (
+      SELECT e.dst AS id, {contrib} AS c
+      FROM edges e JOIN {prev} ON {prev}.id = e.src JOIN deg ON deg.id = e.src
+      GROUP BY e.dst
+    ),
+    {out} AS (
+      SELECT nodes.id,
+        CAST({(1 - PPR_DAMPING)!r} AS DOUBLE)
+          * ((CASE WHEN nodes.id % {PPR_SEED_MOD} = 0 THEN 1.0 ELSE 0.0 END)
+             / ns.n_seeds)
+          + CAST({PPR_DAMPING!r} AS DOUBLE) * COALESCE({out}_c.c, 0.0) AS r
+      FROM nodes CROSS JOIN ns LEFT JOIN {out}_c ON {out}_c.id = nodes.id
+    )"""
+
+
+@query(
+    "part_personalized_pagerank",
+    oracle=f"""
+    WITH {_PR_GRAPH_SQL},
+    ns AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_seeds FROM nodes
+      WHERE id % {PPR_SEED_MOD} = 0
+    ),
+    r0 AS (
+      SELECT nodes.id,
+        (CASE WHEN nodes.id % {PPR_SEED_MOD} = 0 THEN 1.0 ELSE 0.0 END)
+          / ns.n_seeds AS r
+      FROM nodes CROSS JOIN ns
+    ),
+    {_ppr_round_sql('r0', 'r1')},
+    {_ppr_round_sql('r1', 'r2')}
+    SELECT id AS part, r AS ppr,
+      CASE WHEN id % {PPR_SEED_MOD} = 0 THEN 1 ELSE 0 END AS is_seed
+    FROM r2 WHERE r > 0
+    """,
+)
+def part_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank from a deterministic seed set (part ids
+    divisible by {PPR_SEED_MOD}): random walks restart AT THE SEEDS, so
+    mass concentrates in the seeds' neighborhood instead of spreading to
+    global hubs — the "expand this curated set" primitive behind
+    seed-based corpus curation (find documents/products like these) and
+    audience expansion, on the same co-purchase graph as part_pagerank.
+    Zero-mass nodes (unreachable within PPR_ROUNDS hops of a seed) drop
+    out; is_seed marks the restart set.
+
+    Determinism: the round-7 floor posture — contribution sums are
+    floor-quantized exact BIGINTs at 1e-12, every other step a single
+    correctly-rounded IEEE op; dangling mass is not redistributed (both
+    engines agree on the simplification, as in part_pagerank).
+
+    Scale shape: identical to part_pagerank (graph built once + persisted,
+    per-round one edges x ranks join with map-side partial aggregation,
+    broadcast seed count); the teleport vector is a pure function of the
+    node id, so no seed table ships anywhere."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part1"))
+    b = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part2"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part1") < F.col("part2")))
+        .groupBy("part1", "part2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("part1", "part2")
+    )
+    edges = (
+        pairs.select(F.col("part1").alias("src"), F.col("part2").alias("dst"))
+        .union(pairs.select(F.col("part2").alias("src"), F.col("part1").alias("dst")))
+        .persist()
+    )
+    nodes = edges.select(F.col("src").alias("id")).distinct().persist()
+    deg = (
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
+    )
+    is_seed = (F.col("id") % PPR_SEED_MOD) == 0
+    ns = F.broadcast(
+        nodes.filter(is_seed).agg(F.count(F.lit(1)).cast("bigint").alias("n_seeds"))
+    )
+    teleport = (
+        F.when(is_seed, F.lit(1.0)).otherwise(F.lit(0.0)) / F.col("n_seeds")
+    )
+
+    def ppr_round(prev):
+        contrib = (
+            edges.join(prev.withColumnRenamed("id", "pid"), F.col("src") == F.col("pid"))
+            .join(deg.withColumnRenamed("id", "did"), F.col("src") == F.col("did"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                (
+                    F.sum(
+                        F.floor(F.col("r") / F.col("d") * F.lit(1e12)).cast(
+                            "bigint"
+                        )
+                    )
+                    .cast("bigint")
+                    .cast("double")
+                    / F.lit(1e12)
+                ).alias("c")
+            )
+        )
+        return (
+            nodes.crossJoin(ns)
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    (1 - PPR_DAMPING) * teleport
+                    + PPR_DAMPING * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+
+    edges.count()
+    r = nodes.crossJoin(ns).select("id", teleport.alias("r"))
+    for _ in range(PPR_ROUNDS):
+        r = ppr_round(r).persist()
+        r.count()
+    return r.filter(F.col("r") > 0).select(
+        F.col("id").alias("part"),
+        F.col("r").alias("ppr"),
+        F.when(is_seed, 1).otherwise(0).alias("is_seed"),
+    )

@@ -108,3 +108,19 @@ def test_fs_em_converged_lambda_trajectory(spark):
         assert all(0 < v < 10**8 for v in lams), lams
     # lambda identical across field rows (it's a global parameter)
     assert len({(r["lambda1_e8"], r["lambda2_e8"], r["lambda3_e8"]) for r in rows}) == 1
+
+
+def test_personalized_pagerank_concentrates_at_seeds(spark):
+    """PPR sanity: probability mass stays on the simplex (<= 1; dangling
+    mass may leak, never grow), every score is nonnegative, and the mean
+    seed score strictly exceeds the mean non-seed score — the property
+    that distinguishes PERSONALIZED restart from global PageRank."""
+    rows = QUERIES["part_personalized_pagerank"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows and all(r["ppr"] >= 0 for r in rows)
+    assert sum(r["ppr"] for r in rows) <= 1.0 + 1e-9
+    seed = [r["ppr"] for r in rows if r["is_seed"] == 1]
+    non = [r["ppr"] for r in rows if r["is_seed"] == 0]
+    assert seed and non
+    assert sum(seed) / len(seed) > sum(non) / len(non)
