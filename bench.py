@@ -153,6 +153,7 @@ EXTENDED = [
     "bigram_lm_heldout_perplexity",
     "part_fiedler_bisection",
     "part_spectral_cut_quality",
+    "part_personalized_pagerank",
 ]
 
 
