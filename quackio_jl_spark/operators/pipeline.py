@@ -3426,3 +3426,95 @@ def shard_mixing_from_assignments(j):
         )
         .select("shard", "n_docs", "n_sources", "max_source_docs", "kl_num_e6")
     )
+
+
+# ------------------------------------ epoch shuffle decorrelation audit
+
+
+@query(
+    "epoch_shuffle_decorrelation",
+    oracle=f"""
+    WITH p0 AS (
+      SELECT doc_id,
+        CAST(ROW_NUMBER() OVER (
+          ORDER BY md5('{SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)), doc_id
+        ) - 1 AS BIGINT) AS pos
+      FROM documents
+    ),
+    p1 AS (
+      SELECT doc_id,
+        CAST(ROW_NUMBER() OVER (
+          ORDER BY md5('epoch-1' || CAST(doc_id AS VARCHAR)), doc_id
+        ) - 1 AS BIGINT) AS pos
+      FROM documents
+    ),
+    j AS (
+      SELECT p0.pos AS a, p1.pos AS b FROM p0 JOIN p1 USING (doc_id)
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM j)
+    SELECT nn.n AS n_docs,
+      CAST(SUM((a - b) * (a - b)) AS BIGINT) AS sum_sq_rank_diff,
+      -- Spearman rho = 1 - 6*D / (n(n^2-1)): exact integer numerator and
+      -- denominator, ONE double division (IEEE-identical cross-engine)
+      CAST(6 * SUM((a - b) * (a - b)) AS DOUBLE)
+        / (CAST(nn.n AS DOUBLE) * (CAST(nn.n AS DOUBLE) * nn.n - 1)) AS six_d_frac,
+      CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_fixed_points
+    FROM j CROSS JOIN nn
+    GROUP BY nn.n
+    """,
+)
+def epoch_shuffle_decorrelation(spark, sf_dir):
+    """Are two training epochs actually DIFFERENT orders? Spearman rank
+    statistics between the epoch-0 and epoch-1 deterministic shuffles
+    (salt 'epoch-0' vs 'epoch-1'): the exact integer sum of squared rank
+    differences D (rho = 1 - six_d_frac; independent permutations have
+    E[D] = n(n^2-1)/6, so six_d_frac ~ 1 and rho ~ 0, with ~1/sqrt(n)
+    fluctuation), plus the count of fixed points
+    (documents landing on the SAME position twice — Poisson(1) under
+    independence, so ~1 expected regardless of corpus size). This is the
+    measured-quality audit for shuffle_corpus_deterministic's claim that
+    'changing the salt reshuffles for the next epoch' — a salt pipeline
+    bug (same salt, prefix-only change, truncated hash) shows up here as
+    rho near 1 or a fixed-point pileup long before a training run notices
+    repeated batch order.
+
+    Scale shape: two independent runs of the bucketed numbering kernel
+    (never a global sort), one doc_id equi-join, exact BIGINT sums —
+    rank diffs are bounded by n so (a-b)^2 sums stay in int64 up to
+    ~2M docs, and the one double division is IEEE-identical cross-engine.
+    Above that, cast the squared diffs to DECIMAL(38,0) first."""
+    p0 = shuffle_corpus_deterministic(spark, sf_dir).select(
+        "doc_id", F.col("pos").alias("a")
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    key1 = F.md5(F.concat(F.lit("epoch-1"), F.col("doc_id").cast("string")))
+    parts1 = d.withColumn("_key", key1).withColumn(
+        "_pid", F.conv(F.substring("_key", 1, 2), 16, 10).cast("int")
+    )
+    p1 = _number_in_bucket_order(parts1, ["_key", "doc_id"], ["doc_id"], "pos").select(
+        "doc_id", F.col("pos").alias("b")
+    )
+    j = p0.join(p1, "doc_id")
+    nn = F.broadcast(j.agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    dd = (F.col("a") - F.col("b")) * (F.col("a") - F.col("b"))
+    agg = j.agg(
+        F.sum(dd).cast("bigint").alias("sum_sq_rank_diff"),
+        F.sum((F.col("a") == F.col("b")).cast("int"))
+        .cast("bigint")
+        .alias("n_fixed_points"),
+    )
+    return (
+        agg.crossJoin(nn)
+        .select(
+            F.col("n").alias("n_docs"),
+            "sum_sq_rank_diff",
+            (
+                (F.lit(6) * F.col("sum_sq_rank_diff")).cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * (F.col("n").cast("double") * F.col("n") - 1)
+                )
+            ).alias("six_d_frac"),
+            "n_fixed_points",
+        )
+    )
