@@ -10780,3 +10780,106 @@ def orders_monthly_holt_winters(spark, sf_dir):
             for h in (1, 2, 3)
         ],
     )
+
+
+# ------------------------------------ trimmed / winsorized segment means
+
+TRIM_FRAC = 0.05
+
+
+@query(
+    "orders_trimmed_winsorized_means",
+    oracle=f"""
+    WITH r AS (
+      SELECT o_orderpriority AS seg, o_totalprice AS v,
+        ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey) AS rk,
+        COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ),
+    kk AS (
+      SELECT seg, v, rk, n, CAST(floor({TRIM_FRAC} * n) AS BIGINT) AS k
+      FROM r
+    ),
+    bounds AS (
+      SELECT seg,
+        MIN(CASE WHEN rk = k + 1 THEN v END) AS lo,
+        MIN(CASE WHEN rk = n - k THEN v END) AS hi
+      FROM kk GROUP BY seg
+    )
+    SELECT kk.seg, CAST(MAX(kk.n) AS BIGINT) AS n,
+      CAST(MAX(kk.k) AS BIGINT) AS k,
+      CAST(SUM(CAST(kk.v AS DECIMAL(28,6))) AS DOUBLE) / MAX(kk.n) AS mean,
+      CAST(SUM(CASE WHEN kk.rk > kk.k AND kk.rk <= kk.n - kk.k
+               THEN CAST(kk.v AS DECIMAL(28,6)) END) AS DOUBLE)
+        / (MAX(kk.n) - 2 * MAX(kk.k)) AS trimmed_mean,
+      CAST(SUM(CAST(least(greatest(kk.v, b.lo), b.hi) AS DECIMAL(28,6)))
+           AS DOUBLE) / MAX(kk.n) AS winsorized_mean
+    FROM kk JOIN bounds b USING (seg)
+    GROUP BY kk.seg
+    """,
+)
+def orders_trimmed_winsorized_means(spark, sf_dir):
+    """Robust segment means: per order priority, the plain mean of
+    o_totalprice next to the {TRIM_FRAC:.0%}-TRIMMED mean (drop the k
+    smallest and k largest, k = floor({TRIM_FRAC} n)) and the
+    {TRIM_FRAC:.0%}-WINSORIZED mean (clamp to the (k+1)-th and (n-k)-th
+    order statistics) — the outlier-robust location estimates a spend
+    report actually wants when a few whale orders drag the mean. The gap
+    between mean and trimmed mean IS the outlier-influence measurement.
+
+    Determinism: rank-based, never interpolated — ROW_NUMBER over the
+    total (value, orderkey) order makes the trim cut and the clamp
+    bounds exact order statistics both engines agree on (interpolated
+    percentiles have engine-specific tie/lerp semantics); sums are
+    decimal-exact.
+
+    Scale shape: one partitioned rank window per segment (scales out on
+    the segment key), a 5-row bounds table joined back broadcast-sized,
+    one aggregate. No global sort, no percentile sketch."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("seg"),
+        F.col("o_totalprice").alias("v"),
+        "o_orderkey",
+    )
+    w = W.partitionBy("seg").orderBy("v", "o_orderkey")
+    r = o.select(
+        "seg",
+        "v",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("seg")).alias("n"),
+    ).withColumn("k", F.floor(F.lit(TRIM_FRAC) * F.col("n")).cast("bigint"))
+    bounds = (
+        r.groupBy("seg")
+        .agg(
+            F.min(F.when(F.col("rk") == F.col("k") + 1, F.col("v"))).alias("lo"),
+            F.min(F.when(F.col("rk") == F.col("n") - F.col("k"), F.col("v"))).alias(
+                "hi"
+            ),
+        )
+    )
+    j = r.join(F.broadcast(bounds), "seg")
+    clamped = F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+    return (
+        j.groupBy("seg")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.max("k").cast("bigint").alias("k"),
+            (F.sum(F.col("v").cast(DEC)).cast("double") / F.max("n")).alias("mean"),
+            (
+                F.sum(
+                    F.when(
+                        (F.col("rk") > F.col("k"))
+                        & (F.col("rk") <= F.col("n") - F.col("k")),
+                        F.col("v").cast(DEC),
+                    )
+                ).cast("double")
+                / (F.max("n") - 2 * F.max("k"))
+            ).alias("trimmed_mean"),
+            (F.sum(clamped.cast(DEC)).cast("double") / F.max("n")).alias(
+                "winsorized_mean"
+            ),
+        )
+    )
