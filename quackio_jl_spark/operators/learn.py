@@ -1206,3 +1206,136 @@ def _register_temp_oracle():
 
 
 _register_temp_oracle()
+
+
+# ------------------------------- split-conformal language prediction sets
+
+CONF_ALPHA = 0.1  # target 90% coverage
+CONF_CAL_HEX = ("0", "1", "2", "3")  # md5 first hex -> 25% calibration slice
+
+
+@query(
+    "langid_conformal_sets",
+    oracle=f"""
+    WITH {{nb}},
+    mx AS (SELECT doc_id, MAX(post6) AS mx FROM post GROUP BY doc_id),
+    cal AS (
+      SELECT p.doc_id, m.mx - p.post6 AS s
+      FROM post p JOIN mx m USING (doc_id)
+      WHERE p.m = p.lang_true
+        AND substr(md5('conf:' || CAST(p.doc_id AS VARCHAR)), 1, 1)
+            IN {CONF_CAL_HEX}
+    ),
+    ncal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cal),
+    qi AS (
+      SELECT n,
+        CAST(least(CAST(ceil((n + 1) * {1 - CONF_ALPHA}) AS BIGINT), n)
+             AS BIGINT) AS qidx
+      FROM ncal
+    ),
+    vc AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt FROM cal GROUP BY s
+    ),
+    cum AS (
+      SELECT s, SUM(cnt) OVER (ORDER BY s
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+      FROM vc
+    ),
+    qh AS (
+      SELECT CAST(MIN(s) AS BIGINT) AS qhat
+      FROM cum CROSS JOIN qi WHERE cum_cnt >= qi.qidx
+    ),
+    ev AS (
+      SELECT p.doc_id, p.lang_true,
+        CAST(SUM(CASE WHEN m.mx - p.post6 <= qh.qhat THEN 1 ELSE 0 END)
+             AS BIGINT) AS set_size,
+        MAX(CASE WHEN p.m = p.lang_true AND m.mx - p.post6 <= qh.qhat
+            THEN 1 ELSE 0 END) AS covered
+      FROM post p JOIN mx m USING (doc_id) CROSS JOIN qh
+      WHERE substr(md5('conf:' || CAST(p.doc_id AS VARCHAR)), 1, 1)
+            NOT IN {CONF_CAL_HEX}
+      GROUP BY p.doc_id, p.lang_true
+    )
+    SELECT qi.n AS n_cal, qh.qhat AS qhat_e6,
+      CAST(COUNT(*) AS BIGINT) AS n_eval,
+      CAST(SUM(covered) AS BIGINT) AS n_covered,
+      CAST(SUM(set_size) AS BIGINT) AS sum_set_size
+    FROM ev CROSS JOIN qi CROSS JOIN qh
+    GROUP BY qi.n, qh.qhat
+    """.format(nb=_NB_POST_SQL),
+)
+def langid_conformal_sets(spark, sf_dir):
+    """Split-conformal prediction sets for the NB language classifier —
+    the distribution-free calibration recipe (Vovk; Angelopoulos & Bates
+    '21) that turns ANY scorer into sets with finite-sample coverage:
+    nonconformity = (max-class log-posterior - true-class log-posterior)
+    in exact integer micro-units; qhat = the ceil((n+1)(1-alpha))-th
+    smallest calibration score (clamped to n); an eval doc's prediction
+    set = every language within qhat of its argmax. Reported: calibration
+    size, the integer threshold, and eval coverage + total set size —
+    coverage ~>= {1 - CONF_ALPHA:.0%} by the conformal guarantee (up to
+    the documented caveat that this NB is corpus-fit, so calibration
+    scores are slightly optimistic — the audit demonstrates the conformal
+    MECHANICS on exact integers; a production run fits the scorer on a
+    disjoint slice).
+
+    Scale shape: scores ride the shared NB posterior kernel; the q-th
+    order statistic comes from value-count aggregation + the bucketed
+    prefix-sum kernel (never a global sort of the calibration slice);
+    set construction is one aggregate over the (doc, lang) posterior
+    grid. Everything hashed is an exact BIGINT."""
+    from ..functions.prefix import bucketed_prefix_sums
+
+    post = _nb_doc_posteriors(spark, sf_dir).persist()
+    mx = post.groupBy("doc_id").agg(F.max("post6").alias("mx"))
+    is_cal = F.substring(
+        F.md5(F.concat(F.lit("conf:"), F.col("doc_id").cast("string"))), 1, 1
+    ).isin(*CONF_CAL_HEX)
+    scored = post.join(mx, "doc_id").withColumn("is_cal", is_cal).persist()
+    cal = scored.filter(
+        (F.col("m") == F.col("lang_true")) & F.col("is_cal")
+    ).select("doc_id", (F.col("mx") - F.col("post6")).alias("s"))
+    qi = F.broadcast(
+        cal.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+            "n",
+            F.least(
+                F.ceil((F.col("n") + 1) * F.lit(1 - CONF_ALPHA)).cast("bigint"),
+                F.col("n"),
+            ).alias("qidx"),
+        )
+    )
+    vc = cal.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    cum = bucketed_prefix_sums(vc, "s", ["cnt"])
+    qh = F.broadcast(
+        cum.crossJoin(qi)
+        .filter(F.col("cum_cnt") >= F.col("qidx"))
+        .agg(F.min("s").cast("bigint").alias("qhat"))
+    )
+    ev = (
+        scored.filter(~F.col("is_cal"))
+        .crossJoin(qh)
+        .groupBy("doc_id", "lang_true")
+        .agg(
+            F.sum(
+                ((F.col("mx") - F.col("post6")) <= F.col("qhat")).cast("int")
+            )
+            .cast("bigint")
+            .alias("set_size"),
+            F.max(
+                (
+                    (F.col("m") == F.col("lang_true"))
+                    & ((F.col("mx") - F.col("post6")) <= F.col("qhat"))
+                ).cast("int")
+            ).alias("covered"),
+        )
+    )
+    return (
+        ev.crossJoin(qi)
+        .crossJoin(qh)
+        .groupBy(F.col("n").alias("n_cal"), F.col("qhat").alias("qhat_e6"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.sum("covered").cast("bigint").alias("n_covered"),
+            F.sum("set_size").cast("bigint").alias("sum_set_size"),
+        )
+    )

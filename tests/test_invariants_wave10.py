@@ -124,3 +124,21 @@ def test_personalized_pagerank_concentrates_at_seeds(spark):
     non = [r["ppr"] for r in rows if r["is_seed"] == 0]
     assert seed and non
     assert sum(seed) / len(seed) > sum(non) / len(non)
+
+
+def test_conformal_sets_cover_and_stay_sane(spark):
+    """Split-conformal mechanics: qhat is a nonnegative integer threshold,
+    every eval set holds between 1 (the argmax is always within 0 of
+    itself) and n_langs languages on average, and realized coverage sits
+    in a generous band around the 90% target (the corpus-fit-NB caveat
+    plus finite-sample noise can pull a specific split below 1 - alpha;
+    collapse far below is what this pins)."""
+    r = QUERIES["langid_conformal_sets"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert r["qhat_e6"] >= 0 and r["n_cal"] > 0 and r["n_eval"] > 0
+    n_langs = 5
+    avg_set = r["sum_set_size"] / r["n_eval"]
+    assert 1.0 <= avg_set <= n_langs
+    cov = r["n_covered"] / r["n_eval"]
+    assert 0.75 <= cov <= 1.0
