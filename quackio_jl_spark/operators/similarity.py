@@ -1167,3 +1167,180 @@ def embedding_kcenter_coreset(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out.crossJoin(cov)
+
+
+# --------------------------------- MMD drift between embedding groups
+
+MMD_SCALE = 10_000  # fixed-point quantizer (matches the covariance ops)
+MMD_DIM = 64
+
+
+def _mmd_split_sql(split: str, gexpr: str) -> str:
+    """One split's exact-moment MMD CTE chain + final row. Group moments
+    are exact integers (fixed-point values summed in BIGINT), the
+    mean/second-moment differences go through DECIMAL(38,0) squared sums,
+    and ONE division chain at the end produces the double — identical
+    across engines with no rounding anywhere."""
+    return f"""
+    q_{split} AS (
+      SELECT {gexpr} AS g, i - 1 AS i, j - 1 AS j,
+        CAST(floor(CAST(embedding[i] AS DOUBLE) * {MMD_SCALE}) AS BIGINT) AS qi,
+        CAST(floor(CAST(embedding[j] AS DOUBLE) * {MMD_SCALE}) AS BIGINT) AS qj
+      FROM embeddings,
+        UNNEST(range(1, {MMD_DIM + 1})) AS u(i),
+        UNNEST(range(1, {MMD_DIM + 1})) AS v(j)
+      WHERE j >= i
+    ),
+    nn_{split} AS (
+      SELECT
+        CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) / {MMD_DIM * (MMD_DIM + 1) // 2}
+             AS BIGINT) AS n0,
+        CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) / {MMD_DIM * (MMD_DIM + 1) // 2}
+             AS BIGINT) AS n1
+      FROM q_{split}
+    ),
+    s_{split} AS (
+      SELECT i AS j,
+        CAST(SUM(CASE WHEN g = 0 THEN qi ELSE 0 END) AS BIGINT) AS s0,
+        CAST(SUM(CASE WHEN g = 1 THEN qi ELSE 0 END) AS BIGINT) AS s1
+      FROM q_{split} WHERE i = j GROUP BY i
+    ),
+    m_{split} AS (
+      SELECT i, j,
+        CAST(SUM(CASE WHEN g = 0 THEN qi * qj ELSE 0 END) AS BIGINT) AS m0,
+        CAST(SUM(CASE WHEN g = 1 THEN qi * qj ELSE 0 END) AS BIGINT) AS m1
+      FROM q_{split} GROUP BY i, j
+    ),
+    lin_{split} AS (
+      SELECT CAST(SUM(CAST(s0 * nn.n1 - s1 * nn.n0 AS DECIMAL(38,0))
+                      * (s0 * nn.n1 - s1 * nn.n0)) AS DOUBLE) AS num
+      FROM s_{split} CROSS JOIN nn_{split} nn
+    ),
+    quad_{split} AS (
+      SELECT CAST(SUM(CAST(m0 * nn.n1 - m1 * nn.n0 AS DECIMAL(38,0))
+                      * (m0 * nn.n1 - m1 * nn.n0)
+                      * (CASE WHEN i = j THEN 1 ELSE 2 END)) AS DOUBLE) AS num
+      FROM m_{split} CROSS JOIN nn_{split} nn
+    )"""
+
+
+def _mmd_row_sql(split: str) -> str:
+    return f"""
+    SELECT '{split}' AS split, nn.n0, nn.n1,
+      l.num / (CAST(nn.n0 AS DOUBLE) * nn.n1 * {MMD_SCALE}
+               * (CAST(nn.n0 AS DOUBLE) * nn.n1 * {MMD_SCALE})) AS mmd2_linear,
+      q.num / (CAST(nn.n0 AS DOUBLE) * nn.n1 * {MMD_SCALE} * {MMD_SCALE}
+               * (CAST(nn.n0 AS DOUBLE) * nn.n1 * {MMD_SCALE} * {MMD_SCALE}))
+        AS mmd2_quadratic
+    FROM lin_{split} l CROSS JOIN quad_{split} q CROSS JOIN nn_{split} nn"""
+
+
+@query(
+    "embedding_mmd_drift",
+    oracle="WITH "
+    + _mmd_split_sql("half", "CAST(vec_id % 2 AS INTEGER)")
+    + ","
+    + _mmd_split_sql("label", "CAST(CASE WHEN label = 0 THEN 0 ELSE 1 END AS INTEGER)")
+    + _mmd_row_sql("half")
+    + " UNION ALL "
+    + _mmd_row_sql("label"),
+)
+def embedding_mmd_drift(spark, sf_dir):
+    """Maximum-mean-discrepancy drift test between embedding groups with
+    EXACT moment arithmetic: linear-kernel MMD^2 = ||mu_A - mu_B||^2 and
+    quadratic-kernel MMD^2 = ||M_A - M_B||_F^2 (M = E[xx^T]; for k(x,y) =
+    (x.y)^2, E[(x.y)^2] = tr(M_X M_Y), so the Frobenius gap IS the MMD) —
+    the two-sample test a production embedding pipeline runs to catch
+    encoder or upstream-distribution drift without picking a bandwidth.
+    Two splits side by side: a vec_id-parity NULL split (random halves —
+    MMD ~ 0, the empirical noise floor) and the label-parity split (real
+    structure — MMD well above the floor); drift alarms compare a
+    candidate split against the null row, so the baseline ships with the
+    statistic.
+
+    Determinism: fixed-point group sums (exact BIGINT), difference
+    squares in DECIMAL(38,0), and one final IEEE division chain — no
+    rounding anywhere in the dataflow, so the doubles are bit-identical
+    across engines at any SF.
+
+    Scale shape: the corpus is scanned once per split into d(d+1)/2
+    moment cells (map-side partial aggregation — group count, not corpus
+    count, sized); everything after is d^2 arithmetic. At a billion rows
+    the int64 product sums need the same DECIMAL upcast the covariance
+    op documents."""
+    out = None
+    for split, gexpr in (
+        ("half", (F.col("vec_id") % 2).cast("int")),
+        ("label", F.when(F.col("label") == 0, 0).otherwise(1).cast("int")),
+    ):
+        e = table(spark, sf_dir, "embeddings")
+        qarr = F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * MMD_SCALE).cast("bigint"),
+        )
+        ex = e.select(gexpr.alias("g"), F.posexplode(qarr).alias("i", "qi"), qarr.alias("q"))
+        pairs = ex.select(
+            "g",
+            F.col("i").cast("int").alias("i"),
+            "qi",
+            F.posexplode("q").alias("j", "qj"),
+        ).filter(F.col("j") >= F.col("i"))
+        nn = F.broadcast(
+            e.select(gexpr.alias("g")).groupBy().agg(
+                F.sum((F.col("g") == 0).cast("int")).cast("bigint").alias("n0"),
+                F.sum((F.col("g") == 1).cast("int")).cast("bigint").alias("n1"),
+            )
+        )
+        s = (
+            pairs.filter(F.col("i") == F.col("j"))
+            .groupBy("i")
+            .agg(
+                F.sum(F.when(F.col("g") == 0, F.col("qi")).otherwise(0))
+                .cast("bigint")
+                .alias("s0"),
+                F.sum(F.when(F.col("g") == 1, F.col("qi")).otherwise(0))
+                .cast("bigint")
+                .alias("s1"),
+            )
+        )
+        m = pairs.groupBy("i", F.col("j").cast("int").alias("j")).agg(
+            F.sum(F.when(F.col("g") == 0, F.col("qi") * F.col("qj")).otherwise(0))
+            .cast("bigint")
+            .alias("m0"),
+            F.sum(F.when(F.col("g") == 1, F.col("qi") * F.col("qj")).otherwise(0))
+            .cast("bigint")
+            .alias("m1"),
+        )
+        DEC0 = "decimal(38,0)"
+        dlin = F.col("s0") * F.col("n1") - F.col("s1") * F.col("n0")
+        lin = s.crossJoin(nn).agg(
+            F.sum(dlin.cast(DEC0) * dlin).cast("double").alias("num")
+        )
+        dq = F.col("m0") * F.col("n1") - F.col("m1") * F.col("n0")
+        w = F.when(F.col("i") == F.col("j"), 1).otherwise(2)
+        quad = m.crossJoin(nn).agg(
+            F.sum(dq.cast(DEC0) * dq * w).cast("double").alias("num")
+        )
+        den_lin = (
+            F.col("n0").cast("double") * F.col("n1") * F.lit(float(MMD_SCALE))
+        )
+        den_quad = (
+            F.col("n0").cast("double")
+            * F.col("n1")
+            * F.lit(float(MMD_SCALE))
+            * F.lit(float(MMD_SCALE))
+        )
+        row = (
+            lin.withColumnRenamed("num", "lnum")
+            .crossJoin(F.broadcast(quad.withColumnRenamed("num", "qnum")))
+            .crossJoin(nn)
+            .select(
+                F.lit(split).alias("split"),
+                "n0",
+                "n1",
+                (F.col("lnum") / (den_lin * den_lin)).alias("mmd2_linear"),
+                (F.col("qnum") / (den_quad * den_quad)).alias("mmd2_quadratic"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

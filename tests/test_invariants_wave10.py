@@ -142,3 +142,21 @@ def test_conformal_sets_cover_and_stay_sane(spark):
     assert 1.0 <= avg_set <= n_langs
     cov = r["n_covered"] / r["n_eval"]
     assert 0.75 <= cov <= 1.0
+
+
+def test_mmd_label_split_exceeds_null_floor(spark):
+    """embedding_mmd_drift's reason to exist: the label-0-vs-rest split
+    must show materially more mean/second-moment discrepancy than the
+    vec_id-parity null split on both kernels, and every statistic is a
+    nonnegative squared distance."""
+    rows = {
+        r["split"]: r
+        for r in QUERIES["embedding_mmd_drift"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    for r in rows.values():
+        assert r["mmd2_linear"] >= 0 and r["mmd2_quadratic"] >= 0
+        assert r["n0"] > 0 and r["n1"] > 0
+    assert rows["label"]["mmd2_linear"] > 1.5 * rows["half"]["mmd2_linear"]
+    assert rows["label"]["mmd2_quadratic"] > rows["half"]["mmd2_quadratic"]
