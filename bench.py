@@ -154,6 +154,10 @@ EXTENDED = [
     "part_fiedler_bisection",
     "part_spectral_cut_quality",
     "part_personalized_pagerank",
+    "epoch_shuffle_decorrelation",
+    "orders_trimmed_winsorized_means",
+    "langid_conformal_sets",
+    "embedding_mmd_drift",
 ]
 
 
