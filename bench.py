@@ -158,6 +158,7 @@ EXTENDED = [
     "orders_trimmed_winsorized_means",
     "langid_conformal_sets",
     "embedding_mmd_drift",
+    "embedding_mmd_permutation_test",
 ]
 
 

@@ -1344,3 +1344,158 @@ def embedding_mmd_drift(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ------------------------- MMD permutation test (drift significance)
+
+MMD_PERM_B = 20  # salted null splits
+
+
+@query(
+    "embedding_mmd_permutation_test",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id,
+        CASE WHEN label = 0 THEN 0 ELSE 1 END AS g_obs, i - 1 AS j,
+        CAST(floor(CAST(embedding[i] AS DOUBLE) * {MMD_SCALE}) AS BIGINT) AS q
+      FROM embeddings, UNNEST(range(1, {MMD_DIM + 1})) AS u(i)
+    ),
+    splits AS (
+      SELECT b.b, base.j, base.q,
+        CASE WHEN b.b = -1 THEN base.g_obs
+             WHEN substr(md5('mmdperm:' || CAST(b.b AS VARCHAR) || ':'
+                             || CAST(base.vec_id AS VARCHAR)), 1, 1)
+                  IN ('0','1','2','3','4','5','6','7')
+             THEN 0 ELSE 1 END AS g
+      FROM base CROSS JOIN (
+        SELECT CAST(x AS INTEGER) AS b
+        FROM UNNEST(range(-1, {MMD_PERM_B})) AS t(x)
+      ) b
+    ),
+    s AS (
+      SELECT b, j,
+        CAST(SUM(CASE WHEN g = 0 THEN q ELSE 0 END) AS BIGINT) AS s0,
+        CAST(SUM(CASE WHEN g = 1 THEN q ELSE 0 END) AS BIGINT) AS s1,
+        CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM splits GROUP BY b, j
+    ),
+    mmd AS (
+      SELECT b,
+        CAST(SUM(CAST(s0 * c1 - s1 * c0 AS DECIMAL(38,0))
+                 * (s0 * c1 - s1 * c0)) AS DOUBLE)
+          / (CAST(MAX(c0) AS DOUBLE) * MAX(c1) * {MMD_SCALE}
+             * (CAST(MAX(c0) AS DOUBLE) * MAX(c1) * {MMD_SCALE})) AS m2
+      FROM s GROUP BY b
+    )
+    SELECT
+      (SELECT m2 FROM mmd WHERE b = -1) AS mmd2_observed,
+      CAST({MMD_PERM_B} AS BIGINT) AS n_permutations,
+      CAST((SELECT COUNT(*) FROM mmd
+            WHERE b >= 0 AND m2 >= (SELECT m2 FROM mmd WHERE b = -1))
+           AS BIGINT) AS n_null_ge,
+      CAST(1 + (SELECT COUNT(*) FROM mmd
+                WHERE b >= 0 AND m2 >= (SELECT m2 FROM mmd WHERE b = -1))
+           AS BIGINT) AS p_num,
+      CAST({MMD_PERM_B + 1} AS BIGINT) AS p_den
+    """,
+)
+def embedding_mmd_permutation_test(spark, sf_dir):
+    """Permutation significance for the MMD drift statistic: the observed
+    label-0-vs-rest linear-kernel MMD^2 against {MMD_PERM_B} salted-md5
+    random relabelings of the SAME corpus (the exchangeability-exact null
+    — no asymptotic approximation), with the standard conservative
+    p-value (1 + #{{null >= observed}}) / (B + 1) emitted as an exact
+    integer fraction. This upgrades embedding_mmd_drift's eyeballed
+    null-floor row into a test: p_num = 1 means the observed split beat
+    every permutation.
+
+    Determinism: group sums are exact fixed-point BIGINTs per (split, dim)
+    cell, difference squares in DECIMAL(38,0), one IEEE division chain per
+    split — every null replicate's statistic is bit-identical across
+    engines, so even the >= comparisons agree exactly.
+
+    Scale shape: ONE corpus scan fans out to (B+1) x d first-moment cells
+    (the b grid explodes per (row, dim) — partial aggregation collapses it
+    map-side); no second scan, no permutation shuffle of the data itself
+    (only the pure-function group labels change per replicate)."""
+    e = table(spark, sf_dir, "embeddings")
+    qarr = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * MMD_SCALE).cast("bigint"),
+    )
+    base = e.select(
+        "vec_id",
+        F.when(F.col("label") == 0, 0).otherwise(1).alias("g_obs"),
+        F.posexplode(qarr).alias("j", "q"),
+    )
+    bgrid = F.explode(
+        F.array(*[F.lit(b) for b in range(-1, MMD_PERM_B)])
+    ).alias("b")
+    splits = base.select("vec_id", "g_obs", "j", "q", bgrid).select(
+        "b",
+        "j",
+        "q",
+        F.when(F.col("b") == -1, F.col("g_obs"))
+        .otherwise(
+            F.when(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("mmdperm:"),
+                            F.col("b").cast("string"),
+                            F.lit(":"),
+                            F.col("vec_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    1,
+                ).isin(*"01234567"),
+                0,
+            ).otherwise(1)
+        )
+        .alias("g"),
+    )
+    s = splits.groupBy("b", "j").agg(
+        F.sum(F.when(F.col("g") == 0, F.col("q")).otherwise(0))
+        .cast("bigint")
+        .alias("s0"),
+        F.sum(F.when(F.col("g") == 1, F.col("q")).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum((F.col("g") == 0).cast("int")).cast("bigint").alias("c0"),
+        F.sum((F.col("g") == 1).cast("int")).cast("bigint").alias("c1"),
+    )
+    DEC0 = "decimal(38,0)"
+    d = F.col("s0") * F.col("c1") - F.col("s1") * F.col("c0")
+    mmd = s.groupBy("b").agg(
+        (
+            F.sum(d.cast(DEC0) * d).cast("double")
+            / (
+                (F.max("c0").cast("double") * F.max("c1") * F.lit(float(MMD_SCALE)))
+                * (F.max("c0").cast("double") * F.max("c1") * F.lit(float(MMD_SCALE)))
+            )
+        ).alias("m2")
+    ).persist()
+    obs = F.broadcast(
+        mmd.filter(F.col("b") == -1).select(F.col("m2").alias("obs"))
+    )
+    nulls = mmd.filter(F.col("b") >= 0).crossJoin(obs)
+    return (
+        nulls.agg(
+            F.max("obs").alias("mmd2_observed"),
+            F.sum((F.col("m2") >= F.col("obs")).cast("int"))
+            .cast("bigint")
+            .alias("n_null_ge"),
+        )
+        .select(
+            "mmd2_observed",
+            F.lit(MMD_PERM_B).cast("bigint").alias("n_permutations"),
+            "n_null_ge",
+            (F.lit(1) + F.col("n_null_ge")).cast("bigint").alias("p_num"),
+            F.lit(MMD_PERM_B + 1).cast("bigint").alias("p_den"),
+        )
+        .select(
+            "mmd2_observed", "n_permutations", "n_null_ge", "p_num", "p_den"
+        )
+    )

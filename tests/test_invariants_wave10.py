@@ -160,3 +160,22 @@ def test_mmd_label_split_exceeds_null_floor(spark):
         assert r["n0"] > 0 and r["n1"] > 0
     assert rows["label"]["mmd2_linear"] > 1.5 * rows["half"]["mmd2_linear"]
     assert rows["label"]["mmd2_quadratic"] > rows["half"]["mmd2_quadratic"]
+
+
+def test_mmd_permutation_test_rejects_null(spark):
+    """The label split must be significant against the salted permutation
+    null (p = p_num/p_den <= 0.1 on this separable fixture), the p-value
+    is a valid conservative fraction, and the observed statistic matches
+    embedding_mmd_drift's label row bit-for-bit (shared arithmetic)."""
+    r = QUERIES["embedding_mmd_permutation_test"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert 1 <= r["p_num"] <= r["p_den"] == r["n_permutations"] + 1
+    assert r["p_num"] / r["p_den"] <= 0.1
+    drift = {
+        row["split"]: row
+        for row in QUERIES["embedding_mmd_drift"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    assert r["mmd2_observed"] == drift["label"]["mmd2_linear"]
