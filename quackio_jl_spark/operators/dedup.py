@@ -2560,7 +2560,7 @@ _CDC_SQL = f"""
     per_source AS (
       SELECT d.source, COUNT(*) AS n_chunks,
         COUNT(DISTINCT c.chunk_hash) AS n_distinct,
-        SUM(c.chunk_len) AS total_chars
+        CAST(SUM(c.chunk_len) AS BIGINT) AS total_chars
       FROM chunks c JOIN documents d USING (doc_id)
       GROUP BY 1
     ),

@@ -523,7 +523,7 @@ _SW_BATCH = 16
     ),
     per_worker AS (
       SELECT worker, COUNT(DISTINCT shard) AS n_shards,
-        COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens,
+        COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
         CAST(COUNT(*) // {_SW_BATCH} AS BIGINT) AS n_batches
       FROM sharded GROUP BY 1
     ),
@@ -731,7 +731,8 @@ _CV_FOLDS = 3
       JOIN priorsf ON priorsf.m = doc_lang.m AND priorsf.fold = doc_lang.fold
     )
     SELECT fold, COUNT(*) AS n_docs,
-      SUM(CASE WHEN m = lang_true THEN 1 ELSE 0 END) AS n_correct,
+      CAST(SUM(CASE WHEN m = lang_true THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_correct,
       round(CAST(SUM(CASE WHEN m = lang_true THEN 1 ELSE 0 END) AS DOUBLE)
             / COUNT(*), 6) AS accuracy
     FROM ranked WHERE rk = 1

@@ -1841,7 +1841,7 @@ BATCH_DOCS = 32
     SELECT CAST(pos // {BATCH_DOCS} AS BIGINT) AS batch_id,
       CAST(COUNT(*) AS BIGINT) AS n_docs,
       MAX(n_tokens) AS max_tokens,
-      SUM(n_tokens) AS sum_tokens,
+      CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
       round(CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS DOUBLE)
             / (COUNT(*) * MAX(n_tokens)), 8) AS pad_waste
     FROM r GROUP BY batch_id

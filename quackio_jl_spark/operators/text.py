@@ -3684,8 +3684,8 @@ HEAPS_BUCKETS = 10
       round((sxy - sx * sy / n) / (sxx - sx * sx / n), 8) AS heaps_beta,
       round(exp(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx / n), 6)
         AS heaps_k,
-      (SELECT MAX(cum_tokens) FROM pts) AS tokens_total,
-      (SELECT MAX(cum_vocab) FROM pts) AS vocab_total
+      (SELECT CAST(MAX(cum_tokens) AS BIGINT) FROM pts) AS tokens_total,
+      (SELECT CAST(MAX(cum_vocab) AS BIGINT) FROM pts) AS vocab_total
     FROM fit
     """,
 )

@@ -59,6 +59,33 @@ WAIVED: dict[str, str] = {
     ),
 }
 
+def _blank_line_comments(sql: str) -> str:
+    """Replace ``--`` line comments with spaces, position-preserving.
+
+    Quote-aware: a ``--`` inside a single-quoted string literal is content,
+    and an apostrophe inside a comment (``-- kernel's offsets``) must NOT
+    open a string — the round-7 ADVICE found exactly that desync breaking
+    the R3 anchor and the R4 paren scan. Blanking (not deleting) keeps
+    every offset valid into the original SQL, so span rewrites still line
+    up, and the blanked text stays executable."""
+    out = list(sql)
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            i += 1
+            while i < n and sql[i] != "'":
+                i += 1
+            i += 1
+        elif ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            while i < n and sql[i] != "\n":
+                out[i] = " "
+                i += 1
+        else:
+            i += 1
+    return "".join(out)
+
+
 # -------------------------------------------------------------------- R1
 
 # ('0x' || substr(<anything>, <pos>, <len>))::BIGINT with len <= 8
@@ -136,6 +163,7 @@ def lint_correlated_lambdas(oracles: dict[str, str]) -> dict[str, list[str]]:
     deliberately exempt: dozens hash-match in every driver sample."""
     bad: dict[str, list[str]] = {}
     for name, sql in oracles.items():
+        sql = _blank_line_comments(sql)
         for m in _LIST_LAMBDA.finditer(sql):
             end = _paren_span(sql, m.end() - 1)
             args = sql[m.end() : end - 1]
@@ -271,6 +299,7 @@ def lint_near_boundary(oracles: dict[str, str], sf_dir: str) -> dict[str, list[s
         )
     findings: dict[str, list[str]] = {}
     for name, sql in sorted(oracles.items()):
+        sql = _blank_line_comments(sql)
         fsel = _final_select_pos(sql)
         spans = [
             s
@@ -317,6 +346,50 @@ def lint_near_boundary(oracles: dict[str, str], sf_dir: str) -> dict[str, list[s
     return findings
 
 
+# -------------------------------------------------------------------- R5
+
+# DuckDB types with no Spark equivalent: a driver harness that renders the
+# oracle result through pandas/Arrow shows these differently from Spark's
+# BIGINT/DOUBLE (duckdb 1.0.0 fetchdf() renders a HUGEINT sum 117740 as
+# float64 117740.0), so rows+schema match but the value hash diverges —
+# the demonstrated mechanism behind three driver-red rounds of
+# dedup_cdc_chunks (an uncast SUM(BIGINT) -> HUGEINT). Ban them in output.
+_R5_BANNED = {
+    "HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT",
+}
+
+
+def lint_output_types(oracles: dict[str, str], sf_dir: str) -> dict[str, list[str]]:
+    """R5: DESCRIBE every oracle against the parquet views and flag any
+    output column whose DuckDB type has no exact Spark mapping
+    (HUGEINT/unsigned family). DESCRIBE only binds/plans — no data is
+    scanned — so this is cheap at any SF. Fix is always the same one-liner:
+    CAST(SUM(...) AS BIGINT) in the final projection."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    findings: dict[str, list[str]] = {}
+    for name, sql in sorted(oracles.items()):
+        try:
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:
+            findings.setdefault(name, []).append(f"DESCRIBE failed: {e}")
+            continue
+        for col, typ, *_ in desc:
+            base = typ.split("(")[0].strip().upper()
+            if base in _R5_BANNED:
+                findings.setdefault(name, []).append(
+                    f"output column {col!r} has non-Spark-mappable type {typ}"
+                )
+    return findings
+
+
 def run(sf_dir: str | None) -> int:
     from quackio_jl_spark.registry import ORACLES
 
@@ -328,6 +401,7 @@ def run(sf_dir: str | None) -> int:
         ("R1 hex-cast", lint_hex_casts(ORACLES)),
         ("R2 locale-regex", lint_locale_regex(ORACLES)),
         ("R4 correlated-lambda", lint_correlated_lambdas(ORACLES)),
+        ("R5 output-type", lint_output_types(ORACLES, sf_dir) if sf_dir else {}),
         ("R3 near-boundary", lint_near_boundary(ORACLES, sf_dir) if sf_dir else {}),
     ):
         for name, frags in sorted(found.items()):
