@@ -1264,20 +1264,26 @@ def linkage_fs_em_converged(spark, sf_dir):
         F.lit(50000000).cast("bigint").alias("lam"),
     ).localCheckpoint()
 
-    def _prod(pfx):
-        out = None
+    def _prod(pfx, init):
+        # init is the prior factor (lam or 1-lam) folded in as the FIRST
+        # accumulator so the whole product associates left-to-right —
+        # (((lam*t1)*t2)*t3) — exactly how SQL parses the oracle's
+        # `lam / 1e8 * (t1) * (t2) * (t3)`. FP multiplication is
+        # non-associative; `lam * ((t1*t2)*t3)` can differ by one ulp on
+        # boundary patterns and flip the floor-quantized w (ADVICE r7).
+        out = init
         for f in _FS_FIELDS:
             term = F.when(
                 F.col(f"g_{f}") == 1, F.col(f"{pfx}_{f}") / F.lit(1e8)
             ).otherwise(F.lit(1.0) - F.col(f"{pfx}_{f}") / F.lit(1e8))
-            out = term if out is None else out * term
+            out = out * term
         return out
 
     lam_by_round = {}
     for r in range(1, _EM_ROUNDS + 1):
         ew = pat.crossJoin(F.broadcast(params))
-        num = (F.col("lam") / F.lit(1e8)) * _prod("m")
-        den = (F.lit(1.0) - F.col("lam") / F.lit(1e8)) * _prod("u")
+        num = _prod("m", F.col("lam") / F.lit(1e8))
+        den = _prod("u", F.lit(1.0) - F.col("lam") / F.lit(1e8))
         ew = ew.withColumn(
             "w",
             F.floor(num / (num + den) * F.lit(float(_EM_W_SCALE))).cast(

@@ -51,13 +51,65 @@ _TAIL_CHUNK = 64 * 1024  # follow-up Range size while finishing the last line
 _MAX_LINE_BYTES = 16 * 1024 * 1024  # refuse to chase a newline forever
 
 
+_CONTENT_RANGE = None  # lazy-compiled regex for 'bytes s-e/total'
+
+
 def _fetch_range(url: str, start: int, end_incl: int) -> bytes:
     """GET bytes [start, end_incl] (HTTP Range is inclusive); b"" at EOF
-    (servers answer a fully-out-of-range request with 416)."""
+    (servers answer a fully-out-of-range request with 416).
+
+    The response is VALIDATED (ADVICE r7): a server that advertised
+    ``Accept-Ranges`` on HEAD but answers the GET with 200 (full body)
+    would make every partition read from byte 0 and duplicate records
+    corpus-wide, and a truncated 206 body would leave a silent gap in the
+    reassembled lines. Both raise — executor-side there is no safe
+    degradation (falling back to a full GET inside ONE partition's read
+    would emit the whole file once per partition)."""
+    global _CONTENT_RANGE
+    if _CONTENT_RANGE is None:
+        import re
+
+        _CONTENT_RANGE = re.compile(r"bytes\s+(\d+)-(\d+)/(\d+|\*)")
     req = urllib.request.Request(url, headers={"Range": f"bytes={start}-{end_incl}"})
     try:
         with urllib.request.urlopen(req) as r:
-            return r.read()
+            status = getattr(r, "status", None) or r.getcode()
+            body = r.read()
+            if status != 206:
+                raise IOError(
+                    f"range GET bytes={start}-{end_incl} answered {status}, "
+                    f"not 206 Partial Content: {url!r} ignored the Range "
+                    "header after advertising Accept-Ranges on HEAD; "
+                    "a full-body answer here would duplicate records "
+                    "across partitions. Re-read without partitioning "
+                    "(the single-partition fallback path) instead."
+                )
+            cr = _CONTENT_RANGE.search(r.headers.get("Content-Range") or "")
+            if cr is not None:
+                got_s, got_e = int(cr.group(1)), int(cr.group(2))
+                # got_e < end_incl is legitimate EOF truncation; a wrong
+                # start or a body shorter than the advertised span is not.
+                if got_s != start or got_e > end_incl:
+                    raise IOError(
+                        f"range GET bytes={start}-{end_incl} answered with "
+                        f"Content-Range bytes {got_s}-{got_e}: offset "
+                        f"mismatch from {url!r}"
+                    )
+                if len(body) != got_e - got_s + 1:
+                    raise IOError(
+                        f"range GET bytes={start}-{end_incl}: body is "
+                        f"{len(body)} bytes but Content-Range advertised "
+                        f"{got_e - got_s + 1}: truncated response from "
+                        f"{url!r} would leave a silent gap in the stream"
+                    )
+            elif len(body) > end_incl - start + 1:
+                # no Content-Range header (non-compliant 206): the only
+                # check left is that we did not get MORE than asked for
+                raise IOError(
+                    f"range GET bytes={start}-{end_incl}: got {len(body)} "
+                    f"bytes (more than requested) from {url!r}"
+                )
+            return body
     except urllib.error.HTTPError as e:
         if e.code == 416:
             return b""

@@ -878,35 +878,67 @@ def shard_mixing_stream(
 
 
 def cdc_chunk_dedup_stream(
-    spark: SparkSession, sf_dir: str, queryName: str = "cdc_stream"
+    spark: SparkSession, sf_dir: str, queryName: str = "cdc_stream",
+    dest: str | None = None,
 ) -> DataFrame:
     """Ingest-time content-defined-chunk dedup: documents arrive on a file
     stream, each is CDC-chunked IN-ROW (operators/dedup.py::
     _cdc_chunks_inrow — the window-free form of the batch kernel, since
-    per-doc lag windows are unsupported on streams), and dropDuplicates
-    on chunk_hash keeps the FIRST arrival of every distinct chunk — the
+    per-doc lag windows are unsupported on streams), and every micro-batch
+    keeps one DETERMINISTIC representative per distinct chunk — the
     rsync/backup-ingest shape where a re-uploaded document costs only its
-    genuinely-new chunks. State = one 16-byte digest per distinct chunk
-    (the same table the batch dedup report groups on); no watermark by
-    design — chunk identity dedup is unbounded in time, bounded in size
-    by distinct content. Batch twin: dedup_cdc_chunks' distinct-hash set;
-    the equivalence test pins the kept set to exactly one representative
-    per distinct chunk hash."""
+    genuinely-new chunks. Within a batch the representative is the least
+    (doc_id, chunk_idx) via min(struct(...)) — streaming dropDuplicates
+    keeps an ARBITRARY in-batch row (ADVICE r7), so the reduction happens
+    in foreachBatch before the cross-batch anti-join against the persisted
+    hash state; across batches the first-arriving batch wins (file order,
+    deterministic under replay). State = one 16-byte digest + its
+    representative per distinct chunk; no watermark by design — chunk
+    identity dedup is unbounded in time, bounded in size by distinct
+    content. Batch twin: dedup_cdc_chunks' distinct-hash set; the
+    equivalence test pins the kept set to exactly one representative per
+    distinct chunk hash."""
+    import tempfile
+
     from ..operators.dedup import _cdc_chunks_inrow
 
+    if dest is None:
+        dest = tempfile.mkdtemp(prefix="cdc_dedup_") + "/state"
     docs = _documents_stream(spark, sf_dir)
     chunks = _cdc_chunks_inrow(docs.select("doc_id", "text"))
-    kept = chunks.dropDuplicates(["chunk_hash"])
+
+    def apply_batch(batch_df, batch_id):
+        rep = (
+            batch_df.groupBy("chunk_hash")
+            .agg(
+                F.min(
+                    F.struct("doc_id", "chunk_idx", "chunk_len")
+                ).alias("r")
+            )
+            .select("chunk_hash", "r.doc_id", "r.chunk_idx", "r.chunk_len")
+        )
+        sess = batch_df.sparkSession
+        try:
+            seen = sess.read.parquet(dest).select("chunk_hash")
+        except Exception:  # first batch: no state yet
+            seen = None
+        # plain left_anti: the hash state outgrows broadcast at scale and
+        # AQE broadcasts it while small, so no hint either way
+        new = rep if seen is None else rep.join(seen, "chunk_hash", "left_anti")
+        new.select(
+            "doc_id", "chunk_idx", "chunk_len", "chunk_hash"
+        ).write.mode("append").parquet(dest)
+
     q = (
-        kept.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(queryName)
+        chunks.writeStream.outputMode("append")
+        .foreachBatch(apply_batch)
+        .option("checkpointLocation", dest + "_ckpt")
         .start()
     )
     try:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.sql(
-        f"SELECT doc_id, chunk_idx, chunk_len, chunk_hash FROM {queryName}"
+    return spark.read.parquet(dest).select(
+        "doc_id", "chunk_idx", "chunk_len", "chunk_hash"
     )

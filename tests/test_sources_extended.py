@@ -724,3 +724,99 @@ def test_http_ranged_ndjson_typed(tmp_path, spark):
         ]
     finally:
         httpd.shutdown()
+
+
+class _LyingRangeHandler(_RangeHandler):
+    """Advertises Accept-Ranges on HEAD but IGNORES Range on GET (answers
+    200 with the full body) — the misbehaving-proxy case from the round-7
+    ADVICE: unvalidated, every partition would read from byte 0 and
+    duplicate records corpus-wide."""
+
+    def do_GET(self):  # noqa: N802
+        path = self.translate_path(self.path)
+        with open(path, "rb") as f:
+            data = f.read()
+        type(self).full_count += 1
+        self.send_response(200)
+        self.send_header("Accept-Ranges", "bytes")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+
+class _TruncatingRangeHandler(_RangeHandler):
+    """Answers 206 with a correct Content-Range but a SHORT body — the
+    silent-gap case: read() must not assume the requested bytes arrived."""
+
+    def do_GET(self):  # noqa: N802
+        path = self.translate_path(self.path)
+        with open(path, "rb") as f:
+            data = f.read()
+        rng = self.headers.get("Range")
+        spec = rng[len("bytes=") :]
+        lo_s, hi_s = spec.split("-", 1)
+        lo = int(lo_s)
+        hi = min(int(hi_s), len(data) - 1) if hi_s else len(data) - 1
+        body = data[lo : hi + 1][:-2] if hi - lo >= 2 else data[lo : hi + 1]
+        self.send_response(206)
+        self.send_header("Content-Range", f"bytes {lo}-{hi}/{len(data)}")
+        self.send_header("Accept-Ranges", "bytes")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+def _serve_handler(handler_cls, directory):
+    def make(*args, **kw):
+        return handler_cls(*args, directory=directory, **kw)
+
+    httpd = socketserver.TCPServer(("127.0.0.1", 0), make)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd, httpd.server_address[1]
+
+
+def test_http_ranged_rejects_200_answer_to_range_get(tmp_path):
+    """ADVICE r7: a 200 answer to a Range GET must raise, never silently
+    deliver the full body as if it were the requested span."""
+    import pytest as _pytest
+
+    from quackio_jl_spark.sources.httpranged import _fetch_range
+
+    (tmp_path / "f.txt").write_text("line one\nline two\nline three\n")
+    httpd, port = _serve_handler(_LyingRangeHandler, str(tmp_path))
+    try:
+        with _pytest.raises(IOError, match="not 206"):
+            _fetch_range(f"http://127.0.0.1:{port}/f.txt", 5, 20)
+    finally:
+        httpd.shutdown()
+
+
+def test_http_ranged_rejects_truncated_206_body(tmp_path):
+    """ADVICE r7: a short 206 body (truncated mid-transfer) must raise —
+    a silent gap between buf and tail_from corrupts reassembled lines."""
+    import pytest as _pytest
+
+    from quackio_jl_spark.sources.httpranged import _fetch_range
+
+    (tmp_path / "f.txt").write_text("line one\nline two\nline three\n")
+    httpd, port = _serve_handler(_TruncatingRangeHandler, str(tmp_path))
+    try:
+        with _pytest.raises(IOError, match="truncated"):
+            _fetch_range(f"http://127.0.0.1:{port}/f.txt", 0, 19)
+    finally:
+        httpd.shutdown()
+
+
+def test_http_ranged_eof_truncation_is_legitimate(tmp_path):
+    """A range whose end runs past EOF returns the shorter real span —
+    that is NOT an error (it is how the tail partition reads)."""
+    from quackio_jl_spark.sources.httpranged import _fetch_range
+
+    (tmp_path / "f.txt").write_bytes(b"0123456789")
+    httpd, port = _serve_handler(_RangeHandler, str(tmp_path))
+    try:
+        assert _fetch_range(f"http://127.0.0.1:{port}/f.txt", 5, 99) == b"56789"
+        assert _fetch_range(f"http://127.0.0.1:{port}/f.txt", 50, 99) == b""
+    finally:
+        httpd.shutdown()

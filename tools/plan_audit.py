@@ -134,7 +134,10 @@ def audit(p: str) -> dict:
     joins = {j: p.count(f") {j}") for j in JOIN_NODES}
     pushed = bool(re.search(r"PushedFilters: \[[^\]]", p))
     wins = classify_windows(p)
-    wc = {c: wins.count(c) for c in ("part", "unpart-limited", "unpart-unbounded")}
+    wc = {
+        c: wins.count(c)
+        for c in ("part", "unpart-limited", "unpart-kernel", "unpart-unbounded")
+    }
     return {
         "exchanges": len(re.findall(r"^\(\d+\) Exchange", p, flags=re.MULTILINE)),
         "joins": ", ".join(f"{v}x {j}" for j, v in joins.items() if v) or "—",
@@ -168,7 +171,7 @@ def main() -> None:
         "Columns: shuffle-Exchange count, join strategies, scan-filter",
         "pushdown engaged, Python-eval nodes (Arrow-batched only, by",
         "design), top-k via TakeOrderedAndProject, window boundedness",
-        "(part / unpart-limited / unpart-unbounded; the last class is only",
+        "(part / unpart-limited / unpart-kernel / unpart-unbounded; the last class is only",
         "acceptable over provably bounded tables — tests/test_plans.py",
         "enforces the waiver list).",
         "",
