@@ -153,6 +153,7 @@ EXTENDED = [
     "bigram_lm_heldout_perplexity",
     "part_fiedler_bisection",
     "part_spectral_cut_quality",
+    "part_spectral_4way",
     "part_personalized_pagerank",
     "epoch_shuffle_decorrelation",
     "orders_trimmed_winsorized_means",
@@ -160,6 +161,71 @@ EXTENDED = [
     "embedding_mmd_drift",
     "embedding_mmd_permutation_test",
 ]
+
+
+_TREND_START = "<!-- TREND_TABLE:START (generated by bench.py) -->"
+_TREND_END = "<!-- TREND_TABLE:END -->"
+
+
+def update_trend_table(repo_dir: str) -> None:
+    """Regenerate the per-round headline/extended trend table between the
+    TREND_TABLE markers in BASELINE.md from the committed BENCH_r0*.json
+    artifacts — one committed place to read the trend instead of N JSONs
+    (round-7 VERDICT "next" #10). Best-effort: bench output must never
+    fail on doc regeneration."""
+    import glob
+
+    rows = []
+    for path in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r[0-9]*.json"))):
+        try:
+            d = json.load(open(path))
+        except Exception:
+            continue
+        p = d.get("parsed") or {}
+        if not p:
+            continue
+        ext = p.get("extended_total_sec")
+        rows.append(
+            f"| r{d.get('n', '?')} | {p.get('value', '—')} |"
+            f" {ext if ext is not None else '—'} |"
+            f" {p.get('n_queries_registered', '—')} |"
+            f" {p.get('repeats', 1)} |"
+        )
+    if not rows:
+        return
+    table = "\n".join(
+        [
+            _TREND_START,
+            "",
+            "| round | headline total (s, sf0.1) | extended total (s) |"
+            " queries registered | repeats |",
+            "|---|---|---|---|---|",
+            *rows,
+            "",
+            "Headline list unchanged since r1 (21 queries); extended suite"
+            " grows with the",
+            "registry, so compare its totals only per-query"
+            " (BENCH_EXTENDED.json). All",
+            "numbers are driver-measured on a shared VM — identical code has"
+            " measured",
+            "20.5-154 s across rounds, so treat any single round-over-round"
+            " ratio as",
+            "directional and trust only patterns that repeat across rounds.",
+            _TREND_END,
+        ]
+    )
+    baseline = os.path.join(repo_dir, "BASELINE.md")
+    try:
+        text = open(baseline).read()
+    except OSError:
+        return
+    if _TREND_START in text and _TREND_END in text:
+        pre = text.split(_TREND_START)[0]
+        post = text.split(_TREND_END, 1)[1]
+        text = pre + table + post
+    else:
+        text = text.rstrip() + "\n\n## Round-over-round trend\n\n" + table + "\n"
+    open(baseline, "w").write(text)
 
 
 def main() -> None:
@@ -233,6 +299,10 @@ def main() -> None:
             }
         )
     )
+    try:
+        update_trend_table(os.path.dirname(os.path.abspath(__file__)))
+    except Exception:
+        pass  # trend table is documentation; never fail the bench on it
 
 
 if __name__ == "__main__":

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..lineage import audit_rounds, truncate as _truncate_lineage
 from ..plans.registry import query, table
 from .dedup import _SHINGLES_SQL, _cand_sql, _minhash_sig_sql, dedup_minhash_lsh_pairs
 
@@ -92,15 +93,15 @@ def connected_components(
     checkpoint dir (``sc.setCheckpointDir`` — survives executor loss, the
     right choice on a 1000-executor cluster); falls back to
     ``localCheckpoint`` otherwise. The converged edge set is materialized,
-    so the caller's action does not replay the rounds.
+    so the caller's action does not replay the rounds. Checkpoints route
+    through lineage.truncate so the plan audit can see iteration bodies
+    (SPARK_GRAFT_AUDIT_NO_CHECKPOINT=1 — VERDICT r7 #2), under which the
+    round cap drops to audit_rounds(max_iter).
     """
     import warnings
 
-    sc = nodes.sparkSession.sparkContext
-    reliable = sc.getCheckpointDir() is not None
-
-    def _truncate(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+    _truncate = _truncate_lineage
+    max_iter = audit_rounds(max_iter)
 
     e = _truncate(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -2099,6 +2100,69 @@ def _fiedler_chain_sql() -> str:
     return "WITH " + _PR_GRAPH_SQL + "," + pre + "," + ",".join(rounds)
 
 
+FIEDLER_SUB_ROUNDS = 6
+
+
+def _fiedler_sub_chain_sql(sfx: str, edges_cte: str) -> str:
+    """The same unrolled power-iteration chain as _fiedler_chain_sql, but
+    over an arbitrary edge CTE with every CTE name suffixed — used by the
+    4-way recursive bisection to run one chain per induced side subgraph.
+    FIEDLER_SUB_ROUNDS (not FIEDLER_ROUNDS): the induced halves are
+    smaller and better-separated, and the parent chain already paid for
+    global mixing."""
+    ctes = [
+        f"nodes{sfx} AS (SELECT DISTINCT src AS id FROM {edges_cte})",
+        f"deg{sfx} AS (SELECT src AS id, COUNT(*) AS d"
+        f" FROM {edges_cte} GROUP BY src)",
+        f"su{sfx} AS MATERIALIZED (SELECT id, sqrt(CAST(d AS DOUBLE)) AS s"
+        f" FROM deg{sfx})",
+        f"tm{sfx} AS (SELECT sqrt(CAST(SUM(d) AS DOUBLE)) AS r2m"
+        f" FROM deg{sfx})",
+        f"v0{sfx} AS MATERIALIZED (SELECT id, CAST((('0x' || "
+        f"substr(md5('fv:' || CAST(id AS VARCHAR)), 1, 2))::BIGINT - 128) "
+        f"* 100000000 AS BIGINT) AS v FROM nodes{sfx})",
+    ]
+    for r in range(1, FIEDLER_SUB_ROUNDS + 1):
+        p = f"v{r - 1}{sfx}"
+        ctes.append(f"""
+    m{r}{sfx} AS (
+      SELECT e.src AS id,
+        CAST(SUM(CAST(floor((pv.v / 1e10) / (si.s * sj.s) * 1e10)
+                 AS BIGINT)) AS BIGINT) AS msum
+      FROM {edges_cte} e
+      JOIN {p} pv ON pv.id = e.dst
+      JOIN su{sfx} si ON si.id = e.src
+      JOIN su{sfx} sj ON sj.id = e.dst
+      GROUP BY e.src
+    ),
+    t{r}{sfx} AS (
+      SELECT pv.id, pv.v + m.msum AS t
+      FROM {p} pv JOIN m{r}{sfx} m USING (id)
+    ),
+    c{r}{sfx} AS (
+      SELECT CAST(SUM(CAST(floor(su{sfx}.s / tm{sfx}.r2m * (t.t / 1e10)
+                 * 1e10) AS BIGINT)) AS BIGINT) AS c
+      FROM t{r}{sfx} t JOIN su{sfx} ON su{sfx}.id = t.id CROSS JOIN tm{sfx}
+    ),
+    q{r}{sfx} AS (
+      SELECT t.id,
+        t.t - CAST(floor(c.c / 1e10 * (su{sfx}.s / tm{sfx}.r2m) * 1e10)
+              AS BIGINT) AS t
+      FROM t{r}{sfx} t JOIN su{sfx} ON su{sfx}.id = t.id
+      CROSS JOIN c{r}{sfx} c CROSS JOIN tm{sfx}
+    ),
+    n{r}{sfx} AS (
+      SELECT sqrt(CAST(CAST(SUM(CAST(floor(t / 1e10 * (t / 1e10) * 1e12)
+                 AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12) AS nrm
+      FROM q{r}{sfx}
+    ),
+    v{r}{sfx} AS MATERIALIZED (
+      SELECT id, CAST(floor(t / 1e10 / n.nrm * 1e10) AS BIGINT) AS v
+      FROM q{r}{sfx}, n{r}{sfx} n
+    )""")
+    return ",".join(ctes)
+
+
 @query(
     "part_fiedler_bisection",
     oracle=_fiedler_chain_sql()
@@ -2127,8 +2191,10 @@ def part_fiedler_bisection(spark, sf_dir):
     Scale shape: graph frames built once and persisted (the pagerank
     lesson); each round is ONE edges-x-iterate equi-join plus three
     node-table maps and two scalar aggregates, with the iterate
-    localCheckpointed per round so plan depth stays O(1) in rounds. The
-    projection coefficient is a broadcast scalar."""
+    checkpointed every SECOND round (a 2-round body stays far below the
+    analyzer's ~6-round blowup; halves the eager-job count) so plan depth
+    stays O(1) in rounds. The projection coefficient is a broadcast
+    scalar."""
     v, _ = _fiedler_vector(spark, sf_dir)
     return v.select(
         F.col("id").alias("part_id"),
@@ -2156,6 +2222,14 @@ def _fiedler_vector(spark, sf_dir):
         .union(pairs.select(F.col("part2").alias("src"), F.col("part1").alias("dst")))
         .persist()
     )
+    return _fiedler_iterate(edges, FIEDLER_ROUNDS), edges
+
+
+def _fiedler_iterate(edges, rounds):
+    """The deflated power iteration itself over any persisted symmetric
+    edge frame (src, dst) — reused by the 4-way recursive bisection on
+    the induced per-side subgraphs. Same arithmetic as before the round-8
+    refactor; FIEDLER_ROUNDS callers are byte-identical."""
     deg = (
         edges.groupBy(F.col("src").alias("id"))
         .agg(F.count(F.lit(1)).alias("d"))
@@ -2185,10 +2259,12 @@ def _fiedler_vector(spark, sf_dir):
         )
         .cast("bigint")
         .alias("v"),
-    ).localCheckpoint()
+    )
+    v = _truncate_lineage(v)
     si = su.select(F.col("id").alias("_i"), F.col("s").alias("si"))
     sj = su.select(F.col("id").alias("_j"), F.col("s").alias("sj"))
-    for _ in range(FIEDLER_ROUNDS):
+    n_rounds = audit_rounds(rounds)
+    for _round in range(1, n_rounds + 1):
         m = (
             edges.join(v.select(F.col("id").alias("_j"), "v"), edges.dst == F.col("_j"))
             .join(si, edges.src == si._i)
@@ -2254,17 +2330,21 @@ def _fiedler_vector(spark, sf_dir):
                 ).alias("nrm")
             )
         )
-        v = (
-            q.crossJoin(n)
-            .select(
-                "id",
-                F.floor(F.col("t") / F.lit(1e10) / F.col("nrm") * F.lit(1e10))
-                .cast("bigint")
-                .alias("v"),
-            )
-            .localCheckpoint()
+        v = q.crossJoin(n).select(
+            "id",
+            F.floor(F.col("t") / F.lit(1e10) / F.col("nrm") * F.lit(1e10))
+            .cast("bigint")
+            .alias("v"),
         )
-    return v, edges
+        # Truncate every SECOND round (and always the last): a 2-round
+        # plan body is far below the ~6-round analyzer blowup, and each
+        # eager checkpoint is a full Spark job — at 10 rounds x 2 chains
+        # the per-round posture was the single largest bench cost
+        # (VERDICT r7 #3). Arithmetic is unchanged: checkpointing is a
+        # materialization boundary, not a computation.
+        if _round % 2 == 0 or _round == n_rounds:
+            v = _truncate_lineage(v)
+    return v
 
 
 @query(
@@ -2389,6 +2469,194 @@ def part_spectral_cut_vs_random(spark, sf_dir):
     return (
         ecount.crossJoin(F.broadcast(cuts))
         .select("n_edges", "cut_spectral", "cut_random")
+    )
+
+
+@query(
+    "part_spectral_4way",
+    oracle=_fiedler_chain_sql()
+    + f"""
+    , sides AS MATERIALIZED (
+      SELECT id, CASE WHEN v >= 0 THEN 1 ELSE 0 END AS side
+      FROM v{FIEDLER_ROUNDS}
+    ),
+    edges_s0 AS MATERIALIZED (
+      SELECT e.src, e.dst FROM edges e
+      JOIN sides a ON a.id = e.src JOIN sides b ON b.id = e.dst
+      WHERE a.side = 0 AND b.side = 0
+    ),
+    edges_s1 AS MATERIALIZED (
+      SELECT e.src, e.dst FROM edges e
+      JOIN sides a ON a.id = e.src JOIN sides b ON b.id = e.dst
+      WHERE a.side = 1 AND b.side = 1
+    ),
+    {_fiedler_sub_chain_sql("_a", "edges_s0")},
+    {_fiedler_sub_chain_sql("_b", "edges_s1")},
+    sub AS (
+      SELECT id, CASE WHEN v >= 0 THEN 1 ELSE 0 END AS sub
+      FROM v{FIEDLER_SUB_ROUNDS}_a
+      UNION ALL
+      SELECT id, CASE WHEN v >= 0 THEN 1 ELSE 0 END AS sub
+      FROM v{FIEDLER_SUB_ROUNDS}_b
+    ),
+    quad AS MATERIALIZED (
+      SELECT s.id,
+        CAST(s.side * 2 + COALESCE(sub.sub, 0) AS BIGINT) AS quadrant
+      FROM sides s LEFT JOIN sub ON sub.id = s.id
+    ),
+    cuts AS (
+      SELECT
+        CAST(SUM(CASE WHEN sa.side <> sb.side THEN 1 ELSE 0 END) / 2
+             AS BIGINT) AS cut_2way,
+        CAST(SUM(CASE WHEN qa.quadrant <> qb.quadrant THEN 1 ELSE 0 END) / 2
+             AS BIGINT) AS cut_4way,
+        CAST(SUM(CASE WHEN sa.side = 0 AND sb.side = 0
+                      AND qa.quadrant <> qb.quadrant THEN 1 ELSE 0 END) / 2
+             AS BIGINT) AS cut_sub0,
+        CAST(SUM(CASE WHEN sa.side = 1 AND sb.side = 1
+                      AND qa.quadrant <> qb.quadrant THEN 1 ELSE 0 END) / 2
+             AS BIGINT) AS cut_sub1
+      FROM edges e
+      JOIN sides sa ON sa.id = e.src JOIN sides sb ON sb.id = e.dst
+      JOIN quad qa ON qa.id = e.src JOIN quad qb ON qb.id = e.dst
+    )
+    SELECT q.quadrant,
+      CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      CAST(SUM(d.d) AS BIGINT) AS volume,
+      CAST(SUM(COALESCE(ie.same, 0)) / 2 AS BIGINT) AS internal_edges,
+      cuts.cut_2way, cuts.cut_sub0, cuts.cut_sub1, cuts.cut_4way
+    FROM quad q
+    JOIN deg d ON d.id = q.id
+    LEFT JOIN (
+      SELECT e.src AS id, COUNT(*) AS same
+      FROM edges e JOIN quad qa ON qa.id = e.src
+      JOIN quad qb ON qb.id = e.dst
+      WHERE qa.quadrant = qb.quadrant GROUP BY e.src
+    ) ie ON ie.id = q.id
+    CROSS JOIN cuts
+    GROUP BY q.quadrant, cuts.cut_2way, cuts.cut_sub0, cuts.cut_sub1,
+             cuts.cut_4way
+    """,
+)
+def part_spectral_4way(spark, sf_dir):
+    """Recursive spectral 4-way partition (round-7 VERDICT "next" #6): the
+    Fiedler bisection's two sides are each bisected AGAIN by a fresh
+    FIEDLER_SUB_ROUNDS-round chain on their induced subgraphs, giving
+    four catalog quadrants with per-quadrant node count, volume (degree
+    mass in the FULL graph — the conductance denominator), and internal
+    edge count, alongside the parent 2-way cut, each side's internal
+    sub-cut, and the total 4-way cut (= 2way + sub0 + sub1; computed
+    independently from the quadrant labels as a consistency check).
+    Same-side nodes with no same-side edge are isolated in their induced
+    subgraph, never enter its chain, and land deterministically in the
+    side's sub-0 quadrant (COALESCE) in both engines.
+
+    Scale shape: the parent chain's cost model (one edges-x-iterate
+    equi-join per round, checkpoint every second round) applies per side,
+    and the induced subgraphs are node-disjoint — the two sub-chains
+    together touch no more edges than the parent. All cut/volume stats
+    are integer equi-join aggregates."""
+    v, edges = _fiedler_vector(spark, sf_dir)
+    sides = v.select(
+        "id", F.when(F.col("v") >= 0, 1).otherwise(0).alias("side")
+    ).persist()
+    sa = sides.select(F.col("id").alias("_a"), F.col("side").alias("side_a"))
+    sb = sides.select(F.col("id").alias("_b"), F.col("side").alias("side_b"))
+    tagged = (
+        edges.join(sa, edges.src == sa._a)
+        .join(sb, edges.dst == sb._b)
+        .select("src", "dst", "side_a", "side_b")
+        .persist()
+    )
+    subs = []
+    for s in (0, 1):
+        es = (
+            tagged.filter((F.col("side_a") == s) & (F.col("side_b") == s))
+            .select("src", "dst")
+            .persist()
+        )
+        vs = _fiedler_iterate(es, FIEDLER_SUB_ROUNDS)
+        subs.append(
+            vs.select(
+                "id", F.when(F.col("v") >= 0, 1).otherwise(0).alias("sub")
+            )
+        )
+    sub = subs[0].unionByName(subs[1])
+    quad = (
+        sides.join(sub, "id", "left")
+        .select(
+            "id",
+            (F.col("side") * 2 + F.coalesce(F.col("sub"), F.lit(0)))
+            .cast("bigint")
+            .alias("quadrant"),
+        )
+        .persist()
+    )
+    qa = quad.select(F.col("id").alias("_qa"), F.col("quadrant").alias("quad_a"))
+    qb = quad.select(F.col("id").alias("_qb"), F.col("quadrant").alias("quad_b"))
+    etag = (
+        tagged.join(qa, tagged.src == qa._qa)
+        .join(qb, tagged.dst == qb._qb)
+        .select("src", "dst", "side_a", "side_b", "quad_a", "quad_b")
+    )
+    cuts = F.broadcast(
+        etag.agg(
+            (F.sum((F.col("side_a") != F.col("side_b")).cast("int")) / 2)
+            .cast("bigint")
+            .alias("cut_2way"),
+            (F.sum((F.col("quad_a") != F.col("quad_b")).cast("int")) / 2)
+            .cast("bigint")
+            .alias("cut_4way"),
+            (
+                F.sum(
+                    (
+                        (F.col("side_a") == 0)
+                        & (F.col("side_b") == 0)
+                        & (F.col("quad_a") != F.col("quad_b"))
+                    ).cast("int")
+                )
+                / 2
+            )
+            .cast("bigint")
+            .alias("cut_sub0"),
+            (
+                F.sum(
+                    (
+                        (F.col("side_a") == 1)
+                        & (F.col("side_b") == 1)
+                        & (F.col("quad_a") != F.col("quad_b"))
+                    ).cast("int")
+                )
+                / 2
+            )
+            .cast("bigint")
+            .alias("cut_sub1"),
+        )
+    )
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    internal = (
+        etag.filter(F.col("quad_a") == F.col("quad_b"))
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("same"))
+    )
+    return (
+        quad.join(deg, "id")
+        .join(internal, "id", "left")
+        .groupBy("quadrant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("d").cast("bigint").alias("volume"),
+            (F.sum(F.coalesce(F.col("same"), F.lit(0))) / 2)
+            .cast("bigint")
+            .alias("internal_edges"),
+        )
+        .crossJoin(cuts)
+        .select(
+            "quadrant", "n_nodes", "volume", "internal_edges",
+            "cut_2way", "cut_sub0", "cut_sub1", "cut_4way",
+        )
     )
 
 

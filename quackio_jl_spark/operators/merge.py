@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.exact import DEC
+from ..lineage import audit_rounds, truncate as _truncate_lineage
 from ..plans.registry import query, table
 
 __all__ = ["upsert"]
@@ -1262,7 +1263,8 @@ def linkage_fs_em_converged(spark, sf_dir):
             )
         ],
         F.lit(50000000).cast("bigint").alias("lam"),
-    ).localCheckpoint()
+    )
+    params = _truncate_lineage(params)
 
     def _prod(pfx, init):
         # init is the prior factor (lam or 1-lam) folded in as the FIRST
@@ -1342,7 +1344,8 @@ def linkage_fs_em_converged(spark, sf_dir):
             )
             .cast("bigint")
             .alias("lam"),
-        ).localCheckpoint()
+        )
+        params = _truncate_lineage(params)
         lam_by_round[r] = params.select(F.col("lam").alias(f"lambda{r}_e8"))
 
     out = None

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..lineage import audit_rounds, truncate as _truncate_lineage
 from ..plans.registry import query, table
 from .similarity import _cosine_sql, _dot_sql, cosine
 
@@ -1271,7 +1272,7 @@ def _power_iterate(covf, v, iters):
     Floor-quantized integer micro-unit sums + per-round 1e-10
     floor-quantization of the iterate, exactly as in _pca_oracle."""
     nrm = None
-    for _ in range(iters):
+    for _ in range(audit_rounds(iters)):
         u = (
             covf.join(v, "j")
             .groupBy("i")
@@ -1305,7 +1306,7 @@ def _power_iterate(covf, v, iters):
         # rounds' joins and Catalyst's analysis cost grows multiplicatively
         # (the two-chain deflation query planned for minutes). Checkpointed,
         # every round starts from a flat d-row scan.
-        nrm = nrm.localCheckpoint()
+        nrm = _truncate_lineage(nrm)
         v = (
             u.crossJoin(F.broadcast(nrm))
             .select(
@@ -1317,8 +1318,8 @@ def _power_iterate(covf, v, iters):
                     / F.lit(1e10)
                 ).alias("v"),
             )
-            .localCheckpoint()
         )
+        v = _truncate_lineage(v)
     return v, nrm
 
 
@@ -1730,7 +1731,7 @@ def _deflate(covf, v1, n1):
     localCheckpointed (d x d rows; every round of the next chain reads it)."""
     vi = v1.select(F.col("j").alias("i"), F.col("v").alias("vi"))
     vj = v1.select("j", F.col("v").alias("vj"))
-    return (
+    out = (
         covf.join(F.broadcast(vi), "i")
         .join(F.broadcast(vj), "j")
         .crossJoin(F.broadcast(n1))
@@ -1747,8 +1748,9 @@ def _deflate(covf, v1, n1):
                 / F.lit(1e12)
             ).alias("cov"),
         )
-        .localCheckpoint()
     )
+    out = _truncate_lineage(out)
+    return out
 
 
 def _pca3_oracle() -> str:

@@ -169,7 +169,7 @@ _DP_EPS = 1.0
           * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
           * round(ln(1 - 2 * least(abs(u - 0.5), 0.4999999999)), 8),
         4) AS noisy_count,
-      {_DP_EPS} AS demo_epsilon
+      CAST({_DP_EPS} AS DOUBLE) AS demo_epsilon
     FROM noised
     """,
 )

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..lineage import audit_rounds, truncate as _truncate_lineage
 from ..plans.registry import query, table
 from .dedup import _PARA_SEGS_SQL, _para_segments
 
@@ -1267,7 +1268,7 @@ def source_bradley_terry_strengths(spark, sf_dir):
             / F.lit(1e6)
         ).cast("double")
 
-    for _ in range(BT_ROUNDS):
+    for _ in range(audit_rounds(BT_ROUNDS)):
         pi = p.select(F.col("source").alias("i"), F.col("p").alias("p_i"))
         pj = p.select(F.col("source").alias("j"), F.col("p").alias("p_j"))
         den = (
@@ -1304,8 +1305,8 @@ def source_bradley_terry_strengths(spark, sf_dir):
                     / F.lit(1e10)
                 ).alias("p"),
             )
-            .localCheckpoint()
         )
+        p = _truncate_lineage(p)
     games = gd.groupBy(F.col("i").alias("source")).agg(
         F.sum("n").cast("bigint").alias("games")
     )

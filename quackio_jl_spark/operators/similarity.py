@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..lineage import audit_rounds, truncate as _truncate_lineage
 from ..plans.registry import query, table
 
 _SCALE = 1e9  # fixed-point scale: ~9 significant decimals, no int64 overflow
@@ -1127,10 +1128,10 @@ def embedding_kcenter_coreset(spark, sf_dir):
     m = (
         e.crossJoin(F.broadcast(c.select("cv")))
         .select("vec_id", "embedding", d2("embedding", "cv").alias("mind"))
-        .localCheckpoint()
     )
+    m = _truncate_lineage(m)
     centers = [first.select("vec_id", F.lit(None).cast("double").alias("radius"))]
-    for _ in range(2, KC_CENTERS + 1):
+    for _ in range(2, audit_rounds(KC_CENTERS) + 1):
         pick = (
             m.agg(
                 F.max(
@@ -1147,8 +1148,8 @@ def embedding_kcenter_coreset(spark, sf_dir):
                 F.col("p.mind").alias("radius"),
                 F.col("p.embedding").alias("cv"),
             )
-            .localCheckpoint()
         )
+        pick = _truncate_lineage(pick)
         centers.append(pick.select("vec_id", "radius"))
         m = (
             m.crossJoin(F.broadcast(pick.select("cv")))
@@ -1157,8 +1158,8 @@ def embedding_kcenter_coreset(spark, sf_dir):
                 "embedding",
                 F.least(F.col("mind"), d2("embedding", "cv")).alias("mind"),
             )
-            .localCheckpoint()
         )
+        m = _truncate_lineage(m)
     cov = F.broadcast(m.agg(F.max("mind").alias("covering_radius")))
     out = None
     for rank, cdf in enumerate(centers, start=1):

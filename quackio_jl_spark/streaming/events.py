@@ -942,3 +942,150 @@ def cdc_chunk_dedup_stream(
     return spark.read.parquet(dest).select(
         "doc_id", "chunk_idx", "chunk_len", "chunk_hash"
     )
+
+
+def incremental_dedup_stream(
+    spark: SparkSession, sf_dir: str, queryName: str = "incdedup_stream"
+) -> DataFrame:
+    """Streaming twin #14 (round-7 VERDICT "next" #7): ingest-time LSH
+    dedup against a PERSISTED index — the daily-ingestion deployment
+    shape of dedup_incremental_vs_index. "Today's crawl" (doc_id %
+    BATCH_MOD == 0) arrives on a file stream; the corpus index (everything
+    else) is a static band table, skew-capped exactly like the batch
+    operator. The stream side computes its MinHash signature IN-ROW
+    (array_min over transform of the shingle array — the same min the
+    batch groupBy takes, but stateless so the stream needs no aggregation
+    state), explodes its band keys, stream-static joins the capped index
+    buckets, dedups candidate pairs (unbounded-in-time by design, bounded
+    by distinct pairs), and verifies exact Jaccard against the static
+    shingle-set table. Every join is stream-static inner — supported in
+    append mode with no watermark.
+
+    Scale shape: per micro-batch cost is O(batch bands) — the index never
+    re-shuffles (bucketed storage in production, sources/bucketing.py),
+    which is the whole point of the asymmetric design."""
+    from ..operators.dedup import (
+        BATCH_MOD,
+        JACCARD_THRESHOLD,
+        LSH_BAND_SIZE,
+        LSH_MAX_BUCKET,
+        N_MINHASH,
+        SHINGLE_K,
+        minhash_signatures,
+        shingles_all,
+    )
+
+    d_static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_bands = N_MINHASH // LSH_BAND_SIZE
+    sig = minhash_signatures(d_static)
+    bands_static = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            *[
+                                F.col(f"h{b * LSH_BAND_SIZE + j}")
+                                for j in range(LSH_BAND_SIZE)
+                            ]
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    ib = bands_static.filter(F.col("doc_id") % BATCH_MOD != 0).persist()
+    iok = (
+        ib.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= LSH_MAX_BUCKET)
+        .select("band", "key")
+        .persist()
+    )
+    sets_ = (
+        shingles_all(d_static)
+        .select("doc_id", F.substring(F.md5("shingle"), 1, 16).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("s"))
+        .persist()
+    )
+
+    docs = _documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % BATCH_MOD == 0
+    )
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= SHINGLE_K
+    )
+    sh_arr = F.transform(
+        F.sequence(F.lit(0), F.size("t") - SHINGLE_K),
+        lambda i: F.concat_ws(" ", F.slice("t", i + 1, SHINGLE_K)),
+    )
+    with_sh = toks.select("doc_id", sh_arr.alias("sh"))
+    def _slice_fn(g, j):
+        # closure factory: default-arg lambdas confuse PySpark's HOF arity
+        # inspection (it sees 3 params and binds a 3-arg lambda)
+        return lambda s: F.substring(
+            F.md5(F.concat(F.lit(f"{g}:"), s)), 8 * j + 1, 8
+        )
+
+    sig_cols = []
+    for i in range(N_MINHASH):
+        g, j = divmod(i, 4)
+        sig_cols.append(
+            F.array_min(
+                F.transform(F.col("sh"), _slice_fn(g, j))
+            ).alias(f"h{i}")
+        )
+    ssig = with_sh.select("doc_id", *sig_cols)
+    sbands = ssig.select(
+        F.col("doc_id").alias("new_doc"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            *[
+                                F.col(f"h{b * LSH_BAND_SIZE + j}")
+                                for j in range(LSH_BAND_SIZE)
+                            ]
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("new_doc", "bk.band", "bk.key")
+    cand = (
+        sbands.join(iok, ["band", "key"])
+        .join(
+            ib.select(F.col("doc_id").alias("dup_of"), "band", "key"),
+            ["band", "key"],
+        )
+        .select("new_doc", "dup_of")
+        .dropDuplicates(["new_doc", "dup_of"])
+    )
+    s1 = sets_.select(F.col("doc_id").alias("new_doc"), F.col("s").alias("s1"))
+    s2 = sets_.select(F.col("doc_id").alias("dup_of"), F.col("s").alias("s2"))
+    c = F.size(F.array_intersect("s1", "s2"))
+    jac = c.cast("double") / (F.size("s1") + F.size("s2") - c)
+    verified = (
+        cand.join(s1, "new_doc")
+        .join(s2, "dup_of")
+        .select("new_doc", "dup_of", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    q = (
+        verified.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT new_doc, dup_of, jaccard FROM {queryName}")

@@ -179,3 +179,70 @@ def test_mmd_permutation_test_rejects_null(spark):
         ).collect()
     }
     assert r["mmd2_observed"] == drift["label"]["mmd2_linear"]
+
+
+def test_conformal_band_holds_at_small_sf_too(spark):
+    """Round-7 VERDICT "next" #8 (first half): the realized-coverage band
+    must hold on the sf0.001 fixture as well — the SF that exposed the
+    round-6 PCA flake. Same generous band as the sf0.01 check: corpus-fit
+    NB scores are not perfectly exchangeable, so a specific split may sit
+    below 1 - alpha; collapse is what this pins."""
+    r = QUERIES["langid_conformal_sets"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r["qhat_e6"] >= 0 and r["n_cal"] > 0 and r["n_eval"] > 0
+    cov = r["n_covered"] / r["n_eval"]
+    assert 0.75 <= cov <= 1.0
+    assert 1.0 <= r["sum_set_size"] / r["n_eval"] <= 5
+
+
+def test_split_conformal_exact_coverage_guarantee(spark):
+    """Round-7 VERDICT "next" #8 (second half): split-conformal's
+    finite-sample guarantee E[coverage] >= 1 - alpha is EXACT when
+    calibration and eval scores are exchangeable — which the corpus query
+    can't promise (the NB is fit on the same corpus), but a synthetic
+    exchangeable fixture can. 20 independent salted experiments, each
+    with its own md5-derived iid scores and its own ~50/50 split, run the
+    exact same threshold recipe as langid_conformal_sets (order statistic
+    ceil((n_cal+1)*(1-alpha)) over the calibration scores). Everything is
+    a pure hash function of (salt, id), so the observed mean coverage is
+    deterministic: 0.906152 >= 0.9 documents the guarantee the operator's
+    docstring claims; per-split minimum 0.8892 shows the single-split dip
+    the corpus band tests allow for."""
+    N, SALTS = 2000, 20
+    r = spark.sql(f"""
+        WITH ids AS (SELECT id FROM range(1, {N + 1})),
+        salted AS (
+          SELECT b, id,
+            CAST(conv(substr(md5(concat(
+              'score:', CAST(b AS STRING), ':', CAST(id AS STRING))), 1, 8),
+              16, 10) AS BIGINT) AS s,
+            CASE WHEN substr(md5(concat(
+              'split', CAST(b AS STRING), ':', CAST(id AS STRING))), 1, 1)
+              IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END AS is_cal
+          FROM ids LATERAL VIEW explode(sequence(0, {SALTS - 1})) t AS b
+        ),
+        cal_ranked AS (
+          SELECT b, s,
+            ROW_NUMBER() OVER (PARTITION BY b ORDER BY s, id) AS rk,
+            COUNT(*) OVER (PARTITION BY b) AS n_cal
+          FROM salted WHERE is_cal = 1
+        ),
+        qhat AS (
+          SELECT b, MIN(s) AS qhat FROM cal_ranked
+          WHERE rk >= CAST(ceil((n_cal + 1) * 0.9) AS BIGINT)
+          GROUP BY b
+        ),
+        cov AS (
+          SELECT e.b,
+            AVG(CASE WHEN e.s <= q.qhat THEN 1.0 ELSE 0.0 END) AS coverage
+          FROM salted e JOIN qhat q ON e.b = q.b
+          WHERE e.is_cal = 0 GROUP BY e.b
+        )
+        SELECT MIN(coverage) AS min_cov, AVG(coverage) AS mean_cov
+        FROM cov
+    """).collect()[0]
+    assert float(r["mean_cov"]) >= 0.9, (
+        f"exchangeable-fixture mean coverage {r['mean_cov']} < nominal 0.9"
+    )
+    assert float(r["min_cov"]) >= 0.85

@@ -1263,3 +1263,19 @@ def test_cdc_chunk_dedup_stream_matches_batch(spark):
     assert {r["chunk_hash"] for r in kept} == set(batch_by_hash)
     for r in kept:
         assert r["chunk_len"] in batch_by_hash[r["chunk_hash"]]
+
+
+def test_incremental_dedup_stream_matches_batch(spark):
+    """Streaming LSH ingest dedup (#14 batch==stream equivalence): the
+    verified pair set from the stream-static pipeline must equal the batch
+    operator's output on the same batch split, jaccard values included."""
+    import __spark_entry__ as entry
+    from quackio_jl_spark.streaming.events import incremental_dedup_stream
+
+    stream_res = incremental_dedup_stream(spark, SF_DIR).collect()
+    batch_res = entry.queries()["dedup_incremental_vs_index"](
+        spark, SF_DIR
+    ).collect()
+    s = {(r["new_doc"], r["dup_of"]): r["jaccard"] for r in stream_res}
+    b = {(r["new_doc"], r["dup_of"]): r["jaccard"] for r in batch_res}
+    assert s == b and len(b) > 0

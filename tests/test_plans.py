@@ -81,19 +81,28 @@ WAIVED_UNBOUNDED_WINDOWS = {
 }
 
 
-def test_no_cartesian_row_python_or_unbounded_window_in_any_query(spark):
+def test_no_cartesian_row_python_or_unbounded_window_in_any_query(
+    spark, monkeypatch
+):
     """Sweep EVERY registered query in one pass: no CartesianProduct
     (unbounded all-pairs — the classic scale killer), no BatchEvalPython
     (row-at-a-time Python UDF; Arrow-batched MapInPandas/ArrowEvalPython
     are the sanctioned Python escapes), and no unpartitioned-unbounded
     window outside the justified waiver list (single-partition sort of a
     scaling table — the r6 vocab_coverage_curve class). Stale waivers fail
-    too, so the list can only shrink without code change."""
+    too, so the list can only shrink without code change.
+
+    Runs under SPARK_GRAFT_AUDIT_NO_CHECKPOINT=1 so eager checkpoints in
+    iterative operators become identity and the sweep sees FULL iteration
+    bodies — round-7 VERDICT #2 found the Fiedler chain's 17-second loop
+    invisible to this sweep because localCheckpoint truncated the plan at
+    every round boundary."""
     import sys
 
     sys.path.insert(0, "tools")
     from plan_audit import classify_windows
 
+    monkeypatch.setenv("SPARK_GRAFT_AUDIT_NO_CHECKPOINT", "1")
     offenders = {}
     flagged_windows = set()
     for name, fn in QUERIES.items():

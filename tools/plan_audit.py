@@ -150,6 +150,14 @@ def audit(p: str) -> dict:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    # See through iterative operators: checkpoints become identity and
+    # unrolled loops cap at 2 rounds (quackio_jl_spark/lineage.py), so the
+    # audited plan contains the FULL iteration body — round-7 VERDICT #2
+    # found the Fiedler chain reporting "0 exchanges" because eager
+    # localCheckpoints truncated everything the explain could see.
+    import os
+
+    os.environ["SPARK_GRAFT_AUDIT_NO_CHECKPOINT"] = "1"
     from quackio_jl_spark.registry import QUERIES
     from quackio_jl_spark.session import get_spark
 
