@@ -2228,8 +2228,17 @@ def _fiedler_vector(spark, sf_dir):
 def _fiedler_iterate(edges, rounds):
     """The deflated power iteration itself over any persisted symmetric
     edge frame (src, dst) — reused by the 4-way recursive bisection on
-    the induced per-side subgraphs. Same arithmetic as before the round-8
-    refactor; FIEDLER_ROUNDS callers are byte-identical."""
+    the induced per-side subgraphs.
+
+    Round-8 cost shape: everything STATIC across rounds is hoisted out of
+    the loop — the per-edge normalizer den = s_i * s_j and the per-node
+    projection factor sr = s / r2m are computed once into persisted
+    frames, so each round is ONE edges-x-iterate equi-join + one node
+    join + two broadcast scalar aggregates (was five joins + three
+    crossJoins). The hoisted columns are the exact subtrees the round
+    expressions already contained ((si.s * sj.s) and (su.s / tm.r2m)),
+    so every IEEE operation and its association are unchanged and the
+    unrolled DuckDB oracle still matches bit-for-bit."""
     deg = (
         edges.groupBy(F.col("src").alias("id"))
         .agg(F.count(F.lit(1)).alias("d"))
@@ -2239,6 +2248,19 @@ def _fiedler_iterate(edges, rounds):
     ).persist()
     r2m = F.broadcast(
         deg.agg(F.sqrt(F.sum("d").cast("double")).alias("r2m"))
+    )
+    sun = (
+        su.crossJoin(r2m)
+        .select("id", (F.col("s") / F.col("r2m")).alias("sr"))
+        .persist()
+    )
+    si = su.select(F.col("id").alias("_i"), F.col("s").alias("si"))
+    sj = su.select(F.col("id").alias("_j"), F.col("s").alias("sj"))
+    esd = (
+        edges.join(si, edges.src == si._i)
+        .join(sj, edges.dst == sj._j)
+        .select("src", "dst", (F.col("si") * F.col("sj")).alias("den"))
+        .persist()
     )
     v = su.select(
         "id",
@@ -2261,20 +2283,19 @@ def _fiedler_iterate(edges, rounds):
         .alias("v"),
     )
     v = _truncate_lineage(v)
-    si = su.select(F.col("id").alias("_i"), F.col("s").alias("si"))
-    sj = su.select(F.col("id").alias("_j"), F.col("s").alias("sj"))
     n_rounds = audit_rounds(rounds)
     for _round in range(1, n_rounds + 1):
         m = (
-            edges.join(v.select(F.col("id").alias("_j"), "v"), edges.dst == F.col("_j"))
-            .join(si, edges.src == si._i)
-            .join(sj, edges.dst == sj._j)
+            esd.join(
+                v.select(F.col("id").alias("_j"), "v"),
+                esd.dst == F.col("_j"),
+            )
             .groupBy(F.col("src").alias("id"))
             .agg(
                 F.sum(
                     F.floor(
                         (F.col("v") / F.lit(1e10))
-                        / (F.col("si") * F.col("sj"))
+                        / F.col("den")
                         * F.lit(1e10)
                     ).cast("bigint")
                 )
@@ -2283,7 +2304,7 @@ def _fiedler_iterate(edges, rounds):
             )
         )
         t = v.join(m, "id").select("id", (F.col("v") + F.col("msum")).alias("t"))
-        tu = t.join(su, "id").crossJoin(r2m)
+        tu = t.join(sun, "id")
         # c and n are 1-row aggregates referenced ONCE each downstream:
         # left lazy (only the round-end iterate v is checkpointed), so each
         # round costs one job instead of three eager materializations
@@ -2291,8 +2312,7 @@ def _fiedler_iterate(edges, rounds):
             tu.agg(
                 F.sum(
                     F.floor(
-                        F.col("s")
-                        / F.col("r2m")
+                        F.col("sr")
                         * (F.col("t") / F.lit(1e10))
                         * F.lit(1e10)
                     ).cast("bigint")
@@ -2308,7 +2328,7 @@ def _fiedler_iterate(edges, rounds):
                 - F.floor(
                     F.col("c")
                     / F.lit(1e10)
-                    * (F.col("s") / F.col("r2m"))
+                    * F.col("sr")
                     * F.lit(1e10)
                 ).cast("bigint")
             ).alias("t"),
@@ -2336,14 +2356,14 @@ def _fiedler_iterate(edges, rounds):
             .cast("bigint")
             .alias("v"),
         )
-        # Truncate every SECOND round (and always the last): a 2-round
-        # plan body is far below the ~6-round analyzer blowup, and each
-        # eager checkpoint is a full Spark job — at 10 rounds x 2 chains
-        # the per-round posture was the single largest bench cost
-        # (VERDICT r7 #3). Arithmetic is unchanged: checkpointing is a
-        # materialization boundary, not a computation.
-        if _round % 2 == 0 or _round == n_rounds:
-            v = _truncate_lineage(v)
+        # Truncate EVERY round: tu and q are each referenced twice within
+        # a round, so k un-truncated rounds recompute ~4^k-fold — measured
+        # 6.5k stages / 356 s per chain at k=3, and persist() did not
+        # short-circuit it inside a single eager job. One checkpoint per
+        # round (the round-7 posture) keeps the recompute factor constant;
+        # the round-8 win comes from the hoisted statics (3 fewer joins
+        # per round), not from checkpoint thinning.
+        v = _truncate_lineage(v)
     return v
 
 
