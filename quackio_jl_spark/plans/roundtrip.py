@@ -645,3 +645,80 @@ def roundtrip_parquet_http_ranged(spark, sf_dir):
         return out
     finally:
         httpd.shutdown()
+
+
+@query(
+    "roundtrip_parquet_http_pruned",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+      CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+      CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        AS cents
+    FROM orders
+    WHERE o_orderkey BETWEEN 1000 AND 2000
+    """,
+)
+def roundtrip_parquet_http_pruned(spark, sf_dir):
+    """Zone-map row-group skipping over remote parquet: orders is
+    rewritten key-sorted into many small row groups, served over the
+    Range-honoring HTTP server, and scanned with rg_filter=(o_orderkey,
+    1000, 2000) — the footer min/max statistics prune every row group
+    whose key span misses the predicate BEFORE any body byte is
+    requested (DuckDB-httpfs's remote zone-map behavior). The query
+    RAISES unless pruning actually dropped groups AND no whole-file GET
+    ran, so the gate enforces the scan shape, and the exact .filter()
+    on top makes the aggregate hash-match DuckDB reading the original
+    table. Same bare eager localCheckpoint as the unpruned twin: the
+    server dies when the function returns."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..sources.httpranged import (
+        RangeFileHandler,
+        read_parquet_url_ranged,
+        serve_directory_ranged,
+    )
+
+    src = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice"],
+    ).sort_by("o_orderkey")
+    tmp = tempfile.mkdtemp(prefix="http_pruned_")
+    pq.write_table(src, f"{tmp}/orders_sorted.parquet", row_group_size=500)
+    httpd, port = serve_directory_ranged(tmp)
+    RangeFileHandler.range_count = RangeFileHandler.full_count = 0
+    try:
+        url = f"http://127.0.0.1:{port}/orders_sorted.parquet"
+        df = read_parquet_url_ranged(
+            spark, url, rg_filter=("o_orderkey", 1000, 2000)
+        )
+        n_total_groups = pq.read_metadata(
+            f"{tmp}/orders_sorted.parquet"
+        ).num_row_groups
+        n_kept = df.rdd.getNumPartitions()
+        if not n_kept < n_total_groups:
+            raise ValueError(
+                f"zone-map pruning kept all {n_total_groups} row groups; "
+                "expected the key-sorted layout to skip most of them"
+            )
+        out = (
+            df.filter(F.col("o_orderkey").between(1000, 2000))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.min("o_orderkey").cast("bigint").alias("min_key"),
+                F.max("o_orderkey").cast("bigint").alias("max_key"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if RangeFileHandler.full_count > 0:
+            raise ValueError("whole-file GET ran during a pruned scan")
+        return out
+    finally:
+        httpd.shutdown()

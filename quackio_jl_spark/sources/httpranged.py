@@ -419,6 +419,10 @@ class HttpParquetReader(DataSourceReader):
         self.columns = (
             [c.strip() for c in cols.split(",")] if cols else None
         )
+        # optional zone-map pruning: a numeric [lo, hi] range on one column
+        self.filter_col = options.get("rgfiltercol")
+        self.filter_lo = options.get("rgfilterlo")
+        self.filter_hi = options.get("rgfilterhi")
 
     def partitions(self):
         size, ranged = _probe(self.url)
@@ -429,12 +433,39 @@ class HttpParquetReader(DataSourceReader):
                 "download via sources.readers (fetch-to-temp) instead"
             )
         md = _parquet_footer(self.url, size)
-        # one InputPartition per row group: the parquet-native split
-        # boundary (each is a self-contained column-chunk run)
-        return [
-            InputPartition((self.url, size, rg))
-            for rg in range(md.num_row_groups)
-        ]
+        keep = range(md.num_row_groups)
+        if self.filter_col:
+            # zone-map skipping on footer statistics — the scan never
+            # requests a pruned row group's bytes, which at 100 TB remote
+            # is the difference between touching one zone and the corpus.
+            # Conservative: a group without stats is kept; the caller's
+            # .filter() still applies row-exactness either way.
+            names = [
+                md.schema.column(i).name for i in range(md.num_columns)
+            ]
+            try:
+                ci = names.index(self.filter_col)
+            except ValueError:
+                raise ValueError(
+                    f"rgFilterCol {self.filter_col!r} not in {names}"
+                )
+            lo = float(self.filter_lo) if self.filter_lo is not None else None
+            hi = float(self.filter_hi) if self.filter_hi is not None else None
+            kept = []
+            for rg in keep:
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    kept.append(rg)
+                    continue
+                if lo is not None and float(st.max) < lo:
+                    continue
+                if hi is not None and float(st.min) > hi:
+                    continue
+                kept.append(rg)
+            keep = kept
+        # one InputPartition per surviving row group: the parquet-native
+        # split boundary (each is a self-contained column-chunk run)
+        return [InputPartition((self.url, size, rg)) for rg in keep]
 
     def read(self, partition):
         import pyarrow as pa
@@ -486,16 +517,32 @@ class HttpParquetDataSource(DataSource):
         )
 
 
-def read_parquet_url_ranged(spark, url: str, columns: list[str] | None = None):
+def read_parquet_url_ranged(
+    spark,
+    url: str,
+    columns: list[str] | None = None,
+    rg_filter: tuple | None = None,
+):
     """Remote-parquet DataFrame over per-row-group ranged GETs; pass
     ``columns`` to prune column chunks at the HTTP layer (only the named
-    columns' byte ranges are ever requested)."""
+    columns' byte ranges are ever requested), and ``rg_filter =
+    (col, lo, hi)`` (either bound may be None) to zone-map-skip whole row
+    groups from the footer statistics — pruned groups cost ZERO body
+    bytes. The skip is conservative (stats-less groups are kept); apply
+    the exact predicate with .filter() on the result as usual."""
     if not HAS_DATASOURCE_API:  # pragma: no cover
         raise NotImplementedError("pyspark >= 4 required for the DataSource API")
     spark.dataSource.register(HttpParquetDataSource)
     r = spark.read.format("http_parquet").option("url", url)
     if columns:
         r = r.option("columns", ",".join(columns))
+    if rg_filter:
+        col, lo, hi = rg_filter
+        r = r.option("rgFilterCol", col)
+        if lo is not None:
+            r = r.option("rgFilterLo", str(lo))
+        if hi is not None:
+            r = r.option("rgFilterHi", str(hi))
     return r.load()
 
 

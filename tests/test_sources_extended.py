@@ -921,3 +921,46 @@ def test_http_parquet_rejects_serverside_no_ranges(tmp_path, spark, basic_df):
                 ).collect()
         finally:
             httpd.shutdown()
+
+
+def test_http_parquet_zone_map_skip(tmp_path, spark):
+    """rg_filter prunes row groups from footer stats BEFORE any body
+    fetch: a key-sorted file with 10 groups scanned for one group's key
+    span yields exactly the overlapping partitions, correct rows, zero
+    full GETs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quackio_jl_spark.sources.httpranged import (
+        RangeFileHandler,
+        read_parquet_url_ranged,
+        serve_directory_ranged,
+    )
+
+    n = 1000
+    t = pa.table({"k": pa.array(range(n), type=pa.int64())})
+    pq.write_table(t, tmp_path / "s.parquet", row_group_size=100)
+    httpd, port = serve_directory_ranged(str(tmp_path))
+    RangeFileHandler.range_count = RangeFileHandler.full_count = 0
+    try:
+        df = read_parquet_url_ranged(
+            spark,
+            f"http://127.0.0.1:{port}/s.parquet",
+            rg_filter=("k", 250, 349),
+        )
+        # span [250, 349] overlaps exactly groups [200,299] and [300,399]
+        assert df.rdd.getNumPartitions() == 2
+        got = sorted(
+            r["k"] for r in df.filter("k BETWEEN 250 AND 349").collect()
+        )
+        assert got == list(range(250, 350))
+        assert RangeFileHandler.full_count == 0
+        # one-sided bounds work too
+        lo_only = read_parquet_url_ranged(
+            spark,
+            f"http://127.0.0.1:{port}/s.parquet",
+            rg_filter=("k", 850, None),
+        )
+        assert lo_only.rdd.getNumPartitions() == 2  # [800,899], [900,999]
+    finally:
+        httpd.shutdown()
