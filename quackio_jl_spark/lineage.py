@@ -60,3 +60,20 @@ def audit_rounds(n: int, floor: int = 2) -> int:
     normally, ``min(n, floor)`` under the audit flag (enough to audit the
     body and its composition without geometric plan growth)."""
     return min(n, floor) if audit_mode() else n
+
+
+def truncate_boundary(df: DataFrame) -> DataFrame:
+    """Materialize ALWAYS — even in audit mode. For CHAIN BOUNDARIES
+    inside composite queries that stack several iterative chains
+    (part_spectral_4way = parent Fiedler chain + two induced sub-chains +
+    cut statistics referencing the combined labels three times): with
+    identity checkpoints the composite's ANALYSIS re-embeds every chain
+    at every reference and Catalyst hangs (the audit sweep never returned
+    from explain()). Each chain's iteration BODY stays audit-visible
+    through the primitive query that owns it (part_fiedler_bisection for
+    the Fiedler body); the composite's own audited plan shows its unique
+    joins over boundary leaves."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..lineage import audit_rounds, truncate as _truncate_lineage
+from ..lineage import audit_rounds, truncate as _truncate_lineage, truncate_boundary
 from ..plans.registry import query, table
 from .dedup import _SHINGLES_SQL, _cand_sql, _minhash_sig_sql, dedup_minhash_lsh_pairs
 
@@ -2583,9 +2583,14 @@ def part_spectral_4way(spark, sf_dir):
     together touch no more edges than the parent. All cut/volume stats
     are integer equi-join aggregates."""
     v, edges = _fiedler_vector(spark, sf_dir)
-    sides = v.select(
-        "id", F.when(F.col("v") >= 0, 1).otherwise(0).alias("side")
-    ).persist()
+    # chain BOUNDARIES: materialized even in audit mode (see
+    # lineage.truncate_boundary) — three stacked chains re-embedded at
+    # every downstream reference hang Catalyst analysis otherwise
+    sides = truncate_boundary(
+        v.select(
+            "id", F.when(F.col("v") >= 0, 1).otherwise(0).alias("side")
+        )
+    )
     sa = sides.select(F.col("id").alias("_a"), F.col("side").alias("side_a"))
     sb = sides.select(F.col("id").alias("_b"), F.col("side").alias("side_b"))
     tagged = (
@@ -2603,8 +2608,11 @@ def part_spectral_4way(spark, sf_dir):
         )
         vs = _fiedler_iterate(es, FIEDLER_SUB_ROUNDS)
         subs.append(
-            vs.select(
-                "id", F.when(F.col("v") >= 0, 1).otherwise(0).alias("sub")
+            truncate_boundary(
+                vs.select(
+                    "id",
+                    F.when(F.col("v") >= 0, 1).otherwise(0).alias("sub"),
+                )
             )
         )
     sub = subs[0].unionByName(subs[1])
