@@ -176,6 +176,13 @@ def main() -> None:
         "",
         f"Regenerate: `python tools/plan_audit.py` (ran at {sf_dir}; plan shape",
         "is data-size-independent up to AQE's runtime join demotions).",
+        "Audited under SPARK_GRAFT_AUDIT_NO_CHECKPOINT=1: iterative",
+        "operators' checkpoints are identity and loops cap at 2 rounds, so",
+        "iteration BODIES are visible (the r7 blind spot). Consequence:",
+        "for iterative queries the exchange count tallies the UN-TRUNCATED",
+        "2-round plan including lazy recompute duplication — an upper",
+        "bound on plan complexity, NOT the runtime shuffle count (at run",
+        "time per-round checkpoints keep plan depth O(1)).",
         "Columns: shuffle-Exchange count, join strategies, scan-filter",
         "pushdown engaged, Python-eval nodes (Arrow-batched only, by",
         "design), top-k via TakeOrderedAndProject, window boundedness",
