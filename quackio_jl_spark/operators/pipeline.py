@@ -3520,3 +3520,122 @@ def epoch_shuffle_decorrelation(spark, sf_dir):
             "n_fixed_points",
         )
     )
+
+
+# ------------------------------------- temperature-scaled source mixture
+
+_TAU_EXPRS = {
+    # tau -> SQL expression computing n^tau from exact-integer n via
+    # NESTED SQRT only: sqrt is IEEE-correctly-rounded (unlike pow/exp/ln,
+    # which vary by libm build), so every grid point is bit-identical
+    # cross-engine. x MUST be the exact BIGINT token count cast to DOUBLE.
+    "0.25": "sqrt(sqrt({x}))",
+    "0.50": "sqrt({x})",
+    "0.75": "sqrt({x}) * sqrt(sqrt({x}))",
+    "1.00": "{x}",
+}
+
+
+@query(
+    "mixture_temperature_sampling",
+    oracle=f"""
+    WITH src AS (
+      SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tok_total FROM src),
+    q AS (
+      {" UNION ALL ".join(
+        f'''SELECT '{tau}' AS tau, source, n_docs, n_tokens,
+        CAST(floor(({expr.format(x="CAST(n_tokens AS DOUBLE)")}) * 1e6)
+             AS BIGINT) AS q6 FROM src'''
+        for tau, expr in _TAU_EXPRS.items())}
+    ),
+    qt AS (
+      SELECT tau, CAST(SUM(q6) AS BIGINT) AS q_total FROM q GROUP BY tau
+    )
+    SELECT q.tau, q.source, q.n_docs, q.n_tokens,
+      CAST(floor(CAST(q.q6 AS DOUBLE) / qt.q_total * 1e8) AS BIGINT)
+        AS weight_e8,
+      CAST(floor(
+        (CAST(q.q6 AS DOUBLE) / qt.q_total)
+        / (CAST(q.n_tokens AS DOUBLE) / tot.tok_total) * 1e6
+      ) AS BIGINT) AS upsample_e6
+    FROM q JOIN qt USING (tau) CROSS JOIN tot
+    """,
+)
+def mixture_temperature_sampling(spark, sf_dir):
+    """Temperature-scaled source mixture — the standard LLM-pretraining
+    reweighting p_s proportional to (tokens_s)^tau that upsamples small
+    high-value sources (tau < 1 flattens the natural distribution; tau=1
+    is proportional sampling). Reports, per tau in {{0.25, 0.5, 0.75, 1}}
+    and per source: the sampling weight and the implied upsampling factor
+    vs natural share (upsample > 1e6 means the source is drawn more often
+    than its token share — the quantity capped against repetition-overfit
+    in deployed recipes).
+
+    Determinism recipe: the tau grid is served entirely by NESTED SQRT
+    (n^0.25 = sqrt(sqrt(n)), n^0.75 = sqrt(n)*sqrt(sqrt(n))) — sqrt is
+    correctly rounded in every IEEE build, unlike pow/exp/ln whose libm
+    variation is exactly the drift class rounds 6-7 eliminated. Per-tau
+    normalizers are floor-quantized exact BIGINT sums; every double step
+    after them is a single correctly-rounded op on identical inputs.
+
+    Scale shape: one groupBy(source) over the corpus (map-side combined),
+    then all arithmetic on the <= n_sources x 4 grid. Nothing else
+    touches the data."""
+    d = table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    tot = F.broadcast(
+        src.agg(F.sum("n_tokens").cast("bigint").alias("tok_total"))
+    )
+    x = F.col("n_tokens").cast("double")
+    spark_tau = {
+        "0.25": F.sqrt(F.sqrt(x)),
+        "0.50": F.sqrt(x),
+        "0.75": F.sqrt(x) * F.sqrt(F.sqrt(x)),
+        "1.00": x,
+    }
+    q = None
+    for tau, expr in spark_tau.items():
+        branch = src.select(
+            F.lit(tau).alias("tau"),
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.floor(expr * F.lit(1e6)).cast("bigint").alias("q6"),
+        )
+        q = branch if q is None else q.unionByName(branch)
+    qt = q.groupBy("tau").agg(F.sum("q6").cast("bigint").alias("q_total"))
+    return (
+        q.join(qt, "tau")
+        .crossJoin(tot)
+        .select(
+            "tau",
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.floor(
+                F.col("q6").cast("double") / F.col("q_total") * F.lit(1e8)
+            )
+            .cast("bigint")
+            .alias("weight_e8"),
+            F.floor(
+                (F.col("q6").cast("double") / F.col("q_total"))
+                / (
+                    F.col("n_tokens").cast("double")
+                    / F.col("tok_total")
+                )
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("upsample_e6"),
+        )
+    )

@@ -246,3 +246,32 @@ def test_split_conformal_exact_coverage_guarantee(spark):
         f"exchangeable-fixture mean coverage {r['mean_cov']} < nominal 0.9"
     )
     assert float(r["min_cov"]) >= 0.85
+
+
+def test_temperature_mixture_invariants(spark):
+    """Temperature sampling mechanics: per tau the floor-quantized weights
+    sum to 1e8 minus at most one floor-loss unit per source; tau=1.00 is
+    natural sampling (upsample == 1e6 up to floor loss); and at tau<1 the
+    smallest source is upsampled while the largest is downsampled, more
+    strongly the lower the tau."""
+    rows = QUERIES["mixture_temperature_sampling"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    by_tau = {}
+    for r in rows:
+        by_tau.setdefault(r["tau"], []).append(r)
+    assert set(by_tau) == {"0.25", "0.50", "0.75", "1.00"}
+    for tau, grp in by_tau.items():
+        tot = sum(r["weight_e8"] for r in grp)
+        assert 100_000_000 - len(grp) <= tot <= 100_000_000
+        if tau == "1.00":
+            for r in grp:
+                assert 1_000_000 - 2 <= r["upsample_e6"] <= 1_000_000
+    smallest = min(by_tau["0.25"], key=lambda r: r["n_tokens"])["source"]
+    largest = max(by_tau["0.25"], key=lambda r: r["n_tokens"])["source"]
+    up = {
+        tau: {r["source"]: r["upsample_e6"] for r in grp}
+        for tau, grp in by_tau.items()
+    }
+    assert up["0.25"][smallest] > up["0.50"][smallest] > 1_000_000
+    assert up["0.25"][largest] < up["0.50"][largest] < 1_000_000
