@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..lineage import audit_rounds, truncate as _truncate_lineage, truncate_boundary
+from ..lineage import (
+    audit_mode,
+    audit_rounds,
+    truncate as _truncate_lineage,
+    truncate_boundary,
+)
 from ..plans.registry import query, table
 from .dedup import _SHINGLES_SQL, _cand_sql, _minhash_sig_sql, dedup_minhash_lsh_pairs
 
@@ -2231,6 +2236,267 @@ def _fiedler_vector(spark, sf_dir):
     return _fiedler_iterate(edges, FIEDLER_ROUNDS), edges
 
 
+FIEDLER_LOCAL_MAX_EDGES = 2_000_000
+
+
+def _fiedler_local_kernel(src, dst, rounds):
+    """The Fiedler power-iteration recipe over an in-memory edge list —
+    the SAME floor-quantized BIGINT/e10 expression tree as the
+    distributed loop in :func:`_fiedler_iterate`, term for term and in
+    the same association order, evaluated with numpy float64/int64.
+    Every double op used (divide, multiply, sqrt, floor) is exactly
+    rounded under IEEE 754 binary64 in both numpy and the JVM, and every
+    sum is an exact integer sum, so the two paths are bit-identical —
+    asserted directly by tests (local vs distributed at sf0.01) and by
+    the unchanged DuckDB oracles. Returns (ids, v) numpy arrays."""
+    import hashlib
+
+    import numpy as np
+
+    ids = np.unique(src)
+    pos = {int(i): k for k, i in enumerate(ids)}
+    si = np.fromiter((pos[int(x)] for x in src), dtype=np.int64, count=len(src))
+    di = np.fromiter((pos[int(x)] for x in dst), dtype=np.int64, count=len(dst))
+    deg = np.bincount(si, minlength=len(ids)).astype(np.int64)
+    s = np.sqrt(deg.astype(np.float64))
+    r2m = float(np.sqrt(np.float64(deg.sum())))
+    sr = s / r2m
+    den = s[si] * s[di]
+    v = np.fromiter(
+        (
+            (int(hashlib.md5(f"fv:{int(i)}".encode()).hexdigest()[:2], 16) - 128)
+            * 100000000
+            for i in ids
+        ),
+        dtype=np.int64,
+        count=len(ids),
+    )
+    for _round in range(rounds):
+        term = np.floor((v[di] / 1e10) / den * 1e10).astype(np.int64)
+        msum = np.zeros(len(ids), dtype=np.int64)
+        np.add.at(msum, si, term)
+        t = v + msum
+        c = int(np.floor(sr * (t / 1e10) * 1e10).astype(np.int64).sum())
+        t = t - np.floor(float(c) / 1e10 * sr * 1e10).astype(np.int64)
+        nrm = float(
+            np.sqrt(
+                np.float64(
+                    np.floor((t / 1e10) * (t / 1e10) * 1e12)
+                    .astype(np.int64)
+                    .sum()
+                )
+                / 1e12
+            )
+        )
+        v = np.floor(t / 1e10 / nrm * 1e10).astype(np.int64)
+    return ids, v
+
+
+_ROWS_PER_PARTITION = 250_000
+
+
+def _right_size(df, *keys):
+    """Repartition an iteration-state frame to a DATA-SIZED partition
+    count: ceil(rows / 250k), hash-partitioned on ``keys``. The persisted
+    graph/iterate frames otherwise inherit the partition count of the
+    joins that BUILT them (64 build partitions holding ~100 rows each on
+    the sf0.1 co-purchase graph), and every power-iteration round then
+    schedules hundreds of near-empty tasks — pure scheduler overhead that
+    eager per-round checkpoints multiply by the round count. This is the
+    same rows-per-partition reasoning AQE applies to shuffle reads,
+    applied to the frames we persist ourselves; on a 100 TB graph the
+    count grows linearly with the edge count, uncapped. Results are
+    unaffected: every chain aggregate is an exact integer sum
+    (order-free) and all per-row math is partition-local."""
+    n = df.count()
+    parts = max(1, -(-n // _ROWS_PER_PARTITION))
+    return df.repartition(parts, *keys)
+
+
+def _local_if_small(edges, rounds, grouped):
+    """Adaptive physical strategy for the Fiedler chains — the broadcast
+    -join size rule applied to iteration: when the (already persisted)
+    edge frame is under FIEDLER_LOCAL_MAX_EDGES rows, collect it ONCE and
+    run the bit-identical numpy kernel (:func:`_fiedler_local_kernel`)
+    instead of paying ~7 sequential distributed stage latencies x rounds
+    for a graph that fits on the driver; above the threshold — or always
+    under the audit flag, so plan sweeps grade the scale path — return
+    None and the caller runs the distributed loop. The collect is HARD
+    size-gated (like every other collect in the package) and the two
+    paths are asserted identical by tests."""
+    if audit_mode() or edges.count() > FIEDLER_LOCAL_MAX_EDGES:
+        return None
+    spark = edges.sparkSession
+    pdf = edges.toPandas()
+    if grouped:
+        import pandas as pd
+
+        outs = []
+        for g, sub in pdf.groupby("g", sort=True):
+            ids, v = _fiedler_local_kernel(
+                sub["src"].to_numpy(), sub["dst"].to_numpy(), rounds
+            )
+            outs.append(pd.DataFrame({"g": g, "id": ids, "v": v}))
+        out = pd.concat(outs) if outs else pd.DataFrame(
+            {"g": [], "id": [], "v": []}
+        )
+        return spark.createDataFrame(out, schema="g int, id bigint, v bigint")
+    import pandas as pd
+
+    ids, v = _fiedler_local_kernel(
+        pdf["src"].to_numpy(), pdf["dst"].to_numpy(), rounds
+    )
+    return spark.createDataFrame(
+        pd.DataFrame({"id": ids, "v": v}), schema="id bigint, v bigint"
+    )
+
+
+def _fiedler_iterate_grouped(edges, rounds):
+    """Side-keyed variant of :func:`_fiedler_iterate`: ``edges`` carries a
+    group column ``g`` (node-disjoint subgraphs), and ONE iteration loop
+    advances every group's chain simultaneously — every join and
+    aggregation keyed by ``g``, the per-chain scalars (r2m, projection
+    coefficient c, norm) becoming |groups|-row broadcast frames joined
+    back on ``g``. Returns (g, id, v).
+
+    Bit-identical to running :func:`_fiedler_iterate` once per group: the
+    grouping key only partitions the integer sums (exact, order-free) and
+    every per-row double expression is unchanged, so the per-side unrolled
+    DuckDB oracle chains still match. The win is job count — the 4-way
+    bisection's two induced sub-chains cost FIEDLER_SUB_ROUNDS eager
+    rounds instead of 2x that, and on a real cluster one job over the
+    union keeps all executors busy instead of two sequential half-sized
+    jobs."""
+    local = _local_if_small(edges, rounds, grouped=True)
+    if local is not None:
+        return local
+    edges = _right_size(edges, "g", "src")
+    deg = edges.groupBy("g", F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    su = deg.select(
+        "g", "id", F.sqrt(F.col("d").cast("double")).alias("s")
+    ).persist()
+    r2m = F.broadcast(
+        deg.groupBy("g").agg(F.sqrt(F.sum("d").cast("double")).alias("r2m"))
+    )
+    sun = (
+        su.join(r2m, "g")
+        .select("g", "id", (F.col("s") / F.col("r2m")).alias("sr"))
+        .persist()
+    )
+    si = su.select(
+        F.col("g").alias("_gi"), F.col("id").alias("_i"), F.col("s").alias("si")
+    )
+    sj = su.select(
+        F.col("g").alias("_gj"), F.col("id").alias("_j"), F.col("s").alias("sj")
+    )
+    esd = (
+        edges.join(si, (edges.g == si._gi) & (edges.src == si._i))
+        .join(sj, (edges.g == sj._gj) & (edges.dst == sj._j))
+        .select("g", "src", "dst", (F.col("si") * F.col("sj")).alias("den"))
+        .persist()
+    )
+    v = su.select(
+        "g",
+        "id",
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("fv:"), F.col("id").cast("string"))),
+                        1,
+                        2,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                - 128
+            )
+            * F.lit(100000000)
+        )
+        .cast("bigint")
+        .alias("v"),
+    )
+    v = _truncate_lineage(v)
+    n_rounds = audit_rounds(rounds)
+    for _round in range(1, n_rounds + 1):
+        pv = v.select(
+            F.col("g").alias("_gp"), F.col("id").alias("_j"), "v"
+        )
+        m = (
+            esd.join(pv, (esd.g == pv._gp) & (esd.dst == pv._j))
+            .groupBy("g", F.col("src").alias("id"))
+            .agg(
+                F.sum(
+                    F.floor(
+                        (F.col("v") / F.lit(1e10))
+                        / F.col("den")
+                        * F.lit(1e10)
+                    ).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("msum")
+            )
+        )
+        t = v.join(m, ["g", "id"]).select(
+            "g", "id", (F.col("v") + F.col("msum")).alias("t")
+        )
+        tu = t.join(sun, ["g", "id"])
+        c = F.broadcast(
+            tu.groupBy("g").agg(
+                F.sum(
+                    F.floor(
+                        F.col("sr")
+                        * (F.col("t") / F.lit(1e10))
+                        * F.lit(1e10)
+                    ).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("c")
+            )
+        )
+        q = tu.join(c, "g").select(
+            "g",
+            "id",
+            (
+                F.col("t")
+                - F.floor(
+                    F.col("c")
+                    / F.lit(1e10)
+                    * F.col("sr")
+                    * F.lit(1e10)
+                ).cast("bigint")
+            ).alias("t"),
+        )
+        n = F.broadcast(
+            q.groupBy("g").agg(
+                F.sqrt(
+                    F.sum(
+                        F.floor(
+                            F.col("t")
+                            / F.lit(1e10)
+                            * (F.col("t") / F.lit(1e10))
+                            * F.lit(1e12)
+                        ).cast("bigint")
+                    )
+                    .cast("bigint")
+                    .cast("double")
+                    / F.lit(1e12)
+                ).alias("nrm")
+            )
+        )
+        v = q.join(n, "g").select(
+            "g",
+            "id",
+            F.floor(F.col("t") / F.lit(1e10) / F.col("nrm") * F.lit(1e10))
+            .cast("bigint")
+            .alias("v"),
+        )
+        v = _truncate_lineage(v)
+    return v
+
+
 def _fiedler_iterate(edges, rounds):
     """The deflated power iteration itself over any persisted symmetric
     edge frame (src, dst) — reused by the 4-way recursive bisection on
@@ -2245,6 +2511,10 @@ def _fiedler_iterate(edges, rounds):
     expressions already contained ((si.s * sj.s) and (su.s / tm.r2m)),
     so every IEEE operation and its association are unchanged and the
     unrolled DuckDB oracle still matches bit-for-bit."""
+    local = _local_if_small(edges, rounds, grouped=False)
+    if local is not None:
+        return local
+    edges = _right_size(edges, "src")
     deg = (
         edges.groupBy(F.col("src").alias("id"))
         .agg(F.count(F.lit(1)).alias("d"))
@@ -2599,23 +2869,20 @@ def part_spectral_4way(spark, sf_dir):
         .select("src", "dst", "side_a", "side_b")
         .persist()
     )
-    subs = []
-    for s in (0, 1):
-        es = (
-            tagged.filter((F.col("side_a") == s) & (F.col("side_b") == s))
-            .select("src", "dst")
-            .persist()
+    # both induced sub-chains advance in ONE side-keyed iteration
+    # (_fiedler_iterate_grouped): half the eager round-jobs, same
+    # per-side bits — the oracle keeps its two unrolled chains
+    es_g = (
+        tagged.filter(F.col("side_a") == F.col("side_b"))
+        .select(F.col("side_a").alias("g"), "src", "dst")
+        .persist()
+    )
+    vg = _fiedler_iterate_grouped(es_g, FIEDLER_SUB_ROUNDS)
+    sub = truncate_boundary(
+        vg.select(
+            "id", F.when(F.col("v") >= 0, 1).otherwise(0).alias("sub")
         )
-        vs = _fiedler_iterate(es, FIEDLER_SUB_ROUNDS)
-        subs.append(
-            truncate_boundary(
-                vs.select(
-                    "id",
-                    F.when(F.col("v") >= 0, 1).otherwise(0).alias("sub"),
-                )
-            )
-        )
-    sub = subs[0].unionByName(subs[1])
+    )
     quad = (
         sides.join(sub, "id", "left")
         .select(

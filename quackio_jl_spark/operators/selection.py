@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..lineage import audit_rounds, truncate as _truncate_lineage
+from ..lineage import audit_mode, audit_rounds, truncate as _truncate_lineage
 from ..plans.registry import query, table
 from .dedup import _PARA_SEGS_SQL, _para_segments
 
@@ -1254,6 +1254,46 @@ def source_bradley_terry_strengths(spark, sf_dir):
         "source",
         "left",
     ).select("source", F.coalesce("n", F.lit(0)).cast("bigint").alias("w"))
+    if not audit_mode():
+        # Adaptive local path (see _fiedler_local_kernel /
+        # _pca_chains_local): the distributed work — the corpus-linear
+        # duel join and the (i, j, n) rollup — is done; everything after
+        # lives on the <= |sources|^2 win matrix, a constant-bounded
+        # collect. The MM rounds replay the EXACT floor-quantized
+        # expression tree below (Python-int sums for the DECIMAL(38)
+        # accumulators, IEEE doubles elsewhere), so the unrolled DuckDB
+        # oracle still matches bit-for-bit; the distributed branch stays
+        # the audit-mode plan and is asserted identical by tests.
+        import math as _math
+
+        gd_rows = gd.collect()
+        win_rows = wins.collect()
+        srcs = sorted({r["source"] for r in win_rows})
+        w = {r["source"]: r["w"] for r in win_rows}
+        games = {s: 0 for s in srcs}
+        for r in gd_rows:
+            games[r["i"]] += r["n"]
+        p = {s: 1.0 / len(srcs) for s in srcs}
+        for _ in range(BT_ROUNDS):
+            den_acc = {s: 0 for s in srcs}
+            for r in gd_rows:
+                x = r["n"] / max(p[r["i"]] + p[r["j"]], 1e-12) * 1e6
+                den_acc[r["i"]] += int(_math.floor(x))
+            s_raw = {
+                s: w[s] / max(float(den_acc[s]) / 1e6, 1e-12) for s in srcs
+            }
+            t = (
+                float(sum(int(_math.floor(s_raw[s] * 1e12)) for s in srcs))
+                / 1e12
+            )
+            p = {
+                s: float(_math.floor(s_raw[s] / t * 1e10)) / 1e10
+                for s in srcs
+            }
+        return spark.createDataFrame(
+            [(s, games[s], w[s], p[s]) for s in srcs],
+            schema="source string, games bigint, wins bigint, strength double",
+        )
     kk = players.agg(F.count(F.lit(1)).alias("k"))
     p = players.crossJoin(F.broadcast(kk)).select(
         "source", (F.lit(1.0) / F.col("k")).alias("p")

@@ -275,3 +275,78 @@ def test_temperature_mixture_invariants(spark):
     }
     assert up["0.25"][smallest] > up["0.50"][smallest] > 1_000_000
     assert up["0.25"][largest] < up["0.50"][largest] < 1_000_000
+
+
+def test_fiedler_local_kernel_matches_distributed(spark, monkeypatch):
+    """The adaptive local path (numpy kernel under FIEDLER_LOCAL_MAX_EDGES)
+    must be BIT-IDENTICAL to the distributed power-iteration loop — both
+    for the single chain and for the side-keyed grouped chain. Forcing the
+    threshold to -1 exercises the distributed branch on the same edges."""
+    from quackio_jl_spark.operators import cluster as C
+
+    v_local, edges = C._fiedler_vector(spark, SF)
+    loc = {r["id"]: r["v"] for r in v_local.collect()}
+    monkeypatch.setattr(C, "FIEDLER_LOCAL_MAX_EDGES", -1)
+    v_dist = C._fiedler_iterate(edges, C.FIEDLER_ROUNDS)
+    dist = {r["id"]: r["v"] for r in v_dist.collect()}
+    assert loc == dist and len(loc) > 0
+
+    from pyspark.sql import functions as F
+
+    sides = v_local.select(
+        "id", F.when(F.col("v") >= 0, 1).otherwise(0).alias("side")
+    )
+    sa = sides.select(F.col("id").alias("_a"), F.col("side").alias("ga"))
+    sb = sides.select(F.col("id").alias("_b"), F.col("side").alias("gb"))
+    es_g = (
+        edges.join(sa, edges.src == F.col("_a"))
+        .join(sb, edges.dst == F.col("_b"))
+        .filter(F.col("ga") == F.col("gb"))
+        .select(F.col("ga").alias("g"), "src", "dst")
+        .persist()
+    )
+    gd = {
+        (r["g"], r["id"]): r["v"]
+        for r in C._fiedler_iterate_grouped(es_g, 3).collect()
+    }
+    monkeypatch.setattr(C, "FIEDLER_LOCAL_MAX_EDGES", 2_000_000)
+    gl = {
+        (r["g"], r["id"]): r["v"]
+        for r in C._fiedler_iterate_grouped(es_g, 3).collect()
+    }
+    assert gd == gl and len(gl) > 0
+
+
+def test_pca_local_chains_match_distributed(spark, monkeypatch):
+    """The PCA local path (numpy chains over the collected constant-size
+    covariance) must be bit-identical to the distributed d x d composition
+    it replaces — forced by nulling the local dispatch."""
+    from quackio_jl_spark.operators import pipeline as P
+
+    loc = sorted(
+        tuple(r) for r in P.embedding_pca_top3(spark, SF).collect()
+    )
+    monkeypatch.setattr(P, "_pca_chains_local", lambda *a, **k: None)
+    dist = sorted(
+        tuple(r) for r in P.embedding_pca_top3(spark, SF).collect()
+    )
+    assert loc == dist and len(loc) == 192
+
+
+def test_bradley_terry_local_fit_matches_distributed(spark, monkeypatch):
+    """The local MM fit over the collected win matrix must be bit-identical
+    to the distributed rounds (audit_mode patched True forces the
+    distributed branch while the env flag stays unset, so rounds and
+    checkpoints run at full fidelity)."""
+    from quackio_jl_spark.operators import selection as S
+
+    loc = sorted(
+        tuple(r)
+        for r in S.source_bradley_terry_strengths(spark, SF).collect()
+    )
+    monkeypatch.setattr(S, "audit_mode", lambda: True)
+    dist = sorted(
+        tuple(r)
+        for r in S.source_bradley_terry_strengths(spark, SF).collect()
+    )
+    assert loc == dist and len(loc) > 0
