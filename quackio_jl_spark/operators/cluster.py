@@ -113,6 +113,50 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    if not audit_mode() and e.count() <= CC_LOCAL_MAX_EDGES:
+        # Adaptive local path: "cluster = min reachable id" is an
+        # implementation-free contract, so below the hard edge threshold
+        # a driver-side union-find is EXACT by definition (no quantized
+        # arithmetic to mirror) and replaces O(log^2 n) eagerly
+        # checkpointed star rounds with one collect of the deduped edge
+        # list. The node frame is never collected — singletons still
+        # self-label through the distributed left join below. Above the
+        # threshold (a 100 TB near-dup graph) or in audit mode the
+        # star rounds run unchanged.
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in e.collect():
+            ru, rv = find(row["u"]), find(row["v"])
+            if ru != rv:
+                # the smaller root adopts the larger, so every tree's
+                # root IS its component minimum and find(x) = cluster(x)
+                parent[max(ru, rv)] = min(ru, rv)
+        pairs = [(x, find(x)) for x in list(parent)]
+        utype = e.schema["u"].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        stars = e.sparkSession.createDataFrame(
+            pairs,
+            schema=StructType(
+                [StructField("u", utype), StructField("v", utype)]
+            ),
+        )
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["converged"] = True
+        return (
+            nodes.select(F.col(id_col).alias("id"))
+            .join(stars.select(F.col("u").alias("id"), "v"), "id", "left")
+            .select("id", F.coalesce("v", "id").alias("cluster"))
+        )
     prev_sig = None
     converged = False
     rounds = 0
@@ -880,6 +924,31 @@ def _lpa_edges_labels(spark, sf_dir):
     edges = pairs.select("u", "v", "w").unionAll(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
     ).persist()
+    if not audit_mode() and edges.count() <= CC_LOCAL_MAX_EDGES:
+        # Adaptive local path (see connected_components): every LPA round
+        # is pure integer arithmetic (int64 weight sums, argmax with
+        # smallest-label tie-break), so the in-driver replay is exact by
+        # construction — no quantized doubles to mirror. One collect of
+        # the already-aggregated co-purchase edge list replaces
+        # _LPA_ROUNDS eager join+aggregate rounds; the distributed loop
+        # below stays the audit-mode / big-graph path.
+        rows = [(r["u"], r["v"], r["w"]) for r in edges.collect()]
+        lbl = {u: u for u, _v, _w in rows}
+        for _ in range(_LPA_ROUNDS):
+            votes: dict = {}
+            for u, v, w in rows:
+                key = (u, lbl[v])
+                votes[key] = votes.get(key, 0) + w
+            best: dict = {}
+            for (u, lab), s in votes.items():
+                cur = best.get(u)
+                if cur is None or (s, -lab) > cur:
+                    best[u] = (s, -lab)
+            lbl = {u: -m[1] for u, m in best.items()}
+        labels = spark.createDataFrame(
+            list(lbl.items()), schema="id bigint, lbl bigint"
+        ).persist()
+        return edges, labels
     labels = edges.select(F.col("u").alias("id")).distinct().select(
         "id", F.col("id").alias("lbl")
     ).persist()
@@ -2237,6 +2306,7 @@ def _fiedler_vector(spark, sf_dir):
 
 
 FIEDLER_LOCAL_MAX_EDGES = 2_000_000
+CC_LOCAL_MAX_EDGES = 2_000_000
 
 
 def _fiedler_local_kernel(src, dst, rounds):

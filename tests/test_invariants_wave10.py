@@ -350,3 +350,18 @@ def test_bradley_terry_local_fit_matches_distributed(spark, monkeypatch):
         for r in S.source_bradley_terry_strengths(spark, SF).collect()
     )
     assert loc == dist and len(loc) > 0
+
+
+def test_lpa_local_rounds_match_distributed(spark, monkeypatch):
+    """The local LPA replay (integer vote sums + smallest-label argmax)
+    must equal the distributed synchronous rounds exactly."""
+    from quackio_jl_spark.operators import cluster as C
+
+    loc = sorted(
+        tuple(r) for r in C.part_label_propagation(spark, SF).collect()
+    )
+    monkeypatch.setattr(C, "CC_LOCAL_MAX_EDGES", -1)
+    dist = sorted(
+        tuple(r) for r in C.part_label_propagation(spark, SF).collect()
+    )
+    assert loc == dist and len(loc) > 0

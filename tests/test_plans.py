@@ -193,14 +193,17 @@ def test_scalar_subquery_broadcasts(spark):
     assert "BroadcastNestedLoopJoin" in p
 
 
-def test_connected_components_logarithmic_rounds(spark):
+def test_connected_components_logarithmic_rounds(spark, monkeypatch):
     """Large-star/small-star must converge in O(log^2 n) rounds, not
     O(diameter): a 64-node chain (diameter 63) has to finish in <=8 rounds
     — the old min-label loop needed one round per hop and would blow the
     cap. This is THE property that makes dedup clustering survive a skewed
-    100 TB near-dup graph."""
+    100 TB near-dup graph. (Threshold forced to -1 so the test grades the
+    DISTRIBUTED path, not the small-graph local union-find.)"""
+    from quackio_jl_spark.operators import cluster as C
     from quackio_jl_spark.operators.cluster import connected_components
 
+    monkeypatch.setattr(C, "CC_LOCAL_MAX_EDGES", -1)
     n = 64
     nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "a long, b long")
