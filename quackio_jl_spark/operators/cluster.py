@@ -383,6 +383,24 @@ def part_pagerank(spark, sf_dir):
             )
         )
 
+    # adaptive local path (see _pagerank_local): same floor-quantized
+    # bit grid, one collect of the aggregated co-purchase edges
+    def _uniform_state(ids):
+        import numpy as np
+
+        n = float(len(ids))
+        return (
+            np.full(len(ids), 1.0 / n),
+            np.full(len(ids), (1 - PR_DAMPING) / n),
+        )
+
+    loc = _pagerank_local(edges, 2, PR_DAMPING, _uniform_state)
+    if loc is not None:
+        ids, r = loc
+        return edges.sparkSession.createDataFrame(
+            [(int(i), float(x)) for i, x in zip(ids, r)],
+            schema="part bigint, rank double",
+        )
     # materialize the graph cache once; iterations read InMemoryTableScan
     edges.count()
     r = nodes.crossJoin(F.broadcast(nn)).select(
@@ -1736,6 +1754,43 @@ def customer_part_hits(spark, sf_dir):
     )
     import math
 
+    if not audit_mode() and edges.count() <= CC_LOCAL_MAX_EDGES:
+        # adaptive local path: replay the floor-quantized half-rounds
+        # (1e-12 contribution sums, 1e-9 norm grid, 1e-10 iterates) in
+        # numpy on the collected distinct bipartite edge list — the same
+        # bit grid as the unrolled oracle; distributed above threshold /
+        # in audit mode
+        import numpy as np
+
+        rows = edges.collect()
+        cv = np.array([r["c"] for r in rows], dtype=np.int64)
+        pv = np.array([r["p"] for r in rows], dtype=np.int64)
+        cids, pids = np.unique(cv), np.unique(pv)
+        ci, pi = np.searchsorted(cids, cv), np.searchsorted(pids, pv)
+
+        def half(from_vec, from_idx, to_n, to_idx):
+            term = np.floor(from_vec[from_idx] * 1e12).astype(np.int64)
+            acc = np.zeros(to_n, dtype=np.int64)
+            np.add.at(acc, to_idx, term)
+            raw = acc / 1e12
+            nrm = math.sqrt(
+                float(np.floor(raw * raw * 1e9).astype(np.int64).sum())
+                / 1e9
+            )
+            return np.floor(raw / nrm * 1e10).astype(np.int64) / 1e10
+
+        hv = np.full(len(cids), 1.0 / math.sqrt(float(len(cids))))
+        av = None
+        for _ in range(HITS_ROUNDS):
+            av = half(hv, ci, len(pids), pi)
+            hv = half(av, pi, len(cids), ci)
+        out = [
+            ("authority", int(i), float(s)) for i, s in zip(pids, av)
+        ] + [("hub", int(i), float(s)) for i, s in zip(cids, hv)]
+        return spark.createDataFrame(
+            out, schema="side string, id bigint, score double"
+        )
+
     n_c = edges.select("c").distinct().count()
     h = (
         edges.select(F.col("c").alias("id"))
@@ -2307,6 +2362,50 @@ def _fiedler_vector(spark, sf_dir):
 
 FIEDLER_LOCAL_MAX_EDGES = 2_000_000
 CC_LOCAL_MAX_EDGES = 2_000_000
+
+
+def _graph_index(edges, src="src", dst="dst"):
+    """Collect a (persisted, already-aggregated) edge frame below the
+    local threshold and index it for numpy kernels: returns (ids, si, di,
+    rows) — sorted unique node ids, int64 positional arrays per edge
+    endpoint, and the raw rows — or None when the frame is above
+    CC_LOCAL_MAX_EDGES or the audit flag demands the distributed plan."""
+    import numpy as np
+
+    if audit_mode() or edges.count() > CC_LOCAL_MAX_EDGES:
+        return None
+    rows = edges.collect()
+    svals = np.array([r[src] for r in rows], dtype=np.int64)
+    dvals = np.array([r[dst] for r in rows], dtype=np.int64)
+    ids = np.unique(np.concatenate([svals, dvals]))
+    si = np.searchsorted(ids, svals)
+    di = np.searchsorted(ids, dvals)
+    return ids, si, di, rows
+
+
+def _pagerank_local(edges, rounds, damping, state_of):
+    """Shared local kernel for the PageRank family: bit-identical replay
+    of the distributed round (floor-quantized 1e-12 contribution sums,
+    then r = teleport_term + damping*contrib as left-associated IEEE
+    doubles). ``state_of(ids)`` returns (round-0 state, PRE-SCALED
+    teleport term) — they differ: plain PageRank computes (1-d)/n in ONE
+    division while its round 0 is 1.0/n, and mirroring that association
+    exactly is what keeps the replay on the oracle's bit grid. Returns
+    (ids, r) or None (stay distributed)."""
+    import numpy as np
+
+    idx = _graph_index(edges)
+    if idx is None:
+        return None
+    ids, si, di, _rows = idx
+    deg = np.bincount(si, minlength=len(ids)).astype(np.float64)
+    r, tt = state_of(ids)
+    for _ in range(rounds):
+        term = np.floor(r[si] / deg[si] * 1e12).astype(np.int64)
+        acc = np.zeros(len(ids), dtype=np.int64)
+        np.add.at(acc, di, term)
+        r = tt + damping * (acc / 1e12)
+    return ids, r
 
 
 def _fiedler_local_kernel(src, dst, rounds):
@@ -3159,6 +3258,25 @@ def part_personalized_pagerank(spark, sf_dir):
             )
         )
 
+    def _seed_state(ids):
+        import numpy as np
+
+        x = (ids % PPR_SEED_MOD == 0).astype(np.float64)
+        n_seeds = float(int(x.sum()))
+        t = x / n_seeds
+        return t, (1 - PPR_DAMPING) * t
+
+    loc = _pagerank_local(edges, PPR_ROUNDS, PPR_DAMPING, _seed_state)
+    if loc is not None:
+        ids, r = loc
+        return edges.sparkSession.createDataFrame(
+            [
+                (int(i), float(x), 1 if int(i) % PPR_SEED_MOD == 0 else 0)
+                for i, x in zip(ids, r)
+                if x > 0
+            ],
+            schema="part bigint, ppr double, is_seed int",
+        )
     edges.count()
     r = nodes.crossJoin(ns).select("id", teleport.alias("r"))
     for _ in range(PPR_ROUNDS):

@@ -365,3 +365,25 @@ def test_lpa_local_rounds_match_distributed(spark, monkeypatch):
         tuple(r) for r in C.part_label_propagation(spark, SF).collect()
     )
     assert loc == dist and len(loc) > 0
+
+
+def test_pagerank_family_local_matches_distributed(spark, monkeypatch):
+    """PageRank, personalized PageRank and HITS local kernels must be
+    bit-identical to their distributed rounds."""
+    from quackio_jl_spark.operators import cluster as C
+
+    names = [
+        "part_pagerank",
+        "part_personalized_pagerank",
+        "customer_part_hits",
+    ]
+    fns = {
+        "part_pagerank": C.part_pagerank,
+        "part_personalized_pagerank": C.part_personalized_pagerank,
+        "customer_part_hits": C.customer_part_hits,
+    }
+    loc = {n: sorted(tuple(r) for r in fns[n](spark, SF).collect()) for n in names}
+    monkeypatch.setattr(C, "CC_LOCAL_MAX_EDGES", -1)
+    for n in names:
+        dist = sorted(tuple(r) for r in fns[n](spark, SF).collect())
+        assert loc[n] == dist and len(dist) > 0, n
