@@ -160,6 +160,11 @@ EXTENDED = [
     "langid_conformal_sets",
     "embedding_mmd_drift",
     "embedding_mmd_permutation_test",
+    # Round-8 wave: adaptive-localization beneficiaries now cheap enough
+    # to time alongside the rest of the graph family.
+    "part_pagerank",
+    "part_spectral_cut_vs_random",
+    "mixture_temperature_sampling",
 ]
 
 
