@@ -1762,9 +1762,9 @@ def customer_part_hits(spark, sf_dir):
         # in audit mode
         import numpy as np
 
-        rows = edges.collect()
-        cv = np.array([r["c"] for r in rows], dtype=np.int64)
-        pv = np.array([r["p"] for r in rows], dtype=np.int64)
+        pdf = edges.toPandas()  # Arrow transfer: ~3x faster than Row
+        cv = pdf["c"].to_numpy(dtype=np.int64)
+        pv = pdf["p"].to_numpy(dtype=np.int64)
         cids, pids = np.unique(cv), np.unique(pv)
         ci, pi = np.searchsorted(cids, cv), np.searchsorted(pids, pv)
 
@@ -1784,9 +1784,15 @@ def customer_part_hits(spark, sf_dir):
         for _ in range(HITS_ROUNDS):
             av = half(hv, ci, len(pids), pi)
             hv = half(av, pi, len(cids), ci)
-        out = [
-            ("authority", int(i), float(s)) for i, s in zip(pids, av)
-        ] + [("hub", int(i), float(s)) for i, s in zip(cids, hv)]
+        import pandas as pd
+
+        out = pd.DataFrame(
+            {
+                "side": ["authority"] * len(pids) + ["hub"] * len(cids),
+                "id": np.concatenate([pids, cids]),
+                "score": np.concatenate([av, hv]),
+            }
+        )
         return spark.createDataFrame(
             out, schema="side string, id bigint, score double"
         )
@@ -2374,13 +2380,13 @@ def _graph_index(edges, src="src", dst="dst"):
 
     if audit_mode() or edges.count() > CC_LOCAL_MAX_EDGES:
         return None
-    rows = edges.collect()
-    svals = np.array([r[src] for r in rows], dtype=np.int64)
-    dvals = np.array([r[dst] for r in rows], dtype=np.int64)
+    pdf = edges.toPandas()  # Arrow transfer: ~3x faster than Row collect
+    svals = pdf[src].to_numpy(dtype=np.int64)
+    dvals = pdf[dst].to_numpy(dtype=np.int64)
     ids = np.unique(np.concatenate([svals, dvals]))
     si = np.searchsorted(ids, svals)
     di = np.searchsorted(ids, dvals)
-    return ids, si, di, rows
+    return ids, si, di, pdf
 
 
 def _pagerank_local(edges, rounds, damping, state_of):

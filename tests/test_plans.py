@@ -214,11 +214,15 @@ def test_connected_components_logarithmic_rounds(spark, monkeypatch):
     assert stats["rounds"] <= 8, f"expected O(log^2 n) rounds, took {stats['rounds']}"
 
 
-def test_pagerank_iterations_read_cached_graph(spark):
+def test_pagerank_iterations_read_cached_graph(spark, monkeypatch):
     """part_pagerank persists the co-occurrence graph and per-iteration
     ranks: the final plan must read InMemoryTableScans and stay shallow
     (the old unrolled-lineage version was a 75-exchange plan that
-    re-derived the edge self-join every round)."""
+    re-derived the edge self-join every round). Threshold forced to -1 so
+    the test grades the DISTRIBUTED path, not the local kernel."""
+    from quackio_jl_spark.operators import cluster as C
+
+    monkeypatch.setattr(C, "CC_LOCAL_MAX_EDGES", -1)
     p = plan_of(QUERIES["part_pagerank"](spark, SF_DIR), mode="simple")
     assert "InMemoryTableScan" in p
     # explain() recursively prints the CACHED subtree's stored plan too;
