@@ -1343,6 +1343,95 @@ def minhash_jaccard_estimate(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_minhash_bbit_estimate",
+    oracle="WITH"
+    + _SHINGLES_SQL
+    + ","
+    + _minhash_sig_sql()
+    + ","
+    + _cand_sql()
+    + f"""
+    SELECT doc1, doc2,
+      CAST({" + ".join(f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH))}
+        AS BIGINT) AS k_full,
+      CAST({" + ".join(
+          f"CASE WHEN ('0x' || substr(a.h{i}, 8, 1))::INT % 2 = "
+          f"('0x' || substr(b.h{i}, 8, 1))::INT % 2 THEN 1 ELSE 0 END"
+          for i in range(N_MINHASH)
+      )} AS BIGINT) AS k_bit,
+      CAST({" + ".join(f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH))}
+        AS DOUBLE) / {N_MINHASH} AS est_full,
+      CAST({" + ".join(
+          f"CASE WHEN ('0x' || substr(a.h{i}, 8, 1))::INT % 2 = "
+          f"('0x' || substr(b.h{i}, 8, 1))::INT % 2 THEN 1 ELSE 0 END"
+          for i in range(N_MINHASH)
+      )} AS DOUBLE) / {N_MINHASH} AS match_frac_1bit,
+      greatest(2.0 * (CAST({" + ".join(
+          f"CASE WHEN ('0x' || substr(a.h{i}, 8, 1))::INT % 2 = "
+          f"('0x' || substr(b.h{i}, 8, 1))::INT % 2 THEN 1 ELSE 0 END"
+          for i in range(N_MINHASH)
+      )} AS DOUBLE) / {N_MINHASH}) - 1.0, 0.0) AS est_1bit
+    FROM cand JOIN sig a ON a.doc_id = doc1 JOIN sig b ON b.doc_id = doc2
+    """,
+)
+def dedup_minhash_bbit_estimate(spark, sf_dir):
+    """b-bit minwise hashing audit (Li & Konig 2010) on the LSH candidate
+    pairs: keep only the LAST BIT of each minhash value (32x smaller
+    signatures than the 8-hex-char slots) and compare the 1-bit match
+    fraction — whose expectation is J + (1-J)/2 — and its debiased
+    estimator max(2*E - 1, 0) against the full-width estimator. The
+    storage/accuracy tradeoff every petabyte-scale dedup deployment
+    actually makes: at 100 TB the signature table itself is a large
+    fraction of dedup I/O, and this query is the evidence for shrinking
+    it.
+
+    Determinism: match counts are exact integers; every reported double
+    is a dyadic rational (k/8, 2k/8-1) representable exactly in binary —
+    no rounding surface. The bit is the parity of the minhash slice's
+    last hex char, identical in both engines. Signatures broadcast onto
+    the bounded candidate set, same shape as minhash_jaccard_estimate."""
+    d = table(spark, sf_dir, "documents")
+    cand = dedup_minhash_lsh_pairs(spark, sf_dir)
+    sig = minhash_signatures(d)
+    a = sig.select(
+        F.col("doc_id").alias("doc1"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_MINHASH)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc2"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_MINHASH)],
+    )
+
+    def bit(c):
+        return F.conv(F.substring(F.col(c), 8, 1), 16, 10).cast("int") % 2
+
+    k_full = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    k_bit = sum(
+        F.when(bit(f"a{i}") == bit(f"b{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    match_1bit = k_bit.cast("double") / N_MINHASH
+    return (
+        cand.join(F.broadcast(a), "doc1")
+        .join(F.broadcast(b), "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            k_full.cast("bigint").alias("k_full"),
+            k_bit.cast("bigint").alias("k_bit"),
+            (k_full.cast("double") / N_MINHASH).alias("est_full"),
+            match_1bit.alias("match_frac_1bit"),
+            F.greatest(
+                F.lit(2.0) * match_1bit - F.lit(1.0), F.lit(0.0)
+            ).alias("est_1bit"),
+        )
+    )
+
+
 # ------------------------------------------------------ LSH recall audit
 
 # Brute-force ground-truth sample: an ABSOLUTE doc cap, not a fraction —

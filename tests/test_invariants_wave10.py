@@ -387,3 +387,17 @@ def test_pagerank_family_local_matches_distributed(spark, monkeypatch):
     for n in names:
         dist = sorted(tuple(r) for r in fns[n](spark, SF).collect())
         assert loc[n] == dist and len(dist) > 0, n
+
+
+def test_bbit_minhash_dominance_invariant(spark):
+    """b-bit matches dominate full-width matches (a full 8-hex match
+    always matches on the last bit), and the debiased 1-bit estimator
+    stays in [0, 1]."""
+    from quackio_jl_spark.registry import QUERIES
+
+    rows = QUERIES["dedup_minhash_bbit_estimate"](spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["k_bit"] >= r["k_full"]
+        assert 0.0 <= r["est_1bit"] <= 1.0
+        assert abs(r["est_full"] - r["k_full"] / 8) < 1e-15
