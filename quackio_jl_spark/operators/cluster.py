@@ -307,6 +307,61 @@ def _pr_round_sql(prev: str, out: str) -> str:
     )"""
 
 
+def _copurchase_pairs(spark, sf_dir):
+    """The canonical part co-purchase pair list (part1 < part2, >= 2
+    shared orders) — the `pairs` CTE of _PR_GRAPH_SQL. Eight queries
+    (PageRank, personalized PageRank, the four spectral queries,
+    Adamic-Adar, triangles, k-core, degree stats) derive their graph from
+    this exact fragment, so it is built once per (session, dataset)
+    through the fragment cache (see quackio_jl_spark.fragcache) and the
+    persisted frame is shared — a materialized-view-style reuse that cuts
+    the repeated lineitem self-join without touching any query's
+    semantics."""
+    from ..fragcache import fragment
+
+    def build():
+        l = (
+            table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        a = l.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part1")
+        )
+        b = l.select(
+            F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part2")
+        )
+        return (
+            a.join(
+                b,
+                (F.col("ok") == F.col("ok2"))
+                & (F.col("part1") < F.col("part2")),
+            )
+            .groupBy("part1", "part2")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .filter(F.col("n_orders") >= 2)
+            .select("part1", "part2")
+        )
+
+    return fragment(spark, sf_dir, "copurchase_pairs", build)
+
+
+def _copurchase_edges(spark, sf_dir):
+    """Symmetric (src, dst) edge frame over _copurchase_pairs — the
+    `edges` CTE of _PR_GRAPH_SQL, cached the same way."""
+    from ..fragcache import fragment
+
+    def build():
+        pairs = _copurchase_pairs(spark, sf_dir)
+        return pairs.select(
+            F.col("part1").alias("src"), F.col("part2").alias("dst")
+        ).union(
+            pairs.select(F.col("part2").alias("src"), F.col("part1").alias("dst"))
+        )
+
+    return fragment(spark, sf_dir, "copurchase_edges", build)
+
+
 @query(
     "part_pagerank",
     oracle=f"""
@@ -330,21 +385,7 @@ def part_pagerank(spark, sf_dir):
     iteration i+1's plan starts from an InMemoryTableScan, keeping plan
     depth O(1) in the iteration count. Dangling-node mass is not
     redistributed (both engines agree on the same simplification)."""
-    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part1"))
-    b = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part2"))
-    pairs = (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part1") < F.col("part2")))
-        .groupBy("part1", "part2")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-        .select("part1", "part2")
-    )
-    edges = (
-        pairs.select(F.col("part1").alias("src"), F.col("part2").alias("dst"))
-        .union(pairs.select(F.col("part2").alias("src"), F.col("part1").alias("dst")))
-        .persist()
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     nodes = edges.select(F.col("src").alias("id")).distinct().persist()
     deg = (
         edges.groupBy(F.col("src").alias("id"))
@@ -492,17 +533,7 @@ def part_triangle_counts(spark, sf_dir):
     skew. The pairs edge list feeds all three join legs, so it is built
     ONCE and persisted (same recompute fix as part_pagerank — without it
     the basket self-join runs three times)."""
-    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part1"))
-    b = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part2"))
-    pairs = (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part1") < F.col("part2")))
-        .groupBy("part1", "part2")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-        .select("part1", "part2")
-        .persist()
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     pairs.count()  # materialize: the three legs below read the cache
     e1 = pairs.select(F.col("part1").alias("a"), F.col("part2").alias("b"))
     e2 = pairs.select(F.col("part1").alias("b"), F.col("part2").alias("c"))
@@ -529,16 +560,7 @@ def part_degree_distribution(spark, sf_dir):
     read BEFORE running triangles/PageRank/CC at scale (a power-law tail
     here is what motivates degree-oriented triangle counting and salted
     joins). Two partial-agg shuffles, both on small keys."""
-    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part1"))
-    b = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part2"))
-    pairs = (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part1") < F.col("part2")))
-        .groupBy("part1", "part2")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-        .select("part1", "part2")
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     edges = pairs.select(F.col("part1").alias("src")).union(
         pairs.select(F.col("part2").alias("src"))
     )
@@ -568,17 +590,7 @@ def part_triangle_count_degree_oriented(spark, sf_dir):
     is exactly what the oracle pins: the id-oriented SQL must equal the
     degree-oriented Spark plan — a disagreement means an orientation bug
     (dropped or double-counted triangle). Same persist-once edge cache."""
-    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part1"))
-    b = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part2"))
-    pairs = (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part1") < F.col("part2")))
-        .groupBy("part1", "part2")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-        .select("part1", "part2")
-        .persist()
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     pairs.count()
     # undirected degree per node, then orient each pair low -> high
     deg = (
@@ -707,21 +719,7 @@ def part_kcore(spark, sf_dir):
     a cached survivor table, never on r rounds of lineage. Fixed round
     count keeps the oracle expressible; on this graph peeling converges
     within the unrolled rounds (asserted in tests)."""
-    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part1"))
-    b = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part2"))
-    pairs = (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part1") < F.col("part2")))
-        .groupBy("part1", "part2")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-        .select("part1", "part2")
-    )
-    edges = (
-        pairs.select(F.col("part1").alias("src"), F.col("part2").alias("dst"))
-        .union(pairs.select(F.col("part2").alias("src"), F.col("part1").alias("dst")))
-        .persist()
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     alive = deg.filter(F.col("d") >= KCORE_K).select("src").persist()
     alive.count()
@@ -846,21 +844,7 @@ def part_degree_assortativity(spark, sf_dir):
     correlation is one double expression pinned by the oracle. Edges
     join their endpoint degrees via two broadcast-or-shuffle hash joins
     keyed by node id — linear in |E|, no wedge enumeration."""
-    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part1"))
-    b = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part2"))
-    pairs = (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part1") < F.col("part2")))
-        .groupBy("part1", "part2")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-        .select("part1", "part2")
-    )
-    edges = pairs.select(
-        F.col("part1").alias("src"), F.col("part2").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("part2").alias("src"), F.col("part1").alias("dst"))
-    ).persist()
+    edges = _copurchase_edges(spark, sf_dir)
     deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("d")
     )
@@ -1905,22 +1889,8 @@ def part_link_prediction_adamic_adar(spark, sf_dir):
     (round(1e6/ln d) — one libm call per DISTINCT degree, summed
     exactly), the wedge join reuses the persisted edge/degree frames, and
     existing edges drop out via one anti-join."""
-    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part1"))
-    b = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part2"))
-    pairs = (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part1") < F.col("part2")))
-        .groupBy("part1", "part2")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-        .select("part1", "part2")
-        .persist()
-    )
-    edges = (
-        pairs.select(F.col("part1").alias("src"), F.col("part2").alias("dst"))
-        .union(pairs.select(F.col("part2").alias("src"), F.col("part1").alias("dst")))
-        .persist()
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
+    edges = _copurchase_edges(spark, sf_dir)
     deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
     okc = deg.filter(
         (F.col("d") <= AA_CENTER_CAP) & (F.col("d") >= 2)
@@ -2348,21 +2318,7 @@ def _fiedler_vector(spark, sf_dir):
     """(iterate frame (id, v BIGINT e10 units), persisted symmetric edge
     frame) after FIEDLER_ROUNDS deflated power-iteration rounds — shared
     by the bisection and cut-quality queries."""
-    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part1"))
-    b = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part2"))
-    pairs = (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part1") < F.col("part2")))
-        .groupBy("part1", "part2")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-        .select("part1", "part2")
-    )
-    edges = (
-        pairs.select(F.col("part1").alias("src"), F.col("part2").alias("dst"))
-        .union(pairs.select(F.col("part2").alias("src"), F.col("part1").alias("dst")))
-        .persist()
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     return _fiedler_iterate(edges, FIEDLER_ROUNDS), edges
 
 
@@ -3205,21 +3161,7 @@ def part_personalized_pagerank(spark, sf_dir):
     per-round one edges x ranks join with map-side partial aggregation,
     broadcast seed count); the teleport vector is a pure function of the
     node id, so no seed table ships anywhere."""
-    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part1"))
-    b = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part2"))
-    pairs = (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part1") < F.col("part2")))
-        .groupBy("part1", "part2")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-        .select("part1", "part2")
-    )
-    edges = (
-        pairs.select(F.col("part1").alias("src"), F.col("part2").alias("dst"))
-        .union(pairs.select(F.col("part2").alias("src"), F.col("part1").alias("dst")))
-        .persist()
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     nodes = edges.select(F.col("src").alias("id")).distinct().persist()
     deg = (
         edges.groupBy(F.col("src").alias("id"))

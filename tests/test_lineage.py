@@ -32,3 +32,25 @@ def test_truncate_boundary_materializes_even_in_audit_mode(spark, monkeypatch):
     df = spark.range(7)
     out = lineage.truncate_boundary(df)
     assert out is not df and out.count() == 7
+
+
+def test_fragment_cache_reuses_and_clears(spark):
+    """fragcache returns the same persisted frame per (session, dataset,
+    name) and rebuilds after clear()."""
+    from quackio_jl_spark import fragcache
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(3)
+
+    a = fragcache.fragment(spark, "/tmp/ds", "t", build)
+    b = fragcache.fragment(spark, "/tmp/ds", "t", build)
+    assert a is b and len(calls) == 1
+    c = fragcache.fragment(spark, "/tmp/other", "t", build)
+    assert c is not a and len(calls) == 2
+    fragcache.clear()
+    d = fragcache.fragment(spark, "/tmp/ds", "t", build)
+    assert d is not a and len(calls) == 3
+    fragcache.clear()
