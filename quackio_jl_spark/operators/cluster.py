@@ -219,12 +219,21 @@ def dedup_clusters(spark, sf_dir):
     singletons label themselves). To keep one copy per group downstream:
     ``filter(doc_id == cluster)``. The oracle computes the same transitive
     closure with a recursive CTE, so the hash check covers multi-hop
-    merges, not just direct pairs."""
-    docs = table(spark, sf_dir, "documents").select("doc_id")
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
-    return connected_components(
-        docs, pairs, id_col="doc_id", src="doc1", dst="doc2"
-    ).select(F.col("id").alias("doc_id"), "cluster")
+    merges, not just direct pairs.
+
+    The cluster map is shared by the size/canonical/purity/split queries
+    — served through the session fragment cache, built once per
+    (session, dataset)."""
+    from ..fragcache import fragment
+
+    def build():
+        docs = table(spark, sf_dir, "documents").select("doc_id")
+        pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+        return connected_components(
+            docs, pairs, id_col="doc_id", src="doc1", dst="doc2"
+        ).select(F.col("id").alias("doc_id"), "cluster")
+
+    return fragment(spark, sf_dir, "dedup_cluster_map", build)
 
 
 @query(

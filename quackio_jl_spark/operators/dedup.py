@@ -216,38 +216,51 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     One signature computation, one bucket shuffle, one small distinct over
     candidate pairs; never an all-pairs comparison. Buckets larger than
     LSH_MAX_BUCKET are dropped (skew guard — see its comment; the oracle
-    applies the identical cap)."""
-    sig = minhash_signatures(docs=table(spark, sf_dir, "documents"))
-    n_bands = N_MINHASH // LSH_BAND_SIZE
-    band_rows = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat(
-                    *[F.col(f"h{b * LSH_BAND_SIZE + j}") for j in range(LSH_BAND_SIZE)]
-                ).alias("key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_rows).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
-    buckets = (
-        bands.groupBy("band", "key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= LSH_MAX_BUCKET))
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) -> "
-                "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                "y -> struct(x AS doc1, y AS doc2))))"
-            )
-        ).alias("p")
-    )
-    return pairs.select("p.doc1", "p.doc2").distinct()
+    applies the identical cap).
+
+    The candidate-pair table is a small derived fragment consumed by the
+    whole verify/estimator/cluster family — served through the session
+    fragment cache (quackio_jl_spark.fragcache), built once per
+    (session, dataset)."""
+    from ..fragcache import fragment
+
+    def build():
+        sig = minhash_signatures(docs=table(spark, sf_dir, "documents"))
+        n_bands = N_MINHASH // LSH_BAND_SIZE
+        band_rows = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat(
+                        *[
+                            F.col(f"h{b * LSH_BAND_SIZE + j}")
+                            for j in range(LSH_BAND_SIZE)
+                        ]
+                    ).alias("key"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        bands = sig.select("doc_id", F.explode(band_rows).alias("bk")).select(
+            "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        )
+        buckets = (
+            bands.groupBy("band", "key")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+            .filter((F.size("ids") >= 2) & (F.size("ids") <= LSH_MAX_BUCKET))
+        )
+        pairs = buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS doc1, y AS doc2))))"
+                )
+            ).alias("p")
+        )
+        return pairs.select("p.doc1", "p.doc2").distinct()
+
+    return fragment(spark, sf_dir, "minhash_lsh_cand", build)
 
 
 # ------------------------------------------------------------------- SimHash
