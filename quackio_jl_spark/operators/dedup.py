@@ -1369,20 +1369,20 @@ def minhash_jaccard_estimate(spark, sf_dir):
       CAST({" + ".join(f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH))}
         AS BIGINT) AS k_full,
       CAST({" + ".join(
-          f"CASE WHEN ('0x' || substr(a.h{i}, 8, 1))::INT % 2 = "
-          f"('0x' || substr(b.h{i}, 8, 1))::INT % 2 THEN 1 ELSE 0 END"
+          f"CASE WHEN ('0x' || substr(a.h{i}, 8, 1))::BIGINT % 2 = "
+          f"('0x' || substr(b.h{i}, 8, 1))::BIGINT % 2 THEN 1 ELSE 0 END"
           for i in range(N_MINHASH)
       )} AS BIGINT) AS k_bit,
       CAST({" + ".join(f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH))}
         AS DOUBLE) / {N_MINHASH} AS est_full,
       CAST({" + ".join(
-          f"CASE WHEN ('0x' || substr(a.h{i}, 8, 1))::INT % 2 = "
-          f"('0x' || substr(b.h{i}, 8, 1))::INT % 2 THEN 1 ELSE 0 END"
+          f"CASE WHEN ('0x' || substr(a.h{i}, 8, 1))::BIGINT % 2 = "
+          f"('0x' || substr(b.h{i}, 8, 1))::BIGINT % 2 THEN 1 ELSE 0 END"
           for i in range(N_MINHASH)
       )} AS DOUBLE) / {N_MINHASH} AS match_frac_1bit,
       greatest(2.0 * (CAST({" + ".join(
-          f"CASE WHEN ('0x' || substr(a.h{i}, 8, 1))::INT % 2 = "
-          f"('0x' || substr(b.h{i}, 8, 1))::INT % 2 THEN 1 ELSE 0 END"
+          f"CASE WHEN ('0x' || substr(a.h{i}, 8, 1))::BIGINT % 2 = "
+          f"('0x' || substr(b.h{i}, 8, 1))::BIGINT % 2 THEN 1 ELSE 0 END"
           for i in range(N_MINHASH)
       )} AS DOUBLE) / {N_MINHASH}) - 1.0, 0.0) AS est_1bit
     FROM cand JOIN sig a ON a.doc_id = doc1 JOIN sig b ON b.doc_id = doc2

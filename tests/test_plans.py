@@ -174,7 +174,13 @@ def test_minhash_shuffle_budget(spark):
     """The rewritten MinHash-LSH pipeline has exactly three shuffle
     boundaries: signature groupBy(doc_id), bucket groupBy(band,key), and
     the final pair distinct. A regression to the self-join shape would
-    double the signature pipeline and add exchanges."""
+    double the signature pipeline and add exchanges. The candidate table
+    is served through the fragment cache — cleared first so this grades
+    the BUILD plan, not a cached InMemoryRelation another test left
+    behind."""
+    from quackio_jl_spark import fragcache
+
+    fragcache.clear()
     p = plan_of(QUERIES["dedup_minhash_lsh_pairs"](spark, SF_DIR))
     n = count_exchanges(p)
     assert n <= 3, f"expected <=3 exchanges, saw {n}:\n{p}"
