@@ -133,8 +133,11 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in e.collect():
-            ru, rv = find(row["u"]), find(row["v"])
+        # Arrow transfer, never Row-collect: tolist() yields plain Python
+        # ints in C, so the union-find arithmetic is unchanged (exact)
+        pdf = e.toPandas()
+        for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+            ru, rv = find(u), find(v)
             if ru != rv:
                 # the smaller root adopts the larger, so every tree's
                 # root IS its component minimum and find(x) = cluster(x)
@@ -943,7 +946,12 @@ def _lpa_edges_labels(spark, sf_dir):
         # the already-aggregated co-purchase edge list replaces
         # _LPA_ROUNDS eager join+aggregate rounds; the distributed loop
         # below stays the audit-mode / big-graph path.
-        rows = [(r["u"], r["v"], r["w"]) for r in edges.collect()]
+        # Arrow transfer, never Row-collect; tolist() gives Python ints so
+        # the integer vote sums below are identical to the Row-based replay
+        pdf = edges.toPandas()
+        rows = list(
+            zip(pdf["u"].tolist(), pdf["v"].tolist(), pdf["w"].tolist())
+        )
         lbl = {u: u for u, _v, _w in rows}
         for _ in range(_LPA_ROUNDS):
             votes: dict = {}

@@ -367,6 +367,24 @@ def test_lpa_local_rounds_match_distributed(spark, monkeypatch):
     assert loc == dist and len(loc) > 0
 
 
+def test_cc_local_matches_distributed(spark, monkeypatch):
+    """The CC local union-find replay must equal the distributed
+    large-star/small-star rounds exactly on the real near-dup graph —
+    the sixth iterative family gets the same bit-equality pin as the
+    other five. fragcache.clear() between runs so the second run
+    actually rebuilds through the distributed branch."""
+    from quackio_jl_spark import fragcache
+    from quackio_jl_spark.operators import cluster as C
+
+    fragcache.clear()
+    loc = sorted(tuple(r) for r in C.dedup_clusters(spark, SF).collect())
+    fragcache.clear()
+    monkeypatch.setattr(C, "CC_LOCAL_MAX_EDGES", -1)
+    dist = sorted(tuple(r) for r in C.dedup_clusters(spark, SF).collect())
+    fragcache.clear()
+    assert loc == dist and len(loc) > 0
+
+
 def test_pagerank_family_local_matches_distributed(spark, monkeypatch):
     """PageRank, personalized PageRank and HITS local kernels must be
     bit-identical to their distributed rounds."""
