@@ -722,3 +722,157 @@ def roundtrip_parquet_http_pruned(spark, sf_dir):
         return out
     finally:
         httpd.shutdown()
+
+
+@query(
+    "roundtrip_csv_http_ranged",
+    oracle="""
+    SELECT o_orderpriority,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+      CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+      CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def roundtrip_csv_http_ranged(spark, sf_dir):
+    """Remote CSV over HTTP Range requests, oracle-gated end-to-end
+    (round-8 VERDICT "next" #4 — the line-format symmetry to
+    roundtrip_parquet_http_ranged): orders is exported to CSV, served by
+    the local Range-honoring server, and read via read_csv_url_ranged —
+    the driver never touches the body, executors range-read
+    newline-aligned spans and parse with from_csv under an explicit DDL
+    schema. Integer-only measures (count/min/max/sum of keys) so the
+    text round-trip is exact; the query RAISES if any whole-file GET
+    happened, same in-gate enforcement as the parquet twin. 64 KiB
+    partition spans force a genuinely parallel multi-range scan. The
+    eager localCheckpoint materializes before the server dies."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    from ..sources.httpranged import (
+        RangeFileHandler,
+        read_csv_url_ranged,
+        serve_directory_ranged,
+    )
+
+    src = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderpriority"],
+    )
+    src = src.cast(
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_orderpriority", pa.string()),
+            ]
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="http_csv_")
+    pacsv.write_csv(src, f"{tmp}/orders.csv")
+    httpd, port = serve_directory_ranged(tmp)
+    RangeFileHandler.range_count = RangeFileHandler.full_count = 0
+    try:
+        df = read_csv_url_ranged(
+            spark,
+            f"http://127.0.0.1:{port}/orders.csv",
+            schema="o_orderkey bigint, o_custkey bigint, "
+            "o_orderpriority string",
+            partition_bytes=1 << 16,
+        )
+        out = (
+            df.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.min("o_orderkey").cast("bigint").alias("min_key"),
+                F.max("o_orderkey").cast("bigint").alias("max_key"),
+                F.sum("o_custkey").cast("bigint").alias("sum_cust"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if RangeFileHandler.full_count > 0:
+            raise ValueError(
+                "roundtrip_csv_http_ranged: a whole-file GET ran "
+                f"({RangeFileHandler.full_count}); the ranged reader must "
+                "touch only line-aligned byte spans"
+            )
+        return out
+    finally:
+        httpd.shutdown()
+
+
+@query(
+    "roundtrip_json_http_ranged",
+    oracle="""
+    SELECT o_orderstatus,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+      CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+      CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def roundtrip_json_http_ranged(spark, sf_dir):
+    """Remote NDJSON over HTTP Range requests, oracle-gated end-to-end
+    (round-8 VERDICT "next" #4): orders is exported line-delimited,
+    served by the Range-honoring server, and read via
+    read_json_url_ranged — executors range-read newline-aligned spans
+    and parse with from_json under the explicit DDL schema (no inference
+    pass, which a 100 TB remote read can't afford). Integer-only
+    measures, in-gate zero-whole-file-GET enforcement, eager
+    materialization before server teardown — the same contract as the
+    CSV and parquet twins."""
+    import json
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..sources.httpranged import (
+        RangeFileHandler,
+        read_json_url_ranged,
+        serve_directory_ranged,
+    )
+
+    src = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus"],
+    ).to_pylist()
+    tmp = tempfile.mkdtemp(prefix="http_json_")
+    with open(f"{tmp}/orders.ndjson", "w", encoding="utf-8") as f:
+        for row in src:
+            f.write(json.dumps(row, separators=(",", ":")) + "\n")
+    httpd, port = serve_directory_ranged(tmp)
+    RangeFileHandler.range_count = RangeFileHandler.full_count = 0
+    try:
+        df = read_json_url_ranged(
+            spark,
+            f"http://127.0.0.1:{port}/orders.ndjson",
+            schema="o_orderkey bigint, o_custkey bigint, "
+            "o_orderstatus string",
+            partition_bytes=1 << 16,
+        )
+        out = (
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.min("o_orderkey").cast("bigint").alias("min_key"),
+                F.max("o_orderkey").cast("bigint").alias("max_key"),
+                F.sum("o_custkey").cast("bigint").alias("sum_cust"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if RangeFileHandler.full_count > 0:
+            raise ValueError(
+                "roundtrip_json_http_ranged: a whole-file GET ran "
+                f"({RangeFileHandler.full_count}); the ranged reader must "
+                "touch only line-aligned byte spans"
+            )
+        return out
+    finally:
+        httpd.shutdown()
