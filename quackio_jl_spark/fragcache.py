@@ -12,11 +12,24 @@ work. This is the classic materialized-view / result-fragment cache every
 warehouse ships; Spark's own exchange-reuse does it within one query,
 this does it across queries.
 
-Scope and safety:
-- Keyed by (SparkContext id, sf_dir, fragment name): a new session or a
-  different dataset never sees a stale entry. Within a session the test
-  tables are immutable parquet — the reference engine makes the same
-  assumption for its read_* calls.
+Scope and safety (the key contract):
+- Keyed by ``(sc.applicationId, sc.startTime, sf_dir, name)``. Both
+  context fields are STABLE identifiers of one live SparkContext — unlike
+  ``id(sc)``, which CPython can recycle after the old context is
+  garbage-collected, handing a fresh session a persisted DataFrame bound
+  to a dead JVM. A new session or a different dataset therefore never
+  sees a stale entry. Within a session the test tables are immutable
+  parquet — the reference engine makes the same assumption for its
+  read_* calls.
+- AUDIT MODE BYPASSES THE CACHE ENTIRELY. Under
+  SPARK_GRAFT_AUDIT_NO_CHECKPOINT=1 iterative builds cap their rounds at
+  audit_rounds() — caching such a possibly-non-converged fragment would
+  poison later non-audit consumers in the same session, and serving a
+  cached InMemoryRelation would hide the build plan from the very sweep
+  the flag exists for. Audit callers always get a fresh, un-persisted
+  build.
+- Entries owned by a stopped SparkContext are evicted on the next call,
+  releasing the dead session's persisted frames.
 - Values are persisted DataFrames of SMALL derived fragments (aggregated
   graphs, cluster maps — thousands of rows), never corpus tables; memory
   is bounded by the handful of call sites.
@@ -28,25 +41,53 @@ Scope and safety:
 
 from __future__ import annotations
 
+# key -> (owning SparkContext, persisted DataFrame); the context is kept
+# so stopped-session entries can be recognized and evicted
 _CACHE: dict = {}
+
+
+def _get_or_build(spark, sf_dir: str, name: str, build, persist):
+    from .lineage import audit_mode
+
+    if audit_mode():
+        return build()
+    sc = spark.sparkContext
+    for k in [k for k, (osc, _v) in _CACHE.items() if osc._jsc is None]:
+        del _CACHE[k]
+    key = (sc.applicationId, sc.startTime, sf_dir, name)
+    ent = _CACHE.get(key)
+    if ent is None:
+        val = persist(build())
+        _CACHE[key] = (sc, val)
+        return val
+    return ent[1]
 
 
 def fragment(spark, sf_dir: str, name: str, build):
     """Return the cached DataFrame for (session, sf_dir, name), building
-    and persisting it via ``build()`` on first use."""
-    key = (id(spark.sparkContext), sf_dir, name)
-    df = _CACHE.get(key)
-    if df is None:
-        df = build().persist()
-        _CACHE[key] = df
-    return df
+    and persisting it via ``build()`` on first use. In audit mode the
+    cache is bypassed (see module docstring)."""
+    return _get_or_build(spark, sf_dir, name, build, lambda df: df.persist())
+
+
+def fragment_tuple(spark, sf_dir: str, name: str, build):
+    """Like :func:`fragment` for a ``build()`` returning a TUPLE of
+    DataFrames that only make sense together (LPA's ``(edges, labels)``
+    — labels are derived from exactly those edges, so caching them
+    separately could pair frames from different builds). Every element
+    is persisted; same key contract and audit bypass as fragment()."""
+    return _get_or_build(
+        spark, sf_dir, name, build,
+        lambda dfs: tuple(df.persist() for df in dfs),
+    )
 
 
 def clear():
     """Unpersist and drop every cached fragment."""
-    for df in _CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass
+    for _sc, val in _CACHE.values():
+        for df in val if isinstance(val, tuple) else (val,):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
     _CACHE.clear()

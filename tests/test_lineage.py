@@ -54,3 +54,53 @@ def test_fragment_cache_reuses_and_clears(spark):
     d = fragcache.fragment(spark, "/tmp/ds", "t", build)
     assert d is not a and len(calls) == 3
     fragcache.clear()
+
+
+def test_fragment_cache_key_is_stable_and_stopped_contexts_evict(spark):
+    """The cache key must be (applicationId, startTime, sf_dir, name) —
+    stable identifiers a recycled id() can never collide with — and
+    entries owned by a stopped context must be evicted on the next call
+    (would have caught the id()-reuse hazard: a dead context's address
+    reused by a fresh one served the dead session's persisted frames)."""
+    from quackio_jl_spark import fragcache
+
+    fragcache.clear()
+    fragcache.fragment(spark, "/tmp/ds", "t", lambda: spark.range(3))
+    sc = spark.sparkContext
+    assert (sc.applicationId, sc.startTime, "/tmp/ds", "t") in fragcache._CACHE
+
+    class _DeadContext:
+        _jsc = None
+
+    dead_key = ("app-dead", 0, "/tmp/ds", "t")
+    fragcache._CACHE[dead_key] = (_DeadContext(), spark.range(1))
+    fragcache.fragment(spark, "/tmp/ds", "t2", lambda: spark.range(2))
+    assert dead_key not in fragcache._CACHE
+    fragcache.clear()
+
+
+def test_fragment_cache_bypassed_in_audit_mode(spark, monkeypatch):
+    """Under the audit flag the cache is neither read nor written: a
+    capped-round audit build must not poison later non-audit consumers,
+    and the audit must grade the real build plan, not a cached
+    InMemoryRelation."""
+    from quackio_jl_spark import fragcache
+
+    fragcache.clear()
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(3)
+
+    primed = fragcache.fragment(spark, "/tmp/ds", "t", build)
+    assert len(calls) == 1
+    monkeypatch.setenv("SPARK_GRAFT_AUDIT_NO_CHECKPOINT", "1")
+    audit1 = fragcache.fragment(spark, "/tmp/ds", "t", build)
+    audit2 = fragcache.fragment(spark, "/tmp/ds", "t", build)
+    assert audit1 is not primed and audit2 is not audit1
+    assert len(calls) == 3  # fresh build each audit call, cache untouched
+    monkeypatch.delenv("SPARK_GRAFT_AUDIT_NO_CHECKPOINT")
+    assert fragcache.fragment(spark, "/tmp/ds", "t", build) is primed
+    assert len(calls) == 3
+    fragcache.clear()

@@ -225,9 +225,13 @@ def test_pagerank_iterations_read_cached_graph(spark, monkeypatch):
     ranks: the final plan must read InMemoryTableScans and stay shallow
     (the old unrolled-lineage version was a 75-exchange plan that
     re-derived the edge self-join every round). Threshold forced to -1 so
-    the test grades the DISTRIBUTED path, not the local kernel."""
+    the test grades the DISTRIBUTED path, not the local kernel. The
+    fragment cache is cleared first so the graded plan is the co-purchase
+    BUILD, not a fragment another test primed."""
+    from quackio_jl_spark import fragcache
     from quackio_jl_spark.operators import cluster as C
 
+    fragcache.clear()
     monkeypatch.setattr(C, "CC_LOCAL_MAX_EDGES", -1)
     p = plan_of(QUERIES["part_pagerank"](spark, SF_DIR), mode="simple")
     assert "InMemoryTableScan" in p
