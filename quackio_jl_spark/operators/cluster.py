@@ -923,10 +923,23 @@ def _lpa_round_sql(prev: str, out: str) -> str:
 
 
 def _lpa_edges_labels(spark, sf_dir):
-    """Shared LPA kernel: build the weighted co-purchase edge list and
-    run {_LPA_ROUNDS} synchronous weighted-vote rounds (smallest-label
-    tie-break). Returns (edges, labels) — both persisted — for the
-    community histogram and the modularity audit."""
+    """Shared LPA kernel, served through the session fragment cache: the
+    weighted co-purchase edge build + {_LPA_ROUNDS} vote rounds are the
+    single heaviest derived fragment and are consumed identically by the
+    community histogram and the modularity audit — build once per
+    (session, dataset). (edges, labels) are cached as ONE tuple fragment
+    because labels are derived from exactly those edges."""
+    from ..fragcache import fragment_tuple
+
+    return fragment_tuple(
+        spark, sf_dir, "lpa_edges_labels", lambda: _lpa_build(spark, sf_dir)
+    )
+
+
+def _lpa_build(spark, sf_dir):
+    """Build the weighted co-purchase edge list and run {_LPA_ROUNDS}
+    synchronous weighted-vote rounds (smallest-label tie-break). Returns
+    (edges, labels) — both persisted."""
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("v"))

@@ -354,16 +354,22 @@ def test_bradley_terry_local_fit_matches_distributed(spark, monkeypatch):
 
 def test_lpa_local_rounds_match_distributed(spark, monkeypatch):
     """The local LPA replay (integer vote sums + smallest-label argmax)
-    must equal the distributed synchronous rounds exactly."""
+    must equal the distributed synchronous rounds exactly.
+    fragcache.clear() between runs so the second run actually rebuilds
+    (edges, labels) through the distributed branch."""
+    from quackio_jl_spark import fragcache
     from quackio_jl_spark.operators import cluster as C
 
+    fragcache.clear()
     loc = sorted(
         tuple(r) for r in C.part_label_propagation(spark, SF).collect()
     )
+    fragcache.clear()
     monkeypatch.setattr(C, "CC_LOCAL_MAX_EDGES", -1)
     dist = sorted(
         tuple(r) for r in C.part_label_propagation(spark, SF).collect()
     )
+    fragcache.clear()
     assert loc == dist and len(loc) > 0
 
 
