@@ -188,6 +188,12 @@ def update_trend_table(repo_dir: str) -> None:
             continue
         p = d.get("parsed") or {}
         if not p:
+            # the driver's artifact captured only a truncated log tail
+            # (r5): keep the round visible rather than silently skipping
+            rows.append(
+                f"| r{d.get('n', '?')} | — (artifact captured no JSON"
+                " line) | — | — | — |"
+            )
             continue
         ext = p.get("extended_total_sec")
         rows.append(
@@ -234,6 +240,17 @@ def update_trend_table(repo_dir: str) -> None:
 
 
 def main() -> None:
+    import sys
+
+    if "--trend-only" in sys.argv:
+        # Regenerate the BASELINE.md trend table from the committed
+        # BENCH_r0N.json artifacts WITHOUT running the bench — the
+        # driver writes round N's artifact only after round N closes, so
+        # each round runs this once at start to pick up the previous
+        # round's row (keeps the committed table complete through the
+        # latest artifact even when the bench itself only runs later).
+        update_trend_table(os.path.dirname(os.path.abspath(__file__)))
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
