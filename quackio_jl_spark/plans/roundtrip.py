@@ -876,3 +876,115 @@ def roundtrip_json_http_ranged(spark, sf_dir):
         return out
     finally:
         httpd.shutdown()
+
+
+@query(
+    "roundtrip_parquet_http_multifile",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+      CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+      CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        AS cents
+    FROM orders
+    WHERE o_orderkey BETWEEN 1000 AND 2000
+    """,
+)
+def roundtrip_parquet_http_multifile(spark, sf_dir):
+    """Multi-file remote parquet over HTTP Range requests (round-8
+    VERDICT "next" #7): orders is key-sorted, split ROUND-ROBIN into two
+    parquet files (so each file spans the full key range and is itself
+    key-sorted — the layout a partitioned remote dataset has per shard),
+    each written with many small row groups, served by the
+    Range-honoring server, and scanned with
+    read_parquet_url_ranged([url1, url2]) — one partition per
+    (file, row group), footer probe + zone-map skipping applied PER
+    FILE: the remote analogue of the local multi-file union (SURVEY S5)
+    and the last step to DuckDB-httpfs parity for partitioned remote
+    datasets. The query RAISES unless pruning drops groups in BOTH
+    files while keeping at least one in EACH (so both files' bodies are
+    genuinely read) and zero whole-file GETs ran. The exact .filter()
+    on top makes the aggregate hash-match DuckDB reading the original
+    single-file table."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..sources.httpranged import (
+        RangeFileHandler,
+        read_parquet_url_ranged,
+        serve_directory_ranged,
+    )
+
+    src = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice"],
+    ).sort_by("o_orderkey")
+    tmp = tempfile.mkdtemp(prefix="http_multi_")
+    for i in (0, 1):
+        shard = src.take(list(range(i, src.num_rows, 2)))
+        pq.write_table(
+            shard, f"{tmp}/part{i}.parquet", row_group_size=500
+        )
+    httpd, port = serve_directory_ranged(tmp)
+    RangeFileHandler.range_count = RangeFileHandler.full_count = 0
+    try:
+        urls = [
+            f"http://127.0.0.1:{port}/part0.parquet",
+            f"http://127.0.0.1:{port}/part1.parquet",
+        ]
+        df = read_parquet_url_ranged(
+            spark, urls, rg_filter=("o_orderkey", 1000, 2000)
+        )
+        n_total_groups = sum(
+            pq.read_metadata(f"{tmp}/part{i}.parquet").num_row_groups
+            for i in (0, 1)
+        )
+        # plan the same scan once more reader-side to see WHICH file
+        # each surviving partition belongs to (the DataFrame API hides
+        # InputPartition values); footers only, zero body bytes
+        from ..sources.httpranged import HttpParquetReader
+
+        planned = HttpParquetReader(
+            {
+                "urls": "\n".join(urls),
+                "rgfiltercol": "o_orderkey",
+                "rgfilterlo": "1000",
+                "rgfilterhi": "2000",
+            }
+        ).partitions()
+        kept_files = {p.value[0] for p in planned}
+        n_kept = df.rdd.getNumPartitions()
+        if not 0 < n_kept < n_total_groups:
+            raise ValueError(
+                f"multi-file zone-map pruning kept {n_kept} of "
+                f"{n_total_groups} row groups; expected a strict,"
+                " non-empty subset"
+            )
+        if kept_files != set(urls):
+            raise ValueError(
+                "round-robin shards both span the key range, so pruning "
+                f"must keep groups in BOTH files; kept only {kept_files}"
+            )
+        out = (
+            df.filter(F.col("o_orderkey").between(1000, 2000))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.min("o_orderkey").cast("bigint").alias("min_key"),
+                F.max("o_orderkey").cast("bigint").alias("max_key"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if RangeFileHandler.full_count > 0:
+            raise ValueError(
+                "roundtrip_parquet_http_multifile: a whole-file GET ran "
+                f"({RangeFileHandler.full_count})"
+            )
+        return out
+    finally:
+        httpd.shutdown()

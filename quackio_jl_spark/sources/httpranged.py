@@ -410,11 +410,25 @@ def _parquet_footer(url: str, size: int):
     return pq.read_metadata(io.BytesIO(tail))
 
 
+def _parquet_urls(options) -> list:
+    """The scan's URL list: ``urls`` (newline-separated, the multi-file
+    manifest form) or the single ``url``/``path``."""
+    urls = options.get("urls")
+    if urls:
+        out = [u.strip() for u in urls.split("\n") if u.strip()]
+        if out:
+            return out
+    single = options.get("url") or options.get("path")
+    if not single:
+        raise ValueError(
+            "http_parquet requires .option('url', ...) or .option('urls', ...)"
+        )
+    return [single]
+
+
 class HttpParquetReader(DataSourceReader):
     def __init__(self, options):
-        self.url = options.get("url") or options.get("path")
-        if not self.url:
-            raise ValueError("http_parquet requires .option('url', ...)")
+        self.urls = _parquet_urls(options)
         cols = options.get("columns")
         self.columns = (
             [c.strip() for c in cols.split(",")] if cols else None
@@ -425,47 +439,75 @@ class HttpParquetReader(DataSourceReader):
         self.filter_hi = options.get("rgfilterhi")
 
     def partitions(self):
-        size, ranged = _probe(self.url)
-        if not size or not ranged:
-            raise ValueError(
-                f"http_parquet needs Content-Length + Accept-Ranges from "
-                f"{self.url!r}; for a server without range support, "
-                "download via sources.readers (fetch-to-temp) instead"
-            )
-        md = _parquet_footer(self.url, size)
-        keep = range(md.num_row_groups)
-        if self.filter_col:
-            # zone-map skipping on footer statistics — the scan never
-            # requests a pruned row group's bytes, which at 100 TB remote
-            # is the difference between touching one zone and the corpus.
-            # Conservative: a group without stats is kept; the caller's
-            # .filter() still applies row-exactness either way.
-            names = [
-                md.schema.column(i).name for i in range(md.num_columns)
-            ]
-            try:
-                ci = names.index(self.filter_col)
-            except ValueError:
+        # One footer probe per file, driver-side (footers are
+        # O(row-groups x columns) metadata — on a cluster this loop is a
+        # parallel listing over the manifest), then one InputPartition
+        # per surviving (file, row group): the remote analogue of the
+        # local multi-file union, with zone-map skipping applied PER
+        # FILE so a pruned group costs zero body bytes in any file.
+        parts = []
+        first_ddl = None
+        for url in self.urls:
+            size, ranged = _probe(url)
+            if not size or not ranged:
                 raise ValueError(
-                    f"rgFilterCol {self.filter_col!r} not in {names}"
+                    f"http_parquet needs Content-Length + Accept-Ranges "
+                    f"from {url!r}; for a server without range support, "
+                    "download via sources.readers (fetch-to-temp) instead"
                 )
-            lo = float(self.filter_lo) if self.filter_lo is not None else None
-            hi = float(self.filter_hi) if self.filter_hi is not None else None
-            kept = []
-            for rg in keep:
-                st = md.row_group(rg).column(ci).statistics
-                if st is None or not st.has_min_max:
+            md = _parquet_footer(url, size)
+            ddl = _arrow_to_ddl(md.schema.to_arrow_schema())
+            if first_ddl is None:
+                first_ddl = ddl
+            elif ddl != first_ddl:
+                # loud, not unionByName: a silent column/type drift
+                # across a 100 TB manifest corrupts every consumer
+                raise ValueError(
+                    f"http_parquet: schema drift in multi-file scan — "
+                    f"{url!r} has ({ddl}) but {self.urls[0]!r} has "
+                    f"({first_ddl})"
+                )
+            keep = range(md.num_row_groups)
+            if self.filter_col:
+                # zone-map skipping on footer statistics — the scan
+                # never requests a pruned row group's bytes, which at
+                # 100 TB remote is the difference between touching one
+                # zone and the corpus. Conservative: a group without
+                # stats is kept; the caller's .filter() still applies
+                # row-exactness either way.
+                names = [
+                    md.schema.column(i).name for i in range(md.num_columns)
+                ]
+                try:
+                    ci = names.index(self.filter_col)
+                except ValueError:
+                    raise ValueError(
+                        f"rgFilterCol {self.filter_col!r} not in {names}"
+                    )
+                lo = (
+                    float(self.filter_lo)
+                    if self.filter_lo is not None
+                    else None
+                )
+                hi = (
+                    float(self.filter_hi)
+                    if self.filter_hi is not None
+                    else None
+                )
+                kept = []
+                for rg in keep:
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        kept.append(rg)
+                        continue
+                    if lo is not None and float(st.max) < lo:
+                        continue
+                    if hi is not None and float(st.min) > hi:
+                        continue
                     kept.append(rg)
-                    continue
-                if lo is not None and float(st.max) < lo:
-                    continue
-                if hi is not None and float(st.min) > hi:
-                    continue
-                kept.append(rg)
-            keep = kept
-        # one InputPartition per surviving row group: the parquet-native
-        # split boundary (each is a self-contained column-chunk run)
-        return [InputPartition((self.url, size, rg)) for rg in keep]
+                keep = kept
+            parts.extend(InputPartition((url, size, rg)) for rg in keep)
+        return parts
 
     def read(self, partition):
         import pyarrow as pa
@@ -493,9 +535,9 @@ class HttpParquetDataSource(DataSource):
 
     def schema(self) -> str:
         opts = {k.lower(): v for k, v in self.options.items()}
-        url = opts.get("url") or opts.get("path")
-        if not url:
-            raise ValueError("http_parquet requires .option('url', ...)")
+        # schema from the FIRST file's footer; partitions() verifies
+        # every other file matches it exactly (loud on drift)
+        url = _parquet_urls(opts)[0]
         size, ranged = _probe(url)
         if not size or not ranged:
             raise ValueError(
@@ -519,7 +561,7 @@ class HttpParquetDataSource(DataSource):
 
 def read_parquet_url_ranged(
     spark,
-    url: str,
+    url: str | list,
     columns: list[str] | None = None,
     rg_filter: tuple | None = None,
 ):
@@ -529,11 +571,21 @@ def read_parquet_url_ranged(
     (col, lo, hi)`` (either bound may be None) to zone-map-skip whole row
     groups from the footer statistics — pruned groups cost ZERO body
     bytes. The skip is conservative (stats-less groups are kept); apply
-    the exact predicate with .filter() on the result as usual."""
+    the exact predicate with .filter() on the result as usual.
+
+    ``url`` may be a LIST of URLs (a manifest): the scan plans one
+    partition per (file, row group), prunes per file, and raises loudly
+    on any cross-file schema drift — the remote analogue of the local
+    multi-file union (SURVEY S5) and the last step to DuckDB-httpfs
+    parity for partitioned remote datasets."""
     if not HAS_DATASOURCE_API:  # pragma: no cover
         raise NotImplementedError("pyspark >= 4 required for the DataSource API")
     spark.dataSource.register(HttpParquetDataSource)
-    r = spark.read.format("http_parquet").option("url", url)
+    r = spark.read.format("http_parquet")
+    if isinstance(url, (list, tuple)):
+        r = r.option("urls", "\n".join(url))
+    else:
+        r = r.option("url", url)
     if columns:
         r = r.option("columns", ",".join(columns))
     if rg_filter:

@@ -964,3 +964,43 @@ def test_http_parquet_zone_map_skip(tmp_path, spark):
         assert lo_only.rdd.getNumPartitions() == 2  # [800,899], [900,999]
     finally:
         httpd.shutdown()
+
+
+def test_http_parquet_multifile_union_and_schema_drift(tmp_path, spark):
+    """Multi-file ranged scan: a URL list plans one partition per
+    (file, row group) and unions rows exactly; a file whose schema
+    drifts from the first raises loudly instead of silently coercing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from quackio_jl_spark.sources.httpranged import (
+        RangeFileHandler,
+        read_parquet_url_ranged,
+        serve_directory_ranged,
+    )
+
+    a = pa.table({"k": pa.array(range(100), type=pa.int64())})
+    b = pa.table({"k": pa.array(range(100, 250), type=pa.int64())})
+    drift = pa.table({"k": pa.array(["oops"], type=pa.string())})
+    pq.write_table(a, tmp_path / "a.parquet", row_group_size=50)
+    pq.write_table(b, tmp_path / "b.parquet", row_group_size=50)
+    pq.write_table(drift, tmp_path / "c.parquet")
+    httpd, port = serve_directory_ranged(str(tmp_path))
+    base = f"http://127.0.0.1:{port}"
+    RangeFileHandler.range_count = RangeFileHandler.full_count = 0
+    try:
+        df = read_parquet_url_ranged(
+            spark, [f"{base}/a.parquet", f"{base}/b.parquet"]
+        )
+        assert df.rdd.getNumPartitions() == 5  # 2 + 3 row groups
+        assert sorted(r["k"] for r in df.collect()) == list(range(250))
+        assert RangeFileHandler.full_count == 0
+
+        bad = read_parquet_url_ranged(
+            spark, [f"{base}/a.parquet", f"{base}/c.parquet"]
+        )
+        with _pytest.raises(Exception, match="schema drift"):
+            bad.collect()
+    finally:
+        httpd.shutdown()
