@@ -276,6 +276,10 @@ def dedup_cluster_sizes(spark, sf_dir):
 # ------------------------------------------------------------- PageRank-lite
 
 PR_DAMPING = 0.85
+# ONE round count shared by the unrolled oracle, the distributed loop,
+# and the local replay — three call sites that must agree or the
+# local/distributed/oracle bit-equality silently breaks (ADVICE r8)
+PR_ROUNDS = 2
 # Floor-quantized exact sums (round-7 posture): a DOUBLE->DECIMAL cast
 # rounds half-to-EVEN in DuckDB but half-UP in Spark, so the old
 # CAST(x AS DECIMAL(28,12)) contribution sums were engine-divergent at
@@ -379,9 +383,8 @@ def _copurchase_edges(spark, sf_dir):
     oracle=f"""
     WITH {_PR_GRAPH_SQL},
     r0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
-    {_pr_round_sql('r0', 'r1')},
-    {_pr_round_sql('r1', 'r2')}
-    SELECT id AS part, r AS rank FROM r2
+    {",".join(_pr_round_sql(f"r{i}", f"r{i + 1}") for i in range(PR_ROUNDS))}
+    SELECT id AS part, r AS rank FROM r{PR_ROUNDS}
     """,
 )
 def part_pagerank(spark, sf_dir):
@@ -447,7 +450,7 @@ def part_pagerank(spark, sf_dir):
             np.full(len(ids), (1 - PR_DAMPING) / n),
         )
 
-    loc = _pagerank_local(edges, 2, PR_DAMPING, _uniform_state)
+    loc = _pagerank_local(edges, PR_ROUNDS, PR_DAMPING, _uniform_state)
     if loc is not None:
         ids, r = loc
         return edges.sparkSession.createDataFrame(
@@ -459,7 +462,7 @@ def part_pagerank(spark, sf_dir):
     r = nodes.crossJoin(F.broadcast(nn)).select(
         "id", (F.lit(1.0) / F.col("n")).alias("r")
     )
-    for _ in range(2):
+    for _ in range(PR_ROUNDS):
         r = pr_round(r).persist()
         r.count()  # fill the cache: next round (and the caller) plan on it
     return r.select(F.col("id").alias("part"), F.col("r").alias("rank"))
