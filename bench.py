@@ -165,6 +165,11 @@ EXTENDED = [
     "part_pagerank",
     "part_spectral_cut_vs_random",
     "mixture_temperature_sampling",
+    # Round-9 wave: incremental corpus-version maintenance + remote I/O.
+    "dedup_cluster_version_diff",
+    "roundtrip_parquet_http_multifile",
+    "roundtrip_csv_http_ranged",
+    "roundtrip_json_http_ranged",
 ]
 
 

@@ -3268,3 +3268,258 @@ def part_personalized_pagerank(spark, sf_dir):
         F.col("r").alias("ppr"),
         F.when(is_seed, 1).otherwise(0).alias("is_seed"),
     )
+
+
+# --------------------------------------- corpus-version near-dup cluster diff
+
+_VDIFF_CLONE_OFF = 100_000
+_VDIFF_BRIDGE_OFF = 200_000
+
+from .dedup import (  # noqa: E402  (shared LSH pipeline pieces)
+    N_MINHASH,
+    _lsh_chain_sql,
+    lsh_pairs_from_signatures,
+    minhash_signatures,
+)
+
+_VDIFF_ORACLE = f"""
+    WITH RECURSIVE
+    {_lsh_chain_sql()},
+    sym AS (
+      SELECT doc1 AS a, doc2 AS b FROM cand
+      UNION ALL SELECT doc2, doc1 FROM cand
+    ),
+    walk(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT sym.a, w.label FROM walk w JOIN sym ON sym.b = w.id
+    ),
+    comp_a AS (SELECT id, MIN(label) AS cluster FROM walk GROUP BY id),
+    docs_b AS (
+      SELECT d.doc_id,
+        CASE WHEN d.doc_id % 19 = 0 AND n.doc_id IS NOT NULL
+             THEN n.text ELSE d.text END AS text
+      FROM documents d
+      LEFT JOIN documents n
+        ON n.doc_id = d.doc_id + 1 AND n.doc_id % 17 <> 0
+      WHERE d.doc_id % 17 <> 0
+      UNION ALL
+      SELECT d.doc_id + {_VDIFF_CLONE_OFF}, d.text
+      FROM documents d
+      LEFT JOIN documents n
+        ON n.doc_id = d.doc_id + 1 AND n.doc_id % 17 <> 0
+      WHERE d.doc_id % 17 <> 0 AND d.doc_id % 29 = 0
+        AND NOT (d.doc_id % 19 = 0 AND n.doc_id IS NOT NULL)
+      UNION ALL
+      SELECT u.doc_id + {_VDIFF_BRIDGE_OFF}, u.text || ' ' || p.text
+      FROM documents u JOIN documents p ON p.doc_id = u.doc_id + 3
+      WHERE u.doc_id % 17 <> 0 AND u.doc_id % 37 = 0 AND p.doc_id % 17 <> 0
+    ),
+    {_lsh_chain_sql("docs_b", "_b")},
+    sym_b AS (
+      SELECT doc1 AS a, doc2 AS b FROM cand_b
+      UNION ALL SELECT doc2, doc1 FROM cand_b
+    ),
+    walk_b(id, label) AS (
+      SELECT doc_id, doc_id FROM docs_b
+      UNION
+      SELECT sym_b.a, w.label FROM walk_b w JOIN sym_b ON sym_b.b = w.id
+    ),
+    comp_b AS (SELECT id, MIN(label) AS cluster FROM walk_b GROUP BY id),
+    na AS (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_a
+      FROM comp_a GROUP BY cluster
+    ),
+    surv AS (
+      SELECT ca.cluster AS cluster_a, cb.cluster AS cluster_b
+      FROM comp_a ca
+      JOIN documents d ON d.doc_id = ca.id
+      LEFT JOIN documents n
+        ON n.doc_id = d.doc_id + 1 AND n.doc_id % 17 <> 0
+      JOIN comp_b cb ON cb.id = d.doc_id
+      WHERE d.doc_id % 17 <> 0
+        AND NOT (d.doc_id % 19 = 0 AND n.doc_id IS NOT NULL)
+    ),
+    pab AS (SELECT DISTINCT cluster_a, cluster_b FROM surv),
+    sizes_b AS (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS nb
+      FROM comp_b GROUP BY cluster
+    ),
+    nbc AS (SELECT cluster_a, COUNT(*) AS k FROM pab GROUP BY cluster_a),
+    nbt AS (
+      SELECT pab.cluster_a, CAST(SUM(sizes_b.nb) AS BIGINT) AS n_b
+      FROM pab JOIN sizes_b ON sizes_b.cluster = pab.cluster_b
+      GROUP BY pab.cluster_a
+    ),
+    mrg AS (
+      SELECT cluster_b FROM pab GROUP BY cluster_b HAVING COUNT(*) > 1
+    ),
+    mrga AS (
+      SELECT DISTINCT pab.cluster_a FROM pab
+      JOIN mrg ON mrg.cluster_b = pab.cluster_b
+    )
+    SELECT na.cluster AS cluster_a, na.n_a,
+      CAST(COALESCE(nbt.n_b, 0) AS BIGINT) AS n_b,
+      CASE WHEN nbc.k IS NULL THEN 'vanished'
+           WHEN nbc.k > 1 THEN 'split'
+           WHEN mrga.cluster_a IS NOT NULL THEN 'merged'
+           WHEN nbt.n_b > na.n_a THEN 'grew'
+           WHEN nbt.n_b < na.n_a THEN 'shrank'
+           ELSE 'unchanged' END AS status
+    FROM na
+    LEFT JOIN nbc ON nbc.cluster_a = na.cluster
+    LEFT JOIN nbt ON nbt.cluster_a = na.cluster
+    LEFT JOIN mrga ON mrga.cluster_a = na.cluster
+"""
+
+
+@query("dedup_cluster_version_diff", oracle=_VDIFF_ORACLE)
+def dedup_cluster_version_diff(spark, sf_dir):
+    """Cross-snapshot near-dup CLUSTER diff (round-8 VERDICT "next" #10):
+    corpus version B is derived deterministically from version A (every
+    17th doc deleted; every 19th doc's text replaced by its successor's;
+    every 29th unedited survivor cloned under id+{_VDIFF_CLONE_OFF};
+    every 37th survivor spawning a BRIDGE doc under id+{_VDIFF_BRIDGE_OFF}
+    whose text concatenates doc u and doc u+3 — new content that can
+    join two previously-separate clusters), both versions are clustered
+    with the SAME banded MinHash-LSH + connected-components pipeline,
+    and every version-A cluster is classified: vanished (no unedited
+    survivor), split (survivors land in >1 B-cluster), merged (its
+    B-cluster also holds survivors of another A-cluster), grew / shrank
+    / unchanged (B-cluster size vs A size).
+
+    Scale design — the incremental-maintenance shape, not a second full
+    LSH pass: version A's cluster map and candidate fragment come from
+    the session fragment cache; version B's SIGNATURE table is derived
+    relationally for every node whose content is an existing doc's text
+    (unchanged survivors reuse their own sig row; an edited doc reuses
+    its successor's; a clone its original's — md5 signatures depend only
+    on text, so the reuse is exact), and only the BRIDGE docs (genuinely
+    new content, churn-sized) run the shingle/md5 pipeline. Candidate
+    generation stays strictly banded (lsh_pairs_from_signatures — same
+    bucket cap), and the CC re-runs only on the derived pair graph. Per
+    snapshot the cost is O(churn + band join + cluster graph), not
+    O(corpus). The DuckDB oracle recomputes version B FROM SCRATCH over
+    the modified texts, so the gate proves incremental == full rebuild.
+    All counts are integers; statuses are exact CASE branches."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    nxt = d.select(
+        (F.col("doc_id") - 1).alias("p_id"),
+        F.col("doc_id").alias("next_id"),
+    ).filter(F.col("next_id") % 17 != 0)
+    surv = d.filter(F.col("doc_id") % 17 != 0)
+    core = (
+        surv.join(nxt, F.col("doc_id") == F.col("p_id"), "left")
+        .select(
+            "doc_id",
+            "next_id",
+            (
+                (F.col("doc_id") % 19 == 0) & F.col("next_id").isNotNull()
+            ).alias("edited"),
+        )
+    )
+    part = d.select(
+        (F.col("doc_id") - 3).alias("b_id"),
+        F.col("doc_id").alias("p_id2"),
+        F.col("text").alias("p_text"),
+    ).filter(F.col("p_id2") % 17 != 0)
+    bridges = (
+        surv.filter(F.col("doc_id") % 37 == 0)
+        .join(part, F.col("doc_id") == F.col("b_id"))
+        .select(
+            (F.col("doc_id") + _VDIFF_BRIDGE_OFF).alias("doc_id"),
+            F.concat_ws(" ", "text", "p_text").alias("text"),
+        )
+    )
+    clones = core.filter(
+        ~F.col("edited") & (F.col("doc_id") % 29 == 0)
+    ).select((F.col("doc_id") + _VDIFF_CLONE_OFF).alias("doc_id"))
+    nodes_b = (
+        core.select("doc_id")
+        .unionAll(clones)
+        .unionAll(bridges.select("doc_id"))
+    )
+    # incremental signature table: relational reuse of version A's sigs
+    hcols = [f"h{i}" for i in range(N_MINHASH)]
+    sig_a = minhash_signatures(docs=d)
+    src_map = (
+        core.filter(~F.col("edited")).select(
+            "doc_id", F.col("doc_id").alias("src")
+        )
+        .unionAll(
+            core.filter(F.col("edited")).select(
+                "doc_id", F.col("next_id").alias("src")
+            )
+        )
+        .unionAll(
+            core.filter(~F.col("edited") & (F.col("doc_id") % 29 == 0))
+            .select(
+                (F.col("doc_id") + _VDIFF_CLONE_OFF).alias("doc_id"),
+                F.col("doc_id").alias("src"),
+            )
+        )
+    )
+    sig_reused = src_map.join(
+        sig_a.select(F.col("doc_id").alias("src"), *hcols), "src"
+    ).select("doc_id", *hcols)
+    sig_b = sig_reused.unionByName(minhash_signatures(docs=bridges))
+    pairs_b = lsh_pairs_from_signatures(sig_b)
+    comp_b = connected_components(
+        nodes_b, pairs_b, id_col="doc_id", src="doc1", dst="doc2"
+    )
+    ca = dedup_clusters(spark, sf_dir)
+    na = ca.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a")
+    )
+    pab = (
+        ca.join(core.filter(~F.col("edited")).select("doc_id"), "doc_id")
+        .join(
+            comp_b.select(
+                F.col("id").alias("doc_id"),
+                F.col("cluster").alias("cluster_b"),
+            ),
+            "doc_id",
+        )
+        .select(F.col("cluster").alias("cluster_a"), "cluster_b")
+        .distinct()
+    )
+    sizes_b = comp_b.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb")
+    )
+    nbc = pab.groupBy("cluster_a").agg(F.count(F.lit(1)).alias("k"))
+    nbt = (
+        pab.join(sizes_b, pab.cluster_b == sizes_b.cluster)
+        .groupBy("cluster_a")
+        .agg(F.sum("nb").cast("bigint").alias("n_b"))
+    )
+    mrg = (
+        pab.groupBy("cluster_b")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") > 1)
+    )
+    mrga = (
+        pab.join(mrg.select("cluster_b"), "cluster_b")
+        .select("cluster_a")
+        .distinct()
+        .withColumn("is_m", F.lit(1))
+    )
+    rep = (
+        na.withColumnRenamed("cluster", "cluster_a")
+        .join(nbc, "cluster_a", "left")
+        .join(nbt, "cluster_a", "left")
+        .join(mrga, "cluster_a", "left")
+    )
+    status = (
+        F.when(F.col("k").isNull(), "vanished")
+        .when(F.col("k") > 1, "split")
+        .when(F.col("is_m").isNotNull(), "merged")
+        .when(F.col("n_b") > F.col("n_a"), "grew")
+        .when(F.col("n_b") < F.col("n_a"), "shrank")
+        .otherwise("unchanged")
+    )
+    return rep.select(
+        "cluster_a",
+        "n_a",
+        F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+        status.alias("status"),
+    )

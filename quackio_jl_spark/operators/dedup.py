@@ -164,6 +164,56 @@ def _bands_sql() -> str:
     return "\n      UNION ALL\n      ".join(selects)
 
 
+def _lsh_chain_sql(src: str = "documents", sfx: str = "") -> str:
+    """The full shingle -> signature -> band -> capped-bucket -> candidate
+    CTE chain over an arbitrary source relation ``src(doc_id, text)``,
+    with every CTE name suffixed by ``sfx`` so two chains (e.g. corpus
+    version A and version B in dedup_cluster_version_diff) can coexist in
+    one WITH. The sfx='' instance is semantically identical to
+    _SHINGLES_SQL + _minhash_sig_sql() + _cand_sql()."""
+    mins = ",\n        ".join(
+        f"MIN(substr(md5('{i // 4}:' || shingle), {8 * (i % 4) + 1}, 8)) AS h{i}"
+        for i in range(N_MINHASH)
+    )
+    n_bands = N_MINHASH // LSH_BAND_SIZE
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ".join(
+            f"h{b * LSH_BAND_SIZE + j}" for j in range(LSH_BAND_SIZE)
+        )
+        + f" AS key FROM sig{sfx}"
+        for b in range(n_bands)
+    )
+    return f"""
+    toks{sfx} AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM {src}
+      WHERE len(string_split(text, ' ')) >= {SHINGLE_K}
+    ),
+    sh{sfx} AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i+1:i+{SHINGLE_K}], ' ') AS shingle
+      FROM toks{sfx}, UNNEST(range(len(t) - {SHINGLE_K - 1})) AS u(i)
+    ),
+    sig{sfx} AS (
+      SELECT doc_id,
+        {mins}
+      FROM sh{sfx} GROUP BY doc_id
+    ),
+    bands{sfx} AS (
+      {band_selects}
+    ),
+    bok{sfx} AS (
+      SELECT band, key FROM bands{sfx} GROUP BY band, key
+      HAVING COUNT(*) BETWEEN 2 AND {LSH_MAX_BUCKET}
+    ),
+    cand{sfx} AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM bands{sfx} a
+      JOIN bok{sfx} ON bok{sfx}.band = a.band AND bok{sfx}.key = a.key
+      JOIN bands{sfx} b ON a.band = b.band AND a.key = b.key
+                  AND a.doc_id < b.doc_id
+    )"""
+
+
 def _cand_sql() -> str:
     """The shared ``cand`` CTE chain (bands -> capped buckets -> candidate
     pairs) used by every oracle that consumes LSH candidates; mirrors the
@@ -226,41 +276,49 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
 
     def build():
         sig = minhash_signatures(docs=table(spark, sf_dir, "documents"))
-        n_bands = N_MINHASH // LSH_BAND_SIZE
-        band_rows = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.concat(
-                        *[
-                            F.col(f"h{b * LSH_BAND_SIZE + j}")
-                            for j in range(LSH_BAND_SIZE)
-                        ]
-                    ).alias("key"),
-                )
-                for b in range(n_bands)
-            ]
-        )
-        bands = sig.select("doc_id", F.explode(band_rows).alias("bk")).select(
-            "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-        )
-        buckets = (
-            bands.groupBy("band", "key")
-            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-            .filter((F.size("ids") >= 2) & (F.size("ids") <= LSH_MAX_BUCKET))
-        )
-        pairs = buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                    "y -> struct(x AS doc1, y AS doc2))))"
-                )
-            ).alias("p")
-        )
-        return pairs.select("p.doc1", "p.doc2").distinct()
+        return lsh_pairs_from_signatures(sig)
 
     return fragment(spark, sf_dir, "minhash_lsh_cand", build)
+
+
+def lsh_pairs_from_signatures(sig):
+    """(doc1, doc2) LSH candidate pairs from a signature frame — the
+    band/bucket/pair tail of dedup_minhash_lsh_pairs, factored out so an
+    incrementally-maintained signature table (dedup_cluster_version_diff)
+    reuses the identical bucketed shape and skew cap."""
+    n_bands = N_MINHASH // LSH_BAND_SIZE
+    band_rows = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *[
+                        F.col(f"h{b * LSH_BAND_SIZE + j}")
+                        for j in range(LSH_BAND_SIZE)
+                    ]
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_rows).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= LSH_MAX_BUCKET))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x AS doc1, y AS doc2))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc1", "p.doc2").distinct()
 
 
 # ------------------------------------------------------------------- SimHash

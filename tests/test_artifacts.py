@@ -31,7 +31,10 @@ def test_schema_vectors_artifact_has_zero_mismatches():
     a latent driver-red even when values compare equal row-by-row."""
     import json
 
-    path = os.path.join(_REPO, "SCHEMA_VECTORS.json")
-    assert os.path.exists(path), "run: python tools/schema_vectors.py"
-    s = json.load(open(path))["_summary"]
-    assert s["mismatches"] == 0, s
+    for artifact in ("SCHEMA_VECTORS.json", "SCHEMA_VECTORS_SF0.01.json"):
+        path = os.path.join(_REPO, artifact)
+        assert os.path.exists(path), (
+            f"run: python tools/schema_vectors.py <sf_dir> {artifact}"
+        )
+        s = json.load(open(path))["_summary"]
+        assert s["mismatches"] == 0, (artifact, s)

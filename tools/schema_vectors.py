@@ -166,6 +166,13 @@ def run(sf_dir: str, out_path: str | None = "SCHEMA_VECTORS.json") -> dict:
 
 
 if __name__ == "__main__":
+    # usage: schema_vectors.py [sf_dir] [out_path] — type drift can be
+    # data-dependent (DECIMAL precision widening), so both the sf0.001
+    # and the sf0.01 grading data get a pinned artifact:
+    #   python tools/schema_vectors.py /root/testdata/sf0.001
+    #   python tools/schema_vectors.py /root/testdata/sf0.01 SCHEMA_VECTORS_SF0.01.json
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    s = run(sf)
+    out = sys.argv[2] if len(sys.argv) > 2 else "SCHEMA_VECTORS.json"
+    s = run(sf, out)
+    sys.exit(1 if s["_summary"]["mismatches"] else 0)
     sys.exit(1 if s["_summary"]["mismatches"] else 0)
