@@ -323,16 +323,14 @@ def _pr_round_sql(prev: str, out: str) -> str:
     )"""
 
 
-def _copurchase_pairs(spark, sf_dir):
-    """The canonical part co-purchase pair list (part1 < part2, >= 2
-    shared orders) — the `pairs` CTE of _PR_GRAPH_SQL. Eight queries
-    (PageRank, personalized PageRank, the four spectral queries,
-    Adamic-Adar, triangles, k-core, degree stats) derive their graph from
-    this exact fragment, so it is built once per (session, dataset)
-    through the fragment cache (see quackio_jl_spark.fragcache) and the
-    persisted frame is shared — a materialized-view-style reuse that cuts
-    the repeated lineitem self-join without touching any query's
-    semantics."""
+def _copurchase_weighted(spark, sf_dir):
+    """The RAW weighted part co-purchase pair list (part1 < part2,
+    n_orders = shared-order count, no threshold) — the single lineitem
+    self-join both graph families share. The PageRank/spectral family
+    consumes it thresholded at >= 2 (_copurchase_pairs); LPA consumes it
+    unthresholded with the count as edge weight (_lpa_build). Building
+    it once per (session, dataset) removes the second self-join — the
+    one genuinely corpus-scaled stage either family runs."""
     from ..fragcache import fragment
 
     def build():
@@ -354,7 +352,28 @@ def _copurchase_pairs(spark, sf_dir):
                 & (F.col("part1") < F.col("part2")),
             )
             .groupBy("part1", "part2")
-            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        )
+
+    return fragment(spark, sf_dir, "copurchase_weighted", build)
+
+
+def _copurchase_pairs(spark, sf_dir):
+    """The canonical part co-purchase pair list (part1 < part2, >= 2
+    shared orders) — the `pairs` CTE of _PR_GRAPH_SQL. Eight queries
+    (PageRank, personalized PageRank, the four spectral queries,
+    Adamic-Adar, triangles, k-core, degree stats) derive their graph from
+    this exact fragment, so it is built once per (session, dataset)
+    through the fragment cache (see quackio_jl_spark.fragcache) and the
+    persisted frame is shared — a materialized-view-style reuse that cuts
+    the repeated lineitem self-join without touching any query's
+    semantics. The underlying self-join itself comes from the shared
+    unthresholded _copurchase_weighted fragment."""
+    from ..fragcache import fragment
+
+    def build():
+        return (
+            _copurchase_weighted(spark, sf_dir)
             .filter(F.col("n_orders") >= 2)
             .select("part1", "part2")
         )
@@ -943,13 +962,10 @@ def _lpa_build(spark, sf_dir):
     """Build the weighted co-purchase edge list and run {_LPA_ROUNDS}
     synchronous weighted-vote rounds (smallest-label tie-break). Returns
     (edges, labels) — both persisted."""
-    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("v"))
-    pairs = (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("u") < F.col("v")))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    pairs = _copurchase_weighted(spark, sf_dir).select(
+        F.col("part1").alias("u"),
+        F.col("part2").alias("v"),
+        F.col("n_orders").alias("w"),
     )
     edges = pairs.select("u", "v", "w").unionAll(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
