@@ -559,6 +559,36 @@ class HttpParquetDataSource(DataSource):
         )
 
 
+def read_parquet_manifest_ranged(
+    spark,
+    manifest_url: str,
+    columns: list[str] | None = None,
+    rg_filter: tuple | None = None,
+):
+    """Remote partitioned dataset via a MANIFEST file: ``manifest_url``
+    points at a newline-separated list of parquet URLs (relative entries
+    resolve against the manifest's own URL — the object-store listing
+    file pattern). The manifest is fetched once driver-side (it is
+    metadata, kilobytes), then the scan plans exactly like the
+    list-of-URLs form: per-file footer probe, per-(file, row group)
+    partitions, per-file zone-map pruning."""
+    import urllib.parse
+    import urllib.request
+
+    with urllib.request.urlopen(manifest_url, timeout=30) as r:
+        body = r.read().decode("utf-8")
+    urls = [
+        urllib.parse.urljoin(manifest_url, line.strip())
+        for line in body.splitlines()
+        if line.strip() and not line.lstrip().startswith("#")
+    ]
+    if not urls:
+        raise ValueError(f"manifest {manifest_url!r} lists no files")
+    return read_parquet_url_ranged(
+        spark, urls, columns=columns, rg_filter=rg_filter
+    )
+
+
 def read_parquet_url_ranged(
     spark,
     url: str | list,

@@ -1004,3 +1004,37 @@ def test_http_parquet_multifile_union_and_schema_drift(tmp_path, spark):
             bad.collect()
     finally:
         httpd.shutdown()
+
+
+def test_http_parquet_manifest_scan(tmp_path, spark):
+    """A manifest URL (newline list, relative entries, comment lines)
+    resolves against its own URL and plans the same multi-file ranged
+    scan — zero whole-file GETs for the parquet bodies."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quackio_jl_spark.sources.httpranged import (
+        RangeFileHandler,
+        read_parquet_manifest_ranged,
+        serve_directory_ranged,
+    )
+
+    a = pa.table({"k": pa.array(range(100), type=pa.int64())})
+    b = pa.table({"k": pa.array(range(100, 250), type=pa.int64())})
+    pq.write_table(a, tmp_path / "a.parquet", row_group_size=50)
+    pq.write_table(b, tmp_path / "b.parquet", row_group_size=50)
+    (tmp_path / "manifest.txt").write_text(
+        "# shard listing\na.parquet\nb.parquet\n"
+    )
+    httpd, port = serve_directory_ranged(str(tmp_path))
+    RangeFileHandler.range_count = RangeFileHandler.full_count = 0
+    try:
+        df = read_parquet_manifest_ranged(
+            spark, f"http://127.0.0.1:{port}/manifest.txt"
+        )
+        assert df.rdd.getNumPartitions() == 5
+        assert sorted(r["k"] for r in df.collect()) == list(range(250))
+        # the only full GET is the manifest itself
+        assert RangeFileHandler.full_count == 1
+    finally:
+        httpd.shutdown()
