@@ -3480,10 +3480,16 @@ def dedup_cluster_version_diff(spark, sf_dir):
     ).select("doc_id", *hcols)
     sig_b = sig_reused.unionByName(minhash_signatures(docs=bridges))
     pairs_b = lsh_pairs_from_signatures(sig_b)
-    comp_b = connected_components(
-        nodes_b, pairs_b, id_col="doc_id", src="doc1", dst="doc2"
+    # chain boundaries (see lineage.truncate_boundary): comp_b feeds pab
+    # AND sizes_b, ca feeds na AND pab — without a hard materialization
+    # each reference re-embeds the whole CC chain in the plan (the
+    # part_spectral_4way analysis-blowup class)
+    comp_b = truncate_boundary(
+        connected_components(
+            nodes_b, pairs_b, id_col="doc_id", src="doc1", dst="doc2"
+        )
     )
-    ca = dedup_clusters(spark, sf_dir)
+    ca = truncate_boundary(dedup_clusters(spark, sf_dir))
     na = ca.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_a")
     )
