@@ -828,7 +828,6 @@ def roundtrip_json_http_ranged(spark, sf_dir):
     measures, in-gate zero-whole-file-GET enforcement, eager
     materialization before server teardown — the same contract as the
     CSV and parquet twins."""
-    import json
     import tempfile
 
     import pyarrow.parquet as pq
@@ -842,11 +841,11 @@ def roundtrip_json_http_ranged(spark, sf_dir):
     src = pq.read_table(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderstatus"],
-    ).to_pylist()
+    ).to_pandas()
     tmp = tempfile.mkdtemp(prefix="http_json_")
-    with open(f"{tmp}/orders.ndjson", "w", encoding="utf-8") as f:
-        for row in src:
-            f.write(json.dumps(row, separators=(",", ":")) + "\n")
+    # vectorized NDJSON export (a per-row json.dumps loop cost more than
+    # the ranged scan it feeds at sf0.1)
+    src.to_json(f"{tmp}/orders.ndjson", orient="records", lines=True)
     httpd, port = serve_directory_ranged(tmp)
     RangeFileHandler.range_count = RangeFileHandler.full_count = 0
     try:
