@@ -425,3 +425,34 @@ def test_bbit_minhash_dominance_invariant(spark):
         assert r["k_bit"] >= r["k_full"]
         assert 0.0 <= r["est_1bit"] <= 1.0
         assert abs(r["est_full"] - r["k_full"] / 8) < 1e-15
+
+
+def test_version_diff_recomputes_signatures_only_for_new_content(
+    spark, monkeypatch
+):
+    """The incremental contract of dedup_cluster_version_diff: the
+    shingle/md5 signature pipeline runs exactly TWICE — once for the
+    version-A corpus (reused relationally by unchanged/edited/clone
+    nodes) and once for the BRIDGE docs (the only genuinely new
+    content, churn-sized: well under a tenth of the corpus). A third
+    call would mean the operator re-signs existing content — the
+    O(corpus)-per-snapshot regression the design exists to avoid."""
+    from quackio_jl_spark import fragcache
+    from quackio_jl_spark.operators import cluster as C
+
+    fragcache.clear()
+    calls = []
+    real = C.minhash_signatures
+
+    def spy(docs=None, sh=None):
+        calls.append((docs if docs is not None else sh).count())
+        return real(docs=docs, sh=sh)
+
+    monkeypatch.setattr(C, "minhash_signatures", spy)
+    out = C.dedup_cluster_version_diff(spark, SF)
+    n = out.count()
+    fragcache.clear()
+    assert n > 0
+    assert len(calls) == 2, f"expected 2 signature builds, saw {len(calls)}"
+    corpus, bridges = calls
+    assert bridges * 10 < corpus, (corpus, bridges)
