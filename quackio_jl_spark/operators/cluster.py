@@ -3545,3 +3545,135 @@ def dedup_cluster_version_diff(spark, sf_dir):
         F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
         status.alias("status"),
     )
+
+
+# ------------------------------------- ingest-time cluster assignment
+
+from .dedup import BATCH_MOD, LSH_MAX_BUCKET  # noqa: E402
+
+_ASSIGN_IX_SRC = (
+    f"(SELECT doc_id, text FROM documents WHERE doc_id % {BATCH_MOD} <> 0) ix"
+)
+_ASSIGN_NB_SRC = (
+    f"(SELECT doc_id, text FROM documents WHERE doc_id % {BATCH_MOD} = 0) nb"
+)
+
+_ASSIGN_ORACLE = f"""
+    WITH RECURSIVE
+    {_lsh_chain_sql(_ASSIGN_IX_SRC, "_ix")},
+    {_lsh_chain_sql(_ASSIGN_NB_SRC, "_nb")},
+    sym_ix AS (
+      SELECT doc1 AS a, doc2 AS b FROM cand_ix
+      UNION ALL SELECT doc2, doc1 FROM cand_ix
+    ),
+    walk_ix(id, label) AS (
+      SELECT doc_id, doc_id FROM documents WHERE doc_id % {BATCH_MOD} <> 0
+      UNION
+      SELECT sym_ix.a, w.label FROM walk_ix w JOIN sym_ix ON sym_ix.b = w.id
+    ),
+    comp_ix AS (SELECT id, MIN(label) AS cluster FROM walk_ix GROUP BY id),
+    iok_ix AS (
+      SELECT band, key FROM bands_ix GROUP BY band, key
+      HAVING COUNT(*) <= {LSH_MAX_BUCKET}
+    ),
+    mt AS (
+      SELECT DISTINCT n.doc_id AS new_doc, i.doc_id AS ix_doc
+      FROM bands_nb n
+      JOIN iok_ix ON iok_ix.band = n.band AND iok_ix.key = n.key
+      JOIN bands_ix i ON i.band = n.band AND i.key = n.key
+    ),
+    asg AS (
+      SELECT mt.new_doc, MIN(c.cluster) AS cl,
+        CAST(COUNT(DISTINCT mt.ix_doc) AS BIGINT) AS n_matched
+      FROM mt JOIN comp_ix c ON c.id = mt.ix_doc
+      GROUP BY mt.new_doc
+    )
+    SELECT d.doc_id AS new_doc,
+      CAST(COALESCE(asg.cl, d.doc_id) AS BIGINT) AS assigned_cluster,
+      CAST(COALESCE(asg.n_matched, 0) AS BIGINT) AS n_matched,
+      CASE WHEN asg.new_doc IS NULL THEN 1 ELSE 0 END AS is_new
+    FROM documents d LEFT JOIN asg ON asg.new_doc = d.doc_id
+    WHERE d.doc_id % {BATCH_MOD} = 0
+"""
+
+
+@query("dedup_incremental_cluster_assign", oracle=_ASSIGN_ORACLE)
+def dedup_incremental_cluster_assign(spark, sf_dir):
+    """Ingest-time cluster ASSIGNMENT: "today's crawl" (doc_id %
+    {BATCH_MOD} == 0) is attached to the EXISTING near-dup clusters of
+    the index corpus (everything else) — the companion of
+    dedup_incremental_vs_index (which reports pairs) and the per-ingest
+    half of dedup_cluster_version_diff (which re-reports whole
+    snapshots). A new doc probes the index band table (index-side bucket
+    caps, the same skew guard), collects its matched index docs'
+    clusters, and is assigned the SMALLEST matched cluster id — or
+    itself (is_new = 1) when nothing matches. Index clusters are NOT
+    merged by arrivals: the index is immutable within one ingest, the
+    production contract that keeps daily assignment O(batch bands).
+
+    Scale shape: the index signature/band/cluster tables are computed
+    once (stored bucketed by (band, key) in production —
+    sources/bucketing.py); each ingest shuffles only the batch's bands
+    and the batch-sized assignment aggregate. Streaming twin #15
+    (streaming/events.py::incremental_cluster_assign_stream) runs the
+    identical plan per micro-batch and is equivalence-tested against
+    this operator."""
+    from .dedup import bands_from_signatures
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_new_doc = F.col("doc_id") % BATCH_MOD == 0
+    sig_all = minhash_signatures(docs=d)
+    sig_ix = sig_all.filter(F.col("doc_id") % BATCH_MOD != 0)
+    sig_nb = sig_all.filter(F.col("doc_id") % BATCH_MOD == 0)
+    comp_ix = truncate_boundary(
+        connected_components(
+            d.filter(~is_new_doc).select("doc_id"),
+            lsh_pairs_from_signatures(sig_ix),
+            id_col="doc_id",
+            src="doc1",
+            dst="doc2",
+        )
+    )
+    bands_ix = bands_from_signatures(sig_ix).withColumnRenamed(
+        "doc_id", "ix_doc"
+    )
+    bands_nb = bands_from_signatures(sig_nb).withColumnRenamed(
+        "doc_id", "new_doc"
+    )
+    iok = (
+        bands_ix.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= LSH_MAX_BUCKET)
+        .select("band", "key")
+    )
+    mt = (
+        bands_nb.join(iok, ["band", "key"])
+        .join(bands_ix, ["band", "key"])
+        .select("new_doc", "ix_doc")
+        .distinct()
+    )
+    asg = (
+        mt.join(
+            comp_ix.select(F.col("id").alias("ix_doc"), "cluster"), "ix_doc"
+        )
+        .groupBy("new_doc")
+        .agg(
+            F.min("cluster").alias("cl"),
+            F.countDistinct("ix_doc").alias("n_matched"),
+        )
+    )
+    return (
+        d.filter(is_new_doc)
+        .select(F.col("doc_id").alias("new_doc"))
+        .join(asg, "new_doc", "left")
+        .select(
+            "new_doc",
+            F.coalesce("cl", "new_doc").cast("bigint").alias(
+                "assigned_cluster"
+            ),
+            F.coalesce("n_matched", F.lit(0)).cast("bigint").alias(
+                "n_matched"
+            ),
+            F.when(F.col("cl").isNull(), 1).otherwise(0).alias("is_new"),
+        )
+    )

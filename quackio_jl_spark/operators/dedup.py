@@ -281,6 +281,32 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     return fragment(spark, sf_dir, "minhash_lsh_cand", build)
 
 
+def bands_from_signatures(sig):
+    """(doc_id, band, key) rows from a signature frame — the LSH band
+    explode shared by the bucketer, the incremental ingest probes, and
+    the streaming twins."""
+    n_bands = N_MINHASH // LSH_BAND_SIZE
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            *[
+                                F.col(f"h{b * LSH_BAND_SIZE + j}")
+                                for j in range(LSH_BAND_SIZE)
+                            ]
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+
+
 def lsh_pairs_from_signatures(sig):
     """(doc1, doc2) LSH candidate pairs from a signature frame — the
     band/bucket/pair tail of dedup_minhash_lsh_pairs, factored out so an

@@ -1089,3 +1089,115 @@ def incremental_dedup_stream(
     finally:
         q.stop()
     return spark.sql(f"SELECT new_doc, dup_of, jaccard FROM {queryName}")
+
+
+def incremental_cluster_assign_stream(
+    spark: SparkSession, sf_dir: str, dest: str | None = None
+) -> DataFrame:
+    """Streaming twin #15: ingest-time near-dup CLUSTER ASSIGNMENT — the
+    foreachBatch deployment of
+    operators.cluster.dedup_incremental_cluster_assign. The index side
+    (signatures, capped band buckets, cluster map) is computed once and
+    persisted — in production it is the stored, bucketed LSH index; the
+    stream carries "today's crawl" (doc_id % BATCH_MOD == 0). Each
+    micro-batch signs its own docs (a doc arrives in exactly ONE batch,
+    so its whole signature/probe/assign chain is batch-local — no
+    cross-batch stream aggregation, no watermark needed), probes the
+    static capped buckets, takes the smallest matched index cluster (or
+    itself, is_new = 1), and appends batch-sized assignment rows.
+    Equivalence-tested against the batch operator."""
+    import tempfile
+
+    from ..operators.cluster import connected_components
+    from ..operators.dedup import (
+        BATCH_MOD,
+        LSH_MAX_BUCKET,
+        bands_from_signatures,
+        lsh_pairs_from_signatures,
+        minhash_signatures,
+    )
+
+    if dest is None:
+        dest = tempfile.mkdtemp(prefix="cluster_assign_") + "/out"
+    d_static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ix_docs = d_static.filter(F.col("doc_id") % BATCH_MOD != 0)
+    sig_ix = minhash_signatures(docs=ix_docs.select("doc_id", "text"))
+    comp_ix = (
+        connected_components(
+            ix_docs.select("doc_id"),
+            lsh_pairs_from_signatures(sig_ix),
+            id_col="doc_id",
+            src="doc1",
+            dst="doc2",
+        )
+        .select(F.col("id").alias("ix_doc"), "cluster")
+        .persist()
+    )
+    bands_ix = (
+        bands_from_signatures(sig_ix)
+        .withColumnRenamed("doc_id", "ix_doc")
+        .persist()
+    )
+    iok = (
+        bands_ix.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= LSH_MAX_BUCKET)
+        .select("band", "key")
+        .persist()
+    )
+    comp_ix.count(), bands_ix.count(), iok.count()  # materialize once
+
+    docs = _documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % BATCH_MOD == 0
+    )
+
+    def apply_batch(batch_df, batch_id):
+        sig_nb = minhash_signatures(docs=batch_df.select("doc_id", "text"))
+        bands_nb = bands_from_signatures(sig_nb).withColumnRenamed(
+            "doc_id", "new_doc"
+        )
+        mt = (
+            bands_nb.join(iok, ["band", "key"])
+            .join(bands_ix, ["band", "key"])
+            .select("new_doc", "ix_doc")
+            .distinct()
+        )
+        asg = (
+            mt.join(comp_ix, "ix_doc")
+            .groupBy("new_doc")
+            .agg(
+                F.min("cluster").alias("cl"),
+                F.countDistinct("ix_doc").alias("n_matched"),
+            )
+        )
+        out = (
+            batch_df.select(F.col("doc_id").alias("new_doc"))
+            .join(asg, "new_doc", "left")
+            .select(
+                "new_doc",
+                F.coalesce("cl", "new_doc").cast("bigint").alias(
+                    "assigned_cluster"
+                ),
+                F.coalesce("n_matched", F.lit(0)).cast("bigint").alias(
+                    "n_matched"
+                ),
+                F.when(F.col("cl").isNull(), 1).otherwise(0).alias(
+                    "is_new"
+                ),
+            )
+        )
+        out.write.mode("append").parquet(dest)
+
+    q = (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(apply_batch)
+        .option("checkpointLocation", dest + "_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(dest).select(
+        "new_doc", "assigned_cluster", "n_matched", "is_new"
+    )

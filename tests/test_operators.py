@@ -1279,3 +1279,21 @@ def test_incremental_dedup_stream_matches_batch(spark):
     s = {(r["new_doc"], r["dup_of"]): r["jaccard"] for r in stream_res}
     b = {(r["new_doc"], r["dup_of"]): r["jaccard"] for r in batch_res}
     assert s == b and len(b) > 0
+
+
+def test_incremental_cluster_assign_stream_matches_batch(spark):
+    """Streaming cluster assignment (#15 batch==stream equivalence):
+    per-micro-batch probe + smallest-matched-cluster assignment must
+    equal the batch operator row-for-row on the same batch split."""
+    import __spark_entry__ as entry
+    from quackio_jl_spark.streaming.events import (
+        incremental_cluster_assign_stream,
+    )
+
+    stream_res = incremental_cluster_assign_stream(spark, SF_DIR).collect()
+    batch_res = entry.queries()["dedup_incremental_cluster_assign"](
+        spark, SF_DIR
+    ).collect()
+    s = sorted(tuple(r) for r in stream_res)
+    b = sorted(tuple(r) for r in batch_res)
+    assert s == b and len(b) > 0
