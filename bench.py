@@ -167,6 +167,7 @@ EXTENDED = [
     "mixture_temperature_sampling",
     # Round-9 wave: incremental corpus-version maintenance + remote I/O.
     "dedup_cluster_version_diff",
+    "dedup_incremental_cluster_assign",
     "roundtrip_parquet_http_multifile",
     "roundtrip_csv_http_ranged",
     "roundtrip_json_http_ranged",
