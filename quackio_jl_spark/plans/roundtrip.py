@@ -783,7 +783,10 @@ def roundtrip_csv_http_ranged(spark, sf_dir):
             f"http://127.0.0.1:{port}/orders.csv",
             schema="o_orderkey bigint, o_custkey bigint, "
             "o_orderpriority string",
-            partition_bytes=1 << 16,
+            # 1 MiB spans: still a genuinely parallel multi-range scan at
+            # every SF, without serializing hundreds of tiny GETs through
+            # the single-threaded test server
+            partition_bytes=1 << 20,
         )
         out = (
             df.groupBy("o_orderpriority")
@@ -854,7 +857,10 @@ def roundtrip_json_http_ranged(spark, sf_dir):
             f"http://127.0.0.1:{port}/orders.ndjson",
             schema="o_orderkey bigint, o_custkey bigint, "
             "o_orderstatus string",
-            partition_bytes=1 << 16,
+            # 1 MiB spans: still a genuinely parallel multi-range scan at
+            # every SF, without serializing hundreds of tiny GETs through
+            # the single-threaded test server
+            partition_bytes=1 << 20,
         )
         out = (
             df.groupBy("o_orderstatus")
