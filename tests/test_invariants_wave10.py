@@ -432,27 +432,36 @@ def test_version_diff_recomputes_signatures_only_for_new_content(
 ):
     """The incremental contract of dedup_cluster_version_diff: the
     shingle/md5 signature pipeline runs exactly TWICE — once for the
-    version-A corpus (reused relationally by unchanged/edited/clone
-    nodes) and once for the BRIDGE docs (the only genuinely new
-    content, churn-sized: well under a tenth of the corpus). A third
-    call would mean the operator re-signs existing content — the
-    O(corpus)-per-snapshot regression the design exists to avoid."""
+    version-A corpus (the shared minhash_sig_corpus fragment, reused
+    relationally by unchanged/edited/clone nodes AND by the version-A
+    cluster-map build) and once for the BRIDGE docs (the only genuinely
+    new content, churn-sized: well under a tenth of the corpus). A
+    third call would mean the operator re-signs existing content — the
+    O(corpus)-per-snapshot regression the design exists to avoid.
+
+    The spy must cover BOTH namespaces (round-9 ADVICE: the old
+    cluster-only spy missed the corpus pass inside the dedup-module
+    fragment builds after a cache clear): corpus signatures run through
+    dedup.minhash_signatures (via corpus_minhash_signatures), bridges
+    through cluster.py's own imported binding."""
     from quackio_jl_spark import fragcache
     from quackio_jl_spark.operators import cluster as C
+    from quackio_jl_spark.operators import dedup as D
 
     fragcache.clear()
     calls = []
-    real = C.minhash_signatures
+    real = D.minhash_signatures
 
     def spy(docs=None, sh=None):
         calls.append((docs if docs is not None else sh).count())
         return real(docs=docs, sh=sh)
 
+    monkeypatch.setattr(D, "minhash_signatures", spy)
     monkeypatch.setattr(C, "minhash_signatures", spy)
     out = C.dedup_cluster_version_diff(spark, SF)
     n = out.count()
     fragcache.clear()
     assert n > 0
     assert len(calls) == 2, f"expected 2 signature builds, saw {len(calls)}"
-    corpus, bridges = calls
+    corpus, bridges = sorted(calls, reverse=True)
     assert bridges * 10 < corpus, (corpus, bridges)

@@ -79,6 +79,36 @@ def test_fragment_cache_key_is_stable_and_stopped_contexts_evict(spark):
     fragcache.clear()
 
 
+def test_fragment_cache_bounds_distinct_sf_dirs(spark, monkeypatch):
+    """Round-9 VERDICT "next" #7: a long-lived multi-dataset service must
+    not accumulate persisted fragments without limit — only the
+    MAX_SF_DIRS most-recently-used sf_dirs keep entries; older datasets'
+    fragments are unpersisted and evicted, and re-touching an sf_dir
+    refreshes its recency."""
+    from quackio_jl_spark import fragcache
+
+    fragcache.clear()
+    monkeypatch.setattr(fragcache, "MAX_SF_DIRS", 2)
+    a = fragcache.fragment(spark, "/tmp/ds_a", "t", lambda: spark.range(1))
+    fragcache.fragment(spark, "/tmp/ds_b", "t", lambda: spark.range(2))
+    # touch a again: it becomes most-recent, so adding c must evict b
+    assert fragcache.fragment(spark, "/tmp/ds_a", "t", lambda: 0) is a
+    fragcache.fragment(spark, "/tmp/ds_c", "t", lambda: spark.range(3))
+    dirs = {k[2] for k in fragcache._CACHE}
+    assert dirs == {"/tmp/ds_a", "/tmp/ds_c"}
+    assert a.is_cached  # survivor keeps its persisted storage
+    # the evicted dataset rebuilds (fresh frame, not the stale one)
+    calls = []
+
+    def build_b():
+        calls.append(1)
+        return spark.range(2)
+
+    fragcache.fragment(spark, "/tmp/ds_b", "t", build_b)
+    assert calls == [1]
+    fragcache.clear()
+
+
 def test_fragment_cache_bypassed_in_audit_mode(spark, monkeypatch):
     """Under the audit flag the cache is neither read nor written: a
     capped-round audit build must not poison later non-audit consumers,

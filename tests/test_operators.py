@@ -1281,19 +1281,37 @@ def test_incremental_dedup_stream_matches_batch(spark):
     assert s == b and len(b) > 0
 
 
-def test_incremental_cluster_assign_stream_matches_batch(spark):
+def test_incremental_cluster_assign_stream_matches_batch(spark, monkeypatch):
     """Streaming cluster assignment (#15 batch==stream equivalence):
     per-micro-batch probe + smallest-matched-cluster assignment must
-    equal the batch operator row-for-row on the same batch split."""
+    equal the batch operator row-for-row on the same batch split — AND
+    (round-9 VERDICT "next" #1) both consumers must share ONE
+    lsh_ingest_index fragment build: the index-side connected-components
+    pass runs exactly once across batch + stream in a session."""
     import __spark_entry__ as entry
+    from quackio_jl_spark import fragcache
+    from quackio_jl_spark.operators import cluster as C
     from quackio_jl_spark.streaming.events import (
         incremental_cluster_assign_stream,
     )
 
-    stream_res = incremental_cluster_assign_stream(spark, SF_DIR).collect()
+    fragcache.clear()
+    cc_calls = []
+    real_cc = C.connected_components
+
+    def spy_cc(*a, **k):
+        cc_calls.append(1)
+        return real_cc(*a, **k)
+
+    monkeypatch.setattr(C, "connected_components", spy_cc)
     batch_res = entry.queries()["dedup_incremental_cluster_assign"](
         spark, SF_DIR
     ).collect()
+    stream_res = incremental_cluster_assign_stream(spark, SF_DIR).collect()
     s = sorted(tuple(r) for r in stream_res)
     b = sorted(tuple(r) for r in batch_res)
     assert s == b and len(b) > 0
+    assert len(cc_calls) == 1, (
+        f"index CC built {len(cc_calls)}x — fragment not shared"
+    )
+    fragcache.clear()

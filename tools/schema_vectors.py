@@ -175,4 +175,3 @@ if __name__ == "__main__":
     out = sys.argv[2] if len(sys.argv) > 2 else "SCHEMA_VECTORS.json"
     s = run(sf, out)
     sys.exit(1 if s["_summary"]["mismatches"] else 0)
-    sys.exit(1 if s["_summary"]["mismatches"] else 0)
