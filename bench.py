@@ -171,11 +171,149 @@ EXTENDED = [
     "roundtrip_parquet_http_multifile",
     "roundtrip_csv_http_ranged",
     "roundtrip_json_http_ranged",
+    # Round-10 wave: hive-pruned remote manifests.
+    "roundtrip_parquet_http_hive",
 ]
 
 
 _TREND_START = "<!-- TREND_TABLE:START (generated by bench.py) -->"
 _TREND_END = "<!-- TREND_TABLE:END -->"
+
+_MOVERS_START = "<!-- MOVERS_TABLE:START (generated by bench.py) -->"
+_MOVERS_END = "<!-- MOVERS_TABLE:END -->"
+
+_SNIPPET_START = "<!-- SURVEY_SNIPPET:START (generated by bench.py --survey-snippet) -->"
+_SNIPPET_END = "<!-- SURVEY_SNIPPET:END -->"
+
+
+def _replace_between(path: str, start: str, end: str, block: str, heading: str) -> None:
+    """Swap the marked block inside ``path`` (appending a new section
+    under ``heading`` when the markers don't exist yet)."""
+    try:
+        text = open(path).read()
+    except OSError:
+        return
+    if start in text and end in text:
+        text = text.split(start)[0] + block + text.split(end, 1)[1]
+    else:
+        text = text.rstrip() + f"\n\n## {heading}\n\n" + block + "\n"
+    open(path, "w").write(text)
+
+
+def update_movers_table(repo_dir: str, prev: dict, cur: dict, prev_label: str) -> None:
+    """Top-5 per-query regressions and improvements of THIS run vs the
+    previous committed artifacts (>1.5x in either direction AND >0.5 s
+    absolute), written between the MOVERS markers in BASELINE.md —
+    round-9 VERDICT "next" #6: the trend table tracks only totals, so a
+    real single-query regression was findable only by hand-diffing
+    BENCH_EXTENDED.json. Host noise swings single queries several-fold;
+    the table is a WATCHLIST (adjudicate across rounds), not a verdict."""
+    movers = []
+    for name, c in cur.items():
+        p = prev.get(name)
+        if not p or not c or p <= 0:
+            continue
+        ratio = c / p
+        if abs(c - p) > 0.5 and (ratio > 1.5 or ratio < 1 / 1.5):
+            movers.append((ratio, name, p, c))
+    regs = sorted((m for m in movers if m[0] > 1), reverse=True)[:5]
+    imps = sorted(m for m in movers if m[0] < 1)[:5]
+    rows = [
+        f"| {name} | {p:.3f} | {c:.3f} | {r:.2f}x |"
+        f" {'REGRESSION — adjudicate' if r > 1 else 'improvement'} |"
+        for r, name, p, c in [*regs, *imps]
+    ] or ["| _none above threshold (>1.5x and >0.5 s)_ | | | | |"]
+    block = "\n".join(
+        [
+            _MOVERS_START,
+            "",
+            f"Current bench run vs {prev_label} (headline + extended,"
+            " per-query medians):",
+            "",
+            "| query | prev (s) | current (s) | ratio | direction |",
+            "|---|---|---|---|---|",
+            *rows,
+            "",
+            _MOVERS_END,
+        ]
+    )
+    _replace_between(
+        os.path.join(repo_dir, "BASELINE.md"),
+        _MOVERS_START,
+        _MOVERS_END,
+        block,
+        "Per-query movers (latest run vs previous round)",
+    )
+
+
+def _latest(repo_dir: str, pattern: str) -> str | None:
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(repo_dir, pattern)))
+    return paths[-1] if paths else None
+
+
+def survey_snippet(repo_dir: str) -> str:
+    """The round-close build-status numbers, derived ONLY from committed
+    artifacts (round-9 VERDICT "next" #5: hand-copied prose drifted from
+    the committed JSON). tests/test_artifacts.py pins SURVEY.md's copy
+    to this exact string."""
+    bench_path = _latest(repo_dir, "BENCH_r[0-9]*.json")
+    cf_path = _latest(repo_dir, "CORRECTNESS_FULL_r[0-9]*.json")
+    parts = []
+    if bench_path:
+        b = json.load(open(bench_path))
+        p = b.get("parsed") or {}
+        parts.append(
+            f"driver bench ({os.path.basename(bench_path)}): headline"
+            f" {p.get('value')} s at sf{p.get('sf')},"
+            f" extended {p.get('extended_total_sec')} s,"
+            f" {p.get('n_queries_registered')} queries registered"
+        )
+    ext_path = os.path.join(repo_dir, "BENCH_EXTENDED.json")
+    if os.path.exists(ext_path):
+        e = json.load(open(ext_path))
+        parts.append(
+            f"committed extended detail (BENCH_EXTENDED.json):"
+            f" {e.get('extended_total_sec')} s /"
+            f" {len(e.get('extended_queries', {}))} queries at"
+            f" sf{e.get('sf')}"
+        )
+    if cf_path:
+        cf = json.load(open(cf_path))
+        recs = {k: v for k, v in cf.items() if not k.startswith("_")}
+        fails = [
+            k
+            for k, v in recs.items()
+            if v.get("err") and not str(v["err"]).startswith("rows-only")
+        ]
+        rows_only = [
+            k
+            for k, v in recs.items()
+            if str(v.get("err") or "").startswith("rows-only")
+        ]
+        parts.append(
+            f"full gate ({os.path.basename(cf_path)}): {len(fails)}"
+            f" failures / {len(recs)} checked"
+            f" ({len(rows_only)} rows-only by design)"
+        )
+    return (
+        "Round-close numbers, generated from committed artifacts by"
+        " `python bench.py --survey-snippet` — " + "; ".join(parts) + "."
+    )
+
+
+def update_survey_snippet(repo_dir: str) -> str:
+    snippet = survey_snippet(repo_dir)
+    block = "\n".join([_SNIPPET_START, "", snippet, "", _SNIPPET_END])
+    _replace_between(
+        os.path.join(repo_dir, "SURVEY.md"),
+        _SNIPPET_START,
+        _SNIPPET_END,
+        block,
+        "Round-close numbers (generated)",
+    )
+    return snippet
 
 
 def update_trend_table(repo_dir: str) -> None:
@@ -257,6 +395,11 @@ def main() -> None:
         # latest artifact even when the bench itself only runs later).
         update_trend_table(os.path.dirname(os.path.abspath(__file__)))
         return
+    if "--survey-snippet" in sys.argv:
+        # Regenerate the SURVEY.md round-close numbers from the committed
+        # artifacts (and print them) WITHOUT running the bench.
+        print(update_survey_snippet(os.path.dirname(os.path.abspath(__file__))))
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -293,6 +436,34 @@ def main() -> None:
     times = {name: med[name] for name in HEADLINE}
     extended = {name: med[name] for name in EXTENDED}
     total = round(sum(times.values()), 3)
+    # Previous round's per-query numbers, read BEFORE BENCH_EXTENDED.json
+    # is overwritten: extended from the committed side file, headline from
+    # the latest driver artifact.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prev_all: dict = {}
+    prev_label = "previous committed artifacts"
+    try:
+        prev_all.update(
+            json.load(open(os.path.join(repo_dir, "BENCH_EXTENDED.json"))).get(
+                "extended_queries", {}
+            )
+        )
+    except Exception:
+        pass
+    bench_prev = _latest(repo_dir, "BENCH_r[0-9]*.json")
+    if bench_prev:
+        try:
+            prev_all.update(
+                (json.load(open(bench_prev)).get("parsed") or {}).get(
+                    "queries", {}
+                )
+            )
+            prev_label = (
+                f"{os.path.basename(bench_prev)} + committed"
+                " BENCH_EXTENDED.json"
+            )
+        except Exception:
+            pass
     # Extended per-query medians go to a SIDE FILE: round 5's single stdout
     # line grew to ~3.4 KB with them inlined and overflowed the driver's
     # ~2 KB tail capture (BENCH_r05.json parsed=null). The driver-facing
@@ -328,9 +499,11 @@ def main() -> None:
         )
     )
     try:
-        update_trend_table(os.path.dirname(os.path.abspath(__file__)))
+        update_trend_table(repo_dir)
+        if prev_all:
+            update_movers_table(repo_dir, prev_all, med, prev_label)
     except Exception:
-        pass  # trend table is documentation; never fail the bench on it
+        pass  # trend/movers tables are documentation; never fail the bench
 
 
 if __name__ == "__main__":
