@@ -1201,7 +1201,7 @@ def dedup_incremental_vs_index(spark, sf_dir):
     the oracle), and the exact-Jaccard verify touches only surviving
     candidates with broadcast hash-set intersections."""
     d = table(spark, sf_dir, "documents")
-    sig = minhash_signatures(d)
+    sig = corpus_minhash_signatures(spark, sf_dir)
     n_bands = N_MINHASH // LSH_BAND_SIZE
     bands = sig.select(
         "doc_id",
@@ -1419,7 +1419,7 @@ def minhash_jaccard_estimate(spark, sf_dir):
     audit, not the dedup path itself."""
     d = table(spark, sf_dir, "documents")
     cand = dedup_minhash_lsh_pairs(spark, sf_dir)
-    sig = minhash_signatures(d)
+    sig = corpus_minhash_signatures(spark, sf_dir)
     a = sig.select(
         F.col("doc_id").alias("doc1"),
         *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_MINHASH)],
@@ -1511,7 +1511,7 @@ def dedup_minhash_bbit_estimate(spark, sf_dir):
     the bounded candidate set, same shape as minhash_jaccard_estimate."""
     d = table(spark, sf_dir, "documents")
     cand = dedup_minhash_lsh_pairs(spark, sf_dir)
-    sig = minhash_signatures(d)
+    sig = corpus_minhash_signatures(spark, sf_dir)
     a = sig.select(
         F.col("doc_id").alias("doc1"),
         *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_MINHASH)],

@@ -621,7 +621,14 @@ class HttpParquetHiveReader(HttpParquetReader):
         remote analogue of Spark's own hive partition pruning. Every
         other filter is returned unsupported, so Spark still applies it
         post-scan; consumed filters are safe to drop because every row
-        in a surviving file carries the partition value verbatim."""
+        in a surviving file carries the partition value verbatim.
+
+        Deliberately EQUALITY-ONLY (EqualTo/In): partition columns are
+        strings (paths carry no types), so pruning GreaterThan/LessThan
+        lexicographically would silently drop files when the caller
+        means numeric order ('9' > '10'). Range filters therefore stay
+        unpushed and exact post-scan — combine with rg_filter zone-map
+        skipping for numeric ranges inside the surviving files."""
         from pyspark.sql.datasource import EqualTo, In
 
         for f in filters:
