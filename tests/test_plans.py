@@ -187,6 +187,24 @@ def test_minhash_shuffle_budget(spark):
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
 
 
+def test_ingest_assign_build_plan_graded_uncached(spark):
+    """dedup_incremental_cluster_assign's index side is the shared
+    lsh_ingest_index fragment — cleared FIRST so this grades the real
+    BUILD plan (the round-8 audit-blindness lesson: a primed cache
+    serves an InMemoryRelation and hides the build from every plan
+    check). The probe side must stay banded: batch bands join the capped
+    index buckets, never a cartesian or a corpus self-join."""
+    from quackio_jl_spark import fragcache
+
+    fragcache.clear()
+    p = plan_of(QUERIES["dedup_incremental_cluster_assign"](spark, SF_DIR))
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+    # the probe is an equi-join on (band, key): join nodes exist, none
+    # of them nested-loop
+    assert "BroadcastNestedLoopJoin" not in p
+    fragcache.clear()
+
+
 def test_exact_dedup_single_shuffle(spark):
     p = plan_of(QUERIES["dedup_exact"](spark, SF_DIR))
     assert count_exchanges(p) == 1, p
