@@ -173,6 +173,7 @@ EXTENDED = [
     "roundtrip_json_http_ranged",
     # Round-10 wave: hive-pruned remote manifests.
     "roundtrip_parquet_http_hive",
+    "roundtrip_parquet_http_hive_typed",
 ]
 
 

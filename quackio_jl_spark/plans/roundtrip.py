@@ -1099,3 +1099,116 @@ def roundtrip_parquet_http_hive(spark, sf_dir):
         return out
     finally:
         httpd.shutdown()
+
+
+@query(
+    "roundtrip_parquet_http_hive_typed",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+      CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+    FROM orders
+    WHERE year(o_orderdate) >= 1999
+    GROUP BY year(o_orderdate)
+    """,
+)
+def roundtrip_parquet_http_hive_typed(spark, sf_dir):
+    """TYPED hive partitions with RANGE pushdown — the date-partitioned
+    lake pattern at 100 TB: orders is laid out as ``year=<y>`` hive
+    directories (year(o_orderdate), spanning several years at every SF),
+    hive_types declares the partition column as int, and the caller's
+    ``year >= 1999`` range filter is pushed into
+    HttpParquetHiveReader.pushFilters, compared on the PARSED value
+    (never lexicographic — that is exactly why untyped string partitions
+    refuse range pushdown), pruning every older year's file BEFORE any
+    footer probe. The query RAISES if a pruned year's file shows up in
+    the request log at all, if fewer than two years survive or fewer
+    than two are pruned (the fixture must genuinely exercise both
+    sides), or if any parquet body is fetched un-ranged. The per-year
+    aggregate carries the typed path-derived column through the DuckDB
+    comparison."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..sources.httpranged import (
+        RangeFileHandler,
+        read_parquet_manifest_ranged,
+        serve_directory_ranged,
+    )
+
+    src = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    yr = pc.year(src.column("o_orderdate"))
+    src = src.drop_columns(["o_orderdate"]).append_column("yr", yr)
+    years = sorted(pc.unique(src.column("yr")).to_pylist())
+    if sum(y >= 1999 for y in years) < 2 or sum(y < 1999 for y in years) < 2:
+        raise ValueError(
+            f"fixture needs >=2 years on each side of 1999, got {years}"
+        )
+    tmp = tempfile.mkdtemp(prefix="http_hive_typed_")
+    entries = []
+    for y in years:
+        os.makedirs(f"{tmp}/year={y}")
+        shard = src.filter(pc.equal(src.column("yr"), y)).drop_columns(
+            ["yr"]
+        )
+        pq.write_table(shard, f"{tmp}/year={y}/part0.parquet")
+        entries.append(f"year={y}/part0.parquet")
+    # newest year first: the schema probe targets the first entry, which
+    # must be a SURVIVOR so pruned years stay provably untouched
+    entries.reverse()
+    with open(f"{tmp}/manifest.txt", "w") as fh:
+        fh.write("\n".join(entries) + "\n")
+    httpd, port = serve_directory_ranged(tmp)
+    RangeFileHandler.range_count = RangeFileHandler.full_count = 0
+    RangeFileHandler.paths = []
+    RangeFileHandler.full_paths = []
+    try:
+        df = read_parquet_manifest_ranged(
+            spark,
+            f"http://127.0.0.1:{port}/manifest.txt",
+            hive=True,
+            hive_types={"year": "int"},
+        )
+        out = (
+            df.filter(F.col("year") >= 1999)
+            .groupBy("year")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.min("o_orderkey").cast("bigint").alias("min_key"),
+                F.sum("o_custkey").cast("bigint").alias("sum_cust"),
+            )
+            .select(
+                F.col("year").cast("bigint").alias("year"),
+                "n_orders",
+                "min_key",
+                "sum_cust",
+            )
+            .localCheckpoint(eager=True)
+        )
+        pruned_touched = sorted(
+            p
+            for p in RangeFileHandler.paths
+            if p.endswith(".parquet")
+            and int(p.split("year=")[1].split("/")[0]) < 1999
+        )
+        if pruned_touched:
+            raise ValueError(
+                "roundtrip_parquet_http_hive_typed: year >= 1999 must "
+                "skip older partitions entirely (no HEAD, no footer "
+                f"probe), but the server saw {pruned_touched}"
+            )
+        full_parquet = [
+            p for p in RangeFileHandler.full_paths if p.endswith(".parquet")
+        ]
+        if full_parquet:
+            raise ValueError(
+                "roundtrip_parquet_http_hive_typed: whole-file GET of "
+                f"{full_parquet}; parquet bodies must be range-read"
+            )
+        return out
+    finally:
+        httpd.shutdown()

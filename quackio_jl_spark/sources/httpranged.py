@@ -444,6 +444,56 @@ def _probe_footers(urls: list) -> list:
         return list(ex.map(one, urls))
 
 
+# the hive null sentinel: a writer stores a NULL partition value as this
+# literal path segment (Hive/Spark/DuckDB all follow it)
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+# hive_types accepted type names -> (Spark DDL, python parser); kept to
+# types whose path representation is unambiguous. "int" intentionally
+# maps to bigint: a path carries no width and Spark upcasts anyway.
+_HIVE_TYPES = {
+    "string": "string",
+    "int": "bigint",
+    "bigint": "bigint",
+    "double": "double",
+    "date": "date",
+}
+
+
+def _parse_hive_types(spec) -> dict:
+    """``{col: type}`` from a ``"year:int,ds:date"`` option string."""
+    out = {}
+    for item in (spec or "").split(","):
+        if not item.strip():
+            continue
+        c, _, t = item.partition(":")
+        t = t.strip().lower()
+        if t not in _HIVE_TYPES:
+            raise ValueError(
+                f"hive_types: unsupported type {t!r} for column "
+                f"{c.strip()!r}; supported: {sorted(_HIVE_TYPES)}"
+            )
+        out[c.strip()] = t
+    return out
+
+
+def _parse_hive_value(raw: str, typ: str):
+    """Typed python value for one hive path segment value (None for the
+    hive null sentinel). Raises at PLAN time on a malformed value — a
+    silent cast-to-null would mis-prune files."""
+    if raw == HIVE_DEFAULT_PARTITION:
+        return None
+    if typ in ("int", "bigint"):
+        return int(raw)
+    if typ == "double":
+        return float(raw)
+    if typ == "date":
+        import datetime
+
+        return datetime.date.fromisoformat(raw)
+    return raw
+
+
 def _hive_partition_values(url: str) -> dict:
     """Ordered ``{column: value}`` parsed from hive-style ``key=value``
     path segments of ``url`` (the file name itself never counts).
@@ -494,10 +544,17 @@ class HttpParquetReader(DataSourceReader):
             "1",
         )
         self.hive_cols: list = []
+        self.hive_types = _parse_hive_types(options.get("hive_types"))
         self._hive_vals: dict = {}
         if self.hive:
             first = _hive_partition_values(self.urls[0])
             self.hive_cols = list(first)
+            for c in self.hive_types:
+                if c not in self.hive_cols:
+                    raise ValueError(
+                        f"hive_types names {c!r} but the manifest's "
+                        f"partition keys are {self.hive_cols}"
+                    )
             for u in self.urls:
                 vals = _hive_partition_values(u)
                 if list(vals) != self.hive_cols:
@@ -506,19 +563,24 @@ class HttpParquetReader(DataSourceReader):
                         f"the manifest — {u!r} has {list(vals)} but "
                         f"{self.urls[0]!r} has {self.hive_cols}"
                     )
-                self._hive_vals[u] = vals
+                # typed at PLAN time: a malformed path value fails loudly
+                # here, never as a silent mis-prune
+                self._hive_vals[u] = {
+                    c: _parse_hive_value(
+                        v, self.hive_types.get(c, "string")
+                    )
+                    for c, v in vals.items()
+                }
         # partition-column constraints consumed by the hive subclass's
-        # pushFilters(); each is (column, frozenset_of_accepted_values)
+        # pushFilters(); each is (column, predicate over the typed value)
         self._hive_pushed: list = []
 
     def _surviving_urls(self):
         """Manifest entries left after hive partition pruning — applied
         BEFORE footer probes, so a pruned file costs zero requests."""
         urls = self.urls
-        for col, accepted in self._hive_pushed:
-            urls = [
-                u for u in urls if self._hive_vals[u].get(col) in accepted
-            ]
+        for col, pred in self._hive_pushed:
+            urls = [u for u in urls if pred(self._hive_vals[u].get(col))]
         return urls
 
     def partitions(self):
@@ -594,15 +656,22 @@ class HttpParquetReader(DataSourceReader):
         pf = pq.ParquetFile(f)
         table = pf.read_row_group(rg, columns=self.columns)
         if self.hive_cols:
-            # partition values are file-constant: append them as
-            # dictionary-friendly constant string columns, matching the
-            # `<col> string` fields schema() declared
+            # partition values are file-constant: append them as constant
+            # columns typed per hive_types (string by default), matching
+            # the fields schema() declared; the hive null sentinel lands
+            # as actual nulls
+            arrow_t = {
+                "string": pa.string(),
+                "int": pa.int64(),
+                "bigint": pa.int64(),
+                "double": pa.float64(),
+                "date": pa.date32(),
+            }
             vals = self._hive_vals[url]
             n = table.num_rows
             for c in self.hive_cols:
-                table = table.append_column(
-                    c, pa.array([vals[c]] * n, pa.string())
-                )
+                t = arrow_t[self.hive_types.get(c, "string")]
+                table = table.append_column(c, pa.array([vals[c]] * n, t))
         # Spark's Python DataSource accepts an iterator of pyarrow
         # RecordBatches — the Arrow fast path, no per-row Python objects
         yield from table.to_batches()
@@ -616,35 +685,79 @@ class HttpParquetHiveReader(HttpParquetReader):
     working under the default conf."""
 
     def pushFilters(self, filters):  # noqa: N802
-        """Consume EqualTo/In filters on hive partition columns — they
-        prune whole FILES before any footer probe (partitions()), the
-        remote analogue of Spark's own hive partition pruning. Every
-        other filter is returned unsupported, so Spark still applies it
+        """Consume filters on hive partition columns — they prune whole
+        FILES before any footer probe (partitions()), the remote
+        analogue of Spark's own hive partition pruning. Every other
+        filter is returned unsupported, so Spark still applies it
         post-scan; consumed filters are safe to drop because every row
         in a surviving file carries the partition value verbatim.
 
-        Deliberately EQUALITY-ONLY (EqualTo/In): partition columns are
-        strings (paths carry no types), so pruning GreaterThan/LessThan
-        lexicographically would silently drop files when the caller
-        means numeric order ('9' > '10'). Range filters therefore stay
-        unpushed and exact post-scan — combine with rg_filter zone-map
-        skipping for numeric ranges inside the surviving files."""
-        from pyspark.sql.datasource import EqualTo, In
+        Scope by declared type:
+        - string partition columns (the default): EqualTo / In /
+          IsNull / IsNotNull only. Range operators are deliberately NOT
+          pushed — pruning GreaterThan/LessThan lexicographically would
+          silently drop files when the caller means numeric order
+          ('9' > '10'); they stay exact post-scan.
+        - hive_types-declared columns (bigint/double/date): range
+          operators ARE pushed, compared on the PARSED value — the
+          date/year-partitioned-lake pattern where `ds >= X` must skip
+          old partitions without touching them.
+        SQL null semantics: any comparison against the hive null
+        sentinel partition is not-true, so those files prune; IsNull
+        keeps exactly them."""
+        import operator
+
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        cmp_ops = {
+            GreaterThan: operator.gt,
+            GreaterThanOrEqual: operator.ge,
+            LessThan: operator.lt,
+            LessThanOrEqual: operator.le,
+        }
+
+        def make_pred(f):
+            if isinstance(f, IsNull):
+                return lambda pv: pv is None
+            if isinstance(f, IsNotNull):
+                return lambda pv: pv is not None
+            if isinstance(f, EqualTo):
+                if f.value is None:
+                    return None
+                return lambda pv: pv is not None and pv == f.value
+            if isinstance(f, In):
+                vals = list(f.value)
+                if any(v is None for v in vals):
+                    return None
+                return lambda pv: pv is not None and pv in vals
+            op = cmp_ops.get(type(f))
+            if op is None or f.value is None:
+                return None
+            col = f.attribute[0]
+            if self.hive_types.get(col, "string") == "string":
+                return None  # lexicographic range pruning is unsafe
+            return lambda pv: pv is not None and op(pv, f.value)
 
         for f in filters:
-            if (
-                isinstance(f, (EqualTo, In))
-                and len(f.attribute) == 1
+            pred = (
+                make_pred(f)
+                if len(getattr(f, "attribute", ())) == 1
                 and f.attribute[0] in self.hive_cols
-            ):
-                vals = (
-                    {str(f.value)}
-                    if isinstance(f, EqualTo)
-                    else {str(v) for v in f.value}
-                )
-                self._hive_pushed.append((f.attribute[0], frozenset(vals)))
-            else:
+                else None
+            )
+            if pred is None:
                 yield f
+            else:
+                self._hive_pushed.append((f.attribute[0], pred))
 
 
 class HttpParquetDataSource(DataSource):
@@ -678,13 +791,18 @@ class HttpParquetDataSource(DataSource):
             schema = pa.schema([schema.field(c) for c in keep])
         ddl = _arrow_to_ddl(schema)
         if str(opts.get("hive", "false")).lower() in ("true", "1"):
-            # hive partition columns append after the file columns, as
-            # string (the path carries no type information; cast on top
-            # as needed — DuckDB's hive_partitioning default is VARCHAR
-            # too)
+            # hive partition columns append after the file columns —
+            # string by default (the path carries no type information;
+            # DuckDB's hive_partitioning default is VARCHAR too), or the
+            # caller-declared hive_types (which also unlocks typed range
+            # pushdown in HttpParquetHiveReader.pushFilters)
+            types = _parse_hive_types(opts.get("hive_types"))
             hive_cols = _hive_partition_values(_parquet_urls(opts)[0])
             if hive_cols:
-                ddl += ", " + ", ".join(f"`{c}` string" for c in hive_cols)
+                ddl += ", " + ", ".join(
+                    f"`{c}` {_HIVE_TYPES[types.get(c, 'string')]}"
+                    for c in hive_cols
+                )
         return ddl
 
     def reader(self, schema) -> HttpParquetReader:
@@ -700,6 +818,7 @@ def read_parquet_manifest_ranged(
     columns: list[str] | None = None,
     rg_filter: tuple | None = None,
     hive: bool = False,
+    hive_types: dict | None = None,
 ):
     """Remote partitioned dataset via a MANIFEST file: ``manifest_url``
     points at a newline-separated list of parquet URLs (relative entries
@@ -725,7 +844,8 @@ def read_parquet_manifest_ranged(
     if not urls:
         raise ValueError(f"manifest {manifest_url!r} lists no files")
     return read_parquet_url_ranged(
-        spark, urls, columns=columns, rg_filter=rg_filter, hive=hive
+        spark, urls, columns=columns, rg_filter=rg_filter, hive=hive,
+        hive_types=hive_types,
     )
 
 
@@ -735,6 +855,7 @@ def read_parquet_url_ranged(
     columns: list[str] | None = None,
     rg_filter: tuple | None = None,
     hive: bool = False,
+    hive_types: dict | None = None,
 ):
     """Remote-parquet DataFrame over per-row-group ranged GETs; pass
     ``columns`` to prune column chunks at the HTTP layer (only the named
@@ -764,6 +885,11 @@ def read_parquet_url_ranged(
         r = r.option("url", url)
     if hive:
         r = r.option("hive", "true")
+    if hive_types:
+        r = r.option(
+            "hive_types",
+            ",".join(f"{c}:{t}" for c, t in hive_types.items()),
+        )
     if columns:
         r = r.option("columns", ",".join(columns))
     if rg_filter:

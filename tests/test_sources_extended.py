@@ -1168,3 +1168,72 @@ def test_http_parquet_hive_with_zone_map_combo(tmp_path, spark):
         )
     finally:
         httpd.shutdown()
+
+
+def test_hive_typed_predicate_pushdown_unit():
+    """Typed hive pruning semantics without a server (the reader parses
+    partition values from URLs at construction): range operators prune
+    on the PARSED value for declared types, string columns refuse range
+    pushdown (lexicographic would mis-prune), SQL null semantics hold
+    (comparisons never keep the null-sentinel partition; IsNull keeps
+    exactly it), and malformed path values fail at plan time."""
+    import datetime
+
+    import pytest as _pytest
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        In,
+        IsNull,
+        LessThan,
+    )
+
+    from quackio_jl_spark.sources import httpranged as H
+
+    days = ["2024-01-01", "2024-01-02", "2024-01-03",
+            "__HIVE_DEFAULT_PARTITION__"]
+    urls = [f"http://h/ds={d}/p.parquet" for d in days]
+    opts = {"urls": "\n".join(urls), "hive": "true", "hive_types": "ds:date"}
+
+    r = H.HttpParquetHiveReader(dict(opts))
+    rejected = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("ds",), datetime.date(2024, 1, 2)),
+                EqualTo(("k",), 5),  # not a partition column
+            ]
+        )
+    )
+    assert [type(f).__name__ for f in rejected] == ["EqualTo"]
+    assert r._surviving_urls() == urls[1:3]  # null pruned by comparison
+
+    r = H.HttpParquetHiveReader(dict(opts))
+    assert list(r.pushFilters([IsNull(("ds",))])) == []
+    assert r._surviving_urls() == [urls[3]]
+
+    r = H.HttpParquetHiveReader(dict(opts))
+    assert list(
+        r.pushFilters([In(("ds",), (datetime.date(2024, 1, 1),
+                                    datetime.date(2024, 1, 3)))])
+    ) == []
+    assert r._surviving_urls() == [urls[0], urls[2]]
+
+    # string-typed (default): range refused, equality still pushed
+    r = H.HttpParquetHiveReader({"urls": "\n".join(urls), "hive": "true"})
+    f_range = LessThan(("ds",), "2024-01-02")
+    f_eq = EqualTo(("ds",), "2024-01-02")
+    assert list(r.pushFilters([f_range, f_eq])) == [f_range]
+    assert r._surviving_urls() == [urls[1]]
+
+    # malformed typed value fails at construction, not as a mis-prune
+    with _pytest.raises(ValueError):
+        H.HttpParquetHiveReader(
+            {
+                "urls": "http://h/year=abc/p.parquet",
+                "hive": "true",
+                "hive_types": "year:int",
+            }
+        )
+    # unsupported declared type fails loudly too
+    with _pytest.raises(ValueError, match="unsupported type"):
+        H._parse_hive_types("year:decimal")
