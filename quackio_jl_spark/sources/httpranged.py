@@ -54,9 +54,23 @@ _MAX_LINE_BYTES = 16 * 1024 * 1024  # refuse to chase a newline forever
 _CONTENT_RANGE = None  # lazy-compiled regex for 'bytes s-e/total'
 
 
+# Transient-failure policy for range GETs: a 100 TB scan issues millions
+# of them against an object store whose 500/502/503/504s are ROUTINE; one
+# transient error must not kill a whole task (Spark would then retry the
+# entire partition — every row group in it — instead of one 4 MiB span).
+# Range GETs are idempotent reads, so bounded retry with linear backoff
+# is safe. Non-retryable statuses (416 EOF, 404, 403) raise immediately;
+# validation failures (lying 200, truncated 206) also raise immediately —
+# they are server BUGS, not transients, and retrying would loop.
+_RANGE_RETRIES = 3
+_RETRY_BACKOFF_S = 0.2
+_RETRYABLE = {500, 502, 503, 504, 429}
+
+
 def _fetch_range(url: str, start: int, end_incl: int) -> bytes:
     """GET bytes [start, end_incl] (HTTP Range is inclusive); b"" at EOF
-    (servers answer a fully-out-of-range request with 416).
+    (servers answer a fully-out-of-range request with 416). Retries
+    transient 5xx/429/connection errors up to _RANGE_RETRIES times.
 
     The response is VALIDATED (ADVICE r7): a server that advertised
     ``Accept-Ranges`` on HEAD but answers the GET with 200 (full body)
@@ -65,6 +79,27 @@ def _fetch_range(url: str, start: int, end_incl: int) -> bytes:
     reassembled lines. Both raise — executor-side there is no safe
     degradation (falling back to a full GET inside ONE partition's read
     would emit the whole file once per partition)."""
+    import time as _time
+
+    last = None
+    for attempt in range(_RANGE_RETRIES + 1):
+        if attempt:
+            _time.sleep(_RETRY_BACKOFF_S * attempt)
+        try:
+            return _fetch_range_once(url, start, end_incl)
+        except urllib.error.HTTPError as e:
+            if e.code not in _RETRYABLE:
+                raise
+            last = e
+        except urllib.error.URLError as e:
+            last = e  # connection reset / refused: transient by nature
+    raise IOError(
+        f"range GET bytes={start}-{end_incl} from {url!r} still failing "
+        f"after {_RANGE_RETRIES} retries: {last}"
+    )
+
+
+def _fetch_range_once(url: str, start: int, end_incl: int) -> bytes:
     global _CONTENT_RANGE
     if _CONTENT_RANGE is None:
         import re
@@ -117,15 +152,43 @@ def _fetch_range(url: str, start: int, end_incl: int) -> bytes:
 
 
 def _probe(url: str) -> tuple[int | None, bool]:
-    """(content_length | None, server_supports_ranges)."""
+    """(content_length | None, server_supports_ranges).
+
+    HEAD first; when the server rejects HEAD or omits the headers, fall
+    back to ``GET Range: bytes=0-0`` and read the total from the 206's
+    ``Content-Range: bytes 0-0/N`` — DuckDB httpfs probes object stores
+    the same way (several CDN/presigned-URL setups serve GET-with-Range
+    but 403 every HEAD). A 200 answer to the probe means no range
+    support; 1 body byte is the entire fallback cost."""
     req = urllib.request.Request(url, method="HEAD")
     try:
         with urllib.request.urlopen(req) as r:
             length = r.headers.get("Content-Length")
             ranges = (r.headers.get("Accept-Ranges") or "").lower() == "bytes"
-            return (int(length) if length is not None else None), ranges
+            if length is not None and ranges:
+                return int(length), True
     except Exception:
-        return None, False
+        pass
+    global _CONTENT_RANGE
+    if _CONTENT_RANGE is None:
+        import re
+
+        _CONTENT_RANGE = re.compile(r"bytes\s+(\d+)-(\d+)/(\d+|\*)")
+    try:
+        greq = urllib.request.Request(url, headers={"Range": "bytes=0-0"})
+        with urllib.request.urlopen(greq) as r:
+            status = getattr(r, "status", None) or r.getcode()
+            r.read()
+            if status == 206:
+                m = _CONTENT_RANGE.search(r.headers.get("Content-Range") or "")
+                if m and m.group(3) != "*":
+                    return int(m.group(3)), True
+            elif status == 200:
+                length = r.headers.get("Content-Length")
+                return (int(length) if length is not None else None), False
+    except Exception:
+        pass
+    return None, False
 
 
 class HttpLinesReader(DataSourceReader):

@@ -1237,3 +1237,86 @@ def test_hive_typed_predicate_pushdown_unit():
     # unsupported declared type fails loudly too
     with _pytest.raises(ValueError, match="unsupported type"):
         H._parse_hive_types("year:decimal")
+
+
+def test_range_get_retries_transient_503(tmp_path):
+    """A transient 503 on a range GET must be retried, not kill the task
+    (at 100 TB scale object-store 5xx are routine and Spark's own retry
+    re-reads the WHOLE partition); non-retryable statuses still raise
+    immediately."""
+    import urllib.error
+
+    import pytest as _pytest
+
+    from quackio_jl_spark.sources import httpranged as H
+
+    (tmp_path / "f.txt").write_bytes(b"0123456789")
+
+    fail_next = {"n": 2}
+
+    class Flaky(H.RangeFileHandler):
+        def do_GET(self):  # noqa: N802
+            if fail_next["n"] > 0 and self.headers.get("Range"):
+                fail_next["n"] -= 1
+                self.send_error(503)
+                return
+            super().do_GET()
+
+    import socketserver
+    import threading
+
+    def make(*args, **kw):
+        return Flaky(*args, directory=str(tmp_path), **kw)
+
+    httpd = socketserver.TCPServer(("127.0.0.1", 0), make)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}/f.txt"
+        assert H._fetch_range(url, 2, 5) == b"2345"  # survived two 503s
+        # a 404 is not transient: raises without burning retries
+        fail_next["n"] = 0
+        with _pytest.raises(urllib.error.HTTPError):
+            H._fetch_range(
+                f"http://127.0.0.1:{httpd.server_address[1]}/nope.txt", 0, 1
+            )
+    finally:
+        httpd.shutdown()
+
+
+def test_probe_falls_back_to_range_get_when_head_rejected(tmp_path, spark):
+    """Presigned-URL / CDN setups often 403 every HEAD but serve GET
+    with Range fine — the probe must fall back to ``GET bytes=0-0`` and
+    read the size from Content-Range (DuckDB httpfs does the same), so
+    the ranged parquet scan still plans per row group."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quackio_jl_spark.sources import httpranged as H
+
+    pq.write_table(
+        pa.table({"k": pa.array(range(100), pa.int64())}),
+        str(tmp_path / "d.parquet"),
+        row_group_size=25,
+    )
+
+    class NoHead(H.RangeFileHandler):
+        def do_HEAD(self):  # noqa: N802
+            self.send_error(405)
+
+    import socketserver
+    import threading
+
+    def make(*args, **kw):
+        return NoHead(*args, directory=str(tmp_path), **kw)
+
+    httpd = socketserver.TCPServer(("127.0.0.1", 0), make)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}/d.parquet"
+        size, ranged = H._probe(url)
+        assert ranged and size == (tmp_path / "d.parquet").stat().st_size
+        df = H.read_parquet_url_ranged(spark, url)
+        assert df.rdd.getNumPartitions() == 4
+        assert sorted(r["k"] for r in df.collect()) == list(range(100))
+    finally:
+        httpd.shutdown()
