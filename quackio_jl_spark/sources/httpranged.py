@@ -894,22 +894,27 @@ def read_parquet_manifest_ranged(
     into string partition columns — EqualTo/In filters on those columns
     push down (pushFilters) and prune whole files BEFORE their footers
     are probed, the remote analogue of hive partition pruning."""
-    import urllib.parse
-    import urllib.request
-
-    with urllib.request.urlopen(manifest_url, timeout=30) as r:
-        body = r.read().decode("utf-8")
-    urls = [
-        urllib.parse.urljoin(manifest_url, line.strip())
-        for line in body.splitlines()
-        if line.strip() and not line.lstrip().startswith("#")
-    ]
+    urls = _fetch_manifest(manifest_url)
     if not urls:
         raise ValueError(f"manifest {manifest_url!r} lists no files")
     return read_parquet_url_ranged(
         spark, urls, columns=columns, rg_filter=rg_filter, hive=hive,
         hive_types=hive_types,
     )
+
+
+def _fetch_manifest(manifest_url: str) -> list:
+    """Absolute entry URLs of a newline-separated manifest (relative
+    entries resolve against the manifest's own URL; # comments skipped)."""
+    import urllib.parse
+
+    with urllib.request.urlopen(manifest_url, timeout=30) as r:
+        body = r.read().decode("utf-8")
+    return [
+        urllib.parse.urljoin(manifest_url, line.strip())
+        for line in body.splitlines()
+        if line.strip() and not line.lstrip().startswith("#")
+    ]
 
 
 def read_parquet_url_ranged(
@@ -1050,3 +1055,157 @@ def serve_directory_ranged(directory: str):
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     return httpd, httpd.server_address[1]
+
+
+# ------------------------------------ streaming manifest ingest (twin #16)
+
+try:  # pyspark >= 4
+    from pyspark.sql.datasource import DataSourceStreamReader
+
+    HAS_STREAM_API = True
+except ImportError:  # pragma: no cover
+    HAS_STREAM_API = False
+    DataSourceStreamReader = object  # type: ignore
+
+
+class HttpParquetManifestStreamReader(DataSourceStreamReader):
+    """Incremental object-store ingest over a GROWING remote manifest —
+    the streaming twin of read_parquet_manifest_ranged (and the shape
+    of every "process each file exactly once as it lands in the
+    listing" pipeline). The offset is simply the number of manifest
+    entries already processed: entries are APPEND-ONLY (a manifest that
+    shrinks or rewrites an already-seen entry raises — silently
+    renumbering offsets would re-read or skip files), so a batch is the
+    half-open entry range [start.idx, end.idx), planned with the SAME
+    concurrent footer probe, per-(file, row group) partitioning, and
+    Arrow row-group reads as the batch scan. Exactly-once per file
+    follows from Spark's offset log: the range commits atomically and a
+    crash replays the same spans."""
+
+    def __init__(self, options):
+        self.manifest_url = options.get("manifest")
+        if not self.manifest_url:
+            raise ValueError(
+                "http_parquet_manifest_stream requires .option('manifest', url)"
+            )
+        cols = options.get("columns")
+        self.columns = [c.strip() for c in cols.split(",")] if cols else None
+        self._expected_ddl = options.get("expectedddl") or None
+        self._known: list = []
+
+    def _refresh(self) -> list:
+        urls = _fetch_manifest(self.manifest_url)
+        if len(urls) < len(self._known) or urls[: len(self._known)] != list(
+            self._known
+        ):
+            raise ValueError(
+                f"manifest {self.manifest_url!r} shrank or rewrote "
+                "already-seen entries; streaming ingest requires an "
+                "append-only manifest"
+            )
+        self._known = urls
+        return urls
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"idx": 0}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        return {"idx": len(self._refresh())}
+
+    def partitions(self, start: dict, end: dict):
+        if len(self._known) < end["idx"]:
+            self._refresh()  # fresh reader after restart: re-learn entries
+        batch_urls = self._known[start["idx"] : end["idx"]]
+        parts = []
+        for url, size, md in _probe_footers(batch_urls):
+            ddl = _arrow_to_ddl(md.schema.to_arrow_schema())
+            if self._expected_ddl is None:
+                self._expected_ddl = ddl
+            elif ddl != self._expected_ddl:
+                raise ValueError(
+                    f"http_parquet_manifest_stream: schema drift — new "
+                    f"manifest entry {url!r} has ({ddl}) but the stream "
+                    f"was planned for ({self._expected_ddl})"
+                )
+            parts.extend(
+                InputPartition((url, size, rg))
+                for rg in range(md.num_row_groups)
+            )
+        # an empty batch (offsets moved but footers list no groups) still
+        # needs one no-op partition: Spark requires >= 1
+        return parts or [InputPartition((None, 0, 0))]
+
+    def read(self, partition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        url, size, rg = partition.value
+        if url is None:  # the no-op partition of an empty batch
+            return
+        f = pa.PythonFile(_HttpRandomAccessFile(url, size), mode="r")
+        table = pq.ParquetFile(f).read_row_group(rg, columns=self.columns)
+        yield from table.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # remote files are immutable; nothing to clean up
+
+
+class HttpParquetManifestStreamDataSource(DataSource):
+    """``spark.readStream.format("http_parquet_manifest_stream")
+    .option("manifest", url).load()`` — micro-batch ingest of new
+    manifest entries, ranged reads only."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "http_parquet_manifest_stream"
+
+    def schema(self) -> str:
+        opts = {k.lower(): v for k, v in self.options.items()}
+        manifest = opts.get("manifest")
+        if not manifest:
+            raise ValueError(
+                "http_parquet_manifest_stream requires .option('manifest', url)"
+            )
+        urls = _fetch_manifest(manifest)
+        if not urls:
+            raise ValueError(
+                f"manifest {manifest!r} lists no files yet; the stream "
+                "needs at least one entry to derive the schema"
+            )
+        size, ranged = _probe(urls[0])
+        if not size or not ranged:
+            raise ValueError(
+                f"http_parquet_manifest_stream needs range support from {urls[0]!r}"
+            )
+        schema = _parquet_footer(urls[0], size).schema.to_arrow_schema()
+        cols = opts.get("columns")
+        if cols:
+            import pyarrow as pa
+
+            schema = pa.schema(
+                [schema.field(c.strip()) for c in cols.split(",")]
+            )
+        return _arrow_to_ddl(schema)
+
+    def streamReader(self, schema):  # noqa: N802
+        opts = {k.lower(): v for k, v in self.options.items()}
+        return HttpParquetManifestStreamReader(opts)
+
+
+def read_parquet_manifest_stream(
+    spark, manifest_url: str, columns: list[str] | None = None
+):
+    """Streaming DataFrame over a growing parquet manifest (streaming
+    twin #16): each micro-batch ingests the manifest entries appended
+    since the last batch, read with the same ranged row-group path as
+    the batch scan. Append-only manifest required; schema pinned to the
+    first file, loud on drift."""
+    if not HAS_STREAM_API:  # pragma: no cover
+        raise NotImplementedError("pyspark >= 4 required for the DataSource API")
+    spark.dataSource.register(HttpParquetManifestStreamDataSource)
+    r = spark.readStream.format("http_parquet_manifest_stream").option(
+        "manifest", manifest_url
+    )
+    if columns:
+        r = r.option("columns", ",".join(columns))
+    return r.load()

@@ -1320,3 +1320,72 @@ def test_probe_falls_back_to_range_get_when_head_rejected(tmp_path, spark):
         assert sorted(r["k"] for r in df.collect()) == list(range(100))
     finally:
         httpd.shutdown()
+
+
+def test_manifest_stream_ingests_appended_files_exactly_once(tmp_path, spark):
+    """Streaming twin #16 — incremental manifest ingest: files appended
+    to the manifest between micro-batches arrive exactly once, the final
+    streamed content equals the batch scan of the full manifest, and a
+    manifest that SHRINKS fails the stream loudly (append-only
+    contract)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from quackio_jl_spark.sources import httpranged as H
+
+    for i in range(4):
+        pq.write_table(
+            pa.table({"k": pa.array(range(i * 100, i * 100 + 100), pa.int64())}),
+            str(tmp_path / f"f{i}.parquet"),
+            row_group_size=40,
+        )
+    manifest = tmp_path / "m.txt"
+    manifest.write_text("f0.parquet\nf1.parquet\n")
+    httpd, port = H.serve_directory_ranged(str(tmp_path))
+    murl = f"http://127.0.0.1:{port}/m.txt"
+    try:
+        stream = H.read_parquet_manifest_stream(spark, murl)
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("manifest_ingest")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n1 = spark.sql("SELECT count(*) c FROM manifest_ingest").first()["c"]
+            assert n1 == 200  # first two files
+            manifest.write_text(
+                "f0.parquet\nf1.parquet\nf2.parquet\nf3.parquet\n"
+            )
+            q.processAllAvailable()
+            got = sorted(
+                r["k"] for r in spark.sql("SELECT k FROM manifest_ingest").collect()
+            )
+        finally:
+            q.stop()
+        batch = sorted(
+            r["k"]
+            for r in H.read_parquet_manifest_ranged(spark, murl).collect()
+        )
+        assert got == batch == list(range(400))  # exactly once, no dupes
+
+        # shrinking the manifest must fail the NEXT batch loudly
+        stream2 = H.read_parquet_manifest_stream(spark, murl)
+        q2 = (
+            stream2.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("manifest_ingest2")
+            .start()
+        )
+        try:
+            q2.processAllAvailable()
+            manifest.write_text("f0.parquet\n")
+            with _pytest.raises(Exception, match="append-only|shrank"):
+                q2.processAllAvailable()
+                q2.awaitTermination(10)
+        finally:
+            q2.stop()
+    finally:
+        httpd.shutdown()
