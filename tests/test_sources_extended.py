@@ -1389,3 +1389,95 @@ def test_manifest_stream_ingests_appended_files_exactly_once(tmp_path, spark):
             q2.stop()
     finally:
         httpd.shutdown()
+
+
+def test_hive_value_percent_roundtrip_property():
+    """Property: any partition value a hive writer percent-encodes into
+    a path segment parses back verbatim — one decode, never double
+    (double-unquote would corrupt values containing literal '%xx')."""
+    from urllib.parse import quote
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from quackio_jl_spark.sources import httpranged as H
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.text(min_size=1, max_size=40).filter(
+            lambda v: v != H.HIVE_DEFAULT_PARTITION
+        )
+    )
+    def check(value):
+        url = f"http://h/base/k={quote(value, safe='')}/part.parquet"
+        assert H._hive_partition_values(url) == {"k": value}
+
+    check()
+
+
+def test_probe_footers_propagates_first_failure(tmp_path):
+    """A bad entry anywhere in a concurrently-probed manifest must raise
+    (with the offending URL in the message), not yield a silent partial
+    listing — at 100 TB a dropped file is corruption, not degradation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from quackio_jl_spark.sources import httpranged as H
+
+    for i in range(8):
+        pq.write_table(
+            pa.table({"k": pa.array([i], pa.int64())}),
+            str(tmp_path / f"f{i}.parquet"),
+        )
+    httpd, port = H.serve_directory_ranged(str(tmp_path))
+    try:
+        urls = [
+            f"http://127.0.0.1:{port}/f{i}.parquet" for i in range(8)
+        ]
+        urls[5] = f"http://127.0.0.1:{port}/missing.parquet"
+        with _pytest.raises(ValueError, match="missing.parquet"):
+            H._probe_footers(urls)
+    finally:
+        httpd.shutdown()
+
+
+def test_manifest_stream_column_pruning(tmp_path, spark):
+    """The streaming manifest reader honors the columns option — only
+    the named columns' byte ranges are requested, same as the batch
+    scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quackio_jl_spark.sources import httpranged as H
+
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array(range(50), pa.int64()),
+                "payload": pa.array(["x" * 2000] * 50, pa.string()),
+            }
+        ),
+        str(tmp_path / "f0.parquet"),
+    )
+    (tmp_path / "m.txt").write_text("f0.parquet\n")
+    httpd, port = H.serve_directory_ranged(str(tmp_path))
+    try:
+        stream = H.read_parquet_manifest_stream(
+            spark, f"http://127.0.0.1:{port}/m.txt", columns=["k"]
+        )
+        assert stream.schema.simpleString() == "struct<k:bigint>"
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("manifest_pruned")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT k FROM manifest_pruned").collect()
+        finally:
+            q.stop()
+        assert sorted(r["k"] for r in rows) == list(range(50))
+    finally:
+        httpd.shutdown()
