@@ -499,6 +499,10 @@ def _probe_footers(urls: list) -> list:
             )
         return url, size, _parquet_footer(url, size)
 
+    if not urls:
+        # an empty list is a legitimate plan (e.g. a restarted stream's
+        # zero-new-entries batch) — ThreadPoolExecutor(0) would raise
+        return []
     if len(urls) == 1:
         return [one(urls[0])]
     with ThreadPoolExecutor(

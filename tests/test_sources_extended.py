@@ -1481,3 +1481,62 @@ def test_manifest_stream_column_pruning(tmp_path, spark):
         assert sorted(r["k"] for r in rows) == list(range(50))
     finally:
         httpd.shutdown()
+
+
+def test_manifest_stream_restart_resumes_from_checkpoint(tmp_path, spark):
+    """Exactly-once under RESTART: a new streaming query resuming from
+    the same checkpoint must NOT re-ingest files already committed by
+    the stopped query — the offset log replays entry counts into a
+    FRESH reader instance (whose _known list starts empty and re-learns
+    the manifest), so this covers the restart path the single-query
+    test can't."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quackio_jl_spark.sources import httpranged as H
+
+    for i in range(4):
+        pq.write_table(
+            pa.table({"k": pa.array(range(i * 10, i * 10 + 10), pa.int64())}),
+            str(tmp_path / f"f{i}.parquet"),
+        )
+    manifest = tmp_path / "m.txt"
+    manifest.write_text("f0.parquet\nf1.parquet\n")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    httpd, port = H.serve_directory_ranged(str(tmp_path))
+    murl = f"http://127.0.0.1:{port}/m.txt"
+    try:
+        q1 = (
+            H.read_parquet_manifest_stream(spark, murl)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q1.processAllAvailable()
+        finally:
+            q1.stop()
+        assert spark.read.parquet(out).count() == 20
+
+        manifest.write_text(
+            "f0.parquet\nf1.parquet\nf2.parquet\nf3.parquet\n"
+        )
+        q2 = (
+            H.read_parquet_manifest_stream(spark, murl)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+        assert got == list(range(40))  # f0/f1 NOT re-ingested, f2/f3 once
+    finally:
+        httpd.shutdown()
