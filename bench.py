@@ -201,38 +201,67 @@ def _replace_between(path: str, start: str, end: str, block: str, heading: str) 
     open(path, "w").write(text)
 
 
+def noise_factor(prev: dict, cur: dict) -> float:
+    """Host-noise factor of THIS run vs the previous artifacts: the
+    median cur/prev ratio over the HEADLINE control set — 21 queries
+    untouched since r1, so their collective drift measures the shared
+    VM, not the code (identical code has measured 20.5-154 s here).
+    1.0 when fewer than 3 control queries overlap (synthetic inputs)."""
+    ratios = sorted(
+        cur[q] / prev[q]
+        for q in HEADLINE
+        if prev.get(q) and cur.get(q) and prev[q] > 0
+    )
+    if len(ratios) < 3:
+        return 1.0
+    return statistics.median(ratios)
+
+
 def update_movers_table(repo_dir: str, prev: dict, cur: dict, prev_label: str) -> None:
     """Top-5 per-query regressions and improvements of THIS run vs the
-    previous committed artifacts (>1.5x in either direction AND >0.5 s
-    absolute), written between the MOVERS markers in BASELINE.md —
-    round-9 VERDICT "next" #6: the trend table tracks only totals, so a
-    real single-query regression was findable only by hand-diffing
-    BENCH_EXTENDED.json. Host noise swings single queries several-fold;
-    the table is a WATCHLIST (adjudicate across rounds), not a verdict."""
+    previous committed artifacts, written between the MOVERS markers in
+    BASELINE.md — round-9 VERDICT "next" #6: the trend table tracks
+    only totals, so a real single-query regression was findable only by
+    hand-diffing BENCH_EXTENDED.json.
+
+    Round-10 VERDICT "next" #2 (mechanized adjudication): raw ratios on
+    this shared VM flag host spikes every round (five untouched queries
+    were flagged in r10 alone, `langid_naive_bayes` three rounds
+    running). Each ratio is therefore NORMALIZED by the same-run
+    noise_factor() — the median drift of the 21-query headline control
+    set, untouched since r1 — and only normalized ratios >1.5x (AND
+    >0.5 s absolute) are flagged. A query that merely drifted with the
+    host divides out to ~1.0x; a genuinely regressed query keeps its
+    ratio. Flagged rows still get a `bench.py --retime` pass before
+    being believed."""
+    noise = noise_factor(prev, cur)
     movers = []
     for name, c in cur.items():
         p = prev.get(name)
         if not p or not c or p <= 0:
             continue
         ratio = c / p
-        if abs(c - p) > 0.5 and (ratio > 1.5 or ratio < 1 / 1.5):
-            movers.append((ratio, name, p, c))
+        norm = ratio / noise
+        if abs(c - p) > 0.5 and (norm > 1.5 or norm < 1 / 1.5):
+            movers.append((norm, ratio, name, p, c))
     regs = sorted((m for m in movers if m[0] > 1), reverse=True)[:5]
     imps = sorted(m for m in movers if m[0] < 1)[:5]
     rows = [
-        f"| {name} | {p:.3f} | {c:.3f} | {r:.2f}x |"
-        f" {'REGRESSION — adjudicate' if r > 1 else 'improvement'} |"
-        for r, name, p, c in [*regs, *imps]
-    ] or ["| _none above threshold (>1.5x and >0.5 s)_ | | | | |"]
+        f"| {name} | {p:.3f} | {c:.3f} | {r:.2f}x | {n:.2f}x |"
+        f" {'REGRESSION — adjudicate' if n > 1 else 'improvement'} |"
+        for n, r, name, p, c in [*regs, *imps]
+    ] or ["| _none above threshold (normalized >1.5x and >0.5 s)_ | | | | | |"]
     block = "\n".join(
         [
             _MOVERS_START,
             "",
             f"Current bench run vs {prev_label} (headline + extended,"
-            " per-query medians):",
+            " per-query medians); ratios normalized by the headline"
+            f" control set's same-run host factor ({noise:.2f}x):",
             "",
-            "| query | prev (s) | current (s) | ratio | direction |",
-            "|---|---|---|---|---|",
+            "| query | prev (s) | current (s) | ratio | normalized |"
+            " direction |",
+            "|---|---|---|---|---|---|",
             *rows,
             "",
             _MOVERS_END,
@@ -247,41 +276,114 @@ def update_movers_table(repo_dir: str, prev: dict, cur: dict, prev_label: str) -
     )
 
 
-def _latest(repo_dir: str, pattern: str) -> str | None:
+def _tracked_artifacts(repo_dir: str, pattern: str) -> list[str]:
+    """Repo-relative paths of git-TRACKED files matching ``pattern``,
+    sorted; falls back to a filesystem glob when ``repo_dir`` is not a
+    git repo (e.g. a `git archive` export). Round-10 VERDICT "what's
+    wrong" #1: the driver's post-close bench run drops an UNTRACKED
+    BENCH_r{N}.json into the working tree, and a filesystem glob then
+    resolved "committed artifacts" to a file no commit contains,
+    reddening the SURVEY-snippet pinning test every round. Tracked-only
+    resolution also fixes the movers-table "previous round" pick
+    (ADVICE r10): an in-round re-run can no longer compare against the
+    same run's own freshly-written artifact."""
+    import fnmatch
     import glob
+    import subprocess
 
-    paths = sorted(glob.glob(os.path.join(repo_dir, pattern)))
-    return paths[-1] if paths else None
+    try:
+        out = subprocess.run(
+            ["git", "ls-files", "--", pattern],
+            cwd=repo_dir,
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        if out.returncode == 0:
+            return sorted(
+                p for p in out.stdout.splitlines()
+                if p.strip() and fnmatch.fnmatch(os.path.basename(p), pattern)
+            )
+    except Exception:
+        pass
+    return sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(repo_dir, pattern))
+    )
+
+
+def _read_committed_json(repo_dir: str, relpath: str):
+    """Parse ``relpath`` as committed at HEAD (``git show HEAD:path``),
+    falling back to the working-tree copy outside a git repo. The
+    working-tree copy is deliberately NOT trusted inside a repo: the
+    driver's post-close run rewrites tracked artifacts
+    (BENCH_EXTENDED.json) in place without committing, and "numbers
+    derived from committed artifacts" must mean the committed bytes."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "show", f"HEAD:{relpath}"],
+            cwd=repo_dir,
+            capture_output=True,
+            timeout=30,
+        )
+        if out.returncode == 0:
+            return json.loads(out.stdout.decode("utf-8"))
+        # inside a repo but not committed (or no commits yet): treat as
+        # absent rather than silently reading uncommitted bytes
+        probe = subprocess.run(
+            ["git", "rev-parse", "--is-inside-work-tree"],
+            cwd=repo_dir,
+            capture_output=True,
+            timeout=30,
+        )
+        if probe.returncode == 0 and probe.stdout.strip() == b"true":
+            return None
+    except Exception:
+        pass
+    try:
+        return json.load(open(os.path.join(repo_dir, relpath)))
+    except Exception:
+        return None
+
+
+def _latest(repo_dir: str, pattern: str) -> str | None:
+    paths = _tracked_artifacts(repo_dir, pattern)
+    return os.path.join(repo_dir, paths[-1]) if paths else None
 
 
 def survey_snippet(repo_dir: str) -> str:
     """The round-close build-status numbers, derived ONLY from committed
     artifacts (round-9 VERDICT "next" #5: hand-copied prose drifted from
     the committed JSON). tests/test_artifacts.py pins SURVEY.md's copy
-    to this exact string."""
-    bench_path = _latest(repo_dir, "BENCH_r[0-9]*.json")
-    cf_path = _latest(repo_dir, "CORRECTNESS_FULL_r[0-9]*.json")
+    to this exact string. "Committed" is literal (round-10 VERDICT
+    "what's wrong" #1): artifacts resolve via `git ls-files` and read
+    via `git show HEAD:` so the driver's post-close drop of an
+    untracked BENCH_r{N}.json / in-place rewrite of BENCH_EXTENDED.json
+    can never change this string between commits."""
+    bench_rel = _tracked_artifacts(repo_dir, "BENCH_r[0-9]*.json")
+    cf_rel = _tracked_artifacts(repo_dir, "CORRECTNESS_FULL_r[0-9]*.json")
     parts = []
-    if bench_path:
-        b = json.load(open(bench_path))
+    if bench_rel:
+        b = _read_committed_json(repo_dir, bench_rel[-1]) or {}
         p = b.get("parsed") or {}
         parts.append(
-            f"driver bench ({os.path.basename(bench_path)}): headline"
+            f"driver bench ({os.path.basename(bench_rel[-1])}): headline"
             f" {p.get('value')} s at sf{p.get('sf')},"
             f" extended {p.get('extended_total_sec')} s,"
             f" {p.get('n_queries_registered')} queries registered"
         )
-    ext_path = os.path.join(repo_dir, "BENCH_EXTENDED.json")
-    if os.path.exists(ext_path):
-        e = json.load(open(ext_path))
+    e = _read_committed_json(repo_dir, "BENCH_EXTENDED.json")
+    if e is not None:
         parts.append(
             f"committed extended detail (BENCH_EXTENDED.json):"
             f" {e.get('extended_total_sec')} s /"
             f" {len(e.get('extended_queries', {}))} queries at"
             f" sf{e.get('sf')}"
         )
-    if cf_path:
-        cf = json.load(open(cf_path))
+    if cf_rel:
+        cf = _read_committed_json(repo_dir, cf_rel[-1]) or {}
         recs = {k: v for k, v in cf.items() if not k.startswith("_")}
         fails = [
             k
@@ -294,7 +396,7 @@ def survey_snippet(repo_dir: str) -> str:
             if str(v.get("err") or "").startswith("rows-only")
         ]
         parts.append(
-            f"full gate ({os.path.basename(cf_path)}): {len(fails)}"
+            f"full gate ({os.path.basename(cf_rel[-1])}): {len(fails)}"
             f" failures / {len(recs)} checked"
             f" ({len(rows_only)} rows-only by design)"
         )
@@ -322,14 +424,12 @@ def update_trend_table(repo_dir: str) -> None:
     TREND_TABLE markers in BASELINE.md from the committed BENCH_r0*.json
     artifacts — one committed place to read the trend instead of N JSONs
     (round-7 VERDICT "next" #10). Best-effort: bench output must never
-    fail on doc regeneration."""
-    import glob
-
+    fail on doc regeneration. Reads git-TRACKED artifacts at their
+    committed content, same rationale as survey_snippet()."""
     rows = []
-    for path in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r[0-9]*.json"))):
-        try:
-            d = json.load(open(path))
-        except Exception:
+    for rel in _tracked_artifacts(repo_dir, "BENCH_r[0-9]*.json"):
+        d = _read_committed_json(repo_dir, rel)
+        if d is None:
             continue
         p = d.get("parsed") or {}
         if not p:
@@ -384,9 +484,90 @@ def update_trend_table(repo_dir: str) -> None:
     open(baseline, "w").write(text)
 
 
+_RETIME_CONTROLS = ["q1_pricing_summary", "dedup_exact", "text_quality_score"]
+
+
+def _prev_committed_queries(repo_dir: str) -> tuple[dict, str]:
+    """Per-query medians from the previous round's COMMITTED artifacts
+    (extended side file + latest tracked driver artifact)."""
+    prev_all: dict = {}
+    prev_label = "previous committed artifacts"
+    e = _read_committed_json(repo_dir, "BENCH_EXTENDED.json")
+    if e is not None:
+        prev_all.update(e.get("extended_queries", {}))
+    bench_rel = _tracked_artifacts(repo_dir, "BENCH_r[0-9]*.json")
+    if bench_rel:
+        b = _read_committed_json(repo_dir, bench_rel[-1]) or {}
+        prev_all.update((b.get("parsed") or {}).get("queries", {}))
+        prev_label = (
+            f"{os.path.basename(bench_rel[-1])} + committed"
+            " BENCH_EXTENDED.json"
+        )
+    return prev_all, prev_label
+
+
+def retime(names: list[str], sf_dir: str, repeats: int = 5) -> dict:
+    """Dedicated adjudication bench for movers-table rows (round-10
+    VERDICT "next" #2): re-times the named queries over ``repeats``
+    interleaved passes ALONGSIDE the noise controls (q1 et al.,
+    untouched since r1), so the verdict is the noise-normalized ratio
+    vs the committed previous-round numbers — not a raw wall-clock that
+    the shared VM can triple on its own. Returns (and main() prints)
+    one JSON object with per-query medians, control medians, the
+    committed prev numbers, and normalized ratios."""
+    from quackio_jl_spark.registry import QUERIES
+    from quackio_jl_spark.session import get_spark
+
+    spark = get_spark(app_name="quackio_retime")
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    controls = [c for c in _RETIME_CONTROLS if c not in names]
+    suite = list(names) + controls
+    for name in suite:  # warm-up: codegen/class-loading constants
+        run(QUERIES[name](spark, sf_dir))
+    samples: dict[str, list[float]] = {n: [] for n in suite}
+    for _ in range(max(1, repeats)):
+        for name in suite:
+            t0 = time.perf_counter()
+            run(QUERIES[name](spark, sf_dir))
+            samples[name].append(time.perf_counter() - t0)
+    med = {n: round(statistics.median(ts), 3) for n, ts in samples.items()}
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prev_all, prev_label = _prev_committed_queries(repo_dir)
+    ctrl_ratios = sorted(
+        med[c] / prev_all[c] for c in controls if prev_all.get(c)
+    )
+    noise = statistics.median(ctrl_ratios) if ctrl_ratios else 1.0
+    out = {
+        "metric": "retime_adjudication",
+        "sf_dir": sf_dir,
+        "repeats": repeats,
+        "queries": {n: med[n] for n in names},
+        "controls": {c: med[c] for c in controls},
+        "noise_factor": round(noise, 3),
+        "prev": {n: prev_all.get(n) for n in suite},
+        "prev_label": prev_label,
+        "normalized_ratio": {
+            n: round(med[n] / prev_all[n] / noise, 3)
+            for n in names
+            if prev_all.get(n)
+        },
+    }
+    return out
+
+
 def main() -> None:
     import sys
 
+    if "--retime" in sys.argv:
+        names = sys.argv[sys.argv.index("--retime") + 1 :]
+        if not names:
+            raise SystemExit("usage: bench.py --retime <query> [<query>...]")
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        print(json.dumps(retime(names, sf_dir)))
+        return
     if "--trend-only" in sys.argv:
         # Regenerate the BASELINE.md trend table from the committed
         # BENCH_r0N.json artifacts WITHOUT running the bench — the
@@ -437,34 +618,14 @@ def main() -> None:
     times = {name: med[name] for name in HEADLINE}
     extended = {name: med[name] for name in EXTENDED}
     total = round(sum(times.values()), 3)
-    # Previous round's per-query numbers, read BEFORE BENCH_EXTENDED.json
-    # is overwritten: extended from the committed side file, headline from
-    # the latest driver artifact.
+    # Previous round's per-query numbers from the COMMITTED artifacts
+    # (git ls-files / git show): an in-round re-run can never compare
+    # against its own freshly-written side file (ADVICE r10).
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    prev_all: dict = {}
-    prev_label = "previous committed artifacts"
     try:
-        prev_all.update(
-            json.load(open(os.path.join(repo_dir, "BENCH_EXTENDED.json"))).get(
-                "extended_queries", {}
-            )
-        )
+        prev_all, prev_label = _prev_committed_queries(repo_dir)
     except Exception:
-        pass
-    bench_prev = _latest(repo_dir, "BENCH_r[0-9]*.json")
-    if bench_prev:
-        try:
-            prev_all.update(
-                (json.load(open(bench_prev)).get("parsed") or {}).get(
-                    "queries", {}
-                )
-            )
-            prev_label = (
-                f"{os.path.basename(bench_prev)} + committed"
-                " BENCH_EXTENDED.json"
-            )
-        except Exception:
-            pass
+        prev_all, prev_label = {}, "previous committed artifacts"
     # Extended per-query medians go to a SIDE FILE: round 5's single stdout
     # line grew to ~3.4 KB with them inlined and overflowed the driver's
     # ~2 KB tail capture (BENCH_r05.json parsed=null). The driver-facing
