@@ -1540,3 +1540,441 @@ def test_manifest_stream_restart_resumes_from_checkpoint(tmp_path, spark):
         assert got == list(range(40))  # f0/f1 NOT re-ingested, f2/f3 once
     finally:
         httpd.shutdown()
+
+
+# ------------------------- round-11 remote-ingest hardening tests
+
+
+def test_probe_200_fallback_does_not_download_body(tmp_path):
+    """ADVICE r10: when the probe's GET fallback gets a 200 (no range
+    support), the driver must NOT drain the body — it is the ENTIRE
+    remote file. Serve a body far larger than any socket buffer and
+    assert the probe returns the header length fast while the server
+    hits a broken pipe (proof the client closed without reading)."""
+    import time
+
+    from quackio_jl_spark.sources import httpranged as H
+
+    big = 64 * 1024 * 1024
+    state = {"broken_pipe": False}
+
+    class NoRange200(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a, **k):
+            pass
+
+        def do_HEAD(self):  # no Accept-Ranges: forces the GET fallback
+            self.send_response(200)
+            self.send_header("Content-Length", str(big))
+            self.end_headers()
+
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Length", str(big))
+            self.end_headers()
+            chunk = b"x" * (1024 * 1024)
+            try:
+                for _ in range(big // len(chunk)):
+                    self.wfile.write(chunk)
+            except (BrokenPipeError, ConnectionResetError):
+                state["broken_pipe"] = True
+
+    httpd = socketserver.TCPServer(("127.0.0.1", 0), NoRange200)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}/huge.bin"
+        t0 = time.perf_counter()
+        size, ranged = H._probe(url)
+        elapsed = time.perf_counter() - t0
+        assert (size, ranged) == (big, False)
+        assert elapsed < 10.0  # not a 64 MB drain
+        # server-side proof: the client hung up without reading the body
+        deadline = time.time() + 10
+        while not state["broken_pipe"] and time.time() < deadline:
+            time.sleep(0.05)
+        assert state["broken_pipe"]
+    finally:
+        httpd.shutdown()
+
+
+def test_urlerror_permanent_causes_fail_fast(monkeypatch):
+    """ADVICE r10: DNS and TLS-cert failures are permanent — one
+    attempt, no backoff burn; connection resets stay retryable."""
+    import socket
+    import ssl
+    import urllib.error
+
+    import pytest as _pytest
+
+    from quackio_jl_spark.sources import httpranged as H
+
+    monkeypatch.setattr(H, "_RETRY_BACKOFF_S", 0.0)
+    calls = {"n": 0}
+
+    def dns_fail(*a, **k):
+        calls["n"] += 1
+        raise urllib.error.URLError(
+            socket.gaierror(-2, "Name or service not known")
+        )
+
+    monkeypatch.setattr(H.urllib.request, "urlopen", dns_fail)
+    with _pytest.raises(urllib.error.URLError):
+        H._fetch_range("http://no-such-host.invalid/f", 0, 10)
+    assert calls["n"] == 1  # failed FAST, no retries
+
+    calls["n"] = 0
+
+    def cert_fail(*a, **k):
+        calls["n"] += 1
+        raise urllib.error.URLError(
+            ssl.SSLCertVerificationError("certificate verify failed")
+        )
+
+    monkeypatch.setattr(H.urllib.request, "urlopen", cert_fail)
+    with _pytest.raises(urllib.error.URLError):
+        H._urlopen_retry("http://bad-cert.invalid/m")
+    assert calls["n"] == 1
+
+    calls["n"] = 0
+
+    def reset_fail(*a, **k):
+        calls["n"] += 1
+        raise urllib.error.URLError(ConnectionResetError("reset"))
+
+    monkeypatch.setattr(H.urllib.request, "urlopen", reset_fail)
+    with _pytest.raises(IOError):
+        H._fetch_range("http://flaky.invalid/f", 0, 10)
+    assert calls["n"] == H._RANGE_RETRIES + 1  # retried to exhaustion
+
+
+def test_manifest_fetch_retries_transient_503(tmp_path):
+    """Round-10 VERDICT "next" #4: the manifest is metadata fetched
+    every micro-batch; a transient 503 must be retried like the data
+    range GETs — and a permanent 404 must still die loudly on the
+    first attempt."""
+    import urllib.error
+
+    import pytest as _pytest
+
+    from quackio_jl_spark.sources import httpranged as H
+
+    (tmp_path / "m.txt").write_text("f0.parquet\n")
+    fails = {"left": 2, "attempts_404": 0}
+
+    class FlakyManifest(H.RangeFileHandler):
+        def do_GET(self):  # noqa: N802
+            if self.path.endswith("/m.txt") and fails["left"] > 0:
+                fails["left"] -= 1
+                self.send_error(503)
+                return
+            if self.path.endswith("/gone.txt"):
+                fails["attempts_404"] += 1
+                self.send_error(404)
+                return
+            super().do_GET()
+
+    def make(*args, **kw):
+        return FlakyManifest(*args, directory=str(tmp_path), **kw)
+
+    httpd = socketserver.TCPServer(("127.0.0.1", 0), make)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        port = httpd.server_address[1]
+        urls = H._fetch_manifest(f"http://127.0.0.1:{port}/m.txt")
+        assert urls == [f"http://127.0.0.1:{port}/f0.parquet"]
+        assert fails["left"] == 0  # survived exactly the two 503s
+        with _pytest.raises(urllib.error.HTTPError):
+            H._fetch_manifest(f"http://127.0.0.1:{port}/gone.txt")
+        assert fails["attempts_404"] == 1  # permanent: no retry burn
+    finally:
+        httpd.shutdown()
+
+
+def test_manifest_stream_survives_flaky_manifest_refresh(tmp_path, spark):
+    """Round-10 VERDICT "next" #4, streaming form: one transient 503 on
+    the per-micro-batch manifest refresh must not kill the query."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quackio_jl_spark.sources import httpranged as H
+
+    for i in range(2):
+        pq.write_table(
+            pa.table({"k": pa.array(range(i * 10, i * 10 + 10), pa.int64())}),
+            str(tmp_path / f"f{i}.parquet"),
+        )
+    manifest = tmp_path / "m.txt"
+    manifest.write_text("f0.parquet\n")
+    flaky = {"arm": False, "fired": 0}
+
+    class FlakyOnce(H.RangeFileHandler):
+        def do_GET(self):  # noqa: N802
+            if self.path.endswith("/m.txt") and flaky["arm"]:
+                flaky["arm"] = False
+                flaky["fired"] += 1
+                self.send_error(503)
+                return
+            super().do_GET()
+
+    def make(*args, **kw):
+        return FlakyOnce(*args, directory=str(tmp_path), **kw)
+
+    httpd = socketserver.TCPServer(("127.0.0.1", 0), make)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        port = httpd.server_address[1]
+        murl = f"http://127.0.0.1:{port}/m.txt"
+        q = (
+            H.read_parquet_manifest_stream(spark, murl)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("flaky_manifest")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            manifest.write_text("f0.parquet\nf1.parquet\n")
+            flaky["arm"] = True  # next refresh 503s once, then recovers
+            q.processAllAvailable()
+            got = sorted(
+                r["k"]
+                for r in spark.sql("SELECT k FROM flaky_manifest").collect()
+            )
+        finally:
+            q.stop()
+        assert flaky["fired"] == 1  # the 503 actually hit the refresh
+        assert got == list(range(20))
+    finally:
+        httpd.shutdown()
+
+
+def test_manifest_stream_restart_rejects_rewritten_or_shrunk(tmp_path, spark):
+    """ADVICE r10 (restart recovery): a fresh reader's empty _known used
+    to accept ANY manifest on restart. Now every offset carries a
+    prefix digest: a manifest REWRITTEN while the stream was down fails
+    the replay loudly, and one that SHRANK below a committed offset
+    raises instead of silently slicing short."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from quackio_jl_spark.sources import httpranged as H
+
+    for name in ("a", "b", "c"):
+        pq.write_table(
+            pa.table({"k": pa.array([1, 2], pa.int64())}),
+            str(tmp_path / f"{name}.parquet"),
+        )
+    manifest = tmp_path / "m.txt"
+    manifest.write_text("a.parquet\nb.parquet\n")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    httpd, port = H.serve_directory_ranged(str(tmp_path))
+    murl = f"http://127.0.0.1:{port}/m.txt"
+    try:
+        q1 = (
+            H.read_parquet_manifest_stream(spark, murl)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q1.processAllAvailable()
+        finally:
+            q1.stop()
+        assert spark.read.parquet(out).count() == 4
+
+        # rewrite an already-committed entry (same count): the replayed
+        # batch would read different files than the offset log committed
+        manifest.write_text("a.parquet\nc.parquet\n")
+        q2 = (
+            H.read_parquet_manifest_stream(spark, murl)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        with _pytest.raises(Exception, match="rewrote|rewrite"):
+            q2.processAllAvailable()
+            q2.awaitTermination(10)
+        q2.stop()
+
+        # shrink below the committed offset: must raise, never slice
+        manifest.write_text("a.parquet\n")
+        q3 = (
+            H.read_parquet_manifest_stream(spark, murl)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        with _pytest.raises(Exception, match="shrank"):
+            q3.processAllAvailable()
+            q3.awaitTermination(10)
+        q3.stop()
+    finally:
+        httpd.shutdown()
+
+
+def test_manifest_stream_hive_pruning_matches_batch(tmp_path, spark):
+    """Round-10 VERDICT "next" #3: hive parity for the streaming
+    manifest reader. A growing date-partitioned manifest streamed with
+    hive=True + partition_filter must (a) equal the batch hive scan
+    under the same filter, (b) carry typed partition columns, and
+    (c) NEVER probe a pruned partition's file — zero requests, checked
+    against the server's request log."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quackio_jl_spark.sources import httpranged as H
+
+    days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    for i, ds in enumerate(days):
+        d = tmp_path / f"ds={ds}"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"k": pa.array(range(i * 10, i * 10 + 10), pa.int64())}),
+            str(d / "part.parquet"),
+        )
+    manifest = tmp_path / "m.txt"
+    # starts with a KEPT partition (schema derives from the first entry,
+    # which therefore always gets probed); the PRUNED old partition
+    # lands later, where "never probed" is provable
+    manifest.write_text(f"ds={days[1]}/part.parquet\n")
+    H.RangeFileHandler.paths = []
+    httpd, port = H.serve_directory_ranged(str(tmp_path))
+    murl = f"http://127.0.0.1:{port}/m.txt"
+    try:
+        stream = H.read_parquet_manifest_stream(
+            spark,
+            murl,
+            hive=True,
+            hive_types={"ds": "date"},
+            partition_filter="ds>=2024-01-02",
+        )
+        assert "ds" in stream.schema.names
+        assert stream.schema["ds"].dataType.typeName() == "date"
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("hive_stream")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert (
+                spark.sql("SELECT count(*) c FROM hive_stream").first()["c"]
+                == 10
+            )
+            manifest.write_text(
+                f"ds={days[1]}/part.parquet\n"
+                f"ds={days[0]}/part.parquet\n"  # late-arriving OLD day
+                f"ds={days[2]}/part.parquet\n"
+            )
+            q.processAllAvailable()
+            got = [
+                (r["k"], r["ds"])
+                for r in spark.sql(
+                    "SELECT k, ds FROM hive_stream ORDER BY k"
+                ).collect()
+            ]
+        finally:
+            q.stop()
+        batch = [
+            (r["k"], r["ds"])
+            for r in H.read_parquet_manifest_ranged(
+                spark, murl, hive=True, hive_types={"ds": "date"}
+            )
+            .filter("ds >= date'2024-01-02'")
+            .orderBy("k")
+            .collect()
+        ]
+        assert got == batch and len(got) == 20
+        # the pruned partition's FILE was never touched — not even a
+        # probe (the manifest fetch is the only place its name appears)
+        touched = [
+            p
+            for p in H.RangeFileHandler.paths
+            if "2024-01-01" in p and p.endswith(".parquet")
+        ]
+        assert touched == []
+    finally:
+        httpd.shutdown()
+
+
+def test_manifest_stream_conditional_get_304(tmp_path, spark):
+    """Round-10 VERDICT "next" #7: an unchanged manifest answers 304 to
+    the per-micro-batch refresh (ETag validator) — offsets stay put
+    with zero body transfer — and a real append still flows through."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quackio_jl_spark.sources import httpranged as H
+
+    for i in range(2):
+        pq.write_table(
+            pa.table({"k": pa.array([i], pa.int64())}),
+            str(tmp_path / f"f{i}.parquet"),
+        )
+    manifest = tmp_path / "m.txt"
+    manifest.write_text("f0.parquet\n")
+    H.RangeFileHandler.not_modified_count = 0
+    httpd, port = H.serve_directory_ranged(str(tmp_path))
+    murl = f"http://127.0.0.1:{port}/m.txt"
+    try:
+        q = (
+            H.read_parquet_manifest_stream(spark, murl)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("cond_get")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            before = H.RangeFileHandler.not_modified_count
+            q.processAllAvailable()  # nothing changed: refresh sees 304
+            q.processAllAvailable()
+            assert H.RangeFileHandler.not_modified_count > before
+            n1 = spark.sql("SELECT count(*) c FROM cond_get").first()["c"]
+            assert n1 == 1  # offsets unchanged by the 304 rounds
+            manifest.write_text("f0.parquet\nf1.parquet\n")
+            q.processAllAvailable()  # new ETag: full fetch, new entry
+            n2 = spark.sql("SELECT count(*) c FROM cond_get").first()["c"]
+            assert n2 == 2
+        finally:
+            q.stop()
+    finally:
+        httpd.shutdown()
+
+
+def test_hive_partition_column_collision_raises(tmp_path, spark):
+    """ADVICE r10: a writer that ALSO stores the partition column in the
+    file is a common layout; hive=True must fail at plan time with a
+    targeted message, not a duplicate-column analysis error."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from quackio_jl_spark.sources import httpranged as H
+
+    d = tmp_path / "ds=2024-01-01"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([1], pa.int64()),
+                "ds": pa.array(["2024-01-01"], pa.string()),
+            }
+        ),
+        str(d / "part.parquet"),
+    )
+    httpd, port = H.serve_directory_ranged(str(tmp_path))
+    try:
+        url = f"http://127.0.0.1:{port}/ds=2024-01-01/part.parquet"
+        with _pytest.raises(Exception, match="also exist"):
+            H.read_parquet_url_ranged(spark, url, hive=True).collect()
+    finally:
+        httpd.shutdown()
