@@ -508,6 +508,19 @@ def _arrow_to_ddl(schema) -> str:
     return ", ".join(f"`{f.name}` {conv(f.type)}" for f in schema)
 
 
+def _footer_tail_bytes(url: str, size: int) -> bytes:
+    """The trailing ``[footer][len][magic]`` byte span of a remote
+    parquet file — two bounded Range GETs, zero body bytes. Split out of
+    :func:`_parquet_footer` so the distributed probe can ship RAW BYTES
+    from executors (pyarrow FileMetaData objects are parse-side-only;
+    bytes pickle trivially)."""
+    tail8 = _fetch_range(url, size - 8, size - 1)
+    if len(tail8) != 8 or tail8[4:] != b"PAR1":
+        raise ValueError(f"{url!r} is not a parquet file (bad trailing magic)")
+    footer_len = int.from_bytes(tail8[:4], "little")
+    return _fetch_range(url, size - 8 - footer_len, size - 1)
+
+
 def _parquet_footer(url: str, size: int):
     """Range-GET ONLY the footer (last 8 bytes -> footer length, then the
     thrift metadata) and parse with pyarrow. Exactly DuckDB httpfs's
@@ -517,17 +530,77 @@ def _parquet_footer(url: str, size: int):
 
     import pyarrow.parquet as pq
 
-    tail8 = _fetch_range(url, size - 8, size - 1)
-    if len(tail8) != 8 or tail8[4:] != b"PAR1":
-        raise ValueError(f"{url!r} is not a parquet file (bad trailing magic)")
-    footer_len = int.from_bytes(tail8[:4], "little")
-    tail = _fetch_range(url, size - 8 - footer_len, size - 1)
     # read_metadata only touches the trailing footer region, so a buffer
     # holding just [footer][len][magic] parses fine
-    return pq.read_metadata(io.BytesIO(tail))
+    return pq.read_metadata(io.BytesIO(_footer_tail_bytes(url, size)))
 
 
 _PROBE_MAX_WORKERS = 16
+
+# Above this manifest size the footer probe runs as a SPARK JOB instead
+# of the driver-side thread pool (round-10 VERDICT "next" #5): the pool
+# serializes ~3 metadata GETs x N files through 16 driver threads —
+# fine to ~10^4 files, but a 100k-file object-store manifest would pin
+# the driver on hours of metadata I/O while a 1000-executor cluster
+# idles. The job ships back (url, size, footer-bytes) — kilobytes per
+# file — and the driver parses + plans in input order, so planning
+# stays deterministic either way. Below the threshold the pool wins:
+# no job-scheduling latency, no executor round trip for a handful of
+# footers.
+PROBE_DISTRIBUTE_THRESHOLD = 1024
+_PROBE_URLS_PER_TASK = 64  # target chunk size for the probe job
+
+
+def _require_ranged(url: str, size, ranged) -> int:
+    if not size or not ranged:
+        raise ValueError(
+            f"http_parquet needs Content-Length + Accept-Ranges "
+            f"from {url!r}; for a server without range support, "
+            "download via sources.readers (fetch-to-temp) instead"
+        )
+    return size
+
+
+def _probe_footer_tails_spark(spark, urls: list) -> list:
+    """[(url, size, footer_tail_bytes)] probed by a Spark job — one
+    task per ~_PROBE_URLS_PER_TASK URLs, each issuing its own bounded
+    metadata GETs executor-side. Results are re-sorted to INPUT ORDER
+    on the driver; any single failure fails the job (Spark re-raises),
+    matching the thread pool's first-failure contract."""
+    sc = spark.sparkContext
+    n_slices = max(
+        1,
+        min(
+            (len(urls) + _PROBE_URLS_PER_TASK - 1) // _PROBE_URLS_PER_TASK,
+            sc.defaultParallelism * 4,
+        ),
+    )
+
+    def probe_chunk(it):
+        for idx, url in it:
+            size, ranged = _probe(url)
+            size = _require_ranged(url, size, ranged)
+            yield idx, url, size, _footer_tail_bytes(url, size)
+
+    rows = (
+        sc.parallelize(list(enumerate(urls)), n_slices)
+        .mapPartitions(probe_chunk)
+        .collect()
+    )
+    rows.sort(key=lambda t: t[0])
+    return [(url, size, tail) for _i, url, size, tail in rows]
+
+
+def _probe_footers_spark(spark, urls: list) -> list:
+    """[(url, size, footer_metadata)] via the distributed probe job."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    return [
+        (url, size, pq.read_metadata(io.BytesIO(tail)))
+        for url, size, tail in _probe_footer_tails_spark(spark, urls)
+    ]
 
 
 def _probe_footers(urls: list) -> list:
@@ -537,26 +610,36 @@ def _probe_footers(urls: list) -> list:
     a 100k-file object-store manifest — DuckDB httpfs issues these range
     reads concurrently). Each probe is ~3 bounded metadata GETs (HEAD +
     trailing 8 bytes + footer), pure network-bound I/O, so a driver-side
-    thread pool is the right tool — no Spark job, no executor round
-    trip for kilobytes of footer. Results come back in INPUT ORDER so
-    partition planning stays deterministic; the first failure raises
+    thread pool is the right tool below PROBE_DISTRIBUTE_THRESHOLD — no
+    Spark job, no executor round trip for kilobytes of footer. At or
+    above the threshold, an active SparkSession upgrades the probe to a
+    distributed job (_probe_footers_spark); inside the Python
+    DataSource's planning process there is no active session, so large
+    scans should pre-probe through read_parquet_url_ranged (which
+    passes the results down via a plan cache) rather than rely on this
+    in-plan upgrade. Results come back in INPUT ORDER so partition
+    planning stays deterministic; the first failure raises
     (concurrent.futures re-raises from the worker)."""
     from concurrent.futures import ThreadPoolExecutor
 
     def one(url):
         size, ranged = _probe(url)
-        if not size or not ranged:
-            raise ValueError(
-                f"http_parquet needs Content-Length + Accept-Ranges "
-                f"from {url!r}; for a server without range support, "
-                "download via sources.readers (fetch-to-temp) instead"
-            )
+        size = _require_ranged(url, size, ranged)
         return url, size, _parquet_footer(url, size)
 
     if not urls:
         # an empty list is a legitimate plan (e.g. a restarted stream's
         # zero-new-entries batch) — ThreadPoolExecutor(0) would raise
         return []
+    if len(urls) >= PROBE_DISTRIBUTE_THRESHOLD:
+        try:
+            from pyspark.sql import SparkSession
+
+            active = SparkSession.getActiveSession()
+        except Exception:  # pragma: no cover - pyspark always importable here
+            active = None
+        if active is not None:
+            return _probe_footers_spark(active, urls)
     if len(urls) == 1:
         return [one(urls[0])]
     with ThreadPoolExecutor(
@@ -779,6 +862,18 @@ class HttpParquetReader(DataSourceReader):
         # partition-column constraints consumed by the hive subclass's
         # pushFilters(); each is (column, predicate over the typed value)
         self._hive_pushed: list = []
+        # plan cache written by read_parquet_url_ranged's distributed
+        # pre-probe (large manifests): {url: (size, footer_tail_bytes)},
+        # read in the planning process instead of re-probing
+        self.probecache = options.get("probecache")
+
+    def _load_probe_cache(self) -> dict:
+        if not self.probecache:
+            return {}
+        import pickle
+
+        with open(self.probecache, "rb") as fh:
+            return {u: (s, t) for u, s, t in pickle.load(fh)}
 
     def _surviving_urls(self):
         """Manifest entries left after hive partition pruning — applied
@@ -796,9 +891,32 @@ class HttpParquetReader(DataSourceReader):
         # skipping applied PER FILE so a pruned group costs zero body
         # bytes in any file. Hive-pruned files are dropped before any
         # probe runs.
+        import io
+
+        import pyarrow.parquet as pq
+
+        cache = self._load_probe_cache()
+        survivors = self._surviving_urls()
+        missing = [u for u in survivors if u not in cache]
+        fresh = (
+            {u: (s, md) for u, s, md in _probe_footers(missing)}
+            if missing
+            else {}
+        )
+        probed = [
+            (
+                u,
+                *(
+                    (cache[u][0], pq.read_metadata(io.BytesIO(cache[u][1])))
+                    if u in cache
+                    else fresh[u]
+                ),
+            )
+            for u in survivors
+        ]
         parts = []
         first_ddl = None
-        for url, size, md in _probe_footers(self._surviving_urls()):
+        for url, size, md in probed:
             ddl = _arrow_to_ddl(md.schema.to_arrow_schema())
             if first_ddl is None:
                 first_ddl = ddl
@@ -1138,6 +1256,26 @@ def read_parquet_url_ranged(
     r = spark.read.format("http_parquet")
     if isinstance(url, (list, tuple)):
         r = r.option("urls", "\n".join(url))
+        if len(url) >= PROBE_DISTRIBUTE_THRESHOLD and not hive:
+            # Large manifests: probe footers NOW as a distributed Spark
+            # job (round-10 VERDICT "next" #5 — the driver-side pool
+            # pins the driver on ~3 GETs x N files; at 100k files that
+            # is hours of metadata I/O a 1000-executor cluster should
+            # absorb) and hand the results to the planning process via
+            # a plan-cache file — the Python DataSource's partitions()
+            # runs in a worker process with no active SparkSession, so
+            # it cannot launch the job itself. Skipped for hive scans:
+            # their point is pruning files BEFORE any probe, and the
+            # pushed-down filters aren't known until plan time.
+            import pickle
+            import tempfile
+
+            tails = _probe_footer_tails_spark(spark, list(url))
+            with tempfile.NamedTemporaryFile(
+                mode="wb", suffix=".probecache.pkl", delete=False
+            ) as fh:
+                pickle.dump(tails, fh)
+            r = r.option("probecache", fh.name)
     else:
         r = r.option("url", url)
     if hive:
@@ -1178,6 +1316,7 @@ class RangeFileHandler(_http_server.SimpleHTTPRequestHandler):
     not_modified_count = 0  # conditional GETs answered 304
     paths: list = []  # every requested path (HEAD + GET)
     full_paths: list = []  # paths answered with a 200 full body
+    head_paths: list = []  # paths probed with HEAD (probe accounting)
 
     def log_message(self, *a, **k):  # noqa: D102
         pass
@@ -1231,6 +1370,7 @@ class RangeFileHandler(_http_server.SimpleHTTPRequestHandler):
         import os as _os
 
         type(self).paths.append(self.path)
+        type(self).head_paths.append(self.path)
         path = self.translate_path(self.path)
         try:
             size = _os.path.getsize(path)

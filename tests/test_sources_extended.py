@@ -1978,3 +1978,115 @@ def test_hive_partition_column_collision_raises(tmp_path, spark):
             H.read_parquet_url_ranged(spark, url, hive=True).collect()
     finally:
         httpd.shutdown()
+
+
+def test_distributed_footer_probe_matches_pool(tmp_path, spark):
+    """Round-10 VERDICT "next" #5: the Spark-job footer probe must
+    return exactly what the driver-side pool returns — same files, same
+    sizes, same row-group counts, same INPUT order (deterministic
+    planning is a contract, not an accident)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quackio_jl_spark.sources import httpranged as H
+
+    for i in range(6):
+        pq.write_table(
+            pa.table({"k": pa.array(range(i * 5, i * 5 + 5), pa.int64())}),
+            str(tmp_path / f"f{i}.parquet"),
+            row_group_size=2,
+        )
+    httpd, port = H.serve_directory_ranged(str(tmp_path))
+    try:
+        # shuffled input order on purpose: output must preserve it
+        urls = [
+            f"http://127.0.0.1:{port}/f{i}.parquet"
+            for i in (3, 0, 5, 1, 4, 2)
+        ]
+        pool = [
+            (u, s, md.num_row_groups) for u, s, md in H._probe_footers(urls)
+        ]
+        job = [
+            (u, s, md.num_row_groups)
+            for u, s, md in H._probe_footers_spark(spark, urls)
+        ]
+        assert job == pool
+        assert [u for u, _s, _r in job] == urls
+        assert all(r == 3 for _u, _s, r in job)  # 5 rows / rg size 2
+    finally:
+        httpd.shutdown()
+
+
+def test_probe_footers_auto_distributes_above_threshold(
+    tmp_path, spark, monkeypatch
+):
+    """At/above PROBE_DISTRIBUTE_THRESHOLD with an active session,
+    _probe_footers upgrades itself to the Spark job; below it the pool
+    runs (no job-scheduling latency for a handful of footers)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quackio_jl_spark.sources import httpranged as H
+
+    for i in range(3):
+        pq.write_table(
+            pa.table({"k": pa.array([i], pa.int64())}),
+            str(tmp_path / f"f{i}.parquet"),
+        )
+    httpd, port = H.serve_directory_ranged(str(tmp_path))
+    try:
+        urls = [f"http://127.0.0.1:{port}/f{i}.parquet" for i in range(3)]
+        used = {"spark": 0}
+        orig = H._probe_footers_spark
+
+        def spy(s, u):
+            used["spark"] += 1
+            return orig(s, u)
+
+        monkeypatch.setattr(H, "_probe_footers_spark", spy)
+        monkeypatch.setattr(H, "PROBE_DISTRIBUTE_THRESHOLD", 3)
+        got = H._probe_footers(urls)
+        assert used["spark"] == 1 and len(got) == 3
+        monkeypatch.setattr(H, "PROBE_DISTRIBUTE_THRESHOLD", 4)
+        got2 = H._probe_footers(urls)
+        assert used["spark"] == 1  # pool path: spy not hit again
+        assert [(u, s) for u, s, _ in got2] == [(u, s) for u, s, _ in got]
+    finally:
+        httpd.shutdown()
+
+
+def test_large_manifest_scan_preprobes_distributed(
+    tmp_path, spark, monkeypatch
+):
+    """Above the threshold, read_parquet_url_ranged pre-probes footers
+    as a Spark job and ships the results to the planning process via
+    the plan-cache file, so partitions() re-probes NOTHING: server-side
+    HEAD accounting shows exactly one probe per file (plus one for the
+    schema probe of the first file) across the whole scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quackio_jl_spark.sources import httpranged as H
+
+    for i in range(4):
+        pq.write_table(
+            pa.table({"k": pa.array(range(i * 10, i * 10 + 10), pa.int64())}),
+            str(tmp_path / f"f{i}.parquet"),
+            row_group_size=5,
+        )
+    monkeypatch.setattr(H, "PROBE_DISTRIBUTE_THRESHOLD", 3)
+    H.RangeFileHandler.head_paths = []
+    httpd, port = H.serve_directory_ranged(str(tmp_path))
+    try:
+        urls = [f"http://127.0.0.1:{port}/f{i}.parquet" for i in range(4)]
+        df = H.read_parquet_url_ranged(spark, urls)
+        assert df.rdd.getNumPartitions() == 8  # 4 files x 2 row groups
+        assert sorted(r["k"] for r in df.collect()) == list(range(40))
+        heads = H.RangeFileHandler.head_paths
+        # pre-probe job: one HEAD per file; schema(): one more for f0;
+        # partitions(): ZERO (plan cache hit)
+        assert heads.count("/f0.parquet") == 2
+        for i in (1, 2, 3):
+            assert heads.count(f"/f{i}.parquet") == 1
+    finally:
+        httpd.shutdown()
