@@ -348,11 +348,6 @@ def _read_committed_json(repo_dir: str, relpath: str):
         return None
 
 
-def _latest(repo_dir: str, pattern: str) -> str | None:
-    paths = _tracked_artifacts(repo_dir, pattern)
-    return os.path.join(repo_dir, paths[-1]) if paths else None
-
-
 def survey_snippet(repo_dir: str) -> str:
     """The round-close build-status numbers, derived ONLY from committed
     artifacts (round-9 VERDICT "next" #5: hand-copied prose drifted from
