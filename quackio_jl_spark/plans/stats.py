@@ -23,6 +23,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.exact import DEC, dsum
+from ..functions.fanout import fanout
 from ..functions.prefix import bucketed_prefix_sums
 from .registry import query, table
 
@@ -1252,8 +1253,17 @@ def lineitem_corr_matrix(spark, sf_dir):
     correlations then unfold from that row with stack() — no second pass,
     no per-pair shuffle. The closed form (n*Sxy - SxSy)/sqrt(...) sees
     bit-identical inputs in both engines; the final r is rounded to 8
-    decimals (sqrt-of-product ulp parity)."""
-    li = table(spark, sf_dir, "lineitem")
+    decimals (sqrt-of-product ulp parity).
+
+    The 15 wide-decimal moment sums are the whole cost, and a
+    single-row-group input plans them into a ONE-TASK scan stage; the
+    pruned 4-column input is fanned out first (scale-adaptive: identity
+    on an already-parallel scan) so the partial aggregation runs on
+    every core."""
+    li = fanout(
+        table(spark, sf_dir, "lineitem").select(*_CORR_COLS),
+        "l_extendedprice",
+    )
     pairs = [
         (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
     ]
@@ -3078,8 +3088,17 @@ def lineitem_mahalanobis_outliers(spark, sf_dir):
     (functions/exact.py recipe — bit-identical at any partition count),
     the inverse is closed-form, and the per-row distance is a broadcast
     of five scalars into a map stage. Top-20 executes as
-    TakeOrderedAndProject: per-partition heaps, never a global sort."""
-    l = table(spark, sf_dir, "lineitem")
+    TakeOrderedAndProject: per-partition heaps, never a global sort.
+
+    Both passes over lineitem are fanned out (single-row-group input =
+    one-task scan stage otherwise): the moment aggregate carries the
+    wide-decimal sums, the distance pass the per-row math + heap."""
+    l = fanout(
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+        ),
+        "l_orderkey",
+    )
     x = F.col("l_quantity")
     y = F.col("l_extendedprice")
 
@@ -4143,9 +4162,14 @@ def mannwhitney_u_click_vs_view(spark, sf_dir):
     over n_buckets rows), and every statistic is an exact integer sum:
     2*R1 = sum n1*(2*cum_below + n + 1) stays integral, so both engines
     divide the same exact integers into doubles at the very end. Tie
-    correction sum(t^3 - t) rides the same aggregate."""
-    e = table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "view")
+    correction sum(t^3 - t) rides the same aggregate. The distinct-value
+    collapse fans out of the one-task scan, hash-partitioned on the
+    group key (value)."""
+    e = fanout(
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select("value", "event_type"),
+        "value",
     )
     v = e.groupBy("value").agg(
         F.sum((F.col("event_type") == "click").cast("int"))
@@ -4254,10 +4278,22 @@ def kruskal_wallis_ship_latency(spark, sf_dir):
     ranking window runs over a few hundred rows regardless of corpus
     size. Rank sums stay exact integers (2*R_g), the per-group R^2/n
     contributions are rounded then decimal-summed (order-independent),
-    and both engines assemble H from the same exact pieces."""
-    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    o = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate", "o_orderpriority"
+    and both engines assemble H from the same exact pieces.
+
+    Both scan sides fan out hash-partitioned on the join key (identity
+    at cluster scale): the 32-way partitionings co-satisfy the join's
+    distribution requirement, so the fan-out adds no exchange beyond
+    the ones the join needed anyway while the datediff + count map work
+    leaves the one-task scan stage."""
+    l = fanout(
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate"),
+        "l_orderkey",
+    )
+    o = fanout(
+        table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate", "o_orderpriority"
+        ),
+        "o_orderkey",
     )
     d = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
         "o_orderpriority",
@@ -5320,8 +5356,13 @@ def wilcoxon_signed_rank_spend(spark, sf_dir):
     (exact, order-independent), so |d| groups exactly in both engines;
     ranks come from the bucketed prefix-sum kernel over the distinct
     |d| table, and 2*W+ stays an exact integer until the final
-    division."""
+    division. The per-customer half-sum aggregate fans out of the
+    one-task scan (hash on the group key, so the fan-out IS the
+    aggregation exchange at bench scale)."""
     o = table(spark, sf_dir, "orders")
+    oc = fanout(
+        o.select("o_custkey", "o_orderdate", "o_totalprice"), "o_custkey"
+    )
     rng = F.broadcast(
         o.agg(
             F.date_add(
@@ -5334,7 +5375,7 @@ def wilcoxon_signed_rank_spend(spark, sf_dir):
         )
     )
     pc = (
-        o.crossJoin(rng)
+        oc.crossJoin(rng)
         .groupBy("o_custkey")
         .agg(
             F.sum(
@@ -5745,8 +5786,16 @@ def monthly_price_index_laspeyres(spark, sf_dir):
     back on the natural l_partkey shuffle key, and each month's
     numerator/denominator pair is a round-then-decimal sum over its
     matched part set (so months with partial catalogs stay
-    internally consistent)."""
-    l = table(spark, sf_dir, "lineitem")
+    internally consistent).
+
+    The fact pass (decimal unit-price sums in the (part, month) partial
+    aggregate) is fanned out of the one-task single-row-group scan."""
+    l = fanout(
+        table(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"
+        ),
+        "l_partkey",
+    )
     pm = l.groupBy(
         F.col("l_partkey").alias("pk"),
         F.date_format("l_shipdate", "yyyy-MM").alias("m"),
@@ -9884,8 +9933,15 @@ def discount_ipw_ate(spark, sf_dir):
 
     Plan shape: two broadcast joins (brand table, global mean) onto one
     fact pass, then a single 1-row aggregate — no shuffle keyed on
-    anything bigger than p_brand."""
-    l = table(spark, sf_dir, "lineitem")
+    anything bigger than p_brand. Both fact passes (brand propensity
+    aggregate, IPW accumulator) fan out of the one-task scan so the
+    decimal accumulation parallelizes."""
+    l = fanout(
+        table(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_discount", "l_quantity"
+        ),
+        "l_partkey",
+    )
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     lp = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
     bd = lp.groupBy("p_brand").agg(
