@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.fanout import fanout
 from ..plans.registry import query, table
 
 _M_BITS = 1024
@@ -95,8 +96,13 @@ def _bloom_passed_fact(
     spark: SparkSession, sf_dir: str, cols: list[str]
 ) -> DataFrame:
     """Fact rows (selected `cols`, which must include l_partkey) that pass
-    the bloom filter — the map-side prefilter output."""
-    fact = table(spark, sf_dir, "lineitem").select(*cols)
+    the bloom filter — the map-side prefilter output. The probe fans out
+    of the one-task single-row-group scan (functions/fanout.py): the
+    k-seed hash + word lookup per fact row is the dominant cost and
+    plans into the scan stage."""
+    fact = fanout(
+        table(spark, sf_dir, "lineitem").select(*cols), "l_partkey"
+    )
     wmap = F.broadcast(
         _bloom_words(spark, sf_dir).agg(
             F.map_from_entries(

@@ -31,6 +31,7 @@ from ..lineage import (
     truncate as _truncate_lineage,
     truncate_boundary,
 )
+from ..functions.fanout import fanout
 from ..plans.registry import query, table
 from .dedup import _SHINGLES_SQL, _cand_sql, _minhash_sig_sql, dedup_minhash_lsh_pairs
 
@@ -2075,16 +2076,28 @@ def part_link_prediction_eval(spark, sf_dir):
     wedges on the train graph, anti-join against train edges); the only
     additions are two date-filtered pair aggregates sharing one co-purchase
     scan and a TakeOrderedAndProject top-{LP_TOPK} — the rank window runs
-    on <= {LP_TOPK} rows, and the k-grid explode is 3 rows per prediction."""
+    on <= {LP_TOPK} rows, and the k-grid explode is 3 rows per prediction.
+
+    Round-11: both scans fan out keyed on the join key (the fan-out IS
+    the distinct/join exchange at bench scale), and the symmetrized
+    train edge list is fanned out before persisting — it is byte-tiny,
+    so AQE's size-based coalescing would otherwise run the wedge
+    self-join (the dominant compute) on a single post-shuffle
+    partition."""
     from pyspark.sql import Window as W
 
     lp = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
+        fanout(
+            table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+            "l_orderkey",
+        )
         .distinct()
     )
-    od = table(spark, sf_dir, "orders").select(
-        "o_orderkey", F.to_date("o_orderdate").alias("d")
+    od = fanout(
+        table(spark, sf_dir, "orders").select(
+            "o_orderkey", F.to_date("o_orderdate").alias("d")
+        ),
+        "o_orderkey",
     )
     a = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part1"))
     b = lp.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part2"))
@@ -2112,11 +2125,11 @@ def part_link_prediction_eval(spark, sf_dir):
         .join(train, ["part1", "part2"], "left_anti")
         .persist()
     )
-    edges = (
+    edges = fanout(
         train.select(F.col("part1").alias("src"), F.col("part2").alias("dst"))
-        .union(train.select(F.col("part2").alias("src"), F.col("part1").alias("dst")))
-        .persist()
-    )
+        .union(train.select(F.col("part2").alias("src"), F.col("part1").alias("dst"))),
+        "src",
+    ).persist()
     deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("dg")
     )

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from quackio_jl_spark.functions.seq import seq_asc
 
+from ..functions.fanout import fanout
 from ..plans.registry import query, table
 
 N_MINHASH = 8          # 8 hash functions
@@ -87,8 +88,16 @@ def shingles_all(docs):
     directly because MIN is duplicate-insensitive: partial aggregation
     (map-side combine) collapses each partition to one row per doc before
     any shuffle, so deduplicating shingles first would only ADD a full
-    shuffle of shingle text for no semantic gain."""
-    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+    shuffle of shingle text for no semantic gain.
+
+    Round-11: the input fans out of single-row-group scans (one tiny
+    doc_id-keyed exchange of the raw text, identity at cluster scale) so
+    the shingle explode + hashing + map-side combine — the dominant cost
+    of every MinHash-family consumer — parallelizes instead of running
+    as one task."""
+    toks = fanout(docs, "doc_id").select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).filter(
         F.size("t") >= SHINGLE_K
     )
     gen = F.transform(
@@ -431,8 +440,12 @@ def dedup_simhash(spark, sf_dir):
     Janino compile before any data moved). One distinct on
     (doc_id, token), one partial-aggregated shuffle on doc_id; the
     signature assembles from the packed fields with a runtime
-    aggregate(sequence(0,31)) loop instead of 64 unrolled WHEN terms."""
-    d = table(spark, sf_dir, "documents")
+    aggregate(sequence(0,31)) loop instead of 64 unrolled WHEN terms.
+    The tokenizer fans out of the one-task single-row-group scan so the
+    md5 + packed-vote map work parallelizes."""
+    d = fanout(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token")).distinct()
     h = F.md5("token")
     tv = tok.select(
@@ -2084,8 +2097,11 @@ def neardup_duplicated_spans(spark, sf_dir):
     shuffle over distinct (doc, shingle); the duplicated-position join is
     sh-keyed; island numbering windows are partitioned by doc_id (never
     a global sort). Each stage is keyed and combining — the same plan
-    survives a 100x corpus."""
-    d = table(spark, sf_dir, "documents")
+    survives a 100x corpus. The shingle explode fans out of the one-task
+    single-row-group scan."""
+    d = fanout(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     n = SPAN_SHINGLE_N
     ds = d.select(
         "doc_id", F.split(F.lower("text"), " ").alias("w")
@@ -2159,8 +2175,13 @@ def source_overlap_matrix(spark, sf_dir):
     (bounded by the source cardinality, ~dozens) and pairs are generated
     IN-ROW from the sorted array — the same in-bucket pair-generation
     idiom as the LSH candidate stage, so shuffle volume is one row per
-    (shingle, source-pair), not |ds|^2 probes."""
-    d = table(spark, sf_dir, "documents")
+    (shingle, source-pair), not |ds|^2 probes. The shingle explode fans
+    out of the one-task single-row-group scan (keyed on doc_id — source
+    has too few distinct values to spread)."""
+    d = fanout(
+        table(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        "doc_id",
+    )
     n = SPAN_SHINGLE_N
     ds = (
         d.select("source", F.split(F.lower("text"), " ").alias("w"))
@@ -2798,9 +2819,13 @@ def dedup_cdc_chunks(spark, sf_dir):
     Scale shape: chunking is in-row (higher-order filter over a char-window
     sequence — no token explode before the hash); the only shuffles are the
     chunk_hash group (dedup-sized keys, never payload text) and the tiny
-    per-source rollup. The corpus text is scanned once."""
+    per-source rollup. The corpus text is scanned once. The in-row
+    chunker (per-char rolling md5) fans out of the one-task
+    single-row-group scan — it is the dominant cost of the query."""
     d = table(spark, sf_dir, "documents")
-    chunks = _cdc_chunk_table(d)
+    chunks = _cdc_chunk_table(
+        fanout(d.select("doc_id", "text"), "doc_id")
+    )
     per_chunk = chunks.groupBy("chunk_hash").agg(
         F.count(F.lit(1)).alias("n_occ")
     )

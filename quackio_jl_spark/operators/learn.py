@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.fanout import fanout
 from ..plans.registry import query, table
 
 # ------------------------------------------------------- naive Bayes langid
@@ -136,22 +137,39 @@ def langid_naive_bayes(spark, sf_dir):
 def _nb_doc_posteriors(spark, sf_dir):
     """Shared NB kernel: per-(doc, lang) integer micro-unit log-posteriors
     ``post6`` (token log-likelihood grid + lang prior), used by the argmax
-    classifier and by the uncertainty-sampling margin selector."""
+    classifier and by the uncertainty-sampling margin selector.
+
+    Plan shape (round-11 optimization): the tokenizer explode fans out of
+    the one-task single-row-group scan, and the token stream collapses
+    ONCE to per-(doc, token) frequencies (``tf``, persisted — four
+    downstream consumers used to recompute the full explode each).
+    Every statistic is an exact integer reweighting of the instance
+    stream — sum over instances of lp6 == sum over distinct doc-tokens
+    of tfreq*lp6 — so results are bit-identical to the per-instance
+    form the oracle computes."""
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
+    toks = fanout(
+        d.select("doc_id", F.col("lang").alias("lang_true"), "text"),
         "doc_id",
-        F.col("lang").alias("lang_true"),
+    ).select(
+        "doc_id",
+        "lang_true",
         F.explode(F.split("text", " ")).alias("t"),
     )
+    tf = (
+        toks.groupBy("doc_id", "lang_true", "t")
+        .agg(F.count(F.lit(1)).alias("tfreq"))
+        .persist()
+    )
     langs = d.select(F.col("lang").alias("m")).distinct()
-    vocab = toks.select("t").distinct()
+    vocab = tf.select("t").distinct()
     vsize = F.broadcast(vocab.agg(F.count(F.lit(1)).alias("v")))
-    cnt = toks.groupBy("t", F.col("lang_true").alias("m")).agg(
-        F.count(F.lit(1)).alias("c")
+    cnt = tf.groupBy("t", F.col("lang_true").alias("m")).agg(
+        F.sum("tfreq").alias("c")
     )
     nl = F.broadcast(
-        toks.groupBy(F.col("lang_true").alias("m")).agg(
-            F.count(F.lit(1)).alias("ntok")
+        tf.groupBy(F.col("lang_true").alias("m")).agg(
+            F.sum("tfreq").alias("ntok")
         )
     )
     grid = (
@@ -188,9 +206,9 @@ def _nb_doc_posteriors(spark, sf_dir):
         )
     )
     doc_lang = (
-        toks.join(grid, "t")
+        tf.join(grid, "t")
         .groupBy("doc_id", "lang_true", "m")
-        .agg(F.sum("lp6").alias("ll6"))
+        .agg(F.sum(F.col("tfreq") * F.col("lp6")).alias("ll6"))
         .join(priors, "m")
     )
     return doc_lang.select(
@@ -299,8 +317,16 @@ def logreg_gd_training_curve(spark, sf_dir):
     is persisted once and reused across iterations (the PageRank
     persist-per-iteration rule, operators/cluster.py). Determinism: rounded
     per-row sigmoid/gradient terms, DECIMAL(38,12) sums, weights rounded to
-    8 decimals each step — bit-identical for any partition count."""
-    d = table(spark, sf_dir, "documents")
+    8 decimals each step — bit-identical for any partition count.
+
+    Round-11: the feature extraction (two regexp passes over every
+    document) fans out of the one-task single-row-group scan, and the
+    persisted feature frame keeps that parallel partitioning for every
+    GD iteration."""
+    d = fanout(
+        table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        "doc_id",
+    )
     n_chars = F.length("text")
     n_tokens = F.size(F.split("text", " "))
     feats = d.select(
@@ -757,30 +783,45 @@ def langid_nb_crossval(spark, sf_dir):
     before the exact per-(doc,lang) sum, language-desc tie-break."""
     d = table(spark, sf_dir, "documents")
     fold = (F.col("doc_id") % _CV_FOLDS).cast("bigint")
-    toks = d.select(
+    # Round-11 optimization, same recipe as _nb_doc_posteriors: fan the
+    # tokenizer out of the one-task scan, collapse the instance stream
+    # ONCE to per-(doc, fold, token) frequencies, and reweight every
+    # downstream integer statistic by tfreq — exact-count arithmetic, so
+    # results are bit-identical to the per-instance form.
+    toks = fanout(
+        d.select(
+            "doc_id", F.col("lang").alias("lang_true"), fold.alias("fold"), "text"
+        ),
         "doc_id",
-        F.col("lang").alias("lang_true"),
-        fold.alias("fold"),
+    ).select(
+        "doc_id",
+        "lang_true",
+        "fold",
         F.explode(F.split("text", " ")).alias("t"),
+    )
+    tff = (
+        toks.groupBy("doc_id", "lang_true", "fold", "t")
+        .agg(F.count(F.lit(1)).alias("tfreq"))
+        .persist()
     )
     langs = d.select(F.col("lang").alias("m")).distinct()
     vsize = F.broadcast(
-        toks.select("t").distinct().agg(F.count(F.lit(1)).alias("v"))
+        tff.select("t").distinct().agg(F.count(F.lit(1)).alias("v"))
     )
-    cnt = toks.groupBy("t", F.col("lang_true").alias("m")).agg(
-        F.count(F.lit(1)).alias("c")
+    cnt = tff.groupBy("t", F.col("lang_true").alias("m")).agg(
+        F.sum("tfreq").alias("c")
     )
-    cntf = toks.groupBy("t", F.col("lang_true").alias("m"), "fold").agg(
-        F.count(F.lit(1)).alias("cf")
+    cntf = tff.groupBy("t", F.col("lang_true").alias("m"), "fold").agg(
+        F.sum("tfreq").alias("cf")
     )
     nl = F.broadcast(
-        toks.groupBy(F.col("lang_true").alias("m")).agg(
-            F.count(F.lit(1)).alias("ntok")
+        tff.groupBy(F.col("lang_true").alias("m")).agg(
+            F.sum("tfreq").alias("ntok")
         )
     )
     nlf = F.broadcast(
-        toks.groupBy(F.col("lang_true").alias("m"), "fold").agg(
-            F.count(F.lit(1)).alias("ntokf")
+        tff.groupBy(F.col("lang_true").alias("m"), "fold").agg(
+            F.sum("tfreq").alias("ntokf")
         )
     )
     nd = d.groupBy(F.col("lang").alias("m")).agg(
@@ -830,14 +871,14 @@ def langid_nb_crossval(spark, sf_dir):
         .cast("bigint")
     )
     doc_lang = (
-        toks.crossJoin(F.broadcast(langs))
+        tff.crossJoin(F.broadcast(langs))
         .crossJoin(vsize)
         .join(cnt, ["t", "m"], "left")
         .join(cntf, ["t", "m", "fold"], "left")
         .join(nl, "m")
         .join(nlf, ["m", "fold"], "left")
         .groupBy("doc_id", "lang_true", "fold", "m")
-        .agg(F.sum(lp6).alias("ll6"))
+        .agg(F.sum(F.col("tfreq") * lp6).alias("ll6"))
         .join(priorsf, ["m", "fold"])
     )
     ranked = doc_lang.withColumn(

@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.fanout import fanout
 from ..plans.registry import query, table
 
 MEDIA_SCHEMA = (
@@ -40,8 +41,15 @@ FEATURE_SCHEMA = (
 def documents_as_media(spark, sf_dir: str) -> DataFrame:
     """Synthesize a multimodal table from documents: the utf-8 bytes of
     ``text`` stand in for an image payload. Real pipelines would read
-    ``binaryFile`` or a parquet with a genuine binary column."""
-    d = table(spark, sf_dir, "documents")
+    ``binaryFile`` or a parquet with a genuine binary column.
+
+    The payload synthesis fans out of the one-task single-row-group scan
+    (functions/fanout.py) so the Arrow decode UDF downstream gets a
+    parallel partitioning — otherwise every consumer's Python decode ran
+    in a single Python worker."""
+    d = fanout(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     payload = F.encode("text", "utf-8")
     return d.select(
         "doc_id",

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.fanout import fanout
 from ..lineage import audit_mode, audit_rounds, truncate as _truncate_lineage
 from ..plans.registry import query, table
 from .similarity import _cosine_sql, _dot_sql, cosine
@@ -196,8 +197,12 @@ def _assign_to(e, cv):
 
 
 def _assigned(spark, sf_dir):
+    # fan the corpus out of the one-task single-row-group scan: the k-way
+    # centroid scoring + argmax partial aggregate is the whole cost of
+    # assignment and plans into the scan stage (identity at cluster scale)
     return _assign_to(
-        table(spark, sf_dir, "embeddings"), _centroid_vectors(spark, sf_dir)
+        fanout(table(spark, sf_dir, "embeddings"), "vec_id"),
+        _centroid_vectors(spark, sf_dir),
     )
 
 
@@ -254,8 +259,12 @@ def ann_ivf_search(spark, sf_dir):
     against that cell's inverted list, top-3 per query. Per-query cost is
     O(N/k) instead of O(N); the equi-join on `cell` is the only shuffle.
     The LSH twin (ann_search_within_buckets) trades recall differently —
-    IVF adapts to the data distribution, LSH needs no training pass."""
-    cells = _assigned(spark, sf_dir)
+    IVF adapts to the data distribution, LSH needs no training pass.
+
+    Round-11: the assignment subtree feeds BOTH join sides (corpus
+    inverted lists and the query slice); persisting it halves the
+    centroid-scoring work, which otherwise re-ran per side."""
+    cells = _assigned(spark, sf_dir).persist()
     q = cells.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
         F.col("cell").alias("qcell"),
@@ -940,8 +949,12 @@ def embedding_covariance(spark, sf_dir):
     regardless of corpus size. At 10^9+ rows the int64 product sums need a
     DECIMAL(38) upcast, or swap the explode for a mapInPandas per-batch
     X^T·X accumulation (same exact integers, d² floats per Arrow batch
-    instead of d² rows per vector)."""
-    e = table(spark, sf_dir, "embeddings")
+    instead of d² rows per vector).
+
+    Round-11: the d²-per-vector pair explode + partial aggregation plans
+    into the scan stage, so the corpus fans out of the one-task
+    single-row-group scan first (identity at cluster scale)."""
+    e = fanout(table(spark, sf_dir, "embeddings"), "vec_id")
     qarr = F.transform(
         "embedding", lambda x: F.floor(x.cast("double") * COV_SCALE).cast("bigint")
     )

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.fanout import fanout
 from ..plans.registry import query, table
 
 # BM25 constants (Robertson/Sparck-Jones defaults; Lucene's always-positive
@@ -84,9 +85,13 @@ def bm25_topk(spark, sf_dir):
     O(matching docs x |query terms|) rows); per-(doc, term) tf via groupBy;
     document frequencies + corpus stats are tiny and broadcast; per-doc score
     is an exact decimal sum of rounded per-term contributions; final top-k is
-    TakeOrderedAndProject (no global sort)."""
+    TakeOrderedAndProject (no global sort). The tokenize/filter pass
+    fans out of the one-task single-row-group scan (functions/fanout.py;
+    bm25_topk feeds six retrieval queries)."""
     k1, b = F.lit(BM25_K1), F.lit(BM25_B)
-    d = table(spark, sf_dir, "documents")
+    d = fanout(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     toks = d.select(
         "doc_id",
         F.size(F.split("text", " ")).alias("dl"),
@@ -718,7 +723,9 @@ def retrieval_prf_expansion_terms(spark, sf_dir):
     sized, partial-aggregated); final scoring joins two term tables and
     TakeOrderedAndProject keeps the top-k without a global sort."""
     fb = F.broadcast(bm25_topk(spark, sf_dir).select("doc_id"))
-    d = table(spark, sf_dir, "documents")
+    d = fanout(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     fbterms = (
         d.join(fb, "doc_id")
         .select(F.explode(F.split("text", " ")).alias("term"))
@@ -803,7 +810,9 @@ def retrieval_clarity_score(spark, sf_dir):
     8 dp and the product to 12 dp before an order-free decimal sum —
     the repo's cross-engine transcendental contract."""
     fb = F.broadcast(bm25_topk(spark, sf_dir).select("doc_id"))
-    d = table(spark, sf_dir, "documents")
+    d = fanout(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     fbterms = (
         d.join(fb, "doc_id")
         .select(F.explode(F.split("text", " ")).alias("term"))

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.fanout import fanout
 from ..lineage import audit_mode, audit_rounds, truncate as _truncate_lineage
 from ..plans.registry import query, table
 from .dedup import _PARA_SEGS_SQL, _para_segments
@@ -82,9 +83,13 @@ def dsir_importance_weights(spark, sf_dir):
     broadcasts back onto the token stream, and the only corpus-sized shuffle
     is the per-document sum. The per-bucket log-ratio is rounded once and
     scaled to an integer, so each document's sum is exact (no accumulation-
-    order drift between engines)."""
+    order drift between engines).
+
+    Round-11: the hashed token stream feeds four consumers; it fans out
+    of the one-task single-row-group scan and is persisted so the
+    explode + md5 bucketing runs once, in parallel."""
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
+    toks = fanout(d.select("doc_id", "lang", "text"), "doc_id").select(
         "doc_id",
         "lang",
         F.explode(F.split("text", " ")).alias("t"),
@@ -96,7 +101,7 @@ def dsir_importance_weights(spark, sf_dir):
             .cast("bigint")
             % DSIR_BUCKETS
         ).alias("b"),
-    )
+    ).persist()
     raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
     tgt = (
         toks.filter(F.col("lang") == DSIR_TARGET_LANG)

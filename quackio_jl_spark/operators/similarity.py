@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..functions.fanout import fanout
 from ..lineage import audit_rounds, truncate as _truncate_lineage
 from ..plans.registry import query, table
 
@@ -414,8 +415,10 @@ def knn_label_vote(spark, sf_dir):
     (and the quality probe for embedding spaces: high kNN agreement =
     labels are linearly recoverable). Scale shape: queries broadcast, one
     corpus scan, per-query top-k window over the 1% fan-out only; the vote
-    is a partial-aggregated count + argmax — no corpus shuffle."""
-    e = table(spark, sf_dir, "embeddings")
+    is a partial-aggregated count + argmax — no corpus shuffle. The
+    corpus side fans out of the one-task single-row-group scan so the
+    per-pair cosine work parallelizes."""
+    e = fanout(table(spark, sf_dir, "embeddings"), "vec_id")
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
@@ -1115,8 +1118,13 @@ def embedding_kcenter_coreset(spark, sf_dir):
     is a single max(struct) aggregate (map-side combined), never a global
     sort. localCheckpoint per round keeps lineage O(1) in k, exactly the
     LPA/PageRank posture. Distances are fixed-point-exact, so center
-    choices cannot drift cross-engine."""
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    choices cannot drift cross-engine. The corpus fans out of the
+    one-task scan; every round's min-distance maintenance and argmax
+    inherits the parallel partitioning through the localCheckpoints."""
+    e = fanout(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id",
+    )
     first = e.orderBy("vec_id").limit(1)
     c = first.select("vec_id", F.col("embedding").alias("cv"))
 

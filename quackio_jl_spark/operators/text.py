@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from quackio_jl_spark.functions.seq import seq_asc
 
 from ..functions.exact import dsum
+from ..functions.fanout import fanout
 from ..plans.registry import query, table
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -991,9 +992,16 @@ def trigram_lm_doc_score(spark, sf_dir):
     not corpus-sized; at web scale the n-gram tables get a count cutoff
     first, same broadcast afterwards. One corpus explode, five count
     aggregates, zero corpus shuffles beyond the per-doc regroup. Rounded
-    to 8 decimals (established ln() hygiene)."""
+    to 8 decimals (established ln() hygiene).
+
+    Round-11: the trigram relation feeds SEVEN consumers (five count
+    tables, the total, the final scoring join); it fans out of the
+    one-task single-row-group scan and is persisted so the explode runs
+    once, in parallel, instead of seven times on one core."""
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+    toks = fanout(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).filter(
         F.size("t") >= 3
     )
     tri = toks.select(
@@ -1008,7 +1016,7 @@ def trigram_lm_doc_score(spark, sf_dir):
                 ),
             )
         ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2", "p.w3")
+    ).select("doc_id", "p.w1", "p.w2", "p.w3").persist()
     c3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("n3"))
     c12 = tri.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
     c23 = tri.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("n23"))
@@ -1088,9 +1096,13 @@ def tfidf_cosine_pairs(spark, sf_dir):
     exact_dot discipline) so the pair set is stable at the threshold
     boundary under any partitioning. At 10^9 docs the df table is
     broadcast; the pair aggregate shuffles on (doc1, doc2) with map-side
-    combine."""
+    combine.
+
+    Round-11: the tokenizer fans out of the one-task scan and the
+    TF-IDF weight table (three consumers: norms + both self-join sides)
+    is persisted so the explode + weight computation runs once."""
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
+    toks = fanout(d.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
@@ -1108,7 +1120,7 @@ def tfidf_cosine_pairs(spark, sf_dir):
             "token",
             (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).alias("w"),
         )
-    )
+    ).persist()
     nrm = w.groupBy("doc_id").agg(
         F.sqrt(
             F.sum(F.floor(F.col("w") * F.col("w") * F.lit(1e9))).cast("double")
@@ -3188,9 +3200,15 @@ def bigram_lm_kneser_ney_score(spark, sf_dir):
     all counts exact integers, the per-bigram probability is one
     closed-form expression evaluated identically in both engines, and
     per-doc averages use the round-then-decimal-sum recipe so row
-    order never shifts a bit."""
+    order never shifts a bit.
+
+    Round-11: the bigram relation feeds five consumers; it fans out of
+    the one-task single-row-group scan and is persisted so the explode
+    runs once, in parallel, instead of five times on one core."""
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+    toks = fanout(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).filter(
         F.size("t") >= 2
     )
     bg = toks.select(
@@ -3207,7 +3225,7 @@ def bigram_lm_kneser_ney_score(spark, sf_dir):
                 ),
             )
         ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2", "p.bigram")
+    ).select("doc_id", "p.w1", "p.w2", "p.bigram").persist()
     bgc = bg.groupBy("bigram").agg(
         F.count(F.lit(1)).cast("bigint").alias("cb")
     )
@@ -4191,15 +4209,26 @@ def unigram_lm_viterbi_segmentation(spark, sf_dir):
     type/gram rollups and the final doc join. Costs are micro-int BIGINTs,
     so every DP cell is exact integer arithmetic — bit-identical across
     engines (the oracle replays the identical DP as a recursive CTE).
-    Words over UNI_MAXWORD chars are excluded in both engines."""
+    Words over UNI_MAXWORD chars are excluded in both engines.
+
+    Round-11: the tokenizer fans out of the one-task scan, and the
+    persisted type table is fanned out too — it is BYTE-tiny, so AQE's
+    coalescing would otherwise collapse it to one partition and run the
+    per-type substring explode and Viterbi DP (the dominant compute,
+    proportional to types x word length x pieces) on a single core."""
     d = table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tok = fanout(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
     types = (
-        tok.filter(
-            (F.length("w") >= 1) & (F.length("w") <= UNI_MAXWORD)
+        fanout(
+            tok.filter(
+                (F.length("w") >= 1) & (F.length("w") <= UNI_MAXWORD)
+            )
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")),
+            "w",
         )
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .persist()
     )
     grams = (
@@ -4378,9 +4407,13 @@ def bigram_lm_heldout_perplexity(spark, sf_dir):
     per-type recipe) and weighted by exact counts, so every engine-side
     sum is integer arithmetic. The count tables join back hash-keyed on
     the bigram (vocabulary-sized; a production run puts a count cutoff in
-    front, same joins after)."""
+    front, same joins after).
+
+    Round-11: the bigram relation feeds four consumers; it fans out of
+    the one-task single-row-group scan and is persisted so the explode
+    runs once, in parallel."""
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
+    toks = fanout(d.select("doc_id", "source", "text"), "doc_id").select(
         "doc_id", "source", F.split("text", " ").alias("t")
     ).filter(F.size("t") >= 2)
     held = F.substring(
@@ -4399,7 +4432,7 @@ def bigram_lm_heldout_perplexity(spark, sf_dir):
                 ),
             )
         ).alias("p"),
-    ).select("doc_id", "source", "held", "p.w1", "p.bigram")
+    ).select("doc_id", "source", "held", "p.w1", "p.bigram").persist()
     train = bg.filter(~F.col("held"))
     bgc = train.groupBy("bigram").agg(
         F.count(F.lit(1)).cast("bigint").alias("cb")

@@ -19,6 +19,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.exact import DEC, davg, dsum
+from ..functions.fanout import fanout
 from .registry import query, table
 
 # --- shared oracle SQL fragments (kept textual so each oracle reads standalone)
@@ -51,12 +52,28 @@ def _dsum_sql(x: str) -> str:
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape — the flagship scan+agg. One shuffle on the two
     low-cardinality group keys; partial aggregation map-side, so at 100 TB
-    the shuffle carries ~6 rows per input partition."""
+    the shuffle carries ~6 rows per input partition.
+
+    Round-11: the filtered scan fans out (functions/fanout.py — identity
+    at cluster scale) so the eight wide-decimal partial aggregates run
+    on every core instead of inside the one-task single-row-group scan;
+    the shipdate predicate still pushes to the parquet scan below the
+    repartition (plans/r11/q1_pricing_summary_after.txt)."""
     l = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        fanout(
+            l.filter(F.col("l_shipdate") <= F.lit("1998-09-02")).select(
+                "l_returnflag",
+                "l_linestatus",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+            ),
+            "l_extendedprice",
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),

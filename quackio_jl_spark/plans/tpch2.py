@@ -15,6 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.exact import DEC, davg, dsum
+from ..functions.fanout import fanout
 from .registry import query, table
 
 _DSUM = "CAST(SUM(CAST({x} AS DECIMAL(28,6))) AS DOUBLE)"
@@ -276,8 +277,16 @@ def q16_supplier_part_count(spark, sf_dir):
     supplier count per (brand, size), excluding blacklisted suppliers via
     an ANTI join against a broadcast-size subquery. COUNT(DISTINCT)
     expands to a two-phase aggregate — both shuffles are on the small
-    (brand, size, suppkey) projection."""
-    l = table(spark, sf_dir, "lineitem")
+    (brand, size, suppkey) projection.
+
+    Round-11: both broadcast joins and the first distinct-aggregate
+    phase all plan into the scan stage, so a single-row-group input ran
+    them on one core; the pruned 2-column fact side fans out first
+    (functions/fanout.py — identity at cluster scale)."""
+    l = fanout(
+        table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey"),
+        "l_partkey",
+    )
     p = table(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO")
     bad = (
         table(spark, sf_dir, "supplier")
