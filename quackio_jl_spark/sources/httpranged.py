@@ -1317,27 +1317,61 @@ class RangeFileHandler(_http_server.SimpleHTTPRequestHandler):
     paths: list = []  # every requested path (HEAD + GET)
     full_paths: list = []  # paths answered with a 200 full body
     head_paths: list = []  # paths probed with HEAD (probe accounting)
+    # Round-11: the server is now threaded (serve_directory_ranged), so
+    # the proof counters above are mutated under one lock — a lost
+    # update on full_count would silently weaken the zero-whole-file-GET
+    # gates. ETags are cached per (path, mtime, size): hashing the whole
+    # object on EVERY range GET serialized the scan behind sha256 of the
+    # full file times the request count.
+    _lock = None  # initialized lazily (threading import at class body is fine too)
+    _etag_cache: dict = {}
+
+    @classmethod
+    def _counter_lock(cls):
+        if cls._lock is None:
+            import threading as _threading
+
+            cls._lock = _threading.Lock()
+        return cls._lock
 
     def log_message(self, *a, **k):  # noqa: D102
         pass
 
-    def do_GET(self):  # noqa: N802
+    def _etag_of(self, path):
         import hashlib as _hashlib
         import os as _os
 
-        type(self).paths.append(self.path)
+        st = _os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+        cached = type(self)._etag_cache.get(key)
+        if cached is not None:
+            return cached
+        h = _hashlib.sha256()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        etag = '"' + h.hexdigest()[:16] + '"'
+        with self._counter_lock():
+            type(self)._etag_cache[key] = etag
+        return etag
+
+    def do_GET(self):  # noqa: N802
+        import os as _os
+
+        with self._counter_lock():
+            type(self).paths.append(self.path)
         path = self.translate_path(self.path)
         try:
-            with open(path, "rb") as f:
-                data = f.read()
+            size = _os.path.getsize(path)
+            # content-derived ETag + If-None-Match, like an object store:
+            # lets callers exercise the conditional-GET manifest refresh
+            etag = self._etag_of(path)
         except OSError:
             self.send_error(404)
             return
-        # content-derived ETag + If-None-Match, like an object store:
-        # lets callers exercise the conditional-GET manifest refresh
-        etag = '"' + _hashlib.sha256(data).hexdigest()[:16] + '"'
         if self.headers.get("If-None-Match") == etag:
-            type(self).not_modified_count += 1
+            with self._counter_lock():
+                type(self).not_modified_count += 1
             self.send_response(304)
             self.send_header("ETag", etag)
             self.end_headers()
@@ -1347,18 +1381,23 @@ class RangeFileHandler(_http_server.SimpleHTTPRequestHandler):
             spec = rng[len("bytes=") :]
             lo_s, hi_s = spec.split("-", 1)
             lo = int(lo_s)
-            hi = min(int(hi_s), len(data) - 1) if hi_s else len(data) - 1
-            if lo >= len(data):
+            hi = min(int(hi_s), size - 1) if hi_s else size - 1
+            if lo >= size:
                 self.send_error(416)
                 return
-            type(self).range_count += 1
-            body = data[lo : hi + 1]
+            with self._counter_lock():
+                type(self).range_count += 1
+            with open(path, "rb") as f:
+                f.seek(lo)
+                body = f.read(hi - lo + 1)
             self.send_response(206)
-            self.send_header("Content-Range", f"bytes {lo}-{hi}/{len(data)}")
+            self.send_header("Content-Range", f"bytes {lo}-{hi}/{size}")
         else:
-            type(self).full_count += 1
-            type(self).full_paths.append(self.path)
-            body = data
+            with self._counter_lock():
+                type(self).full_count += 1
+                type(self).full_paths.append(self.path)
+            with open(path, "rb") as f:
+                body = f.read()
             self.send_response(200)
             self.send_header("ETag", etag)
         self.send_header("Accept-Ranges", "bytes")
@@ -1369,8 +1408,9 @@ class RangeFileHandler(_http_server.SimpleHTTPRequestHandler):
     def do_HEAD(self):  # noqa: N802
         import os as _os
 
-        type(self).paths.append(self.path)
-        type(self).head_paths.append(self.path)
+        with self._counter_lock():
+            type(self).paths.append(self.path)
+            type(self).head_paths.append(self.path)
         path = self.translate_path(self.path)
         try:
             size = _os.path.getsize(path)
@@ -1385,14 +1425,25 @@ class RangeFileHandler(_http_server.SimpleHTTPRequestHandler):
 
 def serve_directory_ranged(directory: str):
     """(httpd, port): a daemon-thread HTTP server with Range support over
-    ``directory`` on 127.0.0.1. Caller must ``httpd.shutdown()``."""
+    ``directory`` on 127.0.0.1. Caller must ``httpd.shutdown()``.
+
+    Round-11: THREADED. The single-threaded TCPServer serialized every
+    executor's range GET through one accept loop, so a 32-task ranged
+    scan ran its network phase one request at a time — an artifact of
+    the test harness, not of the production shape it stands in for
+    (object stores serve ranges concurrently). daemon_threads so a hung
+    handler can never block interpreter exit."""
     import socketserver
     import threading
 
     def make(*args, **kw):
         return RangeFileHandler(*args, directory=directory, **kw)
 
-    httpd = socketserver.TCPServer(("127.0.0.1", 0), make)
+    class _Srv(socketserver.ThreadingTCPServer):
+        daemon_threads = True
+        allow_reuse_address = True
+
+    httpd = _Srv(("127.0.0.1", 0), make)
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     return httpd, httpd.server_address[1]
