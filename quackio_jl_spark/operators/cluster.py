@@ -1777,9 +1777,20 @@ def customer_part_hits(spark, sf_dir):
     scores are bit-reproducible), with L2 normalization via a broadcast
     scalar and 1e-10 floor-quantized iterates (the round-7 PCA posture —
     round(double, N) iterate rounding is engine-build-sensitive at ties).
-    Per-round results persist so plan depth stays O(1) in rounds."""
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    Per-round results persist so plan depth stays O(1) in rounds.
+
+    Round-11: both scan sides fan out on the join key (co-partitioned,
+    so the fan-out doubles as the join exchange at bench scale) — the
+    edge-list build was the dominant Spark-side cost and ran its map
+    stages as one task each on single-row-group inputs."""
+    o = fanout(
+        table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        "o_orderkey",
+    )
+    l = fanout(
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+    )
     edges = (
         o.join(l, o.o_orderkey == l.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))

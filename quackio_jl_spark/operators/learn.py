@@ -141,8 +141,10 @@ def _nb_doc_posteriors(spark, sf_dir):
 
     Plan shape (round-11 optimization): the tokenizer explode fans out of
     the one-task single-row-group scan, and the token stream collapses
-    ONCE to per-(doc, token) frequencies (``tf``, persisted — four
-    downstream consumers used to recompute the full explode each).
+    ONCE to per-(doc, token) frequencies (``tf``; its aggregation
+    exchange is identical in all four consuming branches, so AQE's
+    runtime stage reuse computes it once — measured faster than an
+    explicit persist, which accumulates cache across bench passes).
     Every statistic is an exact integer reweighting of the instance
     stream — sum over instances of lp6 == sum over distinct doc-tokens
     of tfreq*lp6 — so results are bit-identical to the per-instance
@@ -156,10 +158,8 @@ def _nb_doc_posteriors(spark, sf_dir):
         "lang_true",
         F.explode(F.split("text", " ")).alias("t"),
     )
-    tf = (
-        toks.groupBy("doc_id", "lang_true", "t")
-        .agg(F.count(F.lit(1)).alias("tfreq"))
-        .persist()
+    tf = toks.groupBy("doc_id", "lang_true", "t").agg(
+        F.count(F.lit(1)).alias("tfreq")
     )
     langs = d.select(F.col("lang").alias("m")).distinct()
     vocab = tf.select("t").distinct()
@@ -785,7 +785,8 @@ def langid_nb_crossval(spark, sf_dir):
     fold = (F.col("doc_id") % _CV_FOLDS).cast("bigint")
     # Round-11 optimization, same recipe as _nb_doc_posteriors: fan the
     # tokenizer out of the one-task scan, collapse the instance stream
-    # ONCE to per-(doc, fold, token) frequencies, and reweight every
+    # to per-(doc, fold, token) frequencies (AQE stage reuse shares the
+    # collapse across branches), and reweight every
     # downstream integer statistic by tfreq — exact-count arithmetic, so
     # results are bit-identical to the per-instance form.
     toks = fanout(
@@ -799,10 +800,8 @@ def langid_nb_crossval(spark, sf_dir):
         "fold",
         F.explode(F.split("text", " ")).alias("t"),
     )
-    tff = (
-        toks.groupBy("doc_id", "lang_true", "fold", "t")
-        .agg(F.count(F.lit(1)).alias("tfreq"))
-        .persist()
+    tff = toks.groupBy("doc_id", "lang_true", "fold", "t").agg(
+        F.count(F.lit(1)).alias("tfreq")
     )
     langs = d.select(F.col("lang").alias("m")).distinct()
     vsize = F.broadcast(

@@ -261,10 +261,11 @@ def ann_ivf_search(spark, sf_dir):
     The LSH twin (ann_search_within_buckets) trades recall differently —
     IVF adapts to the data distribution, LSH needs no training pass.
 
-    Round-11: the assignment subtree feeds BOTH join sides (corpus
-    inverted lists and the query slice); persisting it halves the
-    centroid-scoring work, which otherwise re-ran per side."""
-    cells = _assigned(spark, sf_dir).persist()
+    Round-11: the assignment subtree fans out of the one-task scan
+    (via _assigned) so the centroid scoring on both join sides runs in
+    parallel; AQE stage reuse shares the identical assignment exchange
+    between the sides."""
+    cells = _assigned(spark, sf_dir)
     q = cells.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
         F.col("cell").alias("qcell"),

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.fanout import fanout
 from ..plans.registry import query, table
 
 PQ_M = 4  # subspaces (d=64 -> 16-dim subvectors on the fixtures)
@@ -74,8 +75,13 @@ def _d2_int_sql(s: str, c: str) -> str:
 
 def _subvectors(spark, sf_dir):
     """(vec_id, m, sv): each embedding split into PQ_M contiguous subvectors.
-    Pure map-side explode — M rows per vector, each carrying d/M floats."""
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    Pure map-side explode — M rows per vector, each carrying d/M floats.
+    Fans out of the one-task single-row-group scan (functions/fanout.py)
+    so every PQ consumer's subvector math parallelizes."""
+    e = fanout(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id",
+    )
     dsub = (F.size("embedding") / PQ_M).cast("int")
     return e.select(
         "vec_id",

@@ -85,9 +85,9 @@ def dsir_importance_weights(spark, sf_dir):
     scaled to an integer, so each document's sum is exact (no accumulation-
     order drift between engines).
 
-    Round-11: the hashed token stream feeds four consumers; it fans out
-    of the one-task single-row-group scan and is persisted so the
-    explode + md5 bucketing runs once, in parallel."""
+    Round-11: the hashed token stream (four consuming branches) fans
+    out of the one-task single-row-group scan so the explode + md5
+    bucketing runs in parallel."""
     d = table(spark, sf_dir, "documents")
     toks = fanout(d.select("doc_id", "lang", "text"), "doc_id").select(
         "doc_id",
@@ -101,7 +101,7 @@ def dsir_importance_weights(spark, sf_dir):
             .cast("bigint")
             % DSIR_BUCKETS
         ).alias("b"),
-    ).persist()
+    )
     raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
     tgt = (
         toks.filter(F.col("lang") == DSIR_TARGET_LANG)

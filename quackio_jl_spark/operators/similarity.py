@@ -1282,7 +1282,9 @@ def embedding_mmd_drift(spark, sf_dir):
         ("half", (F.col("vec_id") % 2).cast("int")),
         ("label", F.when(F.col("label") == 0, 0).otherwise(1).cast("int")),
     ):
-        e = table(spark, sf_dir, "embeddings")
+        # fan out of the one-task scan: the d^2-per-vector moment explode
+        # below plans into the scan stage (identity at cluster scale)
+        e = fanout(table(spark, sf_dir, "embeddings"), "vec_id")
         qarr = F.transform(
             "embedding",
             lambda x: F.floor(x.cast("double") * MMD_SCALE).cast("bigint"),

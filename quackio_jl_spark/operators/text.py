@@ -994,10 +994,9 @@ def trigram_lm_doc_score(spark, sf_dir):
     aggregates, zero corpus shuffles beyond the per-doc regroup. Rounded
     to 8 decimals (established ln() hygiene).
 
-    Round-11: the trigram relation feeds SEVEN consumers (five count
-    tables, the total, the final scoring join); it fans out of the
-    one-task single-row-group scan and is persisted so the explode runs
-    once, in parallel, instead of seven times on one core."""
+    Round-11: the trigram relation (seven consuming branches) fans out
+    of the one-task single-row-group scan so the explode and count
+    aggregates run in parallel instead of on one core."""
     d = table(spark, sf_dir, "documents")
     toks = fanout(d.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.split("text", " ").alias("t")
@@ -1016,7 +1015,7 @@ def trigram_lm_doc_score(spark, sf_dir):
                 ),
             )
         ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2", "p.w3").persist()
+    ).select("doc_id", "p.w1", "p.w2", "p.w3")
     c3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("n3"))
     c12 = tri.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
     c23 = tri.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("n23"))
@@ -1098,9 +1097,9 @@ def tfidf_cosine_pairs(spark, sf_dir):
     broadcast; the pair aggregate shuffles on (doc1, doc2) with map-side
     combine.
 
-    Round-11: the tokenizer fans out of the one-task scan and the
-    TF-IDF weight table (three consumers: norms + both self-join sides)
-    is persisted so the explode + weight computation runs once."""
+    Round-11: the tokenizer fans out of the one-task scan so the
+    TF-IDF weight computation (three consuming branches: norms + both
+    self-join sides) runs in parallel."""
     d = table(spark, sf_dir, "documents")
     toks = fanout(d.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
@@ -1120,7 +1119,7 @@ def tfidf_cosine_pairs(spark, sf_dir):
             "token",
             (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).alias("w"),
         )
-    ).persist()
+    )
     nrm = w.groupBy("doc_id").agg(
         F.sqrt(
             F.sum(F.floor(F.col("w") * F.col("w") * F.lit(1e9))).cast("double")
@@ -2090,9 +2089,14 @@ def gopher_quality_flags(spark, sf_dir):
     share is one explode + (doc_id, token) partial-agg keyed by doc —
     the same single-shuffle shape as token counting. The final join is
     doc_id-keyed. No corpus-global state, so the gate scales linearly
-    and composes ahead of dedup (cheap filter before expensive LSH)."""
+    and composes ahead of dedup (cheap filter before expensive LSH).
+    The higher-order-function rule evaluation fans out of the one-task
+    single-row-group scan (it feeds both the rule projection and the
+    top-word explode)."""
     d = table(spark, sf_dir, "documents")
-    base = d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    base = fanout(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w")
+    )
     n_words = F.size("w")
     lens = F.transform("w", lambda x: F.length(x))
     mean_word_len = F.aggregate(
@@ -3202,9 +3206,9 @@ def bigram_lm_kneser_ney_score(spark, sf_dir):
     per-doc averages use the round-then-decimal-sum recipe so row
     order never shifts a bit.
 
-    Round-11: the bigram relation feeds five consumers; it fans out of
-    the one-task single-row-group scan and is persisted so the explode
-    runs once, in parallel, instead of five times on one core."""
+    Round-11: the bigram relation (five consuming branches) fans out of
+    the one-task single-row-group scan so the explode and count
+    aggregates run in parallel instead of on one core."""
     d = table(spark, sf_dir, "documents")
     toks = fanout(d.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.split("text", " ").alias("t")
@@ -3225,7 +3229,7 @@ def bigram_lm_kneser_ney_score(spark, sf_dir):
                 ),
             )
         ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2", "p.bigram").persist()
+    ).select("doc_id", "p.w1", "p.w2", "p.bigram")
     bgc = bg.groupBy("bigram").agg(
         F.count(F.lit(1)).cast("bigint").alias("cb")
     )
@@ -4409,9 +4413,8 @@ def bigram_lm_heldout_perplexity(spark, sf_dir):
     the bigram (vocabulary-sized; a production run puts a count cutoff in
     front, same joins after).
 
-    Round-11: the bigram relation feeds four consumers; it fans out of
-    the one-task single-row-group scan and is persisted so the explode
-    runs once, in parallel."""
+    Round-11: the bigram relation (four consuming branches) fans out of
+    the one-task single-row-group scan so the explode runs in parallel."""
     d = table(spark, sf_dir, "documents")
     toks = fanout(d.select("doc_id", "source", "text"), "doc_id").select(
         "doc_id", "source", F.split("text", " ").alias("t")
@@ -4432,7 +4435,7 @@ def bigram_lm_heldout_perplexity(spark, sf_dir):
                 ),
             )
         ).alias("p"),
-    ).select("doc_id", "source", "held", "p.w1", "p.bigram").persist()
+    ).select("doc_id", "source", "held", "p.w1", "p.bigram")
     train = bg.filter(~F.col("held"))
     bgc = train.groupBy("bigram").agg(
         F.count(F.lit(1)).cast("bigint").alias("cb")

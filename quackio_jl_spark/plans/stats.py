@@ -6868,10 +6868,15 @@ def survival_logrank_by_segment(spark, sf_dir):
     The per-(segment, duration) aggregate is bounded (segments x
     distinct durations); per-segment risk sets come from partitioned
     prefix windows over that table; event-time terms are rounded then
-    decimal-summed. Same censoring rule as the KM/Nelson-Aalen ops."""
+    decimal-summed. Same censoring rule as the KM/Nelson-Aalen ops.
+    The per-customer lifetime aggregate fans out of the one-task scan
+    on the group key."""
     o = table(spark, sf_dir, "orders")
+    oc = fanout(
+        o.select("o_custkey", "o_orderdate"), "o_custkey"
+    )
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    life = o.groupBy("o_custkey").agg(
+    life = oc.groupBy("o_custkey").agg(
         F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("dur"),
         F.max("o_orderdate").alias("last_d"),
     )
@@ -10306,8 +10311,14 @@ def target_encode_brand_oof(spark, sf_dir):
     Scale shape: ONE fact shuffle on the (brand, fold) key; brand totals
     and the prior re-aggregate the tiny cell table; the encode step is a
     broadcast join over ~|brands| x folds rows. Applying the encoding to
-    training rows is then a map-side broadcast-hash lookup."""
-    l = table(spark, sf_dir, "lineitem")
+    training rows is then a map-side broadcast-hash lookup. The per-row
+    md5 fold assignment + broadcast join fan out of the one-task scan."""
+    l = fanout(
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+        ),
+        "l_orderkey",
+    )
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     fold = (
         F.conv(
