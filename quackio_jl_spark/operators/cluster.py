@@ -2091,10 +2091,15 @@ def part_link_prediction_eval(spark, sf_dir):
 
     Round-11: both scans fan out keyed on the join key (the fan-out IS
     the distinct/join exchange at bench scale), and the symmetrized
-    train edge list is fanned out before persisting — it is byte-tiny,
-    so AQE's size-based coalescing would otherwise run the wedge
-    self-join (the dominant compute) on a single post-shuffle
-    partition."""
+    train edge list is fanned out — it is byte-tiny, so AQE's
+    size-based coalescing would otherwise run the wedge self-join (the
+    dominant compute) on a single post-shuffle partition. The four
+    in-builder persists (cp/train/test/edges) are gone: they are
+    multi-consumer relations, not loop state, so AQE exchange reuse
+    already shares their materialized shuffles within one execution,
+    while un-unpersistable cached frames accumulated across the bench's
+    repeated invocations (the batch-4 mechanism — this was one of the
+    few queries that got SLOWER in the r11 mid-round bench)."""
     from pyspark.sql import Window as W
 
     lp = (
@@ -2116,7 +2121,6 @@ def part_link_prediction_eval(spark, sf_dir):
         a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part1") < F.col("part2")))
         .join(od, F.col("ok") == F.col("o_orderkey"))
         .select("part1", "part2", "d")
-        .persist()
     )
     split = F.lit(LP_SPLIT).cast("date")
     # edge = >= 1 co-purchase in the window: the base AA query's >= 2
@@ -2127,20 +2131,18 @@ def part_link_prediction_eval(spark, sf_dir):
         cp.filter(F.col("d") < split)
         .select("part1", "part2")
         .distinct()
-        .persist()
     )
     test = (
         cp.filter(F.col("d") >= split)
         .select("part1", "part2")
         .distinct()
         .join(train, ["part1", "part2"], "left_anti")
-        .persist()
     )
     edges = fanout(
         train.select(F.col("part1").alias("src"), F.col("part2").alias("dst"))
         .union(train.select(F.col("part2").alias("src"), F.col("part1").alias("dst"))),
         "src",
-    ).persist()
+    )
     deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("dg")
     )

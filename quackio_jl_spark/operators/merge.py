@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.exact import DEC
+from ..functions.fanout import fanout
 from ..lineage import audit_rounds, truncate as _truncate_lineage
 from ..plans.registry import query, table
 
@@ -431,8 +432,13 @@ def banded_duplicate_pairs(o, price_tol, day_tol, band_width):
     """Core blocked fuzzy-pair join over (o_orderkey, o_custkey,
     o_totalprice, d) — see orders_duplicate_invoices. Requires
     band_width > price_tol (checked) so +-1 bands guarantee recall;
-    property-tested against brute force in tests/test_property_roundtrip.py."""
+    property-tested against brute force in tests/test_property_roundtrip.py.
+
+    Round-11: the input fans out of the one-task single-row-group scan —
+    the x3 band explode and the hash map side of both join exchanges ran
+    single-core; one fanned exchange is shared by the a/b branches."""
     assert band_width > price_tol, "band width must exceed the tolerance"
+    o = fanout(o, "o_orderkey")
     W_ = band_width
     band = F.floor(F.col("o_totalprice") / W_)
     a = o.select(
@@ -965,9 +971,12 @@ def linkage_fs_em_refinement(spark, sf_dir):
         F.col("o_orderkey").alias("kb"),
         *[F.col(f).alias(f"b_{f}") for f in _FS_FIELDS],
     )
-    # one joined candidate frame feeds both the pattern histogram and the
-    # agreement stats (it previously re-joined per consumer)
-    j = pairs.join(oa, "ka").join(ob, "kb").persist()
+    # Round-11: the pattern histogram is the ONLY candidate-pair
+    # aggregate; the agreement stats st are an exact integer rollup of it
+    # (n_pairs = sum(n), agree_f = sum(n * g_f) — g_f is the same 0/1
+    # indicator st used to re-sum over every pair), so the pair join is
+    # built and scanned exactly once and needs no persist.
+    j = pairs.join(oa, "ka").join(ob, "kb")
     pat = (
         j
         .groupBy(
@@ -980,12 +989,10 @@ def linkage_fs_em_refinement(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    st = j.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    st = pat.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_pairs"),
         *[
-            F.coalesce(
-                F.sum((F.col(f"a_{f}") == F.col(f"b_{f}")).cast("int")), F.lit(0)
-            )
+            F.coalesce(F.sum(F.col("n") * F.col(f"g_{f}")), F.lit(0))
             .cast("bigint")
             .alias(f"agree_{f}")
             for f in _FS_FIELDS
@@ -1219,12 +1226,13 @@ def linkage_fs_em_converged(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .persist()
     )
-    st = j.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    # Round-11: st rolls up from the persisted pattern histogram (exact
+    # integer identity: n_pairs = sum(n), agree_f = sum(n * g_f)) instead
+    # of re-running the whole pair join a second time.
+    st = pat.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_pairs"),
         *[
-            F.coalesce(
-                F.sum((F.col(f"a_{f}") == F.col(f"b_{f}")).cast("int")), F.lit(0)
-            )
+            F.coalesce(F.sum(F.col("n") * F.col(f"g_{f}")), F.lit(0))
             .cast("bigint")
             .alias(f"agree_{f}")
             for f in _FS_FIELDS

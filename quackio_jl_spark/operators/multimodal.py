@@ -230,7 +230,8 @@ def multimodal_audio_energy(spark, sf_dir):
     granularity is a query knob, not a UDF change. The fake decode is
     md5-byte-derived, so the oracle reproduces the actual doubles and the
     gate hash-checks the full binary -> Arrow -> array -> explode path.
-    Map-side only; linear in audio bytes."""
+    Map-side after the scale-adaptive fan-out in documents_as_media
+    (identity at cluster scale); linear in audio bytes."""
     media = documents_as_media(spark, sf_dir).filter(
         F.col("media_type") == "audio"
     )

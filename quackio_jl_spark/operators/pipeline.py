@@ -2752,19 +2752,32 @@ def embedding_simplified_silhouette(spark, sf_dir):
     product going through the fixed-point exact_dot kernel, so both
     engines see identical doubles; per-point silhouettes are rounded
     then decimal-summed into the per-label means. The centroid table
-    (10 rows) broadcasts — the corpus never shuffles."""
+    (10 rows) broadcasts — the corpus never shuffles.
+
+    Round-11: the corpus fans out of the one-task single-row-group scan
+    (the k x corpus distance map was single-core), and the two
+    self-norms hoist out of the k-way expansion — ||x||^2 once per
+    point instead of once per (point, centroid), ||c||^2 once per
+    centroid — exact_dot is deterministic fixed-point, so the hoisted
+    doubles are bit-identical."""
     from .similarity import exact_dot
 
-    e = table(spark, sf_dir, "embeddings")
-    cents = F.broadcast(_centroid_vectors(spark, sf_dir))
+    e = fanout(
+        table(spark, sf_dir, "embeddings"), "vec_id"
+    ).withColumn("xx", exact_dot("embedding", "embedding"))
+    cents = F.broadcast(
+        _centroid_vectors(spark, sf_dir).withColumn(
+            "cc", exact_dot("cv", "cv")
+        )
+    )
     d2 = e.crossJoin(cents).select(
         "vec_id",
         "label",
         "cell",
         (
-            exact_dot("embedding", "embedding")
+            F.col("xx")
             - 2 * exact_dot("embedding", "cv")
-            + exact_dot("cv", "cv")
+            + F.col("cc")
         ).alias("d2"),
     )
     ab = d2.groupBy("vec_id", "label").agg(
@@ -2879,10 +2892,14 @@ def embedding_cluster_validity(spark, sf_dir):
     corpus pass joins each point to its OWN centroid only (the k x k
     and centroid-vs-global terms are bounded), per-point contributions
     round-then-decimal-sum, and the global centroid reuses the same
-    floor(x*1e9) integer-mean kernel as the per-label ones."""
+    floor(x*1e9) integer-mean kernel as the per-label ones.
+
+    Round-11: the corpus fans out of the one-task single-row-group scan
+    — both the global-centroid posexplode and the per-point own-centroid
+    distance pass were single-core."""
     from .similarity import exact_dot
 
-    e = table(spark, sf_dir, "embeddings")
+    e = fanout(table(spark, sf_dir, "embeddings"), "vec_id")
     cents = F.broadcast(_centroid_vectors(spark, sf_dir))
     gv = F.broadcast(
         e.select(F.posexplode("embedding").alias("j", "x"))

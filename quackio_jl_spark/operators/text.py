@@ -604,9 +604,16 @@ def bigram_lm_doc_score(spark, sf_dir):
     back BROADCAST (vocabulary-sized, not corpus-sized — at web scale the
     bigram table gets a count cutoff first, same broadcast afterwards).
     Rounded to 8 decimals before comparison (established ln() hygiene,
-    see text_tfidf_top_terms)."""
+    see text_tfidf_top_terms).
+
+    Round-11: the bigram relation fans out of the one-task
+    single-row-group scan, and the context count cu rolls up from the
+    bigram-TYPE counts (sum of cb per w1 — an exact integer identity)
+    so only one shuffle carries per-occurrence rows."""
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+    toks = fanout(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).filter(
         F.size("t") >= 2
     )
     bg = toks.select(
@@ -621,8 +628,9 @@ def bigram_lm_doc_score(spark, sf_dir):
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.bigram")
-    bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
-    ugc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    bgt = bg.groupBy("w1", "bigram").agg(F.count(F.lit(1)).alias("cb"))
+    bgc = bgt.select("bigram", "cb")
+    ugc = bgt.groupBy("w1").agg(F.sum("cb").alias("cu"))
     scored = (
         bg.join(F.broadcast(bgc), "bigram")
         .join(F.broadcast(ugc), "w1")
@@ -994,9 +1002,12 @@ def trigram_lm_doc_score(spark, sf_dir):
     aggregates, zero corpus shuffles beyond the per-doc regroup. Rounded
     to 8 decimals (established ln() hygiene).
 
-    Round-11: the trigram relation (seven consuming branches) fans out
-    of the one-task single-row-group scan so the explode and count
-    aggregates run in parallel instead of on one core."""
+    Round-11: the trigram relation fans out of the one-task
+    single-row-group scan so the explode runs in parallel, and the five
+    marginal count tables (n12/n23/n2/nu/n) roll up from the trigram-TYPE
+    counts c3 by exact integer sums instead of each re-aggregating the
+    full occurrence stream — per-occurrence rows cross exactly two
+    shuffles (c3 and the per-doc regroup)."""
     d = table(spark, sf_dir, "documents")
     toks = fanout(d.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.split("text", " ").alias("t")
@@ -1016,12 +1027,16 @@ def trigram_lm_doc_score(spark, sf_dir):
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2", "p.w3")
+    # ONE per-occurrence shuffle builds the trigram-type counts; every
+    # marginal (n12/n23/n2/nu/n) is an exact integer rollup of n3 over
+    # the type table (sum over the dropped context positions), so the
+    # other five aggregates never touch the occurrence stream
     c3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("n3"))
-    c12 = tri.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
-    c23 = tri.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("n23"))
-    c2 = tri.groupBy("w2").agg(F.count(F.lit(1)).alias("n2"))
-    cu = tri.groupBy("w3").agg(F.count(F.lit(1)).alias("nu"))
-    tot = tri.agg(F.count(F.lit(1)).alias("n"))
+    c12 = c3.groupBy("w1", "w2").agg(F.sum("n3").alias("n12"))
+    c23 = c3.groupBy("w2", "w3").agg(F.sum("n3").alias("n23"))
+    c2 = c3.groupBy("w2").agg(F.sum("n3").alias("n2"))
+    cu = c3.groupBy("w3").agg(F.sum("n3").alias("nu"))
+    tot = c3.agg(F.sum("n3").alias("n"))
     p = (
         F.lit(_TRI_L3) * F.col("n3") / F.col("n12")
         + F.lit(_TRI_L2) * F.col("n23") / F.col("n2")
@@ -3208,7 +3223,12 @@ def bigram_lm_kneser_ney_score(spark, sf_dir):
 
     Round-11: the bigram relation (five consuming branches) fans out of
     the one-task single-row-group scan so the explode and count
-    aggregates run in parallel instead of on one core."""
+    aggregates run in parallel instead of on one core; the context
+    tables (cu/n1f/n1b/n_types) roll up from the per-TYPE bigram count
+    relation instead of re-aggregating the full occurrence stream —
+    cu = sum of cb over a context's bigram types, n1f/n1b = type counts
+    per context (exact integer identities), so only ONE shuffle ever
+    carries per-occurrence rows."""
     d = table(spark, sf_dir, "documents")
     toks = fanout(d.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.split("text", " ").alias("t")
@@ -3230,17 +3250,22 @@ def bigram_lm_kneser_ney_score(spark, sf_dir):
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2", "p.bigram")
-    bgc = bg.groupBy("bigram").agg(
+    # per-TYPE counts: w1/w2 are functionally determined by the bigram
+    # string (space-joined, tokens are space-split), so grouping by all
+    # three yields exactly the per-bigram rows, now carrying the context
+    # words for the rollups below
+    bgt = bg.groupBy("w1", "w2", "bigram").agg(
         F.count(F.lit(1)).cast("bigint").alias("cb")
     )
-    ugc = bg.groupBy("w1").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cu"),
-        F.count_distinct("w2").cast("bigint").alias("n1f"),
+    bgc = bgt.select("bigram", "cb")
+    ugc = bgt.groupBy("w1").agg(
+        F.sum("cb").cast("bigint").alias("cu"),
+        F.count(F.lit(1)).cast("bigint").alias("n1f"),
     )
-    bwc = bg.groupBy("w2").agg(
-        F.count_distinct("w1").cast("bigint").alias("n1b")
+    bwc = bgt.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1b")
     )
-    nt = bgc.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    nt = bgt.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
     p = (
         F.greatest(F.col("cb") - KN_DISCOUNT, F.lit(0)) / F.col("cu")
         + KN_DISCOUNT
@@ -4413,8 +4438,13 @@ def bigram_lm_heldout_perplexity(spark, sf_dir):
     the bigram (vocabulary-sized; a production run puts a count cutoff in
     front, same joins after).
 
-    Round-11: the bigram relation (four consuming branches) fans out of
-    the one-task single-row-group scan so the explode runs in parallel."""
+    Round-11: the bigram relation fans out of the one-task
+    single-row-group scan so the explode runs in parallel, and ONE
+    keyed aggregate over (held, source, w1, bigram) replaces the three
+    per-occurrence passes — train counts and held-out pattern counts
+    are exact integer rollups of that type table (cb = sum of per-type
+    counts over train rows, ho rows are unique per (source, bigram, w1)
+    once held is fixed), so per-occurrence rows cross one shuffle."""
     d = table(spark, sf_dir, "documents")
     toks = fanout(d.select("doc_id", "source", "text"), "doc_id").select(
         "doc_id", "source", F.split("text", " ").alias("t")
@@ -4436,20 +4466,19 @@ def bigram_lm_heldout_perplexity(spark, sf_dir):
             )
         ).alias("p"),
     ).select("doc_id", "source", "held", "p.w1", "p.bigram")
-    train = bg.filter(~F.col("held"))
+    base = bg.groupBy("held", "source", "w1", "bigram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    train = base.filter(~F.col("held"))
     bgc = train.groupBy("bigram").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cb")
+        F.sum("cnt").cast("bigint").alias("cb")
     )
-    ugc = train.groupBy("w1").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cu")
-    )
+    ugc = train.groupBy("w1").agg(F.sum("cnt").cast("bigint").alias("cu"))
     vv = F.broadcast(
         ugc.agg((F.count(F.lit(1)) + 1).cast("bigint").alias("v"))
     )
-    ho = (
-        bg.filter(F.col("held"))
-        .groupBy("source", "bigram", "w1")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ho = base.filter(F.col("held")).select(
+        "source", "bigram", "w1", F.col("cnt").alias("n")
     )
     docs = (
         toks.filter(held)

@@ -487,9 +487,17 @@ def ks_test_click_vs_view(spark, sf_dir):
     min/max), per-bucket totals roll into broadcast starting offsets,
     and the in-bucket windows run in parallel. All cumulative counts are
     exact integers; the two divisions and abs happen per distinct value
-    identically in both engines, and MAX is order-free."""
-    e = table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "view")
+    identically in both engines, and MAX is order-free.
+
+    Round-11: the filtered events scan fans out keyed on the group key
+    (value) — the per-value flag-count's map side ran on the one-task
+    single-row-group scan, and the fan-out IS the aggregation exchange
+    at bench scale."""
+    e = fanout(
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select("value", "event_type"),
+        "value",
     )
     pv = e.groupBy("value").agg(
         F.sum((F.col("event_type") == "click").cast("bigint")).alias("a"),
@@ -4426,8 +4434,16 @@ def theil_index_nation_spend(spark, sf_dir):
     ln(mu_g) uses one algebraic form in both engines. Three aggregates
     total: per-customer, per-nation, one 25-row rollup — the grand
     totals broadcast back, so nothing beyond the orders groupBy
-    shuffles at scale."""
-    o = table(spark, sf_dir, "orders")
+    shuffles at scale.
+
+    Round-11: the orders scan fans out keyed on the group key — the
+    per-customer decimal sum's map side ran on the one-task
+    single-row-group scan, and the fan-out IS the aggregation exchange
+    at bench scale."""
+    o = fanout(
+        table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        "o_custkey",
+    )
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     x = o.groupBy("o_custkey").agg(
@@ -6707,8 +6723,12 @@ def ab_test_cuped_adjustment(spark, sf_dir):
     One per-user aggregate splits each user's value stream at the
     corpus midpoint into covariate x and metric y (decimal-exact);
     theta and the variances come from one 6-number moment rollup that
-    broadcasts back onto the bounded per-user table."""
-    e = table(spark, sf_dir, "events")
+    broadcasts back onto the bounded per-user table.
+
+    Round-11: the events scan fans out keyed on the group key — the
+    per-user split-sum's map side ran on the one-task single-row-group
+    scan, and the fan-out IS the aggregation exchange at bench scale."""
+    e = fanout(table(spark, sf_dir, "events"), "user_id")
     rng = F.broadcast(
         e.agg(
             F.date_add(
@@ -10200,8 +10220,11 @@ def cms_heavy_hitters(spark, sf_dir):
     production exactly like ann_ivf_recall_at_k's brute-force side).
 
     Plan: one shuffle on 1024 cells, one on distinct users
-    (eval only), a broadcast join of the 1k-cell grid onto user probes."""
-    e = table(spark, sf_dir, "events").select("user_id")
+    (eval only), a broadcast join of the 1k-cell grid onto user probes.
+
+    Round-11: the events scan fans out of the one-task single-row-group
+    layout — the 4-hash probe of every event ran single-core."""
+    e = fanout(table(spark, sf_dir, "events").select("user_id"), "user_id")
 
     def probe(df):
         return df.select(
@@ -10540,12 +10563,17 @@ def events_watermark_lateness_audit(spark, sf_dir):
     the in-bucket high-water-mark windows run one-partition-per-bucket, so
     NO row-level window ever executes unpartitioned (round-5 VERDICT item
     3). Output is bucket-sized; the -1 bucket is "later than every
-    candidate" (would need a bigger watermark)."""
+    candidate" (would need a bigger watermark).
+
+    Round-11: the events scan fans out of the one-task single-row-group
+    layout — the bucket-id map stage and the map sides of the prefix-max
+    kernel's two exchanges ran single-core; one fanned exchange is shared
+    by both kernel branches."""
     from quackio_jl_spark.functions.prefix import bucketed_prefix_max
 
     e = table(spark, sf_dir, "events")
     arr = bucketed_prefix_max(
-        e.select("event_id", "ts"), "event_id", "ts"
+        fanout(e.select("event_id", "ts"), "event_id"), "event_id", "ts"
     ).withColumnRenamed("cum_ts", "hwm")
     late = arr.select(
         (F.unix_timestamp("hwm") - F.unix_timestamp("ts")).alias("late_s")
