@@ -1315,3 +1315,25 @@ def test_incremental_cluster_assign_stream_matches_batch(spark, monkeypatch):
         f"index CC built {len(cc_calls)}x — fragment not shared"
     )
     fragcache.clear()
+
+
+def test_ivf_persisted_index_one_file_per_cell(spark):
+    """The persisted IVF index must stay one parquet file per cell
+    directory: the parallel (fanned) assignment otherwise leaves every
+    write task holding rows of every cell, fragmenting each cell dir
+    into one small file per task (measured 319 files / 10 cells at
+    sf0.1 before the repartition-by-cell fix)."""
+    import glob
+    import os
+
+    entry.queries()["ann_ivf_index_persisted_search"](spark, SF_DIR).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    idx = max(
+        glob.glob("/tmp/quackio_ivf_*/ivf_index"), key=os.path.getmtime
+    )
+    cell_dirs = glob.glob(idx + "/cell=*")
+    assert cell_dirs, "index write left no cell directories"
+    for d in cell_dirs:
+        files = glob.glob(d + "/*.parquet")
+        assert len(files) == 1, f"{d} fragmented into {len(files)} files"
