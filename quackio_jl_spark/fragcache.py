@@ -139,6 +139,65 @@ def fragment_tuple(spark, sf_dir: str, name: str, build):
     )
 
 
+def _buffer_rdd_ids(df) -> set:
+    """Best-effort ids of the JVM RDDs that hold a persisted DataFrame's
+    storage: the SQL cache's column-buffer RDD (via CacheManager lookup).
+    Empty set when the frame is not registered (never persisted, or the
+    internal API moved — callers treat unknown as not-owned)."""
+    ids = set()
+    try:
+        spark = df.sparkSession
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        opt = cm.lookupCachedData(df._jdf)
+        if opt.isDefined():
+            buf = opt.get().cachedRepresentation().cacheBuilder().cachedColumnBuffers()
+            ids.add(buf.id())
+    except Exception:
+        pass
+    return ids
+
+
+def release_foreign_storage(spark) -> int:
+    """Unpersist every persisted/localCheckpointed RDD in the session
+    that is NOT backing a live fragment; returns how many were released.
+
+    Why: the bench and the oracle gate run hundreds of query builders in
+    ONE session. A builder that persists or localCheckpoints an
+    intermediate can never free it — the action finishes inside the
+    harness, the DataFrame handle is discarded, and the blocks stay in
+    the block manager for the rest of the session (88 persist/checkpoint
+    sites, 5 unpersists). Over a 131-query x 4-pass bench that is
+    hundreds of orphaned frames: storage-pool churn, GC pressure and
+    spills that land on whichever queries run LATE in the suite
+    (guide §5: "unpersist when done"). This is the harness-side
+    "when done" hook: called BETWEEN queries (never concurrently with
+    one), it frees everything except fragment storage, whose lifetime is
+    genuinely session-scoped and LRU-bounded here.
+
+    Releasing a block never changes results — Spark recomputes persisted
+    partitions from lineage; a discarded query's checkpointed RDDs are
+    never referenced again."""
+    with _LOCK:
+        keep: set = set()
+        for _sc, val in _CACHE.values():
+            for df in val if isinstance(val, tuple) else (val,):
+                keep |= _buffer_rdd_ids(df)
+        released = 0
+        try:
+            it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+            doomed = []
+            while it.hasNext():
+                entry = it.next()
+                if entry._1() not in keep:
+                    doomed.append(entry._2())
+            for rdd in doomed:
+                rdd.unpersist(False)
+                released += 1
+        except Exception:
+            pass
+        return released
+
+
 def clear():
     """Unpersist and drop every cached fragment."""
     with _LOCK:

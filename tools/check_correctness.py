@@ -64,6 +64,11 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    # Free persisted storage that no live fragment owns between queries:
+    # a 558-query gate in one session otherwise accumulates every
+    # in-query persist/localCheckpoint for its whole lifetime (guide §5).
+    from quackio_jl_spark.fragcache import release_foreign_storage
+
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
@@ -71,6 +76,7 @@ def main():
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        release_foreign_storage(spark)
         t0 = time.time()
         rec = {
             "rows_match": False,
