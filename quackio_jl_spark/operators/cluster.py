@@ -2094,12 +2094,17 @@ def part_link_prediction_eval(spark, sf_dir):
     train edge list is fanned out — it is byte-tiny, so AQE's
     size-based coalescing would otherwise run the wedge self-join (the
     dominant compute) on a single post-shuffle partition. The four
-    in-builder persists (cp/train/test/edges) are gone: they are
-    multi-consumer relations, not loop state, so AQE exchange reuse
-    already shares their materialized shuffles within one execution,
-    while un-unpersistable cached frames accumulated across the bench's
-    repeated invocations (the batch-4 mechanism — this was one of the
-    few queries that got SLOWER in the r11 mid-round bench)."""
+    in-builder persists (cp/train/test/edges) were dropped mid-round on
+    the accumulation argument (un-unpersistable cached frames piling up
+    across bench invocations), then RESTORED once the harness grew
+    release_foreign_storage(): the accumulation mechanism is gone, and
+    honest fresh-session timing showed the persist-free form recomputes
+    the co-purchase self-join subtree under every one of its consumers
+    across the plan's separate executions (broadcast builds, the .rdd
+    fan-out probes) — 15-40 s/pass vs ~6 s with the persists (guide §5:
+    persist is right precisely when a frame is reused and recompute
+    costs more than the memory pressure; the harness now guarantees the
+    frames are freed between queries)."""
     from pyspark.sql import Window as W
 
     lp = (
@@ -2121,6 +2126,7 @@ def part_link_prediction_eval(spark, sf_dir):
         a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part1") < F.col("part2")))
         .join(od, F.col("ok") == F.col("o_orderkey"))
         .select("part1", "part2", "d")
+        .persist()  # 2 consumers (train/test date slices)
     )
     split = F.lit(LP_SPLIT).cast("date")
     # edge = >= 1 co-purchase in the window: the base AA query's >= 2
@@ -2131,18 +2137,20 @@ def part_link_prediction_eval(spark, sf_dir):
         cp.filter(F.col("d") < split)
         .select("part1", "part2")
         .distinct()
+        .persist()  # 4 consumers (edges x2, test anti, pred anti)
     )
     test = (
         cp.filter(F.col("d") >= split)
         .select("part1", "part2")
         .distinct()
         .join(train, ["part1", "part2"], "left_anti")
+        .persist()  # 2 consumers (ntest broadcast, hitflag join)
     )
     edges = fanout(
         train.select(F.col("part1").alias("src"), F.col("part2").alias("dst"))
         .union(train.select(F.col("part2").alias("src"), F.col("part1").alias("dst"))),
         "src",
-    )
+    ).persist()  # 3 consumers (deg, both wedge sides)
     deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("dg")
     )
