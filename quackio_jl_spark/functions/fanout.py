@@ -37,17 +37,37 @@ from pyspark.sql import Column, DataFrame
 __all__ = ["fanout"]
 
 
-def fanout(df: DataFrame, *keys: Column | str, n: int | None = None) -> DataFrame:
+def fanout(
+    df: DataFrame,
+    *keys: Column | str,
+    n: int | None = None,
+    probe: DataFrame | None = None,
+) -> DataFrame:
     """Hash-repartition ``df`` across the session's cores iff it arrives
     in fewer partitions than the session's default parallelism.
 
     ``keys`` should name a high-cardinality column (row id, order key) so
     the hash spreads evenly; with no key a round-robin repartition is
     used. ``n`` overrides the target partition count (defaults to the
-    SparkContext's ``defaultParallelism``)."""
-    sc = df.sparkSession.sparkContext
+    SparkContext's ``defaultParallelism``).
+
+    ``probe`` names the frame whose partition count decides the condition
+    (defaults to ``df``). Pass the BASE SCAN a derived ``df`` is built
+    from when ``df``'s own plan contains exchanges: under AQE,
+    ``.rdd.getNumPartitions()`` on a post-exchange tree EXECUTES the
+    upstream shuffle stages to learn the runtime-coalesced count — a full
+    hidden job at plan-build time, run again by the real action (measured
+    0.8-2 s per build on the bench queries; guide §7.3 driver-side work).
+    A scan-only probe is pure planning (no job), answers the question the
+    helper actually asks — "did the INPUT arrive row-group-bound?" — and,
+    when the probe is the session-cached ``table()`` handle, its `.rdd`
+    is memoized so repeated builds probe for free. The scale contract is
+    unchanged: at cluster scale the scan arrives in thousands of
+    partitions, the condition is false, and the helper is the identity."""
+    src = probe if probe is not None else df
+    sc = src.sparkSession.sparkContext
     target = n or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if src.rdd.getNumPartitions() >= target:
         return df
     # explicit numPartitions => REPARTITION_BY_NUM: AQE keeps the count
     # rather than coalescing the tiny shuffle back onto one core

@@ -4257,6 +4257,10 @@ def unigram_lm_viterbi_segmentation(spark, sf_dir):
             .groupBy("w")
             .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")),
             "w",
+            # probe the base scan: the post-groupBy tree's own .rdd probe
+            # would execute the tokenize+count stages as a hidden
+            # build-time job under AQE
+            probe=d,
         )
         .persist()
     )
