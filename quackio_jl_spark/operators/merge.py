@@ -1274,84 +1274,69 @@ def linkage_fs_em_converged(spark, sf_dir):
     )
     params = _truncate_lineage(params)
 
-    def _prod(pfx, init):
-        # init is the prior factor (lam or 1-lam) folded in as the FIRST
-        # accumulator so the whole product associates left-to-right —
-        # (((lam*t1)*t2)*t3) — exactly how SQL parses the oracle's
-        # `lam / 1e8 * (t1) * (t2) * (t3)`. FP multiplication is
-        # non-associative; `lam * ((t1*t2)*t3)` can differ by one ulp on
-        # boundary patterns and flip the floor-quantized w (ADVICE r7).
-        out = init
+    # The round's EM arithmetic builds as SQL STRINGS (one F.expr py4j
+    # round-trip per column) instead of per-operator Column composition:
+    # the loop was ~9.8k py4j round-trips / ~2.5 s of pure driver chatter
+    # per build, and the bench times the builder (round-11 guide §7.3
+    # driver-side cost). The strings are the ORACLE's own expression text,
+    # so association is preserved verbatim — SQL parses
+    # `lam / 1e8 * (t1) * (t2) * (t3)` left-to-right, (((lam*t1)*t2)*t3),
+    # exactly the fold the Column form built (FP multiplication is
+    # non-associative; a regrouping can differ by one ulp on boundary
+    # patterns and flip the floor-quantized w — ADVICE r7). Exponent
+    # literals (1E8, 1E9) parse as DOUBLE, matching the old F.lit(1e8)
+    # (a dotted literal like 100000000.0 would parse as DECIMAL).
+    def _prod_sql(pfx: str, init_sql: str) -> str:
+        out = init_sql
         for f in _FS_FIELDS:
-            term = F.when(
-                F.col(f"g_{f}") == 1, F.col(f"{pfx}_{f}") / F.lit(1e8)
-            ).otherwise(F.lit(1.0) - F.col(f"{pfx}_{f}") / F.lit(1e8))
-            out = out * term
+            out += (
+                f" * (CASE WHEN g_{f} = 1 THEN {pfx}_{f} / 1E8"
+                f" ELSE 1.0 - {pfx}_{f} / 1E8 END)"
+            )
         return out
 
+    _W = "1E9"
+    assert float(_W.replace("E", "e")) == float(_EM_W_SCALE)
     lam_by_round = {}
     for r in range(1, _EM_ROUNDS + 1):
         ew = pat.crossJoin(F.broadcast(params))
-        num = _prod("m", F.col("lam") / F.lit(1e8))
-        den = _prod("u", F.lit(1.0) - F.col("lam") / F.lit(1e8))
+        num = _prod_sql("m", "lam / 1E8")
+        den = _prod_sql("u", "(1.0 - lam / 1E8)")
         ew = ew.withColumn(
             "w",
-            F.floor(num / (num + den) * F.lit(float(_EM_W_SCALE))).cast(
-                "bigint"
+            F.expr(
+                f"CAST(FLOOR(({num}) / (({num}) + ({den})) * {_W}) AS BIGINT)"
             ),
         )
         s = ew.agg(
-            F.sum(F.col("n") * F.col("w")).cast("bigint").alias("sw"),
-            F.sum(F.col("n") * (F.lit(_EM_W_SCALE) - F.col("w")))
-            .cast("bigint")
-            .alias("su"),
-            F.sum("n").cast("bigint").alias("ntot"),
+            F.expr("CAST(SUM(n * w) AS BIGINT) AS sw"),
+            F.expr(f"CAST(SUM(n * ({_EM_W_SCALE} - w)) AS BIGINT) AS su"),
+            F.expr("CAST(SUM(n) AS BIGINT) AS ntot"),
             *[
-                x
+                F.expr(x)
                 for f in _FS_FIELDS
                 for x in (
-                    F.sum(F.col("n") * F.col("w") * F.col(f"g_{f}"))
-                    .cast("bigint")
-                    .alias(f"swg_{f}"),
-                    F.sum(
-                        F.col("n")
-                        * (F.lit(_EM_W_SCALE) - F.col("w"))
-                        * F.col(f"g_{f}")
-                    )
-                    .cast("bigint")
-                    .alias(f"sug_{f}"),
+                    f"CAST(SUM(n * w * g_{f}) AS BIGINT) AS swg_{f}",
+                    f"CAST(SUM(n * ({_EM_W_SCALE} - w) * g_{f}) AS BIGINT)"
+                    f" AS sug_{f}",
                 )
             ],
         )
         params = s.select(
             *[
-                x
+                F.expr(x)
                 for f in _FS_FIELDS
                 for x in (
-                    F.floor(
-                        F.col(f"swg_{f}").cast("double")
-                        / F.col("sw").cast("double")
-                        * F.lit(1e8)
-                    )
-                    .cast("bigint")
-                    .alias(f"m_{f}"),
-                    F.floor(
-                        F.col(f"sug_{f}").cast("double")
-                        / F.col("su").cast("double")
-                        * F.lit(1e8)
-                    )
-                    .cast("bigint")
-                    .alias(f"u_{f}"),
+                    f"CAST(FLOOR(CAST(swg_{f} AS DOUBLE) / CAST(sw AS DOUBLE)"
+                    f" * 1E8) AS BIGINT) AS m_{f}",
+                    f"CAST(FLOOR(CAST(sug_{f} AS DOUBLE) / CAST(su AS DOUBLE)"
+                    f" * 1E8) AS BIGINT) AS u_{f}",
                 )
             ],
-            F.floor(
-                F.col("sw").cast("double")
-                / F.lit(float(_EM_W_SCALE))
-                / F.col("ntot").cast("double")
-                * F.lit(1e8)
-            )
-            .cast("bigint")
-            .alias("lam"),
+            F.expr(
+                f"CAST(FLOOR(CAST(sw AS DOUBLE) / {_W}"
+                " / CAST(ntot AS DOUBLE) * 1E8) AS BIGINT) AS lam"
+            ),
         )
         params = _truncate_lineage(params)
         lam_by_round[r] = params.select(F.col("lam").alias(f"lambda{r}_e8"))
