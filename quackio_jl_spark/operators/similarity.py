@@ -34,7 +34,23 @@ _SCALE = 1e9  # fixed-point scale: ~9 significant decimals, no int64 overflow
 
 def exact_dot(a: Column | str, b: Column | str) -> Column:
     """Order-independent dot product of two float arrays -> double
-    (floor fixed-point; see module docstring)."""
+    (floor fixed-point; see module docstring).
+
+    When both operands are plain column NAMES the expression parses from
+    one SQL string (a single py4j round-trip) instead of ~30
+    Column-method calls — exact_dot appears inside per-round loops
+    (k-center, IVF assignment) where builder chatter is measurable
+    (round-11 guide §7.3). The string yields the identical Catalyst tree:
+    same ZipWith/ArrayAggregate HOFs, same CAST/FLOOR placement, the
+    same left-associated `x * y * 1E9` product, and 1E9 parses as DOUBLE
+    exactly like the old F.lit(1e9)."""
+    if isinstance(a, str) and isinstance(b, str):
+        assert _SCALE == 1e9
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) ->"
+            " FLOOR(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1E9)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x) / 1E9"
+        )
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     prods = F.zip_with(
