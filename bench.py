@@ -177,6 +177,23 @@ EXTENDED = [
 ]
 
 
+# Noise-control sentinels (round-11 VERDICT "what's wrong" #2 / "next" #3):
+# the movers normalization used the whole 21-query HEADLINE set as the
+# host-noise control on the premise it was "untouched since r1" — round 11
+# then optimized all 21, so the control drift (0.64x) was CODE, and every
+# extended query's normalized ratio was inflated ~1.56x. The control set is
+# now these reserved sentinels: queries whose builders are pinned by source
+# hash in tests/test_artifacts.py (test_noise_sentinel_builders_unchanged),
+# so a round that touches one goes red until the sentinel is consciously
+# rotated out — the set is provably disjoint from the round's diff.
+NOISE_SENTINELS = [
+    "dedup_exact",
+    "chunk_documents",
+    "split_train_test",
+    "text_quality_score",
+    "text_bpe_token_count",
+]
+
 _TREND_START = "<!-- TREND_TABLE:START (generated by bench.py) -->"
 _TREND_END = "<!-- TREND_TABLE:END -->"
 
@@ -203,13 +220,15 @@ def _replace_between(path: str, start: str, end: str, block: str, heading: str) 
 
 def noise_factor(prev: dict, cur: dict) -> float:
     """Host-noise factor of THIS run vs the previous artifacts: the
-    median cur/prev ratio over the HEADLINE control set — 21 queries
-    untouched since r1, so their collective drift measures the shared
-    VM, not the code (identical code has measured 20.5-154 s here).
-    1.0 when fewer than 3 control queries overlap (synthetic inputs)."""
+    median cur/prev ratio over the NOISE_SENTINELS control set —
+    queries reserved as never-optimized (builder source pinned by
+    test_artifacts.py), so their collective drift measures the shared
+    VM + global harness, not per-query plan work (identical code has
+    measured 20.5-154 s here). 1.0 when fewer than 3 control queries
+    overlap (synthetic inputs)."""
     ratios = sorted(
         cur[q] / prev[q]
-        for q in HEADLINE
+        for q in NOISE_SENTINELS
         if prev.get(q) and cur.get(q) and prev[q] > 0
     )
     if len(ratios) < 3:
@@ -256,8 +275,9 @@ def update_movers_table(repo_dir: str, prev: dict, cur: dict, prev_label: str) -
             _MOVERS_START,
             "",
             f"Current bench run vs {prev_label} (headline + extended,"
-            " per-query medians); ratios normalized by the headline"
-            f" control set's same-run host factor ({noise:.2f}x):",
+            " per-query medians); ratios normalized by the reserved"
+            " sentinel control set's same-run host factor"
+            f" ({noise:.2f}x; controls: {', '.join(NOISE_SENTINELS)}):",
             "",
             "| query | prev (s) | current (s) | ratio | normalized |"
             " direction |",
@@ -357,8 +377,8 @@ def survey_snippet(repo_dir: str) -> str:
     via `git show HEAD:` so the driver's post-close drop of an
     untracked BENCH_r{N}.json / in-place rewrite of BENCH_EXTENDED.json
     can never change this string between commits."""
-    bench_rel = _tracked_artifacts(repo_dir, "BENCH_r[0-9]*.json")
-    cf_rel = _tracked_artifacts(repo_dir, "CORRECTNESS_FULL_r[0-9]*.json")
+    bench_rel = _tracked_artifacts(repo_dir, "BENCH_r[0-9][0-9].json")
+    cf_rel = _tracked_artifacts(repo_dir, "CORRECTNESS_FULL_r[0-9][0-9].json")
     parts = []
     if bench_rel:
         b = _read_committed_json(repo_dir, bench_rel[-1]) or {}
@@ -422,7 +442,7 @@ def update_trend_table(repo_dir: str) -> None:
     fail on doc regeneration. Reads git-TRACKED artifacts at their
     committed content, same rationale as survey_snippet()."""
     rows = []
-    for rel in _tracked_artifacts(repo_dir, "BENCH_r[0-9]*.json"):
+    for rel in _tracked_artifacts(repo_dir, "BENCH_r[0-9][0-9].json"):
         d = _read_committed_json(repo_dir, rel)
         if d is None:
             continue
@@ -479,7 +499,7 @@ def update_trend_table(repo_dir: str) -> None:
     open(baseline, "w").write(text)
 
 
-_RETIME_CONTROLS = ["q1_pricing_summary", "dedup_exact", "text_quality_score"]
+_RETIME_CONTROLS = NOISE_SENTINELS[:3]
 
 
 def _prev_committed_queries(repo_dir: str) -> tuple[dict, str]:
@@ -490,7 +510,7 @@ def _prev_committed_queries(repo_dir: str) -> tuple[dict, str]:
     e = _read_committed_json(repo_dir, "BENCH_EXTENDED.json")
     if e is not None:
         prev_all.update(e.get("extended_queries", {}))
-    bench_rel = _tracked_artifacts(repo_dir, "BENCH_r[0-9]*.json")
+    bench_rel = _tracked_artifacts(repo_dir, "BENCH_r[0-9][0-9].json")
     if bench_rel:
         b = _read_committed_json(repo_dir, bench_rel[-1]) or {}
         prev_all.update((b.get("parsed") or {}).get("queries", {}))
@@ -619,14 +639,25 @@ def main() -> None:
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE + EXTENDED}
+    # Builder (py4j plan construction) vs action (task execution) split
+    # per query (round-11 VERDICT "next" #6): the timed region is UNCHANGED
+    # (t0..append still brackets builder + action exactly as before) — the
+    # split just records where inside it the time went, settling the
+    # harness-vs-plan decomposition and explaining the ~1.0 8-core scaling
+    # ratios of builder-bound sub-second queries.
+    build_samples: dict[str, list[float]] = {name: [] for name in HEADLINE + EXTENDED}
     for _ in range(repeats):
         for name in HEADLINE + EXTENDED:
             t0 = time.perf_counter()
-            run(QUERIES[name](spark, sf_dir))
+            df = QUERIES[name](spark, sf_dir)
+            t1 = time.perf_counter()
+            run(df)
             samples[name].append(time.perf_counter() - t0)
+            build_samples[name].append(t1 - t0)
             release_foreign_storage(spark)
 
     med = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
+    bmed = {name: round(statistics.median(ts), 3) for name, ts in build_samples.items()}
     times = {name: med[name] for name in HEADLINE}
     extended = {name: med[name] for name in EXTENDED}
     total = round(sum(times.values()), 3)
@@ -653,6 +684,11 @@ def main() -> None:
                 "sf": sf,
                 "repeats": repeats,
                 "aggregation": "median_per_query_over_interleaved_passes",
+                # per-query builder (plan-construction) medians for EVERY
+                # benched query; each query's action time is its entry in
+                # queries/extended_queries minus this.
+                "builder_queries": {n: bmed[n] for n in HEADLINE + EXTENDED},
+                "builder_total_sec": round(sum(bmed.values()), 3),
             },
             fh,
             indent=1,
@@ -669,6 +705,10 @@ def main() -> None:
                 "extended_total_sec": round(sum(extended.values()), 3),
                 "extended_detail": "BENCH_EXTENDED.json",
                 "n_queries_registered": len(QUERIES),
+                # builder (plan-construction) share of `value`; per-query
+                # split in BENCH_EXTENDED.json (additions-only: the stdout
+                # contract's existing keys are unchanged).
+                "builder_sec": round(sum(bmed[n] for n in HEADLINE), 3),
             }
         )
     )

@@ -42,6 +42,7 @@ def fanout(
     *keys: Column | str,
     n: int | None = None,
     probe: DataFrame | None = None,
+    always: bool = False,
 ) -> DataFrame:
     """Hash-repartition ``df`` across the session's cores iff it arrives
     in fewer partitions than the session's default parallelism.
@@ -58,17 +59,26 @@ def fanout(
     upstream shuffle stages to learn the runtime-coalesced count — a full
     hidden job at plan-build time, run again by the real action (measured
     0.8-2 s per build on the bench queries; guide §7.3 driver-side work).
-    A scan-only probe is pure planning (no job), answers the question the
-    helper actually asks — "did the INPUT arrive row-group-bound?" — and,
-    when the probe is the session-cached ``table()`` handle, its `.rdd`
-    is memoized so repeated builds probe for free. The scale contract is
-    unchanged: at cluster scale the scan arrives in thousands of
-    partitions, the condition is false, and the helper is the identity."""
-    src = probe if probe is not None else df
-    sc = src.sparkSession.sparkContext
+    A scan-only probe is pure planning (no job) and, when the probe is
+    the session-cached ``table()`` handle, its `.rdd` is memoized so
+    repeated builds probe for free. The probe's tradeoff (ADVICE r11):
+    it asks "did the INPUT arrive row-group-bound?", which is NOT the
+    same question as "is ``df`` narrow?" — when the base scan arrives
+    wide (cluster scale) but ``df`` itself is a byte-tiny derived frame
+    that AQE coalesces to a handful of partitions, a probed fanout
+    returns it unchanged and the downstream compute runs near-serial.
+    For frames that are byte-tiny BY CONSTRUCTION at every scale yet
+    feed compute dense in rows-out-per-row-in (a type table driving a
+    per-type DP, an edge list driving a self-join), pass ``always=True``:
+    the repartition is unconditional — the exchange moves a vocabulary- /
+    edge-list-sized frame (noise at any scale) and the dominant compute
+    keeps full parallelism at bench scale AND cluster scale."""
+    sc = df.sparkSession.sparkContext
     target = n or sc.defaultParallelism
-    if src.rdd.getNumPartitions() >= target:
-        return df
+    if not always:
+        src = probe if probe is not None else df
+        if src.rdd.getNumPartitions() >= target:
+            return df
     # explicit numPartitions => REPARTITION_BY_NUM: AQE keeps the count
     # rather than coalescing the tiny shuffle back onto one core
     return df.repartition(target, *keys) if keys else df.repartition(target)

@@ -2150,10 +2150,13 @@ def part_link_prediction_eval(spark, sf_dir):
         train.select(F.col("part1").alias("src"), F.col("part2").alias("dst"))
         .union(train.select(F.col("part2").alias("src"), F.col("part1").alias("dst"))),
         "src",
-        # probe the BASE SCAN, not the post-distinct union: under AQE the
-        # union's own .rdd probe executes the whole cp/train pipeline as a
-        # hidden build-time job (then the action runs it again)
-        probe=table(spark, sf_dir, "lineitem"),
+        # unconditional (ADVICE r11): the symmetrized train-edge list is
+        # byte-tiny by construction at every scale but feeds the wedge
+        # self-join (the dominant compute) — at cluster scale a base-scan
+        # probe would skip the fanout and AQE would coalesce the tiny
+        # frame near-serial. `always` also never probes, so the r11
+        # hidden-build-job concern does not return.
+        always=True,
     ).persist()  # 3 consumers (deg, both wedge sides)
     deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("dg")

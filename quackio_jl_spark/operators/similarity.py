@@ -43,8 +43,11 @@ def exact_dot(a: Column | str, b: Column | str) -> Column:
     (round-11 guide §7.3). The string yields the identical Catalyst tree:
     same ZipWith/ArrayAggregate HOFs, same CAST/FLOOR placement, the
     same left-associated `x * y * 1E9` product, and 1E9 parses as DOUBLE
-    exactly like the old F.lit(1e9)."""
-    if isinstance(a, str) and isinstance(b, str):
+    exactly like the old F.lit(1e9). Only plain-identifier names take the
+    SQL path (ADVICE r11): a name needing quoting (hyphen, space, dot)
+    falls through to the Column path below, so both paths accept exactly
+    the names F.col does."""
+    if isinstance(a, str) and isinstance(b, str) and a.isidentifier() and b.isidentifier():
         assert _SCALE == 1e9
         return F.expr(
             f"aggregate(zip_with({a}, {b}, (x, y) ->"

@@ -4257,10 +4257,14 @@ def unigram_lm_viterbi_segmentation(spark, sf_dir):
             .groupBy("w")
             .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")),
             "w",
-            # probe the base scan: the post-groupBy tree's own .rdd probe
-            # would execute the tokenize+count stages as a hidden
-            # build-time job under AQE
-            probe=d,
+            # unconditional (ADVICE r11): the type table is byte-tiny by
+            # construction at EVERY scale but drives the per-type substring
+            # explode + Viterbi DP — at cluster scale the base scan arrives
+            # wide, a probe would skip the fanout, and AQE would coalesce
+            # this tiny frame onto a handful of cores for the dominant
+            # compute. (An `always` fanout also never probes, so there is
+            # no hidden build-time job — the r11 probe= rationale.)
+            always=True,
         )
         .persist()
     )

@@ -92,26 +92,35 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Current generations store naive micros; see _normalize_timestamps."""
     sc = spark.sparkContext
     try:
-        key = (sc.applicationId, sc.startTime, sf_dir, name)
+        # Session identity in the key (ADVICE r11): a DataFrame is bound
+        # to its SparkSession (conf, registered sources, session state),
+        # so two sessions over one context (spark.newSession()) must not
+        # share handles. id(spark) is safe here because the value tuple
+        # below keeps a strong reference to ``spark`` for the entry's
+        # lifetime — the id cannot be recycled while the entry lives.
+        key = (sc.applicationId, sc.startTime, id(spark), sf_dir, name)
     except Exception:
         key = None
     if key is not None:
         with _TABLE_LOCK:
             hit = _TABLE_CACHE.get(key)
             if hit is not None and getattr(hit[0], "_jsc", None) is not None:
-                return hit[1]
+                return hit[2]
     df = _load_table(spark, sf_dir, name)
     if key is not None:
         with _TABLE_LOCK:
             for k in [
                 k
-                for k, (osc, _v) in _TABLE_CACHE.items()
+                for k, (osc, _s, _v) in _TABLE_CACHE.items()
                 if getattr(osc, "_jsc", None) is None
             ]:
                 del _TABLE_CACHE[k]
-            if len(_TABLE_CACHE) >= _MAX_TABLE_ENTRIES:
-                _TABLE_CACHE.clear()
-            _TABLE_CACHE[key] = (sc, df)
+            # capacity: evict oldest entries (insertion order), never the
+            # whole cache (ADVICE r11 — wholesale clear() dropped live
+            # entries in the long-lived multi-dataset service case)
+            while len(_TABLE_CACHE) >= _MAX_TABLE_ENTRIES:
+                del _TABLE_CACHE[next(iter(_TABLE_CACHE))]
+            _TABLE_CACHE[key] = (sc, spark, df)
     return df
 
 

@@ -17,6 +17,32 @@ sys.path.insert(0, "tools")
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def test_noise_sentinel_builders_unchanged():
+    """The movers-table noise controls (bench.NOISE_SENTINELS) must be
+    queries the current round did NOT optimize — round 11 optimized all
+    21 headline "controls", which broke the normalization premise and
+    inflated every extended query's normalized ratio ~1.56x (round-11
+    VERDICT "what's wrong" #2). Each sentinel builder's source is pinned
+    here: touching one reddens this test until the sentinel is
+    consciously rotated out (update bench.NOISE_SENTINELS AND
+    tests/sentinel_hashes.json in the same change, with rationale)."""
+    import hashlib
+    import inspect
+    import json
+
+    import bench
+    from quackio_jl_spark.registry import QUERIES
+
+    pinned = json.load(open(os.path.join(_REPO, "tests", "sentinel_hashes.json")))
+    assert sorted(pinned) == sorted(bench.NOISE_SENTINELS)
+    for name, want in pinned.items():
+        got = hashlib.sha256(inspect.getsource(QUERIES[name]).encode()).hexdigest()
+        assert got == want, (
+            f"noise sentinel {name} builder changed — rotate it out of"
+            " bench.NOISE_SENTINELS or re-pin consciously"
+        )
+
+
 def test_driver_sampled_queries_stay_in_full_gate_and_green():
     from sample_sim import run
 
@@ -84,13 +110,13 @@ def test_movers_table_thresholds(tmp_path):
 
 def test_movers_table_normalizes_out_host_drift(tmp_path):
     """Round-10 VERDICT "next" #2: a query that drifted WITH the host
-    (same ratio as the untouched headline control set) must divide out
+    (same ratio as the reserved sentinel control set) must divide out
     to ~1.0x and not be flagged; a query that outran the host drift
     keeps its normalized excess and is flagged."""
     import bench
 
     (tmp_path / "BASELINE.md").write_text("# scratch\n")
-    controls = bench.HEADLINE[:5]
+    controls = bench.NOISE_SENTINELS
     # the whole host got 2x slower...
     prev = {c: 1.0 for c in controls}
     prev.update({"drifted_with_host": 2.0, "really_regressed": 1.0})

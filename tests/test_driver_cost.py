@@ -80,3 +80,31 @@ def test_fanout_default_probe_unchanged():
     scan = table(spark, SF_DIR, "orders").select("o_orderkey")
     out = fanout(scan, "o_orderkey")
     assert out.rdd.getNumPartitions() == target
+
+
+def test_fanout_always_repartitions_unconditionally():
+    """ADVICE r11: byte-tiny compute-dense frames (type tables, edge
+    lists) must keep parallelism independent of how WIDE the base scan
+    arrived — `always=True` repartitions even when a probe would say the
+    input is already parallel."""
+    spark = _spark()
+    target = spark.sparkContext.defaultParallelism
+    scan = table(spark, SF_DIR, "orders").select("o_orderkey")
+    wide = scan.repartition(target, "o_orderkey")
+    # a probe of `wide` would suppress the fanout; always must not
+    out = fanout(scan, "o_orderkey", probe=wide, always=True)
+    assert out is not scan
+    assert out.rdd.getNumPartitions() == target
+
+
+def test_table_cache_keyed_by_session_not_context():
+    """ADVICE r11: a DataFrame is bound to its SparkSession — two
+    sessions over one context must not share cached handles."""
+    spark = _spark()
+    clear_table_cache()
+    h1 = table(spark, SF_DIR, "orders")
+    other = spark.newSession()
+    h2 = table(other, SF_DIR, "orders")
+    assert h2 is not h1, "newSession() must get its own plan handle"
+    assert table(other, SF_DIR, "orders") is h2
+    clear_table_cache()
