@@ -4307,9 +4307,16 @@ def kruskal_wallis_ship_latency(spark, sf_dir):
         "o_orderpriority",
         F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("delay_d"),
     )
+    # persist the collapsed (priority, delay) count table (a few hundred
+    # rows at any scale): its consumers live in SEPARATE executions (the
+    # r/tot/h broadcast builds below), where AQE exchange reuse cannot
+    # reach — without the persist the 600k-row lineitem⋈orders pipeline
+    # re-executed 5x per action (5 lineitem + 5 orders scans in the
+    # round-12 before plan; guide §5, the lp-eval lesson — the harness
+    # frees the frame between queries via release_foreign_storage).
     pv = d.groupBy("o_orderpriority", "delay_d").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
-    )
+    ).persist()
     v = pv.groupBy("delay_d").agg(F.sum("c").cast("bigint").alias("n"))
     w = W.orderBy("delay_d").rowsBetween(W.unboundedPreceding, 0)
     r = v.withColumn("cum", F.sum("n").over(w))

@@ -277,6 +277,7 @@ def test_temperature_mixture_invariants(spark):
     assert up["0.25"][largest] < up["0.50"][largest] < 1_000_000
 
 
+@pytest.mark.slow
 def test_fiedler_local_kernel_matches_distributed(spark, monkeypatch):
     """The adaptive local path (numpy kernel under FIEDLER_LOCAL_MAX_EDGES)
     must be BIT-IDENTICAL to the distributed power-iteration loop — both

@@ -305,6 +305,7 @@ def test_entity_clusters_sizes_sane(spark):
     assert len({r.entity for r in rows}) == len(rows)
 
 
+@pytest.mark.slow
 def test_interleaved_packing_conserves_tokens(spark):
     from quackio_jl_spark.operators.multimodal import MM_BUDGET
 

@@ -210,6 +210,7 @@ def test_hostile_file_path(tmp_path, spark, basic_df):
 
 # -------------------------------------------------------------- format guess
 
+@pytest.mark.slow
 def test_read_file_guessing(tmp_path, spark, basic_df):
     """runtests.jl:116-126 — format sniffed from extension."""
     for ext in ("csv", "parquet", "json"):

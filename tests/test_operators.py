@@ -1,6 +1,8 @@
 """Operator smoke + exact-value tests at sf0.001 (fast), plus the streaming
 twin and the multimodal pipeline's deterministic decode."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entry
@@ -21,6 +23,7 @@ def test_entry_smoke(spark):
     assert "sum_qty" in df.columns and "count_order" in df.columns
 
 
+@pytest.mark.slow
 def test_all_queries_run_and_have_rows_or_schema(spark):
     """Every registered query must at least execute at sf0.001."""
     qs = entry.queries()
@@ -501,6 +504,7 @@ def test_recall_query_sample_absolute_cap(spark):
     assert _eval_queries(small).count() == 50  # cap non-binding at test SFs
 
 
+@pytest.mark.slow
 def test_streaming_watermark_bounds_state(tmp_path, spark):
     """State EVICTION, not just state carry: events arrive as 8 time-ordered
     micro-batches (bounded out-of-orderness inside each), the watermark

@@ -81,6 +81,7 @@ WAIVED_UNBOUNDED_WINDOWS = {
 }
 
 
+@pytest.mark.slow
 def test_no_cartesian_row_python_or_unbounded_window_in_any_query(
     spark, monkeypatch
 ):
@@ -414,6 +415,7 @@ def test_zorder_partition_pruning(tmp_path, spark):
     assert zmax - zmin + 1 < all_buckets
 
 
+@pytest.mark.slow
 def test_zorder_quadtree_refinement():
     """The quadtree bucket set must be (a) SOUND — a superset of the
     buckets that actually contain rectangle rows, checked by direct

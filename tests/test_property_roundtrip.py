@@ -80,18 +80,21 @@ _SETTINGS = settings(
 )
 
 
+@pytest.mark.slow
 @given(rows=tables())
 @_SETTINGS
 def test_parquet_roundtrip_exact(spark, rows):
     assert _norm(_roundtrip(spark, rows, "parquet")) == _norm(rows)
 
 
+@pytest.mark.slow
 @given(rows=tables())
 @_SETTINGS
 def test_json_roundtrip(spark, rows):
     assert _norm(_roundtrip(spark, rows, "json")) == _norm(rows)
 
 
+@pytest.mark.slow
 @given(rows=tables())
 @_SETTINGS
 def test_csv_roundtrip(spark, rows):

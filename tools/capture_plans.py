@@ -26,7 +26,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r11",
+        "r12",
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
