@@ -2169,10 +2169,30 @@ def part_link_prediction_eval(spark, sf_dir):
     e1 = edges.join(okc, edges.src == okc.id).select(
         F.col("src").alias("c"), F.col("dst").alias("u"), "inv_ln_e6"
     )
-    e2 = edges.select(F.col("src").alias("c2"), F.col("dst").alias("w"))
+    # round-12 (guide §2.4/§3): wedges via capped neighbor LISTS instead of
+    # the e1 ⋈ e2 self-join — the join's second cache read, its exchange
+    # and both sort waves disappear; pairs are generated MAP-SIDE from the
+    # sorted per-center array and flow straight into the (u,w) partial
+    # aggregation, so per-occurrence wedge rows still cross exactly ONE
+    # shuffle. Scale-safe: the deg filter above bounds every collected
+    # array at AA_CENTER_CAP elements (hub lists are never materialized),
+    # and sort_array makes the collect order deterministic. The pair set
+    # is identical to the join form (distinct neighbors u < w from the
+    # sorted array), and cn/aa are the same exact integer sums.
+    nb = e1.groupBy("c", "inv_ln_e6").agg(
+        F.sort_array(F.collect_list("u")).alias("ns")
+    )
     scored = (
-        e1.join(e2, (F.col("c") == F.col("c2")) & (F.col("u") < F.col("w")))
-        .groupBy("u", "w")
+        nb.select(
+            "inv_ln_e6",
+            F.explode(
+                F.expr(
+                    "flatten(transform(ns, (x, i) -> transform("
+                    "slice(ns, i + 2, size(ns)), y -> struct(x AS u, y AS w))))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.u").alias("u"), F.col("p.w").alias("w"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("cn"),
             F.sum("inv_ln_e6").cast("bigint").alias("aa"),

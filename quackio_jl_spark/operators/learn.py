@@ -1328,16 +1328,36 @@ def langid_conformal_sets(spark, sf_dir):
     from ..functions.prefix import bucketed_prefix_sums
 
     post = _nb_doc_posteriors(spark, sf_dir).persist()
-    mx = post.groupBy("doc_id").agg(F.max("post6").alias("mx"))
     is_cal = F.substring(
         F.md5(F.concat(F.lit("conf:"), F.col("doc_id").cast("string"))), 1, 1
     ).isin(*CONF_CAL_HEX)
-    scored = post.join(mx, "doc_id").withColumn("is_cal", is_cal).persist()
+    # round-12: mx via a window over the doc partition (one exchange on
+    # the cached posterior grid) instead of groupBy + self-join (two
+    # exchanges + a join); same max over the same 5-row groups.
+    scored = (
+        post.withColumn("mx", F.max("post6").over(W.partitionBy("doc_id")))
+        .withColumn("is_cal", is_cal)
+        .persist()
+    )
     cal = scored.filter(
         (F.col("m") == F.col("lang_true")) & F.col("is_cal")
     ).select("doc_id", (F.col("mx") - F.col("post6")).alias("s"))
+    # round-12: persist the value-count table — it is bounded by the
+    # nonconformity score RANGE (integer micro-units), not the corpus,
+    # and it feeds four separate broadcast-build executions (the range
+    # probe + bucket offsets inside bucketed_prefix_sums, the qidx
+    # aggregate, and the qhat scan); without the persist each build
+    # re-aggregated the calibration slice (guide §5).
+    vc = (
+        cal.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .persist()
+    )
+    # n_cal = sum of value counts — exact integer identity with
+    # count(cal), read from the tiny cached vc instead of re-scanning
+    # the calibration slice.
     qi = F.broadcast(
-        cal.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+        vc.agg(F.sum("cnt").cast("bigint").alias("n")).select(
             "n",
             F.least(
                 F.ceil((F.col("n") + 1) * F.lit(1 - CONF_ALPHA)).cast("bigint"),
@@ -1345,7 +1365,6 @@ def langid_conformal_sets(spark, sf_dir):
             ).alias("qidx"),
         )
     )
-    vc = cal.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     cum = bucketed_prefix_sums(vc, "s", ["cnt"])
     qh = F.broadcast(
         cum.crossJoin(qi)
