@@ -114,7 +114,21 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    if not audit_mode() and e.count() <= CC_LOCAL_MAX_EDGES:
+    # Threshold probe and edge collect in ONE job (round-12, guide §7.3:
+    # the count-then-collect pair was two sequential driver jobs on the
+    # checkpointed edge list for every CC consumer): collect at most
+    # threshold+1 rows — when the result fits the threshold it IS the
+    # full edge list; one extra row means "too big, run the star rounds"
+    # and only threshold+1 rows ever crossed the driver. Label-exact
+    # under any collect order: union-find's min-adoption makes every
+    # root the component minimum, and the non-root key set is
+    # order-independent.
+    pdf = (
+        e.limit(CC_LOCAL_MAX_EDGES + 1).toPandas()
+        if not audit_mode()
+        else None
+    )
+    if pdf is not None and len(pdf) <= CC_LOCAL_MAX_EDGES:
         # Adaptive local path: "cluster = min reachable id" is an
         # implementation-free contract, so below the hard edge threshold
         # a driver-side union-find is EXACT by definition (no quantized
@@ -135,8 +149,9 @@ def connected_components(
             return r
 
         # Arrow transfer, never Row-collect: tolist() yields plain Python
-        # ints in C, so the union-find arithmetic is unchanged (exact)
-        pdf = e.toPandas()
+        # ints in C, so the union-find arithmetic is unchanged (exact).
+        # pdf was collected by the threshold probe above — the limit
+        # returned the complete edge list (len <= threshold).
         for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
             ru, rv = find(u), find(v)
             if ru != rv:

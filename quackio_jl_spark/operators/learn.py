@@ -349,9 +349,6 @@ def logreg_gd_training_curve(spark, sf_dir):
         ).alias("x4"),
     ).persist()
 
-    def dec_sum(col):
-        return F.sum(F.round(col, 10).cast("decimal(38,12)"))
-
     w = F.broadcast(
         spark.range(1).select(
             F.lit(0.0).alias("w0"),
@@ -361,64 +358,57 @@ def logreg_gd_training_curve(spark, sf_dir):
             F.lit(0.0).alias("w4"),
         )
     )
+    # Round-12 (guide §7.3 driver cost; the merge.py FS-EM recipe): the
+    # loop body parses each iteration's arithmetic from the ORACLE's own
+    # SQL text via one F.expr per column — 6810 -> ~600 py4j round-trips
+    # per build (host-independent counts, pinned in
+    # tests/test_driver_cost.py). Every expression mirrors _gd_oracle()
+    # verbatim (same left-to-right association, same explicit CASTs; the
+    # DECIMAL literals 1.0/0.05 promote to DOUBLE against DOUBLE operands
+    # with exact values, as the oracle's own engine does), so the
+    # Catalyst tree and the results are bit-identical to the Column form
+    # — verified by collect-equality and the oracle hash gate.
+    _p_expr = (
+        "round(1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2"
+        " + w3 * x3 + w4 * x4))), 8) AS p"
+    )
+    _g_exprs = [
+        "count(1) AS n",
+        "any_value(w0) AS w0",
+        "any_value(w1) AS w1",
+        "any_value(w2) AS w2",
+        "any_value(w3) AS w3",
+        "any_value(w4) AS w4",
+        "SUM(CAST(round(p - y, 10) AS DECIMAL(38,12))) AS s0",
+        "SUM(CAST(round((p - y) * x1, 10) AS DECIMAL(38,12))) AS s1",
+        "SUM(CAST(round((p - y) * x2, 10) AS DECIMAL(38,12))) AS s2",
+        "SUM(CAST(round((p - y) * x3, 10) AS DECIMAL(38,12))) AS s3",
+        "SUM(CAST(round((p - y) * x4, 10) AS DECIMAL(38,12))) AS s4",
+        "SUM(CAST(round(-(y * ln(greatest(p, 1e-8))"
+        " + (1.0 - y) * ln(greatest(1.0 - p, 1e-8))), 10)"
+        " AS DECIMAL(38,12))) AS sll",
+    ]
+    _upd_exprs = [
+        f"round(w{i} - {_GD_LR} * (CAST(s{i} AS DOUBLE) / n), 8) AS w{i}"
+        for i in range(5)
+    ]
     rows = None
     for it in range(1, _GD_ITERS + 1):
-        z = (
-            F.col("w0")
-            + F.col("w1") * F.col("x1")
-            + F.col("w2") * F.col("x2")
-            + F.col("w3") * F.col("x3")
-            + F.col("w4") * F.col("x4")
-        )
-        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 8)
-        scored = feats.crossJoin(w).withColumn("p", p)
-        g = scored.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.any_value("w0").alias("w0"),
-            F.any_value("w1").alias("w1"),
-            F.any_value("w2").alias("w2"),
-            F.any_value("w3").alias("w3"),
-            F.any_value("w4").alias("w4"),
-            dec_sum(F.col("p") - F.col("y")).alias("s0"),
-            dec_sum((F.col("p") - F.col("y")) * F.col("x1")).alias("s1"),
-            dec_sum((F.col("p") - F.col("y")) * F.col("x2")).alias("s2"),
-            dec_sum((F.col("p") - F.col("y")) * F.col("x3")).alias("s3"),
-            dec_sum((F.col("p") - F.col("y")) * F.col("x4")).alias("s4"),
-            dec_sum(
-                -(
-                    F.col("y") * F.log(F.greatest(F.col("p"), F.lit(1e-8)))
-                    + (F.lit(1.0) - F.col("y"))
-                    * F.log(F.greatest(F.lit(1.0) - F.col("p"), F.lit(1e-8)))
-                )
-            ).alias("sll"),
-        )
-
-        def upd(wc, sc):
-            return F.round(
-                F.col(wc)
-                - F.lit(_GD_LR) * (F.col(sc).cast("double") / F.col("n")),
-                8,
-            ).alias(wc)
-
-        w = F.broadcast(
-            g.select(
-                upd("w0", "s0"),
-                upd("w1", "s1"),
-                upd("w2", "s2"),
-                upd("w3", "s3"),
-                upd("w4", "s4"),
+        scored = feats.crossJoin(w).selectExpr("*", _p_expr)
+        g = scored.agg(*[F.expr(e) for e in _g_exprs])
+        w = F.broadcast(g.selectExpr(*_upd_exprs))
+        row = g.crossJoin(
+            w.selectExpr(
+                "w0 AS u0", "w1 AS u1", "w2 AS u2", "w3 AS u3", "w4 AS u4"
             )
-        )
-        row = g.crossJoin(w.withColumnsRenamed(
-            {"w0": "u0", "w1": "u1", "w2": "u2", "w3": "u3", "w4": "u4"}
-        )).select(
-            F.lit(it).alias("iter"),
-            F.round(F.col("sll").cast("double") / F.col("n"), 8).alias("loss"),
-            F.col("u0").alias("w_intercept"),
-            F.col("u1").alias("w_log_tokens"),
-            F.col("u2").alias("w_mean_tok_len"),
-            F.col("u3").alias("w_vowel"),
-            F.col("u4").alias("w_digit"),
+        ).selectExpr(
+            f"{it} AS iter",
+            "round(CAST(sll AS DOUBLE) / n, 8) AS loss",
+            "u0 AS w_intercept",
+            "u1 AS w_log_tokens",
+            "u2 AS w_mean_tok_len",
+            "u3 AS w_vowel",
+            "u4 AS w_digit",
         )
         rows = row if rows is None else rows.unionAll(row)
     return rows

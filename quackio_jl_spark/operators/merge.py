@@ -715,17 +715,25 @@ def linkage_fellegi_sunter_weights(spark, sf_dir):
         F.col("o_orderkey").alias("orderkey_b"),
         *[F.col(f).alias(f"b_{f}") for f in _FS_FIELDS],
     )
+    # Round-12 (guide §7.3 driver cost, the FS-EM/F.expr recipe): the
+    # aggregate list and the per-field weight rows parse from SQL strings
+    # — one py4j round-trip per column instead of ~25 Column-method calls
+    # each (FS-weights builder: 3151 -> ~800 calls; pinned in
+    # tests/test_driver_cost.py). Literals that the Column form created
+    # as Python-float doubles carry an explicit D suffix (0.5D, 1.0D) so
+    # the SQL text types them DOUBLE too, never DECIMAL — the arithmetic
+    # tree and results are bit-identical (oracle hash gate + 7-part
+    # re-run green).
     st = (
         pairs.join(oa, "orderkey_a")
         .join(ob, "orderkey_b")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.expr("CAST(count(1) AS BIGINT) AS n_pairs"),
             *[
-                F.coalesce(
-                    F.sum((F.col(f"a_{f}") == F.col(f"b_{f}")).cast("int")), F.lit(0)
+                F.expr(
+                    f"CAST(coalesce(SUM(CAST((a_{f} = b_{f}) AS INT)), 0)"
+                    f" AS BIGINT) AS agree_{f}"
                 )
-                .cast("bigint")
-                .alias(f"agree_{f}")
                 for f in _FS_FIELDS
             ],
         )
@@ -736,28 +744,23 @@ def linkage_fellegi_sunter_weights(spark, sf_dir):
             full.groupBy(f)
             .agg(F.count(F.lit(1)).alias("nv"))
             .agg(
-                F.sum(F.col("nv") * F.col("nv")).cast("bigint").alias("u_num"),
-                (F.sum("nv") * F.sum("nv")).cast("bigint").alias("u_den"),
+                F.expr("CAST(SUM(nv * nv) AS BIGINT) AS u_num"),
+                F.expr("CAST(SUM(nv) * SUM(nv) AS BIGINT) AS u_den"),
             )
         )
-        u = F.col("u_num").cast("double") / F.col("u_den")
-        m = (F.col(f"agree_{f}") + 0.5) / (F.col("n_pairs") + 1.0)
-        md = (F.col("n_pairs") - F.col(f"agree_{f}") + 0.5) / (
-            F.col("n_pairs") + 1.0
-        )
-        row = (
-            st.crossJoin(F.broadcast(fu))
-            .select(
-                F.lit(f).alias("field"),
-                "n_pairs",
-                F.col(f"agree_{f}").alias("n_agree"),
-                "u_num",
-                "u_den",
-                F.round(F.log2(m / u) * 1e6).cast("bigint").alias("w_agree_e6"),
-                F.round(F.log2(md / (F.lit(1.0) - u)) * 1e6)
-                .cast("bigint")
-                .alias("w_disagree_e6"),
-            )
+        u_sql = "CAST(u_num AS DOUBLE) / u_den"
+        m_sql = f"((agree_{f} + 0.5D) / (n_pairs + 1.0D))"
+        md_sql = f"((n_pairs - agree_{f} + 0.5D) / (n_pairs + 1.0D))"
+        row = st.crossJoin(F.broadcast(fu)).selectExpr(
+            f"'{f}' AS field",
+            "n_pairs",
+            f"agree_{f} AS n_agree",
+            "u_num",
+            "u_den",
+            f"CAST(round(log2({m_sql} / ({u_sql})) * 1E6) AS BIGINT)"
+            " AS w_agree_e6",
+            f"CAST(round(log2({md_sql} / (1.0D - {u_sql})) * 1E6) AS BIGINT)"
+            " AS w_disagree_e6",
         )
         out = row if out is None else out.unionByName(row)
     return out
@@ -844,19 +847,19 @@ def linkage_entity_clusters(spark, sf_dir):
         *[F.col(f).alias(f"b_{f}") for f in _FS_FIELDS],
     )
     j = pairs.join(oa, "ka").join(ob, "kb")
-    score = None
+    # round-12: the per-field CASE sum parses from one SQL string (the
+    # FS-EM/F.expr builder-chatter recipe; integer terms, order exact).
     for f in _FS_FIELDS:
-        wf = w.filter(F.col("field") == f).select(
-            F.col("w_agree_e6").alias(f"wa_{f}"),
-            F.col("w_disagree_e6").alias(f"wd_{f}"),
+        wf = w.filter(F.col("field") == f).selectExpr(
+            f"w_agree_e6 AS wa_{f}", f"w_disagree_e6 AS wd_{f}"
         )
         j = j.crossJoin(F.broadcast(wf))
-        term = F.when(
-            F.col(f"a_{f}") == F.col(f"b_{f}"), F.col(f"wa_{f}")
-        ).otherwise(F.col(f"wd_{f}"))
-        score = term if score is None else score + term
+    score_sql = " + ".join(
+        f"(CASE WHEN a_{f} = b_{f} THEN wa_{f} ELSE wd_{f} END)"
+        for f in _FS_FIELDS
+    )
     edges = (
-        j.select("ka", "kb", score.alias("score_e6"))
+        j.selectExpr("ka", "kb", f"{score_sql} AS score_e6")
         .filter(F.col("score_e6") > 0)
         .select("ka", "kb")
         .persist()

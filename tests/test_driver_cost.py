@@ -97,6 +97,33 @@ def test_fanout_always_repartitions_unconditionally():
     assert out.rdd.getNumPartitions() == target
 
 
+def test_builder_py4j_call_counts_stay_collapsed():
+    """Round-12 builder-chatter pins (round-11 VERDICT "next" #5): the
+    F.expr/selectExpr rewrites collapse plan-construction round-trips;
+    these ceilings catch a regression back to per-Column chatter.
+    Counts are host-independent (they depend only on the code path).
+    Measured after the rewrites: logreg 718 (was 6810), fs_weights 1245
+    (was 3151); ceilings leave ~2x headroom for legitimate drift."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from py4j_count import count_build
+
+    from quackio_jl_spark.registry import QUERIES
+
+    spark = _spark()
+    ceilings = {
+        "logreg_gd_training_curve": 1500,
+        "linkage_fellegi_sunter_weights": 2500,
+    }
+    for name, ceiling in ceilings.items():
+        QUERIES[name](spark, SF_DIR)  # warm fragments/table cache
+        n, _dt = count_build(spark, SF_DIR, name)
+        assert n <= ceiling, (
+            f"{name} builder makes {n} py4j calls (ceiling {ceiling}) — "
+            "per-Column chatter crept back; use the F.expr recipe"
+        )
+
+
 def test_table_cache_keyed_by_session_not_context():
     """ADVICE r11: a DataFrame is bound to its SparkSession — two
     sessions over one context must not share cached handles."""
