@@ -30,7 +30,17 @@ __all__ = ["bucketed_prefix_sums", "bucketed_prefix_max"]
 
 def _with_bucket_ids(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
     """Append ``_pid``: the pure-function uniform-range bucket id of ``key``
-    between the broadcast min/max (step 1 of the module docstring)."""
+    between the broadcast min/max (step 1 of the module docstring).
+
+    The input is persisted here (round-12, guide §5): the kernel
+    evaluates it in THREE separate executions — the min/max range probe
+    below is a broadcast build, the per-bucket offsets are another, and
+    the main cumulative consumes it a third time — so an expensive input
+    (a corpus aggregation, an Arrow-decode projection) otherwise
+    recomputes three times per query. A no-op when the caller already
+    persisted; the bench/gate harness frees foreign storage between
+    queries."""
+    df = df.persist()
     rng = F.broadcast(
         df.agg(F.min(key).alias("_lo"), F.max(key).alias("_hi"))
     )

@@ -794,24 +794,22 @@ def langid_nb_crossval(spark, sf_dir):
         F.count(F.lit(1)).alias("tfreq")
     )
     langs = d.select(F.col("lang").alias("m")).distinct()
-    vsize = F.broadcast(
-        tff.select("t").distinct().agg(F.count(F.lit(1)).alias("v"))
-    )
-    cnt = tff.groupBy("t", F.col("lang_true").alias("m")).agg(
-        F.sum("tfreq").alias("c")
-    )
+    # Round-12 (guide §2.2/§2.3, the r11 type-table rollup recipe applied
+    # to the fold marginals): per-(doc,token) rows cross ONE aggregation
+    # into the vocabulary-sized cntf; cnt/nl/nlf/vsize are exact integer
+    # rollups of it (c = Σ_folds cf; ntok = Σ_t c; ntokf = Σ_t cf;
+    # distinct t sets agree) — previously each was its own corpus-sized
+    # re-aggregation of tff inside a separate broadcast build.
     cntf = tff.groupBy("t", F.col("lang_true").alias("m"), "fold").agg(
         F.sum("tfreq").alias("cf")
     )
-    nl = F.broadcast(
-        tff.groupBy(F.col("lang_true").alias("m")).agg(
-            F.sum("tfreq").alias("ntok")
-        )
+    cnt = cntf.groupBy("t", "m").agg(F.sum("cf").alias("c"))
+    vsize = F.broadcast(
+        cnt.select("t").distinct().agg(F.count(F.lit(1)).alias("v"))
     )
+    nl = F.broadcast(cnt.groupBy("m").agg(F.sum("c").alias("ntok")))
     nlf = F.broadcast(
-        tff.groupBy(F.col("lang_true").alias("m"), "fold").agg(
-            F.sum("tfreq").alias("ntokf")
-        )
+        cntf.groupBy("m", "fold").agg(F.sum("cf").alias("ntokf"))
     )
     nd = d.groupBy(F.col("lang").alias("m")).agg(
         F.count(F.lit(1)).alias("ndocs")

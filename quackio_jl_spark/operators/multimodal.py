@@ -805,6 +805,9 @@ def multimodal_interleaved_packing(spark, sf_dir):
     toks = table(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("t_tokens")
     )
+    # The prefix-sum kernel evaluates costs in three separate executions;
+    # it persists its input internally (functions/prefix.py, round-12) so
+    # the Arrow image-decode UDF runs once, not three times.
     costs = toks.join(feats, "doc_id").select(
         "doc_id",
         "t_tokens",
