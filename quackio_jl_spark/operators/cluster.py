@@ -2083,6 +2083,42 @@ LP_TOPK = max(LP_KS)
     FROM byk CROSS JOIN ntest
     """,
 )
+def _parquet_column_max(path: str, col: str):
+    """Max of ``col`` from parquet row-group footer statistics — pure
+    metadata, no Spark job (guide §6). ``path`` may be a single file or a
+    directory of part files. Returns None when any row group lacks the
+    statistic (caller falls back to an aggregation), so the answer is
+    never approximate: parquet min/max stats are exact bounds for int
+    columns, and the max over all row groups IS the column max."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    if not files:
+        return None
+    best = None
+    try:
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            if idx < 0:
+                return None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                best = st.max if best is None else max(best, st.max)
+    except Exception:
+        return None
+    return best
+
+
 def part_link_prediction_eval(spark, sf_dir):
     """Measured-quality harness for Adamic-Adar link prediction (SURVEY
     round-7 item — the recall@k pattern the ANN suite already has, applied
@@ -3541,8 +3577,12 @@ def dedup_cluster_version_diff(spark, sf_dir):
     # Offsets are fixed constants mirrored by the oracle, so a corpus
     # whose ids reach them would SILENTLY conflate synthetic clone/bridge
     # ids with real docs on both engines (round-9 ADVICE) — fail loudly
-    # instead. One 1-row max() agg, negligible next to the LSH chains.
-    max_id = d.agg(F.max("doc_id")).first()[0]
+    # instead. Round-12 (guide §6): the guard reads the parquet FOOTER
+    # max statistic (pure metadata, no Spark job) and only falls back to
+    # the 1-row max() agg when statistics are absent.
+    max_id = _parquet_column_max(f"{sf_dir}/documents.parquet", "doc_id")
+    if max_id is None:
+        max_id = d.agg(F.max("doc_id")).first()[0]
     if max_id is not None and max_id >= _VDIFF_CLONE_OFF:
         raise ValueError(
             f"dedup_cluster_version_diff: max(doc_id)={max_id} collides "

@@ -162,16 +162,17 @@ def _nb_doc_posteriors(spark, sf_dir):
         F.count(F.lit(1)).alias("tfreq")
     )
     langs = d.select(F.col("lang").alias("m")).distinct()
-    vocab = tf.select("t").distinct()
-    vsize = F.broadcast(vocab.agg(F.count(F.lit(1)).alias("v")))
+    # Round-12 (same rollup recipe as langid_nb_crossval): per-(doc,token)
+    # rows cross ONE aggregation into the vocabulary-sized cnt; vocab and
+    # the per-language token totals are exact rollups of it (distinct t
+    # sets agree; ntok = Σ_t c per m) — previously the vocab/nl branches
+    # re-aggregated the corpus-sized tf inside separate broadcast builds.
     cnt = tf.groupBy("t", F.col("lang_true").alias("m")).agg(
         F.sum("tfreq").alias("c")
     )
-    nl = F.broadcast(
-        tf.groupBy(F.col("lang_true").alias("m")).agg(
-            F.sum("tfreq").alias("ntok")
-        )
-    )
+    vocab = cnt.select("t").distinct()
+    vsize = F.broadcast(vocab.agg(F.count(F.lit(1)).alias("v")))
+    nl = F.broadcast(cnt.groupBy("m").agg(F.sum("c").alias("ntok")))
     grid = (
         vocab.crossJoin(F.broadcast(langs))
         .crossJoin(vsize)

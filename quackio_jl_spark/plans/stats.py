@@ -10947,12 +10947,18 @@ def orders_trimmed_winsorized_means(spark, sf_dir):
         "o_orderkey",
     )
     w = W.partitionBy("seg").orderBy("v", "o_orderkey")
+    # persist the ranked frame (round-12, guide §2.4/§5): its two
+    # consumers — the bounds BROADCAST build and the main aggregation —
+    # are separate executions, so the rank sort + windows executed twice
+    # (the round-12 before plan shows the Exchange+Sort+Window chain
+    # duplicated under the BroadcastExchange). One sorted window pass now
+    # feeds both; the harness frees the frame between queries.
     r = o.select(
         "seg",
         "v",
         F.row_number().over(w).alias("rk"),
         F.count(F.lit(1)).over(W.partitionBy("seg")).alias("n"),
-    ).withColumn("k", F.floor(F.lit(TRIM_FRAC) * F.col("n")).cast("bigint"))
+    ).withColumn("k", F.floor(F.lit(TRIM_FRAC) * F.col("n")).cast("bigint")).persist()
     bounds = (
         r.groupBy("seg")
         .agg(
